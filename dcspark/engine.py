@@ -1,0 +1,775 @@
+"""Validation executor: plans and runs all compiled checks with minimal passes.
+
+Execution plan per model (scale rationale in SURVEY.md §4):
+
+1. Schema checks (field_is_present / field_type) — driver-side against
+   ``df.schema``; never trigger a scan (anti-goal parity with the reference).
+2. ONE shared multi-aggregate scan computes every agg-kind metric at once:
+   null-counts, invalid-counts (length/range/enum/regex/format/not-equal),
+   row_count, freshness max / retention min timestamps, and the KS/PSI drift grid
+   sums. Catalyst fuses these into a single Exchange + partial (map-side) aggregate;
+   with a partition column we run ``groupBy(partition_col)`` instead and merge
+   partition rows into the global metrics on the driver (all metrics are
+   decomposable: sum/min/max), which also powers checkpoint/resume.
+3. The audio decode-conformance pass (Arrow mapInPandas) aggregates its per-row
+   flags through the same partitioned/mergeable path.
+4. Dedicated jobs that genuinely need their own shuffle: uniqueness (groupBy-key
+   duplicate count — map-side partial aggregation bounds shuffle volume by the
+   number of DISTINCT keys per partition, AQE handles skew), referential integrity
+   (anti-join; broadcast hint when the parent is declared small), and scalar SQL
+   quality queries.
+5. A violations pass runs ONLY for checks that failed, evaluating all failed
+   predicates in a single scan (array-of-structs -> filter -> explode) with a
+   per-check row cap (default 500 — parity with DATACONTRACT_MAX_ERRORS,
+   /root/reference/datacontract/engines/fastjsonschema/check_jsonschema.py:55-63).
+
+All checks report results (no short-circuiting), matching the reference's
+worst-result-wins fold (/root/reference/datacontract/model/run.py:65-75).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import os
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import audio as audio_mod
+from . import drift as drift_mod
+from .compile import CompiledCheck, create_checks
+from .run_model import Check, ResultEnum, Run
+from .spec import DataContractSpecification, to_spark_data_type
+
+VIOLATION_CAP_DEFAULT = 500
+
+VIOLATIONS_DDL = (
+    "run_id string, partition_id string, check_key string, clip_id string, "
+    "observed string, expected string"
+)
+
+RESULTS_DDL = (
+    "run_id string, partition_id string, model string, field string, "
+    "check_key string, check_type string, category string, engine string, "
+    "result string, metric_value double, threshold string, reason string, "
+    "row_count bigint, ts_start timestamp, ts_end timestamp"
+)
+
+
+@dataclass
+class ValidationConfig:
+    partition_col: Optional[str] = None
+    violation_cap: int = VIOLATION_CAP_DEFAULT
+    # model -> column -> ref snapshot (drift_mod.build_ref_stats output)
+    ref_stats: Dict[str, Dict[str, dict]] = dc_field(default_factory=dict)
+    audio_oracle: Optional[audio_mod.OraclePcm] = None
+    now: Optional[dt.datetime] = None  # injectable clock for freshness/retention
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
+    checkpoint_chunks: int = 4  # partition-groups per checkpointed scan
+    broadcast_references: bool = True  # hint broadcast for reference parents
+    server_format: Optional[str] = None
+    arrow_batch_rows: int = 512  # audio bytes are large; keep Arrow batches bounded
+
+
+@dataclass
+class ValidationResult:
+    run: Run
+    results: List[dict]          # validation_results rows (FIXTURES.md §4)
+    violations: Optional[DataFrame]
+    metrics: Dict[str, Optional[float]]  # check key -> global metric value
+
+
+# ---------------------------------------------------------------------------
+# metric merge (makes every shared-scan metric decomposable across partitions)
+# ---------------------------------------------------------------------------
+
+def _merge_op(alias: str, kind: str) -> str:
+    if kind == "freshness" or alias.endswith("__max") or alias.endswith("__max_ts"):
+        return "max"
+    if kind == "retention" or alias.endswith("__min") or alias.endswith("__min_ts"):
+        return "min"
+    return "sum"
+
+
+def _merge_values(op: str, a: Any, b: Any) -> Any:
+    if a is None:
+        return b
+    if b is None:
+        return a
+    if op == "sum":
+        return a + b
+    if op == "max":
+        return max(a, b)
+    return min(a, b)
+
+
+def _merge_rows(rows: List[Dict[str, Any]], ops: Dict[str, str]) -> Dict[str, Any]:
+    merged: Dict[str, Any] = {}
+    for row in rows:
+        for alias, op in ops.items():
+            merged[alias] = _merge_values(op, merged.get(alias), row.get(alias))
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+class Validator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: DataContractSpecification,
+        tables: Dict[str, DataFrame],
+        config: Optional[ValidationConfig] = None,
+    ):
+        self.spark = spark
+        self.spec = spec
+        self.tables = tables
+        self.config = config or ValidationConfig()
+        self.run = Run.create_run(
+            data_contract_id=spec.id,
+            data_contract_version=spec.info.version if spec.info else None,
+        )
+        self._violation_frames: List[DataFrame] = []
+        self._results_rows: List[dict] = []
+        self._metrics: Dict[str, Optional[float]] = {}
+
+    # -- public ------------------------------------------------------------
+
+    def validate(self) -> ValidationResult:
+        checks_by_model = create_checks(self.spec, self.config.server_format)
+        # register temp views once so sql-quality checks can reference any model
+        for name, df in self.tables.items():
+            df.createOrReplaceTempView(name)
+
+        for model_name, checks in checks_by_model.items():
+            df = self.tables.get(model_name)
+            self._run_model(model_name, checks, df)
+
+        self.run.finish()
+        violations = None
+        if self._violation_frames:
+            violations = self._violation_frames[0]
+            for vf in self._violation_frames[1:]:
+                violations = violations.unionByName(vf)
+        return ValidationResult(
+            run=self.run,
+            results=self._results_rows,
+            violations=violations,
+            metrics=self._metrics,
+        )
+
+    # -- per-model orchestration --------------------------------------------
+
+    def _run_model(self, model_name: str, checks: List[CompiledCheck], df: Optional[DataFrame]) -> None:
+        if df is None:
+            for chk in checks:
+                self._record(chk, None, ResultEnum.error, f"table {model_name} not provided", None)
+            return
+
+        schema_checks = [c for c in checks if c.kind in ("schema_present", "schema_type")]
+        agg_checks = [c for c in checks if c.kind in ("agg", "freshness", "retention") or c.agg_alias == "__row_count"]
+        drift_checks = [c for c in checks if c.kind == "drift"]
+        unique_checks = [c for c in checks if c.kind == "unique"]
+        reference_checks = [c for c in checks if c.kind == "reference"]
+        sql_checks = [c for c in checks if c.kind == "sql"]
+        audio_checks = [c for c in checks if c.kind == "audio"]
+
+        present_fields = set(df.schema.fieldNames())
+        self._run_schema_checks(schema_checks, df)
+
+        # checks on absent columns can't scan — report error, drop from data path
+        def runnable(chk: CompiledCheck) -> bool:
+            if chk.field and chk.field not in present_fields and chk.kind != "sql":
+                self._record(chk, None, ResultEnum.error, f"column {chk.field} missing", None)
+                return False
+            return True
+
+        agg_checks = [c for c in agg_checks if runnable(c)]
+        drift_checks = [c for c in drift_checks if runnable(c)]
+        unique_checks = [c for c in unique_checks if runnable(c)]
+        reference_checks = [c for c in reference_checks if runnable(c)]
+
+        self._run_shared_scan(model_name, df, agg_checks, drift_checks, audio_checks)
+        for chk in unique_checks:
+            self._run_unique(model_name, df, chk)
+        for chk in reference_checks:
+            self._run_reference(model_name, df, chk)
+        for chk in sql_checks:
+            self._run_sql(chk)
+
+    # -- schema checks (driver-side, no scan) --------------------------------
+
+    def _run_schema_checks(self, checks: List[CompiledCheck], df: DataFrame) -> None:
+        names = df.schema.fieldNames()
+        by_name = {f.name: f for f in df.schema.fields}
+        for chk in checks:
+            if chk.kind == "schema_present":
+                ok = chk.field in names
+                self._record(
+                    chk, 0.0 if ok else 1.0,
+                    ResultEnum.passed if ok else ResultEnum.failed,
+                    None if ok else f"column {chk.field} missing in schema", None,
+                )
+            else:  # schema_type
+                if chk.field not in by_name:
+                    self._record(chk, None, ResultEnum.error, f"column {chk.field} missing", None)
+                    continue
+                actual = by_name[chk.field].dataType
+                expected = chk.params["expected_spark_type"]
+                ok = actual == expected
+                self._record(
+                    chk, 0.0 if ok else 1.0,
+                    ResultEnum.passed if ok else ResultEnum.failed,
+                    None if ok else f"type is {actual.simpleString()}, expected {expected.simpleString()}",
+                    None,
+                )
+
+    # -- shared multi-aggregate scan (+ audio; + checkpoint/resume) ----------
+
+    def _shared_agg_specs(
+        self, model_name: str, agg_checks: List[CompiledCheck], drift_checks: List[CompiledCheck]
+    ) -> Tuple[Dict[str, Column], Dict[str, str]]:
+        exprs: Dict[str, Column] = {"__total_count": F.count(F.lit(1))}
+        ops: Dict[str, str] = {"__total_count": "sum"}
+        for chk in agg_checks:
+            if chk.agg_alias and chk.agg_expr is not None and chk.agg_alias not in exprs:
+                exprs[chk.agg_alias] = chk.agg_expr
+                ops[chk.agg_alias] = _merge_op(chk.agg_alias, chk.kind)
+            for alias, expr in chk.extra_aggs.items():
+                if alias not in exprs:
+                    exprs[alias] = expr
+                    ops[alias] = _merge_op(alias, chk.kind)
+        for chk in drift_checks:
+            stats = self.config.ref_stats.get(model_name, {}).get(chk.params["column"])
+            if stats is None:
+                continue
+            prefix = f"__drift__{chk.key}"
+            chk.params["_prefix"] = prefix
+            chk.params["_stats"] = stats
+            for alias, expr in drift_mod.drift_agg_exprs(
+                chk.params["column"], stats, chk.params["method"], prefix
+            ).items():
+                exprs[alias] = expr
+                ops[alias] = "sum"
+        return exprs, ops
+
+    def _audio_report(self, df: DataFrame, chk: CompiledCheck, partition_col: Optional[str]) -> DataFrame:
+        # partition col is threaded through the Arrow batch as __part (no re-join)
+        return audio_mod.audio_decode_report(
+            df,
+            snr_floor_db=chk.params.get("snr_db", 30.0),
+            oracle=self.config.audio_oracle,
+            partition_col=partition_col if (partition_col and partition_col in df.columns) else None,
+        )
+
+    @staticmethod
+    def _audio_agg_specs(prefix: str) -> Tuple[Dict[str, Column], Dict[str, str]]:
+        def cnt(cond: Column) -> Column:
+            return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
+        exprs = {
+            f"{prefix}__rows": F.count(F.lit(1)),
+            f"{prefix}__decode_error": cnt(F.col("decode_error").isNotNull()),
+            f"{prefix}__sr_bad": cnt(F.col("decode_error").isNull() & ~F.col("sr_ok")),
+            f"{prefix}__dur_bad": cnt(F.col("decode_error").isNull() & ~F.col("dur_ok")),
+            f"{prefix}__codec_bad": cnt(F.col("decode_error").isNull() & ~F.col("codec_ok")),
+            f"{prefix}__snr_bad": cnt(F.col("snr_ok").isNotNull() & ~F.col("snr_ok")),
+            f"{prefix}__violations": cnt(audio_mod.audio_violation_expr()),
+        }
+        return exprs, {k: "sum" for k in exprs}
+
+    def _run_shared_scan(
+        self,
+        model_name: str,
+        df: DataFrame,
+        agg_checks: List[CompiledCheck],
+        drift_checks: List[CompiledCheck],
+        audio_checks: List[CompiledCheck],
+    ) -> None:
+        exprs, ops = self._shared_agg_specs(model_name, agg_checks, drift_checks)
+        partition_col = self.config.partition_col if (
+            self.config.partition_col and self.config.partition_col in df.columns
+        ) else None
+
+        audio_chk = audio_checks[0] if audio_checks else None
+        audio_exprs: Dict[str, Column] = {}
+        audio_ops: Dict[str, str] = {}
+        if audio_chk is not None:
+            audio_exprs, audio_ops = self._audio_agg_specs("__audio")
+
+        part_rows: List[Dict[str, Any]] = []
+        audio_part_rows: List[Dict[str, Any]] = []
+
+        if partition_col and self.config.checkpoint_dir:
+            part_rows, audio_part_rows = self._checkpointed_scan(
+                model_name, df, exprs, ops, audio_chk, audio_exprs, partition_col
+            )
+        else:
+            if partition_col:
+                agg_list = [v.alias(k) for k, v in exprs.items()]
+                part_rows = [r.asDict() for r in df.groupBy(partition_col).agg(*agg_list).collect()]
+            else:
+                agg_list = [v.alias(k) for k, v in exprs.items()]
+                part_rows = [df.agg(*agg_list).first().asDict()]
+            if audio_chk is not None:
+                report = self._audio_report(df, audio_chk, partition_col)
+                a_list = [v.alias(k) for k, v in audio_exprs.items()]
+                with self._arrow_batch_conf():
+                    if partition_col:
+                        audio_part_rows = [
+                            r.asDict() for r in report.groupBy("__part").agg(*a_list).collect()
+                        ]
+                    else:
+                        audio_part_rows = [report.agg(*a_list).first().asDict()]
+
+        global_row = _merge_rows(part_rows, ops)
+        global_row["__total_count"] = global_row.get("__total_count") or 0
+        audio_global = _merge_rows(audio_part_rows, audio_ops) if audio_part_rows else {}
+
+        # evaluate + record each agg check (global + per-partition rows)
+        failed_agg: List[CompiledCheck] = []
+        for chk in agg_checks:
+            metric = self._agg_metric(chk, global_row)
+            result, reason = chk.eval_metric(metric, global_row)
+            self._record(chk, metric, result, reason, global_row.get("__total_count"))
+            if partition_col:
+                for prow in part_rows:
+                    pm = self._agg_metric(chk, prow)
+                    pres, preason = chk.eval_metric(pm, prow)
+                    self._record(
+                        chk, pm, pres, preason, prow.get("__total_count"),
+                        partition_id=str(prow.get(partition_col)),
+                    )
+            if result == ResultEnum.failed and chk.violation_predicate is not None:
+                failed_agg.append(chk)
+
+        for chk in drift_checks:
+            if "_stats" not in chk.params:
+                self._record(chk, None, ResultEnum.error,
+                             f"no reference snapshot for column {chk.params['column']}", None)
+                continue
+            stat = drift_mod.drift_statistic(
+                global_row, chk.params["_stats"], chk.params["method"], chk.params["_prefix"]
+            )
+            result, reason = chk.eval_metric(stat, global_row)
+            self._record(chk, stat, result, reason, global_row.get("__total_count"))
+
+        if audio_chk is not None and audio_global:
+            metric = float(audio_global.get("__audio__violations") or 0)
+            diag = {k.replace("__audio__", ""): v for k, v in audio_global.items()}
+            result = ResultEnum.passed if metric == 0 else ResultEnum.failed
+            reason = None if metric == 0 else (
+                f"{int(metric)} rows violate decode conformance "
+                f"(decode_error={diag.get('decode_error')}, sr={diag.get('sr_bad')}, "
+                f"dur={diag.get('dur_bad')}, codec={diag.get('codec_bad')}, snr={diag.get('snr_bad')})"
+            )
+            self._record(audio_chk, metric, result, reason,
+                         audio_global.get("__audio__rows"), diagnostics=diag)
+            if partition_col:
+                for prow in audio_part_rows:
+                    pm = float(prow.get("__audio__violations") or 0)
+                    self._record(
+                        audio_chk, pm,
+                        ResultEnum.passed if pm == 0 else ResultEnum.failed,
+                        None if pm == 0 else f"{int(pm)} decode-conformance violations",
+                        prow.get("__audio__rows"), partition_id=str(prow.get("__part")),
+                    )
+            if metric > 0:
+                report = self._audio_report(df, audio_chk, None)
+                with self._arrow_batch_conf():
+                    vio = (
+                        report.filter(audio_mod.audio_violation_expr())
+                        .limit(self.config.violation_cap)
+                        .select(
+                            F.lit(self.run.runId).alias("run_id"),
+                            F.lit(None).cast("string").alias("partition_id"),
+                            F.lit(audio_chk.key).alias("check_key"),
+                            F.col("clip_id").cast("string").alias("clip_id"),
+                            F.concat_ws(
+                                ",",
+                                F.concat(F.lit("decoded_sr="), F.col("decoded_sr").cast("string")),
+                                F.concat(F.lit("decoded_dur_ms="), F.round("decoded_dur_ms", 1).cast("string")),
+                                F.concat(F.lit("snr_db="), F.round("snr_db", 1).cast("string")),
+                                F.concat(F.lit("err="), F.col("decode_error")),
+                            ).alias("observed"),
+                            F.lit(audio_chk.expected).alias("expected"),
+                        )
+                    )
+                    self._violation_frames.append(self.spark.createDataFrame(
+                        vio.collect(), schema=VIOLATIONS_DDL))
+
+        if failed_agg:
+            self._collect_agg_violations(model_name, df, failed_agg, partition_col)
+
+    def _arrow_batch_conf(self):
+        return _ConfScope(
+            self.spark,
+            {"spark.sql.execution.arrow.maxRecordsPerBatch": str(self.config.arrow_batch_rows)},
+        )
+
+    def _agg_metric(self, chk: CompiledCheck, row: Dict[str, Any]) -> Optional[float]:
+        value = row.get(chk.agg_alias) if chk.agg_alias else None
+        if chk.kind in ("freshness", "retention"):
+            if value is None:
+                return None
+            now = self.config.now or dt.datetime.now(dt.timezone.utc)
+            ts = value
+            if isinstance(ts, dt.date) and not isinstance(ts, dt.datetime):
+                ts = dt.datetime(ts.year, ts.month, ts.day)
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=dt.timezone.utc)
+            return (now - ts).total_seconds()
+        if value is None:
+            return None
+        return float(value)
+
+    # -- violations (single scan over all failed predicates) -----------------
+
+    def _pk_column(self, model_name: str, df: DataFrame) -> str:
+        model = self.spec.models.get(model_name)
+        if model:
+            if model.primaryKey:
+                return model.primaryKey[0]
+            for fname, f_ in model.fields.items():
+                if f_.primaryKey:
+                    return fname
+        return df.columns[0]
+
+    def _collect_agg_violations(
+        self,
+        model_name: str,
+        df: DataFrame,
+        failed: List[CompiledCheck],
+        partition_col: Optional[str],
+    ) -> None:
+        pk = self._pk_column(model_name, df)
+        structs = [
+            F.when(
+                chk.violation_predicate,
+                F.struct(
+                    F.lit(chk.key).alias("check_key"),
+                    (chk.observed_expr if chk.observed_expr is not None
+                     else F.lit(None).cast("string")).alias("observed"),
+                    F.lit(chk.expected).cast("string").alias("expected"),
+                ),
+            )
+            for chk in failed
+        ]
+        arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+        base = df.select(
+            F.col(pk).cast("string").alias("clip_id"),
+            (F.col(partition_col).cast("string") if partition_col else F.lit(None).cast("string")
+             ).alias("partition_id"),
+            arr.alias("__v"),
+        ).filter(F.size("__v") > 0)
+        exploded = base.select(
+            F.lit(self.run.runId).alias("run_id"),
+            "partition_id",
+            F.explode("__v").alias("v"),
+            "clip_id",
+        ).select(
+            "run_id", "partition_id",
+            F.col("v.check_key").alias("check_key"),
+            "clip_id",
+            F.col("v.observed").alias("observed"),
+            F.col("v.expected").alias("expected"),
+        )
+        w = Window.partitionBy("check_key").orderBy("clip_id")
+        capped = (
+            exploded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= self.config.violation_cap)
+            .drop("__rn")
+        )
+        self._violation_frames.append(
+            self.spark.createDataFrame(capped.collect(), schema=VIOLATIONS_DDL)
+        )
+
+    # -- uniqueness (dedicated shuffle; AQE-skew-safe) ------------------------
+
+    def _run_unique(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> None:
+        col = chk.field
+        # two-phase: partial agg combines map-side, so shuffle volume is bounded by
+        # distinct keys per partition; duplicate stats folded in one tiny pass
+        dup = (
+            df.select(col).filter(F.col(col).isNotNull())
+            .groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > 1)
+        )
+        stats = dup.agg(
+            F.count(F.lit(1)).alias("dup_values"),
+            F.coalesce(F.sum(F.col("__cnt") - 1), F.lit(0)).alias("dup_rows"),
+        ).first()
+        metric = float(stats["dup_values"] or 0)
+        result, reason = chk.eval_metric(metric, {})
+        self._record(chk, metric, result, reason, None,
+                     diagnostics={"dup_values": stats["dup_values"], "dup_rows": stats["dup_rows"]})
+        if metric > 0:
+            vio = dup.orderBy(F.col("__cnt").desc(), F.col(col)).limit(self.config.violation_cap).select(
+                F.lit(self.run.runId).alias("run_id"),
+                F.lit(None).cast("string").alias("partition_id"),
+                F.lit(chk.key).alias("check_key"),
+                F.col(col).cast("string").alias("clip_id"),
+                F.concat(F.lit("count="), F.col("__cnt").cast("string")).alias("observed"),
+                F.lit("unique").alias("expected"),
+            )
+            self._violation_frames.append(
+                self.spark.createDataFrame(vio.collect(), schema=VIOLATIONS_DDL))
+
+    # -- referential integrity (anti-join) ------------------------------------
+
+    def _run_reference(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> None:
+        parent_name = chk.params["parent_model"]
+        parent_field = chk.params["parent_field"]
+        parent = self.tables.get(parent_name)
+        if parent is None:
+            self._record(chk, None, ResultEnum.error, f"parent table {parent_name} not provided", None)
+            return
+        if parent_field not in parent.columns:
+            self._record(chk, None, ResultEnum.error,
+                         f"parent column {parent_field} missing in {parent_name}", None)
+            return
+        keys = parent.select(F.col(parent_field).alias("__parent_key")).distinct()
+        if self.config.broadcast_references:
+            keys = F.broadcast(keys)
+        child_col = chk.field
+        orphans = df.select(child_col).filter(F.col(child_col).isNotNull()).join(
+            keys, on=F.col(child_col) == F.col("__parent_key"), how="left_anti"
+        )
+        metric = float(orphans.count())
+        result, reason = chk.eval_metric(metric, {})
+        self._record(chk, metric, result, reason, None)
+        if metric > 0:
+            vio = orphans.limit(self.config.violation_cap).select(
+                F.lit(self.run.runId).alias("run_id"),
+                F.lit(None).cast("string").alias("partition_id"),
+                F.lit(chk.key).alias("check_key"),
+                F.col(child_col).cast("string").alias("clip_id"),
+                F.col(child_col).cast("string").alias("observed"),
+                F.lit(chk.expected).alias("expected"),
+            )
+            self._violation_frames.append(
+                self.spark.createDataFrame(vio.collect(), schema=VIOLATIONS_DDL))
+
+    # -- SQL quality ----------------------------------------------------------
+
+    def _run_sql(self, chk: CompiledCheck) -> None:
+        query = chk.params.get("query")
+        if not query:
+            self._record(chk, None, ResultEnum.error, "no query", None)
+            return
+        try:
+            row = self.spark.sql(query).first()
+            metric = None if row is None else float(row[0])
+        except Exception as e:  # surfaced as error check, not crash (soda parity)
+            self._record(chk, None, ResultEnum.error, f"query failed: {e}", None)
+            return
+        result, reason = chk.eval_metric(metric, {})
+        self._record(chk, metric, result, reason, None)
+
+    # -- checkpoint / resume ---------------------------------------------------
+
+    def _manifest_path(self, model_name: str) -> str:
+        key = f"{self.spec.id or 'contract'}__{model_name}"
+        return os.path.join(self.config.checkpoint_dir, f"manifest__{key}.jsonl")
+
+    def _checkpointed_scan(
+        self,
+        model_name: str,
+        df: DataFrame,
+        exprs: Dict[str, Column],
+        ops: Dict[str, str],
+        audio_chk: Optional[CompiledCheck],
+        audio_exprs: Dict[str, Column],
+        partition_col: str,
+    ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
+        """Chunked partitioned scan with a resume manifest.
+
+        Partition values are grouped into ``checkpoint_chunks`` groups; each group's
+        per-partition metric rows are appended to the manifest as they complete. On
+        resume, completed partitions are loaded from the manifest and their groups
+        skipped — only remaining partitions are scanned. All shared-scan metrics are
+        decomposable (sum/min/max), so merged results are identical to a full run.
+        """
+        os.makedirs(self.config.checkpoint_dir, exist_ok=True)
+        manifest = self._manifest_path(model_name)
+        done: Dict[str, dict] = {}
+        if self.config.resume and os.path.exists(manifest):
+            with open(manifest, "r", encoding="utf-8") as f:
+                for line in f:
+                    rec = json.loads(line)
+                    if rec.get("status") == "done":
+                        done[str(rec["partition_id"])] = rec
+        parts = sorted(
+            str(r[0]) for r in df.select(partition_col).distinct().collect()
+        )
+        todo = [p for p in parts if p not in done]
+        chunks: List[List[str]] = []
+        k = max(1, self.config.checkpoint_chunks)
+        size = max(1, math.ceil(len(todo) / k)) if todo else 1
+        for i in range(0, len(todo), size):
+            chunks.append(todo[i:i + size])
+
+        agg_list = [v.alias(a) for a, v in exprs.items()]
+        a_list = [v.alias(a) for a, v in audio_exprs.items()]
+
+        part_rows: List[Dict[str, Any]] = []
+        audio_part_rows: List[Dict[str, Any]] = []
+
+        for rec in done.values():
+            row = _json_to_metrics(rec["metrics_json"])
+            row[partition_col] = rec["partition_id"]
+            part_rows.append(row)
+            if rec.get("audio_metrics_json"):
+                arow = _json_to_metrics(rec["audio_metrics_json"])
+                arow["__part"] = rec["partition_id"]
+                audio_part_rows.append(arow)
+
+        self.run.log_info(
+            f"checkpoint: {len(done)}/{len(parts)} partitions already complete; "
+            f"{len(todo)} to scan in {len(chunks)} chunk(s)"
+        )
+
+        for chunk in chunks:
+            sub = df.filter(F.col(partition_col).cast("string").isin(chunk))
+            rows = [r.asDict() for r in sub.groupBy(partition_col).agg(*agg_list).collect()]
+            audio_rows_by_part: Dict[str, dict] = {}
+            if audio_chk is not None:
+                report = self._audio_report(sub, audio_chk, partition_col)
+                with self._arrow_batch_conf():
+                    audio_rows_by_part = {
+                        str(r["__part"]): r.asDict()
+                        for r in report.groupBy("__part").agg(*a_list).collect()
+                    }
+            with open(manifest, "a", encoding="utf-8") as f:
+                for row in rows:
+                    pid = str(row[partition_col])
+                    arow = audio_rows_by_part.get(pid)
+                    f.write(json.dumps({
+                        "run_id": self.run.runId,
+                        "partition_id": pid,
+                        "status": "done",
+                        "metrics_json": _metrics_to_json(row, partition_col),
+                        "audio_metrics_json": _metrics_to_json(arow, "__part") if arow else None,
+                        "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
+                    }) + "\n")
+                    part_rows.append(row)
+                    if arow:
+                        audio_part_rows.append(arow)
+        return part_rows, audio_part_rows
+
+    # -- result recording -------------------------------------------------------
+
+    def _record(
+        self,
+        chk: CompiledCheck,
+        metric: Optional[float],
+        result: ResultEnum,
+        reason: Optional[str],
+        row_count: Optional[int],
+        partition_id: Optional[str] = None,
+        diagnostics: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        if partition_id is None:
+            # global rollup -> a Check on the Run (parity with reference fold)
+            self.run.checks.append(Check(
+                id=chk.key,
+                key=chk.key,
+                category=chk.category,
+                type=chk.check_type,
+                name=chk.name,
+                model=chk.model,
+                field=chk.field,
+                engine="dcspark",
+                language="spark",
+                implementation=chk.implementation,
+                result=result,
+                reason=reason,
+                diagnostics=(diagnostics or {}) | ({"metric": metric} if metric is not None else {}),
+            ))
+            self._metrics[chk.key] = metric
+        now = dt.datetime.now(dt.timezone.utc)
+        self._results_rows.append({
+            "run_id": self.run.runId,
+            "partition_id": partition_id,
+            "model": chk.model,
+            "field": chk.field,
+            "check_key": chk.key,
+            "check_type": chk.check_type,
+            "category": chk.category,
+            "engine": "dcspark",
+            "result": result.value,
+            "metric_value": float(metric) if metric is not None else None,
+            "threshold": chk.expected,
+            "reason": reason,
+            "row_count": int(row_count) if row_count is not None else None,
+            "ts_start": self.run.timestampStart,
+            "ts_end": now,
+        })
+
+
+class _ConfScope:
+    """Temporarily set Spark SQL confs (restored on exit)."""
+
+    def __init__(self, spark: SparkSession, confs: Dict[str, str]):
+        self.spark = spark
+        self.confs = confs
+        self.saved: Dict[str, Optional[str]] = {}
+
+    def __enter__(self):
+        for k, v in self.confs.items():
+            try:
+                self.saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self.saved[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, old in self.saved.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
+        return False
+
+
+def _metrics_to_json(row: Optional[Dict[str, Any]], partition_col: str) -> str:
+    out = {}
+    for k, v in (row or {}).items():
+        if k == partition_col:
+            continue
+        if isinstance(v, (dt.datetime, dt.date)):
+            out[k] = {"__ts__": v.isoformat()}
+        else:
+            out[k] = v
+    return json.dumps(out)
+
+
+def _json_to_metrics(blob: str) -> Dict[str, Any]:
+    raw = json.loads(blob)
+    out: Dict[str, Any] = {}
+    for k, v in raw.items():
+        if isinstance(v, dict) and "__ts__" in v:
+            try:
+                out[k] = dt.datetime.fromisoformat(v["__ts__"])
+            except ValueError:
+                out[k] = None
+        else:
+            out[k] = v
+    return out
+
+
+def validate(
+    spark: SparkSession,
+    spec: DataContractSpecification,
+    tables: Dict[str, DataFrame],
+    config: Optional[ValidationConfig] = None,
+) -> ValidationResult:
+    return Validator(spark, spec, tables, config).validate()

@@ -1,0 +1,217 @@
+"""Deterministic synthetic audio-clip + transcript tables (FIXTURES.md §1-§2).
+
+No external data: every byte is synthesized from a seed. The synthesis rule makes
+the audio-decode invariant verifiable by construction — for row ``i`` with seed
+``s`` we generate a sine mix sampled at ``sr_hz`` for ``dur_ms`` milliseconds,
+quantized to int16 and wrapped in a standard 44-byte RIFF/WAV header; the engine's
+oracle re-synthesizes the same PCM from (seed, i, sr_hz, dur_ms) and checks
+decoded-PCM allclose at SNR >= 30 dB.
+
+Generation is DISTRIBUTED: ``generate_audio_table`` builds the table with
+``spark.range(n).mapInPandas`` so a 10^12-row synthetic table would be produced in
+parallel across executors, never on the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+SR_ENUM = [8000, 16000, 22050, 44100, 48000]
+CODEC = "pcm_s16le"
+WORDS = (
+    "the quick brown fox jumps over lazy dog alpha bravo charlie delta echo "
+    "foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec "
+    "romeo sierra tango uniform victor whiskey xray yankee zulu"
+).split()
+
+# Corruption flags (FIXTURES.md §1) in a fixed order so per-row corruption draws
+# are reproducible independent of which flags are enabled.
+CORRUPTION_FLAGS = [
+    "null_transcript", "dup_clip_id", "bad_sr", "bad_range", "bad_pattern",
+    "orphan_ref", "lying_header", "garbled_pcm", "wrong_transcript", "drift_dur",
+]
+
+AUDIO_SCHEMA_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+)
+TRANSCRIPTS_REF_DDL = "clip_id string, text string"
+
+
+def clip_id_for(i: int) -> str:
+    return "clip-%012d" % i
+
+
+def row_rng(seed: int, i: int) -> np.random.Generator:
+    return np.random.default_rng(seed + i)
+
+
+def synth_params(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000):
+    """Deterministic per-row (sr_hz, dur_ms, f_k, a_k, transcript words)."""
+    rng = row_rng(seed, i)
+    sr = SR_ENUM[int(rng.integers(0, len(SR_ENUM)))]
+    dur = int(rng.integers(dur_lo, dur_hi + 1))
+    k = int(rng.integers(2, 5))
+    freqs = rng.uniform(100.0, min(4000.0, sr / 2 * 0.8), size=k)
+    amps = rng.uniform(0.1, 0.3, size=k)
+    n_words = int(rng.integers(3, 9))
+    words = [WORDS[int(w)] for w in rng.integers(0, len(WORDS), size=n_words)]
+    return sr, dur, freqs, amps, " ".join(words)
+
+
+def synth_pcm(sr: int, dur_ms: int, freqs: np.ndarray, amps: np.ndarray) -> np.ndarray:
+    """int16 PCM of the sine mix (vectorized numpy; no per-sample Python)."""
+    n = int(round(sr * dur_ms / 1000.0))
+    t = np.arange(n, dtype=np.float64) / sr
+    x = np.zeros(n, dtype=np.float64)
+    for f, a in zip(freqs, amps):
+        x += a * np.sin(2.0 * np.pi * f * t)
+    peak = np.abs(amps).sum() or 1.0
+    return np.clip(x / peak * 0.9 * 32767.0, -32768, 32767).astype(np.int16)
+
+
+def wav_bytes(pcm: np.ndarray, sr: int) -> bytes:
+    """Standard 44-byte RIFF/WAV header + s16le mono payload."""
+    data = pcm.astype("<i2").tobytes()
+    byte_rate = sr * 2
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sr, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return header + data
+
+
+def oracle_pcm(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000) -> np.ndarray:
+    """Re-synthesize the expected PCM for row i — the decode invariant's oracle."""
+    sr, dur, freqs, amps, _ = synth_params(seed, i, dur_lo, dur_hi)
+    return synth_pcm(sr, dur, freqs, amps)
+
+
+def _corrupt_draw(seed: int, i: int, flag: str) -> float:
+    idx = CORRUPTION_FLAGS.index(flag)
+    return float(np.random.default_rng([seed, i, idx]).uniform())
+
+
+def make_row(
+    seed: int,
+    i: int,
+    corrupt: Optional[Dict[str, float]] = None,
+    dur_lo: int = 200,
+    dur_hi: int = 30000,
+) -> dict:
+    """One audio_clips row; ``corrupt`` maps flag name -> fraction of rows to flip."""
+    sr, dur, freqs, amps, transcript = synth_params(seed, i, dur_lo, dur_hi)
+    corrupt = corrupt or {}
+
+    def hit(flag: str) -> bool:
+        frac = corrupt.get(flag, 0.0)
+        return frac > 0 and _corrupt_draw(seed, i, flag) < frac
+
+    pcm = synth_pcm(sr, dur, freqs, amps)
+    declared_sr, declared_dur = sr, dur
+    clip_id = clip_id_for(i)
+
+    if hit("drift_dur"):
+        # draw dur from a shifted distribution; bytes still match the declared value
+        rng = np.random.default_rng([seed, i, 101])
+        declared_dur = int(rng.integers(dur_lo + (dur_hi - dur_lo) // 2, dur_hi + 1))
+        pcm = synth_pcm(sr, declared_dur, freqs, amps)
+    if hit("lying_header"):
+        # column says sr but bytes encode sr/2 — decode-conformance must catch it
+        pcm = synth_pcm(sr // 2, declared_dur, freqs, amps)
+        b = wav_bytes(pcm, sr // 2)
+    else:
+        b = wav_bytes(pcm, sr)
+    if hit("garbled_pcm"):
+        noise_rng = np.random.default_rng([seed, i, 102])
+        noisy = pcm.astype(np.float64) + noise_rng.normal(0, np.abs(pcm).mean() * 0.5 + 1.0, pcm.shape)
+        b = wav_bytes(np.clip(noisy, -32768, 32767).astype(np.int16), sr)
+    if hit("bad_sr"):
+        declared_sr = 12345
+    if hit("bad_range"):
+        declared_dur = -5 if _corrupt_draw(seed, i, "bad_range") < corrupt.get("bad_range", 0) / 2 else 10_000_000
+    if hit("bad_pattern"):
+        clip_id = "CLIP_x%d" % i
+    if hit("wrong_transcript"):
+        transcript = transcript + " corrupted"
+    if hit("null_transcript"):
+        transcript = None
+
+    return {
+        "clip_id": clip_id,
+        "bytes": b,
+        "sr_hz": declared_sr,
+        "dur_ms": declared_dur,
+        "codec": CODEC,
+        "transcript": transcript,
+        "_i": i,
+    }
+
+
+def generate_audio_table(
+    spark,
+    n: int,
+    seed: int = 42,
+    corrupt: Optional[Dict[str, float]] = None,
+    dur_lo: int = 200,
+    dur_hi: int = 30000,
+    num_partitions: Optional[int] = None,
+):
+    """Distributed synthesis: spark.range(n) -> mapInPandas -> audio_clips DataFrame.
+
+    ``dup_clip_id`` corruption duplicates an existing id (row i takes row 0's id);
+    ``orphan_ref`` is realized by generate_transcripts_ref excluding those ids.
+    """
+    corrupt = dict(corrupt or {})
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                r = make_row(seed, int(i), corrupt, dur_lo, dur_hi)
+                if corrupt.get("dup_clip_id", 0) > 0 and _corrupt_draw(seed, int(i), "dup_clip_id") < corrupt["dup_clip_id"] and i > 0:
+                    r["clip_id"] = clip_id_for(0)
+                del r["_i"]
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"])
+
+    rng_df = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
+    return rng_df.mapInPandas(gen, schema=AUDIO_SCHEMA_DDL)
+
+
+def generate_transcripts_ref(
+    spark,
+    n: int,
+    seed: int = 42,
+    orphan_frac: float = 0.0,
+    extra: int = 0,
+    num_partitions: Optional[int] = None,
+):
+    """Reference table: superset of audio_clips clip_ids with oracle transcripts.
+
+    ``orphan_frac`` > 0 EXCLUDES that fraction of ids from the reference, making the
+    corresponding audio rows orphans (fails the referential check). ``extra`` adds
+    ids beyond n (a superset is legal in the passing fixture).
+    """
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                if orphan_frac > 0 and i < n and _corrupt_draw(seed, i, "orphan_ref") < orphan_frac:
+                    continue
+                _, _, _, _, transcript = synth_params(seed, i)
+                rows.append({"clip_id": clip_id_for(i), "text": transcript})
+            yield pd.DataFrame(rows, columns=["clip_id", "text"])
+
+    rng_df = spark.range(0, n + extra, 1, num_partitions) if num_partitions else spark.range(n + extra)
+    return rng_df.mapInPandas(gen, schema=TRANSCRIPTS_REF_DDL)
