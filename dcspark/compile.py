@@ -59,16 +59,19 @@ class CompiledCheck:
     model: str
     field: Optional[str] = None
     kind: str = "agg"
-    # agg kind: metric aggregate + diagnostics that join the shared multi-agg pass
+    # agg kind: metric aggregate + diagnostics that join the shared multi-agg pass.
+    # All Column-producing attributes are ZERO-ARG THUNKS so compilation never
+    # needs a live SparkContext (driver-pure, like the reference's rule->SodaCL
+    # compilation which needs no DB connection).
     agg_alias: Optional[str] = None
-    agg_expr: Optional[Column] = None
-    extra_aggs: Dict[str, Column] = dc_field(default_factory=dict)
-    # row-level violation predicate (True = this row violates the rule)
-    violation_predicate: Optional[Column] = None
+    agg_expr: Optional[Callable[[], Column]] = None
+    extra_aggs: Dict[str, Callable[[], Column]] = dc_field(default_factory=dict)
+    # row-level violation predicate thunk (True = this row violates the rule)
+    violation_predicate: Optional[Callable[[], Column]] = None
     # human-readable expected value for the violations table
     expected: Optional[str] = None
-    # expression selecting the observed value for a violating row
-    observed_expr: Optional[Column] = None
+    # thunk producing the observed value for a violating row
+    observed_expr: Optional[Callable[[], Column]] = None
     # kind-specific parameters (reference table, sql text, thresholds, ...)
     params: Dict[str, Any] = dc_field(default_factory=dict)
     implementation: Optional[str] = None
@@ -152,9 +155,9 @@ def check_field_required(model: str, fname: str) -> CompiledCheck:
         model=model,
         field=fname,
         agg_alias=f"{fname}__missing_count",
-        agg_expr=_missing_count(fname),
-        violation_predicate=F.col(fname).isNull(),
-        observed_expr=F.lit(None).cast("string"),
+        agg_expr=lambda: _missing_count(fname),
+        violation_predicate=lambda: F.col(fname).isNull(),
+        observed_expr=lambda: F.lit(None).cast("string"),
         expected="not null",
         implementation=f"missing_count({fname}) = 0 :: sum(when({fname} is null,1))",
     )
@@ -169,7 +172,7 @@ def check_field_unique(model: str, fname: str) -> CompiledCheck:
         model=model,
         field=fname,
         kind="unique",
-        observed_expr=F.col(fname).cast("string"),
+        observed_expr=lambda: F.col(fname).cast("string"),
         expected="unique",
         implementation=(
             f"duplicate_count({fname}) = 0 :: "
@@ -179,7 +182,7 @@ def check_field_unique(model: str, fname: str) -> CompiledCheck:
 
 
 def check_field_min_length(model: str, fname: str, n: int) -> CompiledCheck:
-    pred = F.length(F.col(fname)) < n
+    pred = lambda: F.length(F.col(fname)) < n
     return CompiledCheck(
         key=_key(model, fname, "field_min_length"),
         check_type="field_min_length",
@@ -188,16 +191,16 @@ def check_field_min_length(model: str, fname: str, n: int) -> CompiledCheck:
         model=model,
         field=fname,
         agg_alias=f"{fname}__min_length_invalid",
-        agg_expr=_invalid_count(fname, pred),
-        violation_predicate=F.col(fname).isNotNull() & pred,
-        observed_expr=F.length(F.col(fname)).cast("string"),
+        agg_expr=lambda: _invalid_count(fname, pred()),
+        violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
+        observed_expr=lambda: F.length(F.col(fname)).cast("string"),
         expected=f"length >= {n}",
         implementation=f"invalid_count(length({fname}) < {n}) = 0",
     )
 
 
 def check_field_max_length(model: str, fname: str, n: int) -> CompiledCheck:
-    pred = F.length(F.col(fname)) > n
+    pred = lambda: F.length(F.col(fname)) > n
     return CompiledCheck(
         key=_key(model, fname, "field_max_length"),
         check_type="field_max_length",
@@ -206,16 +209,16 @@ def check_field_max_length(model: str, fname: str, n: int) -> CompiledCheck:
         model=model,
         field=fname,
         agg_alias=f"{fname}__max_length_invalid",
-        agg_expr=_invalid_count(fname, pred),
-        violation_predicate=F.col(fname).isNotNull() & pred,
-        observed_expr=F.length(F.col(fname)).cast("string"),
+        agg_expr=lambda: _invalid_count(fname, pred()),
+        violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
+        observed_expr=lambda: F.length(F.col(fname)).cast("string"),
         expected=f"length <= {n}",
         implementation=f"invalid_count(length({fname}) > {n}) = 0",
     )
 
 
 def check_field_minimum(model: str, fname: str, v: float) -> CompiledCheck:
-    pred = F.col(fname) < F.lit(v)
+    pred = lambda: F.col(fname) < F.lit(v)
     return CompiledCheck(
         key=_key(model, fname, "field_minimum"),
         check_type="field_minimum",
@@ -224,17 +227,17 @@ def check_field_minimum(model: str, fname: str, v: float) -> CompiledCheck:
         model=model,
         field=fname,
         agg_alias=f"{fname}__minimum_invalid",
-        agg_expr=_invalid_count(fname, pred),
-        extra_aggs={f"{fname}__min": F.min(F.col(fname))},
-        violation_predicate=F.col(fname).isNotNull() & pred,
-        observed_expr=F.col(fname).cast("string"),
+        agg_expr=lambda: _invalid_count(fname, pred()),
+        extra_aggs={f"{fname}__min": lambda: F.min(F.col(fname))},
+        violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
+        observed_expr=lambda: F.col(fname).cast("string"),
         expected=f">= {v}",
         implementation=f"invalid_count({fname} < {v}) = 0",
     )
 
 
 def check_field_maximum(model: str, fname: str, v: float) -> CompiledCheck:
-    pred = F.col(fname) > F.lit(v)
+    pred = lambda: F.col(fname) > F.lit(v)
     return CompiledCheck(
         key=_key(model, fname, "field_maximum"),
         check_type="field_maximum",
@@ -243,10 +246,10 @@ def check_field_maximum(model: str, fname: str, v: float) -> CompiledCheck:
         model=model,
         field=fname,
         agg_alias=f"{fname}__maximum_invalid",
-        agg_expr=_invalid_count(fname, pred),
-        extra_aggs={f"{fname}__max": F.max(F.col(fname))},
-        violation_predicate=F.col(fname).isNotNull() & pred,
-        observed_expr=F.col(fname).cast("string"),
+        agg_expr=lambda: _invalid_count(fname, pred()),
+        extra_aggs={f"{fname}__max": lambda: F.max(F.col(fname))},
+        violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
+        observed_expr=lambda: F.col(fname).cast("string"),
         expected=f"<= {v}",
         implementation=f"invalid_count({fname} > {v}) = 0",
     )
@@ -255,7 +258,7 @@ def check_field_maximum(model: str, fname: str, v: float) -> CompiledCheck:
 def check_field_not_equal(model: str, fname: str, v: Any) -> CompiledCheck:
     # Emitted in addition to min/max for exclusiveMinimum/Maximum
     # (parity: data_contract_checks.py:48-53,354-383).
-    pred = F.col(fname) == F.lit(v)
+    pred = lambda: F.col(fname) == F.lit(v)
     return CompiledCheck(
         key=_key(model, fname, "field_not_equal"),
         check_type="field_not_equal",
@@ -264,16 +267,16 @@ def check_field_not_equal(model: str, fname: str, v: Any) -> CompiledCheck:
         model=model,
         field=fname,
         agg_alias=f"{fname}__not_equal_invalid",
-        agg_expr=_invalid_count(fname, pred),
-        violation_predicate=F.col(fname).isNotNull() & pred,
-        observed_expr=F.col(fname).cast("string"),
+        agg_expr=lambda: _invalid_count(fname, pred()),
+        violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
+        observed_expr=lambda: F.col(fname).cast("string"),
         expected=f"!= {v}",
         implementation=f"invalid_count({fname} == {v}) = 0",
     )
 
 
 def check_field_enum(model: str, fname: str, enum: List[Any]) -> CompiledCheck:
-    pred = ~F.col(fname).isin(enum)
+    pred = lambda: ~F.col(fname).isin(enum)
     return CompiledCheck(
         key=_key(model, fname, "field_enum"),
         check_type="field_enum",
@@ -282,9 +285,9 @@ def check_field_enum(model: str, fname: str, enum: List[Any]) -> CompiledCheck:
         model=model,
         field=fname,
         agg_alias=f"{fname}__enum_invalid",
-        agg_expr=_invalid_count(fname, pred),
-        violation_predicate=F.col(fname).isNotNull() & pred,
-        observed_expr=F.col(fname).cast("string"),
+        agg_expr=lambda: _invalid_count(fname, pred()),
+        violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
+        observed_expr=lambda: F.col(fname).cast("string"),
         expected=f"in {enum}",
         implementation=f"invalid_count({fname} not in {enum}) = 0",
     )
@@ -293,7 +296,7 @@ def check_field_enum(model: str, fname: str, enum: List[Any]) -> CompiledCheck:
 def check_field_regex(model: str, fname: str, pattern: str, check_type: str = "field_regex") -> CompiledCheck:
     # rlike is unanchored regex-search, matching Soda semantics (SURVEY.md §7 hard
     # parts (b)); contract patterns should anchor explicitly when needed.
-    pred = ~F.col(fname).rlike(pattern)
+    pred = lambda: ~F.col(fname).rlike(pattern)
     return CompiledCheck(
         key=_key(model, fname, check_type),
         check_type=check_type,
@@ -302,9 +305,9 @@ def check_field_regex(model: str, fname: str, pattern: str, check_type: str = "f
         model=model,
         field=fname,
         agg_alias=f"{fname}__{check_type}_invalid",
-        agg_expr=_invalid_count(fname, pred),
-        violation_predicate=F.col(fname).isNotNull() & pred,
-        observed_expr=F.col(fname).cast("string"),
+        agg_expr=lambda: _invalid_count(fname, pred()),
+        violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
+        observed_expr=lambda: F.col(fname).cast("string"),
         expected=f"matches {pattern}",
         implementation=f"invalid_count(not rlike({fname}, '{pattern}')) = 0",
     )
@@ -326,7 +329,7 @@ def check_field_reference(model: str, fname: str, references: str) -> CompiledCh
         field=fname,
         kind="reference",
         params={"parent_model": parent_model, "parent_field": parent_field},
-        observed_expr=F.col(fname).cast("string"),
+        observed_expr=lambda: F.col(fname).cast("string"),
         expected=f"exists in {references}",
         implementation=(
             f"df.join(parent.select({parent_field}), {fname}=={parent_field}, 'left_anti')"
@@ -450,6 +453,32 @@ def check_audio(model: str, q: Quality, idx: int) -> CompiledCheck:
     )
 
 
+def check_transcript_equality(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Per-row transcript equality vs the oracle reference table (BASELINE.json
+    input_hint). Sort-merge equi-join on the key column; at 10^12 scale both
+    sides should be bucketed/partitioned by the key so the join is co-located."""
+    ref_model = q.ref or "transcripts_ref"
+    key = q.key or "clip_id"
+    child_col = q.column or "transcript"
+    ref_col = q.ref_column or "text"
+    name = q.description or f"Transcript equality vs {ref_model}.{ref_col}"
+    return CompiledCheck(
+        key=_key(model, child_col, "transcript_equality"),
+        check_type="transcript_equality",
+        category="audio",
+        name=name,
+        model=model,
+        field=child_col,
+        kind="join_equality",
+        params={"ref_model": ref_model, "key": key, "child_col": child_col, "ref_col": ref_col},
+        expected=f"{child_col} == {ref_model}.{ref_col} (joined on {key})",
+        implementation=(
+            f"df.join({ref_model}, on={key}).filter(NOT ({child_col} <=> {ref_col})).count()"
+            " — sort-merge join; bucket both sides by the key at scale"
+        ),
+    )
+
+
 def check_row_count_passthrough(model: str, sodacl_line: str) -> Optional[CompiledCheck]:
     """Deprecated root-quality SodaCL passthrough, row_count subset
     (parity: to_quality_check :716-738; supported subset per SURVEY.md §2.1 #15)."""
@@ -478,7 +507,7 @@ def check_row_count_passthrough(model: str, sodacl_line: str) -> Optional[Compil
         name=name,
         model=model,
         agg_alias="__row_count",
-        agg_expr=F.count(F.lit(1)),
+        agg_expr=lambda: F.count(F.lit(1)),
         evaluate=ev,
         expected=name,
         implementation=f"F.count(lit(1)) {op} {val}",
@@ -548,7 +577,7 @@ def check_freshness(model: str, ts_field: str, threshold: str) -> CompiledCheck:
         field=ts_field,
         kind="freshness",
         agg_alias=f"{ts_field}__max_ts",
-        agg_expr=F.max(F.col(ts_field)),
+        agg_expr=lambda: F.max(F.col(ts_field)),
         params={"limit_seconds": limit_s, "threshold": threshold},
         evaluate=ev,
         expected=f"now - max({ts_field}) < {limit_s}s",
@@ -577,7 +606,7 @@ def check_retention(model: str, ts_field: str, period: str) -> CompiledCheck:
         field=ts_field,
         kind="retention",
         agg_alias=f"{ts_field}__min_ts",
-        agg_expr=F.min(F.col(ts_field)),
+        agg_expr=lambda: F.min(F.col(ts_field)),
         params={"limit_seconds": limit_s, "period": period},
         evaluate=ev,
         expected=f"now - min({ts_field}) < {limit_s}s",
@@ -646,6 +675,8 @@ def create_checks(
                 checks.append(check_quality_sql(model_name, q, qi))
             elif q.type == "drift" and q.column:
                 checks.append(check_drift(model_name, q, qi))
+            elif q.type == "audio" and (q.invariant or "") == "transcript-equality":
+                checks.append(check_transcript_equality(model_name, q, qi))
             elif q.type == "audio":
                 checks.append(check_audio(model_name, q, qi))
         out[model_name] = checks

@@ -180,6 +180,7 @@ class Validator:
         reference_checks = [c for c in checks if c.kind == "reference"]
         sql_checks = [c for c in checks if c.kind == "sql"]
         audio_checks = [c for c in checks if c.kind == "audio"]
+        join_eq_checks = [c for c in checks if c.kind == "join_equality"]
 
         present_fields = set(df.schema.fieldNames())
         self._run_schema_checks(schema_checks, df)
@@ -201,6 +202,8 @@ class Validator:
             self._run_unique(model_name, df, chk)
         for chk in reference_checks:
             self._run_reference(model_name, df, chk)
+        for chk in join_eq_checks:
+            self._run_join_equality(model_name, df, chk)
         for chk in sql_checks:
             self._run_sql(chk)
 
@@ -240,11 +243,11 @@ class Validator:
         ops: Dict[str, str] = {"__total_count": "sum"}
         for chk in agg_checks:
             if chk.agg_alias and chk.agg_expr is not None and chk.agg_alias not in exprs:
-                exprs[chk.agg_alias] = chk.agg_expr
+                exprs[chk.agg_alias] = chk.agg_expr()
                 ops[chk.agg_alias] = _merge_op(chk.agg_alias, chk.kind)
-            for alias, expr in chk.extra_aggs.items():
+            for alias, expr_thunk in chk.extra_aggs.items():
                 if alias not in exprs:
-                    exprs[alias] = expr
+                    exprs[alias] = expr_thunk()
                     ops[alias] = _merge_op(alias, chk.kind)
         for chk in drift_checks:
             stats = self.config.ref_stats.get(model_name, {}).get(chk.params["column"])
@@ -452,10 +455,10 @@ class Validator:
         pk = self._pk_column(model_name, df)
         structs = [
             F.when(
-                chk.violation_predicate,
+                chk.violation_predicate(),
                 F.struct(
                     F.lit(chk.key).alias("check_key"),
-                    (chk.observed_expr if chk.observed_expr is not None
+                    (chk.observed_expr() if chk.observed_expr is not None
                      else F.lit(None).cast("string")).alias("observed"),
                     F.lit(chk.expected).cast("string").alias("expected"),
                 ),
@@ -553,6 +556,40 @@ class Validator:
                 F.col(child_col).cast("string").alias("clip_id"),
                 F.col(child_col).cast("string").alias("observed"),
                 F.lit(chk.expected).alias("expected"),
+            )
+            self._violation_frames.append(
+                self.spark.createDataFrame(vio.collect(), schema=VIOLATIONS_DDL))
+
+    # -- transcript equality vs oracle reference (join check) ------------------
+
+    def _run_join_equality(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> None:
+        p = chk.params
+        ref = self.tables.get(p["ref_model"])
+        if ref is None:
+            self._record(chk, None, ResultEnum.error, f"reference table {p['ref_model']} not provided", None)
+            return
+        key, child_col, ref_col = p["key"], p["child_col"], p["ref_col"]
+        if key not in df.columns or child_col not in df.columns or key not in ref.columns or ref_col not in ref.columns:
+            self._record(chk, None, ResultEnum.error, "join/compare column missing", None)
+            return
+        # inner equi-join on the key (rows absent from the reference are the
+        # referential check's concern, not equality's); null-safe inequality
+        joined = df.select(F.col(key).alias("__k"), F.col(child_col).alias("__child")).join(
+            ref.select(F.col(key).alias("__k"), F.col(ref_col).alias("__ref")),
+            on="__k", how="inner",
+        )
+        mismatch = joined.filter(~F.col("__child").eqNullSafe(F.col("__ref")))
+        metric = float(mismatch.count())
+        result, reason = chk.eval_metric(metric, {})
+        self._record(chk, metric, result, reason, None)
+        if metric > 0:
+            vio = mismatch.limit(self.config.violation_cap).select(
+                F.lit(self.run.runId).alias("run_id"),
+                F.lit(None).cast("string").alias("partition_id"),
+                F.lit(chk.key).alias("check_key"),
+                F.col("__k").cast("string").alias("clip_id"),
+                F.col("__child").cast("string").alias("observed"),
+                F.concat(F.lit("ref: "), F.col("__ref").cast("string")).alias("expected"),
             )
             self._violation_frames.append(
                 self.spark.createDataFrame(vio.collect(), schema=VIOLATIONS_DDL))

@@ -58,8 +58,11 @@ class Quality(BaseModel):
     method: Optional[str] = None        # drift: "ks" | "psi"
     column: Optional[str] = None        # drift target column
     threshold: Optional[float] = None   # drift threshold
-    invariant: Optional[str] = None     # audio: "decode-conformance"
+    invariant: Optional[str] = None     # audio: "decode-conformance" | "transcript-equality"
     snr_db: Optional[float] = None      # audio SNR floor (default 30)
+    ref: Optional[str] = None           # transcript-equality: reference model name
+    key: Optional[str] = None           # transcript-equality: join key (default clip_id)
+    ref_column: Optional[str] = None    # transcript-equality: reference text column
 
 
 class Field(BaseModel):
