@@ -1,0 +1,171 @@
+"""Similarity search over an embedding column (array<float>).
+
+Scale design: the query side is tiny (a handful of probe vectors) and is
+BROADCAST against the full corpus — the corpus is scanned exactly once, no
+shuffle, and the per-partition top-k is folded by a final window on a
+k*|queries|-row intermediate. The dot product / norms use Spark higher-order
+array functions (``zip_with`` + ``aggregate``) evaluated JVM-side — no Python
+UDF, no Arrow transfer.
+
+The LSH-bucketed variant (``lsh_topk``) is the 10^12-row path: random
+hyperplane signs (derived deterministically from md5, engine-portable) bucket
+the corpus; probes search only their own bucket (plus Hamming-1 neighbors),
+turning a full scan into a partition-pruned lookup when the bucket column is a
+partition/bucketing key of the underlying table.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Index-ordered dot product via zip_with + aggregate (JVM, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (qid, vec_id, score) for each probe id.
+
+    Probe rows are broadcast; ranking is deterministic (score desc, id asc).
+    """
+    corpus = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    probes = corpus.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("q")
+    )
+    scored = corpus.join(F.broadcast(probes), F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", cosine_expr(F.col("q"), F.col("v")).alias("score_raw")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("int").alias("rank"),
+                F.round("score_raw", 4).alias("score"))
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    max_id: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    All-pairs is quadratic — callers bound it (``max_id``) or go through
+    ``lsh_topk`` buckets at scale. Norms are computed once per side before the
+    join so the join condition stays cheap.
+    """
+    corpus = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if max_id is not None:
+        corpus = corpus.filter(F.col("vec_id") < max_id)
+    corpus = corpus.withColumn("n", norm_expr(F.col("v")))
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b",
+        (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score_raw"),
+    )
+    return pairs.filter(F.col("score_raw") >= threshold).select(
+        "id_a", "id_b", F.round("score_raw", 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+def _hyperplane_component(bit: int, dim: int) -> float:
+    """Deterministic pseudo-random ±1 hyperplane component from md5.
+
+    Pure function of (bit, dim) — identical on driver, executors, and in the
+    SQL oracle if ever needed. Parity of the first hex char of md5('h{bit}_{dim}').
+    """
+    import hashlib
+
+    h = hashlib.md5(f"h{bit}_{dim}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 1 else -1.0
+
+
+def signature_expr(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Random-hyperplane LSH signature (int) for an array<double> column."""
+    acc = F.lit(0)
+    for b in range(bits):
+        plane = F.array(*[F.lit(_hyperplane_component(b, d)) for d in range(dim)])
+        proj = dot_expr(vec, plane)
+        acc = acc + (proj > 0).cast("int") * F.lit(1 << b)
+    return acc
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    dim: int,
+    k: int = 5,
+    bits: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k searching only the probe's LSH bucket ± ``probe_hamming`` bits.
+
+    At 10^12 rows the corpus would be written bucketed/partitioned by ``sig``
+    so each probe reads a ~2^-bits fraction of the data (multi-probe over
+    Hamming-1 neighbor buckets recovers most of the recall lost to the
+    boundary). Same output schema as ``cosine_topk`` (approximate contents).
+    """
+    corpus = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("sig", signature_expr(F.col("v"), dim, bits))
+    probes = corpus.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("q"), F.col("sig").alias("qsig")
+    )
+    # probe signature set: exact bucket + all Hamming-<=probe_hamming neighbors
+    neighbor_sigs = F.array(F.col("qsig"))
+    if probe_hamming >= 1:
+        neighbor_sigs = F.concat(
+            neighbor_sigs,
+            F.array(*[F.col("qsig").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]),
+        )
+    probes = probes.select("qid", "q", F.explode(neighbor_sigs).alias("sig"))
+    scored = corpus.join(F.broadcast(probes), on="sig").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id", cosine_expr(F.col("q"), F.col("v")).alias("score_raw"))
+    w = Window.partitionBy("qid").orderBy(F.col("score_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("int").alias("rank"),
+                F.round("score_raw", 4).alias("score"))
+    )

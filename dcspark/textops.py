@@ -1,0 +1,370 @@
+"""Text-analysis + deduplication operators for large-scale training-data pipelines.
+
+Engine extensions beyond the reference (SURVEY.md §2.5 family): exact dedup,
+MinHash+LSH near-dup, n-gram Jaccard, SimHash, token/quality stats, heuristic
+language-ID, and document fingerprinting — all over a ``documents(doc_id, text,
+lang, source, n_chars)`` table.
+
+Scale design notes (targets: 100 TB / 10^12 docs on a 1000-executor cluster):
+
+- Everything here is built from JVM-side ``pyspark.sql.functions`` (regexp,
+  higher-order array functions, md5) — whole-stage codegen end-to-end, zero
+  Python UDFs, zero driver collects.
+- Exact dedup hashes the *normalized text* first (md5 fingerprint), so the
+  shuffle key is a fixed 32-byte string, never the document body; map-side
+  partial aggregation bounds shuffle volume by distinct fingerprints.
+- MinHash+LSH is the scale path for near-dup: each doc emits ``bands`` rows
+  (constant fan-out) keyed by a band signature; candidate pairs come from a
+  self-equi-join per band key (shuffle co-partitioned on the band hash), NOT an
+  all-pairs product. Exact Jaccard is then verified only on candidates.
+- All hashes are md5-derived so results are engine-independent and
+  deterministic (the DuckDB oracle in ``__spark_entry__`` reproduces them
+  bit-for-bit; no reliance on Spark's murmur3 ``hash()``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# Tiny English stopword list shared verbatim with the SQL oracle.
+EN_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+
+
+# ---------------------------------------------------------------------------
+# shared expressions (each has an exact SQL mirror in __spark_entry__)
+# ---------------------------------------------------------------------------
+
+def norm_text(col: str = "text") -> Column:
+    """Normalized text: lowercase, whitespace collapsed, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def words_expr(col: str = "text") -> Column:
+    """Lowercase alnum tokens as array<string> (JVM regexp, no UDF)."""
+    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)")
+
+
+def fingerprint_expr(col: str = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(norm_text(col))
+
+
+# ---------------------------------------------------------------------------
+# exact deduplication
+# ---------------------------------------------------------------------------
+
+def exact_dup_stats(docs: DataFrame) -> DataFrame:
+    """One-row dedup summary: docs, distinct fingerprints, dup groups/rows.
+
+    groupBy on the 32-char md5 fingerprint → map-side combine → tiny shuffle.
+    """
+    groups = (
+        docs.select(fingerprint_expr().alias("fp"))
+        .groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_docs"),
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)), F.lit(0))
+        .cast("long").alias("dup_groups"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias("dup_rows"),
+        F.sum("cnt").cast("long").alias("total_docs"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-document fingerprint (doc_id, fp)."""
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       fingerprint_expr().alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# token / quality / language stats
+# ---------------------------------------------------------------------------
+
+def token_stats_by_lang(docs: DataFrame) -> DataFrame:
+    """Per-lang doc count, avg token count, avg char count (rounded)."""
+    w = words_expr()
+    per_doc = docs.select(
+        "lang",
+        F.size(w).cast("long").alias("tok"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.round(F.avg("tok"), 4).alias("avg_tokens"),
+        F.round(F.avg("chars"), 4).alias("avg_chars"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+    )
+
+
+def doc_quality(docs: DataFrame, min_tokens: int = 30, max_stop_ratio: float = 0.5) -> DataFrame:
+    """Per-document quality signals: tokens, stopword ratio, punct ratio, flag.
+
+    All ratios are deterministic rational values rounded to 6 places so the SQL
+    oracle hashes identically.
+    """
+    w = words_expr()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    d = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(w).cast("long").alias("tokens"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long").alias("stop_hits"),
+        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("long").alias("punct_chars"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    return d.select(
+        "doc_id", "tokens", "stop_hits",
+        F.round(F.col("stop_hits") / F.greatest(F.col("tokens"), F.lit(1)), 6).alias("stop_ratio"),
+        F.round(F.col("punct_chars") / F.greatest(F.col("chars"), F.lit(1)), 6).alias("punct_ratio"),
+        (
+            (F.col("tokens") >= min_tokens)
+            & (F.col("stop_hits") / F.greatest(F.col("tokens"), F.lit(1)) <= max_stop_ratio)
+        ).cast("int").alias("is_quality"),
+    )
+
+
+def lang_id_confusion(docs: DataFrame, min_hits: int = 1) -> DataFrame:
+    """Heuristic language-ID (English-stopword hits) vs the labeled lang column.
+
+    Returns (lang, pred_lang, docs) confusion counts — an n-gram-heuristic
+    LID evaluated entirely with JVM expressions.
+    """
+    w = words_expr()
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    pred = F.when(hits >= min_hits, F.lit("en")).otherwise(F.lit("und"))
+    return (
+        docs.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / MinHash / LSH / Jaccard
+# ---------------------------------------------------------------------------
+
+def shingle_expr(n: int = 3, col: str = "text") -> Column:
+    """Distinct word n-gram shingles as array<string> (empty if < n tokens)."""
+    w = words_expr(col)
+    # sequence(1, x) DESCENDS for x < 1, so clamp then gate on token count
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_expr(shingles: Column, j: int) -> Column:
+    """j-th MinHash: lexicographic min of md5(shingle + '#j') over the set."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f"#{j}"))))
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}) MinHash signature matrix; docs with <n tokens dropped."""
+    sh = shingle_expr(n)
+    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh"))
+    d = d.filter(F.size("sh") > 0)
+    cols = [F.col("doc_id")] + [
+        minhash_expr(F.col("sh"), j).alias(f"mh{j}") for j in range(num_hashes)
+    ]
+    return d.select(*cols)
+
+
+def lsh_band_keys(
+    docs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2, n: int = 3
+) -> DataFrame:
+    """(doc_id, band, key): one row per band, key = concat of the band's hashes.
+
+    Constant per-doc fan-out (num_hashes / rows_per_band rows) — the scalable
+    alternative to exploding full shingle inverted lists.
+    """
+    sig = minhash_signatures(docs, num_hashes, n)
+    bands = num_hashes // rows_per_band
+    pairs = []
+    for b in range(bands):
+        key = F.concat_ws("|", *[
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ])
+        pairs.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return (
+        sig.select("doc_id", F.explode(F.array(*pairs)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2, n: int = 3
+) -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs sharing at least one LSH band.
+
+    Self-equi-join co-partitioned on (band, key); AQE splits skewed band
+    buckets. Never materializes the all-pairs product.
+    """
+    bk = lsh_band_keys(docs, num_hashes, rows_per_band, n)
+    left = bk.alias("l")
+    right = bk.alias("r")
+    return (
+        left.join(right, on=["band", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs.
+
+    Joins each side's distinct-shingle count plus the pair's intersection size
+    computed from the exploded inverted index restricted to candidate docs.
+    """
+    sh = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     shingle_expr(n).alias("sh")).filter(F.size("sh") > 0)
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    docs_in_pairs = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))).distinct()
+    inv = inv.join(docs_in_pairs, "doc_id")
+    ia = inv.select(F.col("doc_id").alias("doc_a"), "s")
+    ib = inv.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        pairs.join(ia, "doc_a").join(ib, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))).alias("uni"),
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def allpairs_jaccard(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact Jaccard for every doc pair sharing ≥1 shingle (inverted index).
+
+    Quadratic in the posting-list lengths — callers bound the input (small
+    subsets / per-bucket); the unbounded-scale path is ``minhash_near_dups``.
+    """
+    sh = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     shingle_expr(n).alias("sh")).filter(F.size("sh") > 0)
+    sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
+    inv = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = inv.select(F.col("doc_id").alias("doc_a"), "s")
+    b = inv.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "inter",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("long").alias("uni"),
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6)
+            .alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
+    pairs = lsh_candidate_pairs(docs, num_hashes, rows_per_band, n)
+    scored = jaccard_on_pairs(docs, pairs, n)
+    return scored.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_expr(bits: int = 16, col: str = "text") -> Column:
+    """bits-bit SimHash over the token multiset.
+
+    Bit j is set iff strictly more than half the tokens have an odd ASCII code
+    at hex position j of md5(token) — a deterministic, engine-portable variant
+    (1 bit per md5 hex char, majority vote, tie → 0).
+    """
+    w = words_expr(col)
+    total = F.size(w)
+    acc = F.lit(0).cast("long")
+    for j in range(1, bits + 1):
+        hits = F.size(F.filter(w, lambda x: F.ascii(F.substring(F.md5(x), j, 1)) % 2 == 1))
+        bit = (hits * 2 > total).cast("long")
+        acc = acc + bit * F.lit(1 << (j - 1)).cast("long")
+    return acc
+
+
+def simhash_table(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) per document with ≥1 token."""
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    words_expr().alias("w"), simhash_expr(bits).alias("simhash"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", "simhash")
+    )
+
+
+def simhash_near_dups(docs: DataFrame, bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Pairs whose SimHashes differ in ≤ max_hamming bits.
+
+    Standard simhash blocking: split the hash into 4 equal blocks; by
+    pigeonhole, any pair within hamming ≤ 3 shares at least one block exactly.
+    Candidates come from per-block equi-joins (co-partitioned shuffles, no
+    all-pairs product); exact hamming is verified on candidates only.
+    """
+    if max_hamming > 3:
+        raise ValueError("blocking with 4 blocks guarantees recall only for max_hamming <= 3")
+    t = simhash_table(docs, bits)
+    blk = bits // 4
+    tt = t.select(
+        "doc_id", "simhash",
+        *[
+            ((F.col("simhash") / F.lit(1 << (b * blk))).cast("long") % (1 << blk)).alias(f"b{b}")
+            for b in range(4)
+        ],
+    )
+    cands = None
+    for b in range(4):
+        a_ = tt.alias("a")
+        b_ = tt.alias("b")
+        c = (
+            a_.join(b_, on=f"b{b}")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+            )
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("doc_a", "doc_b", ham.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
