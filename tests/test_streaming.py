@@ -1,0 +1,91 @@
+"""Streaming validation: foreachBatch per-micro-batch contract checks."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcspark import DataContractSpecification
+from dcspark.run_model import ResultEnum
+from dcspark.streaming import read_json_stream, validate_stream, windowed_invalid_counts
+
+CONTRACT = """
+id: stream-contract
+models:
+  ev:
+    fields:
+      event_id: {type: long, required: true}
+      kind: {type: string, enum: [a, b]}
+      v: {type: double, minimum: 0}
+"""
+
+
+@pytest.fixture()
+def json_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    # batch file 1: clean; batch file 2: one enum violation + one range violation
+    with open(d / "b1.json", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"event_id": i, "kind": "a", "v": 1.0}) + "\n")
+    with open(d / "b2.json", "w") as f:
+        f.write(json.dumps({"event_id": 10, "kind": "zzz", "v": 1.0}) + "\n")
+        f.write(json.dumps({"event_id": 11, "kind": "b", "v": -5.0}) + "\n")
+    return str(d)
+
+
+def test_stream_validation_per_batch(spark, json_dir, tmp_path):
+    spec = DataContractSpecification.from_string(CONTRACT)
+    stream = read_json_stream(spark, spec, "ev", json_dir, max_files_per_trigger=1)
+    handle = validate_stream(
+        spark, spec, stream, "ev",
+        checkpoint_location=str(tmp_path / "ckpt"),
+    )
+    try:
+        assert handle.await_batches(2, timeout_s=120)
+    finally:
+        handle.stop()
+    runs = handle.runs()
+    assert len(runs) >= 2
+    # one clean batch passed, one corrupted batch failed on enum + minimum
+    overall = {r.result for r in runs}
+    assert ResultEnum.passed in overall
+    assert ResultEnum.failed in overall
+    failed_run = next(r for r in runs if r.result == ResultEnum.failed)
+    failed_keys = {c.key for c in failed_run.checks if c.result == ResultEnum.failed}
+    assert "ev__kind__field_enum" in failed_keys
+    assert "ev__v__field_minimum" in failed_keys
+
+
+def test_windowed_invalid_counts(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:00:10", 5.0),
+        ("2024-01-01 00:00:20", -1.0),
+        ("2024-01-01 00:05:00", 2.0),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for ts, v in rows:
+            f.write(json.dumps({"ts": ts, "v": v}) + "\n")
+    stream = (
+        spark.readStream.schema("ts string, v double")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    agg = windowed_invalid_counts(stream, F.col("v") < 0, ts_col="ts", window="1 minute")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("win_counts").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["window_start"].strftime("%H:%M"): (r["rows"], r["invalid"])
+            for r in spark.table("win_counts").collect()
+        }
+    finally:
+        q.stop()
+    assert got["00:00"] == (2, 1)
+    assert got["00:05"] == (1, 0)
