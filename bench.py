@@ -89,6 +89,13 @@ def run_audio_suite(spark, clips_path: str, ref_path: str) -> dict:
     n = clips.count()  # warm-up: session + scan metadata
     ref.count()
 
+    # warm-up (excluded from timing, see BENCH/BASELINE.md protocol): spin up
+    # the Python UDF workers and JIT/codegen paths on a small sample
+    sample = clips.limit(256)
+    audio_mod.audio_decode_report(
+        sample, oracle=audio_mod.synth_oracle(SEED, DUR_LO, DUR_HI)
+    ).count()
+
     spec = DataContractSpecification.from_file(os.path.join(REPO, "contracts/audio_clips.yaml"))
 
     t_ref0 = time.perf_counter()
@@ -137,10 +144,13 @@ def run_operator_queries(spark, sf_dir: str) -> dict:
     qs = entry_mod.queries()
     out = {}
     for name in OPERATOR_QUERIES:
-        t0 = time.perf_counter()
-        rows = qs[name](spark, sf_dir).collect()
-        out[name] = round(time.perf_counter() - t0, 3)
-        _ = len(rows)
+        best = None
+        for _trial in range(2):  # min of 2: first run pays JIT/codegen warm-up
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 

@@ -115,6 +115,99 @@ def ref_stats_from_df(df: DataFrame) -> Dict[str, dict]:
     }
 
 
+def bucket_expr(col: str, grid: List[float]) -> F.Column:
+    """Grid-bucket index: |{g in grid : g < value}| via a literal-array filter.
+
+    For an ascending grid (duplicates allowed) the set {j: g[j] < value} is a
+    prefix, so ``value <= g[i]  <=>  bucket <= i`` — cumulative bucket counts
+    reproduce exactly the per-grid-point ``count(value <= g_i)`` sums. One
+    expression regardless of grid size, so the enclosing aggregate stays small
+    enough for whole-stage codegen (a 199-point grid as individual CASE-sum
+    columns forces the fallback interpreted path and erratic runtimes).
+    """
+    arr = F.array(*[F.lit(float(x)) for x in grid])
+    return F.size(F.filter(arr, lambda x: F.col(col) > x))
+
+
+def drift_grid(stats: dict, method: str) -> List[float]:
+    return list(stats["quantiles"]) if method == "ks" else list(stats["bin_edges"])
+
+
+def drift_aliases(prefix: str, stats: dict, method: str) -> List[str]:
+    """All shared-row aliases this drift check produces (count + per-bucket)."""
+    out = [f"{prefix}__count"]
+    if method == "ks":
+        out += [f"{prefix}__le{i}" for i in range(len(stats["quantiles"]))]
+    else:
+        out += [f"{prefix}__bin{k}" for k in range(len(stats["bin_edges"]) + 1)]
+    return out
+
+
+def drift_bucket_rows(
+    df,
+    checks: List[dict],
+    partition_col: Optional[str] = None,
+) -> Dict[Optional[str], Dict[str, int]]:
+    """ONE narrow job for every drift check on a table: per-row bucket index
+    (explode over checks) -> groupBy(prefix, bucket) count.
+
+    Shuffle volume is bounded by |checks| * (grid+1) rows per input partition
+    (map-side partial aggregation), independent of table size — the
+    10^12-row-safe shape. Returns {partition_id (str) or None: {alias: count}}
+    with aliases identical to the old per-grid-point aggregate columns, so
+    merge/checkpoint/statistic folding are unchanged.
+    """
+    structs = []
+    for chk in checks:
+        grid = drift_grid(chk["stats"], chk["method"])
+        b = F.when(F.col(chk["column"]).isNotNull(), bucket_expr(chk["column"], grid))
+        structs.append(F.struct(F.lit(chk["prefix"]).alias("p"), b.alias("b")))
+    sel = [F.explode(F.array(*structs)).alias("pb")]
+    head: List[F.Column] = []
+    if partition_col:
+        head = [F.col(partition_col).cast("string").alias("__part")]
+    ex = df.select(*(head + sel)).select(
+        *(["__part"] if partition_col else []),
+        F.col("pb.p").alias("p"), F.col("pb.b").alias("b"),
+    )
+    grp = (["__part"] if partition_col else []) + ["p", "b"]
+    counted = ex.groupBy(*grp).agg(F.count(F.lit(1)).alias("c")).collect()
+
+    by_check = {chk["prefix"]: chk for chk in checks}
+    out: Dict[Optional[str], Dict[str, int]] = {}
+    for row in counted:
+        part = row["__part"] if partition_col else None
+        chk = by_check[row["p"]]
+        d = out.setdefault(part, {})
+        prefix, method = chk["prefix"], chk["method"]
+        b = row["b"]
+        if b is None:  # null column values: counted nowhere (parity with <=-sums)
+            continue
+        c = row["c"]
+        d[f"{prefix}__count"] = d.get(f"{prefix}__count", 0) + c
+        if method == "psi":
+            key = f"{prefix}__bin{b}"
+            d[key] = d.get(key, 0) + c
+        else:
+            # cumulative: bucket b contributes to every le{i} with i >= b
+            m = len(chk["stats"]["quantiles"])
+            for i in range(min(b, m), m):
+                key = f"{prefix}__le{i}"
+                d[key] = d.get(key, 0) + c
+    # fill zeros so downstream folds never hit missing aliases
+    for d in out.values():
+        for chk in checks:
+            for alias in drift_aliases(chk["prefix"], chk["stats"], chk["method"]):
+                d.setdefault(alias, 0)
+    if not out:
+        zero = {}
+        for chk in checks:
+            for alias in drift_aliases(chk["prefix"], chk["stats"], chk["method"]):
+                zero[alias] = 0
+        out[None] = zero
+    return out
+
+
 def drift_agg_exprs(col: str, stats: dict, method: str, prefix: str) -> Dict[str, F.Column]:
     """Aggregate columns this drift check contributes to the shared scan."""
     out: Dict[str, F.Column] = {}

@@ -238,7 +238,15 @@ class Validator:
 
     def _shared_agg_specs(
         self, model_name: str, agg_checks: List[CompiledCheck], drift_checks: List[CompiledCheck]
-    ) -> Tuple[Dict[str, Column], Dict[str, str]]:
+    ) -> Tuple[Dict[str, Column], Dict[str, str], List[dict]]:
+        """Shared-scan aggregate columns + merge ops + drift bucket-job specs.
+
+        Drift grids are NOT inlined as per-grid-point aggregate columns: a
+        199-point grid would push the aggregate past the whole-stage-codegen
+        field limit and onto the erratic interpreted path. They run as one
+        narrow bucket-groupBy job (drift_mod.drift_bucket_rows) whose output
+        aliases are folded into the same per-partition metric rows.
+        """
         exprs: Dict[str, Column] = {"__total_count": F.count(F.lit(1))}
         ops: Dict[str, str] = {"__total_count": "sum"}
         for chk in agg_checks:
@@ -249,6 +257,7 @@ class Validator:
                 if alias not in exprs:
                     exprs[alias] = expr_thunk()
                     ops[alias] = _merge_op(alias, chk.kind)
+        drift_jobs: List[dict] = []
         for chk in drift_checks:
             stats = self.config.ref_stats.get(model_name, {}).get(chk.params["column"])
             if stats is None:
@@ -256,12 +265,30 @@ class Validator:
             prefix = f"__drift__{chk.key}"
             chk.params["_prefix"] = prefix
             chk.params["_stats"] = stats
-            for alias, expr in drift_mod.drift_agg_exprs(
-                chk.params["column"], stats, chk.params["method"], prefix
-            ).items():
-                exprs[alias] = expr
+            drift_jobs.append({
+                "prefix": prefix, "column": chk.params["column"],
+                "stats": stats, "method": chk.params["method"],
+            })
+            for alias in drift_mod.drift_aliases(prefix, stats, chk.params["method"]):
                 ops[alias] = "sum"
-        return exprs, ops
+        return exprs, ops, drift_jobs
+
+    @staticmethod
+    def _merge_drift_rows(
+        part_rows: List[Dict[str, Any]],
+        drift_rows: Dict[Optional[str], Dict[str, int]],
+        drift_jobs: List[dict],
+        partition_col: Optional[str],
+    ) -> None:
+        zero: Dict[str, int] = {}
+        for job in drift_jobs:
+            for alias in drift_mod.drift_aliases(job["prefix"], job["stats"], job["method"]):
+                zero[alias] = 0
+        if partition_col:
+            for prow in part_rows:
+                prow.update(drift_rows.get(str(prow.get(partition_col)), zero))
+        elif part_rows:
+            part_rows[0].update(drift_rows.get(None, zero))
 
     def _audio_report(self, df: DataFrame, chk: CompiledCheck, partition_col: Optional[str]) -> DataFrame:
         # partition col is threaded through the Arrow batch as __part (no re-join)
@@ -296,7 +323,7 @@ class Validator:
         drift_checks: List[CompiledCheck],
         audio_checks: List[CompiledCheck],
     ) -> None:
-        exprs, ops = self._shared_agg_specs(model_name, agg_checks, drift_checks)
+        exprs, ops, drift_jobs = self._shared_agg_specs(model_name, agg_checks, drift_checks)
         partition_col = self.config.partition_col if (
             self.config.partition_col and self.config.partition_col in df.columns
         ) else None
@@ -312,7 +339,8 @@ class Validator:
 
         if partition_col and self.config.checkpoint_dir:
             part_rows, audio_part_rows = self._checkpointed_scan(
-                model_name, df, exprs, ops, audio_chk, audio_exprs, partition_col
+                model_name, df, exprs, ops, audio_chk, audio_exprs, partition_col,
+                drift_jobs,
             )
         else:
             if partition_col:
@@ -321,6 +349,12 @@ class Validator:
             else:
                 agg_list = [v.alias(k) for k, v in exprs.items()]
                 part_rows = [df.agg(*agg_list).first().asDict()]
+            if drift_jobs:
+                self._merge_drift_rows(
+                    part_rows,
+                    drift_mod.drift_bucket_rows(df, drift_jobs, partition_col),
+                    drift_jobs, partition_col,
+                )
             if audio_chk is not None:
                 report = self._audio_report(df, audio_chk, partition_col)
                 a_list = [v.alias(k) for k, v in audio_exprs.items()]
@@ -625,6 +659,7 @@ class Validator:
         audio_chk: Optional[CompiledCheck],
         audio_exprs: Dict[str, Column],
         partition_col: str,
+        drift_jobs: Optional[List[dict]] = None,
     ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
         """Chunked partitioned scan with a resume manifest.
 
@@ -676,6 +711,12 @@ class Validator:
         for chunk in chunks:
             sub = df.filter(F.col(partition_col).cast("string").isin(chunk))
             rows = [r.asDict() for r in sub.groupBy(partition_col).agg(*agg_list).collect()]
+            if drift_jobs:
+                self._merge_drift_rows(
+                    rows,
+                    drift_mod.drift_bucket_rows(sub, drift_jobs, partition_col),
+                    drift_jobs, partition_col,
+                )
             audio_rows_by_part: Dict[str, dict] = {}
             if audio_chk is not None:
                 report = self._audio_report(sub, audio_chk, partition_col)

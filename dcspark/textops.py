@@ -150,16 +150,21 @@ def lang_id_confusion(docs: DataFrame, min_hits: int = 1) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def shingle_expr(n: int = 3, col: str = "text") -> Column:
-    """Distinct word n-gram shingles as array<string> (empty if < n tokens)."""
+    """Distinct word n-gram shingles as array<string> (empty if < n tokens).
+
+    Built from ``slice`` + ``zip_with`` of shifted copies rather than
+    ``transform(sequence, i -> element_at(w, i+k))`` — inside a lambda each
+    ``element_at(w, ...)`` re-evaluates the token regexp PER ELEMENT (no CSE
+    through higher-order functions), which made shingling ~25x slower. Here
+    the token array is evaluated a constant ~2n times per ROW.
+    """
     w = words_expr(col)
-    # sequence(1, x) DESCENDS for x < 1, so clamp then gate on token count
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(1)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)])
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    acc = F.slice(w, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(acc, F.slice(w, k + 1, m),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(acc)
 
 
 def minhash_expr(shingles: Column, j: int) -> Column:
@@ -169,11 +174,42 @@ def minhash_expr(shingles: Column, j: int) -> Column:
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3) -> DataFrame:
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's core count when the source has fewer
+    partitions (e.g. one small parquet file) — CPU-bound per-row work (md5 per
+    shingle, HOF evaluation) otherwise serializes on a single task. A no-op on
+    well-partitioned inputs, so safe at any scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def shingle_table(docs: DataFrame, n: int = 3, persist: bool = True) -> DataFrame:
+    """(doc_id, sh: array<string>) distinct-shingle table; <n-token docs dropped.
+
+    Persisted by default: every downstream consumer (signature matrix, band
+    self-join sides, inverted index, size lookup) references this subtree —
+    without an explicit persist Spark recomputes the regexp+n-gram projection
+    once per reference (6-7x on the near-dup pipeline), which dominated the
+    runtime. The cached form is a few bytes per shingle — at 10^12 docs this
+    would be a checkpointed intermediate table instead.
+    """
+    from pyspark import StorageLevel
+
+    sh = fan_out(docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                             F.col("text"))).select(
+        "doc_id", shingle_expr(n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    if persist:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    return sh
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3,
+                       sh: Optional[DataFrame] = None) -> DataFrame:
     """(doc_id, mh0..mh{k-1}) MinHash signature matrix; docs with <n tokens dropped."""
-    sh = shingle_expr(n)
-    d = docs.select(F.col("doc_id").cast("long").alias("doc_id"), sh.alias("sh"))
-    d = d.filter(F.size("sh") > 0)
+    d = sh if sh is not None else shingle_table(docs, n, persist=False)
     cols = [F.col("doc_id")] + [
         minhash_expr(F.col("sh"), j).alias(f"mh{j}") for j in range(num_hashes)
     ]
@@ -181,14 +217,15 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8, n: int = 3) -> Data
 
 
 def lsh_band_keys(
-    docs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2, n: int = 3
+    docs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2, n: int = 3,
+    sh: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(doc_id, band, key): one row per band, key = concat of the band's hashes.
 
     Constant per-doc fan-out (num_hashes / rows_per_band rows) — the scalable
     alternative to exploding full shingle inverted lists.
     """
-    sig = minhash_signatures(docs, num_hashes, n)
+    sig = minhash_signatures(docs, num_hashes, n, sh=sh)
     bands = num_hashes // rows_per_band
     pairs = []
     for b in range(bands):
@@ -203,14 +240,20 @@ def lsh_band_keys(
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2, n: int = 3
+    docs: DataFrame, num_hashes: int = 8, rows_per_band: int = 2, n: int = 3,
+    sh: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Distinct candidate (doc_a < doc_b) pairs sharing at least one LSH band.
 
     Self-equi-join co-partitioned on (band, key); AQE splits skewed band
-    buckets. Never materializes the all-pairs product.
+    buckets. Never materializes the all-pairs product. The signature matrix is
+    tiny (num_hashes strings per doc) — persisted so the self-join's two sides
+    share one computation.
     """
-    bk = lsh_band_keys(docs, num_hashes, rows_per_band, n)
+    from pyspark import StorageLevel
+
+    bk = lsh_band_keys(docs, num_hashes, rows_per_band, n, sh=sh)
+    bk = bk.persist(StorageLevel.MEMORY_AND_DISK)
     left = bk.alias("l")
     right = bk.alias("r")
     return (
@@ -221,14 +264,15 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
+                     sh: Optional[DataFrame] = None) -> DataFrame:
     """Exact shingle-set Jaccard for given (doc_a, doc_b) pairs.
 
     Joins each side's distinct-shingle count plus the pair's intersection size
     computed from the exploded inverted index restricted to candidate docs.
     """
-    sh = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                     shingle_expr(n).alias("sh")).filter(F.size("sh") > 0)
+    if sh is None:
+        sh = shingle_table(docs, n, persist=False)
     sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
     inv = sh.select("doc_id", F.explode("sh").alias("s"))
     docs_in_pairs = pairs.select(F.col("doc_a").alias("doc_id")).union(
@@ -264,8 +308,7 @@ def allpairs_jaccard(docs: DataFrame, n: int = 3) -> DataFrame:
     Quadratic in the posting-list lengths — callers bound the input (small
     subsets / per-bucket); the unbounded-scale path is ``minhash_near_dups``.
     """
-    sh = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                     shingle_expr(n).alias("sh")).filter(F.size("sh") > 0)
+    sh = shingle_table(docs, n, persist=True)
     sizes = sh.select("doc_id", F.size("sh").cast("long").alias("sz"))
     inv = sh.select("doc_id", F.explode("sh").alias("s"))
     a = inv.select(F.col("doc_id").alias("doc_a"), "s")
@@ -294,9 +337,14 @@ def minhash_near_dups(
     rows_per_band: int = 2,
     n: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold."""
-    pairs = lsh_candidate_pairs(docs, num_hashes, rows_per_band, n)
-    scored = jaccard_on_pairs(docs, pairs, n)
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ threshold.
+
+    One shared persisted shingle table feeds signature, band join, and the
+    Jaccard verify — the expensive regexp/n-gram projection runs exactly once.
+    """
+    sh = shingle_table(docs, n, persist=True)
+    pairs = lsh_candidate_pairs(docs, num_hashes, rows_per_band, n, sh=sh)
+    scored = jaccard_on_pairs(docs, pairs, n, sh=sh)
     return scored.filter(F.col("jaccard") >= threshold)
 
 
@@ -324,8 +372,8 @@ def simhash_expr(bits: int = 16, col: str = "text") -> Column:
 def simhash_table(docs: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash) per document with ≥1 token."""
     return (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    words_expr().alias("w"), simhash_expr(bits).alias("simhash"))
+        fan_out(docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        .select("doc_id", words_expr().alias("w"), simhash_expr(bits).alias("simhash"))
         .filter(F.size("w") > 0)
         .select("doc_id", "simhash")
     )
