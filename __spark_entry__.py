@@ -831,7 +831,7 @@ def q_audio_decode(spark: SparkSession, _sf: str) -> DataFrame:
     )
     report = audio_mod.audio_decode_report(
         df, snr_floor_db=30.0,
-        oracle=audio_mod.synth_oracle(SEED, _AUDIO_DUR[0], _AUDIO_DUR[1]),
+        snr_fn=audio_mod.synth_snr_oracle(SEED, _AUDIO_DUR[0], _AUDIO_DUR[1]),
     )
 
     def cnt(cond: Column) -> Column:
@@ -875,7 +875,7 @@ def q_contract_full_run(spark: SparkSession, _sf: str) -> DataFrame:
     ref_stats = drift_mod.build_ref_stats(clean.select("dur_ms", "sr_hz"), ["dur_ms", "sr_hz"])
     cfg = ValidationConfig(
         ref_stats={"audio_clips": ref_stats},
-        audio_oracle=audio_mod.synth_oracle(SEED, _AUDIO_DUR[0], _AUDIO_DUR[1]),
+        audio_snr_fn=audio_mod.synth_snr_oracle(SEED, _AUDIO_DUR[0], _AUDIO_DUR[1]),
     )
     res = validate(spark, spec, {"audio_clips": clips, "transcripts_ref": ref}, cfg)
     rows = [

@@ -67,6 +67,7 @@ class ValidationConfig:
     # model -> column -> ref snapshot (drift_mod.build_ref_stats output)
     ref_stats: Dict[str, Dict[str, dict]] = dc_field(default_factory=dict)
     audio_oracle: Optional[audio_mod.OraclePcm] = None
+    audio_snr_fn: Optional[audio_mod.SnrFn] = None  # blocked-SNR scale path (wins over oracle)
     now: Optional[dt.datetime] = None  # injectable clock for freshness/retention
     checkpoint_dir: Optional[str] = None
     resume: bool = False
@@ -74,6 +75,7 @@ class ValidationConfig:
     broadcast_references: bool = True  # hint broadcast for reference parents
     server_format: Optional[str] = None
     arrow_batch_rows: int = 512  # audio bytes are large; keep Arrow batches bounded
+    parallel_jobs: int = 8  # concurrent driver-side Spark job submissions
 
 
 @dataclass
@@ -197,15 +199,55 @@ class Validator:
         unique_checks = [c for c in unique_checks if runnable(c)]
         reference_checks = [c for c in reference_checks if runnable(c)]
 
-        self._run_shared_scan(model_name, df, agg_checks, drift_checks, audio_checks)
-        for chk in unique_checks:
-            self._run_unique(model_name, df, chk)
-        for chk in reference_checks:
-            self._run_reference(model_name, df, chk)
-        for chk in join_eq_checks:
-            self._run_join_equality(model_name, df, chk)
-        for chk in sql_checks:
-            self._run_sql(chk)
+        # Compute phase: independent Spark jobs submitted CONCURRENTLY from
+        # driver threads (the scheduler overlaps them across free task slots),
+        # collapsing ~10 sequential small-job walls into a few waves — the
+        # dominant fixed cost at high core counts. Only the shared scan
+        # records during this phase; every other job returns a result dict
+        # that the main thread records afterwards in a fixed order, so check
+        # ordering stays deterministic.
+        thunks: List[Any] = [
+            lambda: self._run_shared_scan(model_name, df, agg_checks, drift_checks, audio_checks)
+        ]
+        thunks += [
+            (lambda c=chk: ("unique", c, self._unique_compute(df, c)))
+            for chk in unique_checks
+        ]
+        thunks += [
+            (lambda c=chk: ("reference", c, self._reference_compute(df, c)))
+            for chk in reference_checks
+        ]
+        thunks += [
+            (lambda c=chk: ("join_eq", c, self._join_equality_compute(df, c)))
+            for chk in join_eq_checks
+        ]
+        thunks += [
+            (lambda c=chk: ("sql", c, self._sql_compute(c))) for chk in sql_checks
+        ]
+        results = self._parallel(thunks)
+        for item in results[1:]:
+            kind, chk, res = item
+            if kind == "unique":
+                self._record_unique(chk, res)
+            elif kind == "reference":
+                self._record_reference(chk, res)
+            elif kind == "join_eq":
+                self._record_join_equality(chk, res)
+            else:
+                self._record_sql(chk, res)
+
+    def _parallel(self, thunks: List[Any]) -> List[Any]:
+        """Run thunks via a driver-side thread pool (Spark job submission is
+        thread-safe); sequential when disabled or singleton."""
+        if self.config.parallel_jobs <= 1 or len(thunks) <= 1:
+            return [t() for t in thunks]
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(
+            max_workers=min(self.config.parallel_jobs, len(thunks))
+        ) as ex:
+            futures = [ex.submit(t) for t in thunks]
+            return [f.result() for f in futures]
 
     # -- schema checks (driver-side, no scan) --------------------------------
 
@@ -296,6 +338,7 @@ class Validator:
             df,
             snr_floor_db=chk.params.get("snr_db", 30.0),
             oracle=self.config.audio_oracle,
+            snr_fn=self.config.audio_snr_fn,
             partition_col=partition_col if (partition_col and partition_col in df.columns) else None,
         )
 
@@ -343,28 +386,40 @@ class Validator:
                 drift_jobs,
             )
         else:
-            if partition_col:
-                agg_list = [v.alias(k) for k, v in exprs.items()]
-                part_rows = [r.asDict() for r in df.groupBy(partition_col).agg(*agg_list).collect()]
-            else:
-                agg_list = [v.alias(k) for k, v in exprs.items()]
-                part_rows = [df.agg(*agg_list).first().asDict()]
-            if drift_jobs:
-                self._merge_drift_rows(
-                    part_rows,
-                    drift_mod.drift_bucket_rows(df, drift_jobs, partition_col),
-                    drift_jobs, partition_col,
-                )
-            if audio_chk is not None:
+            agg_list = [v.alias(k) for k, v in exprs.items()]
+
+            def main_job() -> List[Dict[str, Any]]:
+                if partition_col:
+                    return [r.asDict() for r in df.groupBy(partition_col).agg(*agg_list).collect()]
+                return [df.agg(*agg_list).first().asDict()]
+
+            def drift_job():
+                return drift_mod.drift_bucket_rows(df, drift_jobs, partition_col)
+
+            def audio_job() -> List[Dict[str, Any]]:
                 report = self._audio_report(df, audio_chk, partition_col)
                 a_list = [v.alias(k) for k, v in audio_exprs.items()]
-                with self._arrow_batch_conf():
-                    if partition_col:
-                        audio_part_rows = [
-                            r.asDict() for r in report.groupBy("__part").agg(*a_list).collect()
-                        ]
-                    else:
-                        audio_part_rows = [report.agg(*a_list).first().asDict()]
+                if partition_col:
+                    return [r.asDict() for r in report.groupBy("__part").agg(*a_list).collect()]
+                return [report.agg(*a_list).first().asDict()]
+
+            # the scan's three independent jobs (metric agg / drift buckets /
+            # audio decode) overlap on the cluster — decode dominates, the
+            # small aggs ride along on spare slots
+            thunks: List[Any] = [main_job]
+            if drift_jobs:
+                thunks.append(drift_job)
+            if audio_chk is not None:
+                thunks.append(audio_job)
+            with self._arrow_batch_conf():
+                outs = self._parallel(thunks)
+            part_rows = outs[0]
+            idx = 1
+            if drift_jobs:
+                self._merge_drift_rows(part_rows, outs[idx], drift_jobs, partition_col)
+                idx += 1
+            if audio_chk is not None:
+                audio_part_rows = outs[idx]
 
         global_row = _merge_rows(part_rows, ops)
         global_row["__total_count"] = global_row.get("__total_count") or 0
@@ -530,7 +585,7 @@ class Validator:
 
     # -- uniqueness (dedicated shuffle; AQE-skew-safe) ------------------------
 
-    def _run_unique(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> None:
+    def _unique_compute(self, df: DataFrame, chk: CompiledCheck) -> dict:
         col = chk.field
         # two-phase: partial agg combines map-side, so shuffle volume is bounded by
         # distinct keys per partition; duplicate stats folded in one tiny pass
@@ -544,9 +599,7 @@ class Validator:
             F.coalesce(F.sum(F.col("__cnt") - 1), F.lit(0)).alias("dup_rows"),
         ).first()
         metric = float(stats["dup_values"] or 0)
-        result, reason = chk.eval_metric(metric, {})
-        self._record(chk, metric, result, reason, None,
-                     diagnostics={"dup_values": stats["dup_values"], "dup_rows": stats["dup_rows"]})
+        vio_rows = None
         if metric > 0:
             vio = dup.orderBy(F.col("__cnt").desc(), F.col(col)).limit(self.config.violation_cap).select(
                 F.lit(self.run.runId).alias("run_id"),
@@ -556,22 +609,29 @@ class Validator:
                 F.concat(F.lit("count="), F.col("__cnt").cast("string")).alias("observed"),
                 F.lit("unique").alias("expected"),
             )
+            vio_rows = vio.collect()
+        return {"metric": metric, "dup_values": stats["dup_values"],
+                "dup_rows": stats["dup_rows"], "vio_rows": vio_rows}
+
+    def _record_unique(self, chk: CompiledCheck, res: dict) -> None:
+        metric = res["metric"]
+        result, reason = chk.eval_metric(metric, {})
+        self._record(chk, metric, result, reason, None,
+                     diagnostics={"dup_values": res["dup_values"], "dup_rows": res["dup_rows"]})
+        if res["vio_rows"]:
             self._violation_frames.append(
-                self.spark.createDataFrame(vio.collect(), schema=VIOLATIONS_DDL))
+                self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
 
     # -- referential integrity (anti-join) ------------------------------------
 
-    def _run_reference(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> None:
+    def _reference_compute(self, df: DataFrame, chk: CompiledCheck) -> dict:
         parent_name = chk.params["parent_model"]
         parent_field = chk.params["parent_field"]
         parent = self.tables.get(parent_name)
         if parent is None:
-            self._record(chk, None, ResultEnum.error, f"parent table {parent_name} not provided", None)
-            return
+            return {"error": f"parent table {parent_name} not provided"}
         if parent_field not in parent.columns:
-            self._record(chk, None, ResultEnum.error,
-                         f"parent column {parent_field} missing in {parent_name}", None)
-            return
+            return {"error": f"parent column {parent_field} missing in {parent_name}"}
         keys = parent.select(F.col(parent_field).alias("__parent_key")).distinct()
         if self.config.broadcast_references:
             keys = F.broadcast(keys)
@@ -580,8 +640,7 @@ class Validator:
             keys, on=F.col(child_col) == F.col("__parent_key"), how="left_anti"
         )
         metric = float(orphans.count())
-        result, reason = chk.eval_metric(metric, {})
-        self._record(chk, metric, result, reason, None)
+        vio_rows = None
         if metric > 0:
             vio = orphans.limit(self.config.violation_cap).select(
                 F.lit(self.run.runId).alias("run_id"),
@@ -591,21 +650,30 @@ class Validator:
                 F.col(child_col).cast("string").alias("observed"),
                 F.lit(chk.expected).alias("expected"),
             )
+            vio_rows = vio.collect()
+        return {"metric": metric, "vio_rows": vio_rows}
+
+    def _record_reference(self, chk: CompiledCheck, res: dict) -> None:
+        if "error" in res:
+            self._record(chk, None, ResultEnum.error, res["error"], None)
+            return
+        metric = res["metric"]
+        result, reason = chk.eval_metric(metric, {})
+        self._record(chk, metric, result, reason, None)
+        if res["vio_rows"]:
             self._violation_frames.append(
-                self.spark.createDataFrame(vio.collect(), schema=VIOLATIONS_DDL))
+                self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
 
     # -- transcript equality vs oracle reference (join check) ------------------
 
-    def _run_join_equality(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> None:
+    def _join_equality_compute(self, df: DataFrame, chk: CompiledCheck) -> dict:
         p = chk.params
         ref = self.tables.get(p["ref_model"])
         if ref is None:
-            self._record(chk, None, ResultEnum.error, f"reference table {p['ref_model']} not provided", None)
-            return
+            return {"error": f"reference table {p['ref_model']} not provided"}
         key, child_col, ref_col = p["key"], p["child_col"], p["ref_col"]
         if key not in df.columns or child_col not in df.columns or key not in ref.columns or ref_col not in ref.columns:
-            self._record(chk, None, ResultEnum.error, "join/compare column missing", None)
-            return
+            return {"error": "join/compare column missing"}
         # inner equi-join on the key (rows absent from the reference are the
         # referential check's concern, not equality's); null-safe inequality
         joined = df.select(F.col(key).alias("__k"), F.col(child_col).alias("__child")).join(
@@ -614,8 +682,7 @@ class Validator:
         )
         mismatch = joined.filter(~F.col("__child").eqNullSafe(F.col("__ref")))
         metric = float(mismatch.count())
-        result, reason = chk.eval_metric(metric, {})
-        self._record(chk, metric, result, reason, None)
+        vio_rows = None
         if metric > 0:
             vio = mismatch.limit(self.config.violation_cap).select(
                 F.lit(self.run.runId).alias("run_id"),
@@ -625,24 +692,39 @@ class Validator:
                 F.col("__child").cast("string").alias("observed"),
                 F.concat(F.lit("ref: "), F.col("__ref").cast("string")).alias("expected"),
             )
+            vio_rows = vio.collect()
+        return {"metric": metric, "vio_rows": vio_rows}
+
+    def _record_join_equality(self, chk: CompiledCheck, res: dict) -> None:
+        if "error" in res:
+            self._record(chk, None, ResultEnum.error, res["error"], None)
+            return
+        metric = res["metric"]
+        result, reason = chk.eval_metric(metric, {})
+        self._record(chk, metric, result, reason, None)
+        if res["vio_rows"]:
             self._violation_frames.append(
-                self.spark.createDataFrame(vio.collect(), schema=VIOLATIONS_DDL))
+                self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
 
     # -- SQL quality ----------------------------------------------------------
 
-    def _run_sql(self, chk: CompiledCheck) -> None:
+    def _sql_compute(self, chk: CompiledCheck) -> dict:
         query = chk.params.get("query")
         if not query:
-            self._record(chk, None, ResultEnum.error, "no query", None)
-            return
+            return {"error": "no query"}
         try:
             row = self.spark.sql(query).first()
             metric = None if row is None else float(row[0])
         except Exception as e:  # surfaced as error check, not crash (soda parity)
-            self._record(chk, None, ResultEnum.error, f"query failed: {e}", None)
+            return {"error": f"query failed: {e}"}
+        return {"metric": metric}
+
+    def _record_sql(self, chk: CompiledCheck, res: dict) -> None:
+        if "error" in res:
+            self._record(chk, None, ResultEnum.error, res["error"], None)
             return
-        result, reason = chk.eval_metric(metric, {})
-        self._record(chk, metric, result, reason, None)
+        result, reason = chk.eval_metric(res["metric"], {})
+        self._record(chk, res["metric"], result, reason, None)
 
     # -- checkpoint / resume ---------------------------------------------------
 

@@ -126,6 +126,47 @@ def import_from_csv(path: str, model_name: Optional[str] = None,
     return spec
 
 
+_ICEBERG_TO_CONTRACT = {
+    "string": "string", "int": "integer", "long": "long",
+    "float": "float", "double": "double", "boolean": "boolean",
+    "timestamptz": "timestamp", "timestamp": "timestamp_ntz",
+    "date": "date", "binary": "bytes", "uuid": "string",
+}
+
+
+def import_from_iceberg(schema_json, model_name: str = "imported",
+                        contract_id: str = "imported") -> DataContractSpecification:
+    """Iceberg schema JSON (dict or path) -> contract; identifier-field-ids
+    become primaryKey (parity: imports/iceberg_importer.py:49-56,126-172)."""
+    import json as _json
+
+    if isinstance(schema_json, str):
+        with open(schema_json, "r", encoding="utf-8") as f:
+            schema_json = _json.load(f)
+    spec = _base_spec(contract_id, model_name)
+    fields: Dict[str, Field] = {}
+    pk: List[str] = []
+    ident = set(schema_json.get("identifier-field-ids", []))
+    for fdef in schema_json.get("fields", []):
+        itype = fdef.get("type")
+        if isinstance(itype, str) and itype.startswith("decimal"):
+            inner = itype[itype.index("(") + 1:itype.index(")")]
+            p, s = [int(x.strip()) for x in inner.split(",")]
+            cf = Field(type="decimal", precision=p, scale=s)
+        elif isinstance(itype, str):
+            cf = Field(type=_ICEBERG_TO_CONTRACT.get(itype, "bytes"))
+        else:
+            cf = Field(type="bytes")  # nested/struct types: opaque fallback
+        if fdef.get("required"):
+            cf.required = True
+        if fdef.get("id") in ident:
+            cf.primaryKey = True
+            pk.append(fdef["name"])
+        fields[fdef["name"]] = cf
+    spec.models[model_name] = Model(type="table", fields=fields, primaryKey=pk)
+    return spec
+
+
 def import_contract(fmt: str, source, **kwargs) -> DataContractSpecification:
     """Factory (parity: imports/importer_factory)."""
     fmt = fmt.lower()
@@ -135,4 +176,6 @@ def import_contract(fmt: str, source, **kwargs) -> DataContractSpecification:
         return import_from_parquet(source, **kwargs)
     if fmt == "csv":
         return import_from_csv(source, **kwargs)
+    if fmt == "iceberg":
+        return import_from_iceberg(source, **kwargs)
     raise ValueError(f"unsupported import format: {fmt}")

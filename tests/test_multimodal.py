@@ -1,0 +1,87 @@
+"""Multimodal binary-column plumbing: image/video (stub decoders) + audio (real)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dcspark import multimodal, synth
+from dcspark.audio import parse_wav
+
+
+@pytest.fixture(scope="module")
+def image_df(spark):
+    rows = [(f"img-{i}", bytes([i]) * (100 + i)) for i in range(20)]
+    return spark.createDataFrame(rows, schema="id string, bytes binary")
+
+
+def test_image_metadata_fake_decoder(spark, image_df):
+    out = multimodal.image_metadata(image_df, decoder=multimodal.fake_image_decoder)
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    assert all(r["decode_error"] is None for r in rows.values())
+    assert all(8 <= r["width"] <= 64 and 8 <= r["height"] <= 64 for r in rows.values())
+    # deterministic: same payload -> same metadata
+    again = {r["id"]: r for r in multimodal.image_metadata(
+        image_df, decoder=multimodal.fake_image_decoder).collect()}
+    assert {k: (v["width"], v["height"], v["mean_luma"]) for k, v in rows.items()} == \
+           {k: (v["width"], v["height"], v["mean_luma"]) for k, v in again.items()}
+
+
+def test_image_metadata_real_decoder_stub_surfaces_errors(spark, image_df):
+    out = multimodal.image_metadata(image_df)  # default: real decoder stub
+    rows = out.collect()
+    assert all(r["decode_error"] is not None for r in rows)
+    assert "codec libraries" in rows[0]["decode_error"]
+
+
+def test_image_resize_shape(spark, image_df):
+    out = multimodal.image_resize(
+        image_df, target=(16, 12), decoder=multimodal.fake_image_decoder)
+    rows = out.collect()
+    assert all(r["height"] == 16 and r["width"] == 12 for r in rows)
+    assert all(len(r["pixels"]) == 16 * 12 * 3 for r in rows)
+
+
+def test_video_frame_sample_bounded(spark, image_df):
+    out = multimodal.video_frame_sample(
+        image_df, every_n=3, max_frames=4, decoder=multimodal.fake_video_decoder)
+    rows = out.collect()
+    per_id = {}
+    for r in rows:
+        per_id.setdefault(r["id"], []).append(r)
+    assert len(per_id) == 20
+    for frames in per_id.values():
+        assert 1 <= len(frames) <= 4
+        assert all(f["decode_error"] is None for f in frames)
+        assert all(f["frame_idx"] % 3 == 0 for f in frames)
+        assert all(len(f["frame"]) == 16 * 16 * 3 for f in frames)
+
+
+def test_audio_features_real(spark):
+    df = synth.generate_audio_table(spark, 12, seed=7, dur_lo=200, dur_hi=500)
+    out = multimodal.audio_features(df).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["decode_error"] is None
+        assert r["sr"] in synth.SR_ENUM
+        assert 0.0 < r["rms"] < 1.0
+        assert r["peak"] <= 1.0
+        assert r["zero_crossings"] > 0
+
+
+def test_audio_resample_roundtrip(spark):
+    df = synth.generate_audio_table(spark, 6, seed=9, dur_lo=300, dur_hi=600)
+    out = multimodal.audio_resample(df, target_sr=16000).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["decode_error"] is None
+        sr, codec, pcm = parse_wav(bytes(r["bytes"]))
+        assert sr == 16000
+        assert codec == "pcm_s16le"
+        assert len(pcm) > 0
+    # duration preserved within 1 ms
+    src = {r["clip_id"]: r for r in df.select("clip_id", "bytes").collect()}
+    for r in out:
+        sr0, _, pcm0 = parse_wav(bytes(src[r["clip_id"]]["bytes"]))
+        _, _, pcm1 = parse_wav(bytes(r["bytes"]))
+        assert abs(len(pcm0) / sr0 - len(pcm1) / 16000) < 0.001

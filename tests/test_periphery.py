@@ -165,6 +165,21 @@ def test_import_csv(tmp_path):
     assert fields["ts"].type == "timestamp_ntz"
 
 
+def test_import_iceberg_roundtrip():
+    """export -> import round-trip preserves types, required, primary key."""
+    from dcspark.imports import import_from_iceberg
+
+    spec = DataContractSpecification.from_string(CONTRACT)
+    ice = to_iceberg_schema(spec.models["t"])
+    back = import_from_iceberg(ice, model_name="t")
+    fields = back.models["t"].fields
+    assert fields["id"].type == "string"
+    assert fields["id"].required is True
+    assert fields["id"].primaryKey is True
+    assert back.models["t"].primaryKey == ["id"]
+    assert fields["n"].type == "integer"
+
+
 def test_import_from_spark(spark):
     df = spark.createDataFrame([(1, "a")], schema="k long, v string")
     spec = import_from_spark(df, model_name="m")
