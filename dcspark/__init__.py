@@ -20,6 +20,10 @@ from .spec import (
 from .run_model import Check, ResultEnum, Run, fold_results
 from .compile import CompiledCheck, create_checks, period_to_seconds
 from .engine import ValidationConfig, ValidationResult, Validator, validate
+from .lint import lint
+from .breaking import breaking, changelog
+from .export import export
+from .imports import import_contract
 
 __version__ = "0.1.0"
 
@@ -29,4 +33,5 @@ __all__ = [
     "Check", "ResultEnum", "Run", "fold_results",
     "CompiledCheck", "create_checks", "period_to_seconds",
     "ValidationConfig", "ValidationResult", "Validator", "validate",
+    "lint", "breaking", "changelog", "export", "import_contract",
 ]
