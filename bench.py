@@ -47,7 +47,7 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "64m")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .appName("dcspark-bench")
         .getOrCreate()
@@ -64,8 +64,8 @@ def ensure_audio_data(spark, n: int) -> tuple[str, str]:
 
     base = os.path.join(REPO, ".bench_data")
     dur_tag = f"{DUR_LO}_{DUR_HI}"
-    clips_path = os.path.join(base, f"audio_n{n}_seed{SEED}_d{dur_tag}_p32")
-    ref_path = os.path.join(base, f"ref_n{n}_seed{SEED}_p32")
+    clips_path = os.path.join(base, f"audio_n{n}_seed{SEED}_d{dur_tag}_p32_v2")
+    ref_path = os.path.join(base, f"ref_n{n}_seed{SEED}_p32_v2")
     marker = os.path.join(clips_path, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(clips_path, ignore_errors=True)

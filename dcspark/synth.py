@@ -56,8 +56,14 @@ def synth_params(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000):
     k = int(rng.integers(2, 5))
     freqs = rng.uniform(100.0, min(4000.0, sr / 2 * 0.8), size=k)
     amps = rng.uniform(0.1, 0.3, size=k)
-    n_words = int(rng.integers(3, 9))
-    words = [WORDS[int(w)] for w in rng.integers(0, len(WORDS), size=n_words)]
+    # Transcripts get their OWN stream: bounded integers() uses rejection
+    # sampling, so the dur draw consumes a bounds-dependent number of raw
+    # draws — with a shared stream, generating clips at (200,2000) and the
+    # transcript ref at default bounds produced ~1e-5 of rows whose words
+    # diverged (observed: 3/256k transcript_equality violations in bench).
+    t_rng = np.random.default_rng([seed, i, 7])
+    n_words = int(t_rng.integers(3, 9))
+    words = [WORDS[int(w)] for w in t_rng.integers(0, len(WORDS), size=n_words)]
     return sr, dur, freqs, amps, " ".join(words)
 
 

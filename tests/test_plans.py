@@ -1,0 +1,127 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, codegen.
+
+These assert the plans the engine is DESIGNED to produce (SURVEY.md §4) so a
+regression that silently de-optimizes (e.g. an expression change that breaks
+filter pushdown or starts scanning the audio `bytes` column in metric-only
+passes) fails loudly in CI rather than showing up as a 10x slowdown at scale.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcspark import simsearch, textops
+from dcspark import audio as audio_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(df) -> str:
+    """Execute (AQE finalizes the physical plan only at runtime) and return
+    the final plan string, codegen annotations included."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 49).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(l_quantity,49" in plan
+
+
+def test_column_pruning_in_metric_scan(spark):
+    """A metric aggregate over two columns must not read the rest of the table."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    agg = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+        F.max("o_totalprice"),
+    )
+    plan = _plan(agg)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "o_custkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema
+    assert "o_orderpriority" not in read_schema
+
+
+def test_audio_report_prunes_to_needed_columns(spark):
+    """The decode pass reads exactly clip_id/bytes/sr_hz/dur_ms/codec."""
+    df = spark.createDataFrame(
+        [], schema="clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                   "codec string, transcript string, extra string")
+    report = audio_mod.audio_decode_report(df)
+    opt = _optimized(report)
+    # The source relation's own line lists every column it has; what matters is
+    # that the MapInPandas input (its child Project) carries only the 5 needed
+    # columns so nothing else crosses the Arrow boundary.
+    map_line = [l for l in opt.splitlines() if "MapInPandas" in l][0]
+    proj_line = [l for l in opt.splitlines() if "Project" in l][0]
+    for col in ("transcript", "extra"):
+        assert col not in map_line
+        assert col not in proj_line
+
+
+def test_reference_check_uses_broadcast_join(spark):
+    child = spark.read.parquet(f"{SF}/orders.parquet")
+    parent = spark.read.parquet(f"{SF}/customer.parquet")
+    keys = F.broadcast(parent.select(F.col("c_custkey").alias("__k")).distinct())
+    orphans = child.select("o_custkey").join(
+        keys, F.col("o_custkey") == F.col("__k"), "left_anti")
+    plan = _plan(orphans)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_shared_agg_is_single_exchange(spark):
+    """Global multi-aggregate: one partial/final HashAggregate pair, one
+    singleton Exchange — no shuffle of data rows."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.agg(
+        F.count(F.lit(1)),
+        F.sum(F.when(F.col("l_quantity") > 45, 1).otherwise(0)),
+        F.min("l_quantity"), F.max("l_quantity"),
+    )
+    plan = _plan(agg)
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" in plan
+
+
+def test_shared_agg_keeps_whole_stage_codegen(spark):
+    """~20 metric columns must stay on the codegen path (the drift grids are
+    deliberately NOT inlined here — see drift.bucket_expr)."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    cols = [F.sum(F.when(F.col("l_quantity") > k, 1).otherwise(0)).alias(f"c{k}")
+            for k in range(20)]
+    plan = _final_plan(li.agg(*cols))
+    # codegen'd stages carry the `*(n)` prefix in the final plan string
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]
+
+
+def test_ann_topk_broadcasts_probe_side(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    topk = simsearch.cosine_topk(emb, [0, 1, 2], k=3)
+    plan = _plan(topk)
+    assert "Broadcast" in plan
+
+
+def test_dedup_shuffles_fingerprints_not_text(spark):
+    """Exact dedup's exchange carries the md5 fingerprint, never the document
+    body — shuffle volume is 32 bytes/row regardless of text size."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stats = textops.exact_dup_stats(docs)
+    plan = _plan(stats)
+    exchange_sections = [
+        s for s in plan.split("Exchange") if "hashpartitioning" in s.split("\n")[0]
+    ]
+    assert exchange_sections, "expected a hash exchange for the fingerprint groupBy"
+    assert "fp#" in exchange_sections[0].split("\n")[0]
