@@ -782,6 +782,46 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_IVF_CELLS = 8
+_IVF_NPROBE = 2
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN: argmax-centroid cell assignment, nprobe-cell search."""
+    return simsearch.ivf_topk(
+        _t(spark, sf, "embeddings"), ANN_PROBE_IDS, dim=EMB_DIM, k=5,
+        n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE,
+    )
+
+
+def _sql_ann_ivf_topk() -> str:
+    cents = simsearch.ivf_centroids(_IVF_CELLS, EMB_DIM)
+    cent_rows = ",\n  ".join(
+        f"({i + 1}, [{', '.join(repr(x) for x in cent)}]::DOUBLE[])"
+        for i, cent in enumerate(cents)
+    )
+    probe_ids = ", ".join(str(i) for i in ANN_PROBE_IDS)
+    return f"""
+WITH c AS (SELECT cast(vec_id AS bigint) vec_id, embedding::DOUBLE[] v FROM embeddings),
+cents(cell, cv) AS (VALUES
+  {cent_rows}),
+dots AS (SELECT vec_id, v, cell, list_dot_product(v, cv) d FROM c, cents),
+assign AS (SELECT vec_id, v, cell FROM
+             (SELECT vec_id, v, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) rn
+              FROM dots) WHERE rn = 1),
+pcells AS (SELECT vec_id qid, v q, cell FROM
+             (SELECT vec_id, v, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) rn
+              FROM dots WHERE vec_id IN ({probe_ids})) WHERE rn <= {_IVF_NPROBE}),
+s AS (SELECT qid, a.vec_id,
+             list_dot_product(q, v) / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))) s
+      FROM pcells p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+r AS (SELECT qid, vec_id, s, row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) rn FROM s)
+SELECT qid, vec_id, cast(rn AS int) AS rank, round(s, 4) AS score FROM r WHERE rn <= 5
+"""
+
+
 def _plane_sql(bit: int) -> str:
     comps = ", ".join(
         str(simsearch._hyperplane_component(bit, d)) for d in range(EMB_DIM)
@@ -930,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "audio_decode_conformance": q_audio_decode,
         "contract_full_run": q_contract_full_run,
     }
@@ -962,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": SQL_ANN_TOPK,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "ann_lsh_topk": _sql_ann_lsh_topk(),
+        "ann_ivf_topk": _sql_ann_ivf_topk(),
         # audio_decode_conformance / contract_full_run: not SQL-expressible
         # (binary WAV decode + pandas-UDF invariant) — rows-only check.
     }

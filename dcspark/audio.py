@@ -6,8 +6,11 @@ conformance against the declared ``sr_hz``/``dur_ms``/``codec`` columns, and
 transcript equality vs the reference table.
 
 Engine-extension operator (the reference has no audio path — SURVEY.md §2.5).
-Execution model: ``mapInPandas`` over Arrow record batches; inside a batch the work
-is numpy-array-per-row (RIFF header parse + ``np.frombuffer`` + vector math), never
+Execution model: ``mapInArrow`` over Arrow record batches; per-row payloads are
+ZERO-COPY numpy views into the Arrow binary value heap (a pandas conversion would
+allocate a ~60 KB PyBytes per clip — at 10^12 rows that's an extra full copy of
+the corpus through every worker's allocator), and inside a batch the work is
+numpy-array-per-row (RIFF header parse + ``np.frombuffer`` + vector math), never
 per-sample Python. No decode libraries are needed for WAV/PCM; non-WAV codecs are
 out of sandbox scope and surface as a decode error, with the plumbing (schema,
 batching, UDF signature) fully real.
@@ -23,42 +26,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 AUDIO_REPORT_DDL = (
-    "clip_id string, decoded_sr int, decoded_dur_ms double, "
+    "clip_id string, bytes_null boolean, decoded_sr int, decoded_dur_ms double, "
     "sr_ok boolean, dur_ok boolean, codec_ok boolean, snr_db double, snr_ok boolean, "
     "decode_error string"
 )
+
+#: the audio payload column this pass decodes; the engine reroutes JVM-side
+#: aggregates on this column (e.g. the required/missing count) into this pass
+#: so the shared metric scan never materializes the payload on-heap
+BYTES_COL = "bytes"
 
 # decoded duration tolerance: +-1 frame plus int-ms rounding (FIXTURES.md §1)
 DUR_TOL_MS = 1.0
 
 
-def parse_wav(b: bytes):
-    """Minimal RIFF/WAV parser -> (sample_rate, codec_name, int16 PCM array).
+def parse_wav_view(b) -> tuple:
+    """Minimal RIFF/WAV parser -> (sample_rate, codec_name, int16 PCM view).
 
-    Stdlib-struct + numpy only; raises ValueError on malformed containers.
+    Accepts any C-contiguous byte buffer (``bytes`` or a ``np.uint8`` slice of
+    an Arrow value heap) and never copies the payload: the returned PCM is a
+    ``np.frombuffer`` view into the input. Stdlib-struct + numpy only; raises
+    ValueError on malformed containers.
     """
-    if b is None or len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+    if b is None or len(b) < 44:
+        raise ValueError("not a RIFF/WAVE container")
+    mv = memoryview(b)
+    if bytes(mv[0:4]) != b"RIFF" or bytes(mv[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
     pos = 12
     fmt = None
-    data = None
+    data_off = data_len = None
     n = len(b)
     while pos + 8 <= n:
-        chunk_id = b[pos:pos + 4]
-        (size,) = struct.unpack("<I", b[pos + 4:pos + 8])
-        body = b[pos + 8:pos + 8 + size]
+        chunk_id = bytes(mv[pos:pos + 4])
+        (size,) = struct.unpack_from("<I", mv, pos + 4)
         if chunk_id == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt = struct.unpack_from("<HHIIHH", mv, pos + 8)
         elif chunk_id == b"data":
-            data = body
+            data_off = pos + 8
+            data_len = min(size, n - data_off)
         pos += 8 + size + (size & 1)
-    if fmt is None or data is None:
+    if fmt is None or data_off is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
     if audio_format != 1 or bits != 16 or channels != 1:
         raise ValueError(f"unsupported codec: fmt={audio_format} bits={bits} ch={channels}")
-    pcm = np.frombuffer(data, dtype="<i2")
+    pcm = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=data_off)
     return sr, "pcm_s16le", pcm
+
+
+def parse_wav(b: bytes):
+    """bytes-input alias of :func:`parse_wav_view` (kept for API stability)."""
+    return parse_wav_view(b)
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
@@ -135,20 +154,39 @@ def audio_decode_report(
     schema = AUDIO_REPORT_DDL + (", __part string" if partition_col else "")
 
     def check_batches(batches: Iterator["object"]) -> Iterator["object"]:
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
+        for batch in batches:
+            n_rows = batch.num_rows
+            ids = batch.column(0).to_pylist()
+            bin_col = batch.column(1)
+            # zero-copy views over the Arrow binary column: validity bitmap,
+            # int32 offsets, and the contiguous value heap — per-row payloads
+            # are numpy slices of the heap, never PyBytes copies (this is the
+            # whole point of mapInArrow here: the pandas conversion would
+            # allocate a 60 KB bytes object per clip, doubling memory traffic)
+            bufs = bin_col.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int32,
+                                    count=n_rows + 1, offset=bin_col.offset * 4)
+            heap = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else None
+            nulls = bin_col.is_null().to_numpy(zero_copy_only=False)
+            d_srs = batch.column(2).to_pylist()
+            d_durs = batch.column(3).to_pylist()
+            d_codecs = batch.column(4).to_pylist()
+
             out = {k: [] for k in (
-                "clip_id", "decoded_sr", "decoded_dur_ms", "sr_ok", "dur_ok",
-                "codec_ok", "snr_db", "snr_ok", "decode_error")}
-            for clip_id, raw, d_sr, d_dur, d_codec in zip(
-                pdf[id_col], pdf["bytes"], pdf["sr_hz"], pdf["dur_ms"], pdf["codec"]
-            ):
-                rec = dict(clip_id=clip_id, decoded_sr=None, decoded_dur_ms=None,
+                "bytes_null", "decoded_sr", "decoded_dur_ms", "sr_ok",
+                "dur_ok", "codec_ok", "snr_db", "snr_ok", "decode_error")}
+            for i in range(n_rows):
+                is_null = bool(nulls[i])
+                raw = None if is_null else heap[offsets[i]:offsets[i + 1]]
+                clip_id, d_sr, d_dur, d_codec = ids[i], d_srs[i], d_durs[i], d_codecs[i]
+                rec = dict(bytes_null=is_null,
+                           decoded_sr=None, decoded_dur_ms=None,
                            sr_ok=False, dur_ok=False, codec_ok=False,
                            snr_db=None, snr_ok=None, decode_error=None)
                 try:
-                    sr, codec, pcm = parse_wav(bytes(raw) if raw is not None else None)
+                    sr, codec, pcm = parse_wav_view(raw)
                     dur_ms = len(pcm) / sr * 1000.0
                     rec.update(
                         decoded_sr=int(sr),
@@ -172,15 +210,29 @@ def audio_decode_report(
                     rec["decode_error"] = str(e)
                 for k, v in rec.items():
                     out[k].append(v)
-            result = pd.DataFrame(out)
+            arrays = [
+                batch.column(0),
+                pa.array(out["bytes_null"], pa.bool_()),
+                pa.array(out["decoded_sr"], pa.int32()),
+                pa.array(out["decoded_dur_ms"], pa.float64()),
+                pa.array(out["sr_ok"], pa.bool_()),
+                pa.array(out["dur_ok"], pa.bool_()),
+                pa.array(out["codec_ok"], pa.bool_()),
+                pa.array(out["snr_db"], pa.float64()),
+                pa.array(out["snr_ok"], pa.bool_()),
+                pa.array(out["decode_error"], pa.string()),
+            ]
+            names = ["clip_id", "bytes_null", "decoded_sr", "decoded_dur_ms",
+                     "sr_ok", "dur_ok", "codec_ok", "snr_db", "snr_ok", "decode_error"]
             if partition_col:
-                result["__part"] = pdf["__part"].values
-            yield result
+                arrays.append(batch.column(5))
+                names.append("__part")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     cols = [F.col(id_col), F.col("bytes"), F.col("sr_hz"), F.col("dur_ms"), F.col("codec")]
     if partition_col:
         cols.append(F.col(partition_col).cast("string").alias("__part"))
-    return df.select(*cols).mapInPandas(check_batches, schema=schema)
+    return df.select(*cols).mapInArrow(check_batches, schema=schema)
 
 
 def audio_violation_expr() -> "F.Column":

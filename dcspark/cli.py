@@ -25,6 +25,10 @@ def _build_spark(master: Optional[str], shuffle_partitions: Optional[int]):
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # wide binary cells (audio payloads): bound the vectorized reader's
+        # columnar batch so scans don't degrade into humongous G1 allocations
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.python.unix.domain.socket.enabled", "true")
     )
     if shuffle_partitions:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -349,6 +349,7 @@ class Validator:
 
         exprs = {
             f"{prefix}__rows": F.count(F.lit(1)),
+            f"{prefix}__bytes_null": cnt(F.col("bytes_null")),
             f"{prefix}__decode_error": cnt(F.col("decode_error").isNotNull()),
             f"{prefix}__sr_bad": cnt(F.col("decode_error").isNull() & ~F.col("sr_ok")),
             f"{prefix}__dur_bad": cnt(F.col("decode_error").isNull() & ~F.col("dur_ok")),
@@ -357,6 +358,34 @@ class Validator:
             f"{prefix}__violations": cnt(audio_mod.audio_violation_expr()),
         }
         return exprs, {k: "sum" for k in exprs}
+
+    @staticmethod
+    def _reroute_bytes_aliases(
+        agg_checks: List[CompiledCheck],
+        exprs: Dict[str, Column],
+        ops: Dict[str, str],
+    ) -> List[str]:
+        """Move the payload column's missing-count out of the JVM metric agg.
+
+        The audio decode pass streams the bytes through Arrow anyway and counts
+        nulls there (``bytes_null``). Evaluating the required-check in the JVM
+        aggregate instead would materialize the whole binary column on-heap a
+        second time — at ~60 KB per cell the vectorized reader's columnar
+        batches become humongous G1 allocations and the scan stops scaling past
+        a few cores. Only called when an audio check is present on the model.
+        """
+        rerouted: List[str] = []
+        for chk in agg_checks:
+            if (
+                chk.check_type == "field_required"
+                and chk.field == audio_mod.BYTES_COL
+                and chk.agg_alias in exprs
+                and not chk.extra_aggs
+            ):
+                del exprs[chk.agg_alias]
+                ops.pop(chk.agg_alias, None)
+                rerouted.append(chk.agg_alias)
+        return rerouted
 
     def _run_shared_scan(
         self,
@@ -374,8 +403,10 @@ class Validator:
         audio_chk = audio_checks[0] if audio_checks else None
         audio_exprs: Dict[str, Column] = {}
         audio_ops: Dict[str, str] = {}
+        rerouted_aliases: List[str] = []
         if audio_chk is not None:
             audio_exprs, audio_ops = self._audio_agg_specs("__audio")
+            rerouted_aliases = self._reroute_bytes_aliases(agg_checks, exprs, ops)
 
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
@@ -424,6 +455,18 @@ class Validator:
         global_row = _merge_rows(part_rows, ops)
         global_row["__total_count"] = global_row.get("__total_count") or 0
         audio_global = _merge_rows(audio_part_rows, audio_ops) if audio_part_rows else {}
+
+        if rerouted_aliases:
+            # fold the audio pass's bytes-null count back into the metric rows
+            # so the required-check evaluates exactly as if it had run JVM-side
+            bytes_null = audio_global.get("__audio__bytes_null")
+            by_part = {str(r.get("__part")): r for r in audio_part_rows}
+            for alias in rerouted_aliases:
+                global_row[alias] = bytes_null
+                if partition_col:
+                    for prow in part_rows:
+                        arow = by_part.get(str(prow.get(partition_col)))
+                        prow[alias] = None if arow is None else arow.get("__audio__bytes_null")
 
         # evaluate + record each agg check (global + per-partition rows)
         failed_agg: List[CompiledCheck] = []

@@ -106,6 +106,90 @@ def near_dup_pairs(
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------
 
+def _centroid_component(cell: int, dim: int) -> float:
+    """Deterministic pseudo-random IVF centroid component in [-1, 1).
+
+    Pure function of (cell, dim) from md5 — identical on driver, executors,
+    and in the SQL oracle (the floats are baked as literals on both sides).
+    """
+    import hashlib
+
+    h = hashlib.md5(f"ivf{cell}_{dim}".encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 31) - 1.0
+
+
+def ivf_centroids(n_cells: int, dim: int) -> List[List[float]]:
+    """The coarse quantizer: ``n_cells`` deterministic pseudo-random centroids.
+
+    A production build at 10^12 rows would k-means a corpus sample instead;
+    the assignment/probe plumbing below is identical either way.
+    """
+    return [[_centroid_component(c, d) for d in range(dim)] for c in range(n_cells)]
+
+
+def cell_expr(vec: Column, cents: List[List[float]]) -> Column:
+    """1-based IVF cell id: argmax-dot-product centroid (first max on ties)."""
+    dots = F.array(*[
+        dot_expr(vec, F.array(*[F.lit(x) for x in cent])) for cent in cents
+    ])
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: Sequence[int],
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN top-k: search only the probe's ``nprobe`` nearest cells.
+
+    The inverted-file layout is the 10^12-row path: the corpus is written
+    partitioned/bucketed by ``cell`` so each probe scans ``nprobe / n_cells``
+    of the data (partition pruning on the cell key); probes are broadcast, so
+    the only corpus pass is the pruned scan itself. Cell assignment and probe
+    selection are pure JVM array expressions (``zip_with``/``aggregate``),
+    no Python UDF. Same output schema as ``cosine_topk``.
+    """
+    cents = ivf_centroids(n_cells, dim)
+    corpus = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", cell_expr(F.col("v"), cents))
+    probes = corpus.filter(F.col("vec_id").isin(list(query_ids)))
+    # top-nprobe cells per probe: sort (dot, -cell) structs desc -> dot desc,
+    # cell asc on ties (matches the SQL oracle's ORDER BY d DESC, cell)
+    cand_structs = F.array(*[
+        F.struct(
+            dot_expr(F.col("v"), F.array(*[F.lit(x) for x in cent])).alias("d"),
+            F.lit(-(i + 1)).alias("negcell"),
+        )
+        for i, cent in enumerate(cents)
+    ])
+    probes = probes.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("q"),
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(cand_structs)), 1, nprobe),
+                lambda s: -s["negcell"],
+            )
+        ).alias("cell"),
+    )
+    scored = corpus.join(F.broadcast(probes), on="cell").filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id", cosine_expr(F.col("q"), F.col("v")).alias("score_raw"))
+    w = Window.partitionBy("qid").orderBy(F.col("score_raw").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("int").alias("rank"),
+                F.round("score_raw", 4).alias("score"))
+    )
+
+
 def _hyperplane_component(bit: int, dim: int) -> float:
     """Deterministic pseudo-random ±1 hyperplane component from md5.
 

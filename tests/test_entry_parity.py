@@ -61,6 +61,38 @@ def test_query_matches_oracle(spark, duck, key):
     assert not mismatches, f"{key}: first mismatches {mismatches[:3]}"
 
 
+def test_ivf_single_cell_equals_bruteforce(spark):
+    """With one cell and nprobe=1 IVF degenerates to an exact scan — its top-k
+    must equal brute-force cosine top-k exactly."""
+    from dcspark import simsearch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    ids = [0, 3, 7]
+    exact = sorted(tuple(r) for r in simsearch.cosine_topk(emb, ids, k=5).collect())
+    ivf = sorted(tuple(r) for r in
+                 simsearch.ivf_topk(emb, ids, dim=dim, k=5, n_cells=1, nprobe=1).collect())
+    assert ivf == exact
+
+
+def test_ivf_cells_partition_corpus(spark):
+    """Every corpus vector lands in exactly one of n_cells cells, and multiple
+    cells are actually used (the quantizer is not degenerate)."""
+    from dcspark import simsearch
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    cents = simsearch.ivf_centroids(8, dim)
+    cells = emb.select(
+        simsearch.cell_expr(F.col("embedding").cast("array<double>"), cents).alias("cell")
+    )
+    counts = {r["cell"]: r["count"] for r in cells.groupBy("cell").count().collect()}
+    assert sum(counts.values()) == emb.count()
+    assert all(1 <= c <= 8 for c in counts)
+    assert len(counts) >= 2
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()

@@ -62,13 +62,44 @@ def test_audio_report_prunes_to_needed_columns(spark):
     report = audio_mod.audio_decode_report(df)
     opt = _optimized(report)
     # The source relation's own line lists every column it has; what matters is
-    # that the MapInPandas input (its child Project) carries only the 5 needed
+    # that the MapInArrow input (its child Project) carries only the 5 needed
     # columns so nothing else crosses the Arrow boundary.
-    map_line = [l for l in opt.splitlines() if "MapInPandas" in l][0]
+    map_line = [l for l in opt.splitlines() if "MapInArrow" in l][0]
     proj_line = [l for l in opt.splitlines() if "Project" in l][0]
     for col in ("transcript", "extra"):
         assert col not in map_line
         assert col not in proj_line
+
+
+def test_metric_scan_never_reads_payload_when_audio_present(spark):
+    """With an audio check on the model, the shared metric agg must NOT read
+    the binary payload column: its missing-count is rerouted into the decode
+    pass, so the JVM scan's ReadSchema stays narrow (the payload would
+    otherwise be re-materialized on-heap and wreck scan scaling)."""
+    from dcspark.compile import create_checks
+    from dcspark.engine import Validator
+    from dcspark.spec import DataContractSpecification
+
+    import os
+
+    spec = DataContractSpecification.from_file(
+        os.path.join(os.path.dirname(__file__), "..", "contracts", "audio_clips.yaml"))
+    checks = create_checks(spec)["audio_clips"]
+    agg_checks = [c for c in checks if c.kind in ("agg", "freshness", "retention")]
+    v = object.__new__(Validator)  # no session needed for spec plumbing
+    v.config = __import__("dcspark.engine", fromlist=["ValidationConfig"]).ValidationConfig()
+    exprs, ops, _ = Validator._shared_agg_specs(v, "audio_clips", agg_checks, [])
+    rerouted = Validator._reroute_bytes_aliases(agg_checks, exprs, ops)
+    assert rerouted, "bytes required-check was not rerouted into the audio pass"
+
+    df = spark.createDataFrame(
+        [], schema="clip_id string, bytes binary, sr_hz int, dur_ms int, "
+                   "codec string, transcript string")
+    agg = df.agg(*[c.alias(a) for a, c in exprs.items()])
+    # the source relation line lists every column it HAS; the Aggregate (and
+    # the pruning Project under it) must not REFERENCE the payload column
+    non_source = [l for l in _optimized(agg).splitlines() if "LogicalRDD" not in l]
+    assert non_source and all("bytes" not in l for l in non_source)
 
 
 def test_reference_check_uses_broadcast_join(spark):
