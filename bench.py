@@ -124,7 +124,8 @@ def run_audio_suite(spark, clips_path: str, ref_path: str) -> dict:
         audio_snr_fn=audio_mod.synth_snr_oracle(SEED, DUR_LO, DUR_HI),
     )
     dt = None
-    for _trial in range(2):  # min of 2: the sandbox has noisy-neighbor CPU
+    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    for _trial in range(trials):  # min of N: the sandbox has noisy-neighbor CPU
         t0 = time.perf_counter()
         result = validate(spark, spec, {"audio_clips": clips, "transcripts_ref": ref}, cfg)
         dt = min(dt, time.perf_counter() - t0) if dt else time.perf_counter() - t0

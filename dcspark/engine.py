@@ -616,10 +616,25 @@ class Validator:
             F.col("v.observed").alias("observed"),
             F.col("v.expected").alias("expected"),
         )
+        # Two-phase cap: a naive window over check_key alone would shuffle
+        # EVERY violating row to one reducer per check (billions of rows on a
+        # 10^12-row table with a hot failing rule). Phase 1 caps per
+        # (check_key, input-partition) — keys are spread across reducers, and
+        # the global top-cap by clip_id is a subset of the local top-caps, so
+        # results are identical. Phase 2 ranks the <= cap * num_partitions
+        # survivors per check, which is small by construction.
+        cap = self.config.violation_cap
+        w_local = Window.partitionBy("check_key", "__pid").orderBy("clip_id")
+        local = (
+            exploded.withColumn("__pid", F.spark_partition_id())
+            .withColumn("__rn", F.row_number().over(w_local))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn", "__pid")
+        )
         w = Window.partitionBy("check_key").orderBy("clip_id")
         capped = (
-            exploded.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= self.config.violation_cap)
+            local.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
             .drop("__rn")
         )
         self._violation_frames.append(
