@@ -181,7 +181,9 @@ def main() -> None:
         sf = float(tag.replace("sf", ""))
     except ValueError:
         sf = 0.1
-    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(400, int(80000 * sf)))))
+    # sized so per-clip work dominates fixed job overhead (~64k clips at
+    # sf0.1); the synthetic table is generated once and cached in .bench_data
+    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(400, int(640000 * sf)))))
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
