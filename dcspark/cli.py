@@ -35,6 +35,58 @@ def _build_spark(master: Optional[str], shuffle_partitions: Optional[int]):
     return builder.getOrCreate()
 
 
+def _drift_columns(spec) -> dict:
+    """model -> [columns with a drift quality rule] (driver-pure)."""
+    from .compile import create_checks
+
+    out = {}
+    for model_name, checks in create_checks(spec).items():
+        cols = [c.params["column"] for c in checks if c.kind == "drift"]
+        if cols:
+            out[model_name] = cols
+    return out
+
+
+def _load_ref_stats(spark, spec, ref_stats_dir: str) -> dict:
+    """{model: {column: stats}} from <dir>/<model>.parquet snapshot tables."""
+    import os
+
+    from .drift import ref_stats_from_df
+
+    out = {}
+    for model_name in spec.models:
+        path = os.path.join(ref_stats_dir, f"{model_name}.parquet")
+        if os.path.exists(path):
+            out[model_name] = ref_stats_from_df(spark.read.parquet(path))
+    return out
+
+
+def cmd_snapshot(args: argparse.Namespace) -> int:
+    """Build the drift reference snapshot (quantile grid + bin probs) from a
+    trusted data snapshot; `test --ref-stats` evaluates later runs against it."""
+    import os
+
+    from .drift import build_ref_stats, ref_stats_to_df
+    from .io import load_tables
+    from .spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_file(args.contract)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    by_model = _drift_columns(spec)
+    if not by_model:
+        print("no drift rules in contract; nothing to snapshot")
+        return 0
+    tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
+    os.makedirs(args.out, exist_ok=True)
+    for model_name, cols in by_model.items():
+        df = tables[model_name].select(*cols)
+        stats = build_ref_stats(df, cols)
+        out_path = os.path.join(args.out, f"{model_name}.parquet")
+        ref_stats_to_df(spark, stats).write.mode("overwrite").parquet(out_path)
+        print(f"snapshot: {model_name} columns={cols} -> {out_path}")
+    return 0
+
+
 def cmd_test(args: argparse.Namespace) -> int:
     from .engine import ValidationConfig, validate
     from .io import load_tables, write_results
@@ -48,6 +100,7 @@ def cmd_test(args: argparse.Namespace) -> int:
         partition_col=args.partition_col,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
+        ref_stats=_load_ref_stats(spark, spec, args.ref_stats) if args.ref_stats else {},
     )
     result = validate(spark, spec, tables, cfg)
     print_console(result.run)
@@ -130,6 +183,16 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--junit", default=None, help="write JUnit XML here")
     t.add_argument("--results-path", default=None)
     t.add_argument("--violations-path", default=None)
+    t.add_argument("--ref-stats", default=None,
+                   help="dir of <model>.parquet drift snapshots (see `snapshot`)")
+
+    sn = sub.add_parser("snapshot", help="build drift reference snapshots from data")
+    sn.add_argument("contract")
+    sn.add_argument("--server", default=None)
+    sn.add_argument("--path", default=None)
+    sn.add_argument("--master", default=None)
+    sn.add_argument("--shuffle-partitions", type=int, default=None)
+    sn.add_argument("--out", required=True, help="output dir for <model>.parquet snapshots")
 
     l = sub.add_parser("lint", help="static contract lint")
     l.add_argument("contract")
@@ -158,6 +221,8 @@ def main(argv: Optional[list] = None) -> int:
     args = p.parse_args(argv)
     if args.command == "test":
         return cmd_test(args)
+    if args.command == "snapshot":
+        return cmd_snapshot(args)
     if args.command == "lint":
         return cmd_lint(args)
     if args.command == "export":

@@ -227,3 +227,43 @@ def test_cli_import_csv(tmp_path, capsys):
     assert main(["import", "--format", "csv", path]) == 0
     doc = yaml.safe_load(capsys.readouterr().out)
     assert doc["models"]["d"]["fields"]["a"]["type"] == "long"
+
+
+DRIFT_CONTRACT = """
+dataContractSpecification: 1.1.0
+id: drift-cli
+info: {title: Drift CLI, version: 1.0.0}
+models:
+  events_t:
+    type: table
+    fields:
+      v: {type: int, required: true}
+    quality:
+      - {type: drift, method: ks, column: v, threshold: 0.05}
+      - {type: drift, method: psi, column: v, threshold: 0.2}
+"""
+
+
+def test_cli_snapshot_then_test_with_ref_stats(tmp_path, capsys, spark):
+    """End-to-end drift workflow: `snapshot` builds the reference snapshot,
+    `test --ref-stats` evaluates against it (self-comparison -> zero drift)."""
+    from dcspark.cli import main
+
+    cpath = str(tmp_path / "c.yaml")
+    with open(cpath, "w") as f:
+        f.write(DRIFT_CONTRACT)
+    data_dir = tmp_path / "data"
+    spark.range(500).selectExpr("cast(id % 97 as int) as v").write.parquet(
+        str(data_dir / "events_t.parquet"))
+    snap_dir = str(tmp_path / "snap")
+
+    # without a snapshot the drift checks error (no silent pass)
+    assert main(["test", cpath, "--path", str(data_dir)]) == 1
+    capsys.readouterr()
+
+    assert main(["snapshot", cpath, "--path", str(data_dir), "--out", snap_dir]) == 0
+    capsys.readouterr()
+    assert main(["test", cpath, "--path", str(data_dir), "--ref-stats", snap_dir]) == 0
+    out = capsys.readouterr().out
+    assert "RUN RESULT: passed" in out
+    assert "drift_ks" in out and "drift_psi" in out
