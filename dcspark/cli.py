@@ -200,12 +200,15 @@ def main(argv: Optional[list] = None) -> int:
     e = sub.add_parser("export", help="export contract to another format")
     e.add_argument("contract")
     e.add_argument("--format", required=True,
-                   choices=["spark", "spark-json", "jsonschema", "checks", "sodacl", "iceberg"])
+                   choices=["spark", "spark-json", "jsonschema", "checks", "sodacl",
+                            "iceberg", "sql", "sql-query", "avro", "protobuf",
+                            "dbt", "dbt-sources", "great-expectations", "markdown"])
     e.add_argument("--model", default=None)
     e.add_argument("--output", default=None)
 
     i = sub.add_parser("import", help="derive a contract from existing data")
-    i.add_argument("--format", required=True, choices=["parquet", "csv"])
+    i.add_argument("--format", required=True,
+                   choices=["parquet", "csv", "avro", "jsonschema", "iceberg"])
     i.add_argument("source")
     i.add_argument("--model", default=None)
     i.add_argument("--output", default=None)

@@ -1,11 +1,16 @@
-"""Contract exporters: spark / jsonschema / sodacl-style checks / iceberg.
+"""Contract exporters (SURVEY.md §2.4). All pure driver code.
 
-Parity targets (the four formats our engine needs of the reference's 26,
-SURVEY.md §2.4): spark StructType + DDL (export/spark_converter.py), JSON
-Schema draft-07 (export/jsonschema_converter.py:34-157), the compiled-check
-document (our analog of export/sodacl_converter.py:15-30 — what
-`datacontract export --format sodacl` shows, here the Spark check plan), and
-an Iceberg schema JSON (export/iceberg_converter.py). All pure driver code.
+Formats and their reference parity targets: spark StructType + DDL
+(export/spark_converter.py), JSON Schema draft-07
+(export/jsonschema_converter.py:34-157), the compiled-check document (our
+analog of export/sodacl_converter.py:15-30 — what `datacontract export
+--format sodacl` shows, here the Spark check plan), Iceberg schema JSON
+(export/iceberg_converter.py), ANSI SQL DDL + column-list query
+(export/sql_converter.py), Avro record schema (export/avro_converter.py),
+proto3 (export/protobuf_converter.py), dbt sources with constraint->test
+mapping (export/dbt_converter.py), Great Expectations suites
+(export/great_expectations_converter.py), and markdown docs
+(export/markdown_converter.py).
 """
 
 from __future__ import annotations
@@ -187,6 +192,289 @@ def to_iceberg_schema(model: Model) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# sql / sql-query (parity: export/sql_converter.py, sql_type_converter.py:5-24)
+# ---------------------------------------------------------------------------
+
+_SQL_TYPES = {
+    "string": "VARCHAR", "text": "VARCHAR", "varchar": "VARCHAR",
+    "int": "INTEGER", "integer": "INTEGER", "long": "BIGINT", "bigint": "BIGINT",
+    "float": "FLOAT", "double": "DOUBLE", "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP", "timestamp_tz": "TIMESTAMP WITH TIME ZONE",
+    "timestamp_ntz": "TIMESTAMP", "date": "DATE", "bytes": "BLOB",
+    "array": "ARRAY", "object": "STRUCT", "record": "STRUCT", "struct": "STRUCT",
+    "null": "NULL",
+}
+
+
+def _sql_type(f: Field) -> str:
+    ftype = (f.type or "string").lower()
+    if ftype in ("number", "decimal", "numeric"):
+        return f"DECIMAL({f.precision or 38},{f.scale or 0})"
+    return _SQL_TYPES.get(ftype, "VARCHAR")
+
+
+def to_sql_ddl(spec: DataContractSpecification) -> str:
+    """ANSI `CREATE TABLE` DDL per model with NOT NULL + PRIMARY KEY."""
+    blocks = []
+    for mname, model in spec.models.items():
+        lines = []
+        pks = list(model.primaryKey or [])
+        for name, f in model.fields.items():
+            line = f"  {name} {_sql_type(f)}"
+            if f.required:
+                line += " NOT NULL"
+            lines.append(line)
+            if f.primaryKey and name not in pks:
+                pks.append(name)
+        if pks:
+            lines.append(f"  PRIMARY KEY ({', '.join(pks)})")
+        blocks.append(f"CREATE TABLE {mname} (\n" + ",\n".join(lines) + "\n);")
+    return "\n\n".join(blocks)
+
+
+def to_sql_query(spec: DataContractSpecification, model: Optional[str] = None) -> str:
+    """Column-list SELECT per model (parity: sql_converter.to_sql_query)."""
+    names = [model] if model else list(spec.models)
+    out = [f"-- Data Contract: {spec.id}"]
+    for mname in names:
+        cols = ",\n".join(f"    {c}" for c in spec.models[mname].fields)
+        out.append(f"SELECT\n{cols}\nFROM {mname};")
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# avro (parity: export/avro_converter.py:62-110 type map)
+# ---------------------------------------------------------------------------
+
+_AVRO_SCALARS = {
+    "string": "string", "varchar": "string", "text": "string",
+    "float": "float", "double": "double",
+    "int": "int", "integer": "int", "long": "long", "bigint": "long",
+    "boolean": "boolean", "bytes": "bytes", "null": "null",
+}
+
+
+def _avro_type(f: Field, name: str):
+    ftype = (f.type or "null").lower()
+    if ftype in _AVRO_SCALARS:
+        return _AVRO_SCALARS[ftype]
+    if ftype == "decimal":
+        out: Dict[str, Any] = {"type": "bytes", "logicalType": "decimal"}
+        if f.precision is not None:
+            out["precision"] = f.precision
+        if f.scale is not None:
+            out["scale"] = f.scale
+        return out
+    if ftype in ("number", "numeric"):
+        return "bytes"
+    if ftype in ("timestamp", "timestamp_tz"):
+        return {"type": "long", "logicalType": "timestamp-millis"}
+    if ftype == "timestamp_ntz":
+        return {"type": "long", "logicalType": "local-timestamp-millis"}
+    if ftype == "date":
+        return {"type": "int", "logicalType": "date"}
+    if ftype == "array":
+        items = _avro_type(f.items, f"{name}_item") if f.items else "string"
+        return {"type": "array", "items": items}
+    if ftype in ("object", "record", "struct"):
+        return _avro_record(name, f.fields or {})
+    if ftype == "map":
+        values = _avro_type(f.values, f"{name}_value") if f.values else "string"
+        return {"type": "map", "values": values}
+    return "bytes"
+
+
+def _avro_record(name: str, fields: Dict[str, Field]) -> Dict[str, Any]:
+    out_fields = []
+    for fname, f in fields.items():
+        atype = _avro_type(f, fname)
+        required = f.required if f.required is not None else True
+        entry: Dict[str, Any] = {"name": fname,
+                                 "type": atype if required else ["null", atype]}
+        if f.description:
+            entry["doc"] = f.description
+        out_fields.append(entry)
+    return {"type": "record", "name": name, "fields": out_fields}
+
+
+def to_avro_schema(model_name: str, model: Model) -> Dict[str, Any]:
+    """Avro record schema: nullable = union with null, logical types for
+    timestamp/date/decimal, recursive arrays/structs/maps."""
+    rec = _avro_record(model_name, model.fields)
+    if model.description:
+        rec["doc"] = model.description
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# protobuf (parity: export/protobuf_converter.py)
+# ---------------------------------------------------------------------------
+
+_PROTO_TYPES = {
+    "string": "string", "varchar": "string", "text": "string",
+    "int": "int32", "integer": "int32", "long": "int64", "bigint": "int64",
+    "float": "float", "double": "double", "boolean": "bool", "bytes": "bytes",
+    "timestamp": "int64", "timestamp_tz": "int64", "timestamp_ntz": "int64",
+    "date": "int32", "number": "string", "decimal": "string", "numeric": "string",
+}
+
+
+def to_protobuf(spec: DataContractSpecification) -> str:
+    """proto3 document: one message per model, enums from `enum` constraints,
+    `repeated` for arrays, nested messages for structs."""
+    enums: Dict[str, list] = {}
+    msgs = []
+
+    def field_line(name: str, f: Field, idx: int, nested: list) -> str:
+        ftype = (f.type or "string").lower()
+        if f.enum:
+            ename = f"{name.capitalize()}Enum"
+            enums.setdefault(ename, list(f.enum))
+            ptype = ename
+        elif ftype == "array":
+            inner = f.items.type if f.items and f.items.type else "string"
+            ptype = "repeated " + _PROTO_TYPES.get(inner.lower(), "string")
+        elif ftype in ("object", "record", "struct"):
+            mname = name.capitalize()
+            nested.append(message(mname, f.fields or {}))
+            ptype = mname
+        else:
+            ptype = _PROTO_TYPES.get(ftype, "string")
+        return f"  {ptype} {name} = {idx};"
+
+    def message(name: str, fields: Dict[str, Field]) -> str:
+        nested: list = []
+        lines = [field_line(fname, f, i + 1, nested)
+                 for i, (fname, f) in enumerate(fields.items())]
+        body = "\n".join(nested + lines)
+        return f"message {name} {{\n{body}\n}}"
+
+    for mname, model in spec.models.items():
+        msgs.append(message(mname, model.fields))
+    header = 'syntax = "proto3";\n'
+    for ename, values in enums.items():
+        consts = "\n".join(
+            f"  {str(v).upper().replace(' ', '_').replace('-', '_')} = {i};"
+            for i, v in enumerate(values)
+        )
+        header += f"\nenum {ename} {{\n{consts}\n}}\n"
+    return header + "\n" + "\n\n".join(msgs) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# dbt sources (parity: export/dbt_converter.py) — constraints become dbt tests
+# ---------------------------------------------------------------------------
+
+def to_dbt_sources(spec: DataContractSpecification) -> Dict[str, Any]:
+    """dbt `sources:` YAML document; contract constraints map onto dbt's
+    built-in tests (not_null, unique, accepted_values, relationships)."""
+    tables = []
+    for mname, model in spec.models.items():
+        cols = []
+        for fname, f in model.fields.items():
+            tests: list = []
+            if f.required:
+                tests.append("not_null")
+            if f.unique:
+                tests.append("unique")
+            if f.enum:
+                tests.append({"accepted_values": {"values": list(f.enum)}})
+            if f.references:
+                parent, _, pfield = f.references.rpartition(".")
+                tests.append({"relationships": {
+                    "to": f"source('{spec.id or 'contract'}', '{parent}')",
+                    "field": pfield}})
+            col: Dict[str, Any] = {"name": fname, "data_type": _sql_type(f).lower()}
+            if f.description:
+                col["description"] = f.description
+            if tests:
+                col["tests"] = tests
+            cols.append(col)
+        table: Dict[str, Any] = {"name": mname, "columns": cols}
+        if model.description:
+            table["description"] = model.description
+        tables.append(table)
+    return {"version": 2, "sources": [{
+        "name": spec.id or "contract",
+        "description": (spec.info.title if spec.info else None) or "",
+        "tables": tables,
+    }]}
+
+
+# ---------------------------------------------------------------------------
+# great expectations (parity: export/great_expectations_converter.py)
+# ---------------------------------------------------------------------------
+
+def to_great_expectations(model_name: str, model: Model) -> Dict[str, Any]:
+    """Expectation-suite JSON from the model's constraint vocabulary."""
+    exps: list = [{
+        "expectation_type": "expect_table_columns_to_match_ordered_list",
+        "kwargs": {"column_list": list(model.fields)},
+    }]
+    for fname, f in model.fields.items():
+        if f.required:
+            exps.append({"expectation_type": "expect_column_values_to_not_be_null",
+                         "kwargs": {"column": fname}})
+        if f.unique:
+            exps.append({"expectation_type": "expect_column_values_to_be_unique",
+                         "kwargs": {"column": fname}})
+        if f.enum:
+            exps.append({"expectation_type": "expect_column_values_to_be_in_set",
+                         "kwargs": {"column": fname, "value_set": list(f.enum)}})
+        if f.pattern:
+            exps.append({"expectation_type": "expect_column_values_to_match_regex",
+                         "kwargs": {"column": fname, "regex": f.pattern}})
+        if f.minimum is not None or f.maximum is not None:
+            exps.append({"expectation_type": "expect_column_values_to_be_between",
+                         "kwargs": {"column": fname, "min_value": f.minimum,
+                                    "max_value": f.maximum}})
+        if f.minLength is not None or f.maxLength is not None:
+            exps.append({
+                "expectation_type": "expect_column_value_lengths_to_be_between",
+                "kwargs": {"column": fname, "min_value": f.minLength,
+                           "max_value": f.maxLength}})
+    return {"expectation_suite_name": f"{model_name}.suite", "expectations": exps}
+
+
+# ---------------------------------------------------------------------------
+# markdown (parity: export/markdown_converter.py) — human-readable doc
+# ---------------------------------------------------------------------------
+
+def to_markdown(spec: DataContractSpecification) -> str:
+    out = [f"# {spec.info.title if spec.info else spec.id}", ""]
+    if spec.info and spec.info.version:
+        out.append(f"Version: {spec.info.version}  ")
+    if spec.info and spec.info.owner:
+        out.append(f"Owner: {spec.info.owner}")
+    for mname, model in spec.models.items():
+        out += ["", f"## {mname}", ""]
+        if model.description:
+            out += [model.description, ""]
+        out.append("| field | type | required | constraints |")
+        out.append("|---|---|---|---|")
+        for fname, f in model.fields.items():
+            cons = []
+            if f.unique:
+                cons.append("unique")
+            if f.primaryKey:
+                cons.append("primary key")
+            if f.enum:
+                cons.append(f"enum {f.enum}")
+            if f.pattern:
+                cons.append(f"pattern `{f.pattern}`")
+            if f.minimum is not None or f.maximum is not None:
+                cons.append(f"range [{f.minimum}, {f.maximum}]")
+            if f.minLength is not None or f.maxLength is not None:
+                cons.append(f"length [{f.minLength}, {f.maxLength}]")
+            if f.references:
+                cons.append(f"references {f.references}")
+            out.append(
+                f"| {fname} | {f.type or ''} | {'yes' if f.required else 'no'} | "
+                f"{'; '.join(cons)} |")
+    return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
 # factory (parity: export/exporter_factory.py)
 # ---------------------------------------------------------------------------
 
@@ -206,4 +494,22 @@ def export(spec: DataContractSpecification, fmt: str,
     if fmt == "iceberg":
         target = spec.models[model] if model else next(iter(spec.models.values()))
         return json.dumps(to_iceberg_schema(target), indent=2)
+    if fmt == "sql":
+        return to_sql_ddl(spec)
+    if fmt == "sql-query":
+        return to_sql_query(spec, model)
+    if fmt == "avro":
+        name = model or next(iter(spec.models))
+        return json.dumps(to_avro_schema(name, spec.models[name]), indent=2)
+    if fmt == "protobuf":
+        return to_protobuf(spec)
+    if fmt in ("dbt", "dbt-sources"):
+        import yaml
+
+        return yaml.safe_dump(to_dbt_sources(spec), sort_keys=False)
+    if fmt == "great-expectations":
+        name = model or next(iter(spec.models))
+        return json.dumps(to_great_expectations(name, spec.models[name]), indent=2)
+    if fmt == "markdown":
+        return to_markdown(spec)
     raise ValueError(f"unsupported export format: {fmt}")

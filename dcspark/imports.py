@@ -167,6 +167,132 @@ def import_from_iceberg(schema_json, model_name: str = "imported",
     return spec
 
 
+_AVRO_TO_CONTRACT = {
+    "string": "string", "int": "int", "long": "long", "float": "float",
+    "double": "double", "boolean": "boolean", "bytes": "bytes", "null": "null",
+}
+
+
+def _avro_field_to_contract(atype) -> Field:
+    # nullable union ["null", T] -> optional T
+    required = True
+    if isinstance(atype, list):
+        non_null = [t for t in atype if t != "null"]
+        required = "null" not in atype
+        atype = non_null[0] if non_null else "null"
+    if isinstance(atype, dict):
+        logical = atype.get("logicalType")
+        base = atype.get("type")
+        if logical == "decimal":
+            f = Field(type="decimal", precision=atype.get("precision"),
+                      scale=atype.get("scale"))
+        elif logical in ("timestamp-millis", "timestamp-micros"):
+            f = Field(type="timestamp")
+        elif logical in ("local-timestamp-millis", "local-timestamp-micros"):
+            f = Field(type="timestamp_ntz")
+        elif logical == "date":
+            f = Field(type="date")
+        elif base == "array":
+            f = Field(type="array", items=_avro_field_to_contract(atype.get("items")))
+        elif base == "map":
+            f = Field(type="map", keys=Field(type="string"),
+                      values=_avro_field_to_contract(atype.get("values")))
+        elif base == "record":
+            f = Field(type="struct", fields={
+                fd["name"]: _avro_field_to_contract(fd["type"])
+                for fd in atype.get("fields", [])
+            })
+        elif base == "enum":
+            f = Field(type="string", enum=list(atype.get("symbols", [])))
+        else:
+            f = Field(type=_AVRO_TO_CONTRACT.get(base, "bytes"))
+    else:
+        f = Field(type=_AVRO_TO_CONTRACT.get(atype, "bytes"))
+    if not required:
+        f.required = False
+    return f
+
+
+def import_from_avro(schema_json, model_name: Optional[str] = None,
+                     contract_id: str = "imported") -> DataContractSpecification:
+    """Avro record schema (dict or path) -> contract; ["null", T] unions become
+    optional fields, logical types map back to timestamp/date/decimal
+    (parity: imports/avro_importer.py)."""
+    import json as _json
+
+    if isinstance(schema_json, str):
+        with open(schema_json, "r", encoding="utf-8") as f:
+            schema_json = _json.load(f)
+    name = model_name or schema_json.get("name", "imported")
+    spec = _base_spec(contract_id, name)
+    fields: Dict[str, Field] = {}
+    for fdef in schema_json.get("fields", []):
+        cf = _avro_field_to_contract(fdef.get("type"))
+        if cf.required is None:
+            cf.required = True  # avro fields are required unless null-union
+        if fdef.get("doc"):
+            cf.description = fdef["doc"]
+        fields[fdef["name"]] = cf
+    spec.models[name] = Model(type="table", fields=fields)
+    return spec
+
+
+_JSONSCHEMA_TO_CONTRACT = {
+    "string": "string", "integer": "long", "number": "double",
+    "boolean": "boolean", "object": "struct", "array": "array", "null": "null",
+}
+
+
+def _jsonschema_prop_to_contract(prop: dict) -> Field:
+    jtype = prop.get("type")
+    if isinstance(jtype, list):  # ["string", "null"] union
+        jtype = next((t for t in jtype if t != "null"), "null")
+    fmt = prop.get("format")
+    if jtype == "string" and fmt == "date-time":
+        f = Field(type="timestamp")
+    elif jtype == "string" and fmt == "date":
+        f = Field(type="date")
+    elif jtype == "object":
+        f = Field(type="struct", fields={
+            k: _jsonschema_prop_to_contract(v)
+            for k, v in prop.get("properties", {}).items()
+        })
+    elif jtype == "array":
+        f = Field(type="array",
+                  items=_jsonschema_prop_to_contract(prop.get("items", {})))
+    else:
+        f = Field(type=_JSONSCHEMA_TO_CONTRACT.get(jtype, "string"))
+    for src, dst in (("pattern", "pattern"), ("enum", "enum"),
+                     ("minLength", "minLength"), ("maxLength", "maxLength"),
+                     ("minimum", "minimum"), ("maximum", "maximum")):
+        if prop.get(src) is not None:
+            setattr(f, dst, prop[src])
+    if prop.get("description"):
+        f.description = prop["description"]
+    return f
+
+
+def import_from_jsonschema(schema_json, model_name: str = "imported",
+                           contract_id: str = "imported") -> DataContractSpecification:
+    """JSON Schema (draft-07 object schema; dict or path) -> contract —
+    the inverse of export.to_jsonschema (constraints round-trip)."""
+    import json as _json
+
+    if isinstance(schema_json, str):
+        with open(schema_json, "r", encoding="utf-8") as f:
+            schema_json = _json.load(f)
+    spec = _base_spec(contract_id, model_name)
+    required = set(schema_json.get("required", []))
+    fields: Dict[str, Field] = {}
+    for name, prop in schema_json.get("properties", {}).items():
+        cf = _jsonschema_prop_to_contract(prop)
+        if name in required:
+            cf.required = True
+        fields[name] = cf
+    spec.models[model_name] = Model(type="table", fields=fields)
+    return spec
+
+
 def import_contract(fmt: str, source, **kwargs) -> DataContractSpecification:
     """Factory (parity: imports/importer_factory)."""
     fmt = fmt.lower()
@@ -178,4 +304,8 @@ def import_contract(fmt: str, source, **kwargs) -> DataContractSpecification:
         return import_from_csv(source, **kwargs)
     if fmt == "iceberg":
         return import_from_iceberg(source, **kwargs)
+    if fmt == "avro":
+        return import_from_avro(source, **kwargs)
+    if fmt == "jsonschema":
+        return import_from_jsonschema(source, **kwargs)
     raise ValueError(f"unsupported import format: {fmt}")

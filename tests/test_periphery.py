@@ -128,11 +128,123 @@ def test_export_iceberg():
 
 def test_export_factory_formats():
     spec = DataContractSpecification.from_string(CONTRACT)
-    for fmt in ["spark", "spark-json", "jsonschema", "checks", "iceberg"]:
+    for fmt in ["spark", "spark-json", "jsonschema", "checks", "iceberg",
+                "sql", "sql-query", "avro", "protobuf", "dbt-sources",
+                "great-expectations", "markdown"]:
         out = export(spec, fmt)
         assert out
     with pytest.raises(ValueError):
         export(spec, "nope")
+
+
+def test_export_sql_ddl():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    ddl = export(spec, "sql")
+    assert "CREATE TABLE t (" in ddl
+    assert "id VARCHAR NOT NULL" in ddl
+    assert "n INTEGER" in ddl
+    assert "PRIMARY KEY (id)" in ddl
+    q = export(spec, "sql-query")
+    assert "SELECT" in q and "FROM t;" in q
+
+
+def test_export_avro_schema():
+    avro_contract = """
+id: avro-c
+models:
+  t:
+    fields:
+      id: {type: string, required: true}
+      opt: {type: int, required: false}
+      ts: {type: timestamp, required: true}
+      tags: {type: array, required: true, items: {type: string}}
+"""
+    spec = DataContractSpecification.from_string(avro_contract)
+    doc = json.loads(export(spec, "avro", model="t"))
+    assert doc["type"] == "record" and doc["name"] == "t"
+    by_name = {f["name"]: f for f in doc["fields"]}
+    assert by_name["id"]["type"] == "string"            # required -> bare type
+    assert by_name["opt"]["type"] == ["null", "int"]    # optional -> null union
+    assert by_name["ts"]["type"] == {"type": "long", "logicalType": "timestamp-millis"}
+    assert by_name["tags"]["type"] == {"type": "array", "items": "string"}
+
+
+def test_export_protobuf():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    proto = export(spec, "protobuf")
+    assert 'syntax = "proto3";' in proto
+    assert "message t {" in proto
+    assert "enum EEnum {" in proto and "A = 0;" in proto
+    assert "string id = 1;" in proto
+
+
+def test_export_dbt_sources_tests_mapping():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    doc = yaml.safe_load(export(spec, "dbt-sources"))
+    table = doc["sources"][0]["tables"][0]
+    cols = {c["name"]: c for c in table["columns"]}
+    assert "not_null" in cols["id"]["tests"] and "unique" in cols["id"]["tests"]
+    accepted = [t for t in cols["e"]["tests"] if isinstance(t, dict)][0]
+    assert accepted["accepted_values"]["values"] == ["a", "b"]
+
+
+def test_export_great_expectations():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    doc = json.loads(export(spec, "great-expectations", model="t"))
+    types = {e["expectation_type"] for e in doc["expectations"]}
+    assert {"expect_table_columns_to_match_ordered_list",
+            "expect_column_values_to_not_be_null",
+            "expect_column_values_to_be_unique",
+            "expect_column_values_to_be_in_set",
+            "expect_column_values_to_match_regex",
+            "expect_column_values_to_be_between"} <= types
+
+
+def test_avro_export_import_roundtrip():
+    """export avro -> import avro preserves types, requiredness, and nesting."""
+    from dcspark.imports import import_from_avro
+
+    contract = """
+id: rt
+models:
+  t:
+    fields:
+      id: {type: string, required: true}
+      opt: {type: int, required: false}
+      ts: {type: timestamp, required: true}
+      amount: {type: decimal, precision: 10, scale: 2, required: true}
+      tags: {type: array, required: true, items: {type: string}}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    doc = json.loads(export(spec, "avro", model="t"))
+    back = import_from_avro(doc)
+    f = back.models["t"].fields
+    assert f["id"].type == "string" and f["id"].required
+    assert f["opt"].type == "int" and f["opt"].required is False
+    assert f["ts"].type == "timestamp"
+    assert f["amount"].type == "decimal" and f["amount"].precision == 10
+    assert f["tags"].type == "array" and f["tags"].items.type == "string"
+
+
+def test_jsonschema_export_import_roundtrip():
+    """export jsonschema -> import jsonschema round-trips the constraint set."""
+    from dcspark.imports import import_from_jsonschema
+
+    spec = DataContractSpecification.from_string(CONTRACT)
+    doc = json.loads(export(spec, "jsonschema", model="t"))
+    back = import_from_jsonschema(doc, model_name="t")
+    f = back.models["t"].fields
+    assert f["id"].required and f["id"].pattern == "^x[0-9]+$"
+    assert f["n"].minimum == 0 and f["n"].maximum == 10
+    assert f["e"].enum == ["a", "b"]
+
+
+def test_export_markdown_doc():
+    spec = DataContractSpecification.from_string(CONTRACT)
+    md = export(spec, "markdown")
+    assert "# T" in md and "## t" in md
+    assert "| id | string | yes |" in md
+    assert "enum ['a', 'b']" in md
 
 
 def test_import_parquet_roundtrip(tmp_path):
