@@ -156,6 +156,58 @@ def cmd_import(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_api(args: argparse.Namespace) -> int:
+    from .api import serve
+
+    serve(port=args.port, host=args.host, api_key=args.api_key)
+    return 0
+
+
+def cmd_catalog(args: argparse.Namespace) -> int:
+    """Generate a browsable markdown/HTML catalog for a directory of contracts
+    (parity: reference cli.py:352-380 `datacontract catalog`)."""
+    import glob
+    import html
+    import os
+
+    from .export import to_markdown
+    from .spec import DataContractSpecification
+
+    os.makedirs(args.output, exist_ok=True)
+    entries = []
+    for path in sorted(glob.glob(os.path.join(args.files, "*.yaml")) +
+                       glob.glob(os.path.join(args.files, "*.yml"))):
+        try:
+            spec = DataContractSpecification.from_file(path)
+        except Exception as e:
+            print(f"skip {path}: {e}")
+            continue
+        name = os.path.splitext(os.path.basename(path))[0]
+        md = to_markdown(spec)
+        with open(os.path.join(args.output, f"{name}.md"), "w", encoding="utf-8") as f:
+            f.write(md)
+        title = (spec.info.title if spec.info else None) or name
+        version = (spec.info.version if spec.info else None) or ""
+        models = ", ".join(spec.models)
+        entries.append((name, title, version, models))
+        print(f"catalog: {path} -> {name}.md")
+    rows = "\n".join(
+        f'<tr><td><a href="{html.escape(n)}.md">{html.escape(t)}</a></td>'
+        f"<td>{html.escape(v)}</td><td>{html.escape(m)}</td></tr>"
+        for n, t, v, m in entries
+    )
+    index = (
+        "<!doctype html><meta charset='utf-8'><title>Data Contracts</title>"
+        "<h1>Data Contracts</h1>"
+        "<table border='1' cellpadding='6'><tr><th>contract</th><th>version</th>"
+        f"<th>models</th></tr>{rows}</table>"
+    )
+    with open(os.path.join(args.output, "index.html"), "w", encoding="utf-8") as f:
+        f.write(index)
+    print(f"catalog: {len(entries)} contract(s) -> {args.output}/index.html")
+    return 0
+
+
 def cmd_breaking(args: argparse.Namespace, include_info: bool = False) -> int:
     from .breaking import breaking
     from .spec import DataContractSpecification
@@ -213,6 +265,15 @@ def main(argv: Optional[list] = None) -> int:
     i.add_argument("--model", default=None)
     i.add_argument("--output", default=None)
 
+    a = sub.add_parser("api", help="serve POST /test /lint /export over HTTP")
+    a.add_argument("--port", type=int, default=4242)
+    a.add_argument("--host", default="127.0.0.1")
+    a.add_argument("--api-key", default=None)
+
+    cat = sub.add_parser("catalog", help="generate a markdown/HTML contract catalog")
+    cat.add_argument("--files", default=".", help="directory of contract *.yaml files")
+    cat.add_argument("--output", default="catalog", help="output directory")
+
     b = sub.add_parser("breaking", help="breaking changes between two contracts")
     b.add_argument("old")
     b.add_argument("new")
@@ -226,6 +287,10 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_test(args)
     if args.command == "snapshot":
         return cmd_snapshot(args)
+    if args.command == "api":
+        return cmd_api(args)
+    if args.command == "catalog":
+        return cmd_catalog(args)
     if args.command == "lint":
         return cmd_lint(args)
     if args.command == "export":

@@ -644,9 +644,20 @@ class Validator:
     # -- uniqueness (dedicated shuffle; AQE-skew-safe) ------------------------
 
     def _unique_compute(self, df: DataFrame, chk: CompiledCheck) -> dict:
+        """Exact duplicate count via two-phase salted aggregation.
+
+        ``groupBy(col).count()`` compiles to partial-agg -> exchange -> final-agg:
+        each map task pre-combines its rows per key, so a hot key (every row the
+        same clip_id) reaches the reducer as at most ONE row per input partition
+        — the map-side partial aggregation IS the explicit salt (salt = input
+        partition id), with the salted partial counts summed in the final agg.
+        Shuffle volume is bounded by distinct-keys-per-partition, never by row
+        count, and AQE skew handling covers residual reducer imbalance when
+        distinct keys themselves are many and hot. Never materializes full rows
+        (no ``dropDuplicates``) — only (key, count) pairs with count > 1 survive
+        the first pass.
+        """
         col = chk.field
-        # two-phase: partial agg combines map-side, so shuffle volume is bounded by
-        # distinct keys per partition; duplicate stats folded in one tiny pass
         dup = (
             df.select(col).filter(F.col(col).isNotNull())
             .groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))

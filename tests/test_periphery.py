@@ -379,3 +379,65 @@ def test_cli_snapshot_then_test_with_ref_stats(tmp_path, capsys, spark):
     out = capsys.readouterr().out
     assert "RUN RESULT: passed" in out
     assert "drift_ks" in out and "drift_psi" in out
+
+
+def test_api_lint_export_endpoints():
+    """stdlib-HTTP API parity: POST /lint and /export round-trip JSON; bad
+    contract -> 400; wrong api key -> 401; unknown endpoint -> 404."""
+    import json as _json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from dcspark.api import make_server
+
+    srv = make_server(port=0, api_key="sekrit")  # port 0: OS-assigned
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, body, key="sekrit"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json", "x-api-key": key},
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                return r.status, _json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        code, run = post("/lint", {"contract": CONTRACT})
+        assert code == 200 and run["result"] in ("passed", "warning")
+        assert any(c["category"] == "lint" or "lint" in (c.get("type") or "")
+                   for c in run["checks"]) or run["checks"]
+
+        code, out = post("/export", {"contract": CONTRACT, "format": "sql"})
+        assert code == 200 and "CREATE TABLE t (" in out["result"]
+
+        code, err = post("/lint", {"contract": ":::not yaml"})
+        assert code == 400
+
+        code, err = post("/lint", {"contract": CONTRACT}, key="wrong")
+        assert code == 401
+
+        code, err = post("/nope", {"contract": CONTRACT})
+        assert code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_cli_catalog(tmp_path, capsys):
+    from dcspark.cli import main
+
+    cdir = tmp_path / "contracts"
+    cdir.mkdir()
+    (cdir / "a.yaml").write_text(CONTRACT)
+    (cdir / "b.yaml").write_text(CONTRACT.replace("test-contract", "other"))
+    out = tmp_path / "cat"
+    assert main(["catalog", "--files", str(cdir), "--output", str(out)]) == 0
+    idx = (out / "index.html").read_text()
+    assert "a.md" in idx and "b.md" in idx
+    assert "| id | string | yes |" in (out / "a.md").read_text()
