@@ -116,6 +116,51 @@ def read_json_stream(
     )
 
 
+def stateful_duplicate_stream(
+    stream_df: DataFrame,
+    key_col: str = "clip_id",
+) -> DataFrame:
+    """Cross-batch uniqueness: cumulative per-key occurrence counts via
+    ``applyInPandasWithState`` (the custom-stateful-operator path).
+
+    Per-batch validation can only see within-batch duplicates; this keeps a
+    per-key running count in the state store, so a clip_id arriving in batch
+    40 that was first seen in batch 3 is flagged. Emits one row per key per
+    batch it appears in: (key, new_rows, occurrences, dup). State is one long
+    per distinct key, hash-partitioned by the groupBy — the same shape as the
+    batch engine's salted unique count, but incremental. At 10^12 keys the
+    state store is RocksDB
+    (``spark.sql.streaming.stateStore.providerClass``) and keys expire via a
+    TTL timeout; the sandbox test path uses the default HDFS-backed store.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} string, new_rows long, occurrences long, dup boolean"
+    state_schema = "occurrences long"
+
+    def track(key, pdfs, state) -> "object":
+        import pandas as pd
+
+        new = sum(len(p) for p in pdfs)
+        prev = state.get[0] if state.exists else 0
+        total = prev + new
+        state.update((total,))
+        yield pd.DataFrame({
+            key_col: [key[0]],
+            "new_rows": [new],
+            "occurrences": [total],
+            "dup": [total > 1],
+        })
+
+    return (
+        stream_df.select(F.col(key_col).cast("string").alias(key_col))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def windowed_invalid_counts(
     stream_df: DataFrame,
     predicate,

@@ -89,3 +89,47 @@ def test_windowed_invalid_counts(spark, tmp_path):
         q.stop()
     assert got["00:00"] == (2, 1)
     assert got["00:05"] == (1, 0)
+
+
+def test_stateful_duplicate_stream(spark, tmp_path):
+    """Cross-batch duplicate detection: a key from batch 1 reappearing in
+    batch 2 is flagged with its cumulative occurrence count."""
+    from dcspark.streaming import stateful_duplicate_stream
+
+    d = tmp_path / "dup_in"
+    d.mkdir()
+    with open(d / "f1.json", "w") as f:
+        for cid in ["a", "b", "c"]:
+            f.write(json.dumps({"clip_id": cid}) + "\n")
+
+    stream = (
+        spark.readStream.schema("clip_id string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    out = stateful_duplicate_stream(stream, "clip_id")
+    q = (
+        out.writeStream.format("memory").queryName("dup_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(d / "f2.json", "w") as f:
+            for cid in ["b", "c", "c", "d"]:
+                f.write(json.dumps({"clip_id": cid}) + "\n")
+        q.processAllAvailable()
+        rows = [r.asDict() for r in spark.sql("SELECT * FROM dup_stream").collect()]
+    finally:
+        q.stop()
+
+    # batch 1: all first-sightings; batch 2: b and c are cross-batch dups
+    last = {}
+    for r in rows:
+        last[(r["clip_id"], r["occurrences"])] = r
+    assert any(r["clip_id"] == "b" and r["occurrences"] == 2 and r["dup"] for r in rows)
+    assert any(r["clip_id"] == "c" and r["occurrences"] == 3 and r["dup"] for r in rows)
+    assert any(r["clip_id"] == "d" and r["occurrences"] == 1 and not r["dup"] for r in rows)
+    first_a = [r for r in rows if r["clip_id"] == "a"]
+    assert first_a and all(not r["dup"] for r in first_a)
