@@ -150,9 +150,33 @@ class Validator:
         for name, df in self.tables.items():
             df.createOrReplaceTempView(name)
 
-        for model_name, checks in checks_by_model.items():
-            df = self.tables.get(model_name)
-            self._run_model(model_name, checks, df)
+        items = list(checks_by_model.items())
+        if self.config.parallel_jobs > 1 and len(items) > 1:
+            # Models are independent — overlap their Spark jobs instead of
+            # paying each model's wall sequentially (the small reference-table
+            # model otherwise adds a serial tail after the big fact model).
+            # Each model records into an isolated child (same runId), merged
+            # back in model order so check ordering is identical to the
+            # sequential path.
+            import concurrent.futures as cf
+
+            children = [self._child_recorder() for _ in items]
+            with cf.ThreadPoolExecutor(max_workers=len(items)) as ex:
+                futures = [
+                    ex.submit(child._run_model, name, checks, self.tables.get(name))
+                    for child, (name, checks) in zip(children, items)
+                ]
+                for f in futures:
+                    f.result()
+            for child in children:
+                self.run.checks.extend(child.run.checks)
+                self.run.logs.extend(child.run.logs)
+                self._violation_frames.extend(child._violation_frames)
+                self._results_rows.extend(child._results_rows)
+                self._metrics.update(child._metrics)
+        else:
+            for model_name, checks in items:
+                self._run_model(model_name, checks, self.tables.get(model_name))
 
         self.run.finish()
         violations = None
@@ -166,6 +190,21 @@ class Validator:
             violations=violations,
             metrics=self._metrics,
         )
+
+    def _child_recorder(self) -> "Validator":
+        """A clone sharing session/spec/tables/config but with isolated result
+        collections and a same-runId Run — lets models record concurrently
+        without interleaving check order."""
+        child = object.__new__(Validator)
+        child.spark = self.spark
+        child.spec = self.spec
+        child.tables = self.tables
+        child.config = self.config
+        child.run = self.run.model_copy(update={"checks": [], "logs": []})
+        child._violation_frames = []
+        child._results_rows = []
+        child._metrics = {}
+        return child
 
     # -- per-model orchestration --------------------------------------------
 
