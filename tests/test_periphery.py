@@ -441,3 +441,35 @@ def test_cli_catalog(tmp_path, capsys):
     idx = (out / "index.html").read_text()
     assert "a.md" in idx and "b.md" in idx
     assert "| id | string | yes |" in (out / "a.md").read_text()
+
+
+def test_api_test_endpoint_runs_validation(tmp_path, spark):
+    """POST /test drives the full engine over a parquet dir through the API."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from dcspark.api import make_server
+
+    spark.range(3).selectExpr(
+        "concat('x', cast(id as string)) as id",
+        "cast(id as int) as n",
+        "'a' as e",
+    ).write.parquet(str(tmp_path / "t.parquet"))
+
+    srv = make_server(port=0, spark_factory=lambda: spark)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/test",
+            data=_json.dumps({"contract": CONTRACT, "path": str(tmp_path)}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            run = _json.loads(r.read())
+        assert r.status == 200
+    finally:
+        srv.shutdown()
+    assert run["result"] == "passed"
+    assert any(c["key"] == "t__id__field_unique" for c in run["checks"])

@@ -145,6 +145,15 @@ def test_ann_topk_broadcasts_probe_side(spark):
     assert "Broadcast" in plan
 
 
+def test_ivf_topk_broadcasts_probe_side(spark):
+    """IVF search joins the corpus to exploded probe cells — the probe side
+    (tiny) must broadcast so the corpus scan is the only full pass."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    plan = _plan(simsearch.ivf_topk(emb, [0, 1], dim=dim, k=3))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_dedup_shuffles_fingerprints_not_text(spark):
     """Exact dedup's exchange carries the md5 fingerprint, never the document
     body — shuffle volume is 32 bytes/row regardless of text size."""
