@@ -260,7 +260,7 @@ def main(argv: Optional[list] = None) -> int:
 
     i = sub.add_parser("import", help="derive a contract from existing data")
     i.add_argument("--format", required=True,
-                   choices=["parquet", "csv", "avro", "jsonschema", "iceberg"])
+                   choices=["parquet", "csv", "avro", "jsonschema", "iceberg", "odcs"])
     i.add_argument("source")
     i.add_argument("--model", default=None)
     i.add_argument("--output", default=None)

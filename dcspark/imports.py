@@ -293,6 +293,78 @@ def import_from_jsonschema(schema_json, model_name: str = "imported",
     return spec
 
 
+def import_from_odcs_v3(doc, contract_id: Optional[str] = None) -> DataContractSpecification:
+    """Open Data Contract Standard v3 (dict, YAML string, or path) -> contract
+    (parity: imports/odcs_v3_importer.py:39-304).
+
+    Maps: top-level id/name/version/description.purpose; `schema[]` entries to
+    models (physicalName wins over name); `properties[]` to fields via
+    logicalType with required/unique/primaryKey/classification and per-field
+    quality; model-level quality passes through.
+    """
+    import yaml as _yaml
+
+    from .spec import DATACONTRACT_TYPES, Info, Quality
+
+    if isinstance(doc, str):
+        if "\n" not in doc and doc.endswith((".yaml", ".yml")):
+            with open(doc, "r", encoding="utf-8") as f:
+                doc = f.read()
+        doc = _yaml.safe_load(doc)
+
+    spec = DataContractSpecification(
+        dataContractSpecification="1.1.0",
+        id=contract_id or doc.get("id"),
+        info=Info(
+            title=doc.get("name") or "",
+            version=doc.get("version"),
+            description=(doc.get("description") or {}).get("purpose")
+            if isinstance(doc.get("description"), dict) else None,
+        ),
+    )
+
+    def map_type(logical: Optional[str]) -> Optional[str]:
+        if logical is None:
+            return None
+        t = logical.lower()
+        return t if t in DATACONTRACT_TYPES else None
+
+    for schema in doc.get("schema") or []:
+        model_name = schema.get("physicalName") or schema.get("name")
+        props = schema.get("properties") or []
+        pk_count = sum(1 for p in props if p.get("primaryKey"))
+        fields: Dict[str, Field] = {}
+        for prop in props:
+            ftype = map_type(prop.get("logicalType"))
+            if ftype is None:
+                continue  # unmappable logical type: skip (reference logs + skips)
+            f = Field(
+                type=ftype,
+                description=prop.get("description"),
+                required=prop.get("required"),
+                unique=prop.get("unique"),
+                # composite PKs live on the model, not per-field (reference
+                # odcs_v3_importer.py:259-262,286-288)
+                primaryKey=bool(prop.get("primaryKey")) if pk_count == 1 else False,
+                classification=prop.get("classification"),
+            )
+            if prop.get("quality"):
+                f.quality = [Quality.model_validate(q) for q in prop["quality"]]
+            fields[prop["name"]] = f
+        model = Model(
+            type="table",
+            title=schema.get("name"),
+            description=schema.get("description"),
+            fields=fields,
+        )
+        if pk_count > 1:
+            model.primaryKey = [p["name"] for p in props if p.get("primaryKey")]
+        if schema.get("quality"):
+            model.quality = [Quality.model_validate(q) for q in schema["quality"]]
+        spec.models[model_name] = model
+    return spec
+
+
 def import_contract(fmt: str, source, **kwargs) -> DataContractSpecification:
     """Factory (parity: imports/importer_factory)."""
     fmt = fmt.lower()
@@ -308,4 +380,6 @@ def import_contract(fmt: str, source, **kwargs) -> DataContractSpecification:
         return import_from_avro(source, **kwargs)
     if fmt == "jsonschema":
         return import_from_jsonschema(source, **kwargs)
+    if fmt in ("odcs", "odcs_v3"):
+        return import_from_odcs_v3(source, **kwargs)
     raise ValueError(f"unsupported import format: {fmt}")

@@ -220,7 +220,22 @@ def _inline_refs(spec: DataContractSpecification) -> None:
             resolve_field(field)
 
 
+def is_open_data_contract_standard(data: dict) -> bool:
+    """ODCS v3 document detection (parity: model/odcs.py:1-11)."""
+    return (
+        isinstance(data, dict)
+        and data.get("kind") == "DataContract"
+        and str(data.get("apiVersion", "")).startswith("v3")
+    )
+
+
 def resolve_data_contract_from_dict(data: dict) -> DataContractSpecification:
+    if is_open_data_contract_standard(data):
+        # ODCS v3 auto-detect (parity: lint/resolve.py:248-252) — convert to
+        # the internal spec instead of parsing as a native contract
+        from .imports import import_from_odcs_v3
+
+        return import_from_odcs_v3(data)
     spec = DataContractSpecification(**data)
     _inline_refs(spec)
     return spec

@@ -80,3 +80,68 @@ def test_period_to_seconds(period, expected):
 def test_period_invalid():
     with pytest.raises(ValueError):
         period_to_seconds("eventually")
+
+
+ODCS_V3 = """
+apiVersion: v3.0.1
+kind: DataContract
+id: odcs-audio
+name: Audio Clips ODCS
+version: 2.0.0
+description: {purpose: validate audio clips}
+schema:
+  - name: AudioClips
+    physicalName: audio_clips
+    description: clips table
+    properties:
+      - name: clip_id
+        logicalType: string
+        required: true
+        unique: true
+        primaryKey: true
+      - name: sr_hz
+        logicalType: integer
+        required: true
+        quality:
+          - type: sql
+            query: "SELECT count(*) FROM {model} WHERE sr_hz <= 0"
+            mustBe: 0
+      - name: weird
+        logicalType: hyperloglog++   # unmappable -> skipped
+  - name: Pairs
+    properties:
+      - {name: a, logicalType: string, primaryKey: true}
+      - {name: b, logicalType: string, primaryKey: true}
+"""
+
+
+def test_odcs_v3_auto_detect_from_string():
+    """An ODCS v3 document loads through the normal from_string path
+    (parity: lint/resolve.py:248-252 auto-import branch)."""
+    spec = DataContractSpecification.from_string(ODCS_V3)
+    assert spec.id == "odcs-audio"
+    assert spec.info.title == "Audio Clips ODCS" and spec.info.version == "2.0.0"
+    assert spec.info.description == "validate audio clips"
+
+    m = spec.models["audio_clips"]          # physicalName wins
+    assert m.title == "AudioClips"
+    assert m.fields["clip_id"].required and m.fields["clip_id"].unique
+    assert m.fields["clip_id"].primaryKey
+    assert m.fields["sr_hz"].type == "integer"
+    assert m.fields["sr_hz"].quality[0].mustBe == 0
+    assert "weird" not in m.fields          # unmappable logical type skipped
+
+    pairs = spec.models["Pairs"]            # composite PK -> model-level list
+    assert pairs.primaryKey == ["a", "b"]
+    assert not pairs.fields["a"].primaryKey
+
+
+def test_odcs_v3_checks_compile():
+    """The converted spec runs through the check compiler like a native one."""
+    from dcspark.compile import create_checks
+
+    spec = DataContractSpecification.from_string(ODCS_V3)
+    keys = {c.key for c in create_checks(spec)["audio_clips"]}
+    assert "audio_clips__clip_id__field_required" in keys
+    assert "audio_clips__clip_id__field_unique" in keys
+    assert any("quality_sql" in k for k in keys)
