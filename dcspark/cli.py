@@ -156,6 +156,54 @@ def cmd_import(args: argparse.Namespace) -> int:
     return 0
 
 
+INIT_TEMPLATE = """\
+dataContractSpecification: 1.1.0
+id: my-data-contract
+info:
+  title: My Data Contract
+  version: 0.0.1
+  owner: my-team
+  description: Describe the purpose of this data contract.
+servers:
+  prod:
+    type: local
+    format: parquet
+    path: /data
+models:
+  my_table:
+    type: table
+    description: One row per business entity.
+    fields:
+      id:
+        type: string
+        required: true
+        unique: true
+        primaryKey: true
+        description: Stable unique identifier.
+      created_at:
+        type: timestamp
+        required: true
+        description: Row creation time (UTC).
+      value:
+        type: double
+        minimum: 0
+        description: Non-negative measurement.
+"""
+
+
+def cmd_init(args: argparse.Namespace) -> int:
+    """Write a starter contract (parity: reference cli.py:65-82 `init`)."""
+    import os
+
+    if os.path.exists(args.output) and not args.overwrite:
+        print(f"{args.output} already exists (use --overwrite)")
+        return 1
+    with open(args.output, "w", encoding="utf-8") as f:
+        f.write(INIT_TEMPLATE)
+    print(f"wrote {args.output}")
+    return 0
+
+
 def cmd_api(args: argparse.Namespace) -> int:
     from .api import serve
 
@@ -265,6 +313,10 @@ def main(argv: Optional[list] = None) -> int:
     i.add_argument("--model", default=None)
     i.add_argument("--output", default=None)
 
+    ini = sub.add_parser("init", help="write a starter contract")
+    ini.add_argument("--output", default="datacontract.yaml")
+    ini.add_argument("--overwrite", action="store_true")
+
     a = sub.add_parser("api", help="serve POST /test /lint /export over HTTP")
     a.add_argument("--port", type=int, default=4242)
     a.add_argument("--host", default="127.0.0.1")
@@ -287,6 +339,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_test(args)
     if args.command == "snapshot":
         return cmd_snapshot(args)
+    if args.command == "init":
+        return cmd_init(args)
     if args.command == "api":
         return cmd_api(args)
     if args.command == "catalog":

@@ -473,3 +473,16 @@ def test_api_test_endpoint_runs_validation(tmp_path, spark):
         srv.shutdown()
     assert run["result"] == "passed"
     assert any(c["key"] == "t__id__field_unique" for c in run["checks"])
+
+
+def test_cli_init_lints_clean(tmp_path, capsys):
+    """`init` writes a starter contract that passes lint and re-init without
+    --overwrite refuses to clobber."""
+    from dcspark.cli import main
+
+    out = str(tmp_path / "dc.yaml")
+    assert main(["init", "--output", out]) == 0
+    capsys.readouterr()
+    assert main(["lint", out]) == 0
+    assert "RUN RESULT: passed" in capsys.readouterr().out  # warning-free template
+    assert main(["init", "--output", out]) == 1
