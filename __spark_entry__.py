@@ -761,17 +761,45 @@ SELECT qid, vec_id, cast(rn AS int) AS rank, round(s, 4) AS score FROM r WHERE r
 """
 
 
+_ND_BITS = 16
+_ND_BLOCKS = 4
+_ND_THRESHOLD = 0.35
+_ND_MAX_ID = 300
+
+
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """embedding-cosine near-dup pairs over a bounded id range."""
-    return simsearch.near_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.35, max_id=300)
+    """LSH-blocked embedding near-dup: per-block signature equi-join candidates,
+    exact cosine verify — no all-pairs product (VERDICT defect #2 fix)."""
+    return simsearch.near_dup_pairs(
+        _t(spark, sf, "embeddings"), dim=EMB_DIM, threshold=_ND_THRESHOLD,
+        bits=_ND_BITS, n_blocks=_ND_BLOCKS, max_id=_ND_MAX_ID,
+    )
 
 
-SQL_EMBEDDING_NEAR_DUP = """
-WITH c AS (SELECT cast(vec_id AS bigint) vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 300),
-s AS (SELECT a.vec_id id_a, b.vec_id id_b,
-             list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) s
-      FROM c a, c b WHERE a.vec_id < b.vec_id)
-SELECT id_a, id_b, round(s, 4) AS score FROM s WHERE s >= 0.35
+def _sql_embedding_near_dup() -> str:
+    sig_terms = " + ".join(
+        f"CASE WHEN list_dot_product(v, {_plane_sql(b)}) > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_ND_BITS)
+    )
+    blk = _ND_BITS // _ND_BLOCKS
+    block_cols = ", ".join(
+        f"(sig // {1 << (b * blk)}) % {1 << blk} AS b{b}" for b in range(_ND_BLOCKS)
+    )
+    cand_union = "\nUNION\n".join(
+        f"SELECT a.vec_id id_a, b.vec_id id_b FROM keyed a JOIN keyed b"
+        f" ON a.b{b} = b.b{b} AND a.vec_id < b.vec_id"
+        for b in range(_ND_BLOCKS)
+    )
+    return f"""
+WITH c AS (SELECT cast(vec_id AS bigint) vec_id, embedding::DOUBLE[] v
+           FROM embeddings WHERE vec_id < {_ND_MAX_ID}),
+sigs AS (SELECT vec_id, v, cast({sig_terms} AS bigint) sig FROM c),
+keyed AS (SELECT vec_id, {block_cols} FROM sigs),
+cand AS ({cand_union}),
+s AS (SELECT id_a, id_b,
+             list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) s
+      FROM cand JOIN sigs x ON x.vec_id = cand.id_a JOIN sigs y ON y.vec_id = cand.id_b)
+SELECT id_a, id_b, round(s, 4) AS score FROM s WHERE s >= {_ND_THRESHOLD}
 """
 
 
@@ -1001,7 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN_TOPK,
-        "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embedding_near_dup": _sql_embedding_near_dup(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         # audio_decode_conformance / contract_full_run: not SQL-expressible

@@ -181,9 +181,12 @@ def main() -> None:
         sf = float(tag.replace("sf", ""))
     except ValueError:
         sf = 0.1
-    # sized so per-clip work dominates fixed job overhead (~64k clips at
-    # sf0.1); the synthetic table is generated once and cached in .bench_data
-    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(400, int(640000 * sf)))))
+    # sized so per-clip decode work dominates fixed job overhead: 256k clips
+    # (~15 GB WAV) at sf0.1 — the same input the N-vs-4N scaling protocol uses,
+    # so the headline clips/sec is comparable to BENCH/BASELINE.md per-clip
+    # cost instead of understating the engine ~4x on job-overhead-bound small
+    # inputs (VERDICT r01). Generated once and cached in .bench_data.
+    n_clips = int(os.environ.get("BENCH_CLIPS", str(max(400, int(2560000 * sf)))))
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")

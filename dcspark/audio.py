@@ -14,6 +14,14 @@ numpy-array-per-row (RIFF header parse + ``np.frombuffer`` + vector math), never
 per-sample Python. No decode libraries are needed for WAV/PCM; non-WAV codecs are
 out of sandbox scope and surface as a decode error, with the plumbing (schema,
 batching, UDF signature) fully real.
+
+Two public passes share one per-row evaluator:
+
+* :func:`audio_decode_report` — one output row per input row (the per-row API).
+* :func:`audio_decode_compact` — the ENGINE path: one decode scan emits per-task
+  aggregate count rows plus capped violation rows, so metrics and the violation
+  sample come out of a single pass over the payload corpus (at 10^12 rows the
+  decode scan is the dominant cost; it must never run twice).
 """
 
 from __future__ import annotations
@@ -29,6 +37,18 @@ AUDIO_REPORT_DDL = (
     "clip_id string, bytes_null boolean, decoded_sr int, decoded_dur_ms double, "
     "sr_ok boolean, dur_ok boolean, codec_ok boolean, snr_db double, snr_ok boolean, "
     "decode_error string"
+)
+
+#: count columns of the compact pass, in output order
+COMPACT_COUNT_COLS = (
+    "rows", "bytes_null", "decode_error", "sr_bad", "dur_bad", "codec_bad",
+    "snr_bad", "violations",
+)
+
+AUDIO_COMPACT_DDL = (
+    "__part string, row_type string, "
+    + ", ".join(f"{c} bigint" for c in COMPACT_COUNT_COLS)
+    + ", clip_id string, observed string"
 )
 
 #: the audio payload column this pass decodes; the engine reroutes JVM-side
@@ -135,6 +155,98 @@ def synth_snr_oracle(seed: int, dur_lo: int = 200, dur_hi: int = 30000) -> SnrFn
     return snr_fn
 
 
+def _binary_views(bin_col, n_rows: int):
+    """Zero-copy (offsets, value-heap, null-mask) views over an Arrow binary
+    column: validity bitmap, offsets, and the contiguous value heap — per-row
+    payloads become numpy slices of the heap, never PyBytes copies (the pandas
+    conversion would allocate a ~60 KB bytes object per clip, doubling memory
+    traffic). Handles both ``binary`` (int32 offsets) and ``large_binary``
+    (int64 offsets, e.g. under spark.sql.execution.arrow.useLargeVarTypes)."""
+    import pyarrow as pa
+
+    if pa.types.is_large_binary(bin_col.type):
+        off_dtype, off_width = np.int64, 8
+    elif pa.types.is_binary(bin_col.type):
+        off_dtype, off_width = np.int32, 4
+    else:
+        raise TypeError(f"expected a (large_)binary payload column, got {bin_col.type}")
+    bufs = bin_col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype,
+                            count=n_rows + 1, offset=bin_col.offset * off_width)
+    heap = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else None
+    nulls = bin_col.is_null().to_numpy(zero_copy_only=False)
+    return offsets, heap, nulls
+
+
+def _eval_batch(batch, oracle, snr_fn, snr_floor_db):
+    """Evaluate the decode-conformance invariant for every row of one Arrow
+    batch -> list of (clip_id, rec-dict). Shared by the per-row report and the
+    compact engine pass so the two can never drift semantically."""
+    n_rows = batch.num_rows
+    ids = batch.column(0).to_pylist()
+    offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+    d_srs = batch.column(2).to_pylist()
+    d_durs = batch.column(3).to_pylist()
+    d_codecs = batch.column(4).to_pylist()
+    out = []
+    for i in range(n_rows):
+        is_null = bool(nulls[i])
+        raw = None if is_null else heap[offsets[i]:offsets[i + 1]]
+        clip_id, d_sr, d_dur, d_codec = ids[i], d_srs[i], d_durs[i], d_codecs[i]
+        rec = dict(bytes_null=is_null,
+                   decoded_sr=None, decoded_dur_ms=None,
+                   sr_ok=False, dur_ok=False, codec_ok=False,
+                   snr_db=None, snr_ok=None, decode_error=None)
+        try:
+            sr, codec, pcm = parse_wav_view(raw)
+            dur_ms = len(pcm) / sr * 1000.0
+            rec.update(
+                decoded_sr=int(sr),
+                decoded_dur_ms=float(dur_ms),
+                sr_ok=bool(d_sr is not None and int(sr) == int(d_sr)),
+                dur_ok=bool(d_dur is not None and abs(dur_ms - float(d_dur)) <= DUR_TOL_MS),
+                codec_ok=bool(codec == d_codec),
+            )
+            if snr_fn is not None:
+                s = snr_fn(clip_id, d_sr, d_dur, pcm)
+                if s is not None:
+                    rec["snr_db"] = None if s in (float("inf"), float("-inf")) else float(s)
+                    rec["snr_ok"] = bool(s >= snr_floor_db)
+            elif oracle is not None:
+                expected = oracle(clip_id, d_sr, d_dur)
+                if expected is not None:
+                    s = snr_db(expected, pcm)
+                    rec["snr_db"] = None if s in (float("inf"), float("-inf")) else float(s)
+                    rec["snr_ok"] = bool(s >= snr_floor_db)
+        except (ValueError, struct.error) as e:
+            rec["decode_error"] = str(e)
+        out.append((clip_id, rec))
+    return out
+
+
+def _rec_violates(rec: dict) -> bool:
+    """Python twin of :func:`audio_violation_expr` (kept in lockstep)."""
+    return (
+        rec["decode_error"] is not None
+        or not rec["sr_ok"] or not rec["dur_ok"] or not rec["codec_ok"]
+        or (rec["snr_ok"] is not None and not rec["snr_ok"])
+    )
+
+
+def _rec_observed(rec: dict) -> str:
+    """Violation-row detail string (same shape as the engine's old concat_ws)."""
+    parts = []
+    if rec["decoded_sr"] is not None:
+        parts.append(f"decoded_sr={rec['decoded_sr']}")
+    if rec["decoded_dur_ms"] is not None:
+        parts.append(f"decoded_dur_ms={rec['decoded_dur_ms']:.1f}")
+    if rec["snr_db"] is not None:
+        parts.append(f"snr_db={rec['snr_db']:.1f}")
+    if rec["decode_error"] is not None:
+        parts.append(f"err={rec['decode_error']}")
+    return ",".join(parts)
+
+
 def audio_decode_report(
     df: DataFrame,
     snr_floor_db: float = 30.0,
@@ -157,59 +269,12 @@ def audio_decode_report(
         import pyarrow as pa
 
         for batch in batches:
-            n_rows = batch.num_rows
-            ids = batch.column(0).to_pylist()
-            bin_col = batch.column(1)
-            # zero-copy views over the Arrow binary column: validity bitmap,
-            # int32 offsets, and the contiguous value heap — per-row payloads
-            # are numpy slices of the heap, never PyBytes copies (this is the
-            # whole point of mapInArrow here: the pandas conversion would
-            # allocate a 60 KB bytes object per clip, doubling memory traffic)
-            bufs = bin_col.buffers()
-            offsets = np.frombuffer(bufs[1], dtype=np.int32,
-                                    count=n_rows + 1, offset=bin_col.offset * 4)
-            heap = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else None
-            nulls = bin_col.is_null().to_numpy(zero_copy_only=False)
-            d_srs = batch.column(2).to_pylist()
-            d_durs = batch.column(3).to_pylist()
-            d_codecs = batch.column(4).to_pylist()
-
             out = {k: [] for k in (
                 "bytes_null", "decoded_sr", "decoded_dur_ms", "sr_ok",
                 "dur_ok", "codec_ok", "snr_db", "snr_ok", "decode_error")}
-            for i in range(n_rows):
-                is_null = bool(nulls[i])
-                raw = None if is_null else heap[offsets[i]:offsets[i + 1]]
-                clip_id, d_sr, d_dur, d_codec = ids[i], d_srs[i], d_durs[i], d_codecs[i]
-                rec = dict(bytes_null=is_null,
-                           decoded_sr=None, decoded_dur_ms=None,
-                           sr_ok=False, dur_ok=False, codec_ok=False,
-                           snr_db=None, snr_ok=None, decode_error=None)
-                try:
-                    sr, codec, pcm = parse_wav_view(raw)
-                    dur_ms = len(pcm) / sr * 1000.0
-                    rec.update(
-                        decoded_sr=int(sr),
-                        decoded_dur_ms=float(dur_ms),
-                        sr_ok=bool(d_sr is not None and int(sr) == int(d_sr)),
-                        dur_ok=bool(d_dur is not None and abs(dur_ms - float(d_dur)) <= DUR_TOL_MS),
-                        codec_ok=bool(codec == d_codec),
-                    )
-                    if snr_fn is not None:
-                        s = snr_fn(clip_id, d_sr, d_dur, pcm)
-                        if s is not None:
-                            rec["snr_db"] = None if s in (float("inf"), float("-inf")) else float(s)
-                            rec["snr_ok"] = bool(s >= snr_floor_db)
-                    elif oracle is not None:
-                        expected = oracle(clip_id, d_sr, d_dur)
-                        if expected is not None:
-                            s = snr_db(expected, pcm)
-                            rec["snr_db"] = None if s in (float("inf"), float("-inf")) else float(s)
-                            rec["snr_ok"] = bool(s >= snr_floor_db)
-                except (ValueError, struct.error) as e:
-                    rec["decode_error"] = str(e)
-                for k, v in rec.items():
-                    out[k].append(v)
+            for _clip_id, rec in _eval_batch(batch, oracle, snr_fn, snr_floor_db):
+                for k in out:
+                    out[k].append(rec[k])
             arrays = [
                 batch.column(0),
                 pa.array(out["bytes_null"], pa.bool_()),
@@ -233,6 +298,94 @@ def audio_decode_report(
     if partition_col:
         cols.append(F.col(partition_col).cast("string").alias("__part"))
     return df.select(*cols).mapInArrow(check_batches, schema=schema)
+
+
+def audio_decode_compact(
+    df: DataFrame,
+    snr_floor_db: float = 30.0,
+    oracle: Optional[OraclePcm] = None,
+    snr_fn: Optional[SnrFn] = None,
+    id_col: str = "clip_id",
+    partition_col: Optional[str] = None,
+    violation_cap: int = 500,
+) -> DataFrame:
+    """Single-pass engine path: ONE decode scan -> per-task aggregate counts
+    plus capped violation rows.
+
+    Each task folds its rows into per-partition-value count vectors and keeps
+    at most ``violation_cap`` violating rows per (task, partition-value), then
+    emits ONE small batch: ``row_type='agg'`` count rows and ``row_type='vio'``
+    detail rows. Output size is bounded by tasks x (parts_per_task + cap) —
+    independent of input row count — so callers persist it for pennies and
+    derive metrics AND the violation sample without a second decode of the
+    payload corpus (at 10^12 rows the decode is the dominant cost; running it
+    twice on the failure path would double the whole job, VERDICT.md defect #1).
+    """
+
+    def compact_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        counts: dict = {}
+        vios: dict = {}
+        for batch in batches:
+            has_part = batch.num_columns > 5
+            parts = batch.column(5).to_pylist() if has_part else None
+            for i, (clip_id, rec) in enumerate(_eval_batch(batch, oracle, snr_fn, snr_floor_db)):
+                part = parts[i] if parts is not None else None
+                c = counts.get(part)
+                if c is None:
+                    c = counts[part] = [0] * len(COMPACT_COUNT_COLS)
+                c[0] += 1
+                if rec["bytes_null"]:
+                    c[1] += 1
+                if rec["decode_error"] is not None:
+                    c[2] += 1
+                else:
+                    if not rec["sr_ok"]:
+                        c[3] += 1
+                    if not rec["dur_ok"]:
+                        c[4] += 1
+                    if not rec["codec_ok"]:
+                        c[5] += 1
+                if rec["snr_ok"] is not None and not rec["snr_ok"]:
+                    c[6] += 1
+                if _rec_violates(rec):
+                    c[7] += 1
+                    v = vios.setdefault(part, [])
+                    if len(v) < violation_cap:
+                        v.append((str(clip_id), _rec_observed(rec)))
+        if not counts:
+            return
+        part_l, type_l = [], []
+        cnt_ls = [[] for _ in COMPACT_COUNT_COLS]
+        clip_l, obs_l = [], []
+        for part, c in counts.items():
+            part_l.append(part)
+            type_l.append("agg")
+            for j, v in enumerate(c):
+                cnt_ls[j].append(v)
+            clip_l.append(None)
+            obs_l.append(None)
+        for part, v in vios.items():
+            for clip_id, obs in v:
+                part_l.append(part)
+                type_l.append("vio")
+                for j in range(len(COMPACT_COUNT_COLS)):
+                    cnt_ls[j].append(None)
+                clip_l.append(clip_id)
+                obs_l.append(obs)
+        arrays = (
+            [pa.array(part_l, pa.string()), pa.array(type_l, pa.string())]
+            + [pa.array(x, pa.int64()) for x in cnt_ls]
+            + [pa.array(clip_l, pa.string()), pa.array(obs_l, pa.string())]
+        )
+        names = ["__part", "row_type", *COMPACT_COUNT_COLS, "clip_id", "observed"]
+        yield pa.RecordBatch.from_arrays(arrays, names)
+
+    cols = [F.col(id_col), F.col(BYTES_COL), F.col("sr_hz"), F.col("dur_ms"), F.col("codec")]
+    if partition_col:
+        cols.append(F.col(partition_col).cast("string").alias("__part"))
+    return df.select(*cols).mapInArrow(compact_batches, schema=AUDIO_COMPACT_DDL)
 
 
 def audio_violation_expr() -> "F.Column":

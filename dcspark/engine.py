@@ -161,7 +161,8 @@ class Validator:
             import concurrent.futures as cf
 
             children = [self._child_recorder() for _ in items]
-            with cf.ThreadPoolExecutor(max_workers=len(items)) as ex:
+            workers = min(self.config.parallel_jobs, len(items))
+            with cf.ThreadPoolExecutor(max_workers=workers) as ex:
                 futures = [
                     ex.submit(child._run_model, name, checks, self.tables.get(name))
                     for child, (name, checks) in zip(children, items)
@@ -371,32 +372,57 @@ class Validator:
         elif part_rows:
             part_rows[0].update(drift_rows.get(None, zero))
 
-    def _audio_report(self, df: DataFrame, chk: CompiledCheck, partition_col: Optional[str]) -> DataFrame:
+    def _audio_compact(self, df: DataFrame, chk: CompiledCheck, partition_col: Optional[str]) -> DataFrame:
         # partition col is threaded through the Arrow batch as __part (no re-join)
-        return audio_mod.audio_decode_report(
+        return audio_mod.audio_decode_compact(
             df,
             snr_floor_db=chk.params.get("snr_db", 30.0),
             oracle=self.config.audio_oracle,
             snr_fn=self.config.audio_snr_fn,
             partition_col=partition_col if (partition_col and partition_col in df.columns) else None,
+            violation_cap=self.config.violation_cap,
         )
 
-    @staticmethod
-    def _audio_agg_specs(prefix: str) -> Tuple[Dict[str, Column], Dict[str, str]]:
-        def cnt(cond: Column) -> Column:
-            return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+    def _audio_compact_collect(
+        self, compact: DataFrame, partition_col: Optional[str]
+    ) -> Tuple[List[Dict[str, Any]], List[Tuple[Optional[str], str, str]]]:
+        """(per-partition count rows, capped violation tuples) from ONE decode.
 
-        exprs = {
-            f"{prefix}__rows": F.count(F.lit(1)),
-            f"{prefix}__bytes_null": cnt(F.col("bytes_null")),
-            f"{prefix}__decode_error": cnt(F.col("decode_error").isNotNull()),
-            f"{prefix}__sr_bad": cnt(F.col("decode_error").isNull() & ~F.col("sr_ok")),
-            f"{prefix}__dur_bad": cnt(F.col("decode_error").isNull() & ~F.col("dur_ok")),
-            f"{prefix}__codec_bad": cnt(F.col("decode_error").isNull() & ~F.col("codec_ok")),
-            f"{prefix}__snr_bad": cnt(F.col("snr_ok").isNotNull() & ~F.col("snr_ok")),
-            f"{prefix}__violations": cnt(audio_mod.audio_violation_expr()),
-        }
-        return exprs, {k: "sum" for k in exprs}
+        The compact frame is tiny by construction (bounded by tasks x
+        (parts_per_task + cap)); persisting it means the first action runs the
+        single decode scan and the second reads the cache — never a second
+        decode (VERDICT.md defect #1). MEMORY_AND_DISK so cache pressure spills
+        instead of recomputing.
+        """
+        from pyspark import StorageLevel
+
+        compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            sums = [F.sum(c).alias(f"__audio__{c}") for c in audio_mod.COMPACT_COUNT_COLS]
+            aggd = compact.filter(F.col("row_type") == "agg")
+            if partition_col:
+                rows = [r.asDict() for r in aggd.groupBy("__part").agg(*sums).collect()]
+            else:
+                rows = [aggd.agg(*sums).first().asDict()]
+                rows[0]["__part"] = None
+            total_vio = sum(r.get("__audio__violations") or 0 for r in rows)
+            vio: List[Tuple[Optional[str], str, str]] = []
+            if total_vio:
+                vio = [
+                    (r["__part"], r["clip_id"], r["observed"])
+                    for r in (
+                        compact.filter(F.col("row_type") == "vio")
+                        .orderBy("clip_id")
+                        .limit(self.config.violation_cap)
+                        .select("__part", "clip_id", "observed")
+                        .collect()
+                    )
+                ]
+            return rows, vio
+        finally:
+            compact.unpersist()
+
+    _AUDIO_OPS = {f"__audio__{c}": "sum" for c in audio_mod.COMPACT_COUNT_COLS}
 
     @staticmethod
     def _reroute_bytes_aliases(
@@ -440,19 +466,18 @@ class Validator:
         ) else None
 
         audio_chk = audio_checks[0] if audio_checks else None
-        audio_exprs: Dict[str, Column] = {}
-        audio_ops: Dict[str, str] = {}
+        audio_ops: Dict[str, str] = dict(self._AUDIO_OPS) if audio_chk is not None else {}
         rerouted_aliases: List[str] = []
         if audio_chk is not None:
-            audio_exprs, audio_ops = self._audio_agg_specs("__audio")
             rerouted_aliases = self._reroute_bytes_aliases(agg_checks, exprs, ops)
 
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
+        audio_vio: List[Tuple[Optional[str], str, str]] = []
 
         if partition_col and self.config.checkpoint_dir:
-            part_rows, audio_part_rows = self._checkpointed_scan(
-                model_name, df, exprs, ops, audio_chk, audio_exprs, partition_col,
+            part_rows, audio_part_rows, audio_vio = self._checkpointed_scan(
+                model_name, df, exprs, ops, audio_chk, partition_col,
                 drift_jobs,
             )
         else:
@@ -466,12 +491,9 @@ class Validator:
             def drift_job():
                 return drift_mod.drift_bucket_rows(df, drift_jobs, partition_col)
 
-            def audio_job() -> List[Dict[str, Any]]:
-                report = self._audio_report(df, audio_chk, partition_col)
-                a_list = [v.alias(k) for k, v in audio_exprs.items()]
-                if partition_col:
-                    return [r.asDict() for r in report.groupBy("__part").agg(*a_list).collect()]
-                return [report.agg(*a_list).first().asDict()]
+            def audio_job() -> Tuple[List[Dict[str, Any]], List[Tuple[Optional[str], str, str]]]:
+                compact = self._audio_compact(df, audio_chk, partition_col)
+                return self._audio_compact_collect(compact, partition_col)
 
             # the scan's three independent jobs (metric agg / drift buckets /
             # audio decode) overlap on the cluster — decode dominates, the
@@ -489,23 +511,29 @@ class Validator:
                 self._merge_drift_rows(part_rows, outs[idx], drift_jobs, partition_col)
                 idx += 1
             if audio_chk is not None:
-                audio_part_rows = outs[idx]
+                audio_part_rows, audio_vio = outs[idx]
 
         global_row = _merge_rows(part_rows, ops)
         global_row["__total_count"] = global_row.get("__total_count") or 0
         audio_global = _merge_rows(audio_part_rows, audio_ops) if audio_part_rows else {}
+        if audio_chk is not None:
+            # empty input (or an empty partition) -> zero counts, exactly as the
+            # JVM aggregate's coalesce(sum(..), 0) would report
+            for alias in audio_ops:
+                if audio_global.get(alias) is None:
+                    audio_global[alias] = 0
 
         if rerouted_aliases:
             # fold the audio pass's bytes-null count back into the metric rows
             # so the required-check evaluates exactly as if it had run JVM-side
-            bytes_null = audio_global.get("__audio__bytes_null")
+            bytes_null = audio_global.get("__audio__bytes_null") or 0
             by_part = {str(r.get("__part")): r for r in audio_part_rows}
             for alias in rerouted_aliases:
                 global_row[alias] = bytes_null
                 if partition_col:
                     for prow in part_rows:
                         arow = by_part.get(str(prow.get(partition_col)))
-                        prow[alias] = None if arow is None else arow.get("__audio__bytes_null")
+                        prow[alias] = 0 if arow is None else (arow.get("__audio__bytes_null") or 0)
 
         # evaluate + record each agg check (global + per-partition rows)
         failed_agg: List[CompiledCheck] = []
@@ -535,7 +563,7 @@ class Validator:
             result, reason = chk.eval_metric(stat, global_row)
             self._record(chk, stat, result, reason, global_row.get("__total_count"))
 
-        if audio_chk is not None and audio_global:
+        if audio_chk is not None:
             metric = float(audio_global.get("__audio__violations") or 0)
             diag = {k.replace("__audio__", ""): v for k, v in audio_global.items()}
             result = ResultEnum.passed if metric == 0 else ResultEnum.failed
@@ -555,29 +583,15 @@ class Validator:
                         None if pm == 0 else f"{int(pm)} decode-conformance violations",
                         prow.get("__audio__rows"), partition_id=str(prow.get("__part")),
                     )
-            if metric > 0:
-                report = self._audio_report(df, audio_chk, None)
-                with self._arrow_batch_conf():
-                    vio = (
-                        report.filter(audio_mod.audio_violation_expr())
-                        .limit(self.config.violation_cap)
-                        .select(
-                            F.lit(self.run.runId).alias("run_id"),
-                            F.lit(None).cast("string").alias("partition_id"),
-                            F.lit(audio_chk.key).alias("check_key"),
-                            F.col("clip_id").cast("string").alias("clip_id"),
-                            F.concat_ws(
-                                ",",
-                                F.concat(F.lit("decoded_sr="), F.col("decoded_sr").cast("string")),
-                                F.concat(F.lit("decoded_dur_ms="), F.round("decoded_dur_ms", 1).cast("string")),
-                                F.concat(F.lit("snr_db="), F.round("snr_db", 1).cast("string")),
-                                F.concat(F.lit("err="), F.col("decode_error")),
-                            ).alias("observed"),
-                            F.lit(audio_chk.expected).alias("expected"),
-                        )
-                    )
-                    self._violation_frames.append(self.spark.createDataFrame(
-                        vio.collect(), schema=VIOLATIONS_DDL))
+            if audio_vio:
+                # capped violation rows came out of the SAME decode pass as the
+                # metrics (compact frame) — never a second scan of the payload
+                vio_rows = [
+                    (self.run.runId, part, audio_chk.key, clip_id, observed, audio_chk.expected)
+                    for part, clip_id, observed in audio_vio[: self.config.violation_cap]
+                ]
+                self._violation_frames.append(
+                    self.spark.createDataFrame(vio_rows, schema=VIOLATIONS_DDL))
 
         if failed_agg:
             self._collect_agg_violations(model_name, df, failed_agg, partition_col)
@@ -847,10 +861,9 @@ class Validator:
         exprs: Dict[str, Column],
         ops: Dict[str, str],
         audio_chk: Optional[CompiledCheck],
-        audio_exprs: Dict[str, Column],
         partition_col: str,
         drift_jobs: Optional[List[dict]] = None,
-    ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
+    ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]], List[Tuple[Optional[str], str, str]]]:
         """Chunked partitioned scan with a resume manifest.
 
         Partition values are grouped into ``checkpoint_chunks`` groups; each group's
@@ -858,6 +871,9 @@ class Validator:
         resume, completed partitions are loaded from the manifest and their groups
         skipped — only remaining partitions are scanned. All shared-scan metrics are
         decomposable (sum/min/max), so merged results are identical to a full run.
+        Each partition's capped audio-violation sample (<= violation_cap rows,
+        from the same single decode pass as its metrics) is stored in its manifest
+        record, so resume reproduces violations without rescanning done partitions.
         """
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         manifest = self._manifest_path(model_name)
@@ -879,10 +895,11 @@ class Validator:
             chunks.append(todo[i:i + size])
 
         agg_list = [v.alias(a) for a, v in exprs.items()]
-        a_list = [v.alias(a) for a, v in audio_exprs.items()]
+        a_sums = [F.sum(c).alias(f"__audio__{c}") for c in audio_mod.COMPACT_COUNT_COLS]
 
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
+        audio_vio_by_part: Dict[str, List[Tuple[Optional[str], str, str]]] = {}
 
         for rec in done.values():
             row = _json_to_metrics(rec["metrics_json"])
@@ -892,6 +909,9 @@ class Validator:
                 arow = _json_to_metrics(rec["audio_metrics_json"])
                 arow["__part"] = rec["partition_id"]
                 audio_part_rows.append(arow)
+            for v in rec.get("audio_violations") or []:
+                audio_vio_by_part.setdefault(str(rec["partition_id"]), []).append(
+                    (rec["partition_id"], v[0], v[1]))
 
         self.run.log_info(
             f"checkpoint: {len(done)}/{len(parts)} partitions already complete; "
@@ -908,29 +928,57 @@ class Validator:
                     drift_jobs, partition_col,
                 )
             audio_rows_by_part: Dict[str, dict] = {}
+            chunk_vio_by_part: Dict[str, List[Tuple[str, str]]] = {}
             if audio_chk is not None:
-                report = self._audio_report(sub, audio_chk, partition_col)
-                with self._arrow_batch_conf():
-                    audio_rows_by_part = {
-                        str(r["__part"]): r.asDict()
-                        for r in report.groupBy("__part").agg(*a_list).collect()
-                    }
+                from pyspark import StorageLevel
+
+                compact = self._audio_compact(sub, audio_chk, partition_col)
+                compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    with self._arrow_batch_conf():
+                        audio_rows_by_part = {
+                            str(r["__part"]): r.asDict()
+                            for r in compact.filter(F.col("row_type") == "agg")
+                            .groupBy("__part").agg(*a_sums).collect()
+                        }
+                        if any((r.get("__audio__violations") or 0) > 0
+                               for r in audio_rows_by_part.values()):
+                            # re-cap per partition (per-task caps can sum past it)
+                            w = Window.partitionBy("__part").orderBy("clip_id")
+                            for r in (
+                                compact.filter(F.col("row_type") == "vio")
+                                .withColumn("__rn", F.row_number().over(w))
+                                .filter(F.col("__rn") <= self.config.violation_cap)
+                                .select("__part", "clip_id", "observed").collect()
+                            ):
+                                chunk_vio_by_part.setdefault(str(r["__part"]), []).append(
+                                    (r["clip_id"], r["observed"]))
+                finally:
+                    compact.unpersist()
             with open(manifest, "a", encoding="utf-8") as f:
                 for row in rows:
                     pid = str(row[partition_col])
                     arow = audio_rows_by_part.get(pid)
+                    vlist = chunk_vio_by_part.get(pid, [])
                     f.write(json.dumps({
                         "run_id": self.run.runId,
                         "partition_id": pid,
                         "status": "done",
                         "metrics_json": _metrics_to_json(row, partition_col),
                         "audio_metrics_json": _metrics_to_json(arow, "__part") if arow else None,
+                        "audio_violations": vlist or None,
                         "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
                     }) + "\n")
                     part_rows.append(row)
                     if arow:
                         audio_part_rows.append(arow)
-        return part_rows, audio_part_rows
+                    if vlist:
+                        audio_vio_by_part[pid] = [(pid, c, o) for c, o in vlist]
+        # global cap across partitions, deterministic by clip_id
+        audio_vio = sorted(
+            (v for vs in audio_vio_by_part.values() for v in vs), key=lambda t: t[1]
+        )[: self.config.violation_cap]
+        return part_rows, audio_part_rows, audio_vio
 
     # -- result recording -------------------------------------------------------
 

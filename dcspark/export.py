@@ -322,14 +322,19 @@ _PROTO_TYPES = {
 def to_protobuf(spec: DataContractSpecification) -> str:
     """proto3 document: one message per model, enums from `enum` constraints,
     `repeated` for arrays, nested messages for structs."""
+    # Enum names are scoped per (message, field) — two same-named fields in
+    # different models with different value sets get distinct enums — and the
+    # constants are prefixed with the enum name: proto3 enum constants share
+    # the enclosing scope's namespace, so bare values would collide across
+    # enums (e.g. two enums both containing ACTIVE).
     enums: Dict[str, list] = {}
     msgs = []
 
-    def field_line(name: str, f: Field, idx: int, nested: list) -> str:
+    def field_line(scope: str, name: str, f: Field, idx: int, nested: list) -> str:
         ftype = (f.type or "string").lower()
         if f.enum:
-            ename = f"{name.capitalize()}Enum"
-            enums.setdefault(ename, list(f.enum))
+            ename = f"{scope.capitalize()}_{name.capitalize()}_Enum"
+            enums[ename] = list(f.enum)
             ptype = ename
         elif ftype == "array":
             inner = f.items.type if f.items and f.items.type else "string"
@@ -344,7 +349,7 @@ def to_protobuf(spec: DataContractSpecification) -> str:
 
     def message(name: str, fields: Dict[str, Field]) -> str:
         nested: list = []
-        lines = [field_line(fname, f, i + 1, nested)
+        lines = [field_line(name, fname, f, i + 1, nested)
                  for i, (fname, f) in enumerate(fields.items())]
         body = "\n".join(nested + lines)
         return f"message {name} {{\n{body}\n}}"
@@ -353,8 +358,9 @@ def to_protobuf(spec: DataContractSpecification) -> str:
         msgs.append(message(mname, model.fields))
     header = 'syntax = "proto3";\n'
     for ename, values in enums.items():
+        prefix = ename.upper().replace("-", "_")
         consts = "\n".join(
-            f"  {str(v).upper().replace(' ', '_').replace('-', '_')} = {i};"
+            f"  {prefix}_{str(v).upper().replace(' ', '_').replace('-', '_')} = {i};"
             for i, v in enumerate(values)
         )
         header += f"\nenum {ename} {{\n{consts}\n}}\n"

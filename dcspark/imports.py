@@ -366,8 +366,16 @@ def import_from_odcs_v3(doc, contract_id: Optional[str] = None) -> DataContractS
 
 
 def import_contract(fmt: str, source, **kwargs) -> DataContractSpecification:
-    """Factory (parity: imports/importer_factory)."""
+    """Factory (parity: imports/importer_factory).
+
+    ``model_name=None`` means "use the importer's default"; ODCS documents
+    carry their own model names, so the kwarg is dropped for that format.
+    """
     fmt = fmt.lower()
+    if kwargs.get("model_name") is None:
+        kwargs.pop("model_name", None)
+    if fmt in ("odcs", "odcs_v3"):
+        kwargs.pop("model_name", None)
     if fmt == "spark":
         return import_from_spark(source, **kwargs)
     if fmt == "parquet":

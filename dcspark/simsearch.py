@@ -72,18 +72,19 @@ def cosine_topk(
     )
 
 
-def near_dup_pairs(
+def near_dup_pairs_exact(
     emb: DataFrame,
     threshold: float = 0.8,
     max_id: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+    """EXACT embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
 
-    All-pairs is quadratic — callers bound it (``max_id``) or go through
-    ``lsh_topk`` buckets at scale. Norms are computed once per side before the
-    join so the join condition stays cheap.
+    All-pairs — quadratic by construction. This is the TEST ORACLE for
+    :func:`near_dup_pairs`, not a scale path: callers must bound the input
+    (``max_id``). Norms are computed once per side before the join so the join
+    condition stays cheap.
     """
     corpus = emb.select(
         F.col(id_col).cast("long").alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
@@ -98,6 +99,73 @@ def near_dup_pairs(
         (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score_raw"),
     )
     return pairs.filter(F.col("score_raw") >= threshold).select(
+        "id_a", "id_b", F.round("score_raw", 4).alias("score")
+    )
+
+
+def near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    bits: int = 16,
+    n_blocks: int = 4,
+    max_id: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs (id_a < id_b, cosine ≥ threshold).
+
+    The 10^12-row path (VERDICT.md defect #2 fix — the old default was an
+    all-pairs BroadcastNestedLoopJoin). Candidate generation is the simhash
+    blocking scheme over a ``bits``-bit random-hyperplane signature: split the
+    signature into ``n_blocks`` blocks; any pair within signature-Hamming ≤
+    n_blocks-1 shares ≥1 block (pigeonhole), so candidates come from
+    ``n_blocks`` per-block EQUI-joins on tiny (id, block-key) rows —
+    co-partitioned shuffles, never a cross product, and the vectors are NOT
+    carried through the block joins. Exact cosine is verified only on the
+    distinct candidate pairs via two id-equi-joins back to the corpus.
+
+    Approximate by design (recall is guaranteed only for pairs whose signatures
+    agree on ≥1 block); :func:`near_dup_pairs_exact` is the bounded-input
+    oracle. The SQL oracle in ``__spark_entry__`` reproduces the md5-derived
+    hyperplanes bit-for-bit, so results are deterministic engine-to-engine.
+    """
+    if bits % n_blocks:
+        raise ValueError("bits must divide evenly into n_blocks")
+    corpus = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    if max_id is not None:
+        corpus = corpus.filter(F.col("vec_id") < max_id)
+    blk = bits // n_blocks
+    keyed = corpus.select(
+        "vec_id", signature_expr(F.col("v"), dim, bits).alias("sig")
+    ).select(
+        "vec_id",
+        *[
+            ((F.col("sig") / F.lit(1 << (b * blk))).cast("long") % (1 << blk)).alias(f"b{b}")
+            for b in range(n_blocks)
+        ],
+    )
+    cands = None
+    for b in range(n_blocks):
+        a_ = keyed.alias("a")
+        b_ = keyed.alias("b")
+        c = (
+            a_.join(b_, on=f"b{b}")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+    withv = corpus.withColumn("n", norm_expr(F.col("v")))
+    a_side = withv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b_side = withv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    scored = cands.join(a_side, "id_a").join(b_side, "id_b").select(
+        "id_a", "id_b",
+        (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score_raw"),
+    )
+    return scored.filter(F.col("score_raw") >= threshold).select(
         "id_a", "id_b", F.round("score_raw", 4).alias("score")
     )
 

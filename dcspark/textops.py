@@ -352,30 +352,54 @@ def minhash_near_dups(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_expr(bits: int = 16, col: str = "text") -> Column:
-    """bits-bit SimHash over the token multiset.
+def simhash_from_hashes(hashes: Column, total: Column, bits: int = 16) -> Column:
+    """bits-bit SimHash from a pre-computed md5(token) hex array.
 
     Bit j is set iff strictly more than half the tokens have an odd ASCII code
     at hex position j of md5(token) — a deterministic, engine-portable variant
-    (1 bit per md5 hex char, majority vote, tie → 0).
+    (1 bit per md5 hex char, majority vote, tie → 0). Taking the HASHES array
+    (not the tokens) keeps md5 out of the per-bit loop: the caller evaluates
+    md5 once per token; the 16 per-bit passes only do substring+ascii over the
+    cached hex strings (VERDICT.md defect #3: the old form recomputed md5 per
+    token per bit — 16x the hash work).
     """
-    w = words_expr(col)
-    total = F.size(w)
     acc = F.lit(0).cast("long")
     for j in range(1, bits + 1):
-        hits = F.size(F.filter(w, lambda x: F.ascii(F.substring(F.md5(x), j, 1)) % 2 == 1))
+        hits = F.size(F.filter(hashes, lambda s: F.ascii(F.substring(s, j, 1)) % 2 == 1))
         bit = (hits * 2 > total).cast("long")
         acc = acc + bit * F.lit(1 << (j - 1)).cast("long")
     return acc
 
 
+def simhash_expr(bits: int = 16, col: str = "text") -> Column:
+    """bits-bit SimHash of a text column (same bit derivation as
+    :func:`simhash_from_hashes`; kept for API stability). Prefer
+    :func:`simhash_table`, whose split projection guarantees md5 runs once per
+    token — inlined here, each per-bit filter re-evaluates the transform."""
+    w = words_expr(col)
+    return simhash_from_hashes(F.transform(w, lambda x: F.md5(x)), F.size(w), bits)
+
+
 def simhash_table(docs: DataFrame, bits: int = 16) -> DataFrame:
-    """(doc_id, simhash) per document with ≥1 token."""
-    return (
+    """(doc_id, simhash) per document with ≥1 token.
+
+    The md5(token) array is materialized in its OWN projection; referencing it
+    16 times from the per-bit pass doesn't re-inline it (CollapseProject keeps
+    multi-referenced non-cheap expressions in a separate Project), so md5 runs
+    exactly once per token.
+    """
+    hashed = (
         fan_out(docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
-        .select("doc_id", words_expr().alias("w"), simhash_expr(bits).alias("simhash"))
+        .select("doc_id", words_expr().alias("w"))
         .filter(F.size("w") > 0)
-        .select("doc_id", "simhash")
+        .select(
+            "doc_id",
+            F.size("w").alias("n"),
+            F.transform("w", lambda x: F.md5(x)).alias("h"),
+        )
+    )
+    return hashed.select(
+        "doc_id", simhash_from_hashes(F.col("h"), F.col("n"), bits).alias("simhash")
     )
 
 

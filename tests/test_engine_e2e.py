@@ -109,6 +109,74 @@ def test_per_partition_results(spark, spec, clean_tables, ref_stats):
     assert len(audio_rows) == 4
 
 
+def test_single_decode_pass_even_with_violations(spark, spec, ref_stats):
+    """VERDICT.md defect #1 regression: the payload corpus is decoded exactly
+    ONCE per validation run even when violations are present (the capped
+    violation rows come out of the same compact pass as the metrics)."""
+    from dcspark.audio import synth_snr_oracle
+
+    corrupt = {"bad_sr": 0.2}
+    clips = synth.generate_audio_table(
+        spark, N, seed=SEED, corrupt=corrupt, dur_lo=DUR[0], dur_hi=DUR[1], num_partitions=4
+    )
+    ref = synth.generate_transcripts_ref(spark, N, seed=SEED, num_partitions=4)
+    decoded_rows = spark.sparkContext.accumulator(0)
+    base = synth_snr_oracle(SEED, DUR[0], DUR[1])
+
+    def counting_snr(clip_id, sr, dur, pcm):
+        decoded_rows.add(1)
+        return base(clip_id, sr, dur, pcm)
+
+    cfg = ValidationConfig(ref_stats=ref_stats, audio_snr_fn=counting_snr)
+    res = validate(spark, spec, {"audio_clips": clips, "transcripts_ref": ref}, cfg)
+    audio = next(c for c in res.run.checks if c.type == "audio_decode_conformance")
+    assert audio.result == ResultEnum.failed
+    # violations were produced...
+    vio = res.violations.filter(F.col("check_key") == audio.key)
+    assert vio.count() > 0
+    assert vio.filter(F.col("observed").contains("decoded_sr=")).count() > 0
+    # ...from a single decode scan: every clip decoded exactly once
+    assert decoded_rows.value == N
+
+
+def test_checkpoint_resume_reproduces_audio_violations(spark, spec, ref_stats):
+    """Resume must reproduce the capped violation sample from the manifest
+    without rescanning completed partitions."""
+    corrupt = {"bad_sr": 0.2}
+    clips = synth.generate_audio_table(
+        spark, N, seed=SEED, corrupt=corrupt, dur_lo=DUR[0], dur_hi=DUR[1], num_partitions=4
+    ).withColumn("bucket", F.pmod(F.xxhash64("clip_id"), F.lit(8)).cast("string"))
+    ref = synth.generate_transcripts_ref(spark, N, seed=SEED, num_partitions=4)
+    tables = {"audio_clips": clips, "transcripts_ref": ref}
+
+    tmp = tempfile.mkdtemp()
+    try:
+        full = validate(spark, spec, tables, _cfg(
+            ref_stats, partition_col="bucket", checkpoint_dir=tmp + "/full", checkpoint_chunks=4))
+        part = validate(spark, spec, tables, _cfg(
+            ref_stats, partition_col="bucket", checkpoint_dir=tmp + "/part", checkpoint_chunks=4))
+        import glob
+        manifest = glob.glob(tmp + "/part/manifest__*audio_clips.jsonl")[0]
+        lines = open(manifest).readlines()
+        with open(manifest, "w") as f:
+            f.writelines(lines[: len(lines) // 2])
+        resumed = validate(spark, spec, tables, _cfg(
+            ref_stats, partition_col="bucket", checkpoint_dir=tmp + "/part",
+            checkpoint_chunks=4, resume=True))
+        assert resumed.metrics == full.metrics
+        key = next(c.key for c in full.run.checks if c.type == "audio_decode_conformance")
+
+        def vio_set(res):
+            return {
+                (r["partition_id"], r["clip_id"], r["observed"])
+                for r in res.violations.filter(F.col("check_key") == key).collect()
+            }
+
+        assert vio_set(resumed) == vio_set(full) != set()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_checkpoint_resume_identical(spark, spec, clean_tables, ref_stats):
     clips = clean_tables["audio_clips"].withColumn(
         "bucket", F.pmod(F.xxhash64("clip_id"), F.lit(8)).cast("string")

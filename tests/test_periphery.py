@@ -174,7 +174,10 @@ def test_export_protobuf():
     proto = export(spec, "protobuf")
     assert 'syntax = "proto3";' in proto
     assert "message t {" in proto
-    assert "enum EEnum {" in proto and "A = 0;" in proto
+    # enums scoped per (message, field); constants prefixed with the enum name
+    # (proto3 enum constants share the enclosing scope's namespace)
+    assert "enum T_E_Enum {" in proto and "T_E_ENUM_A = 0;" in proto
+    assert "T_E_Enum e = 3;" in proto
     assert "string id = 1;" in proto
 
 
@@ -339,6 +342,29 @@ def test_cli_import_csv(tmp_path, capsys):
     assert main(["import", "--format", "csv", path]) == 0
     doc = yaml.safe_load(capsys.readouterr().out)
     assert doc["models"]["d"]["fields"]["a"]["type"] == "long"
+
+
+def test_cli_import_odcs_and_default_model_name(tmp_path, capsys):
+    """ADVICE r01 regression: `import --format odcs` must not TypeError (the
+    ODCS importer takes no model_name), and `--format jsonschema` without
+    --model must fall back to the importer default, never a None model key."""
+    from tests.test_spec import ODCS_V3
+    from dcspark.cli import main
+
+    opath = str(tmp_path / "c.odcs.yaml")
+    with open(opath, "w") as f:
+        f.write(ODCS_V3)
+    assert main(["import", "--format", "odcs", opath]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    assert "audio_clips" in doc["models"]
+
+    jpath = str(tmp_path / "s.json")
+    with open(jpath, "w") as f:
+        f.write('{"type": "object", "properties": {"a": {"type": "string"}}}')
+    assert main(["import", "--format", "jsonschema", jpath]) == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    assert None not in doc["models"] and "null" not in doc["models"]
+    assert list(doc["models"]) == ["imported"]
 
 
 DRIFT_CONTRACT = """

@@ -154,6 +154,47 @@ def test_ivf_topk_broadcasts_probe_side(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_near_dup_pairs_no_nested_loop_join(spark):
+    """Bucketed embedding near-dup (VERDICT defect #2 fix): candidates must
+    come from equi-joins on signature blocks — never a BroadcastNestedLoopJoin
+    or cartesian product over the corpus."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    plan = _plan(simsearch.near_dup_pairs(emb, dim=dim, threshold=0.35))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_near_dup_pairs_subset_of_exact(spark):
+    """Every bucketed near-dup pair must appear in the exact all-pairs oracle
+    with the identical score (bucketing may lose recall, never precision)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    approx = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in simsearch.near_dup_pairs(
+            emb, dim=dim, threshold=0.35, max_id=200).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in simsearch.near_dup_pairs_exact(
+            emb, threshold=0.35, max_id=200).collect()
+    }
+    assert approx, "no candidate pairs survived — threshold/bits mis-tuned"
+    assert set(approx) <= set(exact)
+    assert all(abs(exact[k] - v) < 1e-9 for k, v in approx.items())
+
+
+def test_simhash_single_md5_projection(spark):
+    """simhash_table must evaluate md5 once per token: the hash array lives in
+    its own Project and the 16 per-bit passes reference it (VERDICT defect #3).
+    A regression re-inlining the transform shows up as 16 md5 calls per plan."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    opt = _optimized(textops.simhash_table(docs))
+    assert opt.count("md5(") == 1, f"md5 evaluated {opt.count('md5(')}x in plan"
+
+
 def test_dedup_shuffles_fingerprints_not_text(spark):
     """Exact dedup's exchange carries the md5 fingerprint, never the document
     body — shuffle volume is 32 bytes/row regardless of text size."""
