@@ -131,7 +131,9 @@ def cmd_export(args: argparse.Namespace) -> int:
     from .spec import DataContractSpecification
 
     spec = DataContractSpecification.from_file(args.contract)
-    out = export(spec, args.format, model=args.model)
+    out = export(spec, args.format, model=args.model,
+                 server=getattr(args, "server", None),
+                 template=getattr(args, "template", None))
     if args.output:
         with open(args.output, "w", encoding="utf-8") as f:
             f.write(out)
@@ -302,13 +304,21 @@ def main(argv: Optional[list] = None) -> int:
     e.add_argument("--format", required=True,
                    choices=["spark", "spark-json", "jsonschema", "checks", "sodacl",
                             "iceberg", "sql", "sql-query", "avro", "protobuf",
-                            "dbt", "dbt-sources", "great-expectations", "markdown"])
+                            "dbt", "dbt-sources", "dbt-staging-sql",
+                            "great-expectations", "markdown", "odcs", "html",
+                            "bigquery", "dbml", "sqlalchemy", "pydantic-model",
+                            "terraform", "rdf", "go", "avro-idl", "data-caterer",
+                            "dcs", "custom"])
     e.add_argument("--model", default=None)
+    e.add_argument("--server", default=None)
+    e.add_argument("--template", default=None, help="jinja2 template for --format custom")
     e.add_argument("--output", default=None)
 
     i = sub.add_parser("import", help="derive a contract from existing data")
     i.add_argument("--format", required=True,
-                   choices=["parquet", "csv", "avro", "jsonschema", "iceberg", "odcs"])
+                   choices=["parquet", "csv", "avro", "jsonschema", "iceberg", "odcs",
+                            "bigquery", "unity", "glue", "sql", "dbt", "dbml",
+                            "protobuf"])
     i.add_argument("source")
     i.add_argument("--model", default=None)
     i.add_argument("--output", default=None)

@@ -485,7 +485,8 @@ def to_markdown(spec: DataContractSpecification) -> str:
 # ---------------------------------------------------------------------------
 
 def export(spec: DataContractSpecification, fmt: str,
-           model: Optional[str] = None) -> str:
+           model: Optional[str] = None, server: Optional[str] = None,
+           template: Optional[str] = None) -> str:
     fmt = fmt.lower()
     if fmt == "spark":
         return to_spark_ddl(spec)
@@ -509,7 +510,7 @@ def export(spec: DataContractSpecification, fmt: str,
         return json.dumps(to_avro_schema(name, spec.models[name]), indent=2)
     if fmt == "protobuf":
         return to_protobuf(spec)
-    if fmt in ("dbt", "dbt-sources"):
+    if fmt == "dbt-sources":
         import yaml
 
         return yaml.safe_dump(to_dbt_sources(spec), sort_keys=False)
@@ -518,4 +519,39 @@ def export(spec: DataContractSpecification, fmt: str,
         return json.dumps(to_great_expectations(name, spec.models[name]), indent=2)
     if fmt == "markdown":
         return to_markdown(spec)
+
+    from . import export_extra as x
+
+    if fmt in ("odcs", "odcs_v3"):
+        return x._dump_yaml(x.to_odcs_v3(spec))
+    if fmt == "html":
+        return x.to_html(spec)
+    if fmt == "dbt":
+        return x._dump_yaml(x.to_dbt_models(spec))
+    if fmt == "dbt-staging-sql":
+        return x.to_dbt_staging_sql(spec, model)
+    if fmt == "bigquery":
+        return json.dumps(x.to_bigquery_schema(spec, model), indent=2)
+    if fmt == "dbml":
+        return x.to_dbml(spec)
+    if fmt == "sqlalchemy":
+        return x.to_sqlalchemy_model(spec)
+    if fmt == "pydantic-model":
+        return x.to_pydantic_model(spec)
+    if fmt == "terraform":
+        return x.to_terraform(spec)
+    if fmt == "rdf":
+        return x.to_rdf_n3(spec)
+    if fmt == "go":
+        return x.to_go_types(spec)
+    if fmt == "avro-idl":
+        return x.to_avro_idl(spec)
+    if fmt == "data-caterer":
+        return x._dump_yaml(x.to_data_caterer(spec, server))
+    if fmt == "dcs":
+        return x.spec_to_yaml(spec)
+    if fmt == "custom":
+        if not template:
+            raise ValueError("export to custom requires a template argument")
+        return x.to_custom(spec, template)
     raise ValueError(f"unsupported export format: {fmt}")

@@ -338,10 +338,16 @@ def import_from_odcs_v3(doc, contract_id: Optional[str] = None) -> DataContractS
             ftype = map_type(prop.get("logicalType"))
             if ftype is None:
                 continue  # unmappable logical type: skip (reference logs + skips)
+            # ODCS docs in the wild carry either `required` or `nullable`
+            # (the reference exporter writes nullable but its importer reads
+            # only required — accepting both closes our own round-trip)
+            required = prop.get("required")
+            if required is None and prop.get("nullable") is not None:
+                required = not prop["nullable"]
             f = Field(
                 type=ftype,
                 description=prop.get("description"),
-                required=prop.get("required"),
+                required=required,
                 unique=prop.get("unique"),
                 # composite PKs live on the model, not per-field (reference
                 # odcs_v3_importer.py:259-262,286-288)
@@ -374,8 +380,23 @@ def import_contract(fmt: str, source, **kwargs) -> DataContractSpecification:
     fmt = fmt.lower()
     if kwargs.get("model_name") is None:
         kwargs.pop("model_name", None)
-    if fmt in ("odcs", "odcs_v3"):
+    if fmt in ("odcs", "odcs_v3", "bigquery", "unity", "glue", "sql", "dbt",
+               "dbml", "protobuf"):
+        # these sources carry their own model names
         kwargs.pop("model_name", None)
+    if fmt in ("bigquery", "unity", "glue", "sql", "dbt", "dbml", "protobuf"):
+        from . import imports_extra as x
+
+        fn = {
+            "bigquery": x.import_from_bigquery,
+            "unity": x.import_from_unity,
+            "glue": x.import_from_glue,
+            "sql": x.import_from_sql,
+            "dbt": x.import_from_dbt,
+            "dbml": x.import_from_dbml,
+            "protobuf": x.import_from_protobuf,
+        }[fmt]
+        return fn(source, **kwargs)
     if fmt == "spark":
         return import_from_spark(source, **kwargs)
     if fmt == "parquet":

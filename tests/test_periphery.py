@@ -130,11 +130,194 @@ def test_export_factory_formats():
     spec = DataContractSpecification.from_string(CONTRACT)
     for fmt in ["spark", "spark-json", "jsonschema", "checks", "iceberg",
                 "sql", "sql-query", "avro", "protobuf", "dbt-sources",
-                "great-expectations", "markdown"]:
+                "great-expectations", "markdown",
+                "odcs", "html", "dbt", "dbt-staging-sql", "bigquery", "dbml",
+                "sqlalchemy", "pydantic-model", "rdf", "go", "avro-idl",
+                "data-caterer", "dcs"]:
         out = export(spec, fmt)
-        assert out
+        assert out, fmt
     with pytest.raises(ValueError):
         export(spec, "nope")
+    with pytest.raises(ValueError):
+        export(spec, "custom")  # custom requires a template
+
+
+def test_export_new_formats_content(tmp_path):
+    spec = DataContractSpecification.from_string(CONTRACT)
+    html = export(spec, "html")
+    assert "<h2>Model: t</h2>" in html and "^x[0-9]+$" in html
+    dbml = export(spec, "dbml")
+    assert 'Table "t" {' in dbml and '"id" "VARCHAR" [pk, not null, unique' in dbml
+    go = export(spec, "go")
+    assert "type T struct {" in go and "Id string" in go and "*int" in go
+    sa = export(spec, "sqlalchemy")
+    compile(sa, "<sa>", "exec")  # generated source must be valid Python
+    assert "__tablename__ = 't'" in sa and "primary_key=True" in sa
+    pyd = export(spec, "pydantic-model")
+    compile(pyd, "<pyd>", "exec")
+    assert "class T(pydantic.BaseModel):" in pyd and "typing.Optional[int]" in pyd
+    idl = export(spec, "avro-idl")
+    assert "protocol TestContract {" in idl and "record T {" in idl and "int? n;" in idl
+    staging = export(spec, "dbt-staging-sql")
+    assert "from {{ source('test-contract', 't') }}" in staging
+    bq = json.loads(export(spec, "bigquery"))
+    cols = {f["name"]: f for f in bq["schema"]["fields"]}
+    assert cols["id"]["mode"] == "REQUIRED" and cols["n"]["type"] == "INTEGER"
+    rdf = export(spec, "rdf")
+    assert "a dc:DataContract" in rdf and "dc:field" in rdf
+    tpl = tmp_path / "tpl.j2"
+    tpl.write_text("contract={{ data_contract.id }} models={{ data_contract.models | length }}")
+    assert export(spec, "custom", template=str(tpl)) == "contract=test-contract models=1"
+
+
+def test_import_sql_roundtrip():
+    from dcspark.imports import import_contract
+
+    spec = DataContractSpecification.from_string(CONTRACT)
+    ddl = export(spec, "sql")
+    back = import_contract("sql", ddl)
+    t = back.models["t"].fields
+    assert set(t) == {"id", "n", "e"}
+    assert t["id"].type == "varchar" and t["id"].required and t["id"].primaryKey
+    assert t["n"].type == "integer"
+
+
+def test_import_protobuf_roundtrip():
+    from dcspark.imports import import_contract
+
+    spec = DataContractSpecification.from_string(CONTRACT)
+    proto = export(spec, "protobuf")
+    back = import_contract("protobuf", proto)
+    t = back.models["t"].fields
+    assert t["id"].type == "string"
+    assert t["n"].type == "integer"
+    # enum values recovered modulo proto3 constant uppercasing
+    assert t["e"].enum == ["A", "B"]
+
+
+def test_import_dbml_roundtrip():
+    from dcspark.imports import import_contract
+
+    spec = DataContractSpecification.from_string(CONTRACT)
+    back = import_contract("dbml", export(spec, "dbml"))
+    t = back.models["t"].fields
+    assert t["id"].primaryKey and t["id"].required and t["id"].unique
+    assert t["n"].type == "integer" and t["id"].description == "d"
+
+
+def test_import_bigquery_roundtrip():
+    from dcspark.imports import import_contract
+
+    spec = DataContractSpecification.from_string(CONTRACT)
+    back = import_contract("bigquery", export(spec, "bigquery"))
+    t = back.models["t"].fields
+    assert t["id"].type == "string" and t["id"].required
+    assert t["n"].type == "int"
+
+
+def test_import_glue_json():
+    from dcspark.imports import import_contract
+
+    doc = {"Table": {
+        "Name": "clips",
+        "StorageDescriptor": {"Columns": [
+            {"Name": "clip_id", "Type": "string", "Comment": "pk"},
+            {"Name": "scores", "Type": "array<double>"},
+            {"Name": "meta", "Type": "struct<sr:int,codec:string>"},
+            {"Name": "tags", "Type": "map<string,int>"},
+            {"Name": "price", "Type": "decimal(10,2)"},
+        ]},
+        "PartitionKeys": [{"Name": "dt", "Type": "string"}],
+    }}
+    spec = import_contract("glue", doc)
+    f = spec.models["clips"].fields
+    assert f["clip_id"].type == "string" and f["clip_id"].description == "pk"
+    assert f["scores"].type == "array" and f["scores"].items.type == "double"
+    assert f["meta"].type == "struct" and f["meta"].fields["sr"].type == "integer"
+    assert f["tags"].type == "map" and f["tags"].values.type == "integer"
+    assert f["price"].precision == 10 and f["price"].scale == 2
+    assert f["dt"].required  # hive partition keys are required
+
+
+def test_import_unity_json():
+    import pyspark.sql.types as T
+
+    from dcspark.imports import import_contract
+
+    cols = [
+        {"name": "clip_id", "comment": "the id",
+         "type_json": json.dumps(T.StructField("clip_id", T.StringType(), False).jsonValue())},
+        {"name": "dur_ms",
+         "type_json": json.dumps(T.StructField("dur_ms", T.IntegerType(), True).jsonValue())},
+        {"name": "emb",
+         "type_json": json.dumps(
+             T.StructField("emb", T.ArrayType(T.FloatType()), True).jsonValue())},
+    ]
+    spec = import_contract("unity", {"name": "clips", "comment": "audio", "columns": cols})
+    f = spec.models["clips"].fields
+    assert f["clip_id"].required and f["clip_id"].description == "the id"
+    assert f["dur_ms"].type == "integer"
+    assert f["emb"].type == "array" and f["emb"].items.type == "float"
+    assert spec.models["clips"].description == "audio"
+
+
+def test_import_dbt_manifest():
+    from dcspark.imports import import_contract
+
+    manifest = {
+        "metadata": {"project_name": "analytics"},
+        "nodes": {
+            "model.analytics.clips": {
+                "resource_type": "model", "name": "clips", "description": "clip table",
+                "columns": {
+                    "clip_id": {"name": "clip_id", "data_type": "varchar", "description": "id"},
+                    "dur_ms": {"name": "dur_ms", "data_type": "bigint"},
+                },
+            },
+            "test.analytics.not_null_clips_clip_id": {
+                "resource_type": "test", "column_name": "clip_id",
+                "attached_node": "model.analytics.clips",
+                "test_metadata": {"name": "not_null"},
+            },
+            "test.analytics.unique_clips_clip_id": {
+                "resource_type": "test", "column_name": "clip_id",
+                "attached_node": "model.analytics.clips",
+                "test_metadata": {"name": "unique"},
+            },
+        },
+    }
+    spec = import_contract("dbt", manifest)
+    assert spec.id == "analytics"
+    f = spec.models["clips"].fields
+    assert f["clip_id"].required and f["clip_id"].unique
+    assert f["dur_ms"].type == "bigint"
+    assert spec.models["clips"].description == "clip table"
+
+
+def test_export_terraform_s3():
+    spec = DataContractSpecification.from_string(
+        CONTRACT + "\nservers:\n  prod:\n    type: s3\n    location: s3://my-bucket/data/*.parquet\n"
+    )
+    tf = export(spec, "terraform")
+    assert 'resource "aws_s3_bucket" "test-contract_prod"' in tf
+    assert 'bucket = "my-bucket"' in tf
+    # data-caterer picks the server up for step typing
+    dc = yaml.safe_load(export(spec, "data-caterer"))
+    assert dc["steps"][0]["options"]["path"].startswith("s3://")
+
+
+def test_export_odcs_roundtrip():
+    """odcs export -> odcs import recovers the model shape (VERDICT r01 #4)."""
+    from dcspark.imports import import_contract
+
+    spec = DataContractSpecification.from_string(CONTRACT)
+    odcs_yaml = export(spec, "odcs")
+    back = import_contract("odcs", odcs_yaml)
+    assert back.id == spec.id
+    assert set(back.models["t"].fields) == set(spec.models["t"].fields)
+    t = back.models["t"].fields
+    assert t["id"].required and t["id"].unique and t["id"].primaryKey
+    assert t["n"].type in ("integer", "int")
 
 
 def test_export_sql_ddl():
