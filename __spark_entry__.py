@@ -399,6 +399,66 @@ FROM orders
 """
 
 
+NESTED_CONTRACT = """
+id: nested
+models:
+  orders_nested:
+    fields:
+      meta:
+        type: struct
+        required: true
+        fields:
+          price: {type: double, minimum: 1, maximum: 400000, required: true}
+          status: {type: string, enum: [F, O, P]}
+          priority: {type: string, minLength: 6}
+"""
+
+
+def q_nested_field_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested-struct constraints via dotted paths in the SAME shared
+    multi-aggregate scan (exceeds the reference: its native engine is
+    top-level-only, data_contract_checks.py:31-63). The agg columns come from
+    the REAL compiler (create_checks) over a nested contract, so this oracle
+    locks the production dotted-path compilation, not a re-implementation."""
+    from dcspark.compile import create_checks
+
+    orders = _t(spark, sf, "orders")
+    df = orders.select(
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta")
+    )
+    spec = DataContractSpecification.from_string(NESTED_CONTRACT)
+    checks = create_checks(spec)["orders_nested"]
+    aggs = []
+    for c in checks:
+        if c.agg_alias and c.agg_expr is not None:
+            aggs.append(c.agg_expr().cast("long").alias(c.agg_alias.replace(".", "_")))
+        for alias, thunk in c.extra_aggs.items():
+            aggs.append(F.round(thunk(), 2).alias(alias.replace(".", "_")))
+    return df.agg(*aggs)
+
+
+SQL_NESTED_FIELD_CHECKS = """
+WITH n AS (
+  SELECT struct_pack(price := o_totalprice, status := o_orderstatus, priority := o_orderpriority) AS meta
+  FROM orders
+)
+SELECT
+  cast(coalesce(sum(CASE WHEN meta IS NULL THEN 1 ELSE 0 END),0) AS bigint) AS "meta__missing_count",
+  cast(coalesce(sum(CASE WHEN meta.price IS NULL THEN 1 ELSE 0 END),0) AS bigint) AS "meta_price__missing_count",
+  cast(coalesce(sum(CASE WHEN meta.price IS NOT NULL AND meta.price < 1 THEN 1 ELSE 0 END),0) AS bigint) AS "meta_price__minimum_invalid",
+  round(min(meta.price), 2) AS "meta_price__min",
+  cast(coalesce(sum(CASE WHEN meta.price IS NOT NULL AND meta.price > 400000 THEN 1 ELSE 0 END),0) AS bigint) AS "meta_price__maximum_invalid",
+  round(max(meta.price), 2) AS "meta_price__max",
+  cast(coalesce(sum(CASE WHEN meta.status IS NOT NULL AND meta.status NOT IN ('F','O','P') THEN 1 ELSE 0 END),0) AS bigint) AS "meta_status__enum_invalid",
+  cast(coalesce(sum(CASE WHEN meta.priority IS NOT NULL AND length(meta.priority) < 6 THEN 1 ELSE 0 END),0) AS bigint) AS "meta_priority__min_length_invalid"
+FROM n
+"""
+
+
 def q_violation_rows(spark: SparkSession, sf: str) -> DataFrame:
     """per-row violation extraction with a deterministic cap (mirrors the
     engine's violations table, FIXTURES.md §4; cap parity with the reference's
@@ -984,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_retention": q_freshness_retention,
         "shared_multiagg_pass": q_shared_multiagg,
         "violation_rows_capped": q_violation_rows,
+        "nested_field_checks": q_nested_field_checks,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "row_counts": q_row_counts,
@@ -1017,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "freshness_retention": SQL_FRESHNESS_RETENTION,
         "shared_multiagg_pass": SQL_SHARED_MULTIAGG,
         "violation_rows_capped": SQL_VIOLATION_ROWS,
+        "nested_field_checks": SQL_NESTED_FIELD_CHECKS,
         "drift_psi": _sql_drift_psi(),
         "drift_ks": _sql_drift_ks(),
         "row_counts": SQL_ROW_COUNTS,

@@ -631,7 +631,15 @@ def create_checks(
     out: Dict[str, List[CompiledCheck]] = {}
     for model_name, model in spec.models.items():
         checks: List[CompiledCheck] = []
-        for fname, f_ in model.fields.items():
+
+        def emit_field(fname: str, f_: Field) -> None:
+            """One field's checks; recurses into struct children with a dotted
+            path. Nested constraint evaluation EXCEEDS the reference — its
+            native engine is top-level-only (data_contract_checks.py:31-63),
+            nested fields reach only its jsonschema engine. Spark resolves
+            ``F.col("a.b")`` as struct access, so dotted predicates join the
+            same shared multi-aggregate scan as top-level ones (and Parquet
+            still prunes to the referenced leaves)."""
             checks.append(check_field_is_present(model_name, fname))
             if f_.type and is_check_types(server_format):
                 checks.append(check_field_type(model_name, fname, f_))
@@ -670,6 +678,12 @@ def create_checks(
             for qi, q in enumerate(f_.quality):
                 if q.type == "sql" and q.query:
                     checks.append(check_quality_sql(model_name, q, qi, fname))
+            if (f_.type or "").lower() in ("object", "record", "struct"):
+                for child_name, child in f_.fields.items():
+                    emit_field(f"{fname}.{child_name}", child)
+
+        for fname, f_ in model.fields.items():
+            emit_field(fname, f_)
         for qi, q in enumerate(model.quality):
             if q.type == "sql" and q.query:
                 checks.append(check_quality_sql(model_name, q, qi))

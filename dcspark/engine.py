@@ -43,7 +43,7 @@ from . import audio as audio_mod
 from . import drift as drift_mod
 from .compile import CompiledCheck, create_checks
 from .run_model import Check, ResultEnum, Run
-from .spec import DataContractSpecification, to_spark_data_type
+from .spec import DataContractSpecification, resolve_schema_field, to_spark_data_type
 
 VIOLATION_CAP_DEFAULT = 500
 
@@ -224,12 +224,16 @@ class Validator:
         audio_checks = [c for c in checks if c.kind == "audio"]
         join_eq_checks = [c for c in checks if c.kind == "join_equality"]
 
-        present_fields = set(df.schema.fieldNames())
         self._run_schema_checks(schema_checks, df)
 
-        # checks on absent columns can't scan — report error, drop from data path
+        # checks on absent columns can't scan — report error, drop from data
+        # path; dotted paths resolve through nested structs
         def runnable(chk: CompiledCheck) -> bool:
-            if chk.field and chk.field not in present_fields and chk.kind != "sql":
+            if (
+                chk.field
+                and chk.kind != "sql"
+                and resolve_schema_field(df.schema, chk.field) is None
+            ):
                 self._record(chk, None, ResultEnum.error, f"column {chk.field} missing", None)
                 return False
             return True
@@ -292,21 +296,20 @@ class Validator:
     # -- schema checks (driver-side, no scan) --------------------------------
 
     def _run_schema_checks(self, checks: List[CompiledCheck], df: DataFrame) -> None:
-        names = df.schema.fieldNames()
-        by_name = {f.name: f for f in df.schema.fields}
         for chk in checks:
+            resolved = resolve_schema_field(df.schema, chk.field)
             if chk.kind == "schema_present":
-                ok = chk.field in names
+                ok = resolved is not None
                 self._record(
                     chk, 0.0 if ok else 1.0,
                     ResultEnum.passed if ok else ResultEnum.failed,
                     None if ok else f"column {chk.field} missing in schema", None,
                 )
             else:  # schema_type
-                if chk.field not in by_name:
+                if resolved is None:
                     self._record(chk, None, ResultEnum.error, f"column {chk.field} missing", None)
                     continue
-                actual = by_name[chk.field].dataType
+                actual = resolved.dataType
                 expected = chk.params["expected_spark_type"]
                 ok = actual == expected
                 self._record(
@@ -711,9 +714,10 @@ class Validator:
         the first pass.
         """
         col = chk.field
+        # alias so dotted (nested-struct) paths keep a stable key column name
         dup = (
-            df.select(col).filter(F.col(col).isNotNull())
-            .groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+            df.select(F.col(col).alias("__key")).filter(F.col("__key").isNotNull())
+            .groupBy("__key").agg(F.count(F.lit(1)).alias("__cnt"))
             .filter(F.col("__cnt") > 1)
         )
         stats = dup.agg(
@@ -723,11 +727,11 @@ class Validator:
         metric = float(stats["dup_values"] or 0)
         vio_rows = None
         if metric > 0:
-            vio = dup.orderBy(F.col("__cnt").desc(), F.col(col)).limit(self.config.violation_cap).select(
+            vio = dup.orderBy(F.col("__cnt").desc(), F.col("__key")).limit(self.config.violation_cap).select(
                 F.lit(self.run.runId).alias("run_id"),
                 F.lit(None).cast("string").alias("partition_id"),
                 F.lit(chk.key).alias("check_key"),
-                F.col(col).cast("string").alias("clip_id"),
+                F.col("__key").cast("string").alias("clip_id"),
                 F.concat(F.lit("count="), F.col("__cnt").cast("string")).alias("observed"),
                 F.lit("unique").alias("expected"),
             )
@@ -758,9 +762,10 @@ class Validator:
         if self.config.broadcast_references:
             keys = F.broadcast(keys)
         child_col = chk.field
-        orphans = df.select(child_col).filter(F.col(child_col).isNotNull()).join(
-            keys, on=F.col(child_col) == F.col("__parent_key"), how="left_anti"
-        )
+        # alias so dotted (nested-struct) paths keep a stable key column name
+        orphans = df.select(F.col(child_col).alias("__child")).filter(
+            F.col("__child").isNotNull()
+        ).join(keys, on=F.col("__child") == F.col("__parent_key"), how="left_anti")
         metric = float(orphans.count())
         vio_rows = None
         if metric > 0:
@@ -768,8 +773,8 @@ class Validator:
                 F.lit(self.run.runId).alias("run_id"),
                 F.lit(None).cast("string").alias("partition_id"),
                 F.lit(chk.key).alias("check_key"),
-                F.col(child_col).cast("string").alias("clip_id"),
-                F.col(child_col).cast("string").alias("observed"),
+                F.col("__child").cast("string").alias("clip_id"),
+                F.col("__child").cast("string").alias("observed"),
                 F.lit(chk.expected).alias("expected"),
             )
             vio_rows = vio.collect()

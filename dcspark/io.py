@@ -52,6 +52,8 @@ def load_tables(
             df = _read_iceberg(spark, server, model_name, base_path)
         elif stype == "kafka":
             df = _read_kafka(spark, spec, server, model_name)
+        elif stype in JDBC_SERVER_TYPES:
+            df = _read_jdbc(spark, spec, server, model_name)
         elif stype == "dataframe":
             # pre-registered temp view (parity: check_soda_execute.py dataframe server)
             df = spark.table(model_name)
@@ -108,25 +110,127 @@ def _read_iceberg(
     return spark.read.parquet(os.path.join(root, f"{model_name}.parquet"))
 
 
+# generic JDBC warehouse servers, one spark.read.jdbc code path
+# (parity: engines/soda/connections/{postgres,mysql,sqlserver,trino}.py —
+# the reference opens one soda connection per type; Spark's JDBC source gives
+# all of them column pruning + filter pushdown into the warehouse for free)
+JDBC_SERVER_TYPES = ("postgres", "postgresql", "mysql", "sqlserver", "oracle", "trino", "jdbc")
+
+_JDBC_DEFAULTS = {
+    "postgres": ("org.postgresql.Driver", "postgresql", 5432),
+    "postgresql": ("org.postgresql.Driver", "postgresql", 5432),
+    "mysql": ("com.mysql.cj.jdbc.Driver", "mysql", 3306),
+    "sqlserver": ("com.microsoft.sqlserver.jdbc.SQLServerDriver", "sqlserver", 1433),
+    "oracle": ("oracle.jdbc.OracleDriver", "oracle", 1521),
+    "trino": ("io.trino.jdbc.TrinoDriver", "trino", 8080),
+}
+
+
+def jdbc_options(server: Server, model_name: str) -> Dict[str, str]:
+    """JDBC url/driver/dbtable/credentials for a warehouse server.
+
+    Credentials come from the environment — DATACONTRACT_<TYPE>_USERNAME /
+    DATACONTRACT_<TYPE>_PASSWORD — matching the reference's convention
+    (engines/soda/connections/postgres.py:13-14). The JDBC driver jar must be
+    on the Spark classpath (``spark.jars`` / ``--packages``); none ships in
+    this sandbox, so the connect path is exercised by gated integration tests
+    only, while this option builder is unit-tested.
+    """
+    stype = (server.type or "jdbc").lower()
+    driver, scheme, default_port = _JDBC_DEFAULTS.get(stype, (None, stype, None))
+    host = server.host or "localhost"
+    port = server.port or default_port
+    if stype == "sqlserver":
+        url = f"jdbc:sqlserver://{host}:{port};databaseName={server.database or ''}"
+    elif server.path and server.path.startswith("jdbc:"):
+        url = server.path  # explicit JDBC url wins (type: jdbc)
+    else:
+        url = f"jdbc:{scheme}://{host}:{port}/{server.database or ''}"
+    dbtable = f"{server.schema_}.{model_name}" if server.schema_ else model_name
+    env_key = stype.upper()
+    out = {"url": url, "dbtable": dbtable}
+    if server.driver or driver:
+        out["driver"] = server.driver or driver
+    user = os.environ.get(f"DATACONTRACT_{env_key}_USERNAME")
+    password = os.environ.get(f"DATACONTRACT_{env_key}_PASSWORD")
+    if user:
+        out["user"] = user
+    if password:
+        out["password"] = password
+    return out
+
+
+def _read_jdbc(
+    spark: SparkSession, spec: DataContractSpecification, server: Server, model_name: str
+) -> DataFrame:
+    """Read a warehouse table over JDBC, projected to the contract's columns.
+
+    The column list is pushed into the JDBC scan (JDBCRelation prunes columns
+    and pushes filters into the generated SELECT), so the warehouse only ships
+    the contract's fields — at warehouse scale the projection matters more
+    than anything Spark does afterwards.
+    """
+    opts = jdbc_options(server, model_name)
+    df = spark.read.format("jdbc").options(**opts).load()
+    contract_cols = [c for c in spec.models[model_name].fields if c in df.columns]
+    return df.select(*contract_cols) if contract_cols else df
+
+
+def strip_confluent_header(value_col: str = "value"):
+    """Drop the 5-byte Confluent wire-format prefix (magic byte + 4-byte
+    schema-registry id) from a Kafka value column, leaving the raw Avro body
+    (parity: engines/soda/connections/kafka.py:92 — substring(value, 6, ...))."""
+    from pyspark.sql import functions as F
+
+    return F.expr(f"substring({value_col}, 6, length({value_col})-5)")
+
+
+def decode_kafka_value(
+    df: DataFrame, spec: DataContractSpecification, model_name: str, fmt: str = "json"
+) -> DataFrame:
+    """Decode a Kafka batch frame's ``value`` column with the contract schema.
+
+    json: from_json with the contract's Spark schema (PERMISSIVE).
+    avro: strip the Confluent 5-byte header, then ``from_avro`` against the
+    contract's Avro schema (requires the spark-avro package on the classpath —
+    parity: kafka.py:76-95). Split from ``_read_kafka`` so the decode logic is
+    testable without a broker.
+    """
+    from pyspark.sql import functions as F
+
+    if fmt == "avro":
+        import json as _json
+
+        from pyspark.sql.avro.functions import from_avro
+
+        from .export import to_avro_schema
+
+        avro_schema = _json.dumps(to_avro_schema(model_name, spec.models[model_name]))
+        body = strip_confluent_header()
+        return df.select(
+            from_avro(body, avro_schema, {"mode": "PERMISSIVE"}).alias("a")
+        ).select("a.*")
+    schema = to_spark_schema(spec.models[model_name])
+    return df.select(
+        F.from_json(F.col("value").cast("string"), schema, {"mode": "PERMISSIVE"}).alias("j")
+    ).select("j.*")
+
+
 def _read_kafka(
     spark: SparkSession, spec: DataContractSpecification, server: Server, model_name: str
 ) -> DataFrame:
-    """Batch-read a topic snapshot earliest->latest and decode JSON payloads with
-    the contract schema (parity: engines/soda/connections/kafka.py:46-114; the
-    reference also batch-reads, it does not stream)."""
-    from pyspark.sql import functions as F
-
+    """Batch-read a topic snapshot earliest->latest and decode JSON or
+    Confluent-Avro payloads with the contract schema (parity:
+    engines/soda/connections/kafka.py:46-114; the reference also batch-reads,
+    it does not stream)."""
     raw = (
         spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", server.path or "localhost:9092")
+        .option("kafka.bootstrap.servers", server.host or server.path or "localhost:9092")
         .option("subscribe", server.topic or model_name)
         .option("startingOffsets", "earliest")
         .load()
     )
-    schema = to_spark_schema(spec.models[model_name])
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema, {"mode": "PERMISSIVE"}).alias("j")
-    ).select("j.*")
+    return decode_kafka_value(raw, spec, model_name, (server.format or "json").lower())
 
 
 def write_results(results_df: DataFrame, path: str, fmt: str = "parquet") -> None:

@@ -123,7 +123,7 @@ class Model(BaseModel):
 class Server(BaseModel):
     """A connection. Reference shape: data_contract_specification.py:52-80."""
 
-    model_config = ConfigDict(extra="allow")
+    model_config = ConfigDict(extra="allow", populate_by_name=True)
 
     type: Optional[str] = None
     format: Optional[str] = None
@@ -133,6 +133,14 @@ class Server(BaseModel):
     schema_: Optional[str] = PydanticField(default=None, alias="schema")
     topic: Optional[str] = None
     delimiter: Optional[str] = None
+    # warehouse/JDBC connections (parity: engines/soda/connections/*.py)
+    host: Optional[str] = None
+    port: Optional[int] = None
+    database: Optional[str] = None
+    dataset: Optional[str] = None
+    project: Optional[str] = None
+    account: Optional[str] = None
+    driver: Optional[str] = None
 
 
 class Freshness(BaseModel):
@@ -296,6 +304,24 @@ def to_spark_schema(model: Model) -> T.StructType:
             for name, field in model.fields.items()
         ]
     )
+
+
+def resolve_schema_field(schema: T.StructType, path: str) -> Optional[T.StructField]:
+    """Resolve a (possibly dotted) field path against a schema -> StructField.
+
+    ``a.b.c`` walks nested StructTypes; returns None when any segment is
+    missing or a non-struct is traversed. Powers nested-field constraints
+    (the reference's native engine is top-level-only)."""
+    current: T.DataType = schema
+    found: Optional[T.StructField] = None
+    for part in path.split("."):
+        if not isinstance(current, T.StructType):
+            return None
+        found = next((f for f in current.fields if f.name == part), None)
+        if found is None:
+            return None
+        current = found.dataType
+    return found
 
 
 def from_spark_schema(schema: T.StructType) -> Model:
