@@ -111,6 +111,10 @@ def cmd_test(args: argparse.Namespace) -> int:
         write_results(rows, args.results_path)
     if args.violations_path and result.violations is not None:
         write_results(result.violations, args.violations_path)
+    if args.publish:
+        from .publish import publish_run
+
+        publish_run(result.run, args.publish)
     return exit_code(result.run)
 
 
@@ -287,6 +291,9 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--violations-path", default=None)
     t.add_argument("--ref-stats", default=None,
                    help="dir of <model>.parquet drift snapshots (see `snapshot`)")
+    t.add_argument("--publish", default=None,
+                   help="POST run results to this endpoint (x-api-key from "
+                        "DATAMESH_MANAGER_API_KEY / DATACONTRACT_MANAGER_API_KEY)")
 
     sn = sub.add_parser("snapshot", help="build drift reference snapshots from data")
     sn.add_argument("contract")

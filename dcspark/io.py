@@ -114,7 +114,8 @@ def _read_iceberg(
 # (parity: engines/soda/connections/{postgres,mysql,sqlserver,trino}.py —
 # the reference opens one soda connection per type; Spark's JDBC source gives
 # all of them column pruning + filter pushdown into the warehouse for free)
-JDBC_SERVER_TYPES = ("postgres", "postgresql", "mysql", "sqlserver", "oracle", "trino", "jdbc")
+JDBC_SERVER_TYPES = ("postgres", "postgresql", "mysql", "sqlserver", "oracle",
+                     "trino", "snowflake", "databricks", "jdbc")
 
 _JDBC_DEFAULTS = {
     "postgres": ("org.postgresql.Driver", "postgresql", 5432),
@@ -123,6 +124,8 @@ _JDBC_DEFAULTS = {
     "sqlserver": ("com.microsoft.sqlserver.jdbc.SQLServerDriver", "sqlserver", 1433),
     "oracle": ("oracle.jdbc.OracleDriver", "oracle", 1521),
     "trino": ("io.trino.jdbc.TrinoDriver", "trino", 8080),
+    "snowflake": ("net.snowflake.client.jdbc.SnowflakeDriver", "snowflake", 443),
+    "databricks": ("com.databricks.client.jdbc.Driver", "databricks", 443),
 }
 
 
@@ -140,10 +143,18 @@ def jdbc_options(server: Server, model_name: str) -> Dict[str, str]:
     driver, scheme, default_port = _JDBC_DEFAULTS.get(stype, (None, stype, None))
     host = server.host or "localhost"
     port = server.port or default_port
-    if stype == "sqlserver":
-        url = f"jdbc:sqlserver://{host}:{port};databaseName={server.database or ''}"
-    elif server.path and server.path.startswith("jdbc:"):
+    if server.path and server.path.startswith("jdbc:"):
         url = server.path  # explicit JDBC url wins (type: jdbc)
+    elif stype == "sqlserver":
+        url = f"jdbc:sqlserver://{host}:{port};databaseName={server.database or ''}"
+    elif stype == "snowflake":
+        # account host form (parity: soda snowflake connection's account field)
+        sf_host = server.host or (f"{server.account}.snowflakecomputing.com" if server.account else host)
+        url = f"jdbc:snowflake://{sf_host}/?db={server.database or ''}" + (
+            f"&schema={server.schema_}" if server.schema_ else "")
+    elif stype == "databricks":
+        http_path = getattr(server, "http_path", None) or (server.model_extra or {}).get("http_path", "")
+        url = f"jdbc:databricks://{host}:{port};httpPath={http_path}"
     else:
         url = f"jdbc:{scheme}://{host}:{port}/{server.database or ''}"
     dbtable = f"{server.schema_}.{model_name}" if server.schema_ else model_name

@@ -87,3 +87,60 @@ def test_decode_kafka_avro_wiring(spark):
         assert "AVRO_NOT_LOADED" in str(e) or "avro" in str(e).lower()
     else:
         pytest.skip("spark-avro jar present; decode executed")
+
+
+def test_jdbc_options_snowflake_and_databricks():
+    sf = Server(type="snowflake", account="acme-xy12345", database="wh",
+                **{"schema": "public"})
+    opts = jdbc_options(sf, "orders")
+    assert opts["url"] == "jdbc:snowflake://acme-xy12345.snowflakecomputing.com/?db=wh&schema=public"
+    assert opts["driver"].startswith("net.snowflake")
+    db = Server(type="databricks", host="dbc.cloud.databricks.com",
+                http_path="/sql/1.0/wh/abc")
+    opts = jdbc_options(db, "t")
+    assert opts["url"] == "jdbc:databricks://dbc.cloud.databricks.com:443;httpPath=/sql/1.0/wh/abc"
+
+
+def test_publish_run_posts_json(monkeypatch):
+    """publish_run POSTs the Run JSON with x-api-key to the endpoint; failures
+    are logged on the run, never raised (reference datamesh_manager parity)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from dcspark.publish import publish_run
+    from dcspark.run_model import Run
+
+    received = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            received["path"] = self.path
+            received["key"] = self.headers.get("x-api-key")
+            received["body"] = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/api/test-results"
+        monkeypatch.setenv("DATAMESH_MANAGER_API_KEY", "sekrit")
+        run = Run.create_run(data_contract_id="c1", data_contract_version="1.0.0")
+        run.finish()
+        assert publish_run(run, url) is True
+        assert received["key"] == "sekrit"
+        assert received["body"]["dataContractId"] == "c1"
+        assert any("Published test results" in log.message for log in run.logs)
+        # no api key -> logged failure, no exception
+        monkeypatch.delenv("DATAMESH_MANAGER_API_KEY")
+        run2 = Run.create_run(data_contract_id="c1", data_contract_version="1")
+        assert publish_run(run2, url) is False
+        assert any("Failed publishing" in log.message for log in run2.logs)
+    finally:
+        srv.shutdown()
