@@ -101,6 +101,7 @@ def cmd_test(args: argparse.Namespace) -> int:
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         ref_stats=_load_ref_stats(spark, spec, args.ref_stats) if args.ref_stats else {},
+        unique_mode=args.unique_mode,
     )
     result = validate(spark, spec, tables, cfg)
     print_console(result.run)
@@ -294,6 +295,9 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--publish", default=None,
                    help="POST run results to this endpoint (x-api-key from "
                         "DATAMESH_MANAGER_API_KEY / DATACONTRACT_MANAGER_API_KEY)")
+    t.add_argument("--unique-mode", default="exact", choices=["exact", "approx"],
+                   help="exact: dedicated groupBy job certifies zero duplicates; "
+                        "approx: HLL sketch in the shared scan (no key shuffle)")
 
     sn = sub.add_parser("snapshot", help="build drift reference snapshots from data")
     sn.add_argument("contract")
@@ -351,6 +355,12 @@ def main(argv: Optional[list] = None) -> int:
     c.add_argument("old")
     c.add_argument("new")
 
+    # parity: reference `diff` is a changelog alias (cli.py:432-452 "PLACEHOLDER.
+    # Currently works as 'changelog' does.")
+    d = sub.add_parser("diff", help="changes between two contracts (changelog alias)")
+    d.add_argument("old")
+    d.add_argument("new")
+
     args = p.parse_args(argv)
     if args.command == "test":
         return cmd_test(args)
@@ -370,7 +380,7 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_import(args)
     if args.command == "breaking":
         return cmd_breaking(args)
-    if args.command == "changelog":
+    if args.command in ("changelog", "diff"):
         return cmd_breaking(args, include_info=True)
     return 2
 

@@ -76,6 +76,15 @@ class ValidationConfig:
     server_format: Optional[str] = None
     arrow_batch_rows: int = 512  # audio bytes are large; keep Arrow batches bounded
     parallel_jobs: int = 8  # concurrent driver-side Spark job submissions
+    # uniqueness strategy: "exact" runs the dedicated two-phase groupBy job
+    # (certifiable zero-duplicates); "approx" folds an HLL sketch into the
+    # SHARED multi-aggregate scan (north-star architecture: approx-distinct
+    # via HyperLogLog) — no key shuffle at all, duplicates estimated as
+    # nonnull_count - hll_estimate with a 3-sigma noise floor. At 10^12 rows
+    # the exact path shuffles distinct keys; the approx path ships one
+    # 2^lgk-bucket sketch per partition and unions them losslessly.
+    unique_mode: str = "exact"
+    unique_hll_lgk: int = 14  # 2^14 buckets: rsd ~0.8%, ~16 KB sketch/partition
 
 
 @dataclass
@@ -243,6 +252,12 @@ class Validator:
         unique_checks = [c for c in unique_checks if runnable(c)]
         reference_checks = [c for c in reference_checks if runnable(c)]
 
+        approx_unique: List[CompiledCheck] = []
+        if self.config.unique_mode == "approx":
+            # uniqueness joins the shared scan as an HLL sketch — the
+            # dedicated groupBy job (and its shuffle) disappears entirely
+            approx_unique, unique_checks = unique_checks, []
+
         # Compute phase: independent Spark jobs submitted CONCURRENTLY from
         # driver threads (the scheduler overlaps them across free task slots),
         # collapsing ~10 sequential small-job walls into a few waves — the
@@ -251,7 +266,8 @@ class Validator:
         # that the main thread records afterwards in a fixed order, so check
         # ordering stays deterministic.
         thunks: List[Any] = [
-            lambda: self._run_shared_scan(model_name, df, agg_checks, drift_checks, audio_checks)
+            lambda: self._run_shared_scan(
+                model_name, df, agg_checks, drift_checks, audio_checks, approx_unique)
         ]
         thunks += [
             (lambda c=chk: ("unique", c, self._unique_compute(df, c)))
@@ -455,6 +471,10 @@ class Validator:
                 rerouted.append(chk.agg_alias)
         return rerouted
 
+    @staticmethod
+    def _hll_aliases(chk: CompiledCheck) -> Tuple[str, str]:
+        return f"{chk.field}__nonnull_count", f"{chk.field}__hll_sketch"
+
     def _run_shared_scan(
         self,
         model_name: str,
@@ -462,8 +482,18 @@ class Validator:
         agg_checks: List[CompiledCheck],
         drift_checks: List[CompiledCheck],
         audio_checks: List[CompiledCheck],
+        approx_unique: Optional[List[CompiledCheck]] = None,
     ) -> None:
         exprs, ops, drift_jobs = self._shared_agg_specs(model_name, agg_checks, drift_checks)
+        for chk in approx_unique or []:
+            nn_alias, sk_alias = self._hll_aliases(chk)
+            col = chk.field
+            exprs[nn_alias] = F.coalesce(
+                F.sum(F.when(F.col(col).isNotNull(), 1).otherwise(0)), F.lit(0))
+            ops[nn_alias] = "sum"
+            # the sketch merges by HLL union, not sum/min/max — evaluated by
+            # _record_approx_unique after the scan, never by _merge_rows
+            exprs[sk_alias] = F.hll_sketch_agg(F.col(col), F.lit(self.config.unique_hll_lgk))
         partition_col = self.config.partition_col if (
             self.config.partition_col and self.config.partition_col in df.columns
         ) else None
@@ -554,6 +584,9 @@ class Validator:
                     )
             if result == ResultEnum.failed and chk.violation_predicate is not None:
                 failed_agg.append(chk)
+
+        for chk in approx_unique or []:
+            self._record_approx_unique(chk, part_rows, global_row, partition_col)
 
         for chk in drift_checks:
             if "_stats" not in chk.params:
@@ -696,6 +729,72 @@ class Validator:
         self._violation_frames.append(
             self.spark.createDataFrame(capped.collect(), schema=VIOLATIONS_DDL)
         )
+
+    # -- approx uniqueness (HLL sketch in the shared scan; zero extra shuffle) --
+
+    def _record_approx_unique(
+        self,
+        chk: CompiledCheck,
+        part_rows: List[Dict[str, Any]],
+        global_row: Dict[str, Any],
+        partition_col: Optional[str],
+    ) -> None:
+        """Evaluate a unique check from the shared scan's HLL sketch.
+
+        Estimated duplicate rows = nonnull_count - hll_estimate. HLL unions
+        are lossless for equal lgConfigK, so the global estimate from unioned
+        per-partition sketches is identical to a direct global sketch. The
+        pass/fail bar is a 3-sigma noise floor (rsd = 1.04/sqrt(2^lgk)) —
+        approx mode detects duplicate MASS above sketch noise; use
+        unique_mode='exact' to certify zero duplicates.
+        """
+        nn_alias, sk_alias = self._hll_aliases(chk)
+        rsd = 1.04 / math.sqrt(2 ** self.config.unique_hll_lgk)
+        sketches = [
+            (str(r.get(partition_col)) if partition_col else None, r.get(sk_alias))
+            for r in part_rows
+            if r.get(sk_alias) is not None
+        ]
+        if not sketches:
+            nn = global_row.get(nn_alias) or 0
+            self._record(chk, 0.0, ResultEnum.passed, None, None,
+                         diagnostics={"approx": True, "nonnull": nn})
+            return
+        tiny = self.spark.createDataFrame(
+            [(pid, bytearray(sk)) for pid, sk in sketches], "pid string, sk binary")
+        per_part = {
+            r["pid"]: float(r["est"])
+            for r in tiny.select("pid", F.hll_sketch_estimate("sk").alias("est")).collect()
+        }
+        global_est = float(
+            tiny.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")).first()["est"]
+        )
+
+        def judge(nonnull: float, est: float):
+            dup_est = max(0.0, nonnull - est)
+            floor = 3.0 * rsd * nonnull
+            if dup_est <= floor:
+                return dup_est, ResultEnum.passed, None
+            return dup_est, ResultEnum.failed, (
+                f"{chk.name}: ~{int(dup_est)} duplicate rows estimated "
+                f"(nonnull={int(nonnull)}, approx_distinct={int(est)}, "
+                f"noise_floor={floor:.1f})"
+            )
+
+        nn_global = float(global_row.get(nn_alias) or 0)
+        metric, result, reason = judge(nn_global, global_est)
+        self._record(chk, metric, result, reason, None, diagnostics={
+            "approx": True, "approx_distinct": global_est,
+            "nonnull": nn_global, "rsd": rsd,
+        })
+        if partition_col:
+            for prow in part_rows:
+                pid = str(prow.get(partition_col))
+                est = per_part.get(pid)
+                if est is None:
+                    continue
+                pm, pres, preason = judge(float(prow.get(nn_alias) or 0), est)
+                self._record(chk, pm, pres, preason, None, partition_id=pid)
 
     # -- uniqueness (dedicated shuffle; AQE-skew-safe) ------------------------
 
@@ -1062,18 +1161,25 @@ class _ConfScope:
 
 
 def _metrics_to_json(row: Optional[Dict[str, Any]], partition_col: str) -> str:
+    import base64
+
     out = {}
     for k, v in (row or {}).items():
         if k == partition_col:
             continue
         if isinstance(v, (dt.datetime, dt.date)):
             out[k] = {"__ts__": v.isoformat()}
+        elif isinstance(v, (bytes, bytearray)):
+            # e.g. the approx-unique HLL sketch: mergeable binary state
+            out[k] = {"__b64__": base64.b64encode(bytes(v)).decode("ascii")}
         else:
             out[k] = v
     return json.dumps(out)
 
 
 def _json_to_metrics(blob: str) -> Dict[str, Any]:
+    import base64
+
     raw = json.loads(blob)
     out: Dict[str, Any] = {}
     for k, v in raw.items():
@@ -1082,6 +1188,8 @@ def _json_to_metrics(blob: str) -> Dict[str, Any]:
                 out[k] = dt.datetime.fromisoformat(v["__ts__"])
             except ValueError:
                 out[k] = None
+        elif isinstance(v, dict) and "__b64__" in v:
+            out[k] = base64.b64decode(v["__b64__"])
         else:
             out[k] = v
     return out
