@@ -119,6 +119,23 @@ def cmd_test(args: argparse.Namespace) -> int:
     return exit_code(result.run)
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    from .io import load_tables
+    from .profile import profile_tables
+    from .spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_file(args.contract)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
+    stats = profile_tables(spark, tables)
+    if args.output:
+        stats.write.mode("overwrite").parquet(args.output)
+        print(f"profile: wrote {stats.count()} column rows -> {args.output}")
+    else:
+        stats.show(n=1000, truncate=False)
+    return 0
+
+
 def cmd_lint(args: argparse.Namespace) -> int:
     from .lint import lint
     from .output import format_console
@@ -299,6 +316,14 @@ def main(argv: Optional[list] = None) -> int:
                    help="exact: dedicated groupBy job certifies zero duplicates; "
                         "approx: HLL sketch in the shared scan (no key shuffle)")
 
+    pr = sub.add_parser("profile", help="one-scan column statistics per model")
+    pr.add_argument("contract")
+    pr.add_argument("--server", default=None)
+    pr.add_argument("--path", default=None)
+    pr.add_argument("--master", default=None)
+    pr.add_argument("--shuffle-partitions", type=int, default=None)
+    pr.add_argument("--output", default=None, help="write stats parquet here")
+
     sn = sub.add_parser("snapshot", help="build drift reference snapshots from data")
     sn.add_argument("contract")
     sn.add_argument("--server", default=None)
@@ -366,6 +391,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_test(args)
     if args.command == "snapshot":
         return cmd_snapshot(args)
+    if args.command == "profile":
+        return cmd_profile(args)
     if args.command == "init":
         return cmd_init(args)
     if args.command == "api":
