@@ -76,6 +76,14 @@ def cpu_control(n_low: int, n_high: int) -> dict:
     return out
 
 
+def steal_probe(n: int = 20_000_000) -> float:
+    """Seconds for a fixed single-thread busy loop — host-steal detector (the
+    sandbox shares physical cores; guest loadavg cannot see host contention)."""
+    t0 = time.perf_counter()
+    _burn(n)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_low = int(os.environ.get("SCALE_N", "4"))
@@ -85,6 +93,7 @@ def main() -> None:
     # to amortize below the 0.8-efficiency bar; 256k puts the local[4] leg at
     # ~60 s, well inside the per-process timeout.
     clips = int(os.environ.get("SCALE_CLIPS", "256000"))
+    rounds = int(os.environ.get("SCALE_ROUNDS", "3"))
 
     print(f"cpu control ({n_low} vs {n_high} procs) ...", flush=True)
     control = cpu_control(n_low, n_high)
@@ -94,10 +103,28 @@ def main() -> None:
     print(f"warm/generate pass at local[32] (clips={clips}) ...", flush=True)
     run_bench(32, sf_dir, clips)
 
-    print(f"timed run at local[{n_low}] ...", flush=True)
-    low = run_bench(n_low, sf_dir, clips)
-    print(f"timed run at local[{n_high}] ...", flush=True)
-    high = run_bench(n_high, sf_dir, clips)
+    # Interleaved trials: the sandbox has HOST-LEVEL noisy-neighbor CPU steal
+    # (invisible to guest loadavg), so running all of one leg then all of the
+    # other lets a noise burst skew efficiency either way. Alternating
+    # N / 4N trials samples the same noise environment on both legs; noise
+    # only ever SLOWS a run, so min-per-leg best approximates the noise-free
+    # wall on each side. Fresh JVM per trial (BENCH_TRIALS=1 inside).
+    trials: list = []
+    low = high = None
+    for r in range(1, rounds + 1):
+        for cpus in (n_low, n_high):
+            probe = steal_probe()
+            os.environ["BENCH_TRIALS"] = "2"  # warm-up + timed inside one JVM
+            res = run_bench(cpus, sf_dir, clips)
+            trials.append({"round": r, "cpus": cpus,
+                           "suite_sec": res["audio_suite_sec"],
+                           "steal_probe_sec": round(probe, 3)})
+            print(f"  round {r} local[{cpus}]: {res['audio_suite_sec']:.2f}s "
+                  f"(steal probe {probe:.2f}s)", flush=True)
+            if cpus == n_low and (low is None or res["audio_suite_sec"] < low["audio_suite_sec"]):
+                low = res
+            if cpus == n_high and (high is None or res["audio_suite_sec"] < high["audio_suite_sec"]):
+                high = res
 
     tp_low = low["value"]
     tp_high = high["value"]
@@ -116,6 +143,7 @@ def main() -> None:
         "suite_sec_low": low["audio_suite_sec"],
         "suite_sec_high": high["audio_suite_sec"],
         "cpu_control_efficiency": round(control["efficiency"], 3),
+        "trials": trials,
         "target": 0.8,
         "pass": eff >= 0.8,
     }
@@ -142,6 +170,14 @@ equality — every check family of the north rule in one run.
 |---|---|---|
 | local[{n_low}]  (N)  | {low['audio_suite_sec']:.2f} | {tp_low:.1f} |
 | local[{n_high}] (4N) | {high['audio_suite_sec']:.2f} | {tp_high:.1f} |
+
+Interleaved trials (fresh JVM each; min per leg is the headline — the sandbox
+has host-level noisy-neighbor CPU steal, so legs alternate to sample the same
+noise and the single-thread steal probe documents the conditions per trial):
+
+| round | cpus | suite wall (s) | steal probe (s) |
+|---|---|---|---|
+{chr(10).join(f"| {t['round']} | {t['cpus']} | {t['suite_sec']:.2f} | {t['steal_probe_sec']:.2f} |" for t in trials)}
 
 **Scaling efficiency (N -> 4N) = ({tp_high:.1f} / {tp_low:.1f}) / {factor:.0f}
 = {eff:.3f}** (target >= 0.8: {"PASS" if eff >= 0.8 else "MISS"}).
