@@ -24,8 +24,10 @@ from .lint import lint
 from .breaking import breaking, changelog
 from .export import export
 from .imports import import_contract
+from .profile import profile_model, profile_tables
+from .publish import publish_run
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "DataContractSpecification", "Field", "Model", "Quality", "Server",
@@ -34,4 +36,5 @@ __all__ = [
     "CompiledCheck", "create_checks", "period_to_seconds",
     "ValidationConfig", "ValidationResult", "Validator", "validate",
     "lint", "breaking", "changelog", "export", "import_contract",
+    "profile_model", "profile_tables", "publish_run",
 ]
