@@ -122,6 +122,13 @@ def to_odcs_v3(spec: DataContractSpecification) -> Dict[str, Any]:
                 sdict["schema"] = srv.schema_
             servers.append(sdict)
         doc["servers"] = servers
+    if spec.servicelevels and spec.servicelevels.retention and spec.servicelevels.retention.period:
+        # reference parity (odcs_v3_exporter slaProperties): "30d" -> value+unit
+        m = re.match(r"^(\d+)\s*([a-zA-Z]+)$", spec.servicelevels.retention.period.strip())
+        if m:
+            doc["slaProperties"] = [{
+                "property": "retention", "value": int(m.group(1)), "unit": m.group(2),
+            }]
     if info and info.owner:
         doc["customProperties"] = [{"property": "owner", "value": info.owner}]
     return {k: v for k, v in doc.items() if v is not None}

@@ -368,6 +368,19 @@ def import_from_odcs_v3(doc, contract_id: Optional[str] = None) -> DataContractS
         if schema.get("quality"):
             model.quality = [Quality.model_validate(q) for q in schema["quality"]]
         spec.models[model_name] = model
+
+    # slaProperties retention -> servicelevels (parity: odcs_v3_importer
+    # import_servicelevels :163-181; value+unit recompose to e.g. "30d")
+    retention = next(
+        (p for p in doc.get("slaProperties") or [] if p.get("property") == "retention"),
+        None,
+    )
+    if retention is not None and retention.get("value") is not None:
+        from .spec import Retention, ServiceLevel
+
+        spec.servicelevels = ServiceLevel(
+            retention=Retention(period=f"{retention['value']}{retention.get('unit') or 'd'}")
+        )
     return spec
 
 

@@ -310,7 +310,8 @@ def test_export_odcs_roundtrip():
     """odcs export -> odcs import recovers the model shape (VERDICT r01 #4)."""
     from dcspark.imports import import_contract
 
-    spec = DataContractSpecification.from_string(CONTRACT)
+    spec = DataContractSpecification.from_string(
+        CONTRACT + "\nservicelevels:\n  retention: {period: 30d}\n")
     odcs_yaml = export(spec, "odcs")
     back = import_contract("odcs", odcs_yaml)
     assert back.id == spec.id
@@ -318,6 +319,8 @@ def test_export_odcs_roundtrip():
     t = back.models["t"].fields
     assert t["id"].required and t["id"].unique and t["id"].primaryKey
     assert t["n"].type in ("integer", "int")
+    # slaProperties retention survives the round trip
+    assert back.servicelevels.retention.period == "30d"
 
 
 def test_export_sql_ddl():
