@@ -145,6 +145,7 @@ OPERATOR_QUERIES = [
     "field_unique_duplicates",
     "referential_integrity_counts",
     "violation_rows_capped",
+    "nested_field_checks",
     "drift_psi",
     "drift_ks",
     "dedup_exact",
@@ -154,6 +155,7 @@ OPERATOR_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_near_dup",
 ]
 
 
