@@ -54,12 +54,109 @@ ImageDecoder = Callable[[bytes], Tuple[int, int, int, np.ndarray]]
 VideoDecoder = Callable[[bytes], Tuple[float, list]]
 
 
-def real_image_decoder(raw: bytes):
-    """Placeholder for a Pillow/libjpeg decode — codec libs absent in sandbox."""
-    raise NotImplementedError(
-        "image codec libraries are not available in this environment; "
-        "inject a decoder (e.g. PIL.Image.open) via the decoder= argument"
-    )
+def decode_netpbm(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """Binary netpbm decode (P5 grayscale / P6 RGB), pure numpy.
+
+    Handles whitespace and ``#`` comments in the header; maxval <= 255.
+    Returns (height, width, channels, uint8 HWC array).
+    """
+    if raw is None or len(raw) < 10 or raw[:1] != b"P" or raw[1:2] not in b"56":
+        raise ValueError("not a binary netpbm (P5/P6) payload")
+    channels = 3 if raw[1:2] == b"6" else 1
+    # header tokenizer: magic, width, height, maxval; single whitespace after maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(raw) and raw[pos:pos + 1].isspace():
+            pos += 1
+        if raw[pos:pos + 1] == b"#":
+            while pos < len(raw) and raw[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(raw[start:pos])
+    pos += 1  # the single whitespace byte after maxval
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255 or width <= 0 or height <= 0:
+        raise ValueError(f"unsupported netpbm: {width}x{height} maxval={maxval}")
+    need = width * height * channels
+    px = np.frombuffer(raw, dtype=np.uint8, count=need, offset=pos)
+    return height, width, channels, px.reshape(height, width, channels)
+
+
+def decode_bmp(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """Uncompressed 24/32-bit BMP decode, pure numpy.
+
+    Handles row padding to 4 bytes, bottom-up and top-down orientation, and
+    BGR(A) -> RGB(A) channel reorder. Returns (h, w, c, uint8 HWC array).
+    """
+    if raw is None or len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", raw, 10)
+    width, height = struct.unpack_from("<ii", raw, 18)
+    (bpp,) = struct.unpack_from("<H", raw, 28)
+    (compression,) = struct.unpack_from("<I", raw, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = height < 0
+    height = abs(height)
+    channels = bpp // 8
+    row_bytes = (width * channels + 3) & ~3
+    need = row_bytes * height
+    if len(raw) < data_off + need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=need, offset=data_off)
+    rows = rows.reshape(height, row_bytes)[:, : width * channels]
+    px = rows.reshape(height, width, channels)
+    if not top_down:
+        px = px[::-1]
+    # BGR(A) -> RGB(A)
+    px = px[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
+    return height, width, channels, np.ascontiguousarray(px)
+
+
+def ppm_bytes(pixels: np.ndarray) -> bytes:
+    """Encode a uint8 HxWx3 (P6) or HxW / HxWx1 (P5) array as binary netpbm."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    magic = b"P6" if px.shape[2] == 3 else b"P5"
+    header = magic + b"\n%d %d\n255\n" % (px.shape[1], px.shape[0])
+    return header + px.tobytes()
+
+
+def bmp_bytes(pixels: np.ndarray) -> bytes:
+    """Encode a uint8 HxWx3 RGB array as an uncompressed 24-bit BMP."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """Sniff-and-decode: REAL numpy decoders for uncompressed containers
+    (BMP 24/32-bit, binary netpbm P5/P6); compressed codecs (PNG/JPEG/WebP)
+    remain the pluggable seam — their libraries do not ship in this sandbox,
+    so they surface as a per-row decode_error, never a crash."""
+    if raw is None or len(raw) < 4:
+        raise ValueError("empty or truncated image payload")
+    if raw[:2] == b"BM":
+        return decode_bmp(raw)
+    if raw[:1] == b"P" and raw[1:2] in b"56":
+        return decode_netpbm(raw)
+    if raw[:8] == b"\x89PNG\r\n\x1a\n" or raw[:2] == b"\xff\xd8" or raw[:4] == b"RIFF":
+        raise NotImplementedError(
+            "compressed image codec (png/jpeg/webp) libraries are not available "
+            "in this environment; inject a decoder (e.g. PIL.Image.open) via the "
+            "decoder= argument"
+        )
+    raise ValueError("unrecognized image container")
 
 
 def real_video_decoder(raw: bytes):

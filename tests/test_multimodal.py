@@ -27,11 +27,65 @@ def test_image_metadata_fake_decoder(spark, image_df):
            {k: (v["width"], v["height"], v["mean_luma"]) for k, v in again.items()}
 
 
-def test_image_metadata_real_decoder_stub_surfaces_errors(spark, image_df):
-    out = multimodal.image_metadata(image_df)  # default: real decoder stub
+def test_image_metadata_default_decoder_errors(spark, image_df):
+    """Garbage payloads surface a per-row decode_error; JPEG/PNG magic surfaces
+    the pluggable-codec message (compressed codecs absent here)."""
+    out = multimodal.image_metadata(image_df)  # default: real sniffing decoder
     rows = out.collect()
     assert all(r["decode_error"] is not None for r in rows)
-    assert "codec libraries" in rows[0]["decode_error"]
+    assert "unrecognized image container" in rows[0]["decode_error"]
+    jpeg_df = spark.createDataFrame(
+        [("j", b"\xff\xd8\xff\xe0" + b"x" * 100)], "id string, bytes binary")
+    jrow = multimodal.image_metadata(jpeg_df).first()
+    assert "codec" in jrow["decode_error"]
+
+
+def _checker(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[..., 0] = ((yy + xx) % 2) * 255
+    px[..., 1] = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+    px[..., 2] = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+    return px
+
+
+def test_real_bmp_and_ppm_decode_roundtrip(spark):
+    """BMP and netpbm are REAL numpy decoders (no codec libs): encoded pixels
+    come back bit-identical through the Spark image pipeline."""
+    px = _checker(9, 13)  # odd width exercises BMP row padding
+    rows = [
+        ("bmp", multimodal.bmp_bytes(px)),
+        ("ppm", multimodal.ppm_bytes(px)),
+        ("pgm", multimodal.ppm_bytes(px[..., 0])),
+    ]
+    df = spark.createDataFrame(rows, "id string, bytes binary")
+    meta = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    assert all(r["decode_error"] is None for r in meta.values()), meta
+    for k in ("bmp", "ppm"):
+        assert (meta[k]["height"], meta[k]["width"], meta[k]["channels"]) == (9, 13, 3)
+        assert abs(meta[k]["mean_luma"] - float(px.mean())) < 1e-9
+    assert meta["pgm"]["channels"] == 1
+    # bit-exact pixel recovery, both containers
+    h, w, c, out_bmp = multimodal.decode_bmp(multimodal.bmp_bytes(px))
+    assert np.array_equal(out_bmp, px)
+    h, w, c, out_ppm = multimodal.decode_netpbm(multimodal.ppm_bytes(px))
+    assert np.array_equal(out_ppm, px)
+    # netpbm header comments handled
+    commented = b"P6\n# a comment\n13 9\n255\n" + px.tobytes()
+    _, _, _, out_c = multimodal.decode_netpbm(commented)
+    assert np.array_equal(out_c, px)
+
+
+def test_real_decoder_resize_path(spark):
+    px = _checker(32, 24)
+    df = spark.createDataFrame(
+        [("a", multimodal.bmp_bytes(px))], "id string, bytes binary")
+    out = multimodal.image_resize(df, target=(8, 6)).first()
+    assert out["decode_error"] is None
+    resized = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(8, 6, 3)
+    yi = (np.arange(8) * 32 // 8)
+    xi = (np.arange(6) * 24 // 6)
+    assert np.array_equal(resized, px[yi][:, xi])
 
 
 def test_image_resize_shape(spark, image_df):
