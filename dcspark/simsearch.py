@@ -147,6 +147,11 @@ def near_dup_pairs(
             for b in range(n_blocks)
         ],
     )
+    # every block join reads keyed on BOTH sides (2*n_blocks scans): persist the
+    # tiny (id, block-keys) table so the 16x64-flop signature projection runs
+    # once per row, not 2*n_blocks times — and the giant literal-hyperplane
+    # expression tree stays out of the downstream join plans
+    keyed = keyed.persist()
     cands = None
     for b in range(n_blocks):
         a_ = keyed.alias("a")
