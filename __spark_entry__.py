@@ -683,6 +683,23 @@ FROM d GROUP BY lang
 """
 
 
+def q_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish pre-token budget per language (GPT-2-style pre-tokenizer regex,
+    lookahead-free so Java regex and RE2 tokenize identically — verified)."""
+    return textops.bpe_token_stats(_t(spark, sf, "documents"))
+
+
+def _sql_bpe_token_stats() -> str:
+    pat = textops.BPE_RE.replace("'", "''")
+    return f"""
+WITH d AS (SELECT lang, len(regexp_extract_all(text, '{pat}')) n FROM documents)
+SELECT lang, cast(count(*) AS bigint) AS docs,
+       cast(sum(n) AS bigint) AS total_bpe_tokens,
+       round(avg(n), 4) AS avg_bpe_tokens
+FROM d GROUP BY lang
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     return textops.doc_quality(_t(spark, sf, "documents"))
 
@@ -1051,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
         "text_token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "text_quality_scores": q_doc_quality,
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
@@ -1085,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "text_token_stats": SQL_TOKEN_STATS,
+        "bpe_token_stats": _sql_bpe_token_stats(),
         "text_quality_scores": SQL_DOC_QUALITY,
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,

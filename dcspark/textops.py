@@ -54,6 +54,32 @@ def fingerprint_expr(col: str = "text") -> Column:
     return F.md5(norm_text(col))
 
 
+#: GPT-2-style pre-tokenizer pattern, lookahead-free so Java regex (Spark) and
+#: RE2 (DuckDB oracle) tokenize identically: contractions, space-prefixed
+#: letter runs, digit runs, punctuation runs, whitespace runs. Counting these
+#: pre-tokens is the standard cheap proxy for BPE token budgets at corpus scale
+#: (true BPE merges only split pre-tokens further, never across them).
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_count_expr(col: str = "text") -> Column:
+    """Per-document BPE-ish pre-token count (pure JVM regexp, no UDF)."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_RE), F.lit(0)))
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language BPE-ish token budget: docs, total and mean tokens/doc."""
+    return (
+        docs.select("lang", bpe_token_count_expr().alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("n").cast("long").alias("total_bpe_tokens"),
+            F.round(F.avg("n"), 4).alias("avg_bpe_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact deduplication
 # ---------------------------------------------------------------------------
