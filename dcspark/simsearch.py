@@ -194,10 +194,37 @@ def _centroid_component(cell: int, dim: int) -> float:
 def ivf_centroids(n_cells: int, dim: int) -> List[List[float]]:
     """The coarse quantizer: ``n_cells`` deterministic pseudo-random centroids.
 
-    A production build at 10^12 rows would k-means a corpus sample instead;
-    the assignment/probe plumbing below is identical either way.
+    Deterministic centroids keep the DuckDB oracle reproducible; the
+    production path is :func:`ivf_train_centroids` (k-means on a corpus
+    sample) — the assignment/probe plumbing below is identical either way.
     """
     return [[_centroid_component(c, d) for d in range(dim)] for c in range(n_cells)]
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    sample_fraction: Optional[float] = None,
+    seed: int = 42,
+    max_iter: int = 20,
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Learn the IVF coarse quantizer: Spark MLlib k-means|| on a corpus sample.
+
+    The 10^12-row training recipe: sample a bounded fraction (the quantizer
+    needs ~100-1000 points per cell, not the corpus), fit distributed
+    k-means||, return plain centroid lists that drop into :func:`ivf_topk`'s
+    ``centroids=`` argument. Learned cells follow the data distribution, so
+    the same ``nprobe`` recovers more true neighbors than random centroids.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = emb.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(df)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
 def cell_expr(vec: Column, cents: List[List[float]]) -> Column:
@@ -217,6 +244,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: Optional[List[List[float]]] = None,
 ) -> DataFrame:
     """IVF-flat ANN top-k: search only the probe's ``nprobe`` nearest cells.
 
@@ -225,9 +253,11 @@ def ivf_topk(
     of the data (partition pruning on the cell key); probes are broadcast, so
     the only corpus pass is the pruned scan itself. Cell assignment and probe
     selection are pure JVM array expressions (``zip_with``/``aggregate``),
-    no Python UDF. Same output schema as ``cosine_topk``.
+    no Python UDF. Same output schema as ``cosine_topk``. Pass ``centroids``
+    (e.g. from :func:`ivf_train_centroids`) to use a learned quantizer; the
+    default deterministic centroids keep the SQL oracle reproducible.
     """
-    cents = ivf_centroids(n_cells, dim)
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
     corpus = emb.select(
         F.col(id_col).cast("long").alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("cell", cell_expr(F.col("v"), cents))
