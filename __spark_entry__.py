@@ -700,6 +700,38 @@ FROM d GROUP BY lang
 """
 
 
+_WINNOW_K = 8
+_WINNOW_W = 4
+_WINNOW_MAX_ID = 200
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (MOSS scheme) over a bounded doc
+    subset — md5-derived k-gram hashes, window minima, distinct; pure JVM
+    higher-order expressions."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _WINNOW_MAX_ID)
+    return textops.winnowing_table(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+def _sql_winnowing() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) nt
+           FROM documents WHERE doc_id < {_WINNOW_MAX_ID}),
+f AS (SELECT doc_id, nt FROM t WHERE length(nt) >= {k + w - 1}),
+g AS (SELECT doc_id,
+             list_transform(generate_series(1, length(nt)-{k}+1),
+                            i -> cast(('0x' || substr(md5(substr(nt, i, {k})), 1, 8)) AS bigint)) hs
+      FROM f),
+m AS (SELECT doc_id,
+             list_sort(list_distinct(
+                 list_transform(generate_series(1, len(hs)-{w}+1),
+                                j -> list_min(hs[j:j+{w}-1])))) fps
+      FROM g)
+SELECT cast(doc_id AS bigint) AS doc_id, unnest(fps) AS fp FROM m
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     return textops.doc_quality(_t(spark, sf, "documents"))
 
@@ -1069,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "text_token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "text_quality_scores": q_doc_quality,
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
@@ -1104,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "text_token_stats": SQL_TOKEN_STATS,
         "bpe_token_stats": _sql_bpe_token_stats(),
+        "winnowing_fingerprints": _sql_winnowing(),
         "text_quality_scores": SQL_DOC_QUALITY,
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,

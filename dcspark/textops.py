@@ -67,6 +67,61 @@ def bpe_token_count_expr(col: str = "text") -> Column:
     return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_RE), F.lit(0)))
 
 
+def winnow_expr(k: int = 8, w: int = 4, col: str = "text") -> Column:
+    """Winnowing fingerprint array for a text column (sorted distinct longs).
+
+    Written as nested single-element-array ``transform`` LET-BINDINGS: the
+    normalized text and the k-gram hash array become lambda variables, which
+    CollapseProject cannot inline — without this, the optimizer substitutes
+    the hash-array expression into every window's ``slice``, recomputing the
+    whole md5 k-gram array PER WINDOW (O(len^2) md5s per document; the same
+    defect class as the simhash rewrite, VERDICT r01 #3).
+    """
+
+    def grams(nt: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.length(nt) - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(nt.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        )
+
+    def minima(hs: Column) -> Column:
+        return F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, w)),
+                )
+            )
+        )
+
+    return F.transform(
+        F.array(norm_text(col)),
+        lambda nt: F.transform(F.array(grams(nt)), minima)[0],
+    )[0]
+
+
+def winnowing_table(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing -> (doc_id, fp) rows.
+
+    The MOSS selection scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    every character k-gram of the normalized text, slide a w-hash window, keep
+    each window's minimum, dedupe. Guarantees any shared substring of length
+    >= k+w-1 contributes a shared fingerprint, so plagiarism/near-copy
+    detection joins on fp. Entirely JVM higher-order expressions — the k-gram
+    hash is md5-derived (first 8 hex chars as int) so the DuckDB oracle
+    reproduces it bit-for-bit; no Python UDF, no shuffle until the caller's
+    fp join. Docs shorter than k+w-1 normalized chars yield no fingerprints.
+    """
+    base = fan_out(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).filter(F.length(norm_text()) >= k + w - 1)
+    return base.select(
+        "doc_id", F.explode(winnow_expr(k, w).alias("fps")).alias("fp")
+    )
+
+
 def bpe_token_stats(docs: DataFrame) -> DataFrame:
     """Per-language BPE-ish token budget: docs, total and mean tokens/doc."""
     return (

@@ -195,6 +195,16 @@ def test_simhash_single_md5_projection(spark):
     assert opt.count("md5(") == 1, f"md5 evaluated {opt.count('md5(')}x in plan"
 
 
+def test_winnowing_single_gram_hash_pass(spark):
+    """winnow_expr's let-binding must keep the k-gram md5 array out of the
+    per-window slice: exactly ONE md5 in the optimized plan. A regression
+    re-inlining it recomputes the whole array per window (O(len^2) md5s/doc —
+    measured >80x slower before the nested-lambda binding)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    opt = _optimized(textops.winnowing_table(docs))
+    assert opt.count("md5(") == 1, f"md5 evaluated {opt.count('md5(')}x in plan"
+
+
 def test_dedup_shuffles_fingerprints_not_text(spark):
     """Exact dedup's exchange carries the md5 fingerprint, never the document
     body — shuffle volume is 32 bytes/row regardless of text size."""
