@@ -156,6 +156,8 @@ OPERATOR_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup",
+    "bpe_token_stats",
+    "winnowing_fingerprints",
 ]
 
 

@@ -95,3 +95,28 @@ def test_approx_unique_adds_no_shuffle_to_scan(spark):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1 and "SinglePartition" in plan
+
+
+def test_unique_check_under_extreme_skew(spark):
+    """One hot key carrying half the table (the 10^12-row nightmare case):
+    both uniqueness strategies stay correct — exact via map-side partial
+    aggregation (the hot key reaches the reducer as one row per input
+    partition), approx via the HLL sketch (no key shuffle at all)."""
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+
+    n = 100_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") < n // 2, F.lit("HOT"))
+        .otherwise(F.col("id").cast("string")).alias("k").alias("clean_id"),
+    ).withColumnRenamed("clean_id", "dup_col").withColumn(
+        "clean_id", F.monotonically_increasing_id())
+    spec = DataContractSpecification.from_string(CONTRACT)
+
+    exact = validate(spark, spec, {"t": skewed}, ValidationConfig())
+    # exact: duplicate VALUES with freq>1 -> just the one hot key
+    assert exact.metrics["t__dup_col__field_unique"] == 1.0
+
+    approx = validate(spark, spec, {"t": skewed}, ValidationConfig(unique_mode="approx"))
+    # approx: estimated duplicate ROWS ~ n/2 (one value repeated 50k times)
+    est = approx.metrics["t__dup_col__field_unique"]
+    assert abs(est - (n // 2 - 1)) < n * 0.05
