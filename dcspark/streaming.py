@@ -161,6 +161,54 @@ def stateful_duplicate_stream(
     )
 
 
+def windowed_drift_psi(
+    stream_df: DataFrame,
+    column: str,
+    stats: dict,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Continuous PSI drift vs a reference snapshot, per event-time window.
+
+    The always-on drift monitor: the snapshot's bin edges become when-sum
+    aggregates inside a watermarked window aggregation (state bounded by
+    windows x bins), and the PSI fold — sum (p-q) ln(p/q) with the SAME
+    epsilon smoothing as the batch engine (drift.drift_statistic) — is a
+    literal-weighted column expression over each window's counts. Everything
+    stays in streaming SQL: no foreachBatch, no Python, works identically on
+    a bounded DataFrame (batch == streaming semantics, test-locked).
+    """
+    from . import drift as drift_mod
+
+    edges = stats["bin_edges"]
+    ref_probs = stats["bin_probs"]
+    n_bins = len(edges) + 1
+    bins = [drift_mod._bin_count_expr(column, edges, k).alias(f"__b{k}") for k in range(n_bins)]
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.count(F.lit(1)).alias("rows"), *bins)
+    )
+    total = F.greatest(
+        sum(F.col(f"__b{k}") for k in range(n_bins)), F.lit(1)
+    ).cast("double")
+    terms = []
+    for k, q_ref in enumerate(ref_probs):
+        p = F.greatest(F.col(f"__b{k}") / total, F.lit(drift_mod.EPS))
+        q = F.lit(max(float(q_ref), drift_mod.EPS))
+        terms.append((p - q) * F.log(p / q))
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "rows",
+        psi.alias("psi"),
+    )
+
+
 def windowed_invalid_counts(
     stream_df: DataFrame,
     predicate,

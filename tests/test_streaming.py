@@ -133,3 +133,56 @@ def test_stateful_duplicate_stream(spark, tmp_path):
     assert any(r["clip_id"] == "d" and r["occurrences"] == 1 and not r["dup"] for r in rows)
     first_a = [r for r in rows if r["clip_id"] == "a"]
     assert first_a and all(not r["dup"] for r in first_a)
+
+
+def test_windowed_drift_psi_matches_batch_engine(spark, tmp_path):
+    """The streaming PSI fold must equal drift_statistic on the same counts —
+    verified per window against the batch engine, running the SAME expression
+    over a real stream (memory sink) and a bounded frame."""
+    import numpy as np
+
+    from dcspark import drift as drift_mod
+    from dcspark.streaming import windowed_drift_psi
+
+    rng = np.random.default_rng(7)
+    ref = spark.createDataFrame([(float(v),) for v in rng.normal(50, 10, 4000)], "x double")
+    stats = drift_mod.build_ref_stats(ref, ["x"], n_quantiles=19, n_bins=10)["x"]
+
+    # window 00:00 draws from the reference distribution; 00:05 is shifted
+    rows = [("2024-01-01 00:00:%02d" % (i % 60), float(v))
+            for i, v in enumerate(rng.normal(50, 10, 500))]
+    rows += [("2024-01-01 00:05:%02d" % (i % 60), float(v))
+             for i, v in enumerate(rng.normal(80, 10, 500))]
+    src = tmp_path / "psi_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for ts, v in rows:
+            f.write(json.dumps({"ts": ts, "x": v}) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, x double").json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        windowed_drift_psi(stream, "x", stats, ts_col="ts", window="5 minutes")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("psi_win").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["window_start"].strftime("%H:%M"): r for r in spark.table("psi_win").collect()}
+    finally:
+        q.stop()
+
+    assert got["00:00"]["rows"] == 500 and got["00:05"]["rows"] == 500
+    assert got["00:00"]["psi"] < 0.1          # in-distribution window
+    assert got["00:05"]["psi"] > 0.5          # shifted window screams
+
+    # exact agreement with the batch engine's fold on the same window's data
+    batch = spark.createDataFrame(
+        [(float(v),) for _, v in rows[:500]], "x double")
+    row = batch.agg(*[
+        v.alias(k) for k, v in drift_mod.drift_agg_exprs("x", stats, "psi", "p").items()
+    ]).first().asDict()
+    expected = drift_mod.drift_statistic(row, stats, "psi", "p")
+    assert abs(got["00:00"]["psi"] - expected) < 1e-9
