@@ -732,6 +732,30 @@ SELECT cast(doc_id AS bigint) AS doc_id, unnest(fps) AS fp FROM m
 """
 
 
+def q_winnowing_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS matching: doc pairs sharing >= 2 winnowing fingerprints, scored by
+    containment — self-equi-join on fp, never a cross product."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < _WINNOW_MAX_ID)
+    return textops.winnowing_near_dups(docs, k=_WINNOW_K, w=_WINNOW_W, min_shared=2)
+
+
+def _sql_winnowing_near_dups() -> str:
+    return f"""
+WITH fp AS ({_sql_winnowing().strip().rstrip()}),
+sizes AS (SELECT doc_id, cast(count(*) AS bigint) sz FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, cast(count(*) AS bigint) shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2)
+SELECT doc_a, doc_b, shared,
+       round(shared / least(sa.sz, sb.sz), 6) AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = shared.doc_a
+JOIN sizes sb ON sb.doc_id = shared.doc_b
+"""
+
+
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     return textops.doc_quality(_t(spark, sf, "documents"))
 
@@ -1102,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "winnowing_fingerprints": q_winnowing_fingerprints,
+        "winnowing_near_dups": q_winnowing_near_dups,
         "text_quality_scores": q_doc_quality,
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
@@ -1138,6 +1163,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_stats": SQL_TOKEN_STATS,
         "bpe_token_stats": _sql_bpe_token_stats(),
         "winnowing_fingerprints": _sql_winnowing(),
+        "winnowing_near_dups": _sql_winnowing_near_dups(),
         "text_quality_scores": SQL_DOC_QUALITY,
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,

@@ -122,6 +122,40 @@ def winnowing_table(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     )
 
 
+def winnowing_near_dups(
+    docs: DataFrame, k: int = 8, w: int = 4, min_shared: int = 2
+) -> DataFrame:
+    """Near-copy candidate pairs from shared winnowing fingerprints.
+
+    The MOSS matching step: self-equi-join the (doc_id, fp) table on fp
+    (co-partitioned shuffle keyed by an int — never a cross product), count
+    shared fingerprints per pair, and score containment as
+    shared / min(|fps_a|, |fps_b|). Winnowed fingerprint sets are ~|doc|/w
+    sparse, so posting lists stay short where raw shingle inverted indexes
+    explode — the scale path for copy detection.
+    """
+    fp = winnowing_table(docs, k, w).persist()
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared",
+            F.round(F.col("shared") / F.least("sz_a", "sz_b"), 6).alias("containment"),
+        )
+    )
+
+
 def bpe_token_stats(docs: DataFrame) -> DataFrame:
     """Per-language BPE-ish token budget: docs, total and mean tokens/doc."""
     return (
