@@ -698,3 +698,28 @@ def test_cli_init_lints_clean(tmp_path, capsys):
     assert main(["lint", out]) == 0
     assert "RUN RESULT: passed" in capsys.readouterr().out  # warning-free template
     assert main(["init", "--output", out]) == 1
+
+
+def test_warehouse_example_contract_lints_and_compiles():
+    """The shipped warehouse example exercises JDBC server config, nested
+    dotted-path constraints, drift on a nested column, and service levels —
+    it must lint clean and compile to the expected check kinds."""
+    from dcspark import create_checks, lint
+    from dcspark.io import jdbc_options
+
+    spec = DataContractSpecification.from_file("/root/repo/contracts/warehouse_orders.yaml")
+    run = lint(spec)
+    assert all(c.result.value in ("passed", "warning") for c in run.checks)
+
+    checks = create_checks(spec)
+    kinds = {c.key: c.kind for c in checks["orders"]}
+    assert kinds["orders__total.amount__field_minimum"] == "agg"
+    assert kinds["orders__total.currency__field_regex"] == "agg"
+    assert kinds["orders__customer_id__field_reference"] == "reference"
+    assert kinds["orders__total.amount__drift_psi"] == "drift"
+    assert any(c.kind == "freshness" for c in checks["orders"])
+    assert any(c.kind == "retention" for c in checks["orders"])
+
+    opts = jdbc_options(spec.servers["prod"], "orders")
+    assert opts["url"] == "jdbc:postgresql://warehouse.internal:5432/analytics"
+    assert opts["dbtable"] == "public.orders"
