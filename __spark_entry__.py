@@ -459,6 +459,59 @@ FROM n
 """
 
 
+ARRAY_ITEMS_CONTRACT = """
+id: array-items
+models:
+  embeddings:
+    fields:
+      vec_id: {type: long, required: true, primaryKey: true}
+      embedding:
+        type: array
+        items: {type: float, required: true, minimum: -0.4, maximum: 0.4}
+"""
+
+_ARRAY_ITEMS_ALIAS = {
+    "field_required": "vec_id_missing",
+    "items_required": "elem_null_rows",
+    "items_minimum": "elem_below_min_rows",
+    "items_maximum": "elem_above_max_rows",
+}
+
+
+def q_array_element_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Array-``items`` constraints evaluated with higher-order functions
+    (F.exists) inside the shared multi-aggregate scan — no explode, no
+    shuffle of element data. EXCEEDS the reference: its native engine never
+    descends into collections (data_contract_checks.py:31-63; items reach
+    only its jsonschema engine, export/jsonschema_converter.py:84-102).
+    The agg columns come from the REAL compiler (create_checks), locking
+    the production element-constraint compilation."""
+    from dcspark.compile import create_checks
+
+    emb = _t(spark, sf, "embeddings")
+    spec = DataContractSpecification.from_string(ARRAY_ITEMS_CONTRACT)
+    checks = create_checks(spec)["embeddings"]
+    aggs = [
+        c.agg_expr().cast("long").alias(_ARRAY_ITEMS_ALIAS[c.check_type])
+        for c in checks
+        if c.agg_alias and c.agg_expr is not None and c.check_type in _ARRAY_ITEMS_ALIAS
+    ]
+    return emb.agg(*aggs)
+
+
+SQL_ARRAY_ELEMENT_CHECKS = """
+SELECT
+  cast(coalesce(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END),0) AS bigint) AS vec_id_missing,
+  cast(coalesce(sum(CASE WHEN embedding IS NOT NULL
+       AND len(list_filter(embedding, x -> x IS NULL)) > 0 THEN 1 ELSE 0 END),0) AS bigint) AS elem_null_rows,
+  cast(coalesce(sum(CASE WHEN embedding IS NOT NULL
+       AND len(list_filter(embedding, x -> x IS NOT NULL AND x < -0.4)) > 0 THEN 1 ELSE 0 END),0) AS bigint) AS elem_below_min_rows,
+  cast(coalesce(sum(CASE WHEN embedding IS NOT NULL
+       AND len(list_filter(embedding, x -> x IS NOT NULL AND x > 0.4)) > 0 THEN 1 ELSE 0 END),0) AS bigint) AS elem_above_max_rows
+FROM embeddings
+"""
+
+
 def q_violation_rows(spark: SparkSession, sf: str) -> DataFrame:
     """per-row violation extraction with a deterministic cap (mirrors the
     engine's violations table, FIXTURES.md §4; cap parity with the reference's
@@ -1118,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_multiagg_pass": q_shared_multiagg,
         "violation_rows_capped": q_violation_rows,
         "nested_field_checks": q_nested_field_checks,
+        "array_element_checks": q_array_element_checks,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "row_counts": q_row_counts,
@@ -1155,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         "shared_multiagg_pass": SQL_SHARED_MULTIAGG,
         "violation_rows_capped": SQL_VIOLATION_ROWS,
         "nested_field_checks": SQL_NESTED_FIELD_CHECKS,
+        "array_element_checks": SQL_ARRAY_ELEMENT_CHECKS,
         "drift_psi": _sql_drift_psi(),
         "drift_ks": _sql_drift_ks(),
         "row_counts": SQL_ROW_COUNTS,

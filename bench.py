@@ -158,6 +158,7 @@ OPERATOR_QUERIES = [
     "embedding_near_dup",
     "bpe_token_stats",
     "winnowing_fingerprints",
+    "array_element_checks",
 ]
 
 

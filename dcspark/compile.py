@@ -339,6 +339,143 @@ def check_field_reference(model: str, fname: str, references: str) -> CompiledCh
 
 
 # ---------------------------------------------------------------------------
+# Collection-element constraints: array ``items``, map ``keys``/``values``.
+# EXCEEDS the reference — its native engine never descends into collections
+# (to_model_checks iterates scalar constraints only, data_contract_checks.py:31-63);
+# element constraints reach only its per-row jsonschema engine via the ``items``
+# property (export/jsonschema_converter.py:84-102). Here they are evaluated
+# vectorized with higher-order functions (F.exists / F.filter) so they join the
+# SAME shared multi-aggregate scan: no explode, no shuffle, no Python.
+#
+# Metric semantics: the metric counts ROWS containing >=1 violating element
+# (mirroring the jsonschema engine's row-keyed error model, check_jsonschema.py:21-48),
+# so violation rows line up 1:1 with the metric.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ElementConstraint:
+    """One element-level rule: ``pred`` maps an element Column to True when the
+    element violates the rule. ``path`` is a dotted path inside a struct element
+    (array-of-struct support)."""
+
+    check_type: str
+    label: str
+    pred: Callable[[Column], Column]
+    expected: str
+    path: str = ""
+
+
+def _element_constraints(f_: Field, path: str = "") -> List["ElementConstraint"]:
+    out: List[ElementConstraint] = []
+
+    def at(x: Column) -> Column:
+        c = x
+        for part in path.split("."):
+            if part:
+                c = c[part]
+        return c
+
+    def add(ct: str, label: str, pred: Callable[[Column], Column], expected: str) -> None:
+        out.append(ElementConstraint(ct, label, pred, expected, path))
+
+    def bind(f: Callable[..., Column], **kw: Any) -> Callable[[Column], Column]:
+        # The returned lambda must take EXACTLY ONE positional parameter:
+        # pyspark's _create_lambda derives the higher-order function's arity
+        # from the Python signature, so a default-arg closure (lambda x, v=v)
+        # would be called as a 2-arg (element, index) lambda.
+        return lambda x: f(x, **kw)
+
+    if f_.required:
+        add("required", "no null elements", lambda x: at(x).isNull(), "element not null")
+    if f_.minimum is not None:
+        add("minimum", f"minimum {f_.minimum}",
+            bind(lambda x, v: at(x).isNotNull() & (at(x) < F.lit(v)), v=f_.minimum),
+            f"element >= {f_.minimum}")
+    if f_.maximum is not None:
+        add("maximum", f"maximum {f_.maximum}",
+            bind(lambda x, v: at(x).isNotNull() & (at(x) > F.lit(v)), v=f_.maximum),
+            f"element <= {f_.maximum}")
+    if f_.exclusiveMinimum is not None:
+        # exclusive emits bound + not-equal, mirroring the top-level parity rule
+        # (data_contract_checks.py:48-53)
+        add("minimum", f"minimum {f_.exclusiveMinimum}",
+            bind(lambda x, v: at(x).isNotNull() & (at(x) < F.lit(v)), v=f_.exclusiveMinimum),
+            f"element >= {f_.exclusiveMinimum}")
+        add("not_equal", f"not equal {f_.exclusiveMinimum}",
+            bind(lambda x, v: at(x).isNotNull() & (at(x) == F.lit(v)), v=f_.exclusiveMinimum),
+            f"element != {f_.exclusiveMinimum}")
+    if f_.exclusiveMaximum is not None:
+        add("maximum", f"maximum {f_.exclusiveMaximum}",
+            bind(lambda x, v: at(x).isNotNull() & (at(x) > F.lit(v)), v=f_.exclusiveMaximum),
+            f"element <= {f_.exclusiveMaximum}")
+        add("not_equal", f"not equal {f_.exclusiveMaximum}",
+            bind(lambda x, v: at(x).isNotNull() & (at(x) == F.lit(v)), v=f_.exclusiveMaximum),
+            f"element != {f_.exclusiveMaximum}")
+    if f_.minLength is not None:
+        add("min_length", f"min length {f_.minLength}",
+            bind(lambda x, n: at(x).isNotNull() & (F.length(at(x)) < n), n=f_.minLength),
+            f"element length >= {f_.minLength}")
+    if f_.maxLength is not None:
+        add("max_length", f"max length {f_.maxLength}",
+            bind(lambda x, n: at(x).isNotNull() & (F.length(at(x)) > n), n=f_.maxLength),
+            f"element length <= {f_.maxLength}")
+    if f_.enum:
+        add("enum", f"enum {list(f_.enum)}",
+            bind(lambda x, e: at(x).isNotNull() & ~at(x).isin(e), e=list(f_.enum)),
+            f"element in {list(f_.enum)}")
+    if f_.pattern:
+        add("regex", f"pattern {f_.pattern}",
+            bind(lambda x, p: at(x).isNotNull() & ~at(x).rlike(p), p=f_.pattern),
+            f"element matches {f_.pattern}")
+    if f_.format and f_.format.lower() in FORMAT_REGEX:
+        fmt = f_.format.lower()
+        add(f"format_{fmt}", f"format {fmt}",
+            bind(lambda x, p: at(x).isNotNull() & ~at(x).rlike(p), p=FORMAT_REGEX[fmt]),
+            f"element is {fmt}")
+    if (f_.type or "").lower() in ("object", "record", "struct"):
+        for child_name, child in f_.fields.items():
+            out.extend(_element_constraints(child, f"{path}.{child_name}" if path else child_name))
+    return out
+
+
+def check_collection_elements(model: str, fname: str, where: str, ec: "ElementConstraint") -> CompiledCheck:
+    """One element-level rule on an array/map column as an ``agg``-kind check.
+
+    ``where`` selects the element stream: ``items`` (the array itself),
+    ``keys`` / ``values`` (map projected via map_keys/map_values — both are
+    metadata-only projections, no data movement).
+    """
+    if where == "keys":
+        arr = lambda: F.map_keys(F.col(fname))
+    elif where == "values":
+        arr = lambda: F.map_values(F.col(fname))
+    else:
+        arr = lambda: F.col(fname)
+    row_pred = lambda: F.col(fname).isNotNull() & F.exists(arr(), ec.pred)
+    dotted = f"{fname}[{where}]" + (f".{ec.path}" if ec.path else "")
+    check_type = f"{where}_{ec.check_type}"
+    return CompiledCheck(
+        key=_key(model, dotted, check_type),
+        check_type=check_type,
+        category="field",
+        name=f"Check that {where} of field {fname} satisfy {ec.label}"
+        + (f" at {ec.path}" if ec.path else ""),
+        model=model,
+        field=fname,
+        agg_alias=f"{dotted}__{ec.check_type}_invalid",
+        agg_expr=lambda: F.coalesce(F.sum(F.when(row_pred(), 1).otherwise(0)), F.lit(0)),
+        violation_predicate=row_pred,
+        observed_expr=lambda: F.filter(arr(), ec.pred).cast("string"),
+        expected=ec.expected,
+        implementation=(
+            f"rows_with_invalid_element = sum(when(exists({where}({fname})"
+            + (f".{ec.path}" if ec.path else "")
+            + f", element violates '{ec.label}'), 1)) :: higher-order fn, no explode"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality checks (parity: data_contract_checks.py:450-544)
 # ---------------------------------------------------------------------------
 
@@ -678,9 +815,20 @@ def create_checks(
             for qi, q in enumerate(f_.quality):
                 if q.type == "sql" and q.query:
                     checks.append(check_quality_sql(model_name, q, qi, fname))
-            if (f_.type or "").lower() in ("object", "record", "struct"):
+            ftype = (f_.type or "").lower()
+            if ftype in ("object", "record", "struct"):
                 for child_name, child in f_.fields.items():
                     emit_field(f"{fname}.{child_name}", child)
+            elif ftype == "array" and f_.items is not None:
+                for ec in _element_constraints(f_.items):
+                    checks.append(check_collection_elements(model_name, fname, "items", ec))
+            elif ftype == "map":
+                if f_.keys is not None:
+                    for ec in _element_constraints(f_.keys):
+                        checks.append(check_collection_elements(model_name, fname, "keys", ec))
+                if f_.values is not None:
+                    for ec in _element_constraints(f_.values):
+                        checks.append(check_collection_elements(model_name, fname, "values", ec))
 
         for fname, f_ in model.fields.items():
             emit_field(fname, f_)
