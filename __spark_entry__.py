@@ -459,6 +459,80 @@ FROM n
 """
 
 
+METRIC_CONTRACT = """
+id: metric-oracle
+models:
+  lineitem:
+    fields:
+      l_orderkey: {type: long, primaryKey: true}
+    quality:
+      - {type: metric, metric: avg, column: l_quantity}
+      - {type: metric, metric: stddev, column: l_extendedprice}
+      - {type: metric, metric: min, column: l_discount}
+      - {type: metric, metric: max, column: l_tax}
+      - {type: metric, metric: count, column: l_returnflag}
+      - {type: metric, metric: sum, column: l_quantity}
+      - {type: expression, expression: "l_quantity < 30 OR l_returnflag = 'A'"}
+"""
+
+
+def q_quality_metric_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Aggregate-metric + row-expression quality rules (engine extension; the
+    reference's passthrough executes row_count only,
+    data_contract_checks.py:716-738). The partials (sum/count/sumsq/min/max)
+    come from the REAL compiler's shared-scan contributions; the finishing
+    select mirrors the driver finisher, so DuckDB's direct avg()/stddev()
+    cross-checks the decomposition end-to-end."""
+    from dcspark.compile import create_checks
+
+    li = _t(spark, sf, "lineitem")
+    spec = DataContractSpecification.from_string(METRIC_CONTRACT)
+    checks = create_checks(spec)["lineitem"]
+    aggs = []
+    for c in checks:
+        if c.agg_alias and c.agg_expr is not None:
+            aggs.append(c.agg_expr().alias(c.agg_alias))
+        for alias, thunk in c.extra_aggs.items():
+            aggs.append(thunk().alias(alias))
+    row = li.agg(*aggs)
+    p = "__metric__lineitem__model_{i}__{col}"
+    qty, price, disc, tax, com = (
+        p.format(i=0, col="l_quantity"), p.format(i=1, col="l_extendedprice"),
+        p.format(i=2, col="l_discount"), p.format(i=3, col="l_tax"),
+        p.format(i=4, col="l_returnflag"),
+    )
+    sum_qty = p.format(i=5, col="l_quantity")
+    return row.select(
+        F.round(F.col(f"{qty}__sum") / F.col(f"{qty}__cnt"), 4).alias("avg_qty"),
+        F.round(
+            F.sqrt(
+                (F.col(f"{price}__sumsq")
+                 - F.col(f"{price}__sum") * F.col(f"{price}__sum") / F.col(f"{price}__cnt"))
+                / (F.col(f"{price}__cnt") - 1)
+            ), 2,
+        ).alias("std_price"),
+        F.round(F.col(f"{disc}__min"), 4).alias("min_disc"),
+        F.round(F.col(f"{tax}__max"), 4).alias("max_tax"),
+        F.col(f"{com}__cnt").cast("long").alias("cnt_flag"),
+        F.round(F.col(f"{sum_qty}__sum"), 2).alias("sum_qty"),
+        F.col("__expr__lineitem__model_6__invalid").cast("long").alias("expr_invalid"),
+    )
+
+
+SQL_QUALITY_METRIC_CHECKS = """
+SELECT
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(stddev(l_extendedprice), 2) AS std_price,
+  round(min(l_discount), 4) AS min_disc,
+  round(max(l_tax), 4) AS max_tax,
+  cast(count(l_returnflag) AS bigint) AS cnt_flag,
+  round(sum(l_quantity), 2) AS sum_qty,
+  cast(coalesce(sum(CASE WHEN NOT coalesce(l_quantity < 30 OR l_returnflag = 'A', true)
+       THEN 1 ELSE 0 END),0) AS bigint) AS expr_invalid
+FROM lineitem
+"""
+
+
 ARRAY_ITEMS_CONTRACT = """
 id: array-items
 models:
@@ -1172,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_rows_capped": q_violation_rows,
         "nested_field_checks": q_nested_field_checks,
         "array_element_checks": q_array_element_checks,
+        "quality_metric_checks": q_quality_metric_checks,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "row_counts": q_row_counts,
@@ -1210,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "violation_rows_capped": SQL_VIOLATION_ROWS,
         "nested_field_checks": SQL_NESTED_FIELD_CHECKS,
         "array_element_checks": SQL_ARRAY_ELEMENT_CHECKS,
+        "quality_metric_checks": SQL_QUALITY_METRIC_CHECKS,
         "drift_psi": _sql_drift_psi(),
         "drift_ks": _sql_drift_ks(),
         "row_counts": SQL_ROW_COUNTS,

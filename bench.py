@@ -159,6 +159,7 @@ OPERATOR_QUERIES = [
     "bpe_token_stats",
     "winnowing_fingerprints",
     "array_element_checks",
+    "quality_metric_checks",
 ]
 
 

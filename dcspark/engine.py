@@ -639,6 +639,11 @@ class Validator:
         )
 
     def _agg_metric(self, chk: CompiledCheck, row: Dict[str, Any]) -> Optional[float]:
+        finisher = chk.params.get("finisher")
+        if finisher is not None:
+            # metric checks: partials (sum/count/sumsq/min/max) were merged
+            # losslessly across partitions; finish them into the final value
+            return finisher(row)
         value = row.get(chk.agg_alias) if chk.agg_alias else None
         if chk.kind in ("freshness", "retention"):
             if value is None:
