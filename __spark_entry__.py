@@ -533,6 +533,46 @@ FROM lineitem
 """
 
 
+GROUP_CONTRACT = """
+id: group-oracle
+models:
+  orders:
+    fields:
+      o_orderkey: {type: long, primaryKey: true}
+    quality:
+      - {type: group, column: o_orderpriority, metric: avg, over: o_totalprice,
+         mustBeLessThan: 250000}
+"""
+
+
+def q_group_threshold_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group aggregate thresholds (type: group — Soda group-by checks
+    analog, absent from the reference's native engine). The groupBy + pass
+    predicate come from the REAL compiler; violating groups are filtered
+    executor-side and only capped examples surface — same shape the engine's
+    _group_compute runs."""
+    from dcspark.compile import create_checks
+
+    orders = _t(spark, sf, "orders")
+    chk = [c for c in create_checks(
+        DataContractSpecification.from_string(GROUP_CONTRACT))["orders"]
+        if c.kind == "group"][0]
+    p = chk.params
+    grouped = orders.groupBy(F.col(p["group_col"]).alias("grp")).agg(
+        p["agg_expr"]().alias("__gval"))
+    viol = grouped.filter(~F.coalesce(p["pass_pred"](F.col("__gval")), F.lit(False)))
+    return viol.select("grp", F.round("__gval", 2).alias("avg_total")).orderBy("grp")
+
+
+SQL_GROUP_THRESHOLD_CHECKS = """
+SELECT o_orderpriority AS grp, round(avg(o_totalprice), 2) AS avg_total
+FROM orders
+GROUP BY o_orderpriority
+HAVING NOT coalesce(avg(o_totalprice) < 250000, false)
+ORDER BY grp
+"""
+
+
 ARRAY_ITEMS_CONTRACT = """
 id: array-items
 models:
@@ -1247,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_field_checks": q_nested_field_checks,
         "array_element_checks": q_array_element_checks,
         "quality_metric_checks": q_quality_metric_checks,
+        "group_threshold_checks": q_group_threshold_checks,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "row_counts": q_row_counts,
@@ -1286,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_field_checks": SQL_NESTED_FIELD_CHECKS,
         "array_element_checks": SQL_ARRAY_ELEMENT_CHECKS,
         "quality_metric_checks": SQL_QUALITY_METRIC_CHECKS,
+        "group_threshold_checks": SQL_GROUP_THRESHOLD_CHECKS,
         "drift_psi": _sql_drift_psi(),
         "drift_ks": _sql_drift_ks(),
         "row_counts": SQL_ROW_COUNTS,

@@ -160,6 +160,7 @@ OPERATOR_QUERIES = [
     "winnowing_fingerprints",
     "array_element_checks",
     "quality_metric_checks",
+    "group_threshold_checks",
 ]
 
 

@@ -673,6 +673,70 @@ def check_quality_expression(model: str, q: Quality, idx: int, fname: Optional[s
     )
 
 
+def to_threshold_column(q: Quality) -> Tuple[Callable[[Column], Column], str]:
+    """The 8 mustBe* forms as a Spark pass-predicate builder (Column -> Column),
+    so group thresholds evaluate DISTRIBUTED — violating groups are counted and
+    capped executor-side, never collected wholesale to the driver."""
+    if q.mustBe is not None:
+        return (lambda c: c == F.lit(q.mustBe)), f"= {q.mustBe}"
+    if q.mustNotBe is not None:
+        return (lambda c: c != F.lit(q.mustNotBe)), f"!= {q.mustNotBe}"
+    if q.mustBeGreaterThan is not None:
+        return (lambda c: c > F.lit(q.mustBeGreaterThan)), f"> {q.mustBeGreaterThan}"
+    if q.mustBeGreaterThanOrEqualTo is not None:
+        return (lambda c: c >= F.lit(q.mustBeGreaterThanOrEqualTo)), f">= {q.mustBeGreaterThanOrEqualTo}"
+    if q.mustBeLessThan is not None:
+        return (lambda c: c < F.lit(q.mustBeLessThan)), f"< {q.mustBeLessThan}"
+    if q.mustBeLessThanOrEqualTo is not None:
+        return (lambda c: c <= F.lit(q.mustBeLessThanOrEqualTo)), f"<= {q.mustBeLessThanOrEqualTo}"
+    if q.mustBeBetween is not None:
+        lo, hi = q.mustBeBetween
+        return (lambda c: (c >= F.lit(lo)) & (c <= F.lit(hi))), f"between [{lo}, {hi}]"
+    if q.mustNotBeBetween is not None:
+        lo, hi = q.mustNotBeBetween
+        return (lambda c: ~((c >= F.lit(lo)) & (c <= F.lit(hi)))), f"not between [{lo}, {hi}]"
+    return (lambda c: F.lit(True)), "no threshold (informational)"
+
+
+_GROUP_METRICS = ("count", "sum", "avg", "min", "max")
+
+
+def check_quality_group(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Per-group aggregate thresholds (``type: group``) — Soda's group-by
+    checks analog, absent from the reference's native engine. One groupBy-key
+    job per check: shuffles only (key, decomposable partials) with map-side
+    combine, threshold applied as a Spark filter, violating groups counted
+    distributed and collected capped. A group whose aggregate is NULL counts
+    as violating (it cannot satisfy a numeric threshold)."""
+    gcol, metric, over = q.column, (q.metric or "").lower(), q.over
+    pass_pred, desc = to_threshold_column(q)
+    name = q.description or f"Group check {metric}({over or '*'}) by {gcol} {desc}"
+
+    if metric == "count":
+        agg_thunk = lambda: F.count(F.lit(1))
+    elif metric in _GROUP_METRICS and over:
+        agg_thunk = lambda: getattr(F, metric)(F.col(over))
+    else:
+        agg_thunk = None
+    return CompiledCheck(
+        key=_key(model, None, f"quality_group_{idx}"),
+        check_type="quality_group",
+        category="quality",
+        name=name,
+        model=model,
+        kind="group",
+        params={
+            "group_col": gcol, "metric": metric, "over": over,
+            "agg_expr": agg_thunk, "pass_pred": pass_pred, "threshold": desc,
+        },
+        expected=f"{metric}({over or '*'}) {desc} per {gcol}",
+        implementation=(
+            f"groupBy({gcol}).agg({metric}({over or '*'})).filter(NOT ({desc}))"
+            " — map-side combined partials, AQE skew-safe, capped collect"
+        ),
+    )
+
+
 def check_drift(model: str, q: Quality, idx: int) -> CompiledCheck:
     method = (q.method or "ks").lower()
     threshold = q.threshold if q.threshold is not None else (0.05 if method == "ks" else 0.2)
@@ -975,6 +1039,8 @@ def create_checks(
                 checks.append(check_quality_metric(model_name, q, qi))
             elif q.type == "expression" and q.expression:
                 checks.append(check_quality_expression(model_name, q, qi))
+            elif q.type == "group" and q.column:
+                checks.append(check_quality_group(model_name, q, qi))
             elif q.type == "drift" and q.column:
                 checks.append(check_drift(model_name, q, qi))
             elif q.type == "audio" and (q.invariant or "") == "transcript-equality":

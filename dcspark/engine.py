@@ -232,6 +232,7 @@ class Validator:
         sql_checks = [c for c in checks if c.kind == "sql"]
         audio_checks = [c for c in checks if c.kind == "audio"]
         join_eq_checks = [c for c in checks if c.kind == "join_equality"]
+        group_checks = [c for c in checks if c.kind == "group"]
 
         self._run_schema_checks(schema_checks, df)
 
@@ -282,6 +283,10 @@ class Validator:
             for chk in join_eq_checks
         ]
         thunks += [
+            (lambda c=chk: ("group", c, self._group_compute(df, c)))
+            for chk in group_checks
+        ]
+        thunks += [
             (lambda c=chk: ("sql", c, self._sql_compute(c))) for chk in sql_checks
         ]
         results = self._parallel(thunks)
@@ -293,6 +298,8 @@ class Validator:
                 self._record_reference(chk, res)
             elif kind == "join_eq":
                 self._record_join_equality(chk, res)
+            elif kind == "group":
+                self._record_group(chk, res)
             else:
                 self._record_sql(chk, res)
 
@@ -848,6 +855,56 @@ class Validator:
         result, reason = chk.eval_metric(metric, {})
         self._record(chk, metric, result, reason, None,
                      diagnostics={"dup_values": res["dup_values"], "dup_rows": res["dup_rows"]})
+        if res["vio_rows"]:
+            self._violation_frames.append(
+                self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
+
+    # -- per-group aggregate thresholds (group quality checks) ----------------
+
+    def _group_compute(self, df: DataFrame, chk: CompiledCheck) -> dict:
+        """groupBy(key) + decomposable aggregate + threshold filter.
+
+        Same shuffle shape as `_unique_compute`: map-side partial aggregation
+        bounds shuffle volume by distinct-keys-per-partition, AQE covers
+        reducer skew. The threshold is a Spark predicate, so violating groups
+        are counted distributed and only `violation_cap` examples reach the
+        driver — a billion-group key column never materializes driver-side.
+        """
+        p = chk.params
+        gcol, agg_thunk = p["group_col"], p["agg_expr"]
+        if agg_thunk is None:
+            return {"error": f"unsupported group metric {p['metric']!r} "
+                             f"(over column required for sum/avg/min/max)"}
+        if resolve_schema_field(df.schema, gcol) is None:
+            return {"error": f"group column {gcol} missing"}
+        if p["over"] and resolve_schema_field(df.schema, p["over"]) is None:
+            return {"error": f"aggregated column {p['over']} missing"}
+        grouped = df.groupBy(F.col(gcol).alias("__gkey")).agg(agg_thunk().alias("__gval"))
+        pass_pred = p["pass_pred"](F.col("__gval"))
+        viol = grouped.filter(~F.coalesce(pass_pred, F.lit(False)))
+        metric = float(viol.count())
+        vio_rows = None
+        if metric > 0:
+            vio_rows = viol.orderBy("__gkey").limit(self.config.violation_cap).select(
+                F.lit(self.run.runId).alias("run_id"),
+                F.lit(None).cast("string").alias("partition_id"),
+                F.lit(chk.key).alias("check_key"),
+                F.col("__gkey").cast("string").alias("clip_id"),
+                F.concat(F.lit(f"{p['metric']}="), F.col("__gval").cast("string")).alias("observed"),
+                F.lit(chk.expected).alias("expected"),
+            ).collect()
+        return {"metric": metric, "vio_rows": vio_rows}
+
+    def _record_group(self, chk: CompiledCheck, res: dict) -> None:
+        if "error" in res:
+            self._record(chk, None, ResultEnum.error, res["error"], None)
+            return
+        metric = res["metric"]
+        result = ResultEnum.passed if metric == 0 else ResultEnum.failed
+        reason = None if metric == 0 else (
+            f"{chk.name}: {int(metric)} group(s) violate {chk.params['threshold']}"
+        )
+        self._record(chk, metric, result, reason, None)
         if res["vio_rows"]:
             self._violation_frames.append(
                 self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))

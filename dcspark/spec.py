@@ -58,7 +58,8 @@ class Quality(BaseModel):
     method: Optional[str] = None        # drift: "ks" | "psi"
     column: Optional[str] = None        # drift target column
     threshold: Optional[float] = None   # drift threshold
-    metric: Optional[str] = None        # metric: "count"|"sum"|"avg"|"min"|"max"|"stddev"
+    metric: Optional[str] = None        # metric/group: "count"|"sum"|"avg"|"min"|"max" (+"stddev" for metric)
+    over: Optional[str] = None          # group: column the per-group metric aggregates
     expression: Optional[str] = None    # expression: row-level SQL boolean invariant
     invariant: Optional[str] = None     # audio: "decode-conformance" | "transcript-equality"
     snr_db: Optional[float] = None      # audio SNR floor (default 30)

@@ -216,3 +216,35 @@ def test_dedup_shuffles_fingerprints_not_text(spark):
     ]
     assert exchange_sections, "expected a hash exchange for the fingerprint groupBy"
     assert "fp#" in exchange_sections[0].split("\n")[0]
+
+
+def test_group_check_uses_partial_aggregation(spark):
+    """The group-quality job must shuffle (key, partials), not rows: plan
+    shows partial HashAggregate before the Exchange (map-side combine is the
+    implicit salt — same argument as _unique_compute), and the scan reads
+    only the group + aggregated columns."""
+    from dcspark import DataContractSpecification, ValidationConfig
+    from dcspark.compile import create_checks
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    spec = DataContractSpecification.from_string("""
+id: g
+models:
+  orders:
+    fields:
+      o_orderkey: {type: long, primaryKey: true}
+    quality:
+      - {type: group, column: o_orderpriority, metric: avg, over: o_totalprice,
+         mustBeLessThan: 250000}
+""")
+    chk = [c for c in create_checks(spec)["orders"] if c.kind == "group"][0]
+    p = chk.params
+    grouped = orders.groupBy(F.col(p["group_col"]).alias("__gkey")).agg(
+        p["agg_expr"]().alias("__gval"))
+    viol = grouped.filter(~F.coalesce(p["pass_pred"](F.col("__gval")), F.lit(False)))
+    plan = _final_plan(viol).split("== Initial Plan ==")[0]
+    assert plan.count("HashAggregate") == 2          # partial + final, one shuffle
+    assert "partial_avg" in plan                     # map-side combine before Exchange
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_orderpriority" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema and "o_orderdate" not in read_schema

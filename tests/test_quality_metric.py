@@ -113,3 +113,46 @@ models:
     spec = DataContractSpecification.from_string(contract)
     res = validate(spark, spec, {"clips": df}, ValidationConfig())
     assert res.metrics["clips__dur_ms__quality_metric_0"] == 250.0
+
+
+GROUP_CONTRACT = """
+id: group-test
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+    quality:
+      - {type: group, column: part, metric: count, mustBeGreaterThanOrEqualTo: 3}
+      - {type: group, column: part, metric: avg, over: dur_ms, mustBeLessThan: 300,
+         description: per-part mean duration bound}
+      - {type: group, column: part, metric: max, over: dur_ms, mustBeLessThanOrEqualTo: 1000}
+      - {type: group, column: part, metric: sum, mustBe: 1, description: missing over column}
+"""
+
+
+def test_group_checks_threshold_per_group(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    spec = DataContractSpecification.from_string(GROUP_CONTRACT)
+    res = validate(spark, spec, {"clips": df}, ValidationConfig())
+    by_key = {c.key: c for c in res.run.checks}
+    # count >= 3 per part: a has 3 rows, b has 3 rows -> pass
+    assert by_key["clips__quality_group_0"].result == ResultEnum.passed
+    # avg(dur_ms) < 300: part b avg = 316.67 -> one violating group
+    assert res.metrics["clips__quality_group_1"] == 1.0
+    assert by_key["clips__quality_group_1"].result == ResultEnum.failed
+    assert by_key["clips__quality_group_2"].result == ResultEnum.passed
+    # sum without `over` degrades to an error check, never a scan crash
+    assert by_key["clips__quality_group_3"].result == ResultEnum.error
+    vio = [r for r in res.violations.collect()
+           if r["check_key"] == "clips__quality_group_1"]
+    assert len(vio) == 1 and vio[0]["clip_id"] == "b"
+    assert vio[0]["observed"].startswith("avg=316.66")
+
+
+def test_group_check_missing_column_errors(spark):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    contract = GROUP_CONTRACT.replace("column: part", "column: nope")
+    spec = DataContractSpecification.from_string(contract)
+    res = validate(spark, spec, {"clips": df}, ValidationConfig())
+    by_key = {c.key: c for c in res.run.checks}
+    assert by_key["clips__quality_group_0"].result == ResultEnum.error
