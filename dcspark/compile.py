@@ -558,7 +558,13 @@ def has_threshold(q: Quality) -> bool:
 # metric rows merge losslessly on the driver (partitioned == flat, and the
 # checkpoint manifest stays mergeable); the final value is produced by a
 # driver-side finisher over the merged row. All partials join the shared scan.
+# Percentiles (pNN) use percentile_approx (the north star's quantile-sketch
+# pass); a GK sketch result is NOT driver-mergeable, so its alias carries the
+# "global" merge op and the engine recomputes the global value in a dedicated
+# column-pruned pass when running partitioned (per-partition values stay exact
+# per partition).
 _METRIC_NAMES = ("count", "sum", "avg", "min", "max", "stddev")
+_PCTL_RE = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
 
 
 def check_quality_metric(model: str, q: Quality, idx: int, fname: Optional[str] = None) -> CompiledCheck:
@@ -568,10 +574,12 @@ def check_quality_metric(model: str, q: Quality, idx: int, fname: Optional[str] 
     evaluator, desc = to_threshold_evaluator(q, name)
     base = f"__metric__{model}__{fname or 'model'}_{idx}__{col}"
 
-    if metric not in _METRIC_NAMES or not col:
+    pctl_m = _PCTL_RE.match(metric)
+    if (metric not in _METRIC_NAMES and not pctl_m) or not col:
         def bad(_m: Optional[float], _d: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
             return ResultEnum.warning, (
-                f"{name}: unsupported metric '{q.metric}' (supported: {', '.join(_METRIC_NAMES)})"
+                f"{name}: unsupported metric '{q.metric}' "
+                f"(supported: {', '.join(_METRIC_NAMES)}, pNN)"
             )
         return CompiledCheck(
             key=_key(model, fname, f"quality_metric_{idx}"),
@@ -582,7 +590,12 @@ def check_quality_metric(model: str, q: Quality, idx: int, fname: Optional[str] 
 
     agg_alias: str
     extra: Dict[str, Callable[[], Column]] = {}
-    if metric == "count":
+    if pctl_m:
+        frac = float(pctl_m.group(1)) / 100.0
+        agg_alias = f"{base}__pctl"      # __pctl suffix -> "global" merge op
+        agg_expr = lambda: F.percentile_approx(F.col(col), F.lit(frac), F.lit(10000))
+        finisher = None
+    elif metric == "count":
         agg_alias = f"{base}__cnt"
         agg_expr = lambda: F.count(F.col(col))
         finisher = lambda row: _f(row.get(agg_alias))

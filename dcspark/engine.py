@@ -104,6 +104,11 @@ def _merge_op(alias: str, kind: str) -> str:
         return "max"
     if kind == "retention" or alias.endswith("__min") or alias.endswith("__min_ts"):
         return "min"
+    if alias.endswith("__pctl"):
+        # quantile sketches are not driver-mergeable: a single row (flat run)
+        # passes through untouched, >=2 partition rows merge to None and the
+        # global value comes from the dedicated pruned pass in _run_shared_scan
+        return "global"
     return "sum"
 
 
@@ -123,7 +128,18 @@ def _merge_rows(rows: List[Dict[str, Any]], ops: Dict[str, str]) -> Dict[str, An
     merged: Dict[str, Any] = {}
     for row in rows:
         for alias, op in ops.items():
+            if op == "global":
+                merged[alias] = row.get(alias)
+                continue
             merged[alias] = _merge_values(op, merged.get(alias), row.get(alias))
+    if len(rows) > 1:
+        # "global" metrics (quantile sketches) are not driver-mergeable: a
+        # single row (flat run / one partition) passes through exactly; with
+        # >=2 partition rows the merged value is unknowable here and the
+        # engine recomputes it in a dedicated column-pruned pass
+        for alias, op in ops.items():
+            if op == "global":
+                merged[alias] = None
     return merged
 
 
@@ -514,12 +530,25 @@ class Validator:
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
         audio_vio: List[Tuple[Optional[str], str, str]] = []
+        # quantile-sketch aliases (merge op "global"): per-partition values are
+        # exact per partition, but the global value cannot be merged on the
+        # driver — recompute it in ONE dedicated pass pruned to just the
+        # percentile columns (overlapped with the main scan when parallel)
+        pctl_aliases = [a for a, op in ops.items() if op == "global"]
+        pctl_row: Optional[Dict[str, Any]] = None
+
+        def pctl_job() -> Dict[str, Any]:
+            return df.agg(
+                *[exprs[a].alias(a) for a in pctl_aliases]
+            ).first().asDict()
 
         if partition_col and self.config.checkpoint_dir:
             part_rows, audio_part_rows, audio_vio = self._checkpointed_scan(
                 model_name, df, exprs, ops, audio_chk, partition_col,
                 drift_jobs,
             )
+            if pctl_aliases and len(part_rows) > 1:
+                pctl_row = pctl_job()
         else:
             agg_list = [v.alias(k) for k, v in exprs.items()]
 
@@ -543,6 +572,9 @@ class Validator:
                 thunks.append(drift_job)
             if audio_chk is not None:
                 thunks.append(audio_job)
+            run_pctl = bool(pctl_aliases) and partition_col is not None
+            if run_pctl:
+                thunks.append(pctl_job)
             with self._arrow_batch_conf():
                 outs = self._parallel(thunks)
             part_rows = outs[0]
@@ -552,8 +584,14 @@ class Validator:
                 idx += 1
             if audio_chk is not None:
                 audio_part_rows, audio_vio = outs[idx]
+                idx += 1
+            if run_pctl:
+                pctl_row = outs[idx]
 
         global_row = _merge_rows(part_rows, ops)
+        if pctl_row is not None:
+            for alias in pctl_aliases:
+                global_row[alias] = pctl_row.get(alias)
         global_row["__total_count"] = global_row.get("__total_count") or 0
         audio_global = _merge_rows(audio_part_rows, audio_ops) if audio_part_rows else {}
         if audio_chk is not None:

@@ -31,6 +31,9 @@ models:
          description: cross-column invariant}
       - {type: metric, metric: median, column: dur_ms, mustBe: 1,
          description: unsupported metric name}
+      - {type: metric, metric: p50, column: dur_ms, mustBe: 250,
+         description: median duration via quantile sketch}
+      - {type: metric, metric: p90, column: dur_ms, mustBeLessThanOrEqualTo: 400}
 """
 
 #        clip part dur    sr
@@ -79,6 +82,36 @@ def test_expression_check_null_semantics_and_violations(spark):
     vio = [r for r in res.violations.collect()
            if r["check_key"] == "clips__quality_expression_6"]
     assert [r["clip_id"] for r in vio] == ["c4"]
+
+
+def test_percentile_metric_values(spark):
+    res = _run(spark)
+    by_key = {c.key: c for c in res.run.checks}
+    assert res.metrics["clips__quality_metric_8"] == 250.0   # p50 of DURS
+    assert res.metrics["clips__quality_metric_9"] == 400.0   # p90 of DURS
+    assert by_key["clips__quality_metric_8"].result == ResultEnum.passed
+    assert by_key["clips__quality_metric_9"].result == ResultEnum.passed
+
+
+def test_percentile_partitioned_equals_flat(spark, tmp_path):
+    """Quantile sketches are NOT driver-mergeable (unlike sum/count partials),
+    so partitioned runs recompute the global percentile in a dedicated
+    column-pruned pass — the global value must equal the flat run, never a
+    merge-of-partition-percentiles (and never None). Covers both the plain
+    partitioned path and the checkpoint-manifest path."""
+    flat = _run(spark)
+    parted = _run(spark, partition_col="part")
+    ckpt = _run(spark, partition_col="part", checkpoint_dir=str(tmp_path))
+    for key in ("clips__quality_metric_8", "clips__quality_metric_9"):
+        assert parted.metrics[key] == flat.metrics[key], key
+        assert ckpt.metrics[key] == flat.metrics[key], key
+    # per-partition rows carry the partition-exact percentile
+    rows = [r for r in parted.results
+            if r["check_key"] == "clips__quality_metric_8"
+            and r["partition_id"] == "a"]
+    # percentile_approx is discrete (returns an actual element, no
+    # interpolation): p50 of (100, 200) is 100
+    assert rows and rows[0]["metric_value"] == 100.0
 
 
 def test_metric_checks_partitioned_equals_flat(spark):
