@@ -476,6 +476,58 @@ models:
 """
 
 
+QUANTILE_CONTRACT = """
+id: quantile-oracle
+models:
+  lineitem:
+    fields:
+      l_orderkey: {type: long, primaryKey: true}
+    quality:
+      - {type: metric, metric: p50, column: l_extendedprice, accuracy: 1000000}
+      - {type: metric, metric: p95, column: l_extendedprice, accuracy: 1000000}
+      - {type: metric, metric: p99, column: l_extendedprice, accuracy: 1000000}
+      - {type: metric, metric: p50, column: l_quantity, accuracy: 1000000}
+      - {type: metric, metric: p90, column: l_discount, accuracy: 1000000}
+"""
+
+
+def q_quantile_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile (pNN) quality metrics via Spark's GK quantile sketch
+    (percentile_approx) — the north star's approx-quantile column in the
+    single multi-aggregate pass. The aggregate expressions come from the REAL
+    compiler (check_quality_metric pctl branch); ``accuracy`` is
+    contract-tunable (rank error <= n/accuracy), set here above the sf0.01
+    row count so the sketch is exact and DuckDB's quantile_disc (both pick an
+    actual element, no interpolation) cross-checks it hash-exactly."""
+    from dcspark.compile import create_checks
+
+    li = _t(spark, sf, "lineitem")
+    spec = DataContractSpecification.from_string(QUANTILE_CONTRACT)
+    checks = create_checks(spec)["lineitem"]
+    aggs = [c.agg_expr().alias(c.agg_alias) for c in checks
+            if c.agg_alias and c.agg_expr is not None]
+    row = li.agg(*aggs)
+    p = "__metric__lineitem__model_{i}__{col}__pctl"
+    return row.select(
+        F.round(F.col(p.format(i=0, col="l_extendedprice")), 2).alias("p50_price"),
+        F.round(F.col(p.format(i=1, col="l_extendedprice")), 2).alias("p95_price"),
+        F.round(F.col(p.format(i=2, col="l_extendedprice")), 2).alias("p99_price"),
+        F.round(F.col(p.format(i=3, col="l_quantity")), 2).alias("p50_qty"),
+        F.round(F.col(p.format(i=4, col="l_discount")), 4).alias("p90_disc"),
+    )
+
+
+SQL_QUANTILE_SKETCH_STATS = """
+SELECT
+  round(quantile_disc(l_extendedprice, 0.50), 2) AS p50_price,
+  round(quantile_disc(l_extendedprice, 0.95), 2) AS p95_price,
+  round(quantile_disc(l_extendedprice, 0.99), 2) AS p99_price,
+  round(quantile_disc(l_quantity, 0.50), 2) AS p50_qty,
+  round(quantile_disc(l_discount, 0.90), 4) AS p90_disc
+FROM lineitem
+"""
+
+
 def q_quality_metric_checks(spark: SparkSession, sf: str) -> DataFrame:
     """Aggregate-metric + row-expression quality rules (engine extension; the
     reference's passthrough executes row_count only,
@@ -1287,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_field_checks": q_nested_field_checks,
         "array_element_checks": q_array_element_checks,
         "quality_metric_checks": q_quality_metric_checks,
+        "quantile_sketch_stats": q_quantile_sketch_stats,
         "group_threshold_checks": q_group_threshold_checks,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
@@ -1327,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         "nested_field_checks": SQL_NESTED_FIELD_CHECKS,
         "array_element_checks": SQL_ARRAY_ELEMENT_CHECKS,
         "quality_metric_checks": SQL_QUALITY_METRIC_CHECKS,
+        "quantile_sketch_stats": SQL_QUANTILE_SKETCH_STATS,
         "group_threshold_checks": SQL_GROUP_THRESHOLD_CHECKS,
         "drift_psi": _sql_drift_psi(),
         "drift_ks": _sql_drift_ks(),

@@ -160,6 +160,7 @@ OPERATOR_QUERIES = [
     "winnowing_fingerprints",
     "array_element_checks",
     "quality_metric_checks",
+    "quantile_sketch_stats",
     "group_threshold_checks",
 ]
 

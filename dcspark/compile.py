@@ -592,8 +592,11 @@ def check_quality_metric(model: str, q: Quality, idx: int, fname: Optional[str] 
     extra: Dict[str, Callable[[], Column]] = {}
     if pctl_m:
         frac = float(pctl_m.group(1)) / 100.0
+        # rank error <= n/accuracy (GK sketch): exact whenever n <= accuracy,
+        # contract-tunable to trade executor memory for precision at scale
+        acc = int(q.accuracy or 10000)
         agg_alias = f"{base}__pctl"      # __pctl suffix -> "global" merge op
-        agg_expr = lambda: F.percentile_approx(F.col(col), F.lit(frac), F.lit(10000))
+        agg_expr = lambda: F.percentile_approx(F.col(col), F.lit(frac), F.lit(acc))
         finisher = None
     elif metric == "count":
         agg_alias = f"{base}__cnt"
