@@ -1268,6 +1268,44 @@ def q_audio_decode(spark: SparkSession, _sf: str) -> DataFrame:
     )
 
 
+def q_audio_fp_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
+    """Acoustic-fingerprint near-duplicate detection (dcspark/audiofp.py):
+    band-occupancy spectral hashes (gain-invariant, noise-robust) + bucketed
+    hash equi-join — the audio-payload analog of MinHash-LSH. Not
+    SQL-expressible (FFT), so no oracle entry: the driver records the
+    rows-only check; invariants are locked in tests/test_audiofp.py.
+
+    Input: 40 deterministic 3-sine clips (seeded) + 3 planted near-dups
+    (gain-scaled copy, noise-added copy at ~40 dB SNR, resampled chirp pair).
+    Expected output: exactly the planted pairs."""
+    import numpy as np
+
+    from dcspark import audiofp as afp
+    from dcspark.synth import wav_bytes
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+
+    def mix(i: int):
+        r = np.random.default_rng(1000 + i)
+        fr, am = r.uniform(320, 2800, 3), r.uniform(0.3, 1.0, 3)
+        x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(fr, am))
+        return (x / np.max(np.abs(x)) * 20000).astype(np.int16)
+
+    rows = [(f"clip_{i:03d}", wav_bytes(mix(i), sr)) for i in range(40)]
+    base = mix(0)
+    rows.append(("dup_gain", wav_bytes((base.astype(np.float32) * 0.5).astype(np.int16), sr)))
+    noisy = (mix(1).astype(np.float32)
+             + np.random.default_rng(5).normal(0, 150, len(t))).clip(-32768, 32767)
+    rows.append(("dup_noise", wav_bytes(noisy.astype(np.int16), sr)))
+    chirp = (np.sin(2 * np.pi * (300 + 600 * t) * t) * 20000).astype(np.int16)
+    rows.append(("chirp_a", wav_bytes(chirp, sr)))
+    rows.append(("chirp_b", wav_bytes(
+        (chirp.astype(np.float32) * 0.8).astype(np.int16), sr)))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary").repartition(8)
+    return afp.audio_near_dup(df, threshold=0.35).orderBy("id_a", "id_b")
+
+
 def q_contract_full_run(spark: SparkSession, _sf: str) -> DataFrame:
     """END-TO-END: full audio contract (schema, null, unique, enum, range,
     regex, referential, SQL-quality, KS/PSI drift, audio decode + transcript
@@ -1360,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "audio_decode_conformance": q_audio_decode,
+        "audio_fp_near_dup": q_audio_fp_near_dup,
         "contract_full_run": q_contract_full_run,
     }
 

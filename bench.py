@@ -161,6 +161,7 @@ OPERATOR_QUERIES = [
     "array_element_checks",
     "quality_metric_checks",
     "quantile_sketch_stats",
+    "audio_fp_near_dup",
     "group_threshold_checks",
 ]
 

@@ -1,0 +1,132 @@
+"""Acoustic fingerprint near-dup (dcspark/audiofp.py): gain invariance, noise
+robustness, discrimination, skew-bucket capping, and the candidate-join plan
+shape (bucketed equi-join, never all-pairs)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dcspark.audiofp import (
+    audio_fingerprint_near_dup,
+    audio_fingerprints,
+    audio_near_dup,
+    fingerprint_hashes,
+)
+from dcspark.synth import wav_bytes
+
+SR = 16000
+T = np.arange(SR * 2) / SR
+
+
+def _mix(freqs, amps):
+    x = sum(a * np.sin(2 * np.pi * f * T) for f, a in zip(freqs, amps))
+    return (x / np.max(np.abs(x)) * 20000).astype(np.int16)
+
+
+def _chirp():
+    return (np.sin(2 * np.pi * (300 + 600 * T) * T) * 20000).astype(np.int16)
+
+
+def _noisy(pcm, sigma, seed=3):
+    rng = np.random.default_rng(seed)
+    return (pcm.astype(np.float32) + rng.normal(0, sigma, len(pcm))).clip(
+        -32768, 32767).astype(np.int16)
+
+
+def _rand_clip(i):
+    r = np.random.default_rng(100 + i)
+    return _mix(r.uniform(320, 2800, 3), r.uniform(0.3, 1.0, 3))
+
+
+# -- numpy-level invariants ---------------------------------------------------
+
+
+def test_fingerprint_gain_invariant():
+    a = _mix([440, 880, 1320], [1, 0.5, 0.25])
+    b = (a.astype(np.float32) * 0.5).astype(np.int16)
+    assert set(fingerprint_hashes(a, SR).tolist()) == set(
+        fingerprint_hashes(b, SR).tolist())
+
+
+def test_fingerprint_noise_robust_on_chirp():
+    c = _chirp()
+    ha = set(fingerprint_hashes(c, SR).tolist())
+    hb = set(fingerprint_hashes(_noisy(c, 200), SR).tolist())
+    assert len(ha & hb) / min(len(ha), len(hb)) >= 0.8
+
+
+def test_fingerprint_discriminates_distinct_clips():
+    hashes = [set(fingerprint_hashes(_rand_clip(i), SR).tolist()) for i in range(20)]
+    for i in range(20):
+        for j in range(i + 1, 20):
+            inter = len(hashes[i] & hashes[j])
+            assert inter / max(1, min(len(hashes[i]), len(hashes[j]))) < 0.35
+
+
+def test_fingerprint_short_clip_empty():
+    assert fingerprint_hashes(np.zeros(10, dtype=np.int16), SR).size == 0
+
+
+# -- Spark operator -----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clip_table(spark):
+    rows = []
+    for i in range(25):
+        rows.append((f"clip_{i:03d}", wav_bytes(_rand_clip(i), SR)))
+    base = _rand_clip(0)
+    rows.append(("dup_gain", wav_bytes(
+        (base.astype(np.float32) * 0.5).astype(np.int16), SR)))
+    ch = _chirp()
+    rows.append(("chirp_orig", wav_bytes(ch, SR)))
+    rows.append(("chirp_noise", wav_bytes(_noisy(ch, 200), SR)))
+    rows.append(("broken", b"\x00\x01not-a-wav"))
+    return spark.createDataFrame(rows, "clip_id string, bytes binary").repartition(4)
+
+
+def test_fingerprints_and_decode_audit(spark, clip_table):
+    fp = audio_fingerprints(clip_table)
+    bad = fp.filter(F.col("decode_error").isNotNull()).collect()
+    assert [r["clip_id"] for r in bad] == ["broken"]
+    ok = fp.filter(F.col("hash").isNotNull())
+    # every decodable 2s clip yields one hash per 32ms hop
+    per_clip = {r["clip_id"]: r["n"] for r in
+                ok.groupBy("clip_id").agg(F.count("*").alias("n")).collect()}
+    assert len(per_clip) == 28 and min(per_clip.values()) >= 50
+
+
+def test_near_dup_detects_planted_pairs_only(spark, clip_table):
+    pairs = audio_near_dup(clip_table, threshold=0.35).collect()
+    got = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs}
+    assert ("chirp_noise", "chirp_orig") in got
+    assert ("clip_000", "dup_gain") in got
+    # no false pairs among the 25 distinct clips
+    assert all("dup" in a + b or "chirp" in a + b for a, b in got)
+    by_pair = {tuple(sorted((r["id_a"], r["id_b"]))): r["score"] for r in pairs}
+    assert by_pair[("clip_000", "dup_gain")] == 1.0
+
+
+def test_near_dup_bucket_cap_drops_degenerate_hash(spark):
+    """Silence produces one degenerate hash shared by every silent clip; the
+    max_bucket guard must drop that bucket instead of emitting a quadratic
+    blowup of pairs."""
+    silent = wav_bytes(np.zeros(SR, dtype=np.int16), SR)
+    rows = [(f"s{i}", silent) for i in range(12)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    fp = audio_fingerprints(df)
+    capped = audio_fingerprint_near_dup(fp, threshold=0.1, max_bucket=5)
+    assert capped.count() == 0
+    uncapped = audio_fingerprint_near_dup(fp, threshold=0.1, max_bucket=100)
+    assert uncapped.count() == 12 * 11 // 2
+
+
+def test_near_dup_plan_is_bucketed_equi_join(spark, clip_table):
+    """Candidates come from the hash equi-join (SortMergeJoin/ShuffledHashJoin
+    or broadcast on tiny data) — never a BroadcastNestedLoopJoin cross
+    product, and the pair shuffle carries hashes, not audio bytes."""
+    df = audio_near_dup(clip_table, threshold=0.35)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

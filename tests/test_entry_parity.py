@@ -110,6 +110,13 @@ def test_audio_queries_deterministic_rows(spark):
     assert row["violations"] <= row["rows"]
 
 
+def test_audio_fp_near_dup_deterministic_rows(spark):
+    rows = entry_mod.queries()["audio_fp_near_dup"](spark, SF).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert pairs == {("chirp_a", "chirp_b"), ("clip_000", "dup_gain"),
+                     ("clip_001", "dup_noise")}
+
+
 def test_contract_full_run_shape(spark):
     df = entry_mod.queries()["contract_full_run"](spark, SF)
     rows = df.collect()
