@@ -802,6 +802,46 @@ def check_audio(model: str, q: Quality, idx: int) -> CompiledCheck:
     )
 
 
+def check_audio_near_dup(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Near-duplicate audio content check (``type: audio, invariant:
+    content-uniqueness``): the metric is the number of clip pairs whose
+    acoustic fingerprints (dcspark/audiofp.py band-occupancy hashes) overlap
+    at ``threshold`` or above — gain-scaled or lightly-noised re-encodes of
+    the same recording count as duplicates, unlike the exact byte/key
+    uniqueness check. Default pass condition is zero pairs; the eight
+    mustBe* forms apply to the pair count when given.
+
+    Scale note: this is a SECOND decode pass over the payload when combined
+    with decode-conformance (different windows: FFT frames vs whole-clip
+    SNR). Both passes run concurrently in the engine's thunk pool; pipelines
+    that need many fingerprint consumers should materialize
+    ``audiofp.audio_fingerprints`` once and use
+    ``audio_fingerprint_near_dup`` directly."""
+    name = q.description or "Audio content uniqueness (fingerprint near-dup)"
+    evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
+    return CompiledCheck(
+        key=_key(model, None, "audio_content_uniqueness"),
+        check_type="audio_content_uniqueness",
+        category="audio",
+        name=name,
+        model=model,
+        kind="audio_fp",
+        params={
+            "score_threshold": q.threshold if q.threshold is not None else 0.35,
+            "bytes_col": q.column or "bytes",
+            "evaluator": evaluator,
+        },
+        expected=(
+            f"no clip pairs with fingerprint overlap >= "
+            f"{q.threshold if q.threshold is not None else 0.35}"
+        ),
+        implementation=(
+            "mapInPandas decode+FFT -> (clip_id, hash) -> bucketed hash "
+            "equi-join (max_bucket skew guard) -> pair count"
+        ),
+    )
+
+
 def check_transcript_equality(model: str, q: Quality, idx: int) -> CompiledCheck:
     """Per-row transcript equality vs the oracle reference table (BASELINE.json
     input_hint). Sort-merge equi-join on the key column; at 10^12 scale both
@@ -1061,6 +1101,8 @@ def create_checks(
                 checks.append(check_drift(model_name, q, qi))
             elif q.type == "audio" and (q.invariant or "") == "transcript-equality":
                 checks.append(check_transcript_equality(model_name, q, qi))
+            elif q.type == "audio" and (q.invariant or "") == "content-uniqueness":
+                checks.append(check_audio_near_dup(model_name, q, qi))
             elif q.type == "audio":
                 checks.append(check_audio(model_name, q, qi))
         out[model_name] = checks

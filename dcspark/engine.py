@@ -249,6 +249,7 @@ class Validator:
         audio_checks = [c for c in checks if c.kind == "audio"]
         join_eq_checks = [c for c in checks if c.kind == "join_equality"]
         group_checks = [c for c in checks if c.kind == "group"]
+        audio_fp_checks = [c for c in checks if c.kind == "audio_fp"]
 
         self._run_schema_checks(schema_checks, df)
 
@@ -303,6 +304,10 @@ class Validator:
             for chk in group_checks
         ]
         thunks += [
+            (lambda c=chk: ("audio_fp", c, self._audio_fp_compute(model_name, df, c)))
+            for chk in audio_fp_checks
+        ]
+        thunks += [
             (lambda c=chk: ("sql", c, self._sql_compute(c))) for chk in sql_checks
         ]
         results = self._parallel(thunks)
@@ -316,6 +321,8 @@ class Validator:
                 self._record_join_equality(chk, res)
             elif kind == "group":
                 self._record_group(chk, res)
+            elif kind == "audio_fp":
+                self._record_audio_fp(chk, res)
             else:
                 self._record_sql(chk, res)
 
@@ -942,6 +949,71 @@ class Validator:
         reason = None if metric == 0 else (
             f"{chk.name}: {int(metric)} group(s) violate {chk.params['threshold']}"
         )
+        self._record(chk, metric, result, reason, None)
+        if res["vio_rows"]:
+            self._violation_frames.append(
+                self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
+
+    # -- audio content uniqueness (fingerprint near-dup) ----------------------
+
+    def _audio_fp_compute(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> dict:
+        """Acoustic near-dup pair count via dcspark/audiofp.py.
+
+        One mapInPandas decode+FFT pass emits (clip_id, hash); candidates come
+        from the bucketed hash equi-join (never all-pairs), the pair count is
+        aggregated distributed, and only violation_cap example pairs reach the
+        driver. Runs concurrently with the shared scan's decode pass in the
+        thunk pool.
+        """
+        from . import audiofp as afp
+
+        p = chk.params
+        bytes_col = p["bytes_col"]
+        if bytes_col not in df.columns:
+            return {"error": f"bytes column {bytes_col} missing"}
+        id_col = self._pk_column(model_name, df)
+        with self._arrow_batch_conf():
+            pairs = afp.audio_near_dup(
+                df, id_col=id_col, bytes_col=bytes_col,
+                threshold=float(p["score_threshold"]),
+            )
+            from pyspark import StorageLevel
+
+            pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                metric = float(pairs.count())
+                vio_rows = None
+                if metric > 0:
+                    vio_rows = pairs.orderBy("id_a", "id_b").limit(
+                        self.config.violation_cap
+                    ).select(
+                        F.lit(self.run.runId).alias("run_id"),
+                        F.lit(None).cast("string").alias("partition_id"),
+                        F.lit(chk.key).alias("check_key"),
+                        F.concat(F.col("id_a"), F.lit("|"), F.col("id_b")).alias("clip_id"),
+                        F.concat(
+                            F.lit("matches="), F.col("matches").cast("string"),
+                            F.lit(" score="), F.col("score").cast("string"),
+                        ).alias("observed"),
+                        F.lit(chk.expected).alias("expected"),
+                    ).collect()
+            finally:
+                pairs.unpersist()
+        return {"metric": metric, "vio_rows": vio_rows}
+
+    def _record_audio_fp(self, chk: CompiledCheck, res: dict) -> None:
+        if "error" in res:
+            self._record(chk, None, ResultEnum.error, res["error"], None)
+            return
+        metric = res["metric"]
+        evaluator = chk.params.get("evaluator")
+        if evaluator is not None:
+            result, reason = evaluator(metric, {})
+        else:
+            result = ResultEnum.passed if metric == 0 else ResultEnum.failed
+            reason = None if metric == 0 else (
+                f"{chk.name}: {int(metric)} near-duplicate clip pair(s)"
+            )
         self._record(chk, metric, result, reason, None)
         if res["vio_rows"]:
             self._violation_frames.append(

@@ -121,6 +121,63 @@ def test_near_dup_bucket_cap_drops_degenerate_hash(spark):
     assert uncapped.count() == 12 * 11 // 2
 
 
+CONTRACT = """
+id: audio-fp-contract
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+    quality:
+      - {type: audio, invariant: content-uniqueness,
+         description: no near-duplicate recordings}
+"""
+
+
+def test_contract_content_uniqueness_fails_on_planted_dups(spark, clip_table):
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+
+    spec = DataContractSpecification.from_string(CONTRACT)
+    res = validate(spark, spec, {"clips": clip_table}, ValidationConfig())
+    by_key = {c.key: c for c in res.run.checks}
+    chk = by_key["clips__audio_content_uniqueness"]
+    assert chk.result == ResultEnum.failed
+    # planted pairs: (clip_000, dup_gain) and (chirp_orig, chirp_noise)
+    assert res.metrics["clips__audio_content_uniqueness"] == 2.0
+    vio = [r for r in res.violations.collect()
+           if r["check_key"] == "clips__audio_content_uniqueness"]
+    assert {r["clip_id"] for r in vio} == {"chirp_noise|chirp_orig",
+                                           "clip_000|dup_gain"}
+
+
+def test_contract_content_uniqueness_passes_distinct(spark):
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+
+    rows = [(f"c{i}", wav_bytes(_rand_clip(i), SR)) for i in range(8)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    spec = DataContractSpecification.from_string(CONTRACT)
+    res = validate(spark, spec, {"clips": df}, ValidationConfig())
+    chk = {c.key: c for c in res.run.checks}["clips__audio_content_uniqueness"]
+    assert chk.result == ResultEnum.passed
+
+
+def test_contract_content_uniqueness_threshold_form(spark, clip_table):
+    """mustBe* forms apply to the pair count: allowing up to 2 pairs passes
+    the corrupted fixture."""
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+
+    contract = CONTRACT.replace(
+        "description: no near-duplicate recordings}",
+        "mustBeLessThanOrEqualTo: 2}")
+    spec = DataContractSpecification.from_string(contract)
+    res = validate(spark, spec, {"clips": clip_table}, ValidationConfig())
+    chk = {c.key: c for c in res.run.checks}["clips__audio_content_uniqueness"]
+    assert chk.result == ResultEnum.passed
+
+
 def test_near_dup_plan_is_bucketed_equi_join(spark, clip_table):
     """Candidates come from the hash equi-join (SortMergeJoin/ShuffledHashJoin
     or broadcast on tiny data) — never a BroadcastNestedLoopJoin cross
