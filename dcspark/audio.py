@@ -48,7 +48,7 @@ COMPACT_COUNT_COLS = (
 AUDIO_COMPACT_DDL = (
     "__part string, row_type string, "
     + ", ".join(f"{c} bigint" for c in COMPACT_COUNT_COLS)
-    + ", clip_id string, observed string"
+    + ", clip_id string, observed string, t int, hash bigint"
 )
 
 #: the audio payload column this pass decodes; the engine reroutes JVM-side
@@ -178,10 +178,15 @@ def _binary_views(bin_col, n_rows: int):
     return offsets, heap, nulls
 
 
-def _eval_batch(batch, oracle, snr_fn, snr_floor_db):
+def _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=None):
     """Evaluate the decode-conformance invariant for every row of one Arrow
     batch -> list of (clip_id, rec-dict). Shared by the per-row report and the
-    compact engine pass so the two can never drift semantically."""
+    compact engine pass so the two can never drift semantically.
+
+    ``fp_fn(pcm, sr) -> int64 array`` (when given) computes acoustic
+    fingerprints from the SAME decoded PCM into ``rec['fp']`` — this is how
+    the content-uniqueness check shares the one decode pass instead of
+    re-reading the payload corpus."""
     n_rows = batch.num_rows
     ids = batch.column(0).to_pylist()
     offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
@@ -207,6 +212,8 @@ def _eval_batch(batch, oracle, snr_fn, snr_floor_db):
                 dur_ok=bool(d_dur is not None and abs(dur_ms - float(d_dur)) <= DUR_TOL_MS),
                 codec_ok=bool(codec == d_codec),
             )
+            if fp_fn is not None:
+                rec["fp"] = fp_fn(pcm, sr)
             if snr_fn is not None:
                 s = snr_fn(clip_id, d_sr, d_dur, pcm)
                 if s is not None:
@@ -308,6 +315,7 @@ def audio_decode_compact(
     id_col: str = "clip_id",
     partition_col: Optional[str] = None,
     violation_cap: int = 500,
+    fp_fn=None,
 ) -> DataFrame:
     """Single-pass engine path: ONE decode scan -> per-task aggregate counts
     plus capped violation rows.
@@ -320,6 +328,13 @@ def audio_decode_compact(
     derive metrics AND the violation sample without a second decode of the
     payload corpus (at 10^12 rows the decode is the dominant cost; running it
     twice on the failure path would double the whole job, VERDICT.md defect #1).
+
+    ``fp_fn(pcm, sr) -> int64 array`` additionally emits ``row_type='fp'``
+    rows (clip_id, t, hash) — the acoustic fingerprint table for the
+    content-uniqueness check, produced from the same decoded PCM. With fp
+    rows the output is no longer input-independent (~1 row per 32 ms of
+    audio), but it is ~50x smaller than the payload and replaces a second
+    full decode scan.
     """
 
     def compact_batches(batches: Iterator["object"]) -> Iterator["object"]:
@@ -327,11 +342,21 @@ def audio_decode_compact(
 
         counts: dict = {}
         vios: dict = {}
+        fp_ids: list = []
+        fp_ts: list = []
+        fp_hashes: list = []
         for batch in batches:
             has_part = batch.num_columns > 5
             parts = batch.column(5).to_pylist() if has_part else None
-            for i, (clip_id, rec) in enumerate(_eval_batch(batch, oracle, snr_fn, snr_floor_db)):
+            for i, (clip_id, rec) in enumerate(
+                    _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=fp_fn)):
                 part = parts[i] if parts is not None else None
+                fp = rec.get("fp")
+                if fp is not None and len(fp):
+                    cid = str(clip_id)
+                    fp_ids.extend([cid] * len(fp))
+                    fp_ts.extend(range(len(fp)))
+                    fp_hashes.extend(int(h) for h in fp)
                 c = counts.get(part)
                 if c is None:
                     c = counts[part] = [0] * len(COMPACT_COUNT_COLS)
@@ -358,7 +383,7 @@ def audio_decode_compact(
             return
         part_l, type_l = [], []
         cnt_ls = [[] for _ in COMPACT_COUNT_COLS]
-        clip_l, obs_l = [], []
+        clip_l, obs_l, t_l, hash_l = [], [], [], []
         for part, c in counts.items():
             part_l.append(part)
             type_l.append("agg")
@@ -366,6 +391,8 @@ def audio_decode_compact(
                 cnt_ls[j].append(v)
             clip_l.append(None)
             obs_l.append(None)
+            t_l.append(None)
+            hash_l.append(None)
         for part, v in vios.items():
             for clip_id, obs in v:
                 part_l.append(part)
@@ -374,12 +401,25 @@ def audio_decode_compact(
                     cnt_ls[j].append(None)
                 clip_l.append(clip_id)
                 obs_l.append(obs)
+                t_l.append(None)
+                hash_l.append(None)
+        nfp = len(fp_ids)
+        part_l.extend([None] * nfp)
+        type_l.extend(["fp"] * nfp)
+        for j in range(len(COMPACT_COUNT_COLS)):
+            cnt_ls[j].extend([None] * nfp)
+        clip_l.extend(fp_ids)
+        obs_l.extend([None] * nfp)
+        t_l.extend(fp_ts)
+        hash_l.extend(fp_hashes)
         arrays = (
             [pa.array(part_l, pa.string()), pa.array(type_l, pa.string())]
             + [pa.array(x, pa.int64()) for x in cnt_ls]
-            + [pa.array(clip_l, pa.string()), pa.array(obs_l, pa.string())]
+            + [pa.array(clip_l, pa.string()), pa.array(obs_l, pa.string()),
+               pa.array(t_l, pa.int32()), pa.array(hash_l, pa.int64())]
         )
-        names = ["__part", "row_type", *COMPACT_COUNT_COLS, "clip_id", "observed"]
+        names = ["__part", "row_type", *COMPACT_COUNT_COLS, "clip_id", "observed",
+                 "t", "hash"]
         yield pa.RecordBatch.from_arrays(arrays, names)
 
     cols = [F.col(id_col), F.col(BYTES_COL), F.col("sr_hz"), F.col("dur_ms"), F.col("codec")]

@@ -276,6 +276,21 @@ class Validator:
             # dedicated groupBy job (and its shuffle) disappears entirely
             approx_unique, unique_checks = unique_checks, []
 
+        # Content-uniqueness shares the ONE decode pass with decode-conformance
+        # whenever both are present (fingerprints emitted from the same
+        # mapInArrow scan) — a second full decode of the payload corpus is the
+        # dominant avoidable cost at scale. The checkpoint-manifest path keeps
+        # the standalone pass: near-dup pairs are global across partitions and
+        # don't fit the per-partition resume model.
+        part_col_ok = bool(
+            self.config.partition_col and self.config.partition_col in df.columns)
+        fuse_fp = bool(audio_fp_checks) and bool(audio_checks) and not (
+            part_col_ok and self.config.checkpoint_dir)
+        if fuse_fp:
+            fused_fp_checks, audio_fp_checks = audio_fp_checks, []
+        else:
+            fused_fp_checks = []
+
         # Compute phase: independent Spark jobs submitted CONCURRENTLY from
         # driver threads (the scheduler overlaps them across free task slots),
         # collapsing ~10 sequential small-job walls into a few waves — the
@@ -285,7 +300,8 @@ class Validator:
         # ordering stays deterministic.
         thunks: List[Any] = [
             lambda: self._run_shared_scan(
-                model_name, df, agg_checks, drift_checks, audio_checks, approx_unique)
+                model_name, df, agg_checks, drift_checks, audio_checks, approx_unique,
+                audio_fp_checks=fused_fp_checks)
         ]
         thunks += [
             (lambda c=chk: ("unique", c, self._unique_compute(df, c)))
@@ -421,7 +437,10 @@ class Validator:
         elif part_rows:
             part_rows[0].update(drift_rows.get(None, zero))
 
-    def _audio_compact(self, df: DataFrame, chk: CompiledCheck, partition_col: Optional[str]) -> DataFrame:
+    def _audio_compact(
+        self, df: DataFrame, chk: CompiledCheck, partition_col: Optional[str],
+        fp_fn=None,
+    ) -> DataFrame:
         # partition col is threaded through the Arrow batch as __part (no re-join)
         return audio_mod.audio_decode_compact(
             df,
@@ -430,10 +449,12 @@ class Validator:
             snr_fn=self.config.audio_snr_fn,
             partition_col=partition_col if (partition_col and partition_col in df.columns) else None,
             violation_cap=self.config.violation_cap,
+            fp_fn=fp_fn,
         )
 
     def _audio_compact_collect(
-        self, compact: DataFrame, partition_col: Optional[str]
+        self, compact: DataFrame, partition_col: Optional[str],
+        own_cache: bool = True,
     ) -> Tuple[List[Dict[str, Any]], List[Tuple[Optional[str], str, str]]]:
         """(per-partition count rows, capped violation tuples) from ONE decode.
 
@@ -441,11 +462,15 @@ class Validator:
         (parts_per_task + cap)); persisting it means the first action runs the
         single decode scan and the second reads the cache — never a second
         decode (VERDICT.md defect #1). MEMORY_AND_DISK so cache pressure spills
-        instead of recomputing.
+        instead of recomputing. ``own_cache=False`` when the caller already
+        persisted the frame and has more consumers (fused fingerprint path) —
+        unpersisting here would silently evict the caller's cache and re-run
+        the decode.
         """
         from pyspark import StorageLevel
 
-        compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
+        if own_cache:
+            compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             sums = [F.sum(c).alias(f"__audio__{c}") for c in audio_mod.COMPACT_COUNT_COLS]
             aggd = compact.filter(F.col("row_type") == "agg")
@@ -469,7 +494,8 @@ class Validator:
                 ]
             return rows, vio
         finally:
-            compact.unpersist()
+            if own_cache:
+                compact.unpersist()
 
     _AUDIO_OPS = {f"__audio__{c}": "sum" for c in audio_mod.COMPACT_COUNT_COLS}
 
@@ -513,6 +539,7 @@ class Validator:
         drift_checks: List[CompiledCheck],
         audio_checks: List[CompiledCheck],
         approx_unique: Optional[List[CompiledCheck]] = None,
+        audio_fp_checks: Optional[List[CompiledCheck]] = None,
     ) -> None:
         exprs, ops, drift_jobs = self._shared_agg_specs(model_name, agg_checks, drift_checks)
         for chk in approx_unique or []:
@@ -537,6 +564,7 @@ class Validator:
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
         audio_vio: List[Tuple[Optional[str], str, str]] = []
+        fused_fp_results: List[Tuple[CompiledCheck, dict]] = []
         # quantile-sketch aliases (merge op "global"): per-partition values are
         # exact per partition, but the global value cannot be merged on the
         # driver — recompute it in ONE dedicated pass pruned to just the
@@ -568,8 +596,36 @@ class Validator:
                 return drift_mod.drift_bucket_rows(df, drift_jobs, partition_col)
 
             def audio_job() -> Tuple[List[Dict[str, Any]], List[Tuple[Optional[str], str, str]]]:
-                compact = self._audio_compact(df, audio_chk, partition_col)
-                return self._audio_compact_collect(compact, partition_col)
+                if not audio_fp_checks:
+                    compact = self._audio_compact(df, audio_chk, partition_col)
+                    return self._audio_compact_collect(compact, partition_col)
+                # fused: fingerprints ride along in the same decode pass; the
+                # compact frame (counts + capped vios + fp rows, ~50x smaller
+                # than the payload) is persisted once and feeds both the
+                # conformance metrics and the near-dup join
+                from pyspark import StorageLevel
+
+                from . import audiofp as afp
+
+                compact = self._audio_compact(
+                    df, audio_chk, partition_col,
+                    fp_fn=afp.fingerprint_hashes,
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    rows_vio = self._audio_compact_collect(
+                        compact, partition_col, own_cache=False)
+                    fp = compact.filter(F.col("row_type") == "fp").select("clip_id", "hash")
+                    fp_results = [
+                        (chk, self._audio_fp_result(
+                            afp.audio_fingerprint_near_dup(
+                                fp, threshold=float(chk.params["score_threshold"])),
+                            chk))
+                        for chk in audio_fp_checks
+                    ]
+                finally:
+                    compact.unpersist()
+                # recorded after the merge section (fixed order, main thread)
+                return rows_vio + (fp_results,)
 
             # the scan's three independent jobs (metric agg / drift buckets /
             # audio decode) overlap on the cluster — decode dominates, the
@@ -590,7 +646,10 @@ class Validator:
                 self._merge_drift_rows(part_rows, outs[idx], drift_jobs, partition_col)
                 idx += 1
             if audio_chk is not None:
-                audio_part_rows, audio_vio = outs[idx]
+                if audio_fp_checks:
+                    audio_part_rows, audio_vio, fused_fp_results = outs[idx]
+                else:
+                    audio_part_rows, audio_vio = outs[idx]
                 idx += 1
             if run_pctl:
                 pctl_row = outs[idx]
@@ -680,6 +739,9 @@ class Validator:
                 ]
                 self._violation_frames.append(
                     self.spark.createDataFrame(vio_rows, schema=VIOLATIONS_DDL))
+
+        for chk, res in fused_fp_results:
+            self._record_audio_fp(chk, res)
 
         if failed_agg:
             self._collect_agg_violations(model_name, df, failed_agg, partition_col)
@@ -977,28 +1039,33 @@ class Validator:
                 df, id_col=id_col, bytes_col=bytes_col,
                 threshold=float(p["score_threshold"]),
             )
-            from pyspark import StorageLevel
+            return self._audio_fp_result(pairs, chk)
 
-            pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                metric = float(pairs.count())
-                vio_rows = None
-                if metric > 0:
-                    vio_rows = pairs.orderBy("id_a", "id_b").limit(
-                        self.config.violation_cap
-                    ).select(
-                        F.lit(self.run.runId).alias("run_id"),
-                        F.lit(None).cast("string").alias("partition_id"),
-                        F.lit(chk.key).alias("check_key"),
-                        F.concat(F.col("id_a"), F.lit("|"), F.col("id_b")).alias("clip_id"),
-                        F.concat(
-                            F.lit("matches="), F.col("matches").cast("string"),
-                            F.lit(" score="), F.col("score").cast("string"),
-                        ).alias("observed"),
-                        F.lit(chk.expected).alias("expected"),
-                    ).collect()
-            finally:
-                pairs.unpersist()
+    def _audio_fp_result(self, pairs: DataFrame, chk: CompiledCheck) -> dict:
+        """Count + capped example pairs from a near-dup pair frame (one
+        persisted evaluation shared by the count and the violation sample)."""
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            metric = float(pairs.count())
+            vio_rows = None
+            if metric > 0:
+                vio_rows = pairs.orderBy("id_a", "id_b").limit(
+                    self.config.violation_cap
+                ).select(
+                    F.lit(self.run.runId).alias("run_id"),
+                    F.lit(None).cast("string").alias("partition_id"),
+                    F.lit(chk.key).alias("check_key"),
+                    F.concat(F.col("id_a"), F.lit("|"), F.col("id_b")).alias("clip_id"),
+                    F.concat(
+                        F.lit("matches="), F.col("matches").cast("string"),
+                        F.lit(" score="), F.col("score").cast("string"),
+                    ).alias("observed"),
+                    F.lit(chk.expected).alias("expected"),
+                ).collect()
+        finally:
+            pairs.unpersist()
         return {"metric": metric, "vio_rows": vio_rows}
 
     def _record_audio_fp(self, chk: CompiledCheck, res: dict) -> None:

@@ -178,6 +178,64 @@ def test_contract_content_uniqueness_threshold_form(spark, clip_table):
     assert chk.result == ResultEnum.passed
 
 
+FUSED_CONTRACT = """
+id: audio-fp-fused
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      sr_hz: {type: integer}
+      dur_ms: {type: integer}
+      codec: {type: string}
+    quality:
+      - {type: audio, invariant: decode-conformance}
+      - {type: audio, invariant: content-uniqueness}
+"""
+
+
+def _conformant_table(spark, clip_table):
+    """clip_table + the header columns decode-conformance validates."""
+    rows = []
+    for r in clip_table.collect():
+        dur = None
+        if r["clip_id"] != "broken":
+            n = (len(r["bytes"]) - 44) // 2
+            dur = int(round(n / SR * 1000))
+        rows.append((r["clip_id"], r["bytes"], SR, dur, "pcm_s16le"))
+    return spark.createDataFrame(
+        rows, "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    ).repartition(4)
+
+
+def test_fused_content_uniqueness_single_decode_pass(spark, clip_table):
+    """With decode-conformance AND content-uniqueness in one contract, the
+    fingerprints must come out of the SAME mapInArrow decode pass — the
+    payload corpus is decoded exactly once (VERDICT.md defect-#1 class)."""
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+
+    df = _conformant_table(spark, clip_table)
+    decoded_rows = spark.sparkContext.accumulator(0)
+
+    def counting_snr(clip_id, sr, dur, pcm):
+        decoded_rows.add(1)
+        return None  # skip the SNR invariant, count decodes only
+
+    spec = DataContractSpecification.from_string(FUSED_CONTRACT)
+    res = validate(spark, spec, {"clips": df},
+                   ValidationConfig(audio_snr_fn=counting_snr))
+    by_key = {c.key: c for c in res.run.checks}
+    # decode-conformance fails on the broken clip only
+    assert by_key["clips__audio_decode_conformance"].result == ResultEnum.failed
+    assert res.metrics["clips__audio_decode_conformance"] == 1.0
+    # content-uniqueness still finds exactly the planted pairs
+    assert by_key["clips__audio_content_uniqueness"].result == ResultEnum.failed
+    assert res.metrics["clips__audio_content_uniqueness"] == 2.0
+    # one decode per decodable clip — not two
+    assert decoded_rows.value == 28
+
+
 def test_near_dup_plan_is_bucketed_equi_join(spark, clip_table):
     """Candidates come from the hash equi-join (SortMergeJoin/ShuffledHashJoin
     or broadcast on tiny data) — never a BroadcastNestedLoopJoin cross
