@@ -172,13 +172,19 @@ def run_operator_queries(spark, sf_dir: str) -> dict:
     qs = entry_mod.queries()
     out = {}
     for name in OPERATOR_QUERIES:
-        best = None
-        for _trial in range(2):  # min of 2: first run pays JIT/codegen warm-up
+        times = []
+        # min of 2 (first run pays JIT/codegen warm-up), plus up to 2 extra
+        # trials while the two fastest disagree >1.4x — host-level CPU steal
+        # on this sandbox can slow BOTH fixed trials (observed a 6x outlier
+        # with a clean same-session re-run), and the driver's per-round BENCH
+        # comparison treats these numbers as signal
+        while len(times) < 2 or (
+            len(times) < 4 and sorted(times)[1] > 1.4 * sorted(times)[0]
+        ):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        out[name] = round(min(times), 3)
     return out
 
 
