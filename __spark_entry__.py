@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dcspark import simsearch, textops
+from dcspark import cluster as cluster_mod
 from dcspark import audio as audio_mod
 from dcspark import drift as drift_mod
 from dcspark import synth as synth_mod
@@ -1031,7 +1032,7 @@ def q_minhash_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_MINHASH_NEAR_DUP = _MINHASH_SQL_PRELUDE.format(doc_filter="") + """,
+_MINHASH_SCORED_CTES = _MINHASH_SQL_PRELUDE.format(doc_filter="") + """,
 mh AS (SELECT doc_id,
   list_min(list_transform(s, x -> md5(x || '#0'))) m0, list_min(list_transform(s, x -> md5(x || '#1'))) m1,
   list_min(list_transform(s, x -> md5(x || '#2'))) m2, list_min(list_transform(s, x -> md5(x || '#3'))) m3,
@@ -1049,7 +1050,8 @@ ex AS (SELECT doc_id, unnest(s) sg FROM sh),
 sz AS (SELECT doc_id, len(s) sz FROM sh),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) i
           FROM cand c JOIN ex a ON a.doc_id = c.doc_a JOIN ex b ON b.doc_id = c.doc_b AND b.sg = a.sg
-          GROUP BY c.doc_a, c.doc_b)
+          GROUP BY c.doc_a, c.doc_b),
+scored AS (
 SELECT cast(c.doc_a AS bigint) AS doc_a, cast(c.doc_b AS bigint) AS doc_b,
        cast(coalesce(i.i, 0) AS bigint) AS inter,
        cast(x.sz + y.sz - coalesce(i.i, 0) AS bigint) AS uni,
@@ -1057,8 +1059,45 @@ SELECT cast(c.doc_a AS bigint) AS doc_a, cast(c.doc_b AS bigint) AS doc_b,
 FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sz x ON x.doc_id = c.doc_a
-JOIN sz y ON y.doc_id = c.doc_b
+JOIN sz y ON y.doc_id = c.doc_b)
 """
+
+SQL_MINHASH_NEAR_DUP = _MINHASH_SCORED_CTES + "\nSELECT * FROM scored\n"
+
+# transitive closure of the >=0.5-Jaccard pair graph (integer threshold form
+# 2*inter >= uni avoids float-boundary drift between engines); min-reachable
+# label == the Spark side's large-star/small-star component min
+SQL_NEAR_DUP_CLUSTERS = _MINHASH_SCORED_CTES.replace(
+    "WITH ", "WITH RECURSIVE ", 1) + """,
+dup AS (SELECT doc_a a, doc_b b FROM scored WHERE 2 * inter >= uni),
+edges AS (SELECT a, b FROM dup UNION SELECT b, a FROM dup),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON r.node = e.b),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT cast(node AS bigint) AS doc_id, cast(component AS bigint) AS cluster_id,
+       cast(count(*) OVER (PARTITION BY component) AS bigint) AS cluster_size,
+       node = component AS is_canonical
+FROM comp
+"""
+
+
+def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> canonical-survivor table.
+
+    The full dedup pipeline shape: the pair graph (>=0.5 Jaccard, integer
+    threshold form) feeds `cluster.near_dup_clusters`, whose large-star/
+    small-star alternation collapses transitive chains (A~B, B~C) that
+    pairwise scoring alone cannot. Oracle: DuckDB recursive-CTE closure.
+    """
+    pairs = textops.minhash_near_dups(
+        _t(spark, sf, "documents"), threshold=0.0, num_hashes=8, rows_per_band=2, n=3
+    ).filter(2 * F.col("inter") >= F.col("uni"))
+    return cluster_mod.near_dup_clusters(pairs).select(
+        F.col("doc_id").cast("long"), F.col("cluster_id").cast("long"),
+        F.col("cluster_size").cast("long"), "is_canonical",
+    )
 
 
 def q_jaccard_allpairs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1391,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": q_doc_quality,
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard_allpairs": q_jaccard_allpairs,
         "simhash_fingerprints": q_simhash,
         "ann_cosine_topk": q_ann_topk,
@@ -1433,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": SQL_DOC_QUALITY,
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
+        "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN_TOPK,

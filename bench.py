@@ -151,6 +151,7 @@ OPERATOR_QUERIES = [
     "dedup_exact",
     "text_quality_scores",
     "minhash_lsh_near_dup",
+    "near_dup_clusters",
     "simhash_fingerprints",
     "ann_cosine_topk",
     "ann_lsh_topk",

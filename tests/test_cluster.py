@@ -1,0 +1,100 @@
+"""Connected-components / near-dup clustering tests.
+
+Ground truth for the randomized cases is an in-test union-find — independent
+of the Spark implementation's algorithm.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcspark import cluster
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _cc_dict(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    return {r["node"]: r["component"]
+            for r in cluster.connected_components(df, **kw).collect()}
+
+
+def test_long_chain_converges(spark):
+    # path graph 0-1-2-...-63: diameter 63 stresses the O(log n) contraction
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_dict(spark, edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_two_components_and_duplicate_reversed_edges(spark):
+    edges = [(5, 3), (3, 9), (9, 5), (20, 21), (21, 20), (20, 21)]
+    got = _cc_dict(spark, edges)
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_random_graphs_match_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _cc_dict(spark, edges)
+        assert got == _uf_components(edges), f"trial {trial}"
+
+
+def test_string_node_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "doc_a string, doc_b string")
+    got = {r["node"]: r["component"]
+           for r in cluster.connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert cluster.connected_components(df).count() == 0
+    assert cluster.near_dup_clusters(df).count() == 0
+
+
+def test_near_dup_clusters_membership(spark):
+    # two pair-clusters plus one transitive triple (1-2, 2-7 => {1,2,7})
+    df = spark.createDataFrame(
+        [(1, 2), (2, 7), (10, 11), (30, 31)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in cluster.near_dup_clusters(df).collect()}
+    assert {d: r["cluster_id"] for d, r in rows.items()} == {
+        1: 1, 2: 1, 7: 1, 10: 10, 11: 10, 30: 30, 31: 30}
+    assert {d: r["cluster_size"] for d, r in rows.items()} == {
+        1: 3, 2: 3, 7: 3, 10: 2, 11: 2, 30: 2, 31: 2}
+    canon = {d for d, r in rows.items() if r["is_canonical"]}
+    assert canon == {1, 10, 30}
+
+
+def test_drop_list_dedups_corpus(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 7)], "doc_a long, doc_b long")
+    corpus = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    drops = cluster.near_dup_clusters(pairs).filter(~F.col("is_canonical"))
+    kept = corpus.join(drops.select("doc_id"), "doc_id", "left_anti")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 3, 4, 5, 6, 8, 9]
+
+
+def test_no_nested_loop_join_in_round(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    plan = cluster._small_star(cluster._large_star(
+        df.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    ))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
