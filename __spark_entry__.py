@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from dcspark import simsearch, textops
 from dcspark import cluster as cluster_mod
+from dcspark import sampling as sampling_mod
 from dcspark import audio as audio_mod
 from dcspark import drift as drift_mod
 from dcspark import synth as synth_mod
@@ -1083,6 +1084,45 @@ FROM comp
 """
 
 
+def q_split_sample_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash split + stratified sample membership per doc.
+
+    Row-level exactness is the point: the oracle recomputes the same
+    md5-hex draws in DuckDB and must reproduce every assignment byte for
+    byte (lexicographic fixed-width hex == numeric comparison).
+    """
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    assigned = sampling_mod.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r2")
+    kept = sampling_mod.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25},
+        default_fraction=0.1, salt="strat")
+    return assigned.join(
+        kept.select("doc_id", F.lit(True).alias("sampled")), "doc_id", "left"
+    ).select(
+        F.col("doc_id").cast("long"), "split",
+        F.coalesce("sampled", F.lit(False)).alias("sampled"),
+    )
+
+
+def _sql_split_sample_assign() -> str:
+    from dcspark.sampling import _threshold_hex as th
+
+    return f"""
+WITH h AS (SELECT doc_id, lang,
+  substr(md5(cast(doc_id AS VARCHAR) || '|r2'), 1, 8) hs,
+  substr(md5(cast(doc_id AS VARCHAR) || '|strat'), 1, 8) hk
+FROM documents)
+SELECT cast(doc_id AS bigint) AS doc_id,
+  CASE WHEN hs < '{th(0.8)}' THEN 'train'
+       WHEN hs < '{th(0.9)}' THEN 'val' ELSE 'test' END AS split,
+  coalesce((lang = 'en' AND hk < '{th(0.5)}')
+        OR (lang = 'de' AND hk < '{th(0.25)}')
+        OR (lang NOT IN ('en', 'de') AND hk < '{th(0.1)}'), FALSE) AS sampled
+FROM h
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH pairs -> connected components -> canonical-survivor table.
 
@@ -1431,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "split_sample_assign": q_split_sample_assign,
         "ngram_jaccard_allpairs": q_jaccard_allpairs,
         "simhash_fingerprints": q_simhash,
         "ann_cosine_topk": q_ann_topk,
@@ -1474,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+        "split_sample_assign": _sql_split_sample_assign(),
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN_TOPK,

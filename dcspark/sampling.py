@@ -1,0 +1,107 @@
+"""Deterministic hash-based splits and stratified sampling.
+
+Training-data pipelines need *reproducible* train/val/test assignment and
+sampling at 100 TB: the same row must land in the same split on every run, on
+any cluster size, regardless of partitioning, row order, or Spark version —
+which rules out `DataFrame.randomSplit`/`sample` (both are seed + partition
+dependent: a repartition reshuffles the assignment). The standard web-scale
+answer is keyed hashing (TFX/Beam call it fingerprint-based splitting): a
+row's split is a pure function of its id.
+
+Mechanism: ``md5(id || '|' || salt)`` — the first 8 hex chars are a uniform
+32-bit draw. All comparisons happen on the *fixed-width lowercase hex string*
+(lexicographic == numeric for fixed-width hex), so the exact same assignment
+is reproducible in any engine with md5 — that is what the DuckDB oracle for
+`split_sample_assign` checks, byte for byte. Everything is a whole-stage-
+codegen JVM expression: zero shuffle, zero UDF, filter-pushdown friendly;
+changing ``salt`` re-rolls every assignment (use a new salt per experiment,
+keep it fixed per dataset release).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: hex width of the uniform draw: 8 chars = 32 bits, plenty below md5's 128
+_HEX_DIGITS = 8
+_SPACE = 1 << (4 * _HEX_DIGITS)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Cumulative fraction -> fixed-width lowercase hex boundary string."""
+    bound = min(max(int(round(fraction * _SPACE)), 0), _SPACE)
+    # a full-coverage boundary must compare greater than every 8-char draw
+    return "g" if bound >= _SPACE else format(bound, f"0{_HEX_DIGITS}x")
+
+
+def hash_hex(id_col: Union[str, Column], salt: str = "") -> Column:
+    """The row's uniform draw as an 8-char lowercase hex string."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(
+        F.md5(F.concat(c.cast("string"), F.lit("|" + salt))), 1, _HEX_DIGITS)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: Dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split, deterministically.
+
+    ``fractions`` maps split name -> fraction in insertion order; the last
+    split absorbs any rounding remainder (and everything above the cumulative
+    sum, so fractions summing to 1.0 always cover). Splits are disjoint and
+    exhaustive by construction — one chained CASE on the hash draw.
+    """
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    h = hash_hex(id_col, salt)
+    names = list(fractions)
+    expr: Optional[Column] = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += float(fractions[name])
+        cond = h < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows (keyed Bernoulli)."""
+    return df.filter(hash_hex(id_col, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: Union[str, Column],
+    fractions: Dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. rebalance languages/sources).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed keep
+    ``default_fraction``. The draw is salted per-row only (not per-stratum),
+    so tightening one stratum's fraction keeps a strict subset — stable
+    incremental re-releases of the same corpus.
+    """
+    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    h = hash_hex(id_col, salt)
+    expr: Optional[Column] = None
+    for value, frac in fractions.items():
+        cond = (s == F.lit(value)) & (h < F.lit(_threshold_hex(float(frac))))
+        expr = cond if expr is None else expr | cond
+    fallback = h < F.lit(_threshold_hex(default_fraction))
+    others = ~s.isin(list(fractions)) if fractions else F.lit(True)
+    expr = (fallback & others) if expr is None else (expr | (fallback & others))
+    return df.filter(expr)

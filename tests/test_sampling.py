@@ -1,0 +1,77 @@
+"""Deterministic hash split / stratified sampling tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcspark import sampling
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+
+
+def test_split_disjoint_exhaustive_and_sized(ids):
+    out = sampling.hash_split(
+        ids, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s1")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 20000
+    # binomial 4-sigma bands at n=20000
+    assert abs(counts["train"] - 16000) < 4 * (20000 * 0.8 * 0.2) ** 0.5
+    assert abs(counts["val"] - 2000) < 4 * (20000 * 0.1 * 0.9) ** 0.5
+    assert abs(counts["test"] - 2000) < 4 * (20000 * 0.1 * 0.9) ** 0.5
+
+
+def test_split_stable_under_repartition_and_reorder(ids):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = sampling.hash_split(ids, "doc_id", fr, salt="s1")
+    b = sampling.hash_split(
+        ids.repartition(17).sortWithinPartitions(F.desc("doc_id")),
+        "doc_id", fr, salt="s1")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_salt_rerolls_assignment(ids):
+    fr = {"a": 0.5, "b": 0.5}
+    x = sampling.hash_split(ids, "doc_id", fr, salt="s1")
+    y = sampling.hash_split(ids, "doc_id", fr, salt="s2")
+    moved = x.join(y.withColumnRenamed("split", "split2"), "doc_id") \
+        .filter(F.col("split") != F.col("split2")).count()
+    assert 8000 < moved < 12000  # ~half move on an independent re-roll
+
+
+def test_hash_sample_subset_property(ids):
+    small = sampling.hash_sample(ids, "doc_id", 0.1, salt="s")
+    big = sampling.hash_sample(ids, "doc_id", 0.3, salt="s")
+    assert small.exceptAll(big).count() == 0  # tighter fraction => subset
+    assert abs(small.count() - 2000) < 4 * (20000 * 0.1 * 0.9) ** 0.5
+
+
+def test_stratified_rates_and_default(spark):
+    df = spark.range(0, 30000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int")).alias("lang"))
+    out = sampling.stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.5, "de": 0.1}, default_fraction=0.0,
+        salt="s")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "fr" not in counts  # default 0.0 drops unlisted strata
+    assert abs(counts["en"] - 5000) < 4 * (10000 * 0.25) ** 0.5
+    assert abs(counts["de"] - 1000) < 4 * (10000 * 0.09) ** 0.5
+
+
+def test_edge_fractions():
+    assert sampling._threshold_hex(0.0) == "00000000"
+    assert sampling._threshold_hex(1.0) == "g"  # > every hex draw
+    assert sampling._threshold_hex(0.5) == "80000000"
+
+
+def test_split_plan_is_shuffle_free_scan(ids):
+    out = sampling.hash_split(ids, "doc_id", {"train": 0.9, "test": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
