@@ -1347,6 +1347,65 @@ def q_audio_decode(spark: SparkSession, _sf: str) -> DataFrame:
     )
 
 
+def q_audio_loudness_drift(spark: SparkSession, _sf: str) -> DataFrame:
+    """Decoded-PCM loudness drift (contract rule `invariant: loudness-drift`):
+    PSI/KS of per-clip RMS dBFS vs a reference snapshot, histogram emitted
+    from the single mapInArrow decode pass (audio.audio_decode_compact
+    feat_bins rows). Drift the column checks cannot see: the 'quiet' table
+    is a -12 dB re-encode with byte-identical header columns. Not
+    SQL-expressible (WAV decode), so no oracle — rows-only check; semantics
+    locked in tests/test_audiodrift.py."""
+    import numpy as np
+
+    from dcspark import drift as drift_mod
+
+    base = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED,
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8)
+
+    def scale(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            d = b.to_pydict()
+            d["bytes"] = [
+                raw[:44] + (np.frombuffer(raw[44:], dtype="<i2") * 0.25
+                            ).astype("<i2").tobytes()
+                for raw in d["bytes"]
+            ]
+            yield pa.RecordBatch.from_pydict(d, schema=b.schema)
+
+    quiet = base.mapInArrow(scale, schema=base.schema)
+
+    frame = audio_mod.audio_feature_frame(base, ["rms_dbfs"]).persist()
+    try:
+        stats = drift_mod.build_ref_stats(frame, ["rms_dbfs"])["rms_dbfs"]
+    finally:
+        frame.unpersist()
+    edges = [float(x) for x in stats["bin_edges"]]
+
+    def hist_counts(df: DataFrame) -> list:
+        compact = audio_mod.audio_decode_compact(
+            df, oracle=None, snr_fn=None, violation_cap=0,
+            feat_bins={"rms_dbfs": edges})
+        rows = (
+            compact.filter(F.col("row_type") == "fh")
+            .groupBy("t").agg(F.sum("hash").alias("c")).collect())
+        by_bin = {r["t"]: r["c"] for r in rows}
+        return [by_bin.get(k, 0) for k in range(len(edges) + 1)]
+
+    same, shifted = hist_counts(base), hist_counts(quiet)
+    psi_same = drift_mod.drift_statistic_from_counts(same, stats, "psi")
+    psi_quiet = drift_mod.drift_statistic_from_counts(shifted, stats, "psi")
+    ks_quiet = drift_mod.drift_statistic_from_counts(shifted, stats, "ks")
+    return spark.createDataFrame(
+        [(int(sum(same)), bool(psi_same <= 0.05), bool(psi_quiet > 0.2),
+          bool(ks_quiet > 0.5))],
+        "rows bigint, same_within_threshold boolean, "
+        "quiet_flagged_psi boolean, quiet_flagged_ks boolean",
+    )
+
+
 def q_audio_fp_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Acoustic-fingerprint near-duplicate detection (dcspark/audiofp.py):
     band-occupancy spectral hashes (gain-invariant, noise-robust) + bucketed
@@ -1480,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "audio_decode_conformance": q_audio_decode,
         "audio_fp_near_dup": q_audio_fp_near_dup,
+        "audio_loudness_drift": q_audio_loudness_drift,
         "contract_full_run": q_contract_full_run,
     }
 

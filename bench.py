@@ -164,6 +164,7 @@ OPERATOR_QUERIES = [
     "quality_metric_checks",
     "quantile_sketch_stats",
     "audio_fp_near_dup",
+    "audio_loudness_drift",
     "group_threshold_checks",
 ]
 

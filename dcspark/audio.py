@@ -26,8 +26,9 @@ Two public passes share one per-row evaluator:
 
 from __future__ import annotations
 
+import math
 import struct
-from typing import Callable, Iterator, Optional
+from typing import Callable, Dict, Iterator, List, Optional
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -178,7 +179,7 @@ def _binary_views(bin_col, n_rows: int):
     return offsets, heap, nulls
 
 
-def _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=None):
+def _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=None, feat_fns=None):
     """Evaluate the decode-conformance invariant for every row of one Arrow
     batch -> list of (clip_id, rec-dict). Shared by the per-row report and the
     compact engine pass so the two can never drift semantically.
@@ -186,7 +187,9 @@ def _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=None):
     ``fp_fn(pcm, sr) -> int64 array`` (when given) computes acoustic
     fingerprints from the SAME decoded PCM into ``rec['fp']`` — this is how
     the content-uniqueness check shares the one decode pass instead of
-    re-reading the payload corpus."""
+    re-reading the payload corpus. ``feat_fns`` ({name: fn(pcm, sr) -> float})
+    likewise computes per-clip scalar features into ``rec['feats']`` for the
+    loudness-drift histograms."""
     n_rows = batch.num_rows
     ids = batch.column(0).to_pylist()
     offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
@@ -214,6 +217,8 @@ def _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=None):
             )
             if fp_fn is not None:
                 rec["fp"] = fp_fn(pcm, sr)
+            if feat_fns is not None:
+                rec["feats"] = {name: fn(pcm, sr) for name, fn in feat_fns.items()}
             if snr_fn is not None:
                 s = snr_fn(clip_id, d_sr, d_dur, pcm)
                 if s is not None:
@@ -307,6 +312,35 @@ def audio_decode_report(
     return df.select(*cols).mapInArrow(check_batches, schema=schema)
 
 
+def rms_dbfs(pcm, _sr) -> float:
+    """Whole-clip RMS level in dBFS for int16 PCM (silence clamps at -120)."""
+    if len(pcm) == 0:
+        return -120.0
+    x = pcm.astype(np.float64) / 32768.0
+    r = math.sqrt(float(np.mean(x * x)))
+    return 20.0 * math.log10(r) if r > 0 else -120.0
+
+
+def peak_dbfs(pcm, _sr) -> float:
+    """Peak absolute sample level in dBFS (silence clamps at -120)."""
+    if len(pcm) == 0:
+        return -120.0
+    p = float(np.max(np.abs(pcm.astype(np.int32)))) / 32768.0
+    return 20.0 * math.log10(p) if p > 0 else -120.0
+
+
+def clip_ratio(pcm, _sr) -> float:
+    """Fraction of samples at (or beyond) int16 full scale — digital clipping."""
+    if len(pcm) == 0:
+        return 0.0
+    return float(np.mean(np.abs(pcm.astype(np.int32)) >= 32767))
+
+
+#: decoded-PCM scalar features available to loudness-drift checks and
+#: :func:`audio_feature_frame`; all vectorized numpy over the int16 buffer
+FEATURE_FNS = {"rms_dbfs": rms_dbfs, "peak_dbfs": peak_dbfs, "clip_ratio": clip_ratio}
+
+
 def audio_decode_compact(
     df: DataFrame,
     snr_floor_db: float = 30.0,
@@ -316,6 +350,7 @@ def audio_decode_compact(
     partition_col: Optional[str] = None,
     violation_cap: int = 500,
     fp_fn=None,
+    feat_bins: Optional[Dict[str, List[float]]] = None,
 ) -> DataFrame:
     """Single-pass engine path: ONE decode scan -> per-task aggregate counts
     plus capped violation rows.
@@ -335,9 +370,20 @@ def audio_decode_compact(
     rows the output is no longer input-independent (~1 row per 32 ms of
     audio), but it is ~50x smaller than the payload and replaces a second
     full decode scan.
+
+    ``feat_bins`` ({feature: ascending bin edges}) additionally emits
+    ``row_type='fh'`` histogram rows (clip_id=feature name, t=bin index,
+    hash=count) — per-task bin counts of decoded-PCM features (FEATURE_FNS)
+    for loudness-drift checks. Binning matches drift._bin_count_expr:
+    (-inf, e0], (e0, e1], ..., (e_last, inf). Output stays tiny: at most
+    tasks x parts x features x (bins+1) rows.
     """
+    feat_fns = (
+        {name: FEATURE_FNS[name] for name in feat_bins} if feat_bins else None)
 
     def compact_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import bisect
+
         import pyarrow as pa
 
         counts: dict = {}
@@ -345,11 +391,13 @@ def audio_decode_compact(
         fp_ids: list = []
         fp_ts: list = []
         fp_hashes: list = []
+        fhists: dict = {}
         for batch in batches:
             has_part = batch.num_columns > 5
             parts = batch.column(5).to_pylist() if has_part else None
             for i, (clip_id, rec) in enumerate(
-                    _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=fp_fn)):
+                    _eval_batch(batch, oracle, snr_fn, snr_floor_db,
+                                fp_fn=fp_fn, feat_fns=feat_fns)):
                 part = parts[i] if parts is not None else None
                 fp = rec.get("fp")
                 if fp is not None and len(fp):
@@ -357,6 +405,14 @@ def audio_decode_compact(
                     fp_ids.extend([cid] * len(fp))
                     fp_ts.extend(range(len(fp)))
                     fp_hashes.extend(int(h) for h in fp)
+                feats = rec.get("feats")
+                if feats is not None:
+                    for name, val in feats.items():
+                        edges = feat_bins[name]
+                        h = fhists.get((part, name))
+                        if h is None:
+                            h = fhists[(part, name)] = [0] * (len(edges) + 1)
+                        h[bisect.bisect_left(edges, val)] += 1
                 c = counts.get(part)
                 if c is None:
                     c = counts[part] = [0] * len(COMPACT_COUNT_COLS)
@@ -412,6 +468,18 @@ def audio_decode_compact(
         obs_l.extend([None] * nfp)
         t_l.extend(fp_ts)
         hash_l.extend(fp_hashes)
+        for (part, name), hist in fhists.items():
+            for b, cnt in enumerate(hist):
+                if cnt == 0:
+                    continue
+                part_l.append(part)
+                type_l.append("fh")
+                for j in range(len(COMPACT_COUNT_COLS)):
+                    cnt_ls[j].append(None)
+                clip_l.append(name)
+                obs_l.append(None)
+                t_l.append(b)
+                hash_l.append(cnt)
         arrays = (
             [pa.array(part_l, pa.string()), pa.array(type_l, pa.string())]
             + [pa.array(x, pa.int64()) for x in cnt_ls]
@@ -426,6 +494,58 @@ def audio_decode_compact(
     if partition_col:
         cols.append(F.col(partition_col).cast("string").alias("__part"))
     return df.select(*cols).mapInArrow(compact_batches, schema=AUDIO_COMPACT_DDL)
+
+
+def audio_feature_frame(
+    df: DataFrame,
+    features: List[str] = ("rms_dbfs",),
+    id_col: str = "clip_id",
+    bytes_col: str = BYTES_COL,
+) -> DataFrame:
+    """Per-clip decoded-PCM scalar features: (clip_id, <feature double>...).
+
+    The reference-snapshot builder for loudness-drift checks: run this on the
+    reference sample, then ``drift.build_ref_stats(frame, features)`` yields
+    the bin edges/probs the validation-time histogram (``feat_bins`` in
+    :func:`audio_decode_compact`) is compared against. Same zero-copy
+    mapInArrow decode as every other audio pass; decode failures yield null
+    features. Projection is (id, bytes) only — everything else prunes out of
+    the scan.
+    """
+    bad = [f for f in features if f not in FEATURE_FNS]
+    if bad:
+        raise ValueError(f"unknown audio features {bad}; known: {sorted(FEATURE_FNS)}")
+    fns = [(f, FEATURE_FNS[f]) for f in features]
+    schema = "clip_id string, " + ", ".join(f"{f} double" for f in features)
+
+    def feat_batches(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+            cols: list = [[] for _ in fns]
+            for i in range(n_rows):
+                if nulls[i]:
+                    for c in cols:
+                        c.append(None)
+                    continue
+                raw = heap[offsets[i]:offsets[i + 1]]
+                try:
+                    sr, _codec, pcm = parse_wav_view(raw)
+                except (ValueError, struct.error):
+                    for c in cols:
+                        c.append(None)
+                    continue
+                for c, (_name, fn) in zip(cols, fns):
+                    c.append(fn(pcm, sr))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0)] + [pa.array(c, pa.float64()) for c in cols],
+                ["clip_id"] + [f for f, _ in fns])
+
+    return df.select(
+        F.col(id_col).alias("clip_id"), F.col(bytes_col)
+    ).mapInArrow(feat_batches, schema=schema)
 
 
 def audio_violation_expr() -> "F.Column":

@@ -47,6 +47,18 @@ def _drift_columns(spec) -> dict:
     return out
 
 
+def _audio_drift_features(spec) -> dict:
+    """model -> [decoded-PCM features with a loudness-drift rule]."""
+    from .compile import create_checks
+
+    out = {}
+    for model_name, checks in create_checks(spec).items():
+        feats = [c.params["feature"] for c in checks if c.kind == "audio_drift"]
+        if feats:
+            out[model_name] = sorted(set(feats))
+    return out
+
+
 def _load_ref_stats(spark, spec, ref_stats_dir: str) -> dict:
     """{model: {column: stats}} from <dir>/<model>.parquet snapshot tables."""
     import os
@@ -73,17 +85,36 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     spec = DataContractSpecification.from_file(args.contract)
     spark = _build_spark(args.master, args.shuffle_partitions)
     by_model = _drift_columns(spec)
-    if not by_model:
+    audio_by_model = _audio_drift_features(spec)
+    if not by_model and not audio_by_model:
         print("no drift rules in contract; nothing to snapshot")
         return 0
     tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
     os.makedirs(args.out, exist_ok=True)
-    for model_name, cols in by_model.items():
-        df = tables[model_name].select(*cols)
-        stats = build_ref_stats(df, cols)
+    for model_name in sorted(set(by_model) | set(audio_by_model)):
+        cols = by_model.get(model_name, [])
+        stats = {}
+        if cols:
+            stats.update(build_ref_stats(tables[model_name].select(*cols), cols))
+        feats = audio_by_model.get(model_name, [])
+        if feats:
+            # decoded-PCM feature snapshot: one decode pass over the reference
+            # sample -> per-feature quantile grid + bin probs, stored in the
+            # same parquet under 'audio:<feature>' keys
+            from .audio import audio_feature_frame
+
+            # build_ref_stats takes two actions (quantile sketch + bin agg);
+            # persist the tiny (clip_id, features) frame so the reference
+            # sample is decoded once, not twice
+            frame = audio_feature_frame(tables[model_name], features=feats).persist()
+            try:
+                fstats = build_ref_stats(frame, feats)
+            finally:
+                frame.unpersist()
+            stats.update({f"audio:{f}": s for f, s in fstats.items()})
         out_path = os.path.join(args.out, f"{model_name}.parquet")
         ref_stats_to_df(spark, stats).write.mode("overwrite").parquet(out_path)
-        print(f"snapshot: {model_name} columns={cols} -> {out_path}")
+        print(f"snapshot: {model_name} columns={cols} audio={feats} -> {out_path}")
     return 0
 
 

@@ -842,6 +842,47 @@ def check_audio_near_dup(model: str, q: Quality, idx: int) -> CompiledCheck:
     )
 
 
+def check_audio_drift(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Distribution drift on DECODED-PCM features (``type: audio, invariant:
+    loudness-drift``): KS/PSI of a per-clip scalar feature (rms_dbfs,
+    peak_dbfs, clip_ratio — audio.FEATURE_FNS) against a reference snapshot
+    built by ``audio.audio_feature_frame`` + ``drift.build_ref_stats`` (CLI
+    ``snapshot`` does this automatically when the contract carries this rule).
+
+    This is drift the column-level KS/PSI checks cannot see: a pipeline
+    regression that re-encodes audio 12 dB quieter changes no header column.
+    Scale design: the validation-time histogram rides the engine's ONE
+    mapInArrow decode pass (``feat_bins`` rows in the compact frame), so the
+    check costs bin-count accumulation, never a second payload scan."""
+    feature = q.column or "rms_dbfs"
+    method = (q.method or "psi").lower()
+    threshold = q.threshold if q.threshold is not None else (0.05 if method == "ks" else 0.2)
+    name = q.description or f"Decoded-audio drift ({method}) on {feature}"
+
+    def ev(metric: Optional[float], _diag: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+        if metric is None:
+            return ResultEnum.error, f"{name}: statistic not computed"
+        if metric <= threshold:
+            return ResultEnum.passed, None
+        return ResultEnum.failed, f"{name}: {method.upper()} statistic {metric:.4f} > {threshold}"
+
+    return CompiledCheck(
+        key=_key(model, feature, f"audio_drift_{method}"),
+        check_type=f"audio_drift_{method}",
+        category="audio",
+        name=name,
+        model=model,
+        kind="audio_drift",
+        params={"feature": feature, "method": method, "threshold": threshold},
+        evaluate=ev,
+        expected=f"{method} <= {threshold} on decoded {feature}",
+        implementation=(
+            "per-clip feature binned inside the single mapInArrow decode pass "
+            "(row_type='fh' histogram rows) vs ref_stats['audio:" + feature + "']"
+        ),
+    )
+
+
 def check_transcript_equality(model: str, q: Quality, idx: int) -> CompiledCheck:
     """Per-row transcript equality vs the oracle reference table (BASELINE.json
     input_hint). Sort-merge equi-join on the key column; at 10^12 scale both
@@ -1103,6 +1144,8 @@ def create_checks(
                 checks.append(check_transcript_equality(model_name, q, qi))
             elif q.type == "audio" and (q.invariant or "") == "content-uniqueness":
                 checks.append(check_audio_near_dup(model_name, q, qi))
+            elif q.type == "audio" and (q.invariant or "") == "loudness-drift":
+                checks.append(check_audio_drift(model_name, q, qi))
             elif q.type == "audio":
                 checks.append(check_audio(model_name, q, qi))
         out[model_name] = checks

@@ -244,13 +244,36 @@ def drift_statistic(row: dict, stats: dict, method: str, prefix: str) -> Optiona
         return ks
     if method == "psi":
         edges = stats["bin_edges"]
-        ref_probs = stats["bin_probs"]
         cur_counts = [row[f"{prefix}__bin{k}"] or 0 for k in range(len(edges) + 1)]
-        total = sum(cur_counts) or 1
+        return drift_statistic_from_counts(cur_counts, stats, "psi")
+    raise ValueError(f"unknown drift method: {method}")
+
+
+def drift_statistic_from_counts(
+    counts: List[int], stats: dict, method: str
+) -> Optional[float]:
+    """Statistic from an explicit bin-count vector over ``stats['bin_edges']``.
+
+    The decoded-audio-feature path: the engine's single decode pass emits
+    per-task histogram rows, their summed counts land here. PSI is identical
+    to :func:`drift_statistic`'s; KS here is the *binned* sup-distance over
+    the bin boundaries (coarser than the quantile-grid KS on raw columns —
+    resolution is 1/n_bins, fine for a drift alarm, documented)."""
+    total = sum(counts)
+    if total == 0:
+        return None
+    if method == "psi":
         psi = 0.0
-        for q_ref, c in zip(ref_probs, cur_counts):
+        for q_ref, c in zip(stats["bin_probs"], counts):
             p = max(c / total, EPS)
             q = max(q_ref, EPS)
             psi += (p - q) * math.log(p / q)
         return psi
+    if method == "ks":
+        cp = cq = ks = 0.0
+        for q_ref, c in zip(stats["bin_probs"], counts):
+            cp += c / total
+            cq += q_ref
+            ks = max(ks, abs(cp - cq))
+        return ks
     raise ValueError(f"unknown drift method: {method}")

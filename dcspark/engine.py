@@ -250,6 +250,7 @@ class Validator:
         join_eq_checks = [c for c in checks if c.kind == "join_equality"]
         group_checks = [c for c in checks if c.kind == "group"]
         audio_fp_checks = [c for c in checks if c.kind == "audio_fp"]
+        audio_drift_checks = [c for c in checks if c.kind == "audio_drift"]
 
         self._run_schema_checks(schema_checks, df)
 
@@ -301,7 +302,7 @@ class Validator:
         thunks: List[Any] = [
             lambda: self._run_shared_scan(
                 model_name, df, agg_checks, drift_checks, audio_checks, approx_unique,
-                audio_fp_checks=fused_fp_checks)
+                audio_fp_checks=fused_fp_checks, audio_drift_checks=audio_drift_checks)
         ]
         thunks += [
             (lambda c=chk: ("unique", c, self._unique_compute(df, c)))
@@ -438,18 +439,21 @@ class Validator:
             part_rows[0].update(drift_rows.get(None, zero))
 
     def _audio_compact(
-        self, df: DataFrame, chk: CompiledCheck, partition_col: Optional[str],
-        fp_fn=None,
+        self, df: DataFrame, chk: Optional[CompiledCheck], partition_col: Optional[str],
+        fp_fn=None, feat_bins=None,
     ) -> DataFrame:
-        # partition col is threaded through the Arrow batch as __part (no re-join)
+        # partition col is threaded through the Arrow batch as __part (no
+        # re-join); chk=None (feature-histograms-only scan) skips the SNR
+        # oracle — header conformance counts still accumulate but go unread
         return audio_mod.audio_decode_compact(
             df,
-            snr_floor_db=chk.params.get("snr_db", 30.0),
-            oracle=self.config.audio_oracle,
-            snr_fn=self.config.audio_snr_fn,
+            snr_floor_db=chk.params.get("snr_db", 30.0) if chk is not None else 30.0,
+            oracle=self.config.audio_oracle if chk is not None else None,
+            snr_fn=self.config.audio_snr_fn if chk is not None else None,
             partition_col=partition_col if (partition_col and partition_col in df.columns) else None,
-            violation_cap=self.config.violation_cap,
+            violation_cap=self.config.violation_cap if chk is not None else 0,
             fp_fn=fp_fn,
+            feat_bins=feat_bins,
         )
 
     def _audio_compact_collect(
@@ -497,6 +501,44 @@ class Validator:
             if own_cache:
                 compact.unpersist()
 
+    def _audio_hist_collect(self, compact: DataFrame) -> Dict[str, Dict[int, int]]:
+        """{feature: {bin: count}} from the compact frame's 'fh' rows — a
+        groupBy over a frame bounded by tasks x features x bins, never the
+        corpus. Loudness drift is evaluated globally (like the column drift
+        checks), so __part sums away here."""
+        rows = (
+            compact.filter(F.col("row_type") == "fh")
+            .groupBy("clip_id", "t").agg(F.sum("hash").alias("c"))
+            .collect()
+        )
+        out: Dict[str, Dict[int, int]] = {}
+        for r in rows:
+            out.setdefault(r["clip_id"], {})[r["t"]] = r["c"]
+        return out
+
+    def _audio_feature_hists(
+        self, df: DataFrame, feat_bins: Dict[str, List[float]],
+        partition_col: Optional[str],
+    ) -> Dict[str, Dict[int, int]]:
+        """Standalone feature-histogram pass (checkpointed runs only — the
+        resume manifest has no histogram slot; this pass is deterministic and
+        cheap to recompute relative to the resumed scan)."""
+        from pyspark import StorageLevel
+
+        compact = audio_mod.audio_decode_compact(
+            df,
+            oracle=None,
+            snr_fn=None,
+            partition_col=partition_col if (
+                partition_col and partition_col in df.columns) else None,
+            violation_cap=0,
+            feat_bins=feat_bins,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return self._audio_hist_collect(compact)
+        finally:
+            compact.unpersist()
+
     _AUDIO_OPS = {f"__audio__{c}": "sum" for c in audio_mod.COMPACT_COUNT_COLS}
 
     @staticmethod
@@ -540,6 +582,7 @@ class Validator:
         audio_checks: List[CompiledCheck],
         approx_unique: Optional[List[CompiledCheck]] = None,
         audio_fp_checks: Optional[List[CompiledCheck]] = None,
+        audio_drift_checks: Optional[List[CompiledCheck]] = None,
     ) -> None:
         exprs, ops, drift_jobs = self._shared_agg_specs(model_name, agg_checks, drift_checks)
         for chk in approx_unique or []:
@@ -561,6 +604,24 @@ class Validator:
         if audio_chk is not None:
             rerouted_aliases = self._reroute_bytes_aliases(agg_checks, exprs, ops)
 
+        # loudness-drift: per-clip decoded-feature histograms ride the SAME
+        # decode pass (row_type='fh' rows in the compact frame); a check
+        # without a reference snapshot errors here and never costs a scan
+        feat_bins: Dict[str, List[float]] = {}
+        audio_drift_eval: List[Tuple[CompiledCheck, dict]] = []
+        for chk in audio_drift_checks or []:
+            feature = chk.params["feature"]
+            stats = self.config.ref_stats.get(model_name, {}).get(f"audio:{feature}")
+            if not stats:
+                self._record(
+                    chk, None, ResultEnum.error,
+                    f"no reference snapshot for audio feature {feature} "
+                    "(build with audio.audio_feature_frame + drift.build_ref_stats, "
+                    "stored under ref_stats key 'audio:" + feature + "')", None)
+                continue
+            feat_bins[feature] = [float(x) for x in stats["bin_edges"]]
+            audio_drift_eval.append((chk, stats))
+
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
         audio_vio: List[Tuple[Optional[str], str, str]] = []
@@ -577,6 +638,8 @@ class Validator:
                 *[exprs[a].alias(a) for a in pctl_aliases]
             ).first().asDict()
 
+        audio_fhists: Dict[str, Dict[int, int]] = {}
+
         if partition_col and self.config.checkpoint_dir:
             part_rows, audio_part_rows, audio_vio = self._checkpointed_scan(
                 model_name, df, exprs, ops, audio_chk, partition_col,
@@ -584,6 +647,11 @@ class Validator:
             )
             if pctl_aliases and len(part_rows) > 1:
                 pctl_row = pctl_job()
+            if feat_bins:
+                # resume manifests don't carry feature histograms; loudness
+                # drift runs as ONE dedicated (non-resumable) feature pass —
+                # deterministic, so a resumed run just recomputes it
+                audio_fhists = self._audio_feature_hists(df, feat_bins, partition_col)
         else:
             agg_list = [v.alias(k) for k, v in exprs.items()]
 
@@ -595,37 +663,43 @@ class Validator:
             def drift_job():
                 return drift_mod.drift_bucket_rows(df, drift_jobs, partition_col)
 
-            def audio_job() -> Tuple[List[Dict[str, Any]], List[Tuple[Optional[str], str, str]]]:
-                if not audio_fp_checks:
+            def audio_job() -> Tuple[Any, Any, Any, Any]:
+                if not audio_fp_checks and not feat_bins:
                     compact = self._audio_compact(df, audio_chk, partition_col)
-                    return self._audio_compact_collect(compact, partition_col)
-                # fused: fingerprints ride along in the same decode pass; the
-                # compact frame (counts + capped vios + fp rows, ~50x smaller
-                # than the payload) is persisted once and feeds both the
-                # conformance metrics and the near-dup join
+                    rows, vio = self._audio_compact_collect(compact, partition_col)
+                    return rows, vio, [], {}
+                # fused: fingerprints and/or feature histograms ride along in
+                # the same decode pass; the compact frame (counts + capped
+                # vios + fp/fh rows, far smaller than the payload) is
+                # persisted once and feeds every consumer
                 from pyspark import StorageLevel
 
                 from . import audiofp as afp
 
                 compact = self._audio_compact(
                     df, audio_chk, partition_col,
-                    fp_fn=afp.fingerprint_hashes,
+                    fp_fn=afp.fingerprint_hashes if audio_fp_checks else None,
+                    feat_bins=feat_bins or None,
                 ).persist(StorageLevel.MEMORY_AND_DISK)
                 try:
-                    rows_vio = self._audio_compact_collect(
-                        compact, partition_col, own_cache=False)
-                    fp = compact.filter(F.col("row_type") == "fp").select("clip_id", "hash")
-                    fp_results = [
-                        (chk, self._audio_fp_result(
-                            afp.audio_fingerprint_near_dup(
-                                fp, threshold=float(chk.params["score_threshold"])),
-                            chk))
-                        for chk in audio_fp_checks
-                    ]
+                    rows, vio = (
+                        self._audio_compact_collect(compact, partition_col, own_cache=False)
+                        if audio_chk is not None else ([], []))
+                    fp_results = []
+                    if audio_fp_checks:
+                        fp = compact.filter(F.col("row_type") == "fp").select("clip_id", "hash")
+                        fp_results = [
+                            (chk, self._audio_fp_result(
+                                afp.audio_fingerprint_near_dup(
+                                    fp, threshold=float(chk.params["score_threshold"])),
+                                chk))
+                            for chk in audio_fp_checks
+                        ]
+                    fhists = self._audio_hist_collect(compact) if feat_bins else {}
                 finally:
                     compact.unpersist()
                 # recorded after the merge section (fixed order, main thread)
-                return rows_vio + (fp_results,)
+                return rows, vio, fp_results, fhists
 
             # the scan's three independent jobs (metric agg / drift buckets /
             # audio decode) overlap on the cluster — decode dominates, the
@@ -633,7 +707,8 @@ class Validator:
             thunks: List[Any] = [main_job]
             if drift_jobs:
                 thunks.append(drift_job)
-            if audio_chk is not None:
+            run_audio = audio_chk is not None or bool(feat_bins)
+            if run_audio:
                 thunks.append(audio_job)
             run_pctl = bool(pctl_aliases) and partition_col is not None
             if run_pctl:
@@ -645,11 +720,8 @@ class Validator:
             if drift_jobs:
                 self._merge_drift_rows(part_rows, outs[idx], drift_jobs, partition_col)
                 idx += 1
-            if audio_chk is not None:
-                if audio_fp_checks:
-                    audio_part_rows, audio_vio, fused_fp_results = outs[idx]
-                else:
-                    audio_part_rows, audio_vio = outs[idx]
+            if run_audio:
+                audio_part_rows, audio_vio, fused_fp_results, audio_fhists = outs[idx]
                 idx += 1
             if run_pctl:
                 pctl_row = outs[idx]
@@ -742,6 +814,14 @@ class Validator:
 
         for chk, res in fused_fp_results:
             self._record_audio_fp(chk, res)
+
+        for chk, stats in audio_drift_eval:
+            got = audio_fhists.get(chk.params["feature"], {})
+            counts = [got.get(k, 0) for k in range(len(stats["bin_edges"]) + 1)]
+            stat = drift_mod.drift_statistic_from_counts(
+                counts, stats, chk.params["method"])
+            result, reason = chk.eval_metric(stat, {})
+            self._record(chk, stat, result, reason, sum(counts))
 
         if failed_agg:
             self._collect_agg_violations(model_name, df, failed_agg, partition_col)
