@@ -1108,17 +1108,19 @@ def q_split_sample_assign(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_split_sample_assign() -> str:
     from dcspark.sampling import _threshold_hex as th
 
+    # NULL semantics mirror dcspark.sampling: NULL ids hash a \\x00-sentinel
+    # (one shared draw), NULL strata take the default fraction
     return f"""
 WITH h AS (SELECT doc_id, lang,
-  substr(md5(cast(doc_id AS VARCHAR) || '|r2'), 1, 8) hs,
-  substr(md5(cast(doc_id AS VARCHAR) || '|strat'), 1, 8) hk
+  substr(md5(coalesce(cast(doc_id AS VARCHAR), chr(0) || 'null') || '|r2'), 1, 8) hs,
+  substr(md5(coalesce(cast(doc_id AS VARCHAR), chr(0) || 'null') || '|strat'), 1, 8) hk
 FROM documents)
 SELECT cast(doc_id AS bigint) AS doc_id,
   CASE WHEN hs < '{th(0.8)}' THEN 'train'
        WHEN hs < '{th(0.9)}' THEN 'val' ELSE 'test' END AS split,
   coalesce((lang = 'en' AND hk < '{th(0.5)}')
         OR (lang = 'de' AND hk < '{th(0.25)}')
-        OR (lang NOT IN ('en', 'de') AND hk < '{th(0.1)}'), FALSE) AS sampled
+        OR (coalesce(lang NOT IN ('en', 'de'), TRUE) AND hk < '{th(0.1)}'), FALSE) AS sampled
 FROM h
 """
 

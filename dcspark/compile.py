@@ -854,8 +854,16 @@ def check_audio_drift(model: str, q: Quality, idx: int) -> CompiledCheck:
     Scale design: the validation-time histogram rides the engine's ONE
     mapInArrow decode pass (``feat_bins`` rows in the compact frame), so the
     check costs bin-count accumulation, never a second payload scan."""
+    from .audio import FEATURE_FNS
+
     feature = q.column or "rms_dbfs"
     method = (q.method or "psi").lower()
+    # fail at compile time, not after the (expensive) decode scan has run
+    if feature not in FEATURE_FNS:
+        raise ValueError(
+            f"unknown audio drift feature {feature!r}; known: {sorted(FEATURE_FNS)}")
+    if method not in ("ks", "psi"):
+        raise ValueError(f"unknown drift method: {method} (expected ks|psi)")
     threshold = q.threshold if q.threshold is not None else (0.05 if method == "ks" else 0.2)
     name = q.description or f"Decoded-audio drift ({method}) on {feature}"
 

@@ -277,18 +277,27 @@ class Validator:
             # dedicated groupBy job (and its shuffle) disappears entirely
             approx_unique, unique_checks = unique_checks, []
 
-        # Content-uniqueness shares the ONE decode pass with decode-conformance
-        # whenever both are present (fingerprints emitted from the same
-        # mapInArrow scan) — a second full decode of the payload corpus is the
-        # dominant avoidable cost at scale. The checkpoint-manifest path keeps
-        # the standalone pass: near-dup pairs are global across partitions and
-        # don't fit the per-partition resume model.
+        # Content-uniqueness shares the ONE decode pass whenever another audio
+        # scan will run anyway (decode-conformance, or loudness-drift with a
+        # resolvable snapshot) — a second full decode of the payload corpus is
+        # the dominant avoidable cost at scale. Only fp checks on the default
+        # payload column can ride the shared scan (it decodes BYTES_COL);
+        # a custom bytes_col keeps its standalone pass. The checkpoint-manifest
+        # path also keeps the standalone pass: near-dup pairs are global
+        # across partitions and don't fit the per-partition resume model.
         part_col_ok = bool(
             self.config.partition_col and self.config.partition_col in df.columns)
-        fuse_fp = bool(audio_fp_checks) and bool(audio_checks) and not (
-            part_col_ok and self.config.checkpoint_dir)
-        if fuse_fp:
-            fused_fp_checks, audio_fp_checks = audio_fp_checks, []
+        audio_scan_will_run = bool(audio_checks) or any(
+            self.config.ref_stats.get(model_name, {}).get(f"audio:{c.params['feature']}")
+            for c in audio_drift_checks)
+        fusible_fp = [
+            c for c in audio_fp_checks
+            if c.params.get("bytes_col", audio_mod.BYTES_COL) == audio_mod.BYTES_COL
+        ]
+        if fusible_fp and audio_scan_will_run and not (
+                part_col_ok and self.config.checkpoint_dir):
+            fused_fp_checks = fusible_fp
+            audio_fp_checks = [c for c in audio_fp_checks if c not in fusible_fp]
         else:
             fused_fp_checks = []
 
@@ -516,29 +525,6 @@ class Validator:
             out.setdefault(r["clip_id"], {})[r["t"]] = r["c"]
         return out
 
-    def _audio_feature_hists(
-        self, df: DataFrame, feat_bins: Dict[str, List[float]],
-        partition_col: Optional[str],
-    ) -> Dict[str, Dict[int, int]]:
-        """Standalone feature-histogram pass (checkpointed runs only — the
-        resume manifest has no histogram slot; this pass is deterministic and
-        cheap to recompute relative to the resumed scan)."""
-        from pyspark import StorageLevel
-
-        compact = audio_mod.audio_decode_compact(
-            df,
-            oracle=None,
-            snr_fn=None,
-            partition_col=partition_col if (
-                partition_col and partition_col in df.columns) else None,
-            violation_cap=0,
-            feat_bins=feat_bins,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            return self._audio_hist_collect(compact)
-        finally:
-            compact.unpersist()
-
     _AUDIO_OPS = {f"__audio__{c}": "sum" for c in audio_mod.COMPACT_COUNT_COLS}
 
     @staticmethod
@@ -641,17 +627,12 @@ class Validator:
         audio_fhists: Dict[str, Dict[int, int]] = {}
 
         if partition_col and self.config.checkpoint_dir:
-            part_rows, audio_part_rows, audio_vio = self._checkpointed_scan(
+            part_rows, audio_part_rows, audio_vio, audio_fhists = self._checkpointed_scan(
                 model_name, df, exprs, ops, audio_chk, partition_col,
-                drift_jobs,
+                drift_jobs, feat_bins=feat_bins or None,
             )
             if pctl_aliases and len(part_rows) > 1:
                 pctl_row = pctl_job()
-            if feat_bins:
-                # resume manifests don't carry feature histograms; loudness
-                # drift runs as ONE dedicated (non-resumable) feature pass —
-                # deterministic, so a resumed run just recomputes it
-                audio_fhists = self._audio_feature_hists(df, feat_bins, partition_col)
         else:
             agg_list = [v.alias(k) for k, v in exprs.items()]
 
@@ -707,7 +688,8 @@ class Validator:
             thunks: List[Any] = [main_job]
             if drift_jobs:
                 thunks.append(drift_job)
-            run_audio = audio_chk is not None or bool(feat_bins)
+            run_audio = (
+                audio_chk is not None or bool(feat_bins) or bool(audio_fp_checks))
             if run_audio:
                 thunks.append(audio_job)
             run_pctl = bool(pctl_aliases) and partition_col is not None
@@ -1286,7 +1268,11 @@ class Validator:
         audio_chk: Optional[CompiledCheck],
         partition_col: str,
         drift_jobs: Optional[List[dict]] = None,
-    ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]], List[Tuple[Optional[str], str, str]]]:
+        feat_bins: Optional[Dict[str, List[float]]] = None,
+    ) -> Tuple[
+        List[Dict[str, Any]], List[Dict[str, Any]],
+        List[Tuple[Optional[str], str, str]], Dict[str, Dict[int, int]],
+    ]:
         """Chunked partitioned scan with a resume manifest.
 
         Partition values are grouped into ``checkpoint_chunks`` groups; each group's
@@ -1297,6 +1283,9 @@ class Validator:
         Each partition's capped audio-violation sample (<= violation_cap rows,
         from the same single decode pass as its metrics) is stored in its manifest
         record, so resume reproduces violations without rescanning done partitions.
+        Loudness-drift feature histograms (``feat_bins``) are likewise per-partition
+        decomposable bin counts: they ride the SAME per-chunk decode pass, persist
+        in the manifest, and merge by summation on resume — never a second decode.
         """
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         manifest = self._manifest_path(model_name)
@@ -1323,6 +1312,13 @@ class Validator:
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
         audio_vio_by_part: Dict[str, List[Tuple[Optional[str], str, str]]] = {}
+        audio_fhists: Dict[str, Dict[int, int]] = {}
+
+        def merge_fh(by_feature: Optional[Dict[str, Dict[str, int]]]) -> None:
+            for feature, bins in (by_feature or {}).items():
+                dst = audio_fhists.setdefault(feature, {})
+                for b, c in bins.items():
+                    dst[int(b)] = dst.get(int(b), 0) + int(c)
 
         for rec in done.values():
             row = _json_to_metrics(rec["metrics_json"])
@@ -1335,6 +1331,7 @@ class Validator:
             for v in rec.get("audio_violations") or []:
                 audio_vio_by_part.setdefault(str(rec["partition_id"]), []).append(
                     (rec["partition_id"], v[0], v[1]))
+            merge_fh(rec.get("audio_feature_hists"))
 
         self.run.log_info(
             f"checkpoint: {len(done)}/{len(parts)} partitions already complete; "
@@ -1352,18 +1349,29 @@ class Validator:
                 )
             audio_rows_by_part: Dict[str, dict] = {}
             chunk_vio_by_part: Dict[str, List[Tuple[str, str]]] = {}
-            if audio_chk is not None:
+            chunk_fh_by_part: Dict[str, Dict[str, Dict[str, int]]] = {}
+            if audio_chk is not None or feat_bins:
                 from pyspark import StorageLevel
 
-                compact = self._audio_compact(sub, audio_chk, partition_col)
+                compact = self._audio_compact(
+                    sub, audio_chk, partition_col, feat_bins=feat_bins or None)
                 compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     with self._arrow_batch_conf():
-                        audio_rows_by_part = {
-                            str(r["__part"]): r.asDict()
-                            for r in compact.filter(F.col("row_type") == "agg")
-                            .groupBy("__part").agg(*a_sums).collect()
-                        }
+                        if feat_bins:
+                            for r in (
+                                compact.filter(F.col("row_type") == "fh")
+                                .groupBy("__part", "clip_id", "t")
+                                .agg(F.sum("hash").alias("c")).collect()
+                            ):
+                                chunk_fh_by_part.setdefault(str(r["__part"]), {}) \
+                                    .setdefault(r["clip_id"], {})[str(r["t"])] = int(r["c"])
+                        if audio_chk is not None:
+                            audio_rows_by_part = {
+                                str(r["__part"]): r.asDict()
+                                for r in compact.filter(F.col("row_type") == "agg")
+                                .groupBy("__part").agg(*a_sums).collect()
+                            }
                         if any((r.get("__audio__violations") or 0) > 0
                                for r in audio_rows_by_part.values()):
                             # re-cap per partition (per-task caps can sum past it)
@@ -1383,6 +1391,7 @@ class Validator:
                     pid = str(row[partition_col])
                     arow = audio_rows_by_part.get(pid)
                     vlist = chunk_vio_by_part.get(pid, [])
+                    fh = chunk_fh_by_part.get(pid)
                     f.write(json.dumps({
                         "run_id": self.run.runId,
                         "partition_id": pid,
@@ -1390,6 +1399,7 @@ class Validator:
                         "metrics_json": _metrics_to_json(row, partition_col),
                         "audio_metrics_json": _metrics_to_json(arow, "__part") if arow else None,
                         "audio_violations": vlist or None,
+                        "audio_feature_hists": fh or None,
                         "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
                     }) + "\n")
                     part_rows.append(row)
@@ -1397,11 +1407,12 @@ class Validator:
                         audio_part_rows.append(arow)
                     if vlist:
                         audio_vio_by_part[pid] = [(pid, c, o) for c, o in vlist]
+                    merge_fh(fh)
         # global cap across partitions, deterministic by clip_id
         audio_vio = sorted(
             (v for vs in audio_vio_by_part.values() for v in vs), key=lambda t: t[1]
         )[: self.config.violation_cap]
-        return part_rows, audio_part_rows, audio_vio
+        return part_rows, audio_part_rows, audio_vio, audio_fhists
 
     # -- result recording -------------------------------------------------------
 

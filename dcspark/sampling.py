@@ -38,10 +38,18 @@ def _threshold_hex(fraction: float) -> str:
 
 
 def hash_hex(id_col: Union[str, Column], salt: str = "") -> Column:
-    """The row's uniform draw as an 8-char lowercase hex string."""
+    """The row's uniform draw as an 8-char lowercase hex string.
+
+    NULL ids have no identity to key on: they all hash the sentinel string
+    below, so every NULL-id row lands in the SAME split / sample decision —
+    deterministic and visible rather than silently dropped (a null-intolerant
+    concat would make the draw NULL: splits would pile into the last label and
+    samples would drop the rows without a trace). Key on a real id.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.substring(
-        F.md5(F.concat(c.cast("string"), F.lit("|" + salt))), 1, _HEX_DIGITS)
+        F.md5(F.concat(F.coalesce(c.cast("string"), F.lit("\x00null")),
+                       F.lit("|" + salt))), 1, _HEX_DIGITS)
 
 
 def hash_split(
@@ -90,10 +98,10 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. rebalance languages/sources).
 
-    ``fractions`` maps stratum value -> keep fraction; strata not listed keep
-    ``default_fraction``. The draw is salted per-row only (not per-stratum),
-    so tightening one stratum's fraction keeps a strict subset — stable
-    incremental re-releases of the same corpus.
+    ``fractions`` maps stratum value -> keep fraction; strata not listed —
+    including a NULL stratum — keep ``default_fraction``. The draw is salted
+    per-row only (not per-stratum), so tightening one stratum's fraction keeps
+    a strict subset — stable incremental re-releases of the same corpus.
     """
     s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
     h = hash_hex(id_col, salt)
@@ -102,6 +110,8 @@ def stratified_hash_sample(
         cond = (s == F.lit(value)) & (h < F.lit(_threshold_hex(float(frac))))
         expr = cond if expr is None else expr | cond
     fallback = h < F.lit(_threshold_hex(default_fraction))
-    others = ~s.isin(list(fractions)) if fractions else F.lit(True)
+    # coalesce: a NULL stratum makes isin() NULL, which would silently drop
+    # the row instead of applying the documented default fraction
+    others = F.coalesce(~s.isin(list(fractions)), F.lit(True)) if fractions else F.lit(True)
     expr = (fallback & others) if expr is None else (expr | (fallback & others))
     return df.filter(expr)

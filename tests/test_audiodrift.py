@@ -140,9 +140,9 @@ def test_fused_with_conformance_single_decode(spark, clips, monkeypatch):
     """Drift + decode-conformance in one contract: ONE decode scan feeds both.
 
     Proof shape: (a) a counting snr_fn sees each clip exactly once — the
-    conformance pass ran once; (b) the standalone feature-hist fallback is
-    patched to raise — so the drift histograms can only have come out of that
-    same pass (fh rows have no other producer)."""
+    conformance pass ran once; (b) the engine launched exactly one compact
+    decode pass (driver-side call counter) — so the drift histograms can only
+    have come out of that same pass (fh rows have no other producer)."""
     from dcspark import engine as engine_mod
 
     acc = spark.sparkContext.accumulator(0)
@@ -151,10 +151,14 @@ def test_fused_with_conformance_single_decode(spark, clips, monkeypatch):
         acc.add(1)
         return None
 
-    def boom(*a, **k):
-        raise AssertionError("standalone feature pass must not run when fused")
+    calls = []
+    orig_compact = engine_mod.Validator._audio_compact
 
-    monkeypatch.setattr(engine_mod.Validator, "_audio_feature_hists", boom)
+    def counting_compact(self, *a, **k):
+        calls.append(1)
+        return orig_compact(self, *a, **k)
+
+    monkeypatch.setattr(engine_mod.Validator, "_audio_compact", counting_compact)
     spec = DataContractSpecification.from_string(FUSED)
     cfg = ValidationConfig(ref_stats={"clips": _ref_stats(clips)},
                            audio_snr_fn=counting_snr)
@@ -165,6 +169,7 @@ def test_fused_with_conformance_single_decode(spark, clips, monkeypatch):
     assert drift.result == ResultEnum.passed
     assert conf.result == ResultEnum.passed
     assert acc.value == N  # one decode per clip, not one per consumer
+    assert len(calls) == 1  # exactly one compact decode pass launched
 
 
 def test_drift_without_conformance_runs_scan(spark, clips):
@@ -214,3 +219,79 @@ def test_cli_snapshot_builds_audio_feature_stats(tmp_path, capsys, spark, clips)
     out = capsys.readouterr().out
     assert "RUN RESULT: passed" in out
     assert "audio_drift_psi" in out
+
+
+def test_checkpointed_drift_rides_manifest_no_extra_decode(
+        spark, clips, tmp_path, monkeypatch):
+    """Partitioned + checkpointed run: feature histograms persist in the
+    manifest per partition; the run uses ONE decode pass (chunks of the
+    checkpointed scan), and a resume run decodes NOTHING yet reproduces the
+    identical drift metric."""
+    from dcspark import engine as engine_mod
+
+    parted = clips.withColumn("day", (F.length("clip_id") % 2).cast("string"))
+    ref = _ref_stats(clips)
+    ckpt = str(tmp_path / "ckpt")
+
+    calls = []
+    orig_compact = engine_mod.Validator._audio_compact
+
+    def counting_compact(self, *a, **k):
+        calls.append(1)
+        return orig_compact(self, *a, **k)
+
+    monkeypatch.setattr(engine_mod.Validator, "_audio_compact", counting_compact)
+
+    spec = DataContractSpecification.from_string(FUSED)
+
+    def run(resume):
+        cfg = ValidationConfig(
+            ref_stats={"clips": ref}, partition_col="day",
+            checkpoint_dir=ckpt, resume=resume, checkpoint_chunks=1)
+        return validate(spark, spec, {"clips": parted}, cfg)
+
+    r1 = run(resume=False)
+    first_calls = len(calls)
+    assert first_calls == 1  # one decode pass for conformance + histograms
+    r2 = run(resume=True)
+    assert len(calls) == first_calls  # resume decodes nothing
+    k = [c.key for c in r1.run.checks if "audio_drift" in c.key][0]
+    assert r1.metrics[k] == r2.metrics[k]
+    assert r1.metrics[k] is not None and r1.metrics[k] < 0.05
+    by_key = {c.key: c.result for c in r2.run.checks}
+    assert by_key[k] == ResultEnum.passed
+
+
+def test_fp_and_drift_without_conformance_share_one_scan(
+        spark, clips, monkeypatch):
+    """content-uniqueness + loudness-drift with NO decode-conformance rule:
+    the fingerprints still fuse into the drift histogram's scan — one compact
+    pass, not one per rule."""
+    from dcspark import engine as engine_mod
+
+    contract = CONTRACT.replace(
+        "    quality:",
+        "    quality:\n      - {type: audio, invariant: content-uniqueness}")
+    calls = []
+    orig_compact = engine_mod.Validator._audio_compact
+
+    def counting_compact(self, *a, **k):
+        calls.append(1)
+        return orig_compact(self, *a, **k)
+
+    monkeypatch.setattr(engine_mod.Validator, "_audio_compact", counting_compact)
+    monkeypatch.setattr(
+        engine_mod.Validator, "_audio_fp_compute",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("standalone fp pass must not run when fusible")))
+    spec = DataContractSpecification.from_string(contract)
+    cfg = ValidationConfig(ref_stats={"clips": _ref_stats(clips)})
+    res = validate(spark, spec, {"clips": clips}, cfg)
+    assert len(calls) == 1
+    by_key = {c.key: c.result for c in res.run.checks}
+    drift_key = [k for k in by_key if "audio_drift" in k][0]
+    fp_key = [k for k in by_key if "content_uniqueness" in k][0]
+    assert by_key[drift_key] == ResultEnum.passed
+    # fp result is data-dependent (random sine mixes can collide at the
+    # default threshold); the point is it EVALUATED from the fused pass
+    assert by_key[fp_key] in (ResultEnum.passed, ResultEnum.failed)

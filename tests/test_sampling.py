@@ -75,3 +75,24 @@ def test_split_plan_is_shuffle_free_scan(ids):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_stratum_gets_default_fraction(spark):
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "en") for i in range(4000)],
+        "doc_id long, lang string")
+    out = sampling.stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.0}, default_fraction=1.0, salt="s")
+    rows = out.collect()
+    assert len(rows) == 2000  # every NULL-stratum row kept, every 'en' dropped
+    assert all(r["lang"] is None for r in rows)
+
+
+def test_null_ids_share_one_deterministic_draw(spark):
+    df = spark.createDataFrame(
+        [(None,)] * 50 + [(1,)], "doc_id long")
+    out = sampling.hash_split(df, "doc_id", {"a": 0.5, "b": 0.5}, salt="s9")
+    null_splits = {r["split"] for r in out.collect() if r["doc_id"] is None}
+    assert len(null_splits) == 1  # all NULLs land together, not silently biased
+    kept = sampling.hash_sample(df, "doc_id", 0.999999, salt="s9").count()
+    assert kept == 51  # NULL ids are sampled, not dropped
