@@ -1408,6 +1408,68 @@ def q_audio_loudness_drift(spark: SparkSession, _sf: str) -> DataFrame:
     )
 
 
+def q_audio_signal_quality(spark: SparkSession, _sf: str) -> DataFrame:
+    """Per-clip decoded-signal bounds (contract rule `invariant:
+    signal-quality`): clips whose decoded-PCM RMS falls below a silence floor
+    are counted and sampled as violations, evaluated INSIDE the engine's one
+    mapInArrow decode pass ('fq'/'fv' rows in the compact frame) — a check
+    header columns cannot express (an all-zero payload has a perfectly valid
+    header). Not SQL-expressible (WAV decode), so no oracle — rows-only
+    check; semantics locked in tests/test_audioquality.py.
+
+    Input: _AUDIO_N seeded clips with the 5 lexicographically-first re-encoded
+    to all-zero PCM (headers unchanged). Expected: metric == 5, the 5 clip ids
+    in the violations table, run fails."""
+    import numpy as np
+
+    from dcspark.engine import ValidationConfig, validate
+    from dcspark.spec import DataContractSpecification
+
+    base = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED,
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8)
+    silent_ids = set(
+        sorted(r[0] for r in base.select("clip_id").collect())[:5])
+
+    def mute(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            d = b.to_pydict()
+            d["bytes"] = [
+                raw[:44] + bytes(len(raw) - 44) if cid in silent_ids else raw
+                for cid, raw in zip(d["clip_id"], d["bytes"])
+            ]
+            yield pa.RecordBatch.from_pydict(d, schema=b.schema)
+
+    clips = base.mapInArrow(mute, schema=base.schema)
+    contract = """
+id: entry-signal-quality
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      sr_hz: {type: integer}
+      dur_ms: {type: integer}
+      codec: {type: string}
+    quality:
+      - {type: audio, invariant: signal-quality, column: rms_dbfs, minimum: -50.0}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    res = validate(spark, spec, {"clips": clips}, ValidationConfig())
+    chk = [c for c in res.run.checks if "signal_quality" in c.key][0]
+    vio_ids = sorted(
+        r["clip_id"]
+        for r in res.violations.filter(
+            F.col("check_key") == chk.key).collect())
+    return spark.createDataFrame(
+        [(int(res.metrics[chk.key]), chk.result.value,
+          bool(vio_ids == sorted(silent_ids)))],
+        "out_of_range bigint, result string, violations_match boolean",
+    )
+
+
 def q_audio_fp_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Acoustic-fingerprint near-duplicate detection (dcspark/audiofp.py):
     band-occupancy spectral hashes (gain-invariant, noise-robust) + bucketed
@@ -1542,6 +1604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_conformance": q_audio_decode,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_loudness_drift": q_audio_loudness_drift,
+        "audio_signal_quality": q_audio_signal_quality,
         "contract_full_run": q_contract_full_run,
     }
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 import struct
-from typing import Callable, Dict, Iterator, List, Optional
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -351,6 +351,7 @@ def audio_decode_compact(
     violation_cap: int = 500,
     fp_fn=None,
     feat_bins: Optional[Dict[str, List[float]]] = None,
+    feat_limits: Optional[List[Tuple[str, Optional[float], Optional[float]]]] = None,
 ) -> DataFrame:
     """Single-pass engine path: ONE decode scan -> per-task aggregate counts
     plus capped violation rows.
@@ -377,9 +378,19 @@ def audio_decode_compact(
     for loudness-drift checks. Binning matches drift._bin_count_expr:
     (-inf, e0], (e0, e1], ..., (e_last, inf). Output stays tiny: at most
     tasks x parts x features x (bins+1) rows.
+
+    ``feat_limits`` ([(feature, lo, hi), ...] — signal-quality bounds, one
+    entry per contract rule) additionally emits ``row_type='fq'`` per-task
+    out-of-range count rows (clip_id=feature, t=rule index, hash=count) and
+    capped ``row_type='fv'`` violation rows (clip_id, observed="feature=val",
+    t=rule index) from the SAME decoded PCM. A clip that fails to decode is
+    counted by decode-conformance, never here (feats are only computed on
+    successful decode), so the two checks stay disjoint like missing/invalid.
     """
+    limit_names = {name for name, _, _ in (feat_limits or [])}
     feat_fns = (
-        {name: FEATURE_FNS[name] for name in feat_bins} if feat_bins else None)
+        {name: FEATURE_FNS[name] for name in set(feat_bins or ()) | limit_names}
+        if (feat_bins or limit_names) else None)
 
     def compact_batches(batches: Iterator["object"]) -> Iterator["object"]:
         import bisect
@@ -392,6 +403,8 @@ def audio_decode_compact(
         fp_ts: list = []
         fp_hashes: list = []
         fhists: dict = {}
+        fq_counts: dict = {}
+        fq_vios: dict = {}
         for batch in batches:
             has_part = batch.num_columns > 5
             parts = batch.column(5).to_pylist() if has_part else None
@@ -408,11 +421,20 @@ def audio_decode_compact(
                 feats = rec.get("feats")
                 if feats is not None:
                     for name, val in feats.items():
-                        edges = feat_bins[name]
+                        edges = feat_bins.get(name) if feat_bins else None
+                        if edges is None:
+                            continue
                         h = fhists.get((part, name))
                         if h is None:
                             h = fhists[(part, name)] = [0] * (len(edges) + 1)
                         h[bisect.bisect_left(edges, val)] += 1
+                    for li, (name, lo, hi) in enumerate(feat_limits or ()):
+                        val = feats[name]
+                        if (lo is not None and val < lo) or (hi is not None and val > hi):
+                            fq_counts[(part, li)] = fq_counts.get((part, li), 0) + 1
+                            v = fq_vios.setdefault((part, li), [])
+                            if len(v) < violation_cap:
+                                v.append((str(clip_id), f"{name}={val:.4f}"))
                 c = counts.get(part)
                 if c is None:
                     c = counts[part] = [0] * len(COMPACT_COUNT_COLS)
@@ -480,6 +502,25 @@ def audio_decode_compact(
                 obs_l.append(None)
                 t_l.append(b)
                 hash_l.append(cnt)
+        for (part, li), cnt in fq_counts.items():
+            part_l.append(part)
+            type_l.append("fq")
+            for j in range(len(COMPACT_COUNT_COLS)):
+                cnt_ls[j].append(None)
+            clip_l.append(feat_limits[li][0])
+            obs_l.append(None)
+            t_l.append(li)
+            hash_l.append(cnt)
+        for (part, li), v in fq_vios.items():
+            for clip_id, obs in v:
+                part_l.append(part)
+                type_l.append("fv")
+                for j in range(len(COMPACT_COUNT_COLS)):
+                    cnt_ls[j].append(None)
+                clip_l.append(clip_id)
+                obs_l.append(obs)
+                t_l.append(li)
+                hash_l.append(None)
         arrays = (
             [pa.array(part_l, pa.string()), pa.array(type_l, pa.string())]
             + [pa.array(x, pa.int64()) for x in cnt_ls]

@@ -891,6 +891,58 @@ def check_audio_drift(model: str, q: Quality, idx: int) -> CompiledCheck:
     )
 
 
+def check_audio_quality(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Per-clip decoded-signal bounds (``type: audio, invariant:
+    signal-quality``): the metric is the number of clips whose decoded-PCM
+    feature (audio.FEATURE_FNS) falls outside [minimum, maximum] — e.g. a
+    silence floor (``column: rms_dbfs, minimum: -40``) or a clipping ceiling
+    (``column: clip_ratio, maximum: 0.01``). Catches broken-microphone /
+    all-zero / hard-limited payloads whose header columns are perfectly valid
+    and which loudness-drift misses when the reference snapshot already
+    contains them. Default pass condition is zero out-of-range clips; the
+    eight mustBe* forms apply to the count when given. A clip that fails to
+    decode belongs to decode-conformance and is never double-counted here.
+
+    Scale design: the bounds are evaluated inside the engine's ONE mapInArrow
+    decode pass — 'fq' per-task count rows plus capped 'fv' violation rows in
+    the compact frame — so the check costs integer accumulation, never a
+    second payload scan; counts merge by summation per partition and through
+    the checkpoint manifest."""
+    from .audio import FEATURE_FNS
+
+    feature = q.column or "rms_dbfs"
+    if feature not in FEATURE_FNS:
+        raise ValueError(
+            f"unknown audio signal-quality feature {feature!r}; "
+            f"known: {sorted(FEATURE_FNS)}")
+    lo, hi = q.minimum, q.maximum
+    if lo is None and hi is None:
+        raise ValueError(
+            "signal-quality rule needs 'minimum' and/or 'maximum' for the feature")
+    bounds = " and ".join(
+        s for s in (
+            f"{feature} >= {lo}" if lo is not None else None,
+            f"{feature} <= {hi}" if hi is not None else None,
+        ) if s)
+    name = q.description or f"Audio signal quality ({bounds})"
+    evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
+    return CompiledCheck(
+        key=_key(model, feature, "audio_signal_quality"),
+        check_type="audio_signal_quality",
+        category="audio",
+        name=name,
+        model=model,
+        kind="audio_quality",
+        params={"feature": feature, "minimum": lo, "maximum": hi},
+        evaluate=evaluator,
+        expected=f"decoded {bounds} for every clip",
+        implementation=(
+            "per-clip feature bound evaluated inside the single mapInArrow "
+            "decode pass (row_type='fq' counts + capped 'fv' violation rows)"
+        ),
+    )
+
+
 def check_transcript_equality(model: str, q: Quality, idx: int) -> CompiledCheck:
     """Per-row transcript equality vs the oracle reference table (BASELINE.json
     input_hint). Sort-merge equi-join on the key column; at 10^12 scale both
@@ -1154,6 +1206,8 @@ def create_checks(
                 checks.append(check_audio_near_dup(model_name, q, qi))
             elif q.type == "audio" and (q.invariant or "") == "loudness-drift":
                 checks.append(check_audio_drift(model_name, q, qi))
+            elif q.type == "audio" and (q.invariant or "") == "signal-quality":
+                checks.append(check_audio_quality(model_name, q, qi))
             elif q.type == "audio":
                 checks.append(check_audio(model_name, q, qi))
         out[model_name] = checks

@@ -251,6 +251,7 @@ class Validator:
         group_checks = [c for c in checks if c.kind == "group"]
         audio_fp_checks = [c for c in checks if c.kind == "audio_fp"]
         audio_drift_checks = [c for c in checks if c.kind == "audio_drift"]
+        audio_quality_checks = [c for c in checks if c.kind == "audio_quality"]
 
         self._run_schema_checks(schema_checks, df)
 
@@ -287,7 +288,7 @@ class Validator:
         # across partitions and don't fit the per-partition resume model.
         part_col_ok = bool(
             self.config.partition_col and self.config.partition_col in df.columns)
-        audio_scan_will_run = bool(audio_checks) or any(
+        audio_scan_will_run = bool(audio_checks) or bool(audio_quality_checks) or any(
             self.config.ref_stats.get(model_name, {}).get(f"audio:{c.params['feature']}")
             for c in audio_drift_checks)
         fusible_fp = [
@@ -311,7 +312,8 @@ class Validator:
         thunks: List[Any] = [
             lambda: self._run_shared_scan(
                 model_name, df, agg_checks, drift_checks, audio_checks, approx_unique,
-                audio_fp_checks=fused_fp_checks, audio_drift_checks=audio_drift_checks)
+                audio_fp_checks=fused_fp_checks, audio_drift_checks=audio_drift_checks,
+                audio_quality_checks=audio_quality_checks)
         ]
         thunks += [
             (lambda c=chk: ("unique", c, self._unique_compute(df, c)))
@@ -449,7 +451,7 @@ class Validator:
 
     def _audio_compact(
         self, df: DataFrame, chk: Optional[CompiledCheck], partition_col: Optional[str],
-        fp_fn=None, feat_bins=None,
+        fp_fn=None, feat_bins=None, feat_limits=None,
     ) -> DataFrame:
         # partition col is threaded through the Arrow batch as __part (no
         # re-join); chk=None (feature-histograms-only scan) skips the SNR
@@ -460,9 +462,10 @@ class Validator:
             oracle=self.config.audio_oracle if chk is not None else None,
             snr_fn=self.config.audio_snr_fn if chk is not None else None,
             partition_col=partition_col if (partition_col and partition_col in df.columns) else None,
-            violation_cap=self.config.violation_cap if chk is not None else 0,
+            violation_cap=self.config.violation_cap if (chk is not None or feat_limits) else 0,
             fp_fn=fp_fn,
             feat_bins=feat_bins,
+            feat_limits=feat_limits,
         )
 
     def _audio_compact_collect(
@@ -509,6 +512,32 @@ class Validator:
         finally:
             if own_cache:
                 compact.unpersist()
+
+    def _audio_quality_collect(
+        self, compact: DataFrame,
+    ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
+        """(per-partition out-of-range count rows, capped violation rows) from
+        the compact frame's 'fq'/'fv' rows — signal-quality bounds evaluated in
+        the same single decode pass as everything else. ``t`` is the rule index
+        (position in the audio_quality_checks list), so several bounds on the
+        same or different features stay separable. Violations are re-capped
+        per rule (per-task caps can sum past violation_cap)."""
+        fq_rows = [
+            {"__part": r["__part"], "t": r["t"], "c": int(r["c"])}
+            for r in compact.filter(F.col("row_type") == "fq")
+            .groupBy("__part", "t").agg(F.sum("hash").alias("c")).collect()
+        ]
+        fv_rows: List[Dict[str, Any]] = []
+        if any(r["c"] > 0 for r in fq_rows):
+            w = Window.partitionBy("t").orderBy("clip_id")
+            fv_rows = [
+                r.asDict()
+                for r in compact.filter(F.col("row_type") == "fv")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= self.config.violation_cap)
+                .select("__part", "t", "clip_id", "observed").collect()
+            ]
+        return fq_rows, fv_rows
 
     def _audio_hist_collect(self, compact: DataFrame) -> Dict[str, Dict[int, int]]:
         """{feature: {bin: count}} from the compact frame's 'fh' rows — a
@@ -569,6 +598,7 @@ class Validator:
         approx_unique: Optional[List[CompiledCheck]] = None,
         audio_fp_checks: Optional[List[CompiledCheck]] = None,
         audio_drift_checks: Optional[List[CompiledCheck]] = None,
+        audio_quality_checks: Optional[List[CompiledCheck]] = None,
     ) -> None:
         exprs, ops, drift_jobs = self._shared_agg_specs(model_name, agg_checks, drift_checks)
         for chk in approx_unique or []:
@@ -608,6 +638,13 @@ class Validator:
             feat_bins[feature] = [float(x) for x in stats["bin_edges"]]
             audio_drift_eval.append((chk, stats))
 
+        # signal-quality: per-clip decoded-feature bounds, also evaluated
+        # inside the one decode pass ('fq' count + capped 'fv' violation rows)
+        feat_limits: List[Tuple[str, Optional[float], Optional[float]]] = [
+            (c.params["feature"], c.params["minimum"], c.params["maximum"])
+            for c in audio_quality_checks or []
+        ]
+
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
         audio_vio: List[Tuple[Optional[str], str, str]] = []
@@ -625,11 +662,15 @@ class Validator:
             ).first().asDict()
 
         audio_fhists: Dict[str, Dict[int, int]] = {}
+        audio_fq_rows: List[Dict[str, Any]] = []
+        audio_fv_rows: List[Dict[str, Any]] = []
 
         if partition_col and self.config.checkpoint_dir:
-            part_rows, audio_part_rows, audio_vio, audio_fhists = self._checkpointed_scan(
+            (part_rows, audio_part_rows, audio_vio, audio_fhists,
+             audio_fq_rows, audio_fv_rows) = self._checkpointed_scan(
                 model_name, df, exprs, ops, audio_chk, partition_col,
                 drift_jobs, feat_bins=feat_bins or None,
+                feat_limits=feat_limits or None,
             )
             if pctl_aliases and len(part_rows) > 1:
                 pctl_row = pctl_job()
@@ -644,11 +685,11 @@ class Validator:
             def drift_job():
                 return drift_mod.drift_bucket_rows(df, drift_jobs, partition_col)
 
-            def audio_job() -> Tuple[Any, Any, Any, Any]:
-                if not audio_fp_checks and not feat_bins:
+            def audio_job() -> Tuple[Any, Any, Any, Any, Any, Any]:
+                if not audio_fp_checks and not feat_bins and not feat_limits:
                     compact = self._audio_compact(df, audio_chk, partition_col)
                     rows, vio = self._audio_compact_collect(compact, partition_col)
-                    return rows, vio, [], {}
+                    return rows, vio, [], {}, [], []
                 # fused: fingerprints and/or feature histograms ride along in
                 # the same decode pass; the compact frame (counts + capped
                 # vios + fp/fh rows, far smaller than the payload) is
@@ -661,6 +702,7 @@ class Validator:
                     df, audio_chk, partition_col,
                     fp_fn=afp.fingerprint_hashes if audio_fp_checks else None,
                     feat_bins=feat_bins or None,
+                    feat_limits=feat_limits or None,
                 ).persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     rows, vio = (
@@ -677,10 +719,13 @@ class Validator:
                             for chk in audio_fp_checks
                         ]
                     fhists = self._audio_hist_collect(compact) if feat_bins else {}
+                    fq_rows, fv_rows = (
+                        self._audio_quality_collect(compact)
+                        if feat_limits else ([], []))
                 finally:
                     compact.unpersist()
                 # recorded after the merge section (fixed order, main thread)
-                return rows, vio, fp_results, fhists
+                return rows, vio, fp_results, fhists, fq_rows, fv_rows
 
             # the scan's three independent jobs (metric agg / drift buckets /
             # audio decode) overlap on the cluster — decode dominates, the
@@ -689,7 +734,8 @@ class Validator:
             if drift_jobs:
                 thunks.append(drift_job)
             run_audio = (
-                audio_chk is not None or bool(feat_bins) or bool(audio_fp_checks))
+                audio_chk is not None or bool(feat_bins)
+                or bool(audio_fp_checks) or bool(feat_limits))
             if run_audio:
                 thunks.append(audio_job)
             run_pctl = bool(pctl_aliases) and partition_col is not None
@@ -703,7 +749,8 @@ class Validator:
                 self._merge_drift_rows(part_rows, outs[idx], drift_jobs, partition_col)
                 idx += 1
             if run_audio:
-                audio_part_rows, audio_vio, fused_fp_results, audio_fhists = outs[idx]
+                (audio_part_rows, audio_vio, fused_fp_results, audio_fhists,
+                 audio_fq_rows, audio_fv_rows) = outs[idx]
                 idx += 1
             if run_pctl:
                 pctl_row = outs[idx]
@@ -804,6 +851,38 @@ class Validator:
                 counts, stats, chk.params["method"])
             result, reason = chk.eval_metric(stat, {})
             self._record(chk, stat, result, reason, sum(counts))
+
+        if audio_quality_checks:
+            # out-of-range clip counts from the same decode pass ('fq' rows);
+            # per-rule index rides in 't'. Absent rows mean zero violations.
+            fq_global: Dict[int, int] = {}
+            fq_by_part: Dict[Tuple[int, str], int] = {}
+            for r in audio_fq_rows:
+                li = int(r["t"])
+                fq_global[li] = fq_global.get(li, 0) + int(r["c"])
+                fq_by_part[(li, str(r["__part"]))] = (
+                    fq_by_part.get((li, str(r["__part"])), 0) + int(r["c"]))
+            total = (audio_global.get("__audio__rows")
+                     if audio_chk is not None else global_row.get("__total_count"))
+            for li, chk in enumerate(audio_quality_checks):
+                metric = float(fq_global.get(li, 0))
+                result, reason = chk.eval_metric(metric, {})
+                self._record(chk, metric, result, reason, total)
+                if partition_col:
+                    for prow in part_rows:
+                        pid = str(prow.get(partition_col))
+                        pm = float(fq_by_part.get((li, pid), 0))
+                        pres, preason = chk.eval_metric(pm, {})
+                        self._record(chk, pm, pres, preason,
+                                     prow.get("__total_count"), partition_id=pid)
+                vio_rows = [
+                    (self.run.runId, r["__part"], chk.key, r["clip_id"],
+                     r["observed"], chk.expected)
+                    for r in audio_fv_rows if int(r["t"]) == li
+                ][: self.config.violation_cap]
+                if vio_rows:
+                    self._violation_frames.append(
+                        self.spark.createDataFrame(vio_rows, schema=VIOLATIONS_DDL))
 
         if failed_agg:
             self._collect_agg_violations(model_name, df, failed_agg, partition_col)
@@ -1269,9 +1348,11 @@ class Validator:
         partition_col: str,
         drift_jobs: Optional[List[dict]] = None,
         feat_bins: Optional[Dict[str, List[float]]] = None,
+        feat_limits: Optional[List[Tuple[str, Optional[float], Optional[float]]]] = None,
     ) -> Tuple[
         List[Dict[str, Any]], List[Dict[str, Any]],
         List[Tuple[Optional[str], str, str]], Dict[str, Dict[int, int]],
+        List[Dict[str, Any]], List[Dict[str, Any]],
     ]:
         """Chunked partitioned scan with a resume manifest.
 
@@ -1286,6 +1367,9 @@ class Validator:
         Loudness-drift feature histograms (``feat_bins``) are likewise per-partition
         decomposable bin counts: they ride the SAME per-chunk decode pass, persist
         in the manifest, and merge by summation on resume — never a second decode.
+        Signal-quality bounds (``feat_limits``) follow the same model: per-partition
+        out-of-range counts + capped violation samples persist in each manifest
+        record ("audio_quality") and merge by summation / concatenation on resume.
         """
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         manifest = self._manifest_path(model_name)
@@ -1313,12 +1397,23 @@ class Validator:
         audio_part_rows: List[Dict[str, Any]] = []
         audio_vio_by_part: Dict[str, List[Tuple[Optional[str], str, str]]] = {}
         audio_fhists: Dict[str, Dict[int, int]] = {}
+        audio_fq_rows: List[Dict[str, Any]] = []
+        audio_fv_rows: List[Dict[str, Any]] = []
 
         def merge_fh(by_feature: Optional[Dict[str, Dict[str, int]]]) -> None:
             for feature, bins in (by_feature or {}).items():
                 dst = audio_fhists.setdefault(feature, {})
                 for b, c in bins.items():
                     dst[int(b)] = dst.get(int(b), 0) + int(c)
+
+        def merge_fq(pid: str, aq: Optional[Dict[str, Any]]) -> None:
+            for li, c in ((aq or {}).get("counts") or {}).items():
+                audio_fq_rows.append({"__part": pid, "t": int(li), "c": int(c)})
+            for li, vs in ((aq or {}).get("violations") or {}).items():
+                for clip_id, obs in vs:
+                    audio_fv_rows.append(
+                        {"__part": pid, "t": int(li),
+                         "clip_id": clip_id, "observed": obs})
 
         for rec in done.values():
             row = _json_to_metrics(rec["metrics_json"])
@@ -1332,6 +1427,7 @@ class Validator:
                 audio_vio_by_part.setdefault(str(rec["partition_id"]), []).append(
                     (rec["partition_id"], v[0], v[1]))
             merge_fh(rec.get("audio_feature_hists"))
+            merge_fq(str(rec["partition_id"]), rec.get("audio_quality"))
 
         self.run.log_info(
             f"checkpoint: {len(done)}/{len(parts)} partitions already complete; "
@@ -1350,11 +1446,13 @@ class Validator:
             audio_rows_by_part: Dict[str, dict] = {}
             chunk_vio_by_part: Dict[str, List[Tuple[str, str]]] = {}
             chunk_fh_by_part: Dict[str, Dict[str, Dict[str, int]]] = {}
-            if audio_chk is not None or feat_bins:
+            chunk_aq_by_part: Dict[str, Dict[str, Any]] = {}
+            if audio_chk is not None or feat_bins or feat_limits:
                 from pyspark import StorageLevel
 
                 compact = self._audio_compact(
-                    sub, audio_chk, partition_col, feat_bins=feat_bins or None)
+                    sub, audio_chk, partition_col, feat_bins=feat_bins or None,
+                    feat_limits=feat_limits or None)
                 compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     with self._arrow_batch_conf():
@@ -1366,6 +1464,28 @@ class Validator:
                             ):
                                 chunk_fh_by_part.setdefault(str(r["__part"]), {}) \
                                     .setdefault(r["clip_id"], {})[str(r["t"])] = int(r["c"])
+                        if feat_limits:
+                            for r in (
+                                compact.filter(F.col("row_type") == "fq")
+                                .groupBy("__part", "t")
+                                .agg(F.sum("hash").alias("c")).collect()
+                            ):
+                                d = chunk_aq_by_part.setdefault(
+                                    str(r["__part"]), {"counts": {}, "violations": {}})
+                                d["counts"][str(r["t"])] = int(r["c"])
+                            if chunk_aq_by_part:
+                                wq = Window.partitionBy("__part", "t").orderBy("clip_id")
+                                for r in (
+                                    compact.filter(F.col("row_type") == "fv")
+                                    .withColumn("__rn", F.row_number().over(wq))
+                                    .filter(F.col("__rn") <= self.config.violation_cap)
+                                    .select("__part", "t", "clip_id", "observed")
+                                    .collect()
+                                ):
+                                    d = chunk_aq_by_part.setdefault(
+                                        str(r["__part"]), {"counts": {}, "violations": {}})
+                                    d["violations"].setdefault(str(r["t"]), []).append(
+                                        [r["clip_id"], r["observed"]])
                         if audio_chk is not None:
                             audio_rows_by_part = {
                                 str(r["__part"]): r.asDict()
@@ -1392,6 +1512,7 @@ class Validator:
                     arow = audio_rows_by_part.get(pid)
                     vlist = chunk_vio_by_part.get(pid, [])
                     fh = chunk_fh_by_part.get(pid)
+                    aq = chunk_aq_by_part.get(pid)
                     f.write(json.dumps({
                         "run_id": self.run.runId,
                         "partition_id": pid,
@@ -1400,6 +1521,7 @@ class Validator:
                         "audio_metrics_json": _metrics_to_json(arow, "__part") if arow else None,
                         "audio_violations": vlist or None,
                         "audio_feature_hists": fh or None,
+                        "audio_quality": aq or None,
                         "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
                     }) + "\n")
                     part_rows.append(row)
@@ -1408,11 +1530,21 @@ class Validator:
                     if vlist:
                         audio_vio_by_part[pid] = [(pid, c, o) for c, o in vlist]
                     merge_fh(fh)
+                    merge_fq(pid, aq)
         # global cap across partitions, deterministic by clip_id
         audio_vio = sorted(
             (v for vs in audio_vio_by_part.values() for v in vs), key=lambda t: t[1]
         )[: self.config.violation_cap]
-        return part_rows, audio_part_rows, audio_vio, audio_fhists
+        # signal-quality violation samples: re-cap globally per rule index,
+        # deterministic by clip_id (per-partition caps can sum past the cap)
+        fv_by_li: Dict[int, List[Dict[str, Any]]] = {}
+        for r in sorted(audio_fv_rows, key=lambda r: (r["t"], r["clip_id"])):
+            lst = fv_by_li.setdefault(int(r["t"]), [])
+            if len(lst) < self.config.violation_cap:
+                lst.append(r)
+        audio_fv_rows = [r for li in sorted(fv_by_li) for r in fv_by_li[li]]
+        return (part_rows, audio_part_rows, audio_vio, audio_fhists,
+                audio_fq_rows, audio_fv_rows)
 
     # -- result recording -------------------------------------------------------
 

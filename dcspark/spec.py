@@ -63,6 +63,8 @@ class Quality(BaseModel):
     expression: Optional[str] = None    # expression: row-level SQL boolean invariant
     invariant: Optional[str] = None     # audio: "decode-conformance" | "transcript-equality"
     snr_db: Optional[float] = None      # audio SNR floor (default 30)
+    minimum: Optional[float] = None     # audio signal-quality: feature lower bound
+    maximum: Optional[float] = None     # audio signal-quality: feature upper bound
     accuracy: Optional[int] = None      # metric pNN: quantile-sketch accuracy
                                         # (rank error <= n/accuracy; default 10000)
     ref: Optional[str] = None           # transcript-equality: reference model name
