@@ -530,6 +530,63 @@ FROM lineitem
 """
 
 
+def q_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable t-digest quantiles (dcspark/tdigest.py — the north star's
+    "approx quantiles via t-digest"; engine surface: pctl_mode="sketch",
+    digests merge per partition and checkpoint through the resume manifest
+    as base64, so resumed runs never rescan completed partitions). Per-task
+    digests are built in ONE column-pruned mapInArrow pass and merged on the
+    driver.
+
+    Oracle regime: delta = 4n > pi*n guarantees ZERO centroid merges (the k1
+    scale spends >1 unit of k per point even at q=0.5), so every value is its
+    own weight-1 centroid and quantile() reduces to a deterministic R-5-style
+    interpolation over order statistics — reproducible bit-for-bit in ANSI
+    SQL (the oracle below mirrors the float64 operation order exactly).
+    Production regime is delta~500 (bounded memory, ~0.1-1% rank error),
+    exercised with error bounds in tests/test_tdigest.py."""
+    from dcspark.tdigest import TDigest, collect_digests
+
+    li = _t(spark, sf, "lineitem")
+    n = li.count()
+    d = collect_digests(
+        li.select("l_extendedprice"), ["l_extendedprice"], None, delta=4 * n,
+    )[("", "l_extendedprice")]
+    row = spark.createDataFrame(
+        [(d.quantile(0.50), d.quantile(0.90), d.quantile(0.99))],
+        "p50_price double, p90_price double, p99_price double")
+    return row.select(
+        F.round("p50_price", 4).alias("p50_price"),
+        F.round("p90_price", 4).alias("p90_price"),
+        F.round("p99_price", 4).alias("p99_price"),
+    )
+
+
+# the digest's weight-1 quantile: mids[i] = i + 0.5 (0-indexed order stats),
+# target = q*n; i_lo = largest i with i + 0.5 <= target; linear interpolation
+# x_lo + (target - (i_lo + 0.5)) * (x_hi - x_lo). Same float64 op order as
+# TDigest.quantile, so values hash-match without tolerance.
+SQL_TDIGEST_QUANTILES = """
+WITH o AS (
+  SELECT l_extendedprice AS x,
+         row_number() OVER (ORDER BY l_extendedprice) - 1 AS i
+  FROM lineitem
+), c AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem),
+f AS (
+  SELECT qs.q,
+         (SELECT x FROM o WHERE i = CAST(floor(qs.q * c.n - 0.5) AS BIGINT)) AS xlo,
+         (SELECT x FROM o WHERE i = CAST(floor(qs.q * c.n - 0.5) AS BIGINT) + 1) AS xhi,
+         qs.q * c.n - (CAST(floor(qs.q * c.n - 0.5) AS BIGINT) + 0.5) AS frac
+  FROM (VALUES (0.50), (0.90), (0.99)) qs(q), c
+)
+SELECT
+  round(max(CASE WHEN q = 0.50 THEN xlo + frac * (xhi - xlo) END), 4) AS p50_price,
+  round(max(CASE WHEN q = 0.90 THEN xlo + frac * (xhi - xlo) END), 4) AS p90_price,
+  round(max(CASE WHEN q = 0.99 THEN xlo + frac * (xhi - xlo) END), 4) AS p99_price
+FROM f
+"""
+
+
 def q_quality_metric_checks(spark: SparkSession, sf: str) -> DataFrame:
     """Aggregate-metric + row-expression quality rules (engine extension; the
     reference's passthrough executes row_count only,
@@ -1580,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_element_checks": q_array_element_checks,
         "quality_metric_checks": q_quality_metric_checks,
         "quantile_sketch_stats": q_quantile_sketch_stats,
+        "tdigest_quantiles": q_tdigest_quantiles,
         "group_threshold_checks": q_group_threshold_checks,
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
@@ -1626,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
         "array_element_checks": SQL_ARRAY_ELEMENT_CHECKS,
         "quality_metric_checks": SQL_QUALITY_METRIC_CHECKS,
         "quantile_sketch_stats": SQL_QUANTILE_SKETCH_STATS,
+        "tdigest_quantiles": SQL_TDIGEST_QUANTILES,
         "group_threshold_checks": SQL_GROUP_THRESHOLD_CHECKS,
         "drift_psi": _sql_drift_psi(),
         "drift_ks": _sql_drift_ks(),

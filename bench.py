@@ -163,6 +163,7 @@ OPERATOR_QUERIES = [
     "array_element_checks",
     "quality_metric_checks",
     "quantile_sketch_stats",
+    "tdigest_quantiles",
     "audio_fp_near_dup",
     "audio_loudness_drift",
     "group_threshold_checks",

@@ -133,6 +133,7 @@ def cmd_test(args: argparse.Namespace) -> int:
         resume=args.resume,
         ref_stats=_load_ref_stats(spark, spec, args.ref_stats) if args.ref_stats else {},
         unique_mode=args.unique_mode,
+        pctl_mode=args.pctl_mode,
     )
     result = validate(spark, spec, tables, cfg)
     print_console(result.run)
@@ -346,6 +347,10 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--unique-mode", default="exact", choices=["exact", "approx"],
                    help="exact: dedicated groupBy job certifies zero duplicates; "
                         "approx: HLL sketch in the shared scan (no key shuffle)")
+    t.add_argument("--pctl-mode", default="exact", choices=["exact", "sketch"],
+                   help="exact: percentile_approx (GK) + a dedicated global pass "
+                        "when partitioned; sketch: mergeable t-digests that "
+                        "checkpoint with the manifest (resume never rescans)")
 
     pr = sub.add_parser("profile", help="one-scan column statistics per model")
     pr.add_argument("contract")

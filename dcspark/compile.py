@@ -558,11 +558,14 @@ def has_threshold(q: Quality) -> bool:
 # metric rows merge losslessly on the driver (partitioned == flat, and the
 # checkpoint manifest stays mergeable); the final value is produced by a
 # driver-side finisher over the merged row. All partials join the shared scan.
-# Percentiles (pNN) use percentile_approx (the north star's quantile-sketch
-# pass); a GK sketch result is NOT driver-mergeable, so its alias carries the
-# "global" merge op and the engine recomputes the global value in a dedicated
-# column-pruned pass when running partitioned (per-partition values stay exact
-# per partition).
+# Percentiles (pNN) default to percentile_approx (GK); a GK sketch result is
+# NOT driver-mergeable, so its alias carries the "global" merge op and the
+# engine recomputes the global value in a dedicated column-pruned pass when
+# running partitioned (per-partition values stay exact per partition).
+# ValidationConfig(pctl_mode="sketch") swaps in mergeable t-digests
+# (dcspark/tdigest.py — the north star's "approx quantiles via t-digest"):
+# per-partition digests merge to the global quantile on the driver and
+# persist through the checkpoint manifest, so resumes never rescan.
 _METRIC_NAMES = ("count", "sum", "avg", "min", "max", "stddev")
 _PCTL_RE = re.compile(r"^p(\d{1,2}(?:\.\d+)?)$")
 

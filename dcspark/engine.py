@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from . import audio as audio_mod
 from . import drift as drift_mod
+from . import tdigest as td_mod
 from .compile import CompiledCheck, create_checks
 from .run_model import Check, ResultEnum, Run
 from .spec import DataContractSpecification, resolve_schema_field, to_spark_data_type
@@ -85,6 +86,15 @@ class ValidationConfig:
     # 2^lgk-bucket sketch per partition and unions them losslessly.
     unique_mode: str = "exact"
     unique_hll_lgk: int = 14  # 2^14 buckets: rsd ~0.8%, ~16 KB sketch/partition
+    # percentile (pNN) strategy: "exact" uses percentile_approx (GK sketch)
+    # in the shared scan + a dedicated global pass when partitioned (GK
+    # results don't merge on the driver); "sketch" builds mergeable
+    # t-digests (north-star: approx quantiles via t-digest) in one
+    # column-pruned mapInArrow pass — per-partition digests merge to the
+    # global quantile with NO extra scan and persist through the checkpoint
+    # manifest as base64, so resumed runs never re-read completed partitions.
+    pctl_mode: str = "exact"
+    pctl_tdigest_delta: int = 500  # compression: ~0.1-1% rank error, ~16 KB/digest
 
 
 @dataclass
@@ -661,16 +671,34 @@ class Validator:
                 *[exprs[a].alias(a) for a in pctl_aliases]
             ).first().asDict()
 
+        # sketch mode: swap the GK aggregates for mergeable t-digests — the
+        # aliases leave the shared agg entirely and their values are injected
+        # into the metric rows from driver-merged digests after the scan
+        pctl_specs: Dict[str, Tuple[str, float]] = {}
+        pctl_digests: Dict[Tuple[str, str], td_mod.TDigest] = {}
+        if pctl_aliases and self.config.pctl_mode == "sketch":
+            for chk in agg_checks:
+                if chk.agg_alias in pctl_aliases and chk.agg_alias not in pctl_specs:
+                    pctl_specs[chk.agg_alias] = (
+                        chk.params["column"],
+                        float(chk.params["metric"][1:]) / 100.0)
+            for alias in pctl_aliases:
+                exprs.pop(alias, None)
+                ops.pop(alias, None)
+            pctl_aliases = []
+        pctl_cols = sorted({c for c, _ in pctl_specs.values()})
+
         audio_fhists: Dict[str, Dict[int, int]] = {}
         audio_fq_rows: List[Dict[str, Any]] = []
         audio_fv_rows: List[Dict[str, Any]] = []
 
         if partition_col and self.config.checkpoint_dir:
             (part_rows, audio_part_rows, audio_vio, audio_fhists,
-             audio_fq_rows, audio_fv_rows) = self._checkpointed_scan(
+             audio_fq_rows, audio_fv_rows, pctl_digests) = self._checkpointed_scan(
                 model_name, df, exprs, ops, audio_chk, partition_col,
                 drift_jobs, feat_bins=feat_bins or None,
                 feat_limits=feat_limits or None,
+                pctl_cols=pctl_cols or None,
             )
             if pctl_aliases and len(part_rows) > 1:
                 pctl_row = pctl_job()
@@ -741,6 +769,13 @@ class Validator:
             run_pctl = bool(pctl_aliases) and partition_col is not None
             if run_pctl:
                 thunks.append(pctl_job)
+
+            def sketch_job() -> Dict[Tuple[str, str], td_mod.TDigest]:
+                return td_mod.collect_digests(
+                    df, pctl_cols, partition_col, self.config.pctl_tdigest_delta)
+
+            if pctl_specs:
+                thunks.append(sketch_job)
             with self._arrow_batch_conf():
                 outs = self._parallel(thunks)
             part_rows = outs[0]
@@ -754,11 +789,31 @@ class Validator:
                 idx += 1
             if run_pctl:
                 pctl_row = outs[idx]
+                idx += 1
+            if pctl_specs:
+                pctl_digests = outs[idx]
 
         global_row = _merge_rows(part_rows, ops)
         if pctl_row is not None:
             for alias in pctl_aliases:
                 global_row[alias] = pctl_row.get(alias)
+        if pctl_specs:
+            # driver-side digest merge (sorted key order -> deterministic,
+            # resume-identical); values injected into the metric rows so
+            # recording is byte-for-byte the exact-mode code path
+            for alias, (col, frac) in pctl_specs.items():
+                col_keys = sorted(k for k in pctl_digests if k[1] == col)
+                merged = td_mod.TDigest.merge(
+                    [pctl_digests[k] for k in col_keys],
+                    self.config.pctl_tdigest_delta)
+                global_row[alias] = (
+                    merged.quantile(frac) if merged.total_weight else None)
+                if partition_col:
+                    for prow in part_rows:
+                        d = pctl_digests.get((str(prow.get(partition_col)), col))
+                        prow[alias] = (
+                            d.quantile(frac)
+                            if d is not None and d.total_weight else None)
         global_row["__total_count"] = global_row.get("__total_count") or 0
         audio_global = _merge_rows(audio_part_rows, audio_ops) if audio_part_rows else {}
         if audio_chk is not None:
@@ -1349,10 +1404,12 @@ class Validator:
         drift_jobs: Optional[List[dict]] = None,
         feat_bins: Optional[Dict[str, List[float]]] = None,
         feat_limits: Optional[List[Tuple[str, Optional[float], Optional[float]]]] = None,
+        pctl_cols: Optional[List[str]] = None,
     ) -> Tuple[
         List[Dict[str, Any]], List[Dict[str, Any]],
         List[Tuple[Optional[str], str, str]], Dict[str, Dict[int, int]],
         List[Dict[str, Any]], List[Dict[str, Any]],
+        Dict[Tuple[str, str], "td_mod.TDigest"],
     ]:
         """Chunked partitioned scan with a resume manifest.
 
@@ -1370,6 +1427,11 @@ class Validator:
         Signal-quality bounds (``feat_limits``) follow the same model: per-partition
         out-of-range counts + capped violation samples persist in each manifest
         record ("audio_quality") and merge by summation / concatenation on resume.
+        Percentile t-digests (``pctl_cols``, pctl_mode="sketch") are the mergeable
+        quantile state: one column-pruned digest pass per chunk, per-partition
+        digests persist as base64 ("pctl_digests") and merge associatively on
+        resume — the global quantile never needs a rescan of completed partitions
+        (unlike exact GK mode, whose global pass re-reads everything).
         """
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         manifest = self._manifest_path(model_name)
@@ -1399,6 +1461,7 @@ class Validator:
         audio_fhists: Dict[str, Dict[int, int]] = {}
         audio_fq_rows: List[Dict[str, Any]] = []
         audio_fv_rows: List[Dict[str, Any]] = []
+        pctl_digests: Dict[Tuple[str, str], td_mod.TDigest] = {}
 
         def merge_fh(by_feature: Optional[Dict[str, Dict[str, int]]]) -> None:
             for feature, bins in (by_feature or {}).items():
@@ -1428,6 +1491,9 @@ class Validator:
                     (rec["partition_id"], v[0], v[1]))
             merge_fh(rec.get("audio_feature_hists"))
             merge_fq(str(rec["partition_id"]), rec.get("audio_quality"))
+            for col, b64 in (rec.get("pctl_digests") or {}).items():
+                pctl_digests[(str(rec["partition_id"]), col)] = (
+                    td_mod.TDigest.from_b64(b64))
 
         self.run.log_info(
             f"checkpoint: {len(done)}/{len(parts)} partitions already complete; "
@@ -1447,6 +1513,13 @@ class Validator:
             chunk_vio_by_part: Dict[str, List[Tuple[str, str]]] = {}
             chunk_fh_by_part: Dict[str, Dict[str, Dict[str, int]]] = {}
             chunk_aq_by_part: Dict[str, Dict[str, Any]] = {}
+            chunk_digests: Dict[Tuple[str, str], td_mod.TDigest] = {}
+            if pctl_cols:
+                # mergeable quantile state for this chunk's partitions: one
+                # column-pruned digest pass (payload never read)
+                chunk_digests = td_mod.collect_digests(
+                    sub, pctl_cols, partition_col,
+                    self.config.pctl_tdigest_delta)
             if audio_chk is not None or feat_bins or feat_limits:
                 from pyspark import StorageLevel
 
@@ -1513,6 +1586,11 @@ class Validator:
                     vlist = chunk_vio_by_part.get(pid, [])
                     fh = chunk_fh_by_part.get(pid)
                     aq = chunk_aq_by_part.get(pid)
+                    digs = {
+                        col: chunk_digests[(pid, col)].to_b64()
+                        for col in (pctl_cols or [])
+                        if (pid, col) in chunk_digests
+                    }
                     f.write(json.dumps({
                         "run_id": self.run.runId,
                         "partition_id": pid,
@@ -1522,6 +1600,7 @@ class Validator:
                         "audio_violations": vlist or None,
                         "audio_feature_hists": fh or None,
                         "audio_quality": aq or None,
+                        "pctl_digests": digs or None,
                         "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
                     }) + "\n")
                     part_rows.append(row)
@@ -1531,6 +1610,9 @@ class Validator:
                         audio_vio_by_part[pid] = [(pid, c, o) for c, o in vlist]
                     merge_fh(fh)
                     merge_fq(pid, aq)
+                    for (dpid, col), d in chunk_digests.items():
+                        if dpid == pid:
+                            pctl_digests[(pid, col)] = d
         # global cap across partitions, deterministic by clip_id
         audio_vio = sorted(
             (v for vs in audio_vio_by_part.values() for v in vs), key=lambda t: t[1]
@@ -1544,7 +1626,7 @@ class Validator:
                 lst.append(r)
         audio_fv_rows = [r for li in sorted(fv_by_li) for r in fv_by_li[li]]
         return (part_rows, audio_part_rows, audio_vio, audio_fhists,
-                audio_fq_rows, audio_fv_rows)
+                audio_fq_rows, audio_fv_rows, pctl_digests)
 
     # -- result recording -------------------------------------------------------
 
