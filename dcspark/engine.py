@@ -95,6 +95,12 @@ class ValidationConfig:
     # manifest as base64, so resumed runs never re-read completed partitions.
     pctl_mode: str = "exact"
     pctl_tdigest_delta: int = 500  # compression: ~0.1-1% rank error, ~16 KB/digest
+    # resume-time lineage verification: each manifest record stores the
+    # partition's input-file lineage (file count + md5 of the sorted file
+    # list); on resume, a completed partition whose file set changed is
+    # invalidated and rescanned instead of silently serving stale metrics.
+    # The probe reads only the partition column (column-pruned scan).
+    checkpoint_verify_lineage: bool = True
 
 
 @dataclass
@@ -1393,6 +1399,37 @@ class Validator:
         key = f"{self.spec.id or 'contract'}__{model_name}"
         return os.path.join(self.config.checkpoint_dir, f"manifest__{key}.jsonl")
 
+    def _partition_lineage(
+        self, df: DataFrame, partition_col: str,
+        parts: Optional[List[str]] = None,
+    ) -> Dict[str, Dict[str, Any]]:
+        """{partition_id: {"files": n, "sig": md5-of-sorted-file-list}} via a
+        column-pruned scan of (partition_col, input_file_name()) distinct
+        pairs — per-partition provenance for the checkpoint manifest (north
+        rule: "per-partition lineage + metrics"). In-memory frames (no
+        files) yield a single empty name, which is stable across runs."""
+        import hashlib
+
+        sub = df
+        if parts is not None:
+            sub = df.filter(F.col(partition_col).cast("string").isin(list(parts)))
+        rows = (
+            sub.select(
+                F.col(partition_col).cast("string").alias("p"),
+                F.input_file_name().alias("f"))
+            .distinct().collect()
+        )
+        by_part: Dict[str, List[str]] = {}
+        for r in rows:
+            by_part.setdefault(r["p"], []).append(r["f"])
+        return {
+            p: {
+                "files": len([f for f in fs if f]),
+                "sig": hashlib.md5("\n".join(sorted(fs)).encode()).hexdigest(),
+            }
+            for p, fs in by_part.items()
+        }
+
     def _checkpointed_scan(
         self,
         model_name: str,
@@ -1427,6 +1464,11 @@ class Validator:
         Signal-quality bounds (``feat_limits``) follow the same model: per-partition
         out-of-range counts + capped violation samples persist in each manifest
         record ("audio_quality") and merge by summation / concatenation on resume.
+        Each record also carries the partition's input-file LINEAGE (file count
+        + md5 signature of the sorted file list); on resume that signature is
+        re-probed (column-pruned scan, no payload) and any completed partition
+        whose files changed is invalidated and rescanned — a checkpoint can
+        never silently serve metrics for data that moved underneath it.
         Percentile t-digests (``pctl_cols``, pctl_mode="sketch") are the mergeable
         quantile state: one column-pruned digest pass per chunk, per-partition
         digests persist as base64 ("pctl_digests") and merge associatively on
@@ -1445,6 +1487,19 @@ class Validator:
         parts = sorted(
             str(r[0]) for r in df.select(partition_col).distinct().collect()
         )
+        if done and self.config.checkpoint_verify_lineage:
+            # stale-checkpoint detection: a completed partition whose input
+            # file set changed since the manifest was written must NOT serve
+            # cached metrics — invalidate it and rescan. The lineage probe
+            # reads only the partition column (column-pruned scan, no payload).
+            current = self._partition_lineage(df, partition_col, sorted(done))
+            for pid in sorted(done):
+                rec_lin = done[pid].get("lineage")
+                if rec_lin is not None and rec_lin != current.get(pid):
+                    self.run.log_warn(
+                        f"checkpoint: partition {pid} input files changed since "
+                        f"manifest (was {rec_lin}, now {current.get(pid)}) — rescanning")
+                    del done[pid]
         todo = [p for p in parts if p not in done]
         chunks: List[List[str]] = []
         k = max(1, self.config.checkpoint_chunks)
@@ -1513,6 +1568,7 @@ class Validator:
             chunk_vio_by_part: Dict[str, List[Tuple[str, str]]] = {}
             chunk_fh_by_part: Dict[str, Dict[str, Dict[str, int]]] = {}
             chunk_aq_by_part: Dict[str, Dict[str, Any]] = {}
+            chunk_lineage = self._partition_lineage(sub, partition_col)
             chunk_digests: Dict[Tuple[str, str], td_mod.TDigest] = {}
             if pctl_cols:
                 # mergeable quantile state for this chunk's partitions: one
@@ -1601,6 +1657,7 @@ class Validator:
                         "audio_feature_hists": fh or None,
                         "audio_quality": aq or None,
                         "pctl_digests": digs or None,
+                        "lineage": chunk_lineage.get(pid),
                         "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
                     }) + "\n")
                     part_rows.append(row)

@@ -1,0 +1,92 @@
+"""Checkpoint-manifest lineage: each record stores the partition's input-file
+set (count + md5 signature); resume re-probes it and invalidates partitions
+whose files changed instead of serving stale cached metrics."""
+
+import json
+import os
+
+from dcspark import DataContractSpecification, ValidationConfig, validate
+
+CONTRACT = """
+id: lineage-test
+models:
+  clips:
+    fields:
+      clip_id: {type: string, required: true, primaryKey: true}
+      part: {type: string}
+      dur_ms: {type: integer}
+    quality:
+      - {type: metric, metric: sum, column: dur_ms, mustBeGreaterThan: 0}
+"""
+
+METRIC = "clips__quality_metric_0"
+
+
+def _write_part(spark, base, part, rows):
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms int")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{base}/part={part}")
+
+
+def _run(spark, base, ck, **cfg):
+    df = spark.read.parquet(base)
+    spec = DataContractSpecification.from_string(CONTRACT)
+    return validate(spark, spec, {"clips": df}, ValidationConfig(
+        partition_col="part", checkpoint_dir=ck, **cfg))
+
+
+def _manifest_recs(ck):
+    name = [p for p in os.listdir(ck) if p.endswith(".jsonl")][0]
+    with open(os.path.join(ck, name)) as f:
+        return [json.loads(l) for l in f]
+
+
+def test_manifest_records_lineage(spark, tmp_path):
+    base, ck = str(tmp_path / "data"), str(tmp_path / "ck")
+    _write_part(spark, base, "a", [("c1", 100), ("c2", 200)])
+    _write_part(spark, base, "b", [("c3", 300)])
+    res = _run(spark, base, ck)
+    assert res.metrics[METRIC] == 600.0
+    recs = _manifest_recs(ck)
+    assert {r["partition_id"] for r in recs} == {"a", "b"}
+    for r in recs:
+        assert r["lineage"]["files"] >= 1
+        assert len(r["lineage"]["sig"]) == 32
+
+
+def test_resume_unchanged_serves_cache(spark, tmp_path):
+    base, ck = str(tmp_path / "data"), str(tmp_path / "ck")
+    _write_part(spark, base, "a", [("c1", 100)])
+    _write_part(spark, base, "b", [("c2", 50)])
+    first = _run(spark, base, ck)
+    n_recs = len(_manifest_recs(ck))
+    resumed = _run(spark, base, ck, resume=True)
+    assert resumed.metrics[METRIC] == first.metrics[METRIC] == 150.0
+    # nothing was rescanned: no new manifest records were appended
+    assert len(_manifest_recs(ck)) == n_recs
+
+
+def test_resume_invalidates_changed_partition(spark, tmp_path):
+    base, ck = str(tmp_path / "data"), str(tmp_path / "ck")
+    _write_part(spark, base, "a", [("c1", 100)])
+    _write_part(spark, base, "b", [("c2", 50)])
+    assert _run(spark, base, ck).metrics[METRIC] == 150.0
+    n_recs = len(_manifest_recs(ck))
+    # partition b's data changes under the checkpoint (new files, new rows)
+    _write_part(spark, base, "b", [("c2", 50), ("c9", 1000)])
+    resumed = _run(spark, base, ck, resume=True)
+    assert resumed.metrics[METRIC] == 1150.0  # fresh b, cached a
+    recs = _manifest_recs(ck)
+    assert len(recs) == n_recs + 1  # only b was rescanned and re-appended
+    assert recs[-1]["partition_id"] == "b"
+    # latest record wins on the next resume
+    assert _run(spark, base, ck, resume=True).metrics[METRIC] == 1150.0
+
+
+def test_lineage_verification_can_be_disabled(spark, tmp_path):
+    base, ck = str(tmp_path / "data"), str(tmp_path / "ck")
+    _write_part(spark, base, "a", [("c1", 100)])
+    _write_part(spark, base, "b", [("c2", 50)])
+    _run(spark, base, ck)
+    _write_part(spark, base, "b", [("c2", 50), ("c9", 1000)])
+    stale = _run(spark, base, ck, resume=True, checkpoint_verify_lineage=False)
+    assert stale.metrics[METRIC] == 150.0  # documented: stale cache served
