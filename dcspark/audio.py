@@ -336,9 +336,38 @@ def clip_ratio(pcm, _sr) -> float:
     return float(np.mean(np.abs(pcm.astype(np.int32)) >= 32767))
 
 
-#: decoded-PCM scalar features available to loudness-drift checks and
-#: :func:`audio_feature_frame`; all vectorized numpy over the int16 buffer
-FEATURE_FNS = {"rms_dbfs": rms_dbfs, "peak_dbfs": peak_dbfs, "clip_ratio": clip_ratio}
+def dc_offset(pcm, _sr) -> float:
+    """Mean sample value as a fraction of full scale (-1..1). A healthy
+    capture chain sits near 0; a miswired ADC / failed high-pass shows a
+    persistent bias that RMS and peak levels cannot distinguish from signal."""
+    if len(pcm) == 0:
+        return 0.0
+    return float(np.mean(pcm.astype(np.float64))) / 32768.0
+
+
+def zero_crossing_rate(pcm, sr) -> float:
+    """Sign changes per second of decoded audio (0 for constant/empty
+    signals). A pure tone crosses at ~2x its frequency; stuck-at or
+    heavily-slewed captures collapse toward 0 while white-noise-swamped
+    channels spike toward sr/2 — both invisible to level-based features."""
+    if len(pcm) < 2:
+        return 0.0
+    s = np.sign(pcm.astype(np.int32))
+    s[s == 0] = 1  # count a touch of zero as staying on the previous side
+    crossings = float(np.count_nonzero(s[1:] != s[:-1]))
+    return crossings * float(sr) / (len(pcm) - 1)
+
+
+#: decoded-PCM scalar features available to loudness-drift and
+#: signal-quality checks and :func:`audio_feature_frame`; all vectorized
+#: numpy over the int16 buffer
+FEATURE_FNS = {
+    "rms_dbfs": rms_dbfs,
+    "peak_dbfs": peak_dbfs,
+    "clip_ratio": clip_ratio,
+    "dc_offset": dc_offset,
+    "zero_crossing_rate": zero_crossing_rate,
+}
 
 
 def audio_decode_compact(

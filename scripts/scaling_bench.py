@@ -167,8 +167,9 @@ Input: {high['clips']} synthetic audio clips (seed=42, WAV/PCM s16le,
 dur 200-2000 ms, ~60 KB/clip), full contract `contracts/audio_clips.yaml`:
 schema presence/type, not-null, unique, enum, range, regex, referential
 integrity, SQL quality, KS+PSI drift vs reference snapshot, audio
-decode-conformance with blocked-SNR>=30dB oracle invariant and transcript
-equality — every check family of the north rule in one run.
+decode-conformance with blocked-SNR>=30dB oracle invariant, per-clip
+signal-quality bounds on decoded PCM, and transcript equality — every check
+family of the north rule in one run.
 
 | parallelism | suite wall (s) | throughput (clips/s) |
 |---|---|---|

@@ -37,6 +37,51 @@ def test_feature_fns_known_signals():
     assert audio_mod.rms_dbfs(np.array([], dtype=np.int16), 16000) == -120.0
 
 
+def test_dc_offset_and_zero_crossing_rate_known_signals():
+    sr = 16000
+    t = np.arange(sr)
+    # unbiased sine: no DC; ZCR of a 440 Hz tone is ~880 crossings/sec
+    sine = (0.5 * 32768 * np.sin(2 * np.pi * 440 * t / sr)).astype(np.int16)
+    assert abs(audio_mod.dc_offset(sine, sr)) < 1e-3
+    assert abs(audio_mod.zero_crossing_rate(sine, sr) - 880) < 5
+    # biased capture: DC offset reads the bias fraction, ZCR collapses to 0
+    biased = np.full(sr, 3277, dtype=np.int16)  # ~0.1 FS stuck-at
+    assert abs(audio_mod.dc_offset(biased, sr) - 0.1) < 1e-3
+    assert audio_mod.zero_crossing_rate(biased, sr) == 0.0
+    # alternating-sign signal: one crossing per sample step -> ~sr
+    alt = (np.where(t % 2 == 0, 1000, -1000)).astype(np.int16)
+    assert abs(audio_mod.zero_crossing_rate(alt, sr) - sr) < 2
+    # edge cases
+    assert audio_mod.dc_offset(np.array([], dtype=np.int16), sr) == 0.0
+    assert audio_mod.zero_crossing_rate(np.array([5], dtype=np.int16), sr) == 0.0
+
+
+def test_new_features_accepted_by_quality_and_drift_rules():
+    from dcspark.compile import create_checks
+    from dcspark.spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_string("""
+id: f
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      sr_hz: {type: integer}
+      dur_ms: {type: integer}
+      codec: {type: string}
+    quality:
+      - {type: audio, invariant: signal-quality, column: dc_offset,
+         minimum: -0.02, maximum: 0.02}
+      - {type: audio, invariant: signal-quality, column: zero_crossing_rate,
+         minimum: 1.0}
+      - {type: audio, invariant: loudness-drift, column: zero_crossing_rate}
+""")
+    checks = create_checks(spec)["clips"]
+    assert len([c for c in checks if c.kind == "audio_quality"]) == 2
+    assert len([c for c in checks if c.kind == "audio_drift"]) == 1
+
+
 @pytest.fixture(scope="module")
 def clips(spark):
     df = synth.generate_audio_table(

@@ -248,3 +248,26 @@ models:
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "o_orderpriority" in read_schema and "o_totalprice" in read_schema
     assert "o_comment" not in read_schema and "o_orderdate" not in read_schema
+
+
+def test_lineage_probe_prunes_to_partition_column(spark):
+    """The checkpoint lineage probe (engine._partition_lineage) must read ONLY
+    the partition column — at 100 TB a probe that materializes data columns
+    would cost as much as the scan it is trying to avoid on resume."""
+    from dcspark.engine import ValidationConfig, Validator
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    v = object.__new__(Validator)
+    v.config = ValidationConfig()
+    probe = li.select(
+        F.col("l_returnflag").cast("string").alias("p"),
+        F.input_file_name().alias("f")).distinct()
+    plan = _final_plan(probe).split("== Initial Plan ==")[0]
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_returnflag" in read_schema
+    for heavy in ("l_comment", "l_extendedprice", "l_orderkey"):
+        assert heavy not in read_schema
+    # and the real helper agrees with the probe's shape end-to-end
+    lin = Validator._partition_lineage(v, li, "l_returnflag")
+    assert set(lin) == {"A", "N", "R"}
+    assert all(e["files"] >= 1 and len(e["sig"]) == 32 for e in lin.values())
