@@ -1141,6 +1141,77 @@ FROM comp
 """
 
 
+FILTER_CONTRACT = """
+id: entry-filter
+models:
+  customer:
+    fields:
+      c_custkey: {type: long, required: true, primaryKey: true}
+      c_acctbal: {type: double, minimum: 0.0}
+      c_mktsegment: {type: string, enum: [BUILDING, AUTOMOBILE, MACHINERY]}
+      c_name: {type: string, pattern: '^Customer#[0-9]*[02468]$'}
+      c_nationkey: {type: long, references: nation.n_nationkey}
+    quality:
+      - {type: expression, expression: "c_acctbal <= 9000 OR c_mktsegment = 'BUILDING'"}
+  nation:
+    fields:
+      n_nationkey: {type: long, primaryKey: true}
+"""
+
+
+def q_contract_filter_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract-driven corpus filter (dcspark/filter.py): every row-local
+    rule (required / range / enum / regex / row expression) compiles into one
+    whole-stage-codegen reasons array, referential integrity joins a
+    broadcast parent-key frame — one scan decides keep-vs-quarantine for the
+    whole corpus (the reference reports violations; a training pipeline must
+    also ACT on them). The parent is filtered to n_nationkey < 20 so orphan
+    rows exist; the oracle mirrors each predicate's exact semantics
+    (NOT-NULL guards, NULL-passes expression) in SQL."""
+    from dcspark import filter as filter_mod
+    from dcspark.spec import DataContractSpecification
+
+    customer = _t(spark, sf, "customer")
+    nation = _t(spark, sf, "nation").filter(F.col("n_nationkey") < 20)
+    spec = DataContractSpecification.from_string(FILTER_CONTRACT)
+    tagged = filter_mod.with_reasons(
+        customer, spec, "customer", {"customer": customer, "nation": nation})
+    return (
+        tagged.filter(F.size(filter_mod.REASONS_COL) > 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.array_join(filter_mod.REASONS_COL, ",").alias("reasons"),
+        )
+    )
+
+
+SQL_CONTRACT_FILTER_SPLIT = """
+WITH r AS (
+  SELECT c_custkey,
+    list_sort(list_filter([
+      CASE WHEN c_custkey IS NULL
+           THEN 'customer__c_custkey__field_required' END,
+      CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0.0
+           THEN 'customer__c_acctbal__field_minimum' END,
+      CASE WHEN c_mktsegment IS NOT NULL
+                AND c_mktsegment NOT IN ('BUILDING','AUTOMOBILE','MACHINERY')
+           THEN 'customer__c_mktsegment__field_enum' END,
+      CASE WHEN c_name IS NOT NULL
+                AND NOT regexp_matches(c_name, '^Customer#[0-9]*[02468]$')
+           THEN 'customer__c_name__field_regex' END,
+      CASE WHEN c_nationkey IS NOT NULL AND c_nationkey NOT IN
+                (SELECT n_nationkey FROM nation WHERE n_nationkey < 20)
+           THEN 'customer__c_nationkey__field_reference' END,
+      CASE WHEN NOT coalesce(c_acctbal <= 9000 OR c_mktsegment = 'BUILDING', TRUE)
+           THEN 'customer__quality_expression_0' END
+    ], x -> x IS NOT NULL)) AS reasons
+  FROM customer
+)
+SELECT c_custkey AS custkey, array_to_string(reasons, ',') AS reasons
+FROM r WHERE len(reasons) > 0
+"""
+
+
 def q_split_sample_assign(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash split + stratified sample membership per doc.
 
@@ -1652,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "contract_filter_split": q_contract_filter_split,
         "split_sample_assign": q_split_sample_assign,
         "ngram_jaccard_allpairs": q_jaccard_allpairs,
         "simhash_fingerprints": q_simhash,
@@ -1699,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+        "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "split_sample_assign": _sql_split_sample_assign(),
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),

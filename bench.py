@@ -158,6 +158,7 @@ OPERATOR_QUERIES = [
     "ann_ivf_topk",
     "embedding_near_dup",
     "bpe_token_stats",
+    "contract_filter_split",
     "split_sample_assign",
     "winnowing_fingerprints",
     "array_element_checks",

@@ -168,6 +168,25 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_filter(args: argparse.Namespace) -> int:
+    """Split each model's table into valid rows and quarantine (per-row
+    failure reasons) in one scan — see dcspark/filter.py."""
+    from . import filter as filter_mod
+    from .io import load_tables
+    from .spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_file(args.contract)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
+    models = [args.model] if args.model else list(tables)
+    for model_name in models:
+        out = f"{args.output}/{model_name}"
+        filter_mod.write_split(
+            tables[model_name], spec, model_name, out, tables=tables)
+        print(f"filter: {model_name} -> {out}/__valid=true|false")
+    return 0
+
+
 def cmd_lint(args: argparse.Namespace) -> int:
     from .lint import lint
     from .output import format_console
@@ -360,6 +379,17 @@ def main(argv: Optional[list] = None) -> int:
     pr.add_argument("--shuffle-partitions", type=int, default=None)
     pr.add_argument("--output", default=None, help="write stats parquet here")
 
+    fl = sub.add_parser(
+        "filter", help="split tables into valid rows + quarantine (one scan)")
+    fl.add_argument("contract")
+    fl.add_argument("--server", default=None)
+    fl.add_argument("--path", default=None)
+    fl.add_argument("--model", default=None, help="filter only this model")
+    fl.add_argument("--master", default=None)
+    fl.add_argument("--shuffle-partitions", type=int, default=None)
+    fl.add_argument("--output", required=True,
+                    help="base dir; writes <out>/<model>/__valid=true|false")
+
     sn = sub.add_parser("snapshot", help="build drift reference snapshots from data")
     sn.add_argument("contract")
     sn.add_argument("--server", default=None)
@@ -429,6 +459,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_snapshot(args)
     if args.command == "profile":
         return cmd_profile(args)
+    if args.command == "filter":
+        return cmd_filter(args)
     if args.command == "init":
         return cmd_init(args)
     if args.command == "api":
