@@ -1212,6 +1212,45 @@ FROM r WHERE len(reasons) > 0
 """
 
 
+MASK_CONTRACT = """
+id: entry-mask
+models:
+  customer:
+    fields:
+      c_custkey: {type: long, primaryKey: true}
+      c_name: {type: string, pii: true}
+      c_acctbal: {type: double, classification: restricted}
+      c_mktsegment: {type: string}
+"""
+
+
+def q_pii_mask(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract-driven PII masking (dcspark/mask.py): the contract's
+    ``pii``/``classification`` markers — declared but never acted on in the
+    reference (data_contract_specification.py:145-187) — compile to one
+    whole-stage-codegen projection: salted SHA-256 pseudonyms for strings
+    (deterministic, so joins and referential checks still work on the masked
+    corpus), typed NULL redaction for numerics, NULLs preserved. The oracle
+    reproduces the digests with DuckDB's sha256 over the same salt||value
+    bytes — hash-exact."""
+    from dcspark import mask as mask_mod
+    from dcspark.spec import DataContractSpecification
+
+    customer = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    spec = DataContractSpecification.from_string(MASK_CONTRACT)
+    return mask_mod.mask(customer, spec, "customer", salt="entry")
+
+
+SQL_PII_MASK = """
+SELECT c_custkey,
+       CASE WHEN c_name IS NOT NULL THEN sha256('entry' || c_name) END AS c_name,
+       CAST(NULL AS DOUBLE) AS c_acctbal,
+       c_mktsegment
+FROM customer
+"""
+
+
 def q_split_sample_assign(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash split + stratified sample membership per doc.
 
@@ -1724,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "contract_filter_split": q_contract_filter_split,
+        "pii_mask": q_pii_mask,
         "split_sample_assign": q_split_sample_assign,
         "ngram_jaccard_allpairs": q_jaccard_allpairs,
         "simhash_fingerprints": q_simhash,
@@ -1772,6 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
+        "pii_mask": SQL_PII_MASK,
         "split_sample_assign": _sql_split_sample_assign(),
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),

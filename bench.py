@@ -159,6 +159,7 @@ OPERATOR_QUERIES = [
     "embedding_near_dup",
     "bpe_token_stats",
     "contract_filter_split",
+    "pii_mask",
     "split_sample_assign",
     "winnowing_fingerprints",
     "array_element_checks",

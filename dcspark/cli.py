@@ -187,6 +187,27 @@ def cmd_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_mask(args: argparse.Namespace) -> int:
+    """Write PII-masked copies of each model's table per the contract's
+    pii/classification declarations — see dcspark/mask.py."""
+    from . import mask as mask_mod
+    from .io import load_tables
+    from .spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_file(args.contract)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
+    models = [args.model] if args.model else list(tables)
+    for model_name in models:
+        plan = mask_mod.masking_plan(spec, model_name)
+        out = f"{args.output}/{model_name}"
+        mask_mod.mask(tables[model_name], spec, model_name, salt=args.salt) \
+            .write.mode("overwrite").parquet(out)
+        print(f"mask: {model_name} ({len(plan)} sensitive fields: "
+              f"{', '.join(f'{f}:{s}' for f, s in plan) or 'none'}) -> {out}")
+    return 0
+
+
 def cmd_lint(args: argparse.Namespace) -> int:
     from .lint import lint
     from .output import format_console
@@ -390,6 +411,17 @@ def main(argv: Optional[list] = None) -> int:
     fl.add_argument("--output", required=True,
                     help="base dir; writes <out>/<model>/__valid=true|false")
 
+    mk = sub.add_parser(
+        "mask", help="write PII-masked tables per contract pii/classification")
+    mk.add_argument("contract")
+    mk.add_argument("--server", default=None)
+    mk.add_argument("--path", default=None)
+    mk.add_argument("--model", default=None, help="mask only this model")
+    mk.add_argument("--salt", default="", help="pseudonym namespace salt")
+    mk.add_argument("--master", default=None)
+    mk.add_argument("--shuffle-partitions", type=int, default=None)
+    mk.add_argument("--output", required=True, help="base dir; writes <out>/<model>")
+
     sn = sub.add_parser("snapshot", help="build drift reference snapshots from data")
     sn.add_argument("contract")
     sn.add_argument("--server", default=None)
@@ -461,6 +493,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_profile(args)
     if args.command == "filter":
         return cmd_filter(args)
+    if args.command == "mask":
+        return cmd_mask(args)
     if args.command == "init":
         return cmd_init(args)
     if args.command == "api":
