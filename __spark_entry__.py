@@ -1212,6 +1212,57 @@ FROM r WHERE len(reasons) > 0
 """
 
 
+def q_benchmark_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (dcspark/decontam.py): per-document n-gram
+    collision report against an eval set (GPT-3/PaLM-style protocol). The
+    eval side (docs with doc_id % 29 == 0, a stand-in benchmark) collapses
+    to a DISTINCT md5(8-gram) broadcast frame; the corpus probe is a
+    map-side hash join — no corpus shuffle (plan-gated in
+    tests/test_decontam.py). Only 16-byte digests move, never text.
+    Self-contamination by construction: the eval docs themselves score 1.0,
+    shared-phrase documents score fractionally."""
+    from dcspark import decontam
+
+    docs = _t(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    rep = decontam.contamination(docs, ev, n=8)
+    return rep.select(
+        "doc_id",
+        F.col("matched_ngrams").cast("long").alias("matched_ngrams"),
+        F.col("total_ngrams").cast("long").alias("total_ngrams"),
+        F.round("contamination", 6).alias("contamination"),
+    )
+
+
+SQL_BENCHMARK_DECONTAM = """
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+dg AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+7], ' ')) AS gram
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, CAST(greatest(len(toks) - 6, 1) AS BIGINT))) AS i
+    FROM tok)
+),
+eg AS (
+  SELECT DISTINCT gram FROM dg WHERE doc_id % 29 = 0
+),
+agg AS (
+  SELECT dg.doc_id,
+         CAST(sum(CASE WHEN eg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS matched_ngrams,
+         CAST(count(*) AS BIGINT) AS total_ngrams
+  FROM dg LEFT JOIN eg ON dg.gram = eg.gram
+  GROUP BY dg.doc_id
+)
+SELECT doc_id, matched_ngrams, total_ngrams,
+       round(CAST(matched_ngrams AS DOUBLE) / total_ngrams, 6) AS contamination
+FROM agg
+"""
+
+
 MASK_CONTRACT = """
 id: entry-mask
 models:
@@ -1764,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
+        "benchmark_decontam": q_benchmark_decontam,
         "split_sample_assign": q_split_sample_assign,
         "ngram_jaccard_allpairs": q_jaccard_allpairs,
         "simhash_fingerprints": q_simhash,
@@ -1813,6 +1865,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
+        "benchmark_decontam": SQL_BENCHMARK_DECONTAM,
         "split_sample_assign": _sql_split_sample_assign(),
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),

@@ -160,6 +160,7 @@ OPERATOR_QUERIES = [
     "bpe_token_stats",
     "contract_filter_split",
     "pii_mask",
+    "benchmark_decontam",
     "split_sample_assign",
     "winnowing_fingerprints",
     "array_element_checks",
