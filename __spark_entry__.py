@@ -1726,6 +1726,49 @@ def q_audio_fp_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     return afp.audio_near_dup(df, threshold=0.35).orderBy("id_a", "id_b")
 
 
+def q_audio_decontam(spark: SparkSession, _sf: str) -> DataFrame:
+    """Audio eval-set contamination (dcspark/audiofp.py
+    audio_cross_contamination): the payload analog of n-gram benchmark
+    decontamination — a training clip is flagged when its gain-invariant
+    acoustic fingerprints overlap an eval clip's, catching re-encodes that
+    byte or transcript matching would miss. Eval fingerprints broadcast;
+    corpus probe is a map-side hash join. Not SQL-expressible (FFT), so no
+    oracle — rows-only check; invariants locked in tests/test_audiofp.py.
+
+    Input: 30 deterministic clips; eval set = re-encodes (gain-scaled,
+    noise-added) of clips 3 and 7. Expected: exactly those two flagged."""
+    import numpy as np
+
+    from dcspark import audiofp as afp
+    from dcspark.synth import wav_bytes
+
+    sr = 16000
+    t = np.arange(sr * 2) / sr
+
+    def mix(i: int):
+        r = np.random.default_rng(2000 + i)
+        fr, am = r.uniform(320, 2800, 3), r.uniform(0.3, 1.0, 3)
+        x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(fr, am))
+        return (x / np.max(np.abs(x)) * 20000).astype(np.int16)
+
+    corpus_rows = [(f"clip_{i:03d}", wav_bytes(mix(i), sr)) for i in range(30)]
+    ev_rows = [
+        ("bench_a", wav_bytes((mix(3).astype(np.float32) * 0.6).astype(np.int16), sr)),
+        ("bench_b", wav_bytes(
+            (mix(7).astype(np.float32)
+             + np.random.default_rng(9).normal(0, 150, len(t))
+             ).clip(-32768, 32767).astype(np.int16), sr)),
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "clip_id string, bytes binary").repartition(8)
+    ev = spark.createDataFrame(ev_rows, "clip_id string, bytes binary")
+    ids = afp.audio_contaminated_ids(corpus, ev)
+    flagged = sorted(r["clip_id"] for r in ids.collect())
+    return spark.createDataFrame(
+        [(",".join(flagged), bool(flagged == ["clip_003", "clip_007"]))],
+        "flagged string, expected_match boolean")
+
+
 def q_contract_full_run(spark: SparkSession, _sf: str) -> DataFrame:
     """END-TO-END: full audio contract (schema, null, unique, enum, range,
     regex, referential, SQL-quality, KS/PSI drift, audio decode + transcript
@@ -1825,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "audio_decode_conformance": q_audio_decode,
         "audio_fp_near_dup": q_audio_fp_near_dup,
+        "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
         "audio_signal_quality": q_audio_signal_quality,
         "contract_full_run": q_contract_full_run,

@@ -168,6 +168,7 @@ OPERATOR_QUERIES = [
     "quantile_sketch_stats",
     "tdigest_quantiles",
     "audio_fp_near_dup",
+    "audio_decontam",
     "audio_loudness_drift",
     "group_threshold_checks",
 ]

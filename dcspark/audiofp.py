@@ -194,3 +194,74 @@ def audio_near_dup(
     return audio_fingerprint_near_dup(
         fp, threshold=threshold, min_matches=min_matches, max_bucket=max_bucket
     )
+
+
+def audio_cross_contamination(
+    corpus_fp: DataFrame,
+    eval_fp: DataFrame,
+    threshold: float = 0.35,
+    min_matches: int = 1,
+    max_eval_bucket: int = 50,
+) -> DataFrame:
+    """Eval-set contamination for AUDIO: (clip_id, eval_id, matches, score)
+    for corpus clips whose acoustic fingerprints overlap an evaluation set —
+    the payload analog of n-gram benchmark decontamination (dcspark/
+    decontam.py), robust to the re-encodes that defeat exact byte or
+    transcript matching (fingerprints are gain-invariant and noise-robust,
+    test-locked in tests/test_audiofp.py).
+
+    Scale shape: the eval side is benchmark-sized, never corpus-sized — its
+    DISTINCT (eval_id, hash) frame is **broadcast**, so the corpus probe is
+    a map-side hash join with zero corpus shuffle, mirroring decontam's
+    text design. Eval hashes shared by more than ``max_eval_bucket`` eval
+    clips are dropped first (non-discriminative silence/tone buckets — the
+    fan-out and skew guard). Score = shared distinct hashes / min(clip,
+    eval) fingerprint count, so a benchmark snippet embedded in a longer
+    training clip still scores high."""
+    cu = (
+        corpus_fp.filter(F.col("hash").isNotNull())
+        .select("clip_id", "hash").distinct()
+    )
+    eu = (
+        eval_fp.filter(F.col("hash").isNotNull())
+        .select(F.col("clip_id").alias("eval_id"), "hash").distinct()
+    )
+    we = Window.partitionBy("hash")
+    eu = (
+        eu.withColumn("__bucket", F.count(F.lit(1)).over(we))
+        .filter(F.col("__bucket") <= max_eval_bucket)
+        .drop("__bucket")
+    )
+    n_c = cu.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_c"))
+    n_e = eu.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_e"))
+    pairs = (
+        cu.join(F.broadcast(eu), on="hash")
+        .groupBy("clip_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    return (
+        pairs.join(n_c, on="clip_id")
+        .join(F.broadcast(n_e), on="eval_id")
+        .withColumn("score", F.col("matches") / F.least("n_c", "n_e"))
+        .filter((F.col("score") >= threshold) & (F.col("matches") >= min_matches))
+        .select("clip_id", "eval_id", "matches", F.round("score", 6).alias("score"))
+    )
+
+
+def audio_contaminated_ids(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    threshold: float = 0.35,
+    **kw,
+) -> DataFrame:
+    """Distinct corpus clip_ids acoustically contaminated by the eval set —
+    decode + fingerprint both sides, probe, project. A drop list composable
+    with the near-dup cluster survivors and the filter quarantine."""
+    cfp = audio_fingerprints(corpus, id_col=id_col, bytes_col=bytes_col)
+    efp = audio_fingerprints(eval_df, id_col=id_col, bytes_col=bytes_col)
+    return (
+        audio_cross_contamination(cfp, efp, threshold=threshold, **kw)
+        .select("clip_id").distinct()
+    )

@@ -245,3 +245,56 @@ def test_near_dup_plan_is_bucketed_equi_join(spark, clip_table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -- eval-set cross-contamination ---------------------------------------------
+
+
+def _fp_frame(spark, clips):
+    rows = [(cid, bytearray(wav_bytes(pcm, SR))) for cid, pcm in clips]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    return audio_fingerprints(df)
+
+
+def test_cross_contamination_flags_reencoded_eval_clips(spark):
+    from dcspark.audiofp import audio_cross_contamination
+
+    # corpus: 6 distinct clips; clips c0/c1 are gain-scaled copies of the
+    # eval set (a re-encode that byte/transcript matching would miss)
+    corpus = [(f"c{i}", _rand_clip(i)) for i in range(6)]
+    corpus[0] = ("c0", (_rand_clip(50).astype(np.float32) * 0.5).astype(np.int16))
+    corpus[1] = ("c1", _noisy(_rand_clip(51), 150))
+    ev = [("e0", _rand_clip(50)), ("e1", _rand_clip(51))]
+    rep = audio_cross_contamination(
+        _fp_frame(spark, corpus), _fp_frame(spark, ev))
+    got = {(r["clip_id"], r["eval_id"]) for r in rep.collect()}
+    assert ("c0", "e0") in got and ("c1", "e1") in got
+    assert all(cid in ("c0", "c1") for cid, _ in got)
+
+
+def test_cross_contamination_eval_side_broadcast(spark):
+    from dcspark.audiofp import audio_cross_contamination
+
+    rep = audio_cross_contamination(
+        _fp_frame(spark, [(f"c{i}", _rand_clip(i)) for i in range(3)]),
+        _fp_frame(spark, [("e0", _rand_clip(0))]))
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    # the probe (corpus x eval) join must not sort-merge the corpus side;
+    # n_c attachment may shuffle the tiny pair/count frames only
+    assert "BatchEvalPython" not in plan
+
+
+def test_audio_contaminated_ids_end_to_end(spark):
+    from dcspark.audiofp import audio_contaminated_ids
+
+    corpus_rows = [("c0", bytearray(wav_bytes(_rand_clip(50), SR))),
+                   ("c1", bytearray(wav_bytes(_rand_clip(7), SR)))]
+    ev_rows = [("e0", bytearray(wav_bytes(
+        (_rand_clip(50).astype(np.float32) * 0.7).astype(np.int16), SR)))]
+    corpus = spark.createDataFrame(corpus_rows, "clip_id string, bytes binary")
+    ev = spark.createDataFrame(ev_rows, "clip_id string, bytes binary")
+    ids = [r["clip_id"] for r in audio_contaminated_ids(corpus, ev).collect()]
+    assert ids == ["c0"]
