@@ -148,6 +148,23 @@ def cmd_test(args: argparse.Namespace) -> int:
         from .publish import publish_run
 
         publish_run(result.run, args.publish)
+    if args.quarantine_path:
+        # full quarantined rows (not just the capped violation sample):
+        # one extra scan per model over the row-local rules + reference
+        # joins — see dcspark/filter.py
+        from . import filter as filter_mod
+        from pyspark.sql import functions as F
+
+        for model_name, df in tables.items():
+            tagged = filter_mod.with_reasons(df, spec, model_name, tables)
+            quar = (
+                tagged.filter(F.size(filter_mod.REASONS_COL) > 0)
+                .withColumn(
+                    filter_mod.REASONS_COL,
+                    F.array_join(filter_mod.REASONS_COL, ","))
+            )
+            quar.write.mode("overwrite").parquet(
+                f"{args.quarantine_path}/{model_name}")
     return exit_code(result.run)
 
 
@@ -384,6 +401,9 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--publish", default=None,
                    help="POST run results to this endpoint (x-api-key from "
                         "DATAMESH_MANAGER_API_KEY / DATACONTRACT_MANAGER_API_KEY)")
+    t.add_argument("--quarantine-path", default=None,
+                   help="also write FULL quarantined rows (row-local rules + "
+                        "references, comma-joined reasons) per model here")
     t.add_argument("--unique-mode", default="exact", choices=["exact", "approx"],
                    help="exact: dedicated groupBy job certifies zero duplicates; "
                         "approx: HLL sketch in the shared scan (no key shuffle)")

@@ -132,3 +132,27 @@ def test_cli_filter_command(spark, frames, spec, tmp_path):
                "--output", out, "--master", "local[2]"])
     assert rc == 0
     assert spark.read.parquet(f"{out}/clips/__valid=false").count() == 7
+
+
+def test_cli_test_quarantine_path(spark, frames, spec, tmp_path):
+    """`test --quarantine-path` writes the FULL quarantined rows alongside the
+    validation run (the violations table is a capped sample; quarantine is
+    the actionable complement)."""
+    from dcspark.cli import main
+
+    df, tables = frames
+    base = str(tmp_path / "in")
+    df.write.parquet(f"{base}/clips.parquet")
+    tables["speakers"].write.parquet(f"{base}/speakers.parquet")
+    cpath = str(tmp_path / "contract.yaml")
+    with open(cpath, "w") as f:
+        f.write(CONTRACT)
+    qdir = str(tmp_path / "quar")
+    rc = main(["test", cpath, "--path", base, "--quarantine-path", qdir,
+               "--master", "local[2]"])
+    assert rc == 1  # the fixture data violates the contract
+    quar = spark.read.parquet(f"{qdir}/clips")
+    assert quar.count() == 7
+    assert filter_mod.REASONS_COL in quar.columns
+    # the clean parent model writes an empty quarantine (schema present)
+    assert spark.read.parquet(f"{qdir}/speakers").count() == 0
