@@ -109,6 +109,12 @@ class TDigest:
         return (math.sin(k * 2.0 * math.pi / self.delta) + 1.0) / 2.0
 
     def _compress(self) -> None:
+        """Merging compression, vectorized: group boundaries come from a
+        searchsorted over the cumulative weight (a group absorbs points while
+        cum[i] <= total * k_inv(k(q_start) + 1)), group sums from
+        np.add.reduceat — O(centroids * log n) Python work instead of an
+        O(n) interpreted loop, which matters when a driver merges
+        corpus-scale digest sets (the oracle's zero-merge regime)."""
         n = len(self.means)
         if n <= 1 or not self._dirty:
             return
@@ -116,28 +122,37 @@ class TDigest:
         order = np.argsort(self.means, kind="mergesort")  # stable -> deterministic
         m = self.means[order]
         w = self.weights[order]
-        total = float(w.sum())
-        out_m: List[float] = []
-        out_w: List[float] = []
-        cur_m, cur_w = float(m[0]), float(w[0])
-        w_before = 0.0
-        q_limit = self._k_inv(self._k(0.0) + 1.0)
-        for i in range(1, n):
-            q = (w_before + cur_w + float(w[i])) / total
-            if q <= q_limit:
-                nw = cur_w + float(w[i])
-                cur_m += (float(m[i]) - cur_m) * float(w[i]) / nw
-                cur_w = nw
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_before += cur_w
-                q_limit = self._k_inv(self._k(w_before / total) + 1.0)
-                cur_m, cur_w = float(m[i]), float(w[i])
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m, dtype=np.float64)
-        self.weights = np.asarray(out_w, dtype=np.float64)
+        cum = np.cumsum(w)
+        total = float(cum[-1])
+        # k-domain boundaries: item i may join the group starting at s iff
+        # ks[i] <= ks[s-1] + 1 (k is monotone, so the group end is one
+        # searchsorted). An item with ks[i] - ks[i-1] > 1 is FORCED to be a
+        # singleton (it exceeds any group's budget on its own step) — runs of
+        # forced items are skipped in bulk, so the zero-merge regime (every
+        # step > 1, e.g. the weight-1 oracle digests) costs no Python loop.
+        k0 = -self.delta / 4.0  # k(0)
+        ks = (self.delta / (2.0 * math.pi)) * np.arcsin(
+            np.clip(2.0 * cum / total - 1.0, -1.0, 1.0))
+        prev = np.concatenate(([k0], ks[:-1]))
+        forced = (ks - prev) > 1.0
+        nonforced = np.flatnonzero(~forced)
+        starts: List[int] = []
+        s = 0
+        while s < n:
+            if forced[s]:
+                j = int(np.searchsorted(nonforced, s))
+                run_end = int(nonforced[j]) if j < len(nonforced) else n
+                starts.extend(range(s, run_end))
+                s = run_end
+                continue
+            starts.append(s)
+            limit = (float(ks[s - 1]) if s > 0 else k0) + 1.0
+            e = int(np.searchsorted(ks, limit, side="right")) - 1
+            s = max(e, s) + 1
+        idx = np.asarray(starts, dtype=np.intp)
+        out_w = np.add.reduceat(w, idx)
+        self.means = np.add.reduceat(m * w, idx) / out_w
+        self.weights = out_w
 
     # -- queries ------------------------------------------------------------
 
