@@ -98,3 +98,28 @@ def test_no_nested_loop_join_in_round(spark):
     ))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_distributed_path_matches_driver_path(spark):
+    """Default adaptive execution solves driver-sized edge sets with exact
+    union-find; driver_cutoff=0 forces the alternating-star iteration. Both
+    must produce the identical min-id labeling."""
+    rng = random.Random(11)
+    n = 150
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    fast = _cc_dict(spark, edges)
+    dist = _cc_dict(spark, edges, driver_cutoff=0)
+    assert fast == dist == _uf_components(edges)
+
+
+def test_long_chain_converges_distributed(spark):
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_dict(spark, edges, driver_cutoff=0)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cutoff_boundary_forces_distributed(spark):
+    # 2 distinct edges > cutoff of 1 -> distributed path must run (and agree)
+    got = _cc_dict(spark, [(1, 2), (3, 4)], driver_cutoff=1)
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
