@@ -1263,6 +1263,73 @@ FROM agg
 """
 
 
+def q_contract_suggest(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract bootstrapping (dcspark/suggest.py): draft constraints FROM
+    the data — required/unique (HLL nomination + exact confirmation), numeric
+    ranges, string length bounds, small-domain enums — via the one-scan
+    profiler plus ONE pruned follow-up aggregate. The oracle recomputes each
+    suggestion rule directly in SQL over `nation`; suggested constraints
+    hold for 100% of observed rows by construction (self-consistency locked
+    in tests/test_suggest.py)."""
+    from dcspark.suggest import suggest_model
+
+    nation = _t(spark, sf, "nation")
+    fields = suggest_model(nation, "nation")["fields"]
+    rows = [
+        (
+            c,
+            fd["type"],
+            bool(fd.get("required", False)),
+            bool(fd.get("unique", False)),
+            float(fd["minimum"]) if "minimum" in fd else None,
+            float(fd["maximum"]) if "maximum" in fd else None,
+            int(fd["minLength"]) if "minLength" in fd else None,
+            int(fd["maxLength"]) if "maxLength" in fd else None,
+            ",".join(fd["enum"]) if "enum" in fd else None,
+        )
+        for c, fd in sorted(fields.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column string, type string, required boolean, is_unique boolean, "
+        "minimum double, maximum double, min_len int, max_len int, enum_csv string",
+    )
+
+
+SQL_CONTRACT_SUGGEST = """
+WITH n AS (SELECT count(*) AS rows FROM nation)
+SELECT 'n_nationkey' AS column, 'integer' AS type,
+       (SELECT count(*) FROM nation WHERE n_nationkey IS NULL) = 0 AS required,
+       (SELECT count(DISTINCT n_nationkey) FROM nation)
+         = (SELECT count(n_nationkey) FROM nation) AS is_unique,
+       (SELECT CAST(min(n_nationkey) AS DOUBLE) FROM nation) AS minimum,
+       (SELECT CAST(max(n_nationkey) AS DOUBLE) FROM nation) AS maximum,
+       CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len,
+       CAST(NULL AS VARCHAR) AS enum_csv
+UNION ALL
+SELECT 'n_name', 'string',
+       (SELECT count(*) FROM nation WHERE n_name IS NULL) = 0,
+       (SELECT count(DISTINCT n_name) FROM nation)
+         = (SELECT count(n_name) FROM nation),
+       NULL, NULL,
+       (SELECT CAST(min(length(n_name)) AS INT) FROM nation),
+       (SELECT CAST(max(length(n_name)) AS INT) FROM nation),
+       CASE WHEN (SELECT count(DISTINCT n_name) FROM nation) <= 12
+            THEN (SELECT string_agg(v, ',' ORDER BY v)
+                  FROM (SELECT DISTINCT n_name AS v FROM nation)) END
+UNION ALL
+SELECT 'n_regionkey', 'integer',
+       (SELECT count(*) FROM nation WHERE n_regionkey IS NULL) = 0,
+       (SELECT count(DISTINCT n_regionkey) FROM nation)
+         = (SELECT count(n_regionkey) FROM nation)
+        AND (SELECT count(DISTINCT n_regionkey) FROM nation)
+         >= 0.98 * (SELECT count(n_regionkey) FROM nation),
+       (SELECT CAST(min(n_regionkey) AS DOUBLE) FROM nation),
+       (SELECT CAST(max(n_regionkey) AS DOUBLE) FROM nation),
+       NULL, NULL, NULL
+"""
+
+
 MASK_CONTRACT = """
 id: entry-mask
 models:
@@ -1859,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
         "benchmark_decontam": q_benchmark_decontam,
+        "contract_suggest": q_contract_suggest,
         "split_sample_assign": q_split_sample_assign,
         "ngram_jaccard_allpairs": q_jaccard_allpairs,
         "simhash_fingerprints": q_simhash,
@@ -1910,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,
+        "contract_suggest": SQL_CONTRACT_SUGGEST,
         "split_sample_assign": _sql_split_sample_assign(),
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),

@@ -161,6 +161,7 @@ OPERATOR_QUERIES = [
     "contract_filter_split",
     "pii_mask",
     "benchmark_decontam",
+    "contract_suggest",
     "split_sample_assign",
     "winnowing_fingerprints",
     "array_element_checks",

@@ -225,6 +225,40 @@ def cmd_mask(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_suggest(args: argparse.Namespace) -> int:
+    """Draft a contract FROM data (two scans per model) — see
+    dcspark/suggest.py."""
+    from .io import load_tables
+    from .spec import DataContractSpecification
+    from .suggest import suggest_contract
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    if args.contract:
+        spec = DataContractSpecification.from_file(args.contract)
+        tables = load_tables(spark, spec, server_name=args.server,
+                             base_path=args.path)
+    else:
+        # bare parquet dir(s): every <path>/<name>.parquet becomes a model
+        import glob as globmod
+        import os as osmod
+
+        tables = {
+            osmod.path.basename(p)[:-len(".parquet")]: spark.read.parquet(p)
+            for p in sorted(globmod.glob(f"{args.path}/*.parquet"))
+        }
+        if not tables:
+            print(f"suggest: no *.parquet under {args.path}")
+            return 2
+    text = suggest_contract(tables, contract_id=args.id)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as f:
+            f.write(text)
+        print(f"suggest: wrote draft contract -> {args.output}")
+    else:
+        print(text)
+    return 0
+
+
 def cmd_lint(args: argparse.Namespace) -> int:
     from .lint import lint
     from .output import format_console
@@ -442,6 +476,17 @@ def main(argv: Optional[list] = None) -> int:
     mk.add_argument("--shuffle-partitions", type=int, default=None)
     mk.add_argument("--output", required=True, help="base dir; writes <out>/<model>")
 
+    sg = sub.add_parser(
+        "suggest", help="draft a contract FROM data (constraints that hold)")
+    sg.add_argument("contract", nargs="?", default=None,
+                    help="optional existing contract for server/model layout")
+    sg.add_argument("--server", default=None)
+    sg.add_argument("--path", default=None)
+    sg.add_argument("--id", default="suggested", help="contract id for the draft")
+    sg.add_argument("--master", default=None)
+    sg.add_argument("--shuffle-partitions", type=int, default=None)
+    sg.add_argument("--output", default=None, help="write the draft YAML here")
+
     sn = sub.add_parser("snapshot", help="build drift reference snapshots from data")
     sn.add_argument("contract")
     sn.add_argument("--server", default=None)
@@ -515,6 +560,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_filter(args)
     if args.command == "mask":
         return cmd_mask(args)
+    if args.command == "suggest":
+        return cmd_suggest(args)
     if args.command == "init":
         return cmd_init(args)
     if args.command == "api":
