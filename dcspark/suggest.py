@@ -128,6 +128,18 @@ def suggest_model(df: DataFrame, model_name: str = "model") -> Dict[str, Any]:
                     and 0 < len(values) <= ENUM_MAX):
                 fd["enum"] = sorted(values)
         model["fields"][name] = fd
+
+    # audio-table shape (BASELINE.json input_hint): when the payload columns
+    # are present, draft the decode-conformance rule (headers must match the
+    # decoded PCM) and a permissive silence floor — the two payload checks a
+    # clip corpus always wants; thresholds are starting points to tighten
+    names = set(model["fields"])
+    if {"bytes", "sr_hz", "dur_ms", "codec"} <= names:
+        model["quality"] = [
+            {"type": "audio", "invariant": "decode-conformance", "snr_db": 30},
+            {"type": "audio", "invariant": "signal-quality",
+             "column": "rms_dbfs", "minimum": -80.0},
+        ]
     return model
 
 

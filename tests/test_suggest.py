@@ -70,3 +70,22 @@ def test_cli_suggest_bare_parquet_dir(spark, users, tmp_path):
     spec = DataContractSpecification.from_string(open(out).read())
     assert spec.id == "boot"
     assert spec.models["users"].fields["status"].enum == ["active", "banned", "idle"]
+
+
+def test_audio_shape_gets_payload_rules(spark):
+    """A table matching the audio input shape is drafted with the
+    decode-conformance and silence-floor rules; the suggested contract still
+    validates on the clean synthetic clips (self-consistency incl. the
+    payload checks)."""
+    from dcspark import synth
+
+    clips = synth.generate_audio_table(spark, 40, seed=5, dur_lo=200,
+                                       dur_hi=600, num_partitions=4)
+    text = suggest_contract({"clips": clips}, contract_id="audio-boot")
+    spec = DataContractSpecification.from_string(text)
+    kinds = [(q.type, q.invariant) for q in spec.models["clips"].quality]
+    assert ("audio", "decode-conformance") in kinds
+    assert ("audio", "signal-quality") in kinds
+    res = validate(spark, spec, {"clips": clips}, ValidationConfig())
+    assert res.run.result == ResultEnum.passed, [
+        c.key for c in res.run.checks if c.result != ResultEnum.passed]
