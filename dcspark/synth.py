@@ -32,6 +32,7 @@ WORDS = (
 CORRUPTION_FLAGS = [
     "null_transcript", "dup_clip_id", "bad_sr", "bad_range", "bad_pattern",
     "orphan_ref", "lying_header", "garbled_pcm", "wrong_transcript", "drift_dur",
+    "muted_pcm",
 ]
 
 AUDIO_SCHEMA_DDL = (
@@ -217,6 +218,10 @@ def make_row(
         noise_rng = np.random.default_rng([seed, i, 102])
         noisy = pcm.astype(np.float64) + noise_rng.normal(0, np.abs(pcm).mean() * 0.5 + 1.0, pcm.shape)
         b = wav_bytes(np.clip(noisy, -32768, 32767).astype(np.int16), sr)
+    if hit("muted_pcm"):
+        # all-zero payload under a perfectly valid header: only decoded-signal
+        # checks (signal-quality silence floor; SNR-vs-oracle) can see it
+        b = wav_bytes(np.zeros_like(pcm), sr)
     if hit("bad_sr"):
         declared_sr = 12345
     if hit("bad_range"):

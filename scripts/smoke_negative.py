@@ -22,7 +22,7 @@ N, SEED = 200, 42
 corrupt = {
     "null_transcript": 0.05, "dup_clip_id": 0.05, "bad_sr": 0.05, "bad_range": 0.05,
     "bad_pattern": 0.05, "lying_header": 0.05, "garbled_pcm": 0.05,
-    "wrong_transcript": 0.05,
+    "wrong_transcript": 0.05, "muted_pcm": 0.05,
 }
 clips = synth.generate_audio_table(spark, N, seed=SEED, corrupt=corrupt, dur_lo=200, dur_hi=2000, num_partitions=8).cache()
 ref = synth.generate_transcripts_ref(spark, N, seed=SEED, orphan_frac=0.05, num_partitions=8).cache()
@@ -43,6 +43,7 @@ expected_failed = {
     "audio_clips__clip_id__field_regex",
     "audio_clips__clip_id__field_reference",
     "audio_clips__audio_decode_conformance",
+    "audio_clips__rms_dbfs__audio_signal_quality",
     "audio_clips__transcript__transcript_equality",
 }
 failed = {c.key for c in res.run.checks if c.result.value == "failed"}
