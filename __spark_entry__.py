@@ -1410,6 +1410,37 @@ FROM h
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (dcspark/sampling.py
+    weighted_hash_sample): keep each row with probability equal to its own
+    weight via the keyed-md5 uniform draw — reproducible across engines and
+    repartitions, monotone under weight decreases, pure codegen (no UDF, no
+    shuffle, plan-gated). Weight here is the deterministic proxy
+    (doc_id % 11) / 10, spanning 0 (never kept) to 1 (always kept); the
+    oracle reproduces the draw and per-row hex threshold byte-for-byte."""
+    from dcspark import sampling
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "__w", (F.col("doc_id") % 11) / F.lit(10.0))
+    kept = sampling.weighted_hash_sample(docs, "doc_id", "__w", salt="qual")
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("__w", 2).alias("weight"),
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 11) / CAST(10.0 AS DOUBLE) AS w FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, round(w, 2) AS weight
+FROM d
+WHERE substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || '|qual'), 1, 8)
+    < CASE WHEN w >= 1 THEN 'g'
+           ELSE printf('%08x', CAST(round(w * 4294967296) AS BIGINT)) END
+"""
+
+
 def q_near_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash-LSH pairs -> connected components -> canonical-survivor table.
 
@@ -1928,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontam": q_benchmark_decontam,
         "contract_suggest": q_contract_suggest,
         "split_sample_assign": q_split_sample_assign,
+        "weighted_sample": q_weighted_sample,
         "ngram_jaccard_allpairs": q_jaccard_allpairs,
         "simhash_fingerprints": q_simhash,
         "ann_cosine_topk": q_ann_topk,
@@ -1980,6 +2012,7 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,
         "contract_suggest": SQL_CONTRACT_SUGGEST,
         "split_sample_assign": _sql_split_sample_assign(),
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN_TOPK,

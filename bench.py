@@ -163,6 +163,7 @@ OPERATOR_QUERIES = [
     "benchmark_decontam",
     "contract_suggest",
     "split_sample_assign",
+    "weighted_sample",
     "winnowing_fingerprints",
     "array_element_checks",
     "quality_metric_checks",

@@ -115,3 +115,31 @@ def stratified_hash_sample(
     others = F.coalesce(~s.isin(list(fractions)), F.lit(True)) if fractions else F.lit(True)
     expr = (fallback & others) if expr is None else (expr | (fallback & others))
     return df.filter(expr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Union[str, Column],
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability equal to its own weight, deterministically.
+
+    The keep test is ``uniform_draw(id) < clamp(weight, 0, 1)`` with the same
+    keyed md5 draw as every other sampler here, so quality-weighted corpus
+    selection (weight = a quality score in [0, 1]) is reproducible across
+    runs, engines, and repartitions; lowering a row's weight can only remove
+    it, never re-admit it, and rows with NULL weight keep probability 0
+    (dropped deterministically, never a silent NULL comparison).
+
+    The per-row threshold is the weight rendered as the same fixed-width hex
+    boundary used by the global samplers (the 'g' sentinel covers weight=1.0,
+    which must admit every draw) — still pure codegen string ops, no UDF.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wc = F.least(F.greatest(F.coalesce(w.cast("double"), F.lit(0.0)),
+                            F.lit(0.0)), F.lit(1.0))
+    bound = F.round(wc * F.lit(float(_SPACE))).cast("long")
+    thresh = F.when(bound >= _SPACE, F.lit("g")).otherwise(
+        F.format_string(f"%0{_HEX_DIGITS}x", bound))
+    return df.filter(hash_hex(id_col, salt) < thresh)

@@ -96,3 +96,38 @@ def test_null_ids_share_one_deterministic_draw(spark):
     assert len(null_splits) == 1  # all NULLs land together, not silently biased
     kept = sampling.hash_sample(df, "doc_id", 0.999999, salt="s9").count()
     assert kept == 51  # NULL ids are sampled, not dropped
+
+
+def test_weighted_sample_semantics(spark):
+    from dcspark.sampling import hash_hex, weighted_hash_sample
+
+    rows = [(f"d{i}", [0.0, 0.25, 0.5, 1.0, None][i % 5]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    kept = weighted_hash_sample(df, "doc_id", "w", salt="q")
+    got = {r["doc_id"] for r in kept.collect()}
+    # reference decision computed row-by-row from the same draw
+    draws = {r["doc_id"]: r["h"]
+             for r in df.select("doc_id", hash_hex("doc_id", "q").alias("h")).collect()}
+    for doc_id, w in rows:
+        if w is None or w == 0.0:
+            assert doc_id not in got
+        elif w == 1.0:
+            assert doc_id in got  # weight 1 admits every draw ('g' sentinel)
+        else:
+            expect = int(draws[doc_id], 16) < round(w * (1 << 32))
+            assert (doc_id in got) == expect, (doc_id, w)
+    # monotone: halving every weight keeps a strict subset
+    half = weighted_hash_sample(
+        df.withColumn("w", F.col("w") / 2), "doc_id", "w", salt="q")
+    assert {r["doc_id"] for r in half.collect()} <= got
+
+
+def test_weighted_sample_plan_no_udf_no_shuffle(spark):
+    from dcspark.sampling import weighted_hash_sample
+
+    df = spark.createDataFrame([("a", 0.5)], "doc_id string, w double")
+    kept = weighted_hash_sample(df, "doc_id", "w")
+    kept.collect()
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
