@@ -353,8 +353,10 @@ def zero_crossing_rate(pcm, sr) -> float:
     if len(pcm) < 2:
         return 0.0
     s = np.sign(pcm.astype(np.int32))
-    s[s == 0] = 1  # count a touch of zero as staying on the previous side
-    crossings = float(np.count_nonzero(s[1:] != s[:-1]))
+    nz = s[s != 0]  # zeros neither create nor break a crossing
+    if len(nz) < 2:
+        return 0.0
+    crossings = float(np.count_nonzero(nz[1:] != nz[:-1]))
     return crossings * float(sr) / (len(pcm) - 1)
 
 

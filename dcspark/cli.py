@@ -156,14 +156,11 @@ def cmd_test(args: argparse.Namespace) -> int:
         from pyspark.sql import functions as F
 
         for model_name, df in tables.items():
-            tagged = filter_mod.with_reasons(df, spec, model_name, tables)
-            quar = (
-                tagged.filter(F.size(filter_mod.REASONS_COL) > 0)
-                .withColumn(
-                    filter_mod.REASONS_COL,
-                    F.array_join(filter_mod.REASONS_COL, ","))
-            )
-            quar.write.mode("overwrite").parquet(
+            _, quar = filter_mod.split(df, spec, model_name, tables)
+            quar.withColumn(
+                filter_mod.REASONS_COL,
+                F.array_join(filter_mod.REASONS_COL, ","),
+            ).write.mode("overwrite").parquet(
                 f"{args.quarantine_path}/{model_name}")
     return exit_code(result.run)
 

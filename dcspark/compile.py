@@ -930,7 +930,10 @@ def check_audio_quality(model: str, q: Quality, idx: int) -> CompiledCheck:
     name = q.description or f"Audio signal quality ({bounds})"
     evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
     return CompiledCheck(
-        key=_key(model, feature, "audio_signal_quality"),
+        # idx (position in the quality list) keeps two bounds on the same
+        # feature — e.g. a silence floor AND a clipping ceiling — distinct
+        # in res.metrics and the violations table
+        key=_key(model, feature, f"audio_signal_quality_{idx}"),
         check_type="audio_signal_quality",
         category="audio",
         name=name,

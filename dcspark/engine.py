@@ -529,6 +529,24 @@ class Validator:
             if own_cache:
                 compact.unpersist()
 
+    @staticmethod
+    def _fq_count_frame(compact: DataFrame) -> DataFrame:
+        """Per-(partition, rule) out-of-range counts from 'fq' compact rows."""
+        return (compact.filter(F.col("row_type") == "fq")
+                .groupBy("__part", "t").agg(F.sum("hash").alias("c")))
+
+    def _fv_capped_frame(self, compact: DataFrame, per_partition: bool) -> DataFrame:
+        """Capped 'fv' violation samples, deterministic by clip_id; the cap
+        applies per rule (globally) or per (partition, rule) for the
+        checkpoint manifest. Shared by the flat and checkpointed paths so the
+        compact 'fq'/'fv' row shape has one decoder."""
+        keys = ["__part", "t"] if per_partition else ["t"]
+        w = Window.partitionBy(*keys).orderBy("clip_id")
+        return (compact.filter(F.col("row_type") == "fv")
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= self.config.violation_cap)
+                .select("__part", "t", "clip_id", "observed"))
+
     def _audio_quality_collect(
         self, compact: DataFrame,
     ) -> Tuple[List[Dict[str, Any]], List[Dict[str, Any]]]:
@@ -540,18 +558,14 @@ class Validator:
         per rule (per-task caps can sum past violation_cap)."""
         fq_rows = [
             {"__part": r["__part"], "t": r["t"], "c": int(r["c"])}
-            for r in compact.filter(F.col("row_type") == "fq")
-            .groupBy("__part", "t").agg(F.sum("hash").alias("c")).collect()
+            for r in self._fq_count_frame(compact).collect()
         ]
         fv_rows: List[Dict[str, Any]] = []
         if any(r["c"] > 0 for r in fq_rows):
-            w = Window.partitionBy("t").orderBy("clip_id")
             fv_rows = [
                 r.asDict()
-                for r in compact.filter(F.col("row_type") == "fv")
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= self.config.violation_cap)
-                .select("__part", "t", "clip_id", "observed").collect()
+                for r in self._fv_capped_frame(compact, per_partition=False)
+                .collect()
             ]
         return fq_rows, fv_rows
 
@@ -1477,6 +1491,20 @@ class Validator:
         """
         os.makedirs(self.config.checkpoint_dir, exist_ok=True)
         manifest = self._manifest_path(model_name)
+        # signature of the check configuration whose per-partition state the
+        # manifest records: a record written under a DIFFERENT configuration
+        # (metric set, audio rules, percentile mode/columns, drift features)
+        # cannot be merged — its missing sidecar state would silently read as
+        # zero — so such partitions are invalidated and rescanned on resume
+        import hashlib
+
+        state_sig = hashlib.md5(json.dumps({
+            "aliases": sorted(exprs),
+            "audio": audio_chk.key if audio_chk is not None else None,
+            "feat_bins": sorted(feat_bins or {}),
+            "feat_limits": feat_limits or [],
+            "pctl_cols": pctl_cols or [],
+        }, sort_keys=True, default=str).encode()).hexdigest()
         done: Dict[str, dict] = {}
         if self.config.resume and os.path.exists(manifest):
             with open(manifest, "r", encoding="utf-8") as f:
@@ -1484,6 +1512,16 @@ class Validator:
                     rec = json.loads(line)
                     if rec.get("status") == "done":
                         done[str(rec["partition_id"])] = rec
+            stale = sorted(
+                p for p, rec in done.items()
+                if rec.get("state_sig") != state_sig)
+            if stale:
+                self.run.log_warn(
+                    f"checkpoint: {len(stale)} completed partition(s) were "
+                    "recorded under a different check configuration — "
+                    f"rescanning {stale[:5]}{'...' if len(stale) > 5 else ''}")
+                for p in stale:
+                    del done[p]
         parts = sorted(
             str(r[0]) for r in df.select(partition_col).distinct().collect()
         )
@@ -1594,23 +1632,14 @@ class Validator:
                                 chunk_fh_by_part.setdefault(str(r["__part"]), {}) \
                                     .setdefault(r["clip_id"], {})[str(r["t"])] = int(r["c"])
                         if feat_limits:
-                            for r in (
-                                compact.filter(F.col("row_type") == "fq")
-                                .groupBy("__part", "t")
-                                .agg(F.sum("hash").alias("c")).collect()
-                            ):
+                            for r in self._fq_count_frame(compact).collect():
                                 d = chunk_aq_by_part.setdefault(
                                     str(r["__part"]), {"counts": {}, "violations": {}})
                                 d["counts"][str(r["t"])] = int(r["c"])
                             if chunk_aq_by_part:
-                                wq = Window.partitionBy("__part", "t").orderBy("clip_id")
-                                for r in (
-                                    compact.filter(F.col("row_type") == "fv")
-                                    .withColumn("__rn", F.row_number().over(wq))
-                                    .filter(F.col("__rn") <= self.config.violation_cap)
-                                    .select("__part", "t", "clip_id", "observed")
-                                    .collect()
-                                ):
+                                for r in self._fv_capped_frame(
+                                    compact, per_partition=True
+                                ).collect():
                                     d = chunk_aq_by_part.setdefault(
                                         str(r["__part"]), {"counts": {}, "violations": {}})
                                     d["violations"].setdefault(str(r["t"]), []).append(
@@ -1658,6 +1687,7 @@ class Validator:
                         "audio_quality": aq or None,
                         "pctl_digests": digs or None,
                         "lineage": chunk_lineage.get(pid),
+                        "state_sig": state_sig,
                         "ts": dt.datetime.now(dt.timezone.utc).isoformat(),
                     }) + "\n")
                     part_rows.append(row)

@@ -68,7 +68,9 @@ def with_reasons(
     provided is skipped (the validation engine reports it instead)."""
     preds, refs = row_checks(spec, model_name)
     out = df
-    ref_flags: List[str] = []
+    # (check, flag) pairs stay aligned even when some parents are absent —
+    # a zip over separately-built lists would misattribute orphan reasons
+    joined_refs: List[Tuple[CompiledCheck, str]] = []
     for i, chk in enumerate(refs):
         parent = (tables or {}).get(chk.params["parent_model"])
         if parent is None:
@@ -83,7 +85,7 @@ def with_reasons(
         out = out.join(
             keys, on=out[chk.field] == keys[f"__pk_{i}"], how="left",
         ).drop(f"__pk_{i}")
-        ref_flags.append(flag)
+        joined_refs.append((chk, flag))
 
     entries = [
         F.when(chk.violation_predicate(), F.lit(chk.key)) for chk in preds
@@ -93,14 +95,15 @@ def with_reasons(
             F.col(chk.field).isNotNull() & F.col(flag).isNull(),
             F.lit(chk.key),
         )
-        for chk, flag in zip(refs, ref_flags)
+        for chk, flag in joined_refs
     ]
     if not entries:
         return out.withColumn(
             REASONS_COL, F.array().cast("array<string>"))
     reasons = F.array_sort(
         F.filter(F.array(*entries), lambda x: x.isNotNull()))
-    return out.withColumn(REASONS_COL, reasons).drop(*ref_flags)
+    return out.withColumn(REASONS_COL, reasons).drop(
+        *[flag for _, flag in joined_refs])
 
 
 def split(

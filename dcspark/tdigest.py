@@ -97,17 +97,6 @@ class TDigest:
 
     # -- compression (merging t-digest, k1 scale) ---------------------------
 
-    def _k(self, q: float) -> float:
-        return self.delta / (2.0 * math.pi) * math.asin(2.0 * min(max(q, 0.0), 1.0) - 1.0)
-
-    def _k_inv(self, k: float) -> float:
-        lim = self.delta / 4.0
-        if k >= lim:
-            return 1.0
-        if k <= -lim:
-            return 0.0
-        return (math.sin(k * 2.0 * math.pi / self.delta) + 1.0) / 2.0
-
     def _compress(self) -> None:
         """Merging compression, vectorized: group boundaries come from a
         searchsorted over the cumulative weight (a group absorbs points while
@@ -225,25 +214,21 @@ def digest_frame(df, columns: List[str], partition_col: Optional[str],
         acc: Dict[Tuple[str, str], TDigest] = {}
         for batch in batches:
             names = batch.schema.names
-            parts = (batch.column(0).to_pylist()
-                     if partition_col else [None] * batch.num_rows)
+            # partition masks computed ONCE per batch, shared by every column
+            masks: Dict[str, np.ndarray] = {}
+            if partition_col:
+                parts = np.asarray(batch.column(0).to_pylist(), dtype=object)
+                for p in dict.fromkeys(parts.tolist()):
+                    masks[str(p)] = parts == p
             for col in columns:
                 vals = batch.column(names.index(col)).to_numpy(zero_copy_only=False)
                 vals = np.asarray(vals, dtype=np.float64)
-                if partition_col:
-                    pa_ = np.asarray(parts, dtype=object)
-                    for p in dict.fromkeys(parts):
-                        key = (str(p), col)
-                        d = acc.get(key)
-                        if d is None:
-                            d = acc[key] = TDigest(delta)
-                        d.add(vals[pa_ == p])
-                else:
-                    key = ("", col)
+                for pkey, mask in (masks or {"": None}).items():
+                    key = (pkey, col)
                     d = acc.get(key)
                     if d is None:
                         d = acc[key] = TDigest(delta)
-                    d.add(vals)
+                    d.add(vals if mask is None else vals[mask])
         keys = sorted(acc)
         yield pa.RecordBatch.from_pydict(
             {

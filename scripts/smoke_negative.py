@@ -43,7 +43,7 @@ expected_failed = {
     "audio_clips__clip_id__field_regex",
     "audio_clips__clip_id__field_reference",
     "audio_clips__audio_decode_conformance",
-    "audio_clips__rms_dbfs__audio_signal_quality",
+    "audio_clips__rms_dbfs__audio_signal_quality_3",
     "audio_clips__transcript__transcript_equality",
 }
 failed = {c.key for c in res.run.checks if c.result.value == "failed"}

@@ -340,3 +340,16 @@ def test_fp_and_drift_without_conformance_share_one_scan(
     # fp result is data-dependent (random sine mixes can collide at the
     # default threshold); the point is it EVALUATED from the fused pass
     assert by_key[fp_key] in (ResultEnum.passed, ResultEnum.failed)
+
+
+def test_zero_crossing_rate_zero_touches_do_not_count():
+    """Samples at exactly 0 neither create nor break a crossing — a 0/-1
+    dither near silence must read ~0 crossings, not the white-noise ceiling
+    (regression: mapping sign(0) to +1 made every -1 sample a crossing)."""
+    sr = 16000
+    dither = np.tile(np.array([0, -1], dtype=np.int16), sr // 2)
+    assert audio_mod.zero_crossing_rate(dither, sr) == 0.0
+    # a genuine crossing through an exact zero still counts once
+    through_zero = np.array([100, 0, -100, 0, 100], dtype=np.int16)
+    assert audio_mod.zero_crossing_rate(through_zero, sr) == pytest.approx(
+        2 * sr / 4)

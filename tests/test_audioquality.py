@@ -211,3 +211,20 @@ def test_partitioned_records_and_checkpoint_resume(spark, clips, tmp_path):
     vio2 = sorted(r["clip_id"] for r in rs.violations.filter(
         F.col("check_key").contains("signal_quality")).collect())
     assert vio2 == ids
+
+
+def test_two_rules_same_feature_get_distinct_keys(spark, clips):
+    """A silence floor AND a second bound on the SAME feature must stay
+    separate checks (distinct keys, separate metrics) — regression for the
+    idx-less key collapsing them in res.metrics."""
+    contract = CONTRACT.replace(
+        "- {type: audio, invariant: signal-quality, column: rms_dbfs, minimum: -50.0}",
+        "- {type: audio, invariant: signal-quality, column: rms_dbfs, minimum: -50.0}\n"
+        "      - {type: audio, invariant: signal-quality, column: rms_dbfs, minimum: 10.0}",
+    )
+    res = _run(spark, clips, contract=contract)
+    keys = sorted(c.key for c in res.run.checks if "signal_quality" in c.key)
+    assert len(keys) == 2 and keys[0] != keys[1]
+    # floor at -50 passes every clean clip; a floor at +10 dBFS is impossible
+    metrics = sorted(res.metrics[k] for k in keys)
+    assert metrics[0] == 0.0 and metrics[1] == float(clips.count())

@@ -156,3 +156,33 @@ def test_cli_test_quarantine_path(spark, frames, spec, tmp_path):
     assert filter_mod.REASONS_COL in quar.columns
     # the clean parent model writes an empty quarantine (schema present)
     assert spark.read.parquet(f"{qdir}/speakers").count() == 0
+
+
+def test_partial_parent_tables_keep_reference_flags_aligned(spark):
+    """Two references with only the SECOND parent supplied: orphan reasons
+    must carry the second check's key, never the skipped first one's
+    (regression: a positional zip misattributed the join flag)."""
+    spec2 = DataContractSpecification.from_string("""
+id: two-refs
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      speaker: {type: string, references: speakers.speaker_id}
+      device: {type: string, references: devices.device_id}
+  speakers:
+    fields:
+      speaker_id: {type: string, primaryKey: true}
+  devices:
+    fields:
+      device_id: {type: string, primaryKey: true}
+""")
+    df = spark.createDataFrame(
+        [("c1", "s1", "d1"), ("c2", "sX", "dX"), ("c3", None, "dX")],
+        "clip_id string, speaker string, device string")
+    devices = spark.createDataFrame([("d1",)], "device_id string")
+    by_id = _reasons_by_id(filter_mod.with_reasons(
+        df, spec2, "clips", {"devices": devices}))  # speakers parent absent
+    assert by_id["c1"] == []
+    assert by_id["c2"] == ["clips__device__field_reference"]
+    assert by_id["c3"] == ["clips__device__field_reference"]

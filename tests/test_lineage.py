@@ -90,3 +90,29 @@ def test_lineage_verification_can_be_disabled(spark, tmp_path):
     _write_part(spark, base, "b", [("c2", 50), ("c9", 1000)])
     stale = _run(spark, base, ck, resume=True, checkpoint_verify_lineage=False)
     assert stale.metrics[METRIC] == 150.0  # documented: stale cache served
+
+
+def test_resume_invalidates_config_change(spark, tmp_path):
+    """A manifest written under a different check configuration must not be
+    merged on resume (its records lack the new rules' sidecar state): the
+    state signature invalidates every completed partition and rescans."""
+    base, ck = str(tmp_path / "data"), str(tmp_path / "ck")
+    _write_part(spark, base, "a", [("c1", 100)])
+    _write_part(spark, base, "b", [("c2", 50)])
+    _run(spark, base, ck)
+    n_recs = len(_manifest_recs(ck))
+    # same data, same contract, DIFFERENT percentile strategy: resuming under
+    # sketch mode needs pctl_digests the old records don't have
+    df = spark.read.parquet(base)
+    spec = DataContractSpecification.from_string(CONTRACT.replace(
+        "- {type: metric, metric: sum, column: dur_ms, mustBeGreaterThan: 0}",
+        "- {type: metric, metric: sum, column: dur_ms, mustBeGreaterThan: 0}\n"
+        "      - {type: metric, metric: p50, column: dur_ms, mustBeGreaterThan: 0}"))
+    from dcspark.engine import ValidationConfig, validate
+    res = validate(spark, spec, {"clips": df}, ValidationConfig(
+        partition_col="part", checkpoint_dir=ck, resume=True,
+        pctl_mode="sketch"))
+    assert res.metrics[METRIC] == 150.0
+    p50_key = [k for k in res.metrics if "quality_metric_1" in k][0]
+    assert res.metrics[p50_key] is not None  # digests exist: rescan happened
+    assert len(_manifest_recs(ck)) == n_recs + 2  # both partitions re-recorded
