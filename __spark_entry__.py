@@ -1410,6 +1410,53 @@ FROM h
 """
 
 
+def q_drift_categorical_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Categorical-frequency drift (dcspark/drift.py
+    build_categorical_ref_stats + the shared bucket-rows job): PSI over a
+    string column's category mix vs a reference snapshot — the drift family
+    the numeric quantile grid can't express. Snapshot = top categories by
+    (count desc, value asc) + an OTHER bucket; the current sample
+    over-represents '1-URGENT' by construction. The oracle recomputes the
+    snapshot ordering and the EPS-floored PSI sum in SQL (ln = shared libm)."""
+    from dcspark import drift as drift_mod
+
+    orders = _t(spark, sf, "orders")
+    stats = drift_mod.build_categorical_ref_stats(
+        orders, ["o_orderpriority"])["o_orderpriority"]
+    cur = orders.filter(
+        (F.col("o_orderkey") % 2 == 0) | (F.col("o_orderpriority") == "1-URGENT"))
+    jobs = [{"prefix": "p", "column": "o_orderpriority", "stats": stats,
+             "method": "psi"}]
+    row = drift_mod.drift_bucket_rows(cur, jobs)[None]
+    psi = drift_mod.drift_statistic(row, stats, "psi", "p")
+    return spark.createDataFrame(
+        [(",".join(stats["categories"]), round(psi, 9))],
+        "categories string, psi double")
+
+
+SQL_DRIFT_CATEGORICAL_PSI = """
+WITH ref AS (
+  SELECT o_orderpriority AS v, count(*) AS c FROM orders
+  WHERE o_orderpriority IS NOT NULL GROUP BY 1
+),
+reft AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM ref),
+cur AS (
+  SELECT o_orderpriority AS v, count(*) AS c FROM orders
+  WHERE (o_orderkey % 2 = 0 OR o_orderpriority = '1-URGENT')
+    AND o_orderpriority IS NOT NULL GROUP BY 1
+),
+curt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cur),
+terms AS (
+  SELECT greatest(coalesce(cur.c, 0) / (SELECT t FROM curt), 1e-6) AS p,
+         greatest(ref.c / (SELECT t FROM reft), 1e-6) AS q
+  FROM ref LEFT JOIN cur ON cur.v = ref.v
+)
+SELECT
+  (SELECT string_agg(v, ',' ORDER BY c DESC, v ASC) FROM ref) AS categories,
+  round((SELECT sum((p - q) * ln(p / q)) FROM terms), 9) AS psi
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-weighted deterministic sampling (dcspark/sampling.py
     weighted_hash_sample): keep each row with probability equal to its own
@@ -1960,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contract_suggest": q_contract_suggest,
         "split_sample_assign": q_split_sample_assign,
         "weighted_sample": q_weighted_sample,
+        "drift_categorical_psi": q_drift_categorical_psi,
         "ngram_jaccard_allpairs": q_jaccard_allpairs,
         "simhash_fingerprints": q_simhash,
         "ann_cosine_topk": q_ann_topk,
@@ -2013,6 +2061,7 @@ def oracle_sql() -> dict[str, str]:
         "contract_suggest": SQL_CONTRACT_SUGGEST,
         "split_sample_assign": _sql_split_sample_assign(),
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "drift_categorical_psi": SQL_DRIFT_CATEGORICAL_PSI,
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),
         "ann_cosine_topk": SQL_ANN_TOPK,

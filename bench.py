@@ -147,6 +147,7 @@ OPERATOR_QUERIES = [
     "violation_rows_capped",
     "nested_field_checks",
     "drift_psi",
+    "drift_categorical_psi",
     "drift_ks",
     "dedup_exact",
     "text_quality_scores",

@@ -95,7 +95,21 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
         cols = by_model.get(model_name, [])
         stats = {}
         if cols:
-            stats.update(build_ref_stats(tables[model_name].select(*cols), cols))
+            # string-typed drift columns get a categorical frequency snapshot
+            # (top values + OTHER); everything else the numeric quantile grid
+            from pyspark.sql import types as T
+
+            from .drift import build_categorical_ref_stats
+
+            schema = {f.name: f.dataType for f in tables[model_name].schema.fields}
+            cat_cols = [c for c in cols if isinstance(schema.get(c), T.StringType)]
+            num_cols = [c for c in cols if c not in cat_cols]
+            if num_cols:
+                stats.update(build_ref_stats(
+                    tables[model_name].select(*num_cols), num_cols))
+            if cat_cols:
+                stats.update(build_categorical_ref_stats(
+                    tables[model_name], cat_cols))
         feats = audio_by_model.get(model_name, [])
         if feats:
             # decoded-PCM feature snapshot: one decode pass over the reference

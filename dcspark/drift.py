@@ -28,7 +28,7 @@ EPS = 1e-6
 
 REF_STATS_DDL = (
     "column string, bin_edges array<double>, bin_probs array<double>, "
-    "quantiles array<double>, n bigint"
+    "quantiles array<double>, categories array<string>, n bigint"
 )
 
 
@@ -93,9 +93,11 @@ def ref_stats_to_df(spark, stats: Dict[str, dict]) -> DataFrame:
     rows = [
         {
             "column": col,
-            "bin_edges": [float(x) for x in s["bin_edges"]],
+            "bin_edges": [float(x) for x in s.get("bin_edges", [])],
             "bin_probs": [float(x) for x in s["bin_probs"]],
-            "quantiles": [float(x) for x in s["quantiles"]],
+            "quantiles": [float(x) for x in s.get("quantiles", [])],
+            "categories": ([str(x) for x in s["categories"]]
+                           if "categories" in s else None),
             "n": int(s["n"]),
         }
         for col, s in stats.items()
@@ -104,15 +106,63 @@ def ref_stats_to_df(spark, stats: Dict[str, dict]) -> DataFrame:
 
 
 def ref_stats_from_df(df: DataFrame) -> Dict[str, dict]:
-    return {
-        r["column"]: {
-            "bin_edges": list(r["bin_edges"]),
+    out: Dict[str, dict] = {}
+    for r in df.collect():
+        s = {
+            "bin_edges": list(r["bin_edges"] or []),
             "bin_probs": list(r["bin_probs"]),
-            "quantiles": list(r["quantiles"]),
+            "quantiles": list(r["quantiles"] or []),
             "n": r["n"],
         }
-        for r in df.collect()
-    }
+        # older snapshots predate the categories column
+        if "categories" in r.asDict() and r["categories"] is not None:
+            s["categories"] = list(r["categories"])
+        out[r["column"]] = s
+    return out
+
+
+def build_categorical_ref_stats(
+    df: DataFrame,
+    columns: List[str],
+    max_categories: int = 50,
+) -> Dict[str, dict]:
+    """Reference snapshot for CATEGORICAL columns: the top ``max_categories``
+    values (by count desc, value asc — deterministic under ties) plus an
+    implicit OTHER bucket absorbing the tail and every value unseen in the
+    reference. Snapshot shape reuses ``bin_probs`` (len = categories + 1,
+    OTHER last), so drift folding, checkpoint merging, and the PSI statistic
+    are shared with the numeric path unchanged. One narrow
+    groupBy-per-column job over a column-pruned scan; shuffle volume is the
+    distinct-value count, never the table."""
+    stats: Dict[str, dict] = {}
+    for col in columns:
+        counted = (
+            df.select(col).where(F.col(col).isNotNull())
+            .groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        )
+        rows = counted.orderBy(F.col("c").desc(), F.col(col).cast("string").asc()) \
+            .limit(max_categories).collect()
+        total = counted.agg(F.coalesce(F.sum("c"), F.lit(0))).first()[0] or 0
+        cats = [str(r[col]) for r in rows]
+        head = [int(r["c"]) for r in rows]
+        other = int(total) - sum(head)
+        denom = total or 1
+        stats[col] = {
+            "categories": cats,
+            "bin_probs": [c / denom for c in head] + [other / denom],
+            "n": int(total),
+        }
+    return stats
+
+
+def cat_bucket_expr(col: str, categories: List[str]) -> F.Column:
+    """Category bucket index: position in the snapshot's category list, or
+    len(categories) (the OTHER bucket) for values outside it. One
+    array_position over a literal array — codegen-friendly at any domain
+    size, mirroring bucket_expr's one-expression shape."""
+    arr = F.array(*[F.lit(c) for c in categories])
+    pos = F.array_position(arr, F.col(col).cast("string"))
+    return F.when(pos > 0, pos - 1).otherwise(F.lit(len(categories)))
 
 
 def bucket_expr(col: str, grid: List[float]) -> F.Column:
@@ -133,13 +183,19 @@ def drift_grid(stats: dict, method: str) -> List[float]:
     return list(stats["quantiles"]) if method == "ks" else list(stats["bin_edges"])
 
 
+def n_bins(stats: dict) -> int:
+    """Bucket count for the psi paths: numeric edges + 1, or categories + 1
+    (OTHER last) — always equal to len(bin_probs)."""
+    return len(stats["bin_probs"])
+
+
 def drift_aliases(prefix: str, stats: dict, method: str) -> List[str]:
     """All shared-row aliases this drift check produces (count + per-bucket)."""
     out = [f"{prefix}__count"]
     if method == "ks":
         out += [f"{prefix}__le{i}" for i in range(len(stats["quantiles"]))]
     else:
-        out += [f"{prefix}__bin{k}" for k in range(len(stats["bin_edges"]) + 1)]
+        out += [f"{prefix}__bin{k}" for k in range(n_bins(stats))]
     return out
 
 
@@ -159,8 +215,11 @@ def drift_bucket_rows(
     """
     structs = []
     for chk in checks:
-        grid = drift_grid(chk["stats"], chk["method"])
-        b = F.when(F.col(chk["column"]).isNotNull(), bucket_expr(chk["column"], grid))
+        if "categories" in chk["stats"]:
+            be = cat_bucket_expr(chk["column"], chk["stats"]["categories"])
+        else:
+            be = bucket_expr(chk["column"], drift_grid(chk["stats"], chk["method"]))
+        b = F.when(F.col(chk["column"]).isNotNull(), be)
         structs.append(F.struct(F.lit(chk["prefix"]).alias("p"), b.alias("b")))
     sel = [F.explode(F.array(*structs)).alias("pb")]
     head: List[F.Column] = []
@@ -220,6 +279,13 @@ def drift_agg_exprs(col: str, stats: dict, method: str, prefix: str) -> Dict[str
             out[f"{prefix}__le{i}"] = F.coalesce(
                 F.sum(F.when(c.isNotNull() & (c <= F.lit(float(q))), 1).otherwise(0)), F.lit(0)
             )
+    elif method == "psi" and "categories" in stats:
+        cats = stats["categories"]
+        bucket = cat_bucket_expr(col, cats)
+        for k in range(len(cats) + 1):
+            out[f"{prefix}__bin{k}"] = F.coalesce(
+                F.sum(F.when(c.isNotNull() & (bucket == k), 1).otherwise(0)),
+                F.lit(0))
     elif method == "psi":
         edges = stats["bin_edges"]
         for k in range(len(edges) + 1):
@@ -243,8 +309,7 @@ def drift_statistic(row: dict, stats: dict, method: str, prefix: str) -> Optiona
             ks = max(ks, abs(p_cur - p_ref))
         return ks
     if method == "psi":
-        edges = stats["bin_edges"]
-        cur_counts = [row[f"{prefix}__bin{k}"] or 0 for k in range(len(edges) + 1)]
+        cur_counts = [row[f"{prefix}__bin{k}"] or 0 for k in range(n_bins(stats))]
         return drift_statistic_from_counts(cur_counts, stats, "psi")
     raise ValueError(f"unknown drift method: {method}")
 

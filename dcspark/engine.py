@@ -437,6 +437,13 @@ class Validator:
             stats = self.config.ref_stats.get(model_name, {}).get(chk.params["column"])
             if stats is None:
                 continue
+            if "categories" in stats and chk.params["method"] != "psi":
+                # KS needs an ordered domain; categorical snapshots are
+                # frequency-only — surface a config error instead of a
+                # meaningless statistic
+                chk.params["_invalid"] = (
+                    "categorical snapshot supports method psi only")
+                continue
             prefix = f"__drift__{chk.key}"
             chk.params["_prefix"] = prefix
             chk.params["_stats"] = stats
@@ -876,6 +883,10 @@ class Validator:
             self._record_approx_unique(chk, part_rows, global_row, partition_col)
 
         for chk in drift_checks:
+            if "_invalid" in chk.params:
+                self._record(chk, None, ResultEnum.error,
+                             f"{chk.name}: {chk.params['_invalid']}", None)
+                continue
             if "_stats" not in chk.params:
                 self._record(chk, None, ResultEnum.error,
                              f"no reference snapshot for column {chk.params['column']}", None)

@@ -61,3 +61,88 @@ def test_empty_current_returns_none(spark):
     stats = drift_mod.build_ref_stats(_nums(spark, 1), ["x"], n_quantiles=9, n_bins=4)
     empty = _nums(spark, 1).filter("x > 1e9")
     assert _stat(spark, stats, empty, "ks") is None
+
+
+# -- categorical drift ---------------------------------------------------------
+
+
+def _cat_clips(spark, dist):
+    rows = []
+    i = 0
+    for value, count in dist.items():
+        for _ in range(count):
+            rows.append((f"c{i}", value))
+            i += 1
+    return spark.createDataFrame(rows, "clip_id string, codec string")
+
+
+def test_categorical_ref_stats_shape(spark):
+    df = _cat_clips(spark, {"pcm": 60, "flac": 30, "mp3": 8, "ogg": 2})
+    stats = drift_mod.build_categorical_ref_stats(df, ["codec"], max_categories=3)
+    s = stats["codec"]
+    assert s["categories"] == ["pcm", "flac", "mp3"]  # count desc, value asc ties
+    assert s["bin_probs"] == [0.6, 0.3, 0.08, 0.02]   # OTHER bucket last (ogg)
+    assert s["n"] == 100
+    # round-trips through the snapshot parquet schema
+    back = drift_mod.ref_stats_from_df(drift_mod.ref_stats_to_df(spark, stats))
+    assert back["codec"]["categories"] == s["categories"]
+    assert back["codec"]["bin_probs"] == s["bin_probs"]
+
+
+def test_categorical_psi_same_and_shifted(spark):
+    ref_df = _cat_clips(spark, {"pcm": 60, "flac": 30, "mp3": 10})
+    stats = drift_mod.build_categorical_ref_stats(ref_df, ["codec"])
+    jobs = [{"prefix": "p", "column": "codec", "stats": stats["codec"],
+             "method": "psi"}]
+    same = drift_mod.drift_bucket_rows(ref_df, jobs)[None]
+    assert drift_mod.drift_statistic(same, stats["codec"], "psi", "p") < 1e-9
+    # shifted mix, incl. a value unseen in the reference (lands in OTHER)
+    cur = _cat_clips(spark, {"pcm": 10, "flac": 30, "opus": 60})
+    shifted = drift_mod.drift_bucket_rows(cur, jobs)[None]
+    stat = drift_mod.drift_statistic(shifted, stats["codec"], "psi", "p")
+    assert stat > 1.0
+    assert shifted["p__bin3"] == 60  # OTHER bucket caught the unseen codec
+
+
+def test_categorical_engine_end_to_end_and_ks_rejected(spark):
+    from dcspark.engine import ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+    from dcspark.spec import DataContractSpecification
+
+    contract = """
+id: cat-drift
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      codec: {type: string}
+    quality:
+      - {type: drift, column: codec, method: psi, threshold: 0.2}
+      - {type: drift, column: codec, method: ks}
+"""
+    ref_df = _cat_clips(spark, {"pcm": 60, "flac": 40})
+    stats = drift_mod.build_categorical_ref_stats(ref_df, ["codec"])
+    spec = DataContractSpecification.from_string(contract)
+    cfg = ValidationConfig(ref_stats={"clips": stats})
+    ok = validate(spark, spec, {"clips": ref_df}, cfg)
+    by_type = {c.type: c for c in ok.run.checks if "drift" in (c.type or "")}
+    assert by_type["drift_psi"].result == ResultEnum.passed
+    assert by_type["drift_ks"].result == ResultEnum.error
+    assert "psi only" in (by_type["drift_ks"].reason or "")
+    bad = validate(spark, spec, {"clips": _cat_clips(spark, {"opus": 100})}, cfg)
+    chk = [c for c in bad.run.checks if c.type == "drift_psi"][0]
+    assert chk.result == ResultEnum.failed
+
+
+def test_categorical_streaming_agg_exprs_parity(spark):
+    """drift_agg_exprs' categorical branch (the streaming monitor path) must
+    produce the same bucket counts as the bucket-rows job."""
+    ref_df = _cat_clips(spark, {"pcm": 50, "flac": 50})
+    stats = drift_mod.build_categorical_ref_stats(ref_df, ["codec"])["codec"]
+    cur = _cat_clips(spark, {"pcm": 20, "flac": 30, "ogg": 50})
+    exprs = drift_mod.drift_agg_exprs("codec", stats, "psi", "p")
+    row = cur.agg(*[v.alias(k) for k, v in exprs.items()]).first().asDict()
+    jobs = [{"prefix": "p", "column": "codec", "stats": stats, "method": "psi"}]
+    bucketed = drift_mod.drift_bucket_rows(cur, jobs)[None]
+    for k in drift_mod.drift_aliases("p", stats, "psi"):
+        assert row[k] == bucketed[k], k
