@@ -47,6 +47,19 @@ def _drift_columns(spec) -> dict:
     return out
 
 
+def _drift_methods(spec) -> dict:
+    """model -> {column: set of drift methods declared on it}."""
+    from .compile import create_checks
+
+    out: dict = {}
+    for model_name, checks in create_checks(spec).items():
+        for c in checks:
+            if c.kind == "drift":
+                out.setdefault(model_name, {}).setdefault(
+                    c.params["column"], set()).add(c.params["method"])
+    return out
+
+
 def _audio_drift_features(spec) -> dict:
     """model -> [decoded-PCM features with a loudness-drift rule]."""
     from .compile import create_checks
@@ -104,6 +117,18 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             schema = {f.name: f.dataType for f in tables[model_name].schema.fields}
             cat_cols = [c for c in cols if isinstance(schema.get(c), T.StringType)]
             num_cols = [c for c in cols if c not in cat_cols]
+            # fail fast: a categorical snapshot only serves PSI, and KS is
+            # the rule's default when method is omitted — surface the
+            # misconfiguration here, not on every later `test` run
+            methods = _drift_methods(spec).get(model_name, {})
+            bad = [c for c in cat_cols if methods.get(c, set()) - {"psi"}]
+            if bad:
+                print(
+                    f"snapshot: string drift column(s) {bad} declare a non-psi "
+                    "method (ks is the default when omitted) — categorical "
+                    "snapshots support psi only; set 'method: psi' on these "
+                    "rules")
+                return 2
             if num_cols:
                 stats.update(build_ref_stats(
                     tables[model_name].select(*num_cols), num_cols))

@@ -139,17 +139,27 @@ def build_categorical_ref_stats(
         counted = (
             df.select(col).where(F.col(col).isNotNull())
             .groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+            # the tiny distinct-value frame feeds two actions (top-k + total);
+            # persist so the table is scanned once, not twice per column
+            .persist()
         )
-        rows = counted.orderBy(F.col("c").desc(), F.col(col).cast("string").asc()) \
-            .limit(max_categories).collect()
-        total = counted.agg(F.coalesce(F.sum("c"), F.lit(0))).first()[0] or 0
+        try:
+            rows = counted.orderBy(
+                F.col("c").desc(), F.col(col).cast("string").asc()
+            ).limit(max_categories).collect()
+            total = counted.agg(F.coalesce(F.sum("c"), F.lit(0))).first()[0] or 0
+        finally:
+            counted.unpersist()
+        if total == 0:
+            raise ValueError(
+                f"cannot snapshot categorical column {col!r}: no non-null "
+                "values in the reference sample")
         cats = [str(r[col]) for r in rows]
         head = [int(r["c"]) for r in rows]
         other = int(total) - sum(head)
-        denom = total or 1
         stats[col] = {
             "categories": cats,
-            "bin_probs": [c / denom for c in head] + [other / denom],
+            "bin_probs": [c / total for c in head] + [other / total],
             "n": int(total),
         }
     return stats

@@ -1510,11 +1510,22 @@ class Validator:
         import hashlib
 
         state_sig = hashlib.md5(json.dumps({
-            "aliases": sorted(exprs),
+            # ops covers every merged alias INCLUDING the drift bucket
+            # aliases (which join ops but not exprs); the drift/feat entries
+            # additionally hash the snapshot CONTENT — a rebuilt snapshot
+            # with the same grid size but shifted edges (or reordered
+            # categories) must also invalidate, not merge misaligned bins
+            "aliases": sorted(ops),
             "audio": audio_chk.key if audio_chk is not None else None,
-            "feat_bins": sorted(feat_bins or {}),
+            "feat_bins": feat_bins or {},
             "feat_limits": feat_limits or [],
             "pctl_cols": pctl_cols or [],
+            "drift": [
+                {"p": j["prefix"], "m": j["method"],
+                 "s": {k: j["stats"].get(k) for k in
+                       ("bin_edges", "quantiles", "categories", "bin_probs")}}
+                for j in (drift_jobs or [])
+            ],
         }, sort_keys=True, default=str).encode()).hexdigest()
         done: Dict[str, dict] = {}
         if self.config.resume and os.path.exists(manifest):

@@ -181,10 +181,22 @@ def windowed_drift_psi(
     """
     from . import drift as drift_mod
 
-    edges = stats["bin_edges"]
     ref_probs = stats["bin_probs"]
-    n_bins = len(edges) + 1
-    bins = [drift_mod._bin_count_expr(column, edges, k).alias(f"__b{k}") for k in range(n_bins)]
+    n_bins = drift_mod.n_bins(stats)
+    if "categories" in stats:
+        # categorical snapshot: bucket by category position (+ OTHER), same
+        # when-sum shape as the numeric edges
+        bucket = drift_mod.cat_bucket_expr(column, stats["categories"])
+        bins = [
+            F.coalesce(F.sum(F.when(
+                F.col(column).isNotNull() & (bucket == k), 1).otherwise(0)),
+                F.lit(0)).alias(f"__b{k}")
+            for k in range(n_bins)
+        ]
+    else:
+        edges = stats["bin_edges"]
+        bins = [drift_mod._bin_count_expr(column, edges, k).alias(f"__b{k}")
+                for k in range(n_bins)]
     agg = (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"))

@@ -146,3 +146,38 @@ def test_categorical_streaming_agg_exprs_parity(spark):
     bucketed = drift_mod.drift_bucket_rows(cur, jobs)[None]
     for k in drift_mod.drift_aliases("p", stats, "psi"):
         assert row[k] == bucketed[k], k
+
+
+def test_categorical_all_null_reference_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([("c1", None), ("c2", None)],
+                               "clip_id string, codec string")
+    with pytest.raises(ValueError, match="no non-null"):
+        drift_mod.build_categorical_ref_stats(df, ["codec"])
+
+
+def test_snapshot_cli_rejects_ks_on_string_column(spark, tmp_path):
+    """`snapshot` fails fast when a string drift column declares (or
+    defaults to) a non-psi method — instead of writing a categorical
+    snapshot every later `test` run errors on."""
+    from dcspark.cli import main
+
+    contract = """
+id: cat-ks
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      codec: {type: string}
+    quality:
+      - {type: drift, column: codec}
+"""
+    cpath = str(tmp_path / "c.yaml")
+    with open(cpath, "w") as f:
+        f.write(contract)
+    base = str(tmp_path / "in")
+    _cat_clips(spark, {"pcm": 10}).write.parquet(f"{base}/clips.parquet")
+    rc = main(["snapshot", cpath, "--path", base,
+               "--out", str(tmp_path / "snaps"), "--master", "local[2]"])
+    assert rc == 2

@@ -116,3 +116,36 @@ def test_resume_invalidates_config_change(spark, tmp_path):
     p50_key = [k for k in res.metrics if "quality_metric_1" in k][0]
     assert res.metrics[p50_key] is not None  # digests exist: rescan happened
     assert len(_manifest_recs(ck)) == n_recs + 2  # both partitions re-recorded
+
+
+def test_resume_invalidates_snapshot_rebuild(spark, tmp_path):
+    """Drift bucket aliases join the state signature: rebuilding the drift
+    snapshot with a different grid must invalidate completed partitions on
+    resume (their recorded bucket counts are misaligned with the new grid)."""
+    from dcspark import drift as drift_mod
+    from dcspark.engine import ValidationConfig, validate
+
+    contract = CONTRACT.replace(
+        "- {type: metric, metric: sum, column: dur_ms, mustBeGreaterThan: 0}",
+        "- {type: metric, metric: sum, column: dur_ms, mustBeGreaterThan: 0}\n"
+        "      - {type: drift, column: dur_ms, method: psi}")
+    base, ck = str(tmp_path / "data"), str(tmp_path / "ck")
+    # enough distinct values that 5-bin and 8-bin grids survive edge dedup
+    _write_part(spark, base, "a", [(f"c{i}", 100 * i) for i in range(1, 16)])
+    _write_part(spark, base, "b", [(f"d{i}", 100 * i + 50) for i in range(1, 16)])
+    df = spark.read.parquet(base)
+    spec = DataContractSpecification.from_string(contract)
+
+    def run(stats, resume):
+        return validate(spark, spec, {"clips": df}, ValidationConfig(
+            partition_col="part", checkpoint_dir=ck, resume=resume,
+            ref_stats={"clips": stats}))
+
+    stats5 = drift_mod.build_ref_stats(df, ["dur_ms"], n_quantiles=9, n_bins=5)
+    run(stats5, resume=False)
+    n_recs = len(_manifest_recs(ck))
+    stats8 = drift_mod.build_ref_stats(df, ["dur_ms"], n_quantiles=9, n_bins=8)
+    res = run(stats8, resume=True)
+    assert len(_manifest_recs(ck)) == n_recs + 2  # both partitions rescanned
+    psi_key = [k for k in res.metrics if "drift_psi" in k][0]
+    assert res.metrics[psi_key] is not None and res.metrics[psi_key] < 1e-9

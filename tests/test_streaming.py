@@ -186,3 +186,48 @@ def test_windowed_drift_psi_matches_batch_engine(spark, tmp_path):
     ]).first().asDict()
     expected = drift_mod.drift_statistic(row, stats, "psi", "p")
     assert abs(got["00:00"]["psi"] - expected) < 1e-9
+
+
+def test_windowed_drift_psi_categorical(spark, tmp_path):
+    """The streaming monitor handles categorical snapshots: same-mix window
+    reads ~0 PSI, shifted-mix (incl. a codec unseen in the reference) spikes
+    and matches drift_statistic on the same counts."""
+    from dcspark import drift as drift_mod
+    from dcspark.streaming import windowed_drift_psi
+
+    ref = spark.createDataFrame(
+        [(f"c{i}", "pcm" if i % 10 < 6 else "flac") for i in range(200)],
+        "clip_id string, codec string")
+    stats = drift_mod.build_categorical_ref_stats(ref, ["codec"])["codec"]
+
+    rows = [("2024-01-01 00:00:%02d" % (i % 60),
+             "pcm" if i % 10 < 6 else "flac") for i in range(100)]
+    rows += [("2024-01-01 00:05:%02d" % (i % 60), "opus") for i in range(100)]
+    src = tmp_path / "cat_src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for ts, c in rows:
+            f.write(json.dumps({"ts": ts, "codec": c}) + "\n")
+
+    stream = (
+        spark.readStream.schema("ts string, codec string").json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        windowed_drift_psi(stream, "codec", stats, ts_col="ts", window="5 minutes")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("cat_psi_win").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["window_start"].strftime("%H:%M"): r
+               for r in spark.table("cat_psi_win").collect()}
+    finally:
+        q.stop()
+    assert got["00:00"]["psi"] < 1e-6
+    assert got["00:05"]["psi"] > 1.0  # all-OTHER window
+    # parity with the batch statistic on the same counts
+    counts = [0] * drift_mod.n_bins(stats)
+    counts[-1] = 100
+    expect = drift_mod.drift_statistic_from_counts(counts, stats, "psi")
+    assert abs(got["00:05"]["psi"] - expect) < 1e-9
