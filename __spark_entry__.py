@@ -1330,6 +1330,47 @@ SELECT 'n_regionkey', 'integer',
 """
 
 
+REPAIR_CONTRACT = """
+id: entry-repair
+models:
+  customer:
+    fields:
+      c_custkey: {type: long, primaryKey: true}
+      c_acctbal: {type: double, minimum: 0.0}
+      c_mktsegment: {type: string, enum: [BUILDING, AUTOMOBILE, MACHINERY]}
+      c_name: {type: string, maxLength: 15}
+"""
+
+
+def q_contract_repair(spark: SparkSession, sf: str) -> DataFrame:
+    """Contract-driven value repair (dcspark/repair.py — the third
+    act-on-violations operator after filter and mask): numeric range
+    violations clamp to the bound, oversize strings truncate, enum/pattern
+    violations become typed NULLs visible to downstream missing checks. One
+    whole-stage-codegen projection, types preserved (plan-gated in
+    tests/test_repair.py). The oracle mirrors each fix rule in SQL."""
+    from dcspark import repair as repair_mod
+    from dcspark.spec import DataContractSpecification
+
+    customer = _t(spark, sf, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "c_name")
+    spec = DataContractSpecification.from_string(REPAIR_CONTRACT)
+    return repair_mod.repair(customer, spec, "customer")
+
+
+SQL_CONTRACT_REPAIR = """
+SELECT c_custkey,
+  CASE WHEN c_acctbal IS NOT NULL AND c_acctbal < 0.0
+       THEN 0.0 ELSE c_acctbal END AS c_acctbal,
+  CASE WHEN c_mktsegment IS NOT NULL
+            AND c_mktsegment NOT IN ('BUILDING','AUTOMOBILE','MACHINERY')
+       THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+  CASE WHEN c_name IS NOT NULL AND length(c_name) > 15
+       THEN substr(c_name, 1, 15) ELSE c_name END AS c_name
+FROM customer
+"""
+
+
 MASK_CONTRACT = """
 id: entry-mask
 models:
@@ -2005,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_mask": q_pii_mask,
         "benchmark_decontam": q_benchmark_decontam,
         "contract_suggest": q_contract_suggest,
+        "contract_repair": q_contract_repair,
         "split_sample_assign": q_split_sample_assign,
         "weighted_sample": q_weighted_sample,
         "drift_categorical_psi": q_drift_categorical_psi,
@@ -2059,6 +2101,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_mask": SQL_PII_MASK,
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,
         "contract_suggest": SQL_CONTRACT_SUGGEST,
+        "contract_repair": SQL_CONTRACT_REPAIR,
         "split_sample_assign": _sql_split_sample_assign(),
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "drift_categorical_psi": SQL_DRIFT_CATEGORICAL_PSI,

@@ -163,6 +163,7 @@ OPERATOR_QUERIES = [
     "pii_mask",
     "benchmark_decontam",
     "contract_suggest",
+    "contract_repair",
     "split_sample_assign",
     "weighted_sample",
     "winnowing_fingerprints",

@@ -1,0 +1,94 @@
+"""Contract-driven value repair (dcspark/repair.py): coerce/null/keep
+strategies, type preservation, report counts, single-projection plan gate,
+and repair-then-validate composition."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dcspark import DataContractSpecification, ValidationConfig, validate
+from dcspark import repair as repair_mod
+from dcspark.run_model import ResultEnum
+
+CONTRACT = """
+id: repair-test
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      dur_ms: {type: integer, minimum: 100, maximum: 1000}
+      codec: {type: string, enum: [pcm, flac]}
+      lang: {type: string, pattern: '^[a-z]{2}$'}
+      name: {type: string, maxLength: 4, minLength: 2}
+"""
+
+ROWS = [
+    ("c1", 500, "pcm", "en", "abcd"),   # clean
+    ("c2", 50, "pcm", "en", "abcd"),    # below minimum -> clamp to 100
+    ("c3", 5000, "pcm", "en", "abcd"),  # above maximum -> clamp to 1000
+    ("c4", 500, "mp3", "en", "abcd"),   # enum violation -> NULL
+    ("c5", 500, "pcm", "EN", "abcd"),   # pattern violation -> NULL
+    ("c6", 500, "pcm", "en", "abcdefg"),  # too long -> truncate to 'abcd'
+    ("c7", 500, "pcm", "en", "a"),      # too short -> NULL
+    ("c8", None, None, None, None),     # NULLs untouched
+]
+SCHEMA = "clip_id string, dur_ms int, codec string, lang string, name string"
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return DataContractSpecification.from_string(CONTRACT)
+
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_coerce_defaults(spark, spec, clips):
+    fixed = repair_mod.repair(clips, spec, "clips")
+    assert fixed.columns == clips.columns
+    assert dict(fixed.dtypes) == dict(clips.dtypes)  # types preserved
+    rows = {r["clip_id"]: r for r in fixed.collect()}
+    assert rows["c1"]["dur_ms"] == 500 and rows["c1"]["name"] == "abcd"
+    assert rows["c2"]["dur_ms"] == 100      # clamped to minimum
+    assert rows["c3"]["dur_ms"] == 1000     # clamped to maximum
+    assert rows["c4"]["codec"] is None      # enum violation nulled
+    assert rows["c5"]["lang"] is None       # pattern violation nulled
+    assert rows["c6"]["name"] == "abcd"     # truncated
+    assert rows["c7"]["name"] is None       # too short nulled
+    assert rows["c8"]["dur_ms"] is None     # NULL in, NULL out
+
+
+def test_strategies_null_and_keep(spark, spec, clips):
+    fixed = repair_mod.repair(
+        clips, spec, "clips", strategies={"dur_ms": "null", "name": "keep"})
+    rows = {r["clip_id"]: r for r in fixed.collect()}
+    assert rows["c2"]["dur_ms"] is None     # null strategy: no clamping
+    assert rows["c6"]["name"] == "abcdefg"  # keep: untouched
+    with pytest.raises(ValueError, match="repair strategy"):
+        repair_mod.repair(clips, spec, "clips", strategies={"lang": "fix"})
+
+
+def test_repair_report_counts(spark, spec, clips):
+    rep = {r["field"]: r["would_repair"]
+           for r in repair_mod.repair_report(clips, spec, "clips").collect()}
+    assert rep == {"dur_ms": 2, "codec": 1, "lang": 1, "name": 2}
+
+
+def test_repaired_data_validates(spark, spec, clips):
+    """repair -> validate composition: every value-constraint check passes on
+    the repaired frame (NULLed values surface only in missing counts, and no
+    field here is required)."""
+    fixed = repair_mod.repair(clips, spec, "clips")
+    res = validate(spark, spec, {"clips": fixed}, ValidationConfig())
+    bad = [c.key for c in res.run.checks if c.result != ResultEnum.passed]
+    assert res.run.result == ResultEnum.passed, bad
+
+
+def test_repair_single_projection_plan(spark, spec, clips):
+    fixed = repair_mod.repair(clips, spec, "clips")
+    fixed.collect()
+    plan = fixed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(1) Project" in plan
