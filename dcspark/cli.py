@@ -261,6 +261,29 @@ def cmd_mask(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_repair(args: argparse.Namespace) -> int:
+    """Write repaired copies of each model's table (clamp/truncate/null per
+    contract constraints) — see dcspark/repair.py."""
+    from . import repair as repair_mod
+    from .io import load_tables
+    from .spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_file(args.contract)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
+    models = [args.model] if args.model else list(tables)
+    for model_name in models:
+        report = repair_mod.repair_report(tables[model_name], spec, model_name)
+        counts = {r["field"]: r["would_repair"] for r in report.collect()}
+        out = f"{args.output}/{model_name}"
+        repair_mod.repair(tables[model_name], spec, model_name) \
+            .write.mode("overwrite").parquet(out)
+        print(f"repair: {model_name} "
+              f"({', '.join(f'{f}:{n}' for f, n in sorted(counts.items())) or 'no fixes'})"
+              f" -> {out}")
+    return 0
+
+
 def cmd_suggest(args: argparse.Namespace) -> int:
     """Draft a contract FROM data (two scans per model) — see
     dcspark/suggest.py."""
@@ -512,6 +535,16 @@ def main(argv: Optional[list] = None) -> int:
     mk.add_argument("--shuffle-partitions", type=int, default=None)
     mk.add_argument("--output", required=True, help="base dir; writes <out>/<model>")
 
+    rp = sub.add_parser(
+        "repair", help="write repaired tables (clamp/truncate/null per contract)")
+    rp.add_argument("contract")
+    rp.add_argument("--server", default=None)
+    rp.add_argument("--path", default=None)
+    rp.add_argument("--model", default=None, help="repair only this model")
+    rp.add_argument("--master", default=None)
+    rp.add_argument("--shuffle-partitions", type=int, default=None)
+    rp.add_argument("--output", required=True, help="base dir; writes <out>/<model>")
+
     sg = sub.add_parser(
         "suggest", help="draft a contract FROM data (constraints that hold)")
     sg.add_argument("contract", nargs="?", default=None,
@@ -598,6 +631,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_mask(args)
     if args.command == "suggest":
         return cmd_suggest(args)
+    if args.command == "repair":
+        return cmd_repair(args)
     if args.command == "init":
         return cmd_init(args)
     if args.command == "api":

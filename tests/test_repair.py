@@ -92,3 +92,19 @@ def test_repair_single_projection_plan(spark, spec, clips):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "*(1) Project" in plan
+
+
+def test_cli_repair_command(spark, spec, clips, tmp_path):
+    from dcspark.cli import main
+
+    base = str(tmp_path / "in")
+    clips.write.parquet(f"{base}/clips.parquet")
+    cpath = str(tmp_path / "c.yaml")
+    with open(cpath, "w") as f:
+        f.write(CONTRACT)
+    out = str(tmp_path / "out")
+    rc = main(["repair", cpath, "--path", base, "--output", out,
+               "--master", "local[2]"])
+    assert rc == 0
+    got = {r["clip_id"]: r for r in spark.read.parquet(f"{out}/clips").collect()}
+    assert got["c2"]["dur_ms"] == 100 and got["c6"]["name"] == "abcd"
