@@ -273,14 +273,14 @@ def cmd_repair(args: argparse.Namespace) -> int:
     tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
     models = [args.model] if args.model else list(tables)
     for model_name in models:
-        report = repair_mod.repair_report(tables[model_name], spec, model_name)
-        counts = {r["field"]: r["would_repair"] for r in report.collect()}
+        # the static plan costs no scan; use `repair_report` from the library
+        # when per-field counts are worth a dedicated aggregate pass
+        fields = repair_mod.repaired_fields(spec, model_name)
         out = f"{args.output}/{model_name}"
         repair_mod.repair(tables[model_name], spec, model_name) \
             .write.mode("overwrite").parquet(out)
         print(f"repair: {model_name} "
-              f"({', '.join(f'{f}:{n}' for f, n in sorted(counts.items())) or 'no fixes'})"
-              f" -> {out}")
+              f"(fields: {', '.join(fields) or 'none'}) -> {out}")
     return 0
 
 

@@ -12,7 +12,12 @@ passes. Default strategy per constraint:
   valid prefix);
 - ``minLength`` / ``enum`` / ``pattern`` / ``format`` violations: NULL the
   value — there is no mechanical fix, and a typed NULL is visible to the
-  required/missing checks downstream instead of masquerading as valid.
+  required/missing checks downstream instead of masquerading as valid;
+- ``exclusiveMinimum`` / ``exclusiveMaximum`` violations: NULL under every
+  strategy — an open interval has no well-defined nearest valid value.
+
+A value breaking several constraints ends NULL unless every break is
+coercible (NULL-ing fixes take precedence over clamp/truncate).
 
 Per-field ``strategies`` override: "coerce" (the defaults above), "null"
 (any violation nulls the value), "keep" (leave the field alone). Everything
@@ -32,14 +37,33 @@ from .compile import FORMAT_REGEX
 from .spec import DataContractSpecification
 
 
+_INT_TYPES = {"int", "integer", "long", "bigint"}
+
+
+def _clamp_lit(field_, bound: float) -> Column:
+    """Clamp target for an inclusive bound: on integral columns a fractional
+    bound rounds toward the INTERIOR of the range (ceil for minimum, floor
+    for maximum), so the clamped value still satisfies the constraint after
+    the type cast instead of truncating back outside it."""
+    import math
+
+    if (field_.type or "").lower() in _INT_TYPES:
+        is_min = bound == field_.minimum
+        return F.lit(int(math.ceil(bound) if is_min else math.floor(bound)))
+    return F.lit(bound)
+
+
 def _field_fix(fname: str, field_, strategy: str) -> Optional[Column]:
     """Repaired value expression for one field, or None if nothing to fix."""
     c = F.col(fname)
     null = F.lit(None)
     coerce = strategy == "coerce"
 
-    # violation -> replacement, applied innermost-first so a value that
-    # breaks several constraints ends NULL unless every break is coercible
+    # NULL-ing steps come first in this list; the wrap below applies the
+    # list in REVERSE so they end outermost — a value that breaks several
+    # constraints ends NULL unless every break is coercible (e.g. an
+    # oversize enum violation must NULL, not truncate to a still-invalid
+    # prefix)
     steps: List[Tuple[Column, Column]] = []
     if field_.enum:
         steps.append((~c.isin(list(field_.enum)), null))
@@ -52,6 +76,12 @@ def _field_fix(fname: str, field_, strategy: str) -> Optional[Column]:
         steps.append((~c.rlike(rx), null))
     if field_.minLength is not None:
         steps.append((F.length(c) < field_.minLength, null))
+    # open intervals have no well-defined nearest valid value — exclusive
+    # bound violations NULL under every strategy
+    if field_.exclusiveMinimum is not None:
+        steps.append((c <= field_.exclusiveMinimum, null))
+    if field_.exclusiveMaximum is not None:
+        steps.append((c >= field_.exclusiveMaximum, null))
     if field_.maxLength is not None:
         steps.append((
             F.length(c) > field_.maxLength,
@@ -59,15 +89,15 @@ def _field_fix(fname: str, field_, strategy: str) -> Optional[Column]:
     if field_.minimum is not None:
         steps.append((
             c < field_.minimum,
-            F.lit(field_.minimum) if coerce else null))
+            _clamp_lit(field_, field_.minimum) if coerce else null))
     if field_.maximum is not None:
         steps.append((
             c > field_.maximum,
-            F.lit(field_.maximum) if coerce else null))
+            _clamp_lit(field_, field_.maximum) if coerce else null))
     if not steps:
         return None
     out = c
-    for pred, repl in steps:
+    for pred, repl in reversed(steps):
         out = F.when(c.isNotNull() & pred, repl).otherwise(out)
     return out
 
@@ -80,6 +110,11 @@ def _plan(
     model = spec.models.get(model_name)
     if model is None:
         return {}
+    unknown = set(strategies or {}) - set(model.fields)
+    if unknown:
+        raise ValueError(
+            f"repair strategies name unknown field(s) {sorted(unknown)} "
+            f"(model {model_name!r} declares {sorted(model.fields)})")
     fixes: Dict[str, Column] = {}
     for fname, field_ in model.fields.items():
         strategy = (strategies or {}).get(fname, "coerce")
@@ -93,6 +128,15 @@ def _plan(
         if fix is not None:
             fixes[fname] = fix
     return fixes
+
+
+def repaired_fields(
+    spec: DataContractSpecification,
+    model_name: str,
+    strategies: Optional[Dict[str, str]] = None,
+) -> List[str]:
+    """Field names the repair pass would touch — the static plan, no scan."""
+    return sorted(_plan(spec, model_name, strategies))
 
 
 def repair(
@@ -121,7 +165,10 @@ def repair_report(
     pass would change, in ONE aggregate over the table (review before
     coercing). Counts compare the fixed expression against the original with
     NULL-safe equality, so a value nulled by repair counts exactly once."""
-    fixes = _plan(spec, model_name, strategies)
+    # contract fields absent from the frame have nothing to repair (schema
+    # presence is the validator's check, not the repairer's crash)
+    fixes = {c: fx for c, fx in _plan(spec, model_name, strategies).items()
+             if c in df.columns}
     spark = df.sparkSession
     if not fixes:
         return spark.createDataFrame([], "field string, would_repair bigint")

@@ -108,3 +108,64 @@ def test_cli_repair_command(spark, spec, clips, tmp_path):
     assert rc == 0
     got = {r["clip_id"]: r for r in spark.read.parquet(f"{out}/clips").collect()}
     assert got["c2"]["dur_ms"] == 100 and got["c6"]["name"] == "abcd"
+
+
+def test_null_fixes_take_precedence_over_coercion(spark):
+    """A value breaking both a coercible and a non-coercible constraint must
+    end NULL — truncating an enum violation to a still-invalid prefix would
+    break repair-then-validate (regression)."""
+    spec2 = DataContractSpecification.from_string("""
+id: mixed
+models:
+  m:
+    fields:
+      k: {type: string, primaryKey: true}
+      codec: {type: string, enum: [pcm, flac], maxLength: 4}
+      n: {type: integer, enum: [1, 2, 3], maximum: 10}
+""")
+    df = spark.createDataFrame(
+        [("k1", "opusx", 99), ("k2", "flacc", 2), ("k3", "pcm", 50)],
+        "k string, codec string, n int")
+    rows = {r["k"]: r for r in repair_mod.repair(df, spec2, "m").collect()}
+    assert rows["k1"]["codec"] is None   # enum break wins over truncation
+    assert rows["k2"]["codec"] is None   # 'flac' prefix would be valid, but
+    # the ORIGINAL value broke enum -> NULL (no re-evaluation after fixes)
+    assert rows["k1"]["n"] is None       # enum break wins over clamping
+    assert rows["k3"]["n"] is None       # 50 violates both -> NULL
+    res = validate(spark, spec2, {"m": repair_mod.repair(df, spec2, "m")},
+                   ValidationConfig())
+    assert res.run.result == ResultEnum.passed
+
+
+def test_exclusive_bounds_null_and_fractional_clamp(spark):
+    spec2 = DataContractSpecification.from_string("""
+id: bounds
+models:
+  m:
+    fields:
+      k: {type: string, primaryKey: true}
+      x: {type: double, exclusiveMinimum: 0.0}
+      d: {type: integer, minimum: 100.5}
+""")
+    df = spark.createDataFrame(
+        [("k1", -5.0, 50), ("k2", 1.0, 200)], "k string, x double, d int")
+    rows = {r["k"]: r for r in repair_mod.repair(df, spec2, "m").collect()}
+    assert rows["k1"]["x"] is None       # open interval: NULL, never clamp
+    assert rows["k2"]["x"] == 1.0
+    assert rows["k1"]["d"] == 101        # fractional bound rounds INTO range
+    res = validate(spark, spec2, {"m": repair_mod.repair(df, spec2, "m")},
+                   ValidationConfig())
+    assert res.run.result == ResultEnum.passed
+
+
+def test_report_skips_absent_fields_and_rejects_unknown_strategy_keys(spark, spec):
+    spec2 = DataContractSpecification.from_string(CONTRACT.replace(
+        "      name: {type: string, maxLength: 4, minLength: 2}",
+        "      name: {type: string, maxLength: 4, minLength: 2}\n"
+        "      extra: {type: string, maxLength: 4}"))
+    df = spark.createDataFrame([("c1", 500, "pcm", "en", "abcd")], SCHEMA)
+    rep = {r["field"]: r["would_repair"]
+           for r in repair_mod.repair_report(df, spec2, "clips").collect()}
+    assert "extra" not in rep            # absent column: skipped, not a crash
+    with pytest.raises(ValueError, match="unknown field"):
+        repair_mod.repair(df, spec2, "clips", strategies={"nmae": "keep"})
