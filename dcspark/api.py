@@ -96,7 +96,9 @@ class _Handler(BaseHTTPRequestHandler):
                 from .export import export
 
                 out = export(spec, doc.get("format", "jsonschema"),
-                             model=doc.get("model"))
+                             model=doc.get("model"),
+                             server=doc.get("server"),
+                             template=doc.get("template"))
                 self._reply(200, {"result": out})
             elif self.path == "/test":
                 from .engine import ValidationConfig, validate

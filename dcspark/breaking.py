@@ -141,6 +141,19 @@ def _diff_field(out: BreakingChanges, loc: str, old: Field, new: Field,
     for name in new.fields:
         if name not in old.fields:
             _emit(out, "field_added", f"{loc}.{name}", "nested field added", include_info)
+    # collection element types: array items, map keys/values — an element
+    # type change (array<int> -> array<string>) is exactly as breaking as a
+    # top-level type change and must not diff as "no change"
+    for sub, label in (("items", "[items]"), ("keys", "[keys]"), ("values", "[values]")):
+        osub, nsub = getattr(old, sub, None), getattr(new, sub, None)
+        if osub is None and nsub is None:
+            continue
+        if osub is None:
+            _emit(out, "field_added", f"{loc}{label}", "element schema added", include_info)
+        elif nsub is None:
+            _emit(out, "field_removed", f"{loc}{label}", "element schema removed", include_info)
+        else:
+            _diff_field(out, f"{loc}{label}", osub, nsub, include_info)
 
 
 def breaking(

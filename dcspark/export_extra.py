@@ -83,7 +83,9 @@ def to_odcs_v3(spec: DataContractSpecification) -> Dict[str, Any]:
             if f.title:
                 prop["businessName"] = f.title
             if f.type:
-                prop["logicalType"] = _ODCS_LOGICAL.get(f.type.lower())
+                logical = _ODCS_LOGICAL.get(f.type.lower())
+                if logical is not None:  # a null logicalType fails ODCS validation
+                    prop["logicalType"] = logical
                 prop["physicalType"] = f.type
             if f.description:
                 prop["description"] = f.description
@@ -273,7 +275,7 @@ _BQ_TYPES = {
     "timestamp": "TIMESTAMP", "timestamp_tz": "TIMESTAMP",
     "timestamp_ntz": "TIME", "date": "DATE",
     "number": "NUMERIC", "decimal": "NUMERIC", "numeric": "NUMERIC",
-    "double": "BIGNUMERIC", "struct": "STRUCT",
+    "double": "FLOAT64", "struct": "STRUCT",
 }
 
 
@@ -287,8 +289,9 @@ def _bq_field(name: str, f: Field) -> Dict[str, Any]:
         "name": name,
         "type": bq_type,
         "mode": "REQUIRED" if f.required else "NULLABLE",
-        "description": f.description,
     }
+    if f.description is not None:
+        out["description"] = f.description
     if ftype == "array":
         out["mode"] = "REPEATED"
         if f.items is not None and (f.items.type or "").lower() in ("object", "record", "struct"):
@@ -298,11 +301,14 @@ def _bq_field(name: str, f: Field) -> Dict[str, Any]:
             out["type"] = _BQ_TYPES.get((f.items.type or "string").lower(), "STRING")
     elif bq_type in ("RECORD", "STRUCT"):
         out["fields"] = [_bq_field(n, c) for n, c in (f.fields or {}).items()]
-    if out["type"] == "STRING":
+    # the tables API rejects null-valued properties — omit, never emit null
+    if out["type"] == "STRING" and f.maxLength is not None:
         out["maxLength"] = f.maxLength
     if out["type"] in ("NUMERIC", "BIGNUMERIC"):
-        out["precision"] = f.precision
-        out["scale"] = f.scale
+        if f.precision is not None:
+            out["precision"] = f.precision
+        if f.scale is not None:
+            out["scale"] = f.scale
     return out
 
 
@@ -456,8 +462,12 @@ def to_pydantic_model(spec: DataContractSpecification) -> str:
         for fname, f in fields.items():
             ann = annotate(name, fname, f, nested)
             if not f.required:
-                ann = f"typing.Optional[{ann}]"
-            body.append(f"    {_py_ident(fname)}: {ann}")
+                # pydantic v2: Optional[X] alone is still REQUIRED; the
+                # default makes the field actually omittable
+                body.append(
+                    f"    {_py_ident(fname)}: typing.Optional[{ann}] = None")
+            else:
+                body.append(f"    {_py_ident(fname)}: {ann}")
         block = "\n\n".join(nested + [
             f"class {name}(pydantic.BaseModel):\n" + ("\n".join(body) or "    pass")
         ])

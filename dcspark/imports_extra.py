@@ -269,10 +269,38 @@ _SQL_TO_CONTRACT: List[Tuple[str, str]] = [
 ]
 
 
+_SQL_TYPE_WORDS = {
+    "varchar", "char", "character", "text", "string", "nvarchar", "clob",
+    "int", "integer", "bigint", "smallint", "tinyint", "serial", "bigserial",
+    "double", "float", "real", "decimal", "numeric", "number",
+    "bool", "boolean", "timestamp", "timestamptz", "datetime", "date", "time",
+    "blob", "bytea", "binary", "varbinary", "array", "struct", "map", "json",
+}
+
+
+def _is_table_constraint(part: str) -> bool:
+    """True for table-level constraint clauses, never for column definitions.
+
+    Word boundaries matter: a column named ``constraint_id`` or ``key`` must
+    NOT be swallowed by the constraint filter. ``KEY idx (c)`` (MySQL) and a
+    column ``key varchar(10)`` share the shape ``key <word>(...)``; the
+    second word being a known SQL type is what marks it as a column."""
+    p = part.strip().lower()
+    if re.match(r"(constraint\b|foreign\s+key\b|unique\s*\(|check\s*\()", p):
+        return True
+    m = re.match(r"(?:key|index)\s+(\w+)", p)
+    if m:
+        return m.group(1) not in _SQL_TYPE_WORDS
+    return bool(re.match(r"(?:key|index)\s*\(", p))
+
+
 def _sql_col_type(raw: str) -> Field:
     t = raw.strip().lower()
     for pat, ctype in _SQL_TO_CONTRACT:
-        m = re.match(pat + r"\b", t) or re.fullmatch(pat, t)
+        # (?!\w) instead of \b: after "varchar(255)" the next char is a space
+        # and ")"+" " has no word boundary, so \b silently dropped maxLength
+        # whenever constraints followed the type
+        m = re.match(pat + r"(?!\w)", t)
         if m:
             f = Field(type=ctype)
             if ctype == "varchar" and m.groups() and m.group(1):
@@ -307,11 +335,13 @@ def import_from_sql(source: str, contract_id: str = "imported") -> DataContractS
             part = part.strip().rstrip(",").strip()
             if not part:
                 continue
-            m = re.match(r"primary\s+key\s*\(([^)]*)\)", part, re.IGNORECASE)
+            m = re.match(
+                r"(?:constraint\s+\w+\s+)?primary\s+key\s*\(([^)]*)\)",
+                part, re.IGNORECASE)
             if m:
                 pks += [c.strip().strip('"`') for c in m.group(1).split(",")]
                 continue
-            if re.match(r"(constraint|foreign|unique\s*\(|key\s|index\s)", part, re.IGNORECASE):
+            if _is_table_constraint(part):
                 continue
             cm = re.match(r"[\"'`]?(\w+)[\"'`]?\s+(.+)", part, re.DOTALL)
             if not cm:
@@ -406,16 +436,20 @@ def import_from_dbml(source: str, contract_id: str = "imported") -> DataContract
                 continue
             cname, ctype, settings = cm.group(1), cm.group(2), cm.group(4) or ""
             f = _sql_col_type(ctype)
-            low = settings.lower()
-            if "pk" in low or "primary key" in low:
-                f.primaryKey = True
-            if "not null" in low:
-                f.required = True
-            if "unique" in low:
-                f.unique = True
             nm = re.search(r"note:\s*'([^']*)'", settings)
             if nm:
                 f.description = nm.group(1)
+            # parse the settings LIST, note text excluded — a description
+            # containing the words 'unique' or 'pk' must not invent
+            # constraints (substring matching over the raw bracket body did)
+            cleaned = re.sub(r"note:\s*'[^']*'", "", settings)
+            tokens = {t.strip().lower() for t in cleaned.split(",") if t.strip()}
+            if "pk" in tokens or "primary key" in tokens:
+                f.primaryKey = True
+            if "not null" in tokens:
+                f.required = True
+            if "unique" in tokens:
+                f.unique = True
             fields[cname] = f
         spec.models[tname] = Model(type="table", fields=fields)
     for rm in re.finditer(
@@ -450,9 +484,17 @@ def import_from_protobuf(source: str, contract_id: str = "imported") -> DataCont
     spec = _base(contract_id)
 
     def parse_block(body: str) -> Dict[str, str]:
-        """name -> inner body for each `message`/`enum` block (depth-aware)."""
+        """name -> inner body for each TOP-LEVEL `message`/`enum` block.
+
+        Depth-aware, and matches that start inside an already-captured block
+        are skipped — a nested `message LineItem {...}` belongs to its parent
+        as a struct field, never to the model list (a phantom top-level model
+        would make the engine look for a table that doesn't exist)."""
         blocks = {}
+        pos = 0
         for m in re.finditer(r"\b(message|enum)\s+(\w+)\s*\{", body):
+            if m.start() < pos:
+                continue  # nested inside the previous top-level block
             depth, i = 1, m.end()
             while i < len(body) and depth:
                 if body[i] == "{":
@@ -461,6 +503,7 @@ def import_from_protobuf(source: str, contract_id: str = "imported") -> DataCont
                     depth -= 1
                 i += 1
             blocks[(m.group(1), m.group(2))] = body[m.end():i - 1]
+            pos = i
         return blocks
 
     top = parse_block(text)

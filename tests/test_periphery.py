@@ -723,3 +723,127 @@ def test_warehouse_example_contract_lints_and_compiles():
     opts = jdbc_options(spec.servers["prod"], "orders")
     assert opts["url"] == "jdbc:postgresql://warehouse.internal:5432/analytics"
     assert opts["dbtable"] == "public.orders"
+
+
+# -- periphery review-fix regressions -----------------------------------------
+
+
+def test_sql_import_keeps_constraintlike_column_names():
+    from dcspark.imports_extra import import_from_sql
+
+    spec = import_from_sql(
+        "create table t (name varchar(255) not null, constraint_id int, "
+        "key varchar(10), constraint pk_t primary key (name));")
+    f = spec.models["t"].fields
+    assert set(f) == {"name", "constraint_id", "key"}
+    assert f["name"].maxLength == 255       # survives trailing NOT NULL
+    assert f["name"].required is True
+    assert f["key"].maxLength == 10
+    assert f["name"].primaryKey is True     # table-level PK still applied
+
+
+def test_protobuf_nested_message_stays_nested():
+    from dcspark.imports_extra import import_from_protobuf
+
+    spec = import_from_protobuf("""
+syntax = "proto3";
+message Order {
+  message LineItem { string sku = 1; }
+  string id = 1;
+  repeated LineItem items = 2;
+}
+""")
+    assert list(spec.models) == ["Order"]   # no phantom LineItem model
+
+
+def test_dbml_note_text_does_not_invent_constraints():
+    from dcspark.imports_extra import import_from_dbml
+
+    spec = import_from_dbml("""
+Table "users" {
+  "label" "VARCHAR" [note: 'unique identifier for the pkg user']
+  "uid" "VARCHAR" [unique, not null]
+}
+""")
+    f = spec.models["users"].fields
+    assert f["label"].unique is None and f["label"].primaryKey is None
+    assert f["label"].description == "unique identifier for the pkg user"
+    assert f["uid"].unique is True and f["uid"].required is True
+
+
+def test_breaking_detects_array_element_type_change():
+    from dcspark.breaking import breaking
+    from dcspark.spec import DataContractSpecification
+
+    old = DataContractSpecification.from_string("""
+id: a
+models:
+  m:
+    fields:
+      tags: {type: array, items: {type: integer}}
+""")
+    new = DataContractSpecification.from_string("""
+id: a
+models:
+  m:
+    fields:
+      tags: {type: array, items: {type: string}}
+""")
+    changes = breaking(old, new)
+    assert any("tags[items]" in c.location and "type" in c.rule
+               for c in changes.changes)
+
+
+def test_pydantic_export_optional_fields_have_defaults():
+    from dcspark.export_extra import to_pydantic_model
+    from dcspark.spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_string("""
+id: p
+models:
+  m:
+    fields:
+      a: {type: string, required: true}
+      b: {type: string}
+""")
+    src = to_pydantic_model(spec)
+    assert "b: typing.Optional[str] = None" in src
+    ns: dict = {}
+    exec(src, ns)                       # generated module imports and runs
+    inst = ns["M"](a="x")               # omitting optional b must be valid
+    assert inst.b is None
+
+
+def test_bigquery_export_omits_null_props_and_float64_double():
+    from dcspark.export_extra import to_bigquery_schema
+    from dcspark.spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_string("""
+id: b
+models:
+  m:
+    fields:
+      s: {type: string}
+      d: {type: double}
+""")
+    fields = {f["name"]: f for f in
+              to_bigquery_schema(spec)["schema"]["fields"]}
+    assert "maxLength" not in fields["s"] and "description" not in fields["s"]
+    assert fields["d"]["type"] == "FLOAT64"
+    assert "precision" not in fields["d"]
+
+
+def test_odcs_export_omits_unknown_logical_type():
+    from dcspark.export_extra import to_odcs_v3
+    from dcspark.spec import DataContractSpecification
+
+    spec = DataContractSpecification.from_string("""
+id: o
+models:
+  m:
+    fields:
+      kv: {type: map, keys: {type: string}, values: {type: string}}
+""")
+    prop = to_odcs_v3(spec)["schema"][0]["properties"][0]
+    assert "logicalType" not in prop    # null logicalType fails ODCS validation
+    assert prop["physicalType"] == "map"
