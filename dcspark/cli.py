@@ -251,10 +251,17 @@ def cmd_mask(args: argparse.Namespace) -> int:
     spark = _build_spark(args.master, args.shuffle_partitions)
     tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
     models = [args.model] if args.model else list(tables)
+    salt = args.salt
+    if salt is None:
+        import secrets
+
+        salt = secrets.token_hex(16)
+        print(f"mask: no --salt given; generated salt {salt} "
+              "(keep it to reproduce the same pseudonyms)")
     for model_name in models:
         plan = mask_mod.masking_plan(spec, model_name)
         out = f"{args.output}/{model_name}"
-        mask_mod.mask(tables[model_name], spec, model_name, salt=args.salt) \
+        mask_mod.mask(tables[model_name], spec, model_name, salt=salt) \
             .write.mode("overwrite").parquet(out)
         print(f"mask: {model_name} ({len(plan)} sensitive fields: "
               f"{', '.join(f'{f}:{s}' for f, s in plan) or 'none'}) -> {out}")
@@ -530,7 +537,10 @@ def main(argv: Optional[list] = None) -> int:
     mk.add_argument("--server", default=None)
     mk.add_argument("--path", default=None)
     mk.add_argument("--model", default=None, help="mask only this model")
-    mk.add_argument("--salt", default="", help="pseudonym namespace salt")
+    mk.add_argument(
+        "--salt", default=None,
+        help="pseudonym namespace salt (random one generated and printed "
+             "if omitted; '' gives linkable, dictionary-reversible hashes)")
     mk.add_argument("--master", default=None)
     mk.add_argument("--shuffle-partitions", type=int, default=None)
     mk.add_argument("--output", required=True, help="base dir; writes <out>/<model>")

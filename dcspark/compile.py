@@ -397,18 +397,21 @@ def _element_constraints(f_: Field, path: str = "") -> List["ElementConstraint"]
             f"element <= {f_.maximum}")
     if f_.exclusiveMinimum is not None:
         # exclusive emits bound + not-equal, mirroring the top-level parity rule
-        # (data_contract_checks.py:48-53)
-        add("minimum", f"minimum {f_.exclusiveMinimum}",
+        # (data_contract_checks.py:48-53). check_types are distinct from the
+        # inclusive "minimum"/"maximum" (and from each other when both
+        # exclusive bounds are set) so the shared-scan exprs dict — keyed by
+        # agg_alias — never silently overwrites one aggregate with another.
+        add("exclusive_minimum", f"minimum {f_.exclusiveMinimum}",
             bind(lambda x, v: at(x).isNotNull() & (at(x) < F.lit(v)), v=f_.exclusiveMinimum),
             f"element >= {f_.exclusiveMinimum}")
-        add("not_equal", f"not equal {f_.exclusiveMinimum}",
+        add("not_equal_minimum", f"not equal {f_.exclusiveMinimum}",
             bind(lambda x, v: at(x).isNotNull() & (at(x) == F.lit(v)), v=f_.exclusiveMinimum),
             f"element != {f_.exclusiveMinimum}")
     if f_.exclusiveMaximum is not None:
-        add("maximum", f"maximum {f_.exclusiveMaximum}",
+        add("exclusive_maximum", f"maximum {f_.exclusiveMaximum}",
             bind(lambda x, v: at(x).isNotNull() & (at(x) > F.lit(v)), v=f_.exclusiveMaximum),
             f"element <= {f_.exclusiveMaximum}")
-        add("not_equal", f"not equal {f_.exclusiveMaximum}",
+        add("not_equal_maximum", f"not equal {f_.exclusiveMaximum}",
             bind(lambda x, v: at(x).isNotNull() & (at(x) == F.lit(v)), v=f_.exclusiveMaximum),
             f"element != {f_.exclusiveMaximum}")
     if f_.minLength is not None:
@@ -823,7 +826,10 @@ def check_audio_near_dup(model: str, q: Quality, idx: int) -> CompiledCheck:
     name = q.description or "Audio content uniqueness (fingerprint near-dup)"
     evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
     return CompiledCheck(
-        key=_key(model, None, "audio_content_uniqueness"),
+        # idx keeps two content-uniqueness rules on one model (different
+        # thresholds or bytes columns) from colliding on key, mirroring
+        # audio_signal_quality_{idx}
+        key=_key(model, None, f"audio_content_uniqueness_{idx}"),
         check_type="audio_content_uniqueness",
         category="audio",
         name=name,

@@ -1520,6 +1520,13 @@ class Validator:
             "feat_bins": feat_bins or {},
             "feat_limits": feat_limits or [],
             "pctl_cols": pctl_cols or [],
+            # sketch configs: manifest HLL sketches of a different lgConfigK
+            # would make hll_union_agg throw on resume, and t-digests of a
+            # different delta would merge at the wrong compression — both are
+            # state-compatibility parameters, so a change invalidates and
+            # rescans instead of failing the merged run
+            "hll_lgk": self.config.unique_hll_lgk,
+            "tdigest_delta": self.config.pctl_tdigest_delta,
             "drift": [
                 {"p": j["prefix"], "m": j["method"],
                  "s": {k: j["stats"].get(k) for k in

@@ -100,6 +100,16 @@ def to_odcs_v3(spec: DataContractSpecification) -> Dict[str, Any]:
                 prop["primaryKeyPosition"] = 1
             if f.pii is not None:
                 prop["customProperties"] = [{"property": "pii", "value": f.pii}]
+            # field constraints ride logicalTypeOptions so the documented
+            # round-trip keeps them (reference odcs_v3_exporter.py:252-268)
+            lto: Dict[str, Any] = {}
+            for attr in ("minLength", "maxLength", "pattern", "minimum",
+                         "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+                v = getattr(f, attr, None)
+                if v is not None:
+                    lto[attr] = v
+            if lto:
+                prop["logicalTypeOptions"] = lto
             if f.quality:
                 prop["quality"] = [
                     q.model_dump(exclude_none=True, exclude_defaults=True) for q in f.quality

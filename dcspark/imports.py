@@ -354,6 +354,14 @@ def import_from_odcs_v3(doc, contract_id: Optional[str] = None) -> DataContractS
                 primaryKey=bool(prop.get("primaryKey")) if pk_count == 1 else False,
                 classification=prop.get("classification"),
             )
+            # constraints round-trip via logicalTypeOptions (reference
+            # odcs_v3_importer reads these back; exporter writes them at
+            # odcs_v3_exporter.py:252-268)
+            lto = prop.get("logicalTypeOptions") or {}
+            for attr in ("minLength", "maxLength", "pattern", "minimum",
+                         "maximum", "exclusiveMinimum", "exclusiveMaximum"):
+                if lto.get(attr) is not None:
+                    setattr(f, attr, lto[attr])
             if prop.get("quality"):
                 f.quality = [Quality.model_validate(q) for q in prop["quality"]]
             fields[prop["name"]] = f

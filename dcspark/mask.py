@@ -72,16 +72,30 @@ def mask(
     df: DataFrame,
     spec: DataContractSpecification,
     model_name: str,
-    salt: str = "",
+    salt: Optional[str] = None,
     overrides: Optional[Dict[str, str]] = None,
 ) -> DataFrame:
     """Masked view of ``df`` per the contract's sensitivity declarations —
     one codegen projection, column order unchanged. ``salt`` scopes the
     pseudonym namespace: the same (value, salt) always maps to the same
     digest, a new salt unlinks every prior pseudonym. Forcing ``hash`` on a
-    non-string field via ``overrides`` re-types that column to string."""
+    non-string field via ``overrides`` re-types that column to string.
+
+    ``salt`` is REQUIRED whenever any field uses the ``hash`` strategy:
+    an unsalted SHA-256 of low-entropy PII (emails, phone numbers, ids) is
+    trivially reversible by dictionary attack, so pseudonyms would give
+    linkability but no confidentiality. Pass ``salt=""`` explicitly only if
+    you accept that trade-off (e.g. cross-dataset linkage is the goal)."""
     exprs = []
     by_field = dict(masking_plan(spec, model_name, overrides))
+    if salt is None and any(s == "hash" for s in by_field.values()):
+        raise ValueError(
+            "mask() requires an explicit salt when any field uses the 'hash' "
+            "strategy: unsalted SHA-256 pseudonyms of guessable values are "
+            "dictionary-reversible. Pass a secret salt (e.g. "
+            "secrets.token_hex(16)), or salt='' to explicitly accept "
+            "linkable-but-not-confidential pseudonyms.")
+    salt = salt or ""
     for fname in df.columns:
         strategy = by_field.get(fname)
         if strategy is None or strategy == "keep":

@@ -141,12 +141,12 @@ def test_contract_content_uniqueness_fails_on_planted_dups(spark, clip_table):
     spec = DataContractSpecification.from_string(CONTRACT)
     res = validate(spark, spec, {"clips": clip_table}, ValidationConfig())
     by_key = {c.key: c for c in res.run.checks}
-    chk = by_key["clips__audio_content_uniqueness"]
+    chk = by_key["clips__audio_content_uniqueness_0"]
     assert chk.result == ResultEnum.failed
     # planted pairs: (clip_000, dup_gain) and (chirp_orig, chirp_noise)
-    assert res.metrics["clips__audio_content_uniqueness"] == 2.0
+    assert res.metrics["clips__audio_content_uniqueness_0"] == 2.0
     vio = [r for r in res.violations.collect()
-           if r["check_key"] == "clips__audio_content_uniqueness"]
+           if r["check_key"] == "clips__audio_content_uniqueness_0"]
     assert {r["clip_id"] for r in vio} == {"chirp_noise|chirp_orig",
                                            "clip_000|dup_gain"}
 
@@ -159,7 +159,7 @@ def test_contract_content_uniqueness_passes_distinct(spark):
     df = spark.createDataFrame(rows, "clip_id string, bytes binary")
     spec = DataContractSpecification.from_string(CONTRACT)
     res = validate(spark, spec, {"clips": df}, ValidationConfig())
-    chk = {c.key: c for c in res.run.checks}["clips__audio_content_uniqueness"]
+    chk = {c.key: c for c in res.run.checks}["clips__audio_content_uniqueness_0"]
     assert chk.result == ResultEnum.passed
 
 
@@ -174,7 +174,7 @@ def test_contract_content_uniqueness_threshold_form(spark, clip_table):
         "mustBeLessThanOrEqualTo: 2}")
     spec = DataContractSpecification.from_string(contract)
     res = validate(spark, spec, {"clips": clip_table}, ValidationConfig())
-    chk = {c.key: c for c in res.run.checks}["clips__audio_content_uniqueness"]
+    chk = {c.key: c for c in res.run.checks}["clips__audio_content_uniqueness_0"]
     assert chk.result == ResultEnum.passed
 
 
@@ -229,9 +229,10 @@ def test_fused_content_uniqueness_single_decode_pass(spark, clip_table):
     # decode-conformance fails on the broken clip only
     assert by_key["clips__audio_decode_conformance"].result == ResultEnum.failed
     assert res.metrics["clips__audio_decode_conformance"] == 1.0
-    # content-uniqueness still finds exactly the planted pairs
-    assert by_key["clips__audio_content_uniqueness"].result == ResultEnum.failed
-    assert res.metrics["clips__audio_content_uniqueness"] == 2.0
+    # content-uniqueness still finds exactly the planted pairs (key carries
+    # its quality-list index: second rule in FUSED_CONTRACT)
+    assert by_key["clips__audio_content_uniqueness_1"].result == ResultEnum.failed
+    assert res.metrics["clips__audio_content_uniqueness_1"] == 2.0
     # one decode per decodable clip — not two
     assert decoded_rows.value == 28
 

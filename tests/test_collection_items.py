@@ -110,3 +110,42 @@ def test_collection_scan_has_no_explode(spark):
     assert "Generate" not in plan and "Explode" not in plan
     # one single aggregate pass over the input, no shuffle of element data
     assert plan.count("HashAggregate") <= 2  # partial + final only
+
+
+def test_exclusive_and_inclusive_bounds_get_distinct_aggregates(spark):
+    """ADVICE r02 #2: an element declaring both minimum and exclusiveMinimum
+    (or maximum + exclusiveMaximum) must emit aggregates under DISTINCT
+    aliases — the shared-scan exprs dict is keyed by alias, so a collision
+    silently overwrites one metric with the other."""
+    contract = """
+id: excl-bounds
+models:
+  m:
+    fields:
+      id: {type: string, primaryKey: true}
+      xs:
+        type: array
+        items: {type: double, minimum: 0, exclusiveMinimum: 1,
+                maximum: 10, exclusiveMaximum: 9}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    checks = create_checks(spec)["m"]
+    aliases = [c.agg_alias for c in checks
+               if c.field == "xs" and c.agg_alias is not None]
+    assert len(aliases) == len(set(aliases)), f"alias collision: {aliases}"
+    keys = [c.key for c in checks if c.field == "xs"]
+    assert len(keys) == len(set(keys)), f"key collision: {keys}"
+    # minimum 0 vs exclusiveMinimum 1: value 0.5 violates only the exclusive
+    # bound; value -1 violates both; value 1.0 violates only the not-equal.
+    df = spark.createDataFrame(
+        [("a", [0.5]), ("b", [-1.0]), ("c", [1.0]), ("d", [5.0]),
+         ("e", [9.0]), ("f", [9.5]), ("g", [11.0])],
+        "id string, xs array<double>")
+    res = validate(spark, spec, {"m": df}, ValidationConfig())
+    m = res.metrics
+    assert m["m__xs[items]__items_minimum"] == 1            # -1 only
+    assert m["m__xs[items]__items_exclusive_minimum"] == 2  # -1, 0.5
+    assert m["m__xs[items]__items_not_equal_minimum"] == 1  # 1.0
+    assert m["m__xs[items]__items_maximum"] == 1            # 11 only
+    assert m["m__xs[items]__items_exclusive_maximum"] == 2  # 9.5, 11
+    assert m["m__xs[items]__items_not_equal_maximum"] == 1  # 9.0

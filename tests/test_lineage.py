@@ -149,3 +149,40 @@ def test_resume_invalidates_snapshot_rebuild(spark, tmp_path):
     assert len(_manifest_recs(ck)) == n_recs + 2  # both partitions rescanned
     psi_key = [k for k in res.metrics if "drift_psi" in k][0]
     assert res.metrics[psi_key] is not None and res.metrics[psi_key] < 1e-9
+
+
+def test_resume_invalidates_sketch_config_change(spark, tmp_path):
+    """ADVICE r02 #3: manifest HLL sketches written under one lgConfigK
+    cannot merge with fresh ones of another (hll_union_agg throws with
+    allowDifferentLgConfigK=false) — a changed unique_hll_lgk must trigger
+    the rescan path via state_sig, not fail the whole run."""
+    base, ck = str(tmp_path / "data"), str(tmp_path / "ck")
+    contract = """
+id: lgk-test
+models:
+  clips:
+    fields:
+      clip_id: {type: string, required: true, primaryKey: true, unique: true}
+      part: {type: string}
+      dur_ms: {type: integer}
+"""
+    _write_part(spark, base, "a", [(f"c{i}", 100 + i) for i in range(20)])
+    _write_part(spark, base, "b", [(f"d{i}", 300 + i) for i in range(20)])
+    spec = DataContractSpecification.from_string(contract)
+
+    def run(lgk, resume):
+        df = spark.read.parquet(base)
+        return validate(spark, spec, {"clips": df}, ValidationConfig(
+            partition_col="part", checkpoint_dir=ck, resume=resume,
+            unique_mode="approx", unique_hll_lgk=lgk))
+
+    first = run(12, resume=False)
+    key = "clips__clip_id__field_unique"
+    assert first.metrics[key] == 0.0
+    # resume with a different lgConfigK: stale records are invalidated and
+    # rescanned, the run completes with the same (correct) answer
+    resumed = run(14, resume=True)
+    assert resumed.metrics[key] == 0.0
+    recs = _manifest_recs(ck)
+    sigs = {r["state_sig"] for r in recs if r.get("status") == "done"}
+    assert len(sigs) == 2  # both configs left records; latest wins on merge

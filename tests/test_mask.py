@@ -102,3 +102,16 @@ def test_cli_mask_command(spark, spec, tmp_path):
     assert rc == 0
     got = spark.read.parquet(f"{out}/users")
     assert got.filter(F.col("email").rlike("^[0-9a-f]{64}$")).count() == 2
+
+
+def test_mask_requires_explicit_salt_for_hash(spark, spec):
+    """ADVICE r02 #1: unsalted SHA-256 of low-entropy PII is
+    dictionary-reversible, so the hash strategy demands an explicit salt."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="explicit salt"):
+        mask_mod.mask(df, spec, "users")
+    # salt='' is accepted when passed explicitly (caller owns the trade-off)
+    assert mask_mod.mask(df, spec, "users", salt="").count() == 3
+    # null-only plans need no salt
+    plan_null = {"email": "null", "name": "null", "age": "null"}
+    assert mask_mod.mask(df, spec, "users", overrides=plan_null).count() == 3

@@ -323,6 +323,38 @@ def test_export_odcs_roundtrip():
     assert back.servicelevels.retention.period == "30d"
 
 
+def test_export_odcs_roundtrip_keeps_field_constraints():
+    """ADVICE r02 #4: logicalTypeOptions must carry min/max/pattern/length
+    bounds through the odcs export->import round trip (reference
+    odcs_v3_exporter.py:252-268)."""
+    import yaml
+
+    from dcspark.imports import import_contract
+
+    spec = DataContractSpecification.from_string("""
+id: lto-rt
+info: {title: t, version: 0.1.0}
+models:
+  t:
+    fields:
+      name: {type: string, minLength: 2, maxLength: 10, pattern: "^[a-z]+$"}
+      qty: {type: integer, minimum: 0, maximum: 100}
+      rate: {type: double, exclusiveMinimum: 0.0, exclusiveMaximum: 1.0}
+""")
+    odcs_yaml = export(spec, "odcs")
+    doc = yaml.safe_load(odcs_yaml)
+    props = {p["name"]: p for p in doc["schema"][0]["properties"]}
+    assert props["name"]["logicalTypeOptions"] == {
+        "minLength": 2, "maxLength": 10, "pattern": "^[a-z]+$"}
+    assert props["qty"]["logicalTypeOptions"] == {"minimum": 0, "maximum": 100}
+    back = import_contract("odcs", odcs_yaml).models["t"].fields
+    assert back["name"].minLength == 2 and back["name"].maxLength == 10
+    assert back["name"].pattern == "^[a-z]+$"
+    assert back["qty"].minimum == 0 and back["qty"].maximum == 100
+    assert back["rate"].exclusiveMinimum == 0.0
+    assert back["rate"].exclusiveMaximum == 1.0
+
+
 def test_export_sql_ddl():
     spec = DataContractSpecification.from_string(CONTRACT)
     ddl = export(spec, "sql")
