@@ -166,24 +166,86 @@ def test_near_dup_pairs_no_nested_loop_join(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_near_dup_pairs_subset_of_exact(spark):
-    """Every bucketed near-dup pair must appear in the exact all-pairs oracle
-    with the identical score (bucketing may lose recall, never precision)."""
-    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
+def _planted_dup_corpus(spark, n_base=200, n_plant=30):
+    """Embeddings plus near-identical copies (vec_id+1000, first component
+    nudged +0.05 → cosine ≈ 0.999): the ground truth an honest near-dup
+    operator must recover. The raw synthetic embeddings top out at pairwise
+    cosine ~0.45 — NOT near-dups — so recall is measured on the plants."""
+    base = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < n_base)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    dim = len(base.select("embedding").first()[0])
+    dups = base.filter(F.col("vec_id") < n_plant).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.05)),
+            F.slice(F.col("embedding"), 2, dim - 1),
+        ).alias("embedding"),
+    )
+    return base.unionByName(dups), dim
+
+
+def test_near_dup_pairs_recall_and_precision_vs_exact(spark):
+    """On a corpus with planted near-identical pairs: every planted pair is
+    recovered (recall on true near-dups), every reported pair appears in the
+    exact all-pairs oracle with the identical score (bucketing may lose
+    recall on borderline pairs, never precision)."""
+    corpus, dim = _planted_dup_corpus(spark)
     approx = {
         (r["id_a"], r["id_b"]): r["score"]
-        for r in simsearch.near_dup_pairs(
-            emb, dim=dim, threshold=0.35, max_id=200).collect()
+        for r in simsearch.near_dup_pairs(corpus, dim=dim, threshold=0.9).collect()
     }
     exact = {
         (r["id_a"], r["id_b"]): r["score"]
-        for r in simsearch.near_dup_pairs_exact(
-            emb, threshold=0.35, max_id=200).collect()
+        for r in simsearch.near_dup_pairs_exact(corpus, threshold=0.9).collect()
     }
-    assert approx, "no candidate pairs survived — threshold/bits mis-tuned"
+    planted = {(i, i + 1000) for i in range(30)}
+    assert planted <= set(approx), f"missed plants: {planted - set(approx)}"
     assert set(approx) <= set(exact)
     assert all(abs(exact[k] - v) < 1e-9 for k, v in approx.items())
+
+
+def test_near_dup_candidate_volume_bounded(spark):
+    """VERDICT r02 defect #1 gate: on uniform-random data the 16-bit block
+    keyspace (65,536 values) dominates the corpus, so candidate volume is
+    O(N²/keyspace · n_blocks) — far below N²/16, the old 4-bit regime. Gate
+    at 2·N to catch any regression toward narrow block keys."""
+    n = 2000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.hash(F.col("id") * 64 + d), 1000) / 500.0 - 1.0).alias(f"c{d}")
+            for d in range(16)
+        ]).alias("embedding"),
+    )
+    keyed = df.select(
+        "vec_id",
+        *[simsearch.block_key_expr(F.col("embedding").cast("array<double>"),
+                                   16, b, 16).alias(f"b{b}") for b in range(4)],
+    ).persist()
+    cands = simsearch._block_candidates(keyed, 4, max_bucket=500).count()
+    keyed.unpersist()
+    assert cands <= 2 * n, f"{cands} candidates for {n} rows — blocking too narrow"
+
+
+def test_near_dup_hot_bucket_guard_bounds_degenerate_mass(spark):
+    """1000 identical vectors share every block key; without the max_bucket
+    guard the per-block equi-join emits ~500k pairs. The guard drops the
+    over-full (non-discriminative) buckets: zero candidates, job survives.
+    Exact-dedup-first is the documented workflow for identical vectors."""
+    df = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(d % 3 - 1)) for d in range(16)]).alias("embedding"),
+    )
+    out = simsearch.near_dup_pairs(df, dim=16, threshold=0.9, max_bucket=500)
+    assert out.count() == 0
+    # guard off: the degenerate mass really is quadratic (sanity check the
+    # guard is what bounded it) — run on a small slice to keep it cheap
+    small = df.filter(F.col("vec_id") < 50)
+    uncapped = simsearch.near_dup_pairs(small, dim=16, threshold=0.9, max_bucket=None)
+    assert uncapped.count() == 50 * 49 // 2
 
 
 def test_simhash_single_md5_projection(spark):
@@ -271,3 +333,21 @@ def test_lineage_probe_prunes_to_partition_column(spark):
     lin = Validator._partition_lineage(v, li, "l_returnflag")
     assert set(lin) == {"A", "N", "R"}
     assert all(e["files"] >= 1 and len(e["sig"]) == 32 for e in lin.values())
+
+
+def test_lsh_band_hot_bucket_guard(spark):
+    """VERDICT r02 defect #2 gate: 1,000 near-identical docs land in one
+    (band, key) bucket per band; uncapped, the band self-join emits ~500k
+    candidate pairs per band. The max_bucket guard drops the over-full,
+    non-discriminative buckets so candidate volume stays bounded — exact
+    dedup first is the documented workflow for identical text."""
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate license text appears on every page")
+        .alias("text"),
+    )
+    capped = textops.lsh_candidate_pairs(docs, max_bucket=500)
+    assert capped.count() == 0
+    # a handful of identical docs below the cap still pair up normally
+    small = docs.filter(F.col("id") < 20)
+    assert textops.lsh_candidate_pairs(small, max_bucket=500).count() == 20 * 19 // 2
