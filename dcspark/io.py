@@ -183,7 +183,18 @@ def _read_jdbc(
     """
     opts = jdbc_options(server, model_name)
     df = spark.read.format("jdbc").options(**opts).load()
-    contract_cols = [c for c in spec.models[model_name].fields if c in df.columns]
+    # warehouses that fold unquoted identifiers to upper case (Oracle, Derby,
+    # Snowflake) return USER_ID for a contract field user_id: match
+    # case-insensitively and alias back to the contract's spelling so every
+    # downstream check sees contract-cased columns
+    from pyspark.sql import functions as F
+
+    by_fold = {c.lower(): c for c in df.columns}
+    contract_cols = [
+        F.col(by_fold[name.lower()]).alias(name)
+        for name in spec.models[model_name].fields
+        if name.lower() in by_fold
+    ]
     return df.select(*contract_cols) if contract_cols else df
 
 
