@@ -116,6 +116,161 @@ def decode_bmp(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
     return height, width, channels, np.ascontiguousarray(px)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (8-bit only; palette/16-bit stay unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(
+    data: np.ndarray, height: int, width: int, channels: int
+) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4) on raw inflate output.
+
+    Each scanline is 1 filter byte + width*channels sample bytes. Up/None
+    rows are vectorized; Sub/Average/Paeth need the left neighbor so they
+    walk the row pixel-strided (numpy per step, not per byte)."""
+    stride = width * channels
+    if data.size != height * (stride + 1):
+        raise ValueError(
+            f"PNG pixel data length {data.size} != {height}x(1+{stride})")
+    lines = data.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint16)
+    for y in range(height):
+        ftype = int(lines[y, 0])
+        row = lines[y, 1:].astype(np.uint16)
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prior) & 0xFF
+        else:
+            cur = row.copy()
+            if ftype == 1:  # Sub
+                for x in range(channels, stride, channels):
+                    cur[x:x + channels] = (
+                        cur[x:x + channels] + cur[x - channels:x]) & 0xFF
+            elif ftype == 3:  # Average
+                cur[:channels] = (cur[:channels] + (prior[:channels] >> 1)) & 0xFF
+                for x in range(channels, stride, channels):
+                    cur[x:x + channels] = (
+                        cur[x:x + channels]
+                        + ((cur[x - channels:x] + prior[x:x + channels]) >> 1)
+                    ) & 0xFF
+            elif ftype == 4:  # Paeth
+                a = np.zeros(channels, dtype=np.int32)
+                for x in range(0, stride, channels):
+                    b = prior[x:x + channels].astype(np.int32)
+                    c = (prior[x - channels:x].astype(np.int32)
+                         if x else np.zeros(channels, dtype=np.int32))
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                    cur[x:x + channels] = (cur[x:x + channels] + pred) & 0xFF
+                    a = cur[x:x + channels].astype(np.int32)
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype} at row {y}")
+        out[y] = cur.astype(np.uint8)
+        prior = cur
+    return out.reshape(height, width, channels)
+
+
+def decode_png(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
+    """Real PNG decode with stdlib ``zlib`` + numpy — no imaging library.
+
+    Supports 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced, all five
+    scanline filter types. Palette, 16-bit, and interlaced images raise
+    ValueError (surfaced per-row as decode_error by the Arrow-batch UDFs).
+    Returns (height, width, channels, uint8 HWC array)."""
+    import zlib
+
+    if raw is None or raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(raw):
+        (length,) = struct.unpack_from(">I", raw, pos)
+        ctype = raw[pos + 4:pos + 8]
+        body = raw[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG: bit_depth={bit_depth} color_type={color_type} "
+            "(8-bit gray/GA/RGB/RGBA only)")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG: non-zero compression/filter/interlace")
+    channels = _PNG_CHANNELS[color_type]
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    px = _png_unfilter(data, height, width, channels)
+    return height, width, channels, px
+
+
+def png_bytes(pixels: np.ndarray, row_filters=0) -> bytes:
+    """Encode a uint8 array (HxW gray, HxWx{1,2,3,4}) as a PNG.
+
+    ``row_filters``: scanline filter type(s) to APPLY — an int for all rows
+    or a per-row sequence; exists so tests can exercise every filter type's
+    decode path. CRCs are real (zlib.crc32)."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+    stride = w * c
+    flat = px.reshape(h, stride).astype(np.int32)
+    lines = bytearray()
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = row_filters[y]
+        cur = flat[y]
+        left = np.zeros(stride, dtype=np.int32)
+        left[c:] = cur[:-c]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prior
+        elif ftype == 3:
+            enc = cur - ((left + prior) >> 1)
+        elif ftype == 4:
+            ul = np.zeros(stride, dtype=np.int32)
+            ul[c:] = prior[:-c]
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            enc = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        lines.append(ftype)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prior = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
 def ppm_bytes(pixels: np.ndarray) -> bytes:
     """Encode a uint8 HxWx3 (P6) or HxW / HxWx1 (P5) array as binary netpbm."""
     px = np.asarray(pixels, dtype=np.uint8)
@@ -140,19 +295,22 @@ def bmp_bytes(pixels: np.ndarray) -> bytes:
 
 
 def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
-    """Sniff-and-decode: REAL numpy decoders for uncompressed containers
-    (BMP 24/32-bit, binary netpbm P5/P6); compressed codecs (PNG/JPEG/WebP)
-    remain the pluggable seam — their libraries do not ship in this sandbox,
-    so they surface as a per-row decode_error, never a crash."""
+    """Sniff-and-decode: REAL numpy decoders for BMP 24/32-bit, binary
+    netpbm P5/P6, and PNG (8-bit gray/GA/RGB/RGBA via stdlib zlib — one
+    real COMPRESSED codec); JPEG/WebP remain the pluggable seam — their
+    libraries do not ship in this sandbox, so they surface as a per-row
+    decode_error, never a crash."""
     if raw is None or len(raw) < 4:
         raise ValueError("empty or truncated image payload")
     if raw[:2] == b"BM":
         return decode_bmp(raw)
     if raw[:1] == b"P" and raw[1:2] in b"56":
         return decode_netpbm(raw)
-    if raw[:8] == b"\x89PNG\r\n\x1a\n" or raw[:2] == b"\xff\xd8" or raw[:4] == b"RIFF":
+    if raw[:8] == _PNG_SIG:
+        return decode_png(raw)
+    if raw[:2] == b"\xff\xd8" or raw[:4] == b"RIFF":
         raise NotImplementedError(
-            "compressed image codec (png/jpeg/webp) libraries are not available "
+            "compressed image codec (jpeg/webp) libraries are not available "
             "in this environment; inject a decoder (e.g. PIL.Image.open) via the "
             "decoder= argument"
         )

@@ -28,8 +28,8 @@ def test_image_metadata_fake_decoder(spark, image_df):
 
 
 def test_image_metadata_default_decoder_errors(spark, image_df):
-    """Garbage payloads surface a per-row decode_error; JPEG/PNG magic surfaces
-    the pluggable-codec message (compressed codecs absent here)."""
+    """Garbage payloads surface a per-row decode_error; JPEG magic surfaces
+    the pluggable-codec message (PNG is now a real decoder)."""
     out = multimodal.image_metadata(image_df)  # default: real sniffing decoder
     rows = out.collect()
     assert all(r["decode_error"] is not None for r in rows)
@@ -139,3 +139,58 @@ def test_audio_resample_roundtrip(spark):
         sr0, _, pcm0 = parse_wav(bytes(src[r["clip_id"]]["bytes"]))
         _, _, pcm1 = parse_wav(bytes(r["bytes"]))
         assert abs(len(pcm0) / sr0 - len(pcm1) / 16000) < 0.001
+
+
+# ---------------------------------------------------------------------------
+# PNG: the one real COMPRESSED codec (stdlib zlib + numpy, VERDICT r02 next #5)
+# ---------------------------------------------------------------------------
+
+def test_png_roundtrip_all_filter_types():
+    """Every PNG scanline filter type (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth) decodes bit-exactly, for gray / gray+alpha / RGB / RGBA."""
+    rng = np.random.RandomState(7)
+    for c in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(11, 7, c), dtype=np.uint8)
+        for f in range(5):
+            raw = multimodal.png_bytes(px, row_filters=f)
+            h, w, ch, out = multimodal.decode_png(raw)
+            assert (h, w, ch) == (11, 7, c), (f, c)
+            assert np.array_equal(out, px), f"filter {f} channels {c}"
+    # mixed per-row filters in one image
+    px = rng.randint(0, 256, size=(10, 5, 3), dtype=np.uint8)
+    raw = multimodal.png_bytes(px, row_filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    assert np.array_equal(multimodal.decode_png(raw)[3], px)
+
+
+def test_png_corrupt_and_unsupported_surface_as_errors():
+    import zlib
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw = multimodal.png_bytes(px)
+    with pytest.raises(ValueError, match="not a PNG"):
+        multimodal.decode_png(b"garbage")
+    with pytest.raises((ValueError, zlib.error)):
+        multimodal.decode_png(raw[:40] + b"\x00" * 8)  # corrupted IDAT stream
+    # 16-bit depth rejected cleanly
+    bad = bytearray(raw)
+    bad[24] = 16  # IHDR bit_depth byte
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        multimodal.decode_png(bytes(bad))
+
+
+def test_png_through_spark_image_pipeline(spark):
+    """PNG payloads ride the same Arrow-batch metadata/resize plumbing as the
+    uncompressed codecs — plan unchanged, bit-exact pixels back."""
+    px = _checker(12, 9)
+    rows = [("png", bytes(multimodal.png_bytes(px))),
+            ("bad", b"\x89PNG\r\n\x1a\n" + b"junk")]
+    df = spark.createDataFrame(rows, "id string, bytes binary")
+    out = {r["id"]: r for r in multimodal.image_metadata(df).collect()}
+    ok = out["png"]
+    assert (ok["height"], ok["width"], ok["channels"]) == (12, 9, 3)
+    assert ok["decode_error"] is None
+    assert out["bad"]["decode_error"] is not None
+    resized = multimodal.image_resize(
+        df.filter(F.col("id") == "png"), (6, 3)).first()
+    assert resized["decode_error"] is None
+    assert (resized["height"], resized["width"]) == (6, 3)
