@@ -42,6 +42,14 @@ def ngram_md5_array(col: Column, n: int) -> Column:
         F.when(count > 0, grams).otherwise(F.array().cast("array<string>")))
 
 
+#: broadcast the distinct eval-digest frame only below this many digests.
+#: 16-byte md5 hex strings cost ~80 bytes each in a broadcast hash map, so
+#: 50M digests ≈ 4 GB — past any sane executor broadcast budget. Large eval
+#: unions (multi-benchmark suites) fall back to a shuffle join instead of
+#: OOMing every executor.
+BROADCAST_MAX_EVAL_GRAMS = 20_000_000
+
+
 def contamination(
     docs: DataFrame,
     eval_df: DataFrame,
@@ -49,6 +57,7 @@ def contamination(
     doc_id: str = "doc_id",
     doc_col: str = "text",
     eval_col: str = "text",
+    broadcast_max_grams: int = BROADCAST_MAX_EVAL_GRAMS,
 ) -> DataFrame:
     """Per-document contamination report:
     (doc_id, matched_ngrams, total_ngrams, contamination) for every document
@@ -57,7 +66,15 @@ def contamination(
     The eval n-gram set is broadcast (distinct digests of a benchmark-sized
     table); the corpus side explodes its distinct digests and probes the
     broadcast hash map — no corpus shuffle. The groupBy keys on doc_id,
-    which Spark partial-aggregates map-side before the tiny final exchange."""
+    which Spark partial-aggregates map-side before the tiny final exchange.
+
+    Scale guard (VERDICT r02 next #8): when the eval gram count (cheap
+    pre-distinct upper bound — one map-side aggregation over the eval side
+    only, never a corpus action) exceeds ``broadcast_max_grams``, the eval
+    frame no longer fits a broadcast, so the probe falls back to a shuffle
+    (shuffled-hash) join — the corpus digests shuffle once, which is the
+    correct trade above the broadcast budget. Pass ``broadcast_max_grams=0``
+    to force the shuffle path, or a huge value to force broadcast."""
     eval_grams = (
         eval_df.select(F.explode(ngram_md5_array(F.col(eval_col), n)).alias("gram"))
         .distinct()
@@ -67,7 +84,14 @@ def contamination(
         F.col(doc_id),
         F.explode(ngram_md5_array(F.col(doc_col), n)).alias("gram"),
     )
-    probed = doc_grams.join(F.broadcast(eval_grams), "gram", "left")
+    approx_grams = eval_df.select(
+        F.coalesce(F.sum(F.size(ngram_md5_array(F.col(eval_col), n))), F.lit(0))
+    ).first()[0]
+    if approx_grams <= broadcast_max_grams:
+        eval_side = F.broadcast(eval_grams)
+    else:
+        eval_side = eval_grams.hint("shuffle_hash")
+    probed = doc_grams.join(eval_side, "gram", "left")
     return (
         probed.groupBy(doc_id)
         .agg(

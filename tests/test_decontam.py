@@ -77,3 +77,19 @@ def test_unicode_and_case_folding(spark):
     ev = spark.createDataFrame([(9, "foo bar baz nope")], "eval_id long, text string")
     rep = decontam.contamination(docs, ev, n=3).collect()[0]
     assert rep["matched_ngrams"] == 1  # "foo bar baz" matches case-folded
+
+
+def test_eval_side_falls_back_to_shuffle_join_above_broadcast_budget(spark, frames):
+    """VERDICT r02 next #8: a multi-benchmark eval union can outgrow the
+    broadcast budget; above broadcast_max_grams the probe must become a
+    shuffle join (correct, just not map-side) — identical results."""
+    docs, ev = frames
+    bc = decontam.contamination(docs, ev, n=3).collect()
+    sh = decontam.contamination(docs, ev, n=3, broadcast_max_grams=0)
+    rows = sh.collect()
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    key = lambda rs: sorted((r["doc_id"], r["matched_ngrams"], r["total_ngrams"]) for r in rs)
+    assert key(rows) == key(bc)
