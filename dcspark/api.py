@@ -70,6 +70,17 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- endpoints ----------------------------------------------------------
 
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        """GET /openapi.json — machine-readable schema for tooling parity
+        with the reference's FastAPI docs (/root/reference/datacontract/
+        api.py serves auto-generated OpenAPI; here the spec is static but
+        equally consumable by generators/clients). Unauthenticated, like
+        FastAPI's /openapi.json."""
+        if self.path in ("/openapi.json", "/openapi"):
+            self._reply(200, openapi_spec())
+        else:
+            self._reply(404, {"error": f"unknown endpoint {self.path}"})
+
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         if not self._authorized():
             self._reply(401, {"error": "invalid or missing x-api-key"})
@@ -113,6 +124,90 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply(404, {"error": f"unknown endpoint {self.path}"})
         except Exception as e:
             self._reply(500, {"error": str(e)})
+
+
+def openapi_spec() -> Dict[str, Any]:
+    """OpenAPI 3.1 document describing the three endpoints. Static by design
+    (no FastAPI in this environment); kept in lockstep with do_POST."""
+    contract_prop = {"type": "string", "description": "data contract YAML"}
+    run_schema = {
+        "type": "object",
+        "description": "run result: per-check outcomes + overall result",
+        "properties": {
+            "result": {"type": "string", "enum": ["passed", "warning", "failed", "error", "unknown"]},
+            "checks": {"type": "array", "items": {
+                "type": "object",
+                "properties": {
+                    "key": {"type": "string"},
+                    "result": {"type": "string"},
+                    "name": {"type": "string"},
+                    "model": {"type": ["string", "null"]},
+                    "field": {"type": ["string", "null"]},
+                    "reason": {"type": ["string", "null"]},
+                },
+            }},
+            "logs": {"type": "array", "items": {"type": "object"}},
+        },
+    }
+    err = {"type": "object", "properties": {"error": {"type": "string"}}}
+
+    def op(summary: str, body_props: Dict[str, Any], required, resp_schema) -> Dict[str, Any]:
+        return {
+            "summary": summary,
+            "security": [{"ApiKeyAuth": []}],
+            "requestBody": {
+                "required": True,
+                "content": {"application/json": {"schema": {
+                    "type": "object",
+                    "properties": body_props,
+                    "required": required,
+                }}},
+            },
+            "responses": {
+                "200": {"description": "OK", "content": {
+                    "application/json": {"schema": resp_schema}}},
+                "400": {"description": "contract parse failed", "content": {
+                    "application/json": {"schema": err}}},
+                "401": {"description": "invalid or missing x-api-key", "content": {
+                    "application/json": {"schema": err}}},
+                "422": {"description": "malformed body", "content": {
+                    "application/json": {"schema": err}}},
+                "500": {"description": "execution error", "content": {
+                    "application/json": {"schema": err}}},
+            },
+        }
+
+    return {
+        "openapi": "3.1.0",
+        "info": {
+            "title": "dcspark API",
+            "version": "0.3.0",
+            "description": "Data-contract lint / export / test over PySpark.",
+        },
+        "components": {"securitySchemes": {"ApiKeyAuth": {
+            "type": "apiKey", "in": "header", "name": "x-api-key"}}},
+        "paths": {
+            "/lint": {"post": op(
+                "Lint a contract", {"contract": contract_prop},
+                ["contract"], run_schema)},
+            "/export": {"post": op(
+                "Export a contract to a target format",
+                {"contract": contract_prop,
+                 "format": {"type": "string", "default": "jsonschema"},
+                 "model": {"type": ["string", "null"]},
+                 "server": {"type": ["string", "null"]},
+                 "template": {"type": ["string", "null"]}},
+                ["contract"],
+                {"type": "object", "properties": {"result": {"type": "string"}}})},
+            "/test": {"post": op(
+                "Validate data against a contract",
+                {"contract": contract_prop,
+                 "path": {"type": ["string", "null"],
+                          "description": "base path overriding the contract's server"},
+                 "server": {"type": ["string", "null"]}},
+                ["contract"], run_schema)},
+        },
+    }
 
 
 def make_server(

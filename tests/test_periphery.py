@@ -669,6 +669,18 @@ def test_api_lint_export_endpoints():
 
         code, err = post("/nope", {"contract": CONTRACT})
         assert code == 404
+
+        # GET /openapi.json: unauthenticated (FastAPI convention), documents
+        # exactly the served endpoints
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/openapi.json") as r:
+            assert r.status == 200
+            spec = _json.loads(r.read())
+        assert spec["openapi"].startswith("3.")
+        assert set(spec["paths"]) == {"/lint", "/export", "/test"}
+        assert spec["components"]["securitySchemes"]["ApiKeyAuth"]["name"] == "x-api-key"
+        for p in spec["paths"].values():
+            assert "contract" in p["post"]["requestBody"]["content"][
+                "application/json"]["schema"]["properties"]
     finally:
         srv.shutdown()
 
