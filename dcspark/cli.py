@@ -240,6 +240,59 @@ def cmd_filter(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """MinHash-LSH near-duplicate pairs over a documents table, with
+    stage-checkpoint resume (dcspark/pipeline_ckpt.py): a killed run
+    restarts from its last completed stage, not from zero."""
+    from pyspark.sql import functions as F
+
+    from . import pipeline_ckpt, textops
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text"))
+    if args.checkpoint:
+        pairs = pipeline_ckpt.minhash_near_dups_resumable(
+            docs, args.checkpoint, threshold=args.threshold, n=args.ngram,
+            max_bucket=args.max_bucket)
+    else:
+        pairs = textops.minhash_near_dups(
+            docs, threshold=args.threshold, n=args.ngram,
+            max_bucket=args.max_bucket)
+    pairs.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"dedup: {n} near-dup pairs (jaccard >= {args.threshold}) -> {args.output}"
+          + (f" [resumable: {args.checkpoint}]" if args.checkpoint else ""))
+    return 0
+
+
+def cmd_decontam(args: argparse.Namespace) -> int:
+    """Benchmark decontamination report (n-gram collision vs an eval set),
+    with stage-checkpoint resume — see dcspark/decontam.py."""
+    from pyspark.sql import functions as F
+
+    from . import decontam as decontam_mod
+    from . import pipeline_ckpt
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text"))
+    ev = spark.read.parquet(args.eval).select(
+        F.col(args.eval_col).alias("text"))
+    if args.checkpoint:
+        rep = pipeline_ckpt.contamination_resumable(
+            docs, ev, args.checkpoint, n=args.ngram)
+    else:
+        rep = decontam_mod.contamination(docs, ev, n=args.ngram)
+    rep.write.mode("overwrite").parquet(args.output)
+    flagged = spark.read.parquet(args.output).filter(
+        F.col("contamination") > args.threshold).count()
+    print(f"decontam: {flagged} documents over threshold {args.threshold} "
+          f"-> {args.output}"
+          + (f" [resumable: {args.checkpoint}]" if args.checkpoint else ""))
+    return 0
+
+
 def cmd_mask(args: argparse.Namespace) -> int:
     """Write PII-masked copies of each model's table per the contract's
     pii/classification declarations — see dcspark/mask.py."""
@@ -531,6 +584,37 @@ def main(argv: Optional[list] = None) -> int:
     fl.add_argument("--output", required=True,
                     help="base dir; writes <out>/<model>/__valid=true|false")
 
+    dd = sub.add_parser(
+        "dedup", help="MinHash-LSH near-dup pairs (stage-checkpoint resumable)")
+    dd.add_argument("--input", required=True, help="documents parquet path")
+    dd.add_argument("--output", required=True, help="pairs parquet path")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--threshold", type=float, default=0.5)
+    dd.add_argument("--ngram", type=int, default=3, help="shingle width")
+    dd.add_argument("--max-bucket", type=int, default=1000,
+                    help="hot-bucket guard for LSH band joins")
+    dd.add_argument("--checkpoint", default=None,
+                    help="stage-checkpoint dir; rerun resumes completed stages")
+    dd.add_argument("--master", default=None)
+    dd.add_argument("--shuffle-partitions", type=int, default=None)
+
+    dc = sub.add_parser(
+        "decontam", help="n-gram benchmark-contamination report (resumable)")
+    dc.add_argument("--input", required=True, help="corpus parquet path")
+    dc.add_argument("--eval", required=True, help="benchmark/eval parquet path")
+    dc.add_argument("--output", required=True, help="report parquet path")
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--eval-col", default="text")
+    dc.add_argument("--ngram", type=int, default=8)
+    dc.add_argument("--threshold", type=float, default=0.0,
+                    help="flag documents with contamination > this")
+    dc.add_argument("--checkpoint", default=None,
+                    help="stage-checkpoint dir; rerun resumes completed stages")
+    dc.add_argument("--master", default=None)
+    dc.add_argument("--shuffle-partitions", type=int, default=None)
+
     mk = sub.add_parser(
         "mask", help="write PII-masked tables per contract pii/classification")
     mk.add_argument("contract")
@@ -639,6 +723,10 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_filter(args)
     if args.command == "mask":
         return cmd_mask(args)
+    if args.command == "dedup":
+        return cmd_dedup(args)
+    if args.command == "decontam":
+        return cmd_decontam(args)
     if args.command == "suggest":
         return cmd_suggest(args)
     if args.command == "repair":

@@ -129,3 +129,36 @@ def test_contamination_resume_matches_fresh(spark, docs, eval_df, tmp_path):
     assert key(again) == key(fresh)
     assert mtimes == {f: os.path.getmtime(os.path.join(report_dir, f))
                       for f in os.listdir(report_dir)}
+
+
+def test_cli_dedup_and_decontam_resumable(spark, docs, eval_df, tmp_path, capsys):
+    """CLI surface for the resumable pipelines: dedup/decontam write parquet
+    reports; a second run with the same --checkpoint serves stages from disk
+    (manifest mtimes untouched)."""
+    from dcspark.cli import main
+
+    docs_dir = docs.inputFiles()[0].rsplit("/", 1)[0]
+    eval_dir = eval_df.inputFiles()[0].rsplit("/", 1)[0]
+    ck = str(tmp_path / "cli_ck")
+    out = str(tmp_path / "pairs")
+    rc = main(["dedup", "--input", docs_dir, "--output", out,
+               "--checkpoint", ck, "--threshold", "0.5"])
+    assert rc == 0
+    pairs = spark.read.parquet(out)
+    assert pairs.count() > 0 and set(pairs.columns) >= {"doc_a", "doc_b", "jaccard"}
+    m = os.path.getmtime(os.path.join(ck, "candidates.manifest.json"))
+    rc = main(["dedup", "--input", docs_dir, "--output", out,
+               "--checkpoint", ck, "--threshold", "0.5"])
+    assert rc == 0
+    assert os.path.getmtime(os.path.join(ck, "candidates.manifest.json")) == m
+
+    ck2 = str(tmp_path / "cli_ck2")
+    rep = str(tmp_path / "report")
+    rc = main(["decontam", "--input", docs_dir, "--eval", eval_dir,
+               "--output", rep, "--checkpoint", ck2, "--ngram", "3"])
+    assert rc == 0
+    report = spark.read.parquet(rep)
+    assert set(report.columns) == {"doc_id", "matched_ngrams", "total_ngrams",
+                                   "contamination"}
+    assert report.filter(F.col("contamination") > 0).count() == 1  # doc 3
+    capsys.readouterr()
