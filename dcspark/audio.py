@@ -60,14 +60,126 @@ BYTES_COL = "bytes"
 # decoded duration tolerance: +-1 frame plus int-ms rounding (FIXTURES.md §1)
 DUR_TOL_MS = 1.0
 
+# WAVE format tags (RIFF spec / mmreg.h — public constants)
+_FMT_PCM, _FMT_FLOAT, _FMT_ALAW, _FMT_MULAW, _FMT_EXTENSIBLE = 0x1, 0x3, 0x6, 0x7, 0xFFFE
+
+#: (format_tag, bits) -> canonical codec name (ffmpeg naming convention)
+WAV_CODEC_NAMES = {
+    (_FMT_PCM, 8): "pcm_u8",
+    (_FMT_PCM, 16): "pcm_s16le",
+    (_FMT_PCM, 24): "pcm_s24le",
+    (_FMT_PCM, 32): "pcm_s32le",
+    (_FMT_FLOAT, 32): "pcm_f32le",
+    (_FMT_ALAW, 8): "pcm_alaw",
+    (_FMT_MULAW, 8): "pcm_mulaw",
+}
+
+_g711_cache: dict = {}
+
+
+def _mulaw_table() -> np.ndarray:
+    """ITU-T G.711 mu-law byte -> linear int16 decode table (verified byte-exact
+    against CPython's audioop.ulaw2lin in tests/test_audio_codecs.py)."""
+    t = _g711_cache.get("mu")
+    if t is None:
+        u = (~np.arange(256, dtype=np.int32)) & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+        t = np.where((u & 0x80) != 0, -mag, mag).astype(np.int16)
+        _g711_cache["mu"] = t
+    return t
+
+
+def _alaw_table() -> np.ndarray:
+    """ITU-T G.711 A-law byte -> linear int16 decode table (byte-exact vs
+    audioop.alaw2lin; sign bit set after the 0x55 toggle means positive)."""
+    t = _g711_cache.get("a")
+    if t is None:
+        a = np.arange(256, dtype=np.int32) ^ 0x55
+        exponent = (a >> 4) & 0x07
+        mantissa = a & 0x0F
+        mag = np.where(exponent == 0, (mantissa << 4) + 8,
+                       ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0))
+        t = np.where((a & 0x80) != 0, mag, -mag).astype(np.int16)
+        _g711_cache["a"] = t
+    return t
+
+
+def lin2mulaw(pcm: np.ndarray) -> np.ndarray:
+    """Vectorized linear int16 -> G.711 mu-law bytes (byte-exact vs audioop)."""
+    x = np.asarray(pcm, np.int32) >> 2
+    mask = np.where(x < 0, 0x7F, 0xFF)
+    ax = np.minimum(np.abs(x), 8159) + 33
+    seg = np.searchsorted(
+        np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], np.int32),
+        ax, side="left")
+    uval = (seg << 4) | ((ax >> (seg + 1)) & 0xF)
+    return np.where(seg >= 8, 0x7F ^ mask, uval ^ mask).astype(np.uint8)
+
+
+def lin2alaw(pcm: np.ndarray) -> np.ndarray:
+    """Vectorized linear int16 -> G.711 A-law bytes (byte-exact vs audioop)."""
+    x = np.asarray(pcm, np.int32) >> 3
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    pv = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(
+        np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], np.int32),
+        pv, side="left")
+    segc = np.minimum(seg, 7)
+    aval = (segc << 4) | np.where(segc < 2, (pv >> 1) & 0xF, (pv >> segc) & 0xF)
+    return np.where(seg >= 8, 0x7F ^ mask, aval ^ mask).astype(np.uint8)
+
+
+def _decode_wav_samples(b, data_off: int, data_len: int,
+                        tag: int, bits: int, channels: int):
+    """Decode a WAV data chunk to canonical mono int16 PCM (one allocation;
+    every transform is whole-array numpy). Multi-channel audio is downmixed by
+    per-frame arithmetic mean. Raises ValueError on unsupported tag/bits."""
+    name = WAV_CODEC_NAMES.get((tag, bits))
+    if name is None or channels < 1:
+        raise ValueError(f"unsupported codec: fmt={tag} bits={bits} ch={channels}")
+    if name == "pcm_s16le":
+        pcm = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=data_off)
+    elif name == "pcm_u8":
+        raw = np.frombuffer(b, dtype=np.uint8, count=data_len, offset=data_off)
+        pcm = ((raw.astype(np.int16) - 128) << 8)
+    elif name == "pcm_s24le":
+        n3 = data_len // 3
+        u = np.frombuffer(b, dtype=np.uint8, count=n3 * 3, offset=data_off)
+        u = u.reshape(-1, 3).astype(np.int32)
+        v = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        v = (v ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+        pcm = (v >> 8).astype(np.int16)
+    elif name == "pcm_s32le":
+        raw = np.frombuffer(b, dtype="<i4", count=data_len // 4, offset=data_off)
+        pcm = (raw >> 16).astype(np.int16)
+    elif name == "pcm_f32le":
+        raw = np.frombuffer(b, dtype="<f4", count=data_len // 4, offset=data_off)
+        pcm = np.clip(np.rint(raw.astype(np.float64) * 32768.0),
+                      -32768, 32767).astype(np.int16)
+    elif name == "pcm_alaw":
+        raw = np.frombuffer(b, dtype=np.uint8, count=data_len, offset=data_off)
+        pcm = _alaw_table()[raw]
+    else:  # pcm_mulaw
+        raw = np.frombuffer(b, dtype=np.uint8, count=data_len, offset=data_off)
+        pcm = _mulaw_table()[raw]
+    if channels > 1:
+        frames = len(pcm) // channels
+        pcm = np.rint(
+            pcm[:frames * channels].reshape(-1, channels).mean(axis=1)
+        ).astype(np.int16)
+    return name, pcm
+
 
 def parse_wav_view(b) -> tuple:
-    """Minimal RIFF/WAV parser -> (sample_rate, codec_name, int16 PCM view).
+    """RIFF/WAV parser -> (sample_rate, codec_name, mono int16 PCM).
 
     Accepts any C-contiguous byte buffer (``bytes`` or a ``np.uint8`` slice of
-    an Arrow value heap) and never copies the payload: the returned PCM is a
-    ``np.frombuffer`` view into the input. Stdlib-struct + numpy only; raises
-    ValueError on malformed containers.
+    an Arrow value heap). For the dominant mono ``pcm_s16le`` case the returned
+    PCM is a ZERO-COPY ``np.frombuffer`` view into the input; other codecs
+    (u8 / s24le / s32le / f32le / G.711 A-law & mu-law, any channel count,
+    WAVE_FORMAT_EXTENSIBLE headers) decode to canonical mono int16 with one
+    whole-array numpy transform. Stdlib-struct + numpy only; raises ValueError
+    on malformed containers or unsupported codecs.
     """
     if b is None or len(b) < 44:
         raise ValueError("not a RIFF/WAVE container")
@@ -76,6 +188,7 @@ def parse_wav_view(b) -> tuple:
         raise ValueError("not a RIFF/WAVE container")
     pos = 12
     fmt = None
+    ext_tag = None
     data_off = data_len = None
     n = len(b)
     while pos + 8 <= n:
@@ -83,6 +196,10 @@ def parse_wav_view(b) -> tuple:
         (size,) = struct.unpack_from("<I", mv, pos + 4)
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", mv, pos + 8)
+            # WAVE_FORMAT_EXTENSIBLE: cbSize(2) validBits(2) channelMask(4)
+            # SubFormat GUID (real format tag = first 2 bytes, little-endian)
+            if fmt[0] == _FMT_EXTENSIBLE and size >= 40:
+                (ext_tag,) = struct.unpack_from("<H", mv, pos + 8 + 24)
         elif chunk_id == b"data":
             data_off = pos + 8
             data_len = min(size, n - data_off)
@@ -90,15 +207,82 @@ def parse_wav_view(b) -> tuple:
     if fmt is None or data_off is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
-    if audio_format != 1 or bits != 16 or channels != 1:
-        raise ValueError(f"unsupported codec: fmt={audio_format} bits={bits} ch={channels}")
-    pcm = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=data_off)
-    return sr, "pcm_s16le", pcm
+    if audio_format == _FMT_EXTENSIBLE:
+        if ext_tag is None:
+            raise ValueError("extensible fmt chunk too short for SubFormat")
+        audio_format = ext_tag
+    if audio_format == _FMT_PCM and bits == 16 and channels == 1:
+        # hot path: zero-copy int16 view straight into the Arrow value heap
+        pcm = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=data_off)
+        return sr, "pcm_s16le", pcm
+    name, pcm = _decode_wav_samples(b, data_off, data_len, audio_format, bits, channels)
+    return sr, name, pcm
 
 
 def parse_wav(b: bytes):
     """bytes-input alias of :func:`parse_wav_view` (kept for API stability)."""
     return parse_wav_view(b)
+
+
+#: codec name -> (format_tag, bits) for the encoder
+_ENCODE_TAGS = {name: key for key, name in WAV_CODEC_NAMES.items()}
+
+# KSDATAFORMAT_SUBTYPE GUID tail shared by all WAVE_FORMAT_EXTENSIBLE subtypes
+_EXT_GUID_TAIL = bytes.fromhex("000000001000800000aa00389b71")
+
+
+def encode_wav(pcm: np.ndarray, sr: int, codec: str = "pcm_s16le",
+               channels: int = 1, extensible: bool = False) -> bytes:
+    """Encode canonical mono int16 PCM as a RIFF/WAV payload in ``codec``.
+
+    The inverse of :func:`parse_wav_view` for every codec it decodes: u8 /
+    s16le / s24le / s32le / f32le / G.711 A-law & mu-law. ``channels`` > 1
+    duplicates the mono signal into interleaved frames (round-trips through
+    the decoder's mean-downmix unchanged); ``extensible=True`` writes a
+    WAVE_FORMAT_EXTENSIBLE fmt chunk with the codec in the SubFormat GUID.
+    All sample transforms are whole-array numpy.
+    """
+    tag_bits = _ENCODE_TAGS.get(codec)
+    if tag_bits is None:
+        raise ValueError(f"unknown codec: {codec}")
+    tag, bits = tag_bits
+    x = np.asarray(pcm, dtype=np.int16)
+    if channels > 1:
+        x = np.repeat(x, channels)
+    if codec == "pcm_s16le":
+        data = x.astype("<i2").tobytes()
+    elif codec == "pcm_u8":
+        data = ((x.astype(np.int16) >> 8) + 128).astype(np.uint8).tobytes()
+    elif codec == "pcm_s24le":
+        v = x.astype(np.int32) << 8
+        u = np.empty((len(v), 3), dtype=np.uint8)
+        u[:, 0] = v & 0xFF
+        u[:, 1] = (v >> 8) & 0xFF
+        u[:, 2] = (v >> 16) & 0xFF
+        data = u.tobytes()
+    elif codec == "pcm_s32le":
+        data = (x.astype("<i4") << 16).tobytes()
+    elif codec == "pcm_f32le":
+        data = (x.astype(np.float64) / 32768.0).astype("<f4").tobytes()
+    elif codec == "pcm_alaw":
+        data = lin2alaw(x).tobytes()
+    else:  # pcm_mulaw
+        data = lin2mulaw(x).tobytes()
+    block_align = channels * bits // 8
+    byte_rate = sr * block_align
+    if extensible:
+        sub_guid = struct.pack("<H", tag) + _EXT_GUID_TAIL
+        fmt_body = struct.pack("<HHIIHH", _FMT_EXTENSIBLE, channels, sr,
+                               byte_rate, block_align, bits)
+        fmt_body += struct.pack("<HHI", 22, bits, 0) + sub_guid
+    else:
+        fmt_body = struct.pack("<HHIIHH", tag, channels, sr,
+                               byte_rate, block_align, bits)
+    pad = b"\x00" if len(data) & 1 else b""
+    riff_len = 4 + (8 + len(fmt_body)) + (8 + len(data) + len(pad))
+    return (b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + b"data" + struct.pack("<I", len(data)) + data + pad)
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:

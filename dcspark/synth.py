@@ -32,8 +32,13 @@ WORDS = (
 CORRUPTION_FLAGS = [
     "null_transcript", "dup_clip_id", "bad_sr", "bad_range", "bad_pattern",
     "orphan_ref", "lying_header", "garbled_pcm", "wrong_transcript", "drift_dur",
-    "muted_pcm",
+    "muted_pcm", "wrong_codec",
 ]
+
+#: alternate payload codecs for ``codec_mix`` rows — every one decodes back to
+#: canonical int16 at SNR >= 30 dB (u8 ~50 dB, G.711 ~38 dB, s24/f32 lossless),
+#: so a correctly-declared alternate-codec clip still passes the full contract
+ALT_CODECS = ("pcm_u8", "pcm_s24le", "pcm_f32le", "pcm_mulaw", "pcm_alaw")
 
 AUDIO_SCHEMA_DDL = (
     "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
@@ -190,14 +195,38 @@ def make_row(
     corrupt: Optional[Dict[str, float]] = None,
     dur_lo: int = 200,
     dur_hi: int = 30000,
+    codec_mix: float = 0.0,
 ) -> dict:
-    """One audio_clips row; ``corrupt`` maps flag name -> fraction of rows to flip."""
+    """One audio_clips row; ``corrupt`` maps flag name -> fraction of rows to flip.
+
+    ``codec_mix`` > 0 encodes that fraction of rows in a deterministically drawn
+    :data:`ALT_CODECS` payload with the codec column declared CORRECTLY (valid
+    rows — the contract must pass them); the ``wrong_codec`` corruption flag
+    instead encodes the payload in a codec that does NOT match the declared
+    column, so only the decode-conformance ``codec_ok`` check can catch it.
+    """
     sr, dur, freqs, amps, transcript = synth_params(seed, i, dur_lo, dur_hi)
     corrupt = corrupt or {}
 
     def hit(flag: str) -> bool:
         frac = corrupt.get(flag, 0.0)
         return frac > 0 and _corrupt_draw(seed, i, flag) < frac
+
+    payload_codec = declared_codec = CODEC
+    if codec_mix > 0:
+        c_rng = np.random.default_rng([seed, i, 201])
+        if c_rng.uniform() < codec_mix:
+            payload_codec = declared_codec = ALT_CODECS[int(c_rng.integers(0, len(ALT_CODECS)))]
+    if hit("wrong_codec"):
+        payload_codec = "pcm_mulaw" if declared_codec != "pcm_mulaw" else "pcm_alaw"
+
+    if payload_codec == CODEC:
+        enc = wav_bytes
+    else:
+        from .audio import encode_wav
+
+        def enc(p, s):
+            return encode_wav(p, s, codec=payload_codec)
 
     pcm = synth_pcm(sr, dur, freqs, amps)
     declared_sr, declared_dur = sr, dur
@@ -211,17 +240,17 @@ def make_row(
     if hit("lying_header"):
         # column says sr but bytes encode sr/2 — decode-conformance must catch it
         pcm = synth_pcm(sr // 2, declared_dur, freqs, amps)
-        b = wav_bytes(pcm, sr // 2)
+        b = enc(pcm, sr // 2)
     else:
-        b = wav_bytes(pcm, sr)
+        b = enc(pcm, sr)
     if hit("garbled_pcm"):
         noise_rng = np.random.default_rng([seed, i, 102])
         noisy = pcm.astype(np.float64) + noise_rng.normal(0, np.abs(pcm).mean() * 0.5 + 1.0, pcm.shape)
-        b = wav_bytes(np.clip(noisy, -32768, 32767).astype(np.int16), sr)
+        b = enc(np.clip(noisy, -32768, 32767).astype(np.int16), sr)
     if hit("muted_pcm"):
         # all-zero payload under a perfectly valid header: only decoded-signal
         # checks (signal-quality silence floor; SNR-vs-oracle) can see it
-        b = wav_bytes(np.zeros_like(pcm), sr)
+        b = enc(np.zeros_like(pcm), sr)
     if hit("bad_sr"):
         declared_sr = 12345
     if hit("bad_range"):
@@ -238,7 +267,7 @@ def make_row(
         "bytes": b,
         "sr_hz": declared_sr,
         "dur_ms": declared_dur,
-        "codec": CODEC,
+        "codec": declared_codec,
         "transcript": transcript,
         "_i": i,
     }
@@ -252,11 +281,13 @@ def generate_audio_table(
     dur_lo: int = 200,
     dur_hi: int = 30000,
     num_partitions: Optional[int] = None,
+    codec_mix: float = 0.0,
 ):
     """Distributed synthesis: spark.range(n) -> mapInPandas -> audio_clips DataFrame.
 
     ``dup_clip_id`` corruption duplicates an existing id (row i takes row 0's id);
     ``orphan_ref`` is realized by generate_transcripts_ref excluding those ids.
+    ``codec_mix`` encodes that fraction of rows in correctly-declared ALT_CODECS.
     """
     corrupt = dict(corrupt or {})
     import pandas as pd
@@ -265,7 +296,7 @@ def generate_audio_table(
         for pdf in batches:
             rows = []
             for i in pdf["id"].tolist():
-                r = make_row(seed, int(i), corrupt, dur_lo, dur_hi)
+                r = make_row(seed, int(i), corrupt, dur_lo, dur_hi, codec_mix)
                 if corrupt.get("dup_clip_id", 0) > 0 and _corrupt_draw(seed, int(i), "dup_clip_id") < corrupt["dup_clip_id"] and i > 0:
                     r["clip_id"] = clip_id_for(0)
                 del r["_i"]
