@@ -1912,6 +1912,179 @@ models:
     )
 
 
+def q_audio_multicodec(spark: SparkSession, _sf: str) -> DataFrame:
+    """Multi-codec decode conformance: 40% of clips are re-encoded into
+    correctly-declared alternate codecs (u8 / s24le / f32le / G.711 mu+A-law
+    — all decode back above the 30 dB SNR floor) and 5% get a payload codec
+    that does NOT match the declared column. Expected: zero decode errors,
+    codec_bad counts exactly the wrong_codec rows, everything else clean.
+    Not SQL-expressible (WAV decode), so no oracle — rows-only check;
+    semantics locked in tests/test_audio_codecs.py."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    df = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED, corrupt={"wrong_codec": 0.05},
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8,
+        codec_mix=0.4,
+    )
+    report = audio_mod.audio_decode_report(
+        df, snr_floor_db=30.0,
+        snr_fn=audio_mod.synth_snr_oracle(SEED, _AUDIO_DUR[0], _AUDIO_DUR[1]))
+
+    def cnt(cond: Column) -> Column:
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    return (
+        df.select("clip_id", "codec")
+        .join(report, "clip_id")
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            cnt(F.col("decode_error").isNotNull()).alias("decode_errors"),
+            cnt(F.col("decode_error").isNull() & ~F.col("codec_ok")).alias("codec_bad"),
+            cnt(F.col("snr_ok").isNotNull() & ~F.col("snr_ok")).alias("snr_bad"),
+        )
+        .orderBy("codec")
+    )
+
+
+def q_audio_transcode(spark: SparkSession, _sf: str) -> DataFrame:
+    """Corpus normalization (dcspark/audioops.py audio_transcode): a
+    mixed-codec mixed-rate corpus is re-encoded to pcm_s16le @ 16 kHz in one
+    mapInArrow pass, then the VALIDATION pass re-verifies the output — the
+    transcoded table must itself satisfy decode conformance (declared codec,
+    sr, and duration all match the re-decoded payload). Not SQL-expressible;
+    rows-only check; operator semantics locked in tests/test_audioops.py."""
+    from dcspark import audioops as aops
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    df = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED,
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8,
+        codec_mix=0.5,
+    )
+    out = aops.audio_transcode(df, target_codec="pcm_s16le", target_sr=16000)
+    # re-validate the transcoded payloads with the declared dur carried over
+    report = audio_mod.audio_decode_report(
+        out.join(df.select("clip_id", "dur_ms"), "clip_id"))
+
+    def cnt(cond: Column) -> Column:
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
+
+    return report.agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        cnt(F.col("decode_error").isNotNull()).alias("decode_errors"),
+        cnt(F.col("decode_error").isNull() & ~F.col("sr_ok")).alias("sr_bad"),
+        cnt(F.col("decode_error").isNull() & ~F.col("dur_ok")).alias("dur_bad"),
+        cnt(F.col("decode_error").isNull() & ~F.col("codec_ok")).alias("codec_bad"),
+    )
+
+
+def q_audio_vad_segments(spark: SparkSession, _sf: str) -> DataFrame:
+    """Energy-VAD segmentation (dcspark/audioops.py audio_segments): clips
+    built with PLANTED silence gaps — clip i carries (i % 3) + 1 tone bursts
+    separated by 600 ms silences — must segment into exactly that many
+    speech regions. Output: per-clip expected vs detected segment counts
+    aggregated to a self-verifying summary (all_match must be true). Not
+    SQL-expressible; invariants locked in tests/test_audioops.py."""
+    import numpy as np
+
+    from dcspark import audioops as aops
+    from dcspark.synth import wav_bytes
+
+    sr, n_clips = 16000, 96
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                parts = (i % 3) + 1
+                rng = np.random.default_rng(3000 + i)
+                pieces = []
+                for p in range(parts):
+                    hz = float(rng.uniform(300, 2500))
+                    dur = int(rng.integers(300, 700))
+                    t = np.arange(int(sr * dur / 1000)) / sr
+                    pieces.append((np.sin(2 * np.pi * hz * t) * 12000).astype(np.int16))
+                    if p != parts - 1:
+                        pieces.append(np.zeros(int(sr * 0.6), dtype=np.int16))
+                rows.append({"clip_id": f"vad-{i:04d}",
+                             "bytes": wav_bytes(np.concatenate(pieces), sr),
+                             "expected_segs": parts})
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes", "expected_segs"])
+
+    clips = spark.range(0, n_clips, 1, 8).mapInPandas(
+        build, schema="clip_id string, bytes binary, expected_segs int")
+    clips = clips.persist()
+    try:
+        segs = aops.audio_segments(clips, min_silence_ms=300)
+        per_clip = segs.groupBy("clip_id").agg(
+            F.count(F.lit(1)).cast("long").alias("detected"))
+        joined = clips.select("clip_id", "expected_segs").join(per_clip, "clip_id")
+        return joined.agg(
+            F.count(F.lit(1)).cast("long").alias("clips"),
+            F.sum("expected_segs").cast("long").alias("expected_total"),
+            F.sum("detected").cast("long").alias("detected_total"),
+            F.min(
+                (F.col("detected") == F.col("expected_segs")).cast("int")
+            ).cast("boolean").alias("all_match"),
+        )
+    finally:
+        clips.unpersist()
+
+
+def q_audio_chunks(spark: SparkSession, _sf: str) -> DataFrame:
+    """Training-window chunking (dcspark/audioops.py audio_chunks): every
+    clip is cut into 1000 ms windows strided 500 ms; the emitted row count
+    must equal the closed-form count from the DECODED duration, computed
+    here as a Spark expression over dur_ms (synth clips decode to their
+    declared duration). Self-verifying: chunks_match must be true. Not
+    SQL-expressible (payload slicing); locked in tests/test_audioops.py."""
+    from dcspark import audioops as aops
+
+    win, hop = 1000, 500
+    df = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED,
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8)
+    chunks = aops.audio_chunks(df, win_ms=win, hop_ms=hop, emit_bytes=False)
+    actual = chunks.agg(
+        F.count(F.lit(1)).cast("long").alias("actual_chunks"),
+        F.countDistinct("clip_id").cast("long").alias("clips"),
+        F.max("n_samples").cast("long").alias("max_chunk_samples"))
+    expected = df.select(
+        F.when(F.col("dur_ms") <= win, F.lit(1)).otherwise(
+            F.ceil((F.col("dur_ms") - win) / F.lit(hop)) + 1
+        ).cast("long").alias("n")).agg(F.sum("n").alias("expected_chunks"))
+    return actual.crossJoin(expected).select(
+        "clips", "actual_chunks", "expected_chunks", "max_chunk_samples",
+        (F.col("actual_chunks") == F.col("expected_chunks")).alias("chunks_match"))
+
+
+def q_audio_spectral(spark: SparkSession, _sf: str) -> DataFrame:
+    """Spectral signal-quality features (audio.FEATURE_FNS additions):
+    centroid / rolloff / flatness from one Hann-windowed rfft per clip,
+    bounded at 1 s of samples. Synth clips are 2-4 sine mixes under 4 kHz,
+    so every clip must show rolloff <= 4.2 kHz and tonal flatness < 0.5;
+    count rows violating either (expected 0). Not SQL-expressible (FFT);
+    feature semantics locked in tests/test_audioops.py."""
+    df = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED,
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8)
+    frame = audio_mod.audio_feature_frame(
+        df, ["spectral_centroid_hz", "spectral_rolloff_hz", "spectral_flatness"])
+    return frame.agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.sum(F.when(F.col("spectral_rolloff_hz") > 4200.0, 1).otherwise(0)
+              ).cast("long").alias("rolloff_above_band"),
+        F.sum(F.when(F.col("spectral_flatness") >= 0.5, 1).otherwise(0)
+              ).cast("long").alias("noisy_clips"),
+        F.sum(F.when(F.col("spectral_centroid_hz").between(100.0, 4200.0), 0)
+              .otherwise(1)).cast("long").alias("centroid_out_of_band"),
+    )
+
+
 def q_audio_fp_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Acoustic-fingerprint near-duplicate detection (dcspark/audiofp.py):
     band-occupancy spectral hashes (gain-invariant, noise-robust) + bucketed
@@ -2095,6 +2268,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "audio_decode_conformance": q_audio_decode,
+        "audio_multicodec_conformance": q_audio_multicodec,
+        "audio_transcode_normalize": q_audio_transcode,
+        "audio_vad_segments": q_audio_vad_segments,
+        "audio_chunk_windows": q_audio_chunks,
+        "audio_spectral_quality": q_audio_spectral,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -2149,6 +2327,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
-        # audio_decode_conformance / contract_full_run: not SQL-expressible
-        # (binary WAV decode + pandas-UDF invariant) — rows-only check.
+        # audio_decode_conformance / audio_multicodec_conformance /
+        # audio_transcode_normalize / audio_vad_segments / audio_chunk_windows /
+        # audio_spectral_quality / contract_full_run: not SQL-expressible
+        # (binary WAV decode + pandas-UDF invariant) — rows-only check; the
+        # vad/chunk/transcode queries are self-verifying (expected-vs-detected
+        # columns computed inside the query).
     }

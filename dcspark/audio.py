@@ -544,6 +544,63 @@ def zero_crossing_rate(pcm, sr) -> float:
     return crossings * float(sr) / (len(pcm) - 1)
 
 
+#: spectral features analyze at most this many samples (one centered window)
+#: so a feature pass stays O(window log window) per clip regardless of length
+SPECTRAL_WINDOW_S = 1.0
+
+
+def _power_spectrum(pcm, sr):
+    """(freqs_hz, power) of a Hann-windowed center slice, capped at
+    :data:`SPECTRAL_WINDOW_S` — bounds FFT cost per clip at any duration."""
+    n = min(len(pcm), int(sr * SPECTRAL_WINDOW_S))
+    if n < 16:
+        return None, None
+    start = (len(pcm) - n) // 2
+    x = pcm[start:start + n].astype(np.float64) / 32768.0
+    x = x * np.hanning(n)
+    p = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+    return freqs, p
+
+
+def spectral_centroid_hz(pcm, sr) -> float:
+    """Power-weighted mean frequency in Hz of a centered 1 s window. Tracks
+    where the energy lives: hiss/noise-swamped channels drift toward sr/4+,
+    muffled or low-passed captures collapse toward 0."""
+    freqs, p = _power_spectrum(pcm, sr)
+    if freqs is None or float(p.sum()) <= 0.0:
+        return 0.0
+    return float(np.dot(freqs, p) / p.sum())
+
+
+def spectral_rolloff_hz(pcm, sr) -> float:
+    """Frequency below which 95% of spectral power sits. A telephony-band
+    upsample masquerading as wideband shows rolloff << the declared sr/2."""
+    freqs, p = _power_spectrum(pcm, sr)
+    if freqs is None:
+        return 0.0
+    total = float(p.sum())
+    if total <= 0.0:
+        return 0.0
+    idx = int(np.searchsorted(np.cumsum(p), 0.95 * total))
+    return float(freqs[min(idx, len(freqs) - 1)])
+
+
+def spectral_flatness(pcm, sr) -> float:
+    """Geometric / arithmetic mean ratio of the power spectrum in (0, 1]:
+    ~1 for white noise, ~0 for pure tones. Separates tonal content from
+    broadband noise at identical RMS levels."""
+    _, p = _power_spectrum(pcm, sr)
+    if p is None:
+        return 0.0
+    p = p[1:]  # drop DC
+    m = float(p.mean())
+    if m <= 0.0:
+        return 0.0
+    g = float(np.exp(np.mean(np.log(p + 1e-30))))
+    return g / m
+
+
 #: decoded-PCM scalar features available to loudness-drift and
 #: signal-quality checks and :func:`audio_feature_frame`; all vectorized
 #: numpy over the int16 buffer
@@ -553,6 +610,9 @@ FEATURE_FNS = {
     "clip_ratio": clip_ratio,
     "dc_offset": dc_offset,
     "zero_crossing_rate": zero_crossing_rate,
+    "spectral_centroid_hz": spectral_centroid_hz,
+    "spectral_rolloff_hz": spectral_rolloff_hz,
+    "spectral_flatness": spectral_flatness,
 }
 
 

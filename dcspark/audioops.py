@@ -1,0 +1,283 @@
+"""Audio training-pipeline operators: transcode, VAD segmentation, chunking.
+
+The normalization stages a speech-training corpus needs between raw ingest and
+model consumption: re-encode a heterogeneous corpus into one codec/rate
+(:func:`audio_transcode`), find speech regions and strip dead air
+(:func:`audio_segments`), and cut clips into fixed training windows
+(:func:`audio_chunks`).
+
+Engine-extension operators (the reference has no audio path — SURVEY.md §2.5).
+Execution model mirrors ``dcspark.audio``: ``mapInArrow`` over zero-copy views
+of the Arrow binary heap, whole-array numpy per clip (framing via reshape /
+``np.add.reduceat``, never per-sample Python), projection limited to
+(id, bytes) so the parquet scan prunes everything else. Each operator is
+embarrassingly parallel per clip — no shuffle, no skew surface; at 10^12 rows
+the plan is a single scan-transform stage whose throughput scales with cores.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .audio import BYTES_COL, _binary_views, encode_wav, parse_wav_view
+
+TRANSCODE_DDL = "clip_id string, bytes binary, sr_hz int, codec string, decode_error string"
+SEGMENTS_DDL = ("clip_id string, seg_idx int, start_ms double, end_ms double, "
+                "seg_dur_ms double, rms_dbfs double, decode_error string")
+CHUNKS_DDL = ("clip_id string, chunk_idx int, start_ms int, end_ms int, "
+              "n_samples int, bytes binary, decode_error string")
+
+
+def resample_linear(pcm: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Linear-interpolation resample of int16 PCM (whole-array ``np.interp``)."""
+    if sr == target_sr or len(pcm) == 0:
+        return pcm
+    n_out = int(round(len(pcm) * target_sr / sr))
+    xs = np.linspace(0.0, len(pcm) - 1, num=n_out)
+    return np.rint(np.interp(xs, np.arange(len(pcm)), pcm.astype(np.float64))
+                   ).astype(np.int16)
+
+
+def audio_transcode(
+    df: DataFrame,
+    target_codec: str = "pcm_s16le",
+    target_sr: Optional[int] = None,
+    id_col: str = "clip_id",
+    bytes_col: str = BYTES_COL,
+) -> DataFrame:
+    """Re-encode every clip into ``target_codec`` (optionally resampled to
+    ``target_sr``), returning payloads the validation engine can re-verify.
+
+    Decode accepts the full parse_wav_view codec family, so one pass
+    normalizes a mixed-codec corpus. Output schema carries the new declared
+    (sr_hz, codec) columns; undecodable rows pass through with null bytes and
+    the decode_error string so the caller can quarantine them.
+    """
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+            b_out, sr_out, err_out = [], [], []
+            for i in range(n_rows):
+                if nulls[i]:
+                    b_out.append(None), sr_out.append(None)
+                    err_out.append("null payload")
+                    continue
+                raw = heap[offsets[i]:offsets[i + 1]]
+                try:
+                    sr, _codec, pcm = parse_wav_view(raw)
+                    out_sr = target_sr or sr
+                    pcm = resample_linear(pcm, sr, out_sr)
+                    b_out.append(encode_wav(pcm, out_sr, codec=target_codec))
+                    sr_out.append(out_sr)
+                    err_out.append(None)
+                except (ValueError, struct.error) as e:
+                    b_out.append(None), sr_out.append(None)
+                    err_out.append(str(e))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(b_out, pa.binary()),
+                 pa.array(sr_out, pa.int32()),
+                 pa.array([target_codec if e is None else None for e in err_out],
+                          pa.string()),
+                 pa.array(err_out, pa.string())],
+                ["clip_id", "bytes", "sr_hz", "codec", "decode_error"])
+
+    return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
+                     ).mapInArrow(run, schema=TRANSCODE_DDL)
+
+
+def _frame_rms_db(pcm: np.ndarray, sr: int, frame_ms: float) -> np.ndarray:
+    """Per-frame RMS in dBFS via one reduceat over the squared signal; the
+    trailing partial frame is included (normalized by its true length)."""
+    n_f = max(1, int(round(sr * frame_ms / 1000.0)))
+    n = len(pcm)
+    if n == 0:
+        return np.empty(0)
+    starts = np.arange(0, n, n_f)
+    x = pcm.astype(np.float64) / 32768.0
+    sums = np.add.reduceat(x * x, starts)
+    lens = np.minimum(starts + n_f, n) - starts
+    rms = np.sqrt(sums / lens)
+    return 20.0 * np.log10(np.maximum(rms, 1e-6))  # silence floor -120 dB
+
+
+def _speech_runs(speech: np.ndarray,
+                 min_silence_frames: int, min_speech_frames: int) -> list:
+    """Merge a boolean speech-frame mask into [start, end) frame runs:
+    silence gaps shorter than ``min_silence_frames`` are bridged, then runs
+    shorter than ``min_speech_frames`` are dropped. Run-length logic on the
+    diff of the mask — no per-frame Python loop."""
+    if not speech.any():
+        return []
+    d = np.diff(speech.astype(np.int8))
+    starts = list(np.nonzero(d == 1)[0] + 1)
+    ends = list(np.nonzero(d == -1)[0] + 1)
+    if speech[0]:
+        starts.insert(0, 0)
+    if speech[-1]:
+        ends.append(len(speech))
+    merged = [[starts[0], ends[0]]]
+    for s, e in zip(starts[1:], ends[1:]):
+        if s - merged[-1][1] < min_silence_frames:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    return [(s, e) for s, e in merged if e - s >= min_speech_frames]
+
+
+def audio_segments(
+    df: DataFrame,
+    frame_ms: float = 30.0,
+    energy_floor_dbfs: float = -50.0,
+    min_silence_ms: float = 300.0,
+    min_speech_ms: float = 100.0,
+    id_col: str = "clip_id",
+    bytes_col: str = BYTES_COL,
+) -> DataFrame:
+    """Energy-based voice-activity segmentation: one output row per detected
+    speech segment (clip_id, seg_idx, start/end/dur ms, segment RMS).
+
+    A frame is speech when its RMS exceeds ``energy_floor_dbfs``; silence gaps
+    shorter than ``min_silence_ms`` are bridged into the surrounding speech
+    (natural pauses), and segments shorter than ``min_speech_ms`` are dropped
+    (clicks). Clips that decode but contain no speech emit zero rows;
+    undecodable clips emit one row with null bounds and the error string.
+    """
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+            ids = batch.column(0).to_pylist()
+            out = {k: [] for k in ("clip_id", "seg_idx", "start_ms", "end_ms",
+                                   "seg_dur_ms", "rms_dbfs", "decode_error")}
+
+            def emit(cid, idx, s_ms, e_ms, rms, err):
+                out["clip_id"].append(cid)
+                out["seg_idx"].append(idx)
+                out["start_ms"].append(s_ms)
+                out["end_ms"].append(e_ms)
+                out["seg_dur_ms"].append(None if s_ms is None else e_ms - s_ms)
+                out["rms_dbfs"].append(rms)
+                out["decode_error"].append(err)
+
+            for i in range(n_rows):
+                raw = None if nulls[i] else heap[offsets[i]:offsets[i + 1]]
+                try:
+                    sr, _codec, pcm = parse_wav_view(raw)
+                except (ValueError, struct.error) as e:
+                    emit(ids[i], None, None, None, None, str(e))
+                    continue
+                db = _frame_rms_db(pcm, sr, frame_ms)
+                runs = _speech_runs(
+                    db > energy_floor_dbfs,
+                    max(1, int(round(min_silence_ms / frame_ms))),
+                    max(1, int(round(min_speech_ms / frame_ms))))
+                n_f = max(1, int(round(sr * frame_ms / 1000.0)))
+                clip_ms = len(pcm) / sr * 1000.0
+                for idx, (s, e) in enumerate(runs):
+                    s_ms = s * n_f / sr * 1000.0
+                    e_ms = min(e * n_f / sr * 1000.0, clip_ms)
+                    seg = pcm[s * n_f:e * n_f].astype(np.float64) / 32768.0
+                    r = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                    emit(ids[i], idx, s_ms, e_ms,
+                         20.0 * np.log10(max(r, 1e-6)), None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["clip_id"], pa.string()),
+                 pa.array(out["seg_idx"], pa.int32()),
+                 pa.array(out["start_ms"], pa.float64()),
+                 pa.array(out["end_ms"], pa.float64()),
+                 pa.array(out["seg_dur_ms"], pa.float64()),
+                 pa.array(out["rms_dbfs"], pa.float64()),
+                 pa.array(out["decode_error"], pa.string())],
+                list(out))
+
+    return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
+                     ).mapInArrow(run, schema=SEGMENTS_DDL)
+
+
+def chunk_count(dur_ms: int, win_ms: int, hop_ms: int) -> int:
+    """Number of training windows a clip yields: clips shorter than the window
+    produce one short chunk; otherwise strided starts covering the whole clip
+    (the final chunk may be shorter than the window — no tail audio is lost)."""
+    if dur_ms <= win_ms:
+        return 1
+    return -((dur_ms - win_ms) // -hop_ms) + 1  # ceil div
+
+
+def audio_chunks(
+    df: DataFrame,
+    win_ms: int = 5000,
+    hop_ms: int = 2500,
+    emit_bytes: bool = True,
+    codec: str = "pcm_s16le",
+    id_col: str = "clip_id",
+    bytes_col: str = BYTES_COL,
+) -> DataFrame:
+    """Cut every clip into fixed ``win_ms`` training windows strided by
+    ``hop_ms`` (overlapping when hop < win) — the batchable unit most speech
+    models train on. One output row per chunk with exact sample bounds; with
+    ``emit_bytes`` each chunk is re-wrapped as a standalone WAV in ``codec``.
+
+    The chunk count per clip is closed-form (:func:`chunk_count` over the
+    DECODED duration), which the tests pin against the emitted rows.
+    """
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+            ids = batch.column(0).to_pylist()
+            out = {k: [] for k in ("clip_id", "chunk_idx", "start_ms", "end_ms",
+                                   "n_samples", "bytes", "decode_error")}
+            for i in range(n_rows):
+                raw = None if nulls[i] else heap[offsets[i]:offsets[i + 1]]
+                try:
+                    sr, _codec, pcm = parse_wav_view(raw)
+                except (ValueError, struct.error) as e:
+                    for k, v in (("clip_id", ids[i]), ("chunk_idx", None),
+                                 ("start_ms", None), ("end_ms", None),
+                                 ("n_samples", None), ("bytes", None),
+                                 ("decode_error", str(e))):
+                        out[k].append(v)
+                    continue
+                dur_ms = int(len(pcm) * 1000 // sr)
+                n_chunks = chunk_count(dur_ms, win_ms, hop_ms)
+                win_n = int(sr * win_ms // 1000)
+                hop_n = int(sr * hop_ms // 1000)
+                for c in range(n_chunks):
+                    s = c * hop_n
+                    e = min(s + win_n, len(pcm))
+                    piece = pcm[s:e]
+                    out["clip_id"].append(ids[i])
+                    out["chunk_idx"].append(c)
+                    out["start_ms"].append(int(s * 1000 // sr))
+                    out["end_ms"].append(int(e * 1000 // sr))
+                    out["n_samples"].append(len(piece))
+                    out["bytes"].append(
+                        encode_wav(piece, sr, codec=codec) if emit_bytes else None)
+                    out["decode_error"].append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["clip_id"], pa.string()),
+                 pa.array(out["chunk_idx"], pa.int32()),
+                 pa.array(out["start_ms"], pa.int32()),
+                 pa.array(out["end_ms"], pa.int32()),
+                 pa.array(out["n_samples"], pa.int32()),
+                 pa.array(out["bytes"], pa.binary()),
+                 pa.array(out["decode_error"], pa.string())],
+                list(out))
+
+    return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
+                     ).mapInArrow(run, schema=CHUNKS_DDL)

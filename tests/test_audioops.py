@@ -1,0 +1,213 @@
+"""Transcode / VAD segmentation / chunking operators + spectral features."""
+
+import numpy as np
+import pytest
+
+from dcspark.audio import (
+    encode_wav,
+    parse_wav,
+    snr_db,
+    spectral_centroid_hz,
+    spectral_flatness,
+    spectral_rolloff_hz,
+)
+from dcspark.audioops import (
+    audio_chunks,
+    audio_segments,
+    audio_transcode,
+    chunk_count,
+    resample_linear,
+)
+from dcspark.synth import wav_bytes
+
+SR = 16000
+SCHEMA = "clip_id string, bytes binary"
+
+
+def _tone(dur_ms, hz=440.0, amp=0.4, sr=SR):
+    t = np.arange(int(sr * dur_ms / 1000)) / sr
+    return (np.sin(2 * np.pi * hz * t) * amp * 32767).astype(np.int16)
+
+
+def _silence(dur_ms, sr=SR):
+    return np.zeros(int(sr * dur_ms / 1000), dtype=np.int16)
+
+
+# ------------------------------------------------------------------ transcode
+
+def test_transcode_to_mulaw_revalidates(spark):
+    pcm = _tone(800)
+    df = spark.createDataFrame([("a", wav_bytes(pcm, SR))], SCHEMA)
+    row = audio_transcode(df, target_codec="pcm_mulaw").collect()[0]
+    assert (row["codec"], row["sr_hz"], row["decode_error"]) == ("pcm_mulaw", SR, None)
+    sr2, name2, out = parse_wav(bytes(row["bytes"]))
+    assert (sr2, name2) == (SR, "pcm_mulaw")
+    assert snr_db(pcm, out) >= 30.0
+
+
+def test_transcode_resamples_mixed_rates(spark):
+    rows = [("a", wav_bytes(_tone(500, sr=8000), 8000)),
+            ("b", wav_bytes(_tone(500, sr=44100), 44100))]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["clip_id"]: r for r in
+           audio_transcode(df, target_codec="pcm_s16le", target_sr=16000).collect()}
+    for cid in ("a", "b"):
+        sr2, _, out = parse_wav(bytes(got[cid]["bytes"]))
+        assert sr2 == 16000
+        assert abs(len(out) / sr2 * 1000 - 500) <= 2
+
+
+def test_transcode_quarantines_bad_payloads(spark):
+    df = spark.createDataFrame(
+        [("ok", wav_bytes(_tone(300), SR)), ("bad", b"not a wav"), ("nul", None)],
+        SCHEMA)
+    got = {r["clip_id"]: r for r in audio_transcode(df).collect()}
+    assert got["ok"]["decode_error"] is None
+    assert got["bad"]["bytes"] is None and got["bad"]["decode_error"]
+    assert got["nul"]["bytes"] is None and got["nul"]["decode_error"] == "null payload"
+
+
+def test_resample_preserves_tone_frequency():
+    pcm = _tone(1000, hz=440.0)
+    out = resample_linear(pcm, SR, 8000)
+    assert abs(len(out) - 8000) <= 1
+    assert abs(spectral_centroid_hz(out, 8000) - 440.0) < 60.0
+
+
+# ------------------------------------------------------------------ segments
+
+def _seg_df(spark, *pieces):
+    pcm = np.concatenate(pieces)
+    return spark.createDataFrame([("c", wav_bytes(pcm, SR))], SCHEMA)
+
+
+def test_segments_speech_silence_speech(spark):
+    df = _seg_df(spark, _tone(500), _silence(600), _tone(400))
+    segs = audio_segments(df, min_silence_ms=300).orderBy("seg_idx").collect()
+    assert [s["seg_idx"] for s in segs] == [0, 1]
+    s0, s1 = segs
+    assert abs(s0["start_ms"] - 0) <= 30 and abs(s0["end_ms"] - 500) <= 60
+    assert abs(s1["start_ms"] - 1100) <= 60 and abs(s1["end_ms"] - 1500) <= 60
+    assert s0["rms_dbfs"] > -20 and s1["rms_dbfs"] > -20
+
+
+def test_segments_short_gap_bridged(spark):
+    df = _seg_df(spark, _tone(500), _silence(120), _tone(400))
+    segs = audio_segments(df, min_silence_ms=300).collect()
+    assert len(segs) == 1
+    assert abs(segs[0]["end_ms"] - 1020) <= 60
+
+
+def test_segments_all_silence_emits_nothing(spark):
+    df = _seg_df(spark, _silence(1000))
+    assert audio_segments(df).count() == 0
+
+
+def test_segments_drops_clicks(spark):
+    df = _seg_df(spark, _silence(400), _tone(40), _silence(400))
+    assert audio_segments(df, min_speech_ms=100).count() == 0
+
+
+def test_segments_decode_error_row(spark):
+    df = spark.createDataFrame([("bad", b"junkjunkjunkjunk" * 4)], SCHEMA)
+    rows = audio_segments(df).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"]
+    assert rows[0]["start_ms"] is None
+
+
+# -------------------------------------------------------------------- chunks
+
+@pytest.mark.parametrize("dur_ms", [400, 5000, 5100, 12345])
+def test_chunk_rows_match_closed_form(spark, dur_ms):
+    df = spark.createDataFrame([("c", wav_bytes(_tone(dur_ms), SR))], SCHEMA)
+    rows = audio_chunks(df, win_ms=5000, hop_ms=2500).collect()
+    assert len(rows) == chunk_count(dur_ms, 5000, 2500)
+
+
+def test_chunk_bytes_decode_to_pcm_slices(spark):
+    pcm = _tone(6000)
+    df = spark.createDataFrame([("c", wav_bytes(pcm, SR))], SCHEMA)
+    rows = audio_chunks(df, win_ms=5000, hop_ms=2500).orderBy("chunk_idx").collect()
+    win_n, hop_n = SR * 5, SR * 25 // 10
+    for r in rows:
+        _, _, out = parse_wav(bytes(r["bytes"]))
+        s = r["chunk_idx"] * hop_n
+        assert np.array_equal(out, pcm[s:s + win_n])
+        assert r["n_samples"] == len(out)
+
+
+def test_chunks_no_bytes_mode(spark):
+    df = spark.createDataFrame([("c", wav_bytes(_tone(7000), SR))], SCHEMA)
+    rows = audio_chunks(df, win_ms=5000, hop_ms=2500, emit_bytes=False).collect()
+    assert all(r["bytes"] is None for r in rows) and len(rows) == 2
+
+
+# ------------------------------------------------------------------ spectral
+
+def test_spectral_centroid_tracks_tone():
+    assert abs(spectral_centroid_hz(_tone(1000, hz=440.0), SR) - 440.0) < 40.0
+    assert abs(spectral_centroid_hz(_tone(1000, hz=2000.0), SR) - 2000.0) < 80.0
+
+
+def test_spectral_flatness_separates_tone_from_noise():
+    tone = _tone(1000)
+    noise = (np.random.default_rng(7).normal(0, 0.2, SR) * 32767).astype(np.int16)
+    assert spectral_flatness(tone, SR) < 0.05
+    assert spectral_flatness(noise, SR) > 0.3
+
+
+def test_spectral_rolloff_bounds_tone():
+    assert spectral_rolloff_hz(_tone(1000, hz=440.0), SR) < 700.0
+    noise = (np.random.default_rng(7).normal(0, 0.2, SR) * 32767).astype(np.int16)
+    assert spectral_rolloff_hz(noise, SR) > 6000.0
+
+
+def test_spectral_features_in_feature_frame(spark):
+    from dcspark.audio import audio_feature_frame
+
+    df = spark.createDataFrame([("c", wav_bytes(_tone(600, hz=880.0), SR))], SCHEMA)
+    row = audio_feature_frame(
+        df, features=["spectral_centroid_hz", "spectral_flatness",
+                      "spectral_rolloff_hz"]).collect()[0]
+    assert abs(row["spectral_centroid_hz"] - 880.0) < 60.0
+    assert row["spectral_flatness"] < 0.05
+    assert row["spectral_rolloff_hz"] < 1100.0
+
+
+def test_spectral_signal_quality_rule(spark):
+    """A narrowband 300 Hz 'telephony' clip declared as wideband fails a
+    spectral_rolloff_hz signal-quality floor; a real wideband clip passes."""
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+
+    yaml_text = """
+dataContractSpecification: 1.1.0
+id: rolloff-check
+info: {title: rolloff, version: 1.0.0}
+models:
+  audio_clips:
+    type: table
+    fields:
+      clip_id: {type: string}
+      bytes: {type: bytes}
+      sr_hz: {type: int}
+      dur_ms: {type: int}
+      codec: {type: string}
+    quality:
+      - type: audio
+        invariant: signal-quality
+        column: spectral_rolloff_hz
+        minimum: 1000.0
+"""
+    spec = DataContractSpecification.from_string(yaml_text)
+    full = "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+    wide = np.concatenate([_tone(800, hz=hz, amp=0.1) for hz in (500, 1500, 3000)])
+    ok = spark.createDataFrame(
+        [("w", wav_bytes(wide, SR), SR, 2400, "pcm_s16le")], full)
+    res = validate(spark, spec, {"audio_clips": ok}, ValidationConfig())
+    assert res.run.result == ResultEnum.passed
+    bad = spark.createDataFrame(
+        [("n", wav_bytes(_tone(800, hz=300.0), SR), SR, 800, "pcm_s16le")], full)
+    res2 = validate(spark, spec, {"audio_clips": bad}, ValidationConfig())
+    failed = [c.key for c in res2.run.checks if c.result == ResultEnum.failed]
+    assert any("signal_quality" in k or "spectral" in k for k in failed), failed
