@@ -174,6 +174,11 @@ OPERATOR_QUERIES = [
     "audio_fp_near_dup",
     "audio_decontam",
     "audio_loudness_drift",
+    "audio_multicodec_conformance",
+    "audio_transcode_normalize",
+    "audio_vad_segments",
+    "audio_chunk_windows",
+    "audio_spectral_quality",
     "group_threshold_checks",
 ]
 

@@ -293,6 +293,39 @@ def cmd_decontam(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audio(args: argparse.Namespace) -> int:
+    """Audio corpus pipeline actions (dcspark/audioops.py): transcode to one
+    codec/rate, energy-VAD segmentation, or training-window chunking."""
+    from pyspark.sql import functions as F
+
+    from . import audioops as aops
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    df = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("clip_id"), F.col(args.bytes_col).alias("bytes"))
+    if args.action == "transcode":
+        out = aops.audio_transcode(
+            df, target_codec=args.codec, target_sr=args.sr)
+        label = f"-> {args.codec}" + (f" @ {args.sr} Hz" if args.sr else "")
+    elif args.action == "segment":
+        out = aops.audio_segments(
+            df, frame_ms=args.frame_ms, energy_floor_dbfs=args.floor_dbfs,
+            min_silence_ms=args.min_silence_ms, min_speech_ms=args.min_speech_ms)
+        label = f"speech segments (floor {args.floor_dbfs} dBFS)"
+    else:  # chunk
+        out = aops.audio_chunks(
+            df, win_ms=args.win_ms, hop_ms=args.hop_ms,
+            emit_bytes=not args.no_bytes)
+        label = f"{args.win_ms} ms windows / {args.hop_ms} ms hop"
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n = written.count()
+    errs = written.filter(F.col("decode_error").isNotNull()).count()
+    print(f"audio {args.action}: {n} rows ({errs} decode errors) "
+          f"{label} -> {args.output}")
+    return 0
+
+
 def cmd_mask(args: argparse.Namespace) -> int:
     """Write PII-masked copies of each model's table per the contract's
     pii/classification declarations — see dcspark/mask.py."""
@@ -615,6 +648,29 @@ def main(argv: Optional[list] = None) -> int:
     dc.add_argument("--master", default=None)
     dc.add_argument("--shuffle-partitions", type=int, default=None)
 
+    au = sub.add_parser(
+        "audio", help="audio corpus actions: transcode | segment | chunk")
+    au.add_argument("action", choices=["transcode", "segment", "chunk"])
+    au.add_argument("--input", required=True, help="clips parquet path")
+    au.add_argument("--output", required=True, help="result parquet path")
+    au.add_argument("--id-col", default="clip_id")
+    au.add_argument("--bytes-col", default="bytes")
+    au.add_argument("--codec", default="pcm_s16le",
+                    help="transcode target codec (also chunk WAV wrapper)")
+    au.add_argument("--sr", type=int, default=None,
+                    help="transcode target sample rate (default: keep)")
+    au.add_argument("--frame-ms", type=float, default=30.0)
+    au.add_argument("--floor-dbfs", type=float, default=-50.0,
+                    help="segment: frames above this RMS are speech")
+    au.add_argument("--min-silence-ms", type=float, default=300.0)
+    au.add_argument("--min-speech-ms", type=float, default=100.0)
+    au.add_argument("--win-ms", type=int, default=5000)
+    au.add_argument("--hop-ms", type=int, default=2500)
+    au.add_argument("--no-bytes", action="store_true",
+                    help="chunk: emit bounds only, no WAV payloads")
+    au.add_argument("--master", default=None)
+    au.add_argument("--shuffle-partitions", type=int, default=None)
+
     mk = sub.add_parser(
         "mask", help="write PII-masked tables per contract pii/classification")
     mk.add_argument("contract")
@@ -725,6 +781,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_mask(args)
     if args.command == "dedup":
         return cmd_dedup(args)
+    if args.command == "audio":
+        return cmd_audio(args)
     if args.command == "decontam":
         return cmd_decontam(args)
     if args.command == "suggest":

@@ -211,3 +211,40 @@ models:
     res2 = validate(spark, spec, {"audio_clips": bad}, ValidationConfig())
     failed = [c.key for c in res2.run.checks if c.result == ResultEnum.failed]
     assert any("signal_quality" in k or "spectral" in k for k in failed), failed
+
+
+# ----------------------------------------------------------------------- CLI
+
+def test_cli_audio_pipeline(tmp_path, capsys, spark):
+    """dcspark audio transcode -> chunk -> segment over a parquet corpus."""
+    from dcspark.cli import main
+
+    src = str(tmp_path / "clips")
+    rows = [("a", bytearray(wav_bytes(_tone(1200), SR))),
+            ("b", bytearray(wav_bytes(
+                np.concatenate([_tone(400), _silence(700), _tone(400)]), SR)))]
+    spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+
+    t_out = str(tmp_path / "transcoded")
+    assert main(["audio", "transcode", "--input", src, "--output", t_out,
+                 "--codec", "pcm_mulaw", "--sr", "8000",
+                 "--master", "local[2]"]) == 0
+    got = {r["clip_id"]: r for r in spark.read.parquet(t_out).collect()}
+    assert got["a"]["codec"] == "pcm_mulaw" and got["a"]["sr_hz"] == 8000
+    sr2, name2, _ = parse_wav(bytes(got["b"]["bytes"]))
+    assert (sr2, name2) == (8000, "pcm_mulaw")
+
+    c_out = str(tmp_path / "chunks")
+    assert main(["audio", "chunk", "--input", src, "--output", c_out,
+                 "--win-ms", "500", "--hop-ms", "250",
+                 "--master", "local[2]"]) == 0
+    cdf = spark.read.parquet(c_out)
+    assert cdf.filter(cdf.clip_id == "a").count() == chunk_count(1200, 500, 250)
+
+    s_out = str(tmp_path / "segments")
+    assert main(["audio", "segment", "--input", src, "--output", s_out,
+                 "--min-silence-ms", "300", "--master", "local[2]"]) == 0
+    sdf = spark.read.parquet(s_out)
+    assert sdf.filter(sdf.clip_id == "b").count() == 2
+    out_text = capsys.readouterr().out
+    assert "audio transcode" in out_text and "0 decode errors" in out_text
