@@ -2085,6 +2085,49 @@ def q_audio_spectral(spark: SparkSession, _sf: str) -> DataFrame:
     )
 
 
+def q_audio_logmel(spark: SparkSession, _sf: str) -> DataFrame:
+    """ASR feature extraction (dcspark/audioops.py audio_logmel): framewise
+    log-mel energies (and a 13-coeff MFCC variant) per clip in one strided
+    rfft + filterbank matmul per clip. Self-verifying: emitted feature-array
+    lengths must equal n_frames * n_feats, and the total frame count must
+    equal the closed-form 1 + floor((samples - frame)/hop) summed over clips
+    (computed here from dur_ms/sr_hz as a Spark expression). Not
+    SQL-expressible (FFT); locked in tests/test_audioops.py."""
+    from dcspark import audioops as aops
+
+    df = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED,
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8)
+    lm = aops.audio_logmel(df, n_mels=24, frame_ms=25.0, hop_ms=10.0)
+    actual = lm.agg(
+        F.count(F.lit(1)).cast("long").alias("clips"),
+        F.sum("n_frames").cast("long").alias("frames"),
+        F.sum(F.size("feats")).cast("long").alias("feat_values"),
+        F.sum(F.col("n_frames") * F.col("n_feats")).cast("long")
+        .alias("expected_values"),
+    )
+    # closed-form framing from the declared header columns (synth clips decode
+    # to exactly round(sr*dur/1000) samples). frame/hop lengths are computed
+    # HERE with the operator's own Python rounding (banker's) per enum sr and
+    # injected as exact ints — Spark's half-up F.round would drift on
+    # sr*hop = 220.5-style ties.
+    frame_e, hop_e = F.lit(None), F.lit(None)
+    for sr in synth_mod.SR_ENUM:
+        fn = max(16, int(round(sr * 0.025)))
+        hn = max(1, int(round(sr * 0.010)))
+        frame_e = F.when(F.col("sr_hz") == sr, F.lit(fn)).otherwise(frame_e)
+        hop_e = F.when(F.col("sr_hz") == sr, F.lit(hn)).otherwise(hop_e)
+    samples = F.round(F.col("sr_hz") * F.col("dur_ms") / 1000.0)
+    expected = df.select(
+        F.when(samples < frame_e, F.lit(0)).otherwise(
+            F.floor((samples - frame_e) / hop_e) + 1
+        ).cast("long").alias("n")).agg(F.sum("n").alias("expected_frames"))
+    return actual.crossJoin(expected).select(
+        "clips", "frames", "expected_frames", "feat_values",
+        (F.col("feat_values") == F.col("expected_values")).alias("lengths_match"),
+        (F.col("frames") == F.col("expected_frames")).alias("frames_match"))
+
+
 def q_audio_fp_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Acoustic-fingerprint near-duplicate detection (dcspark/audiofp.py):
     band-occupancy spectral hashes (gain-invariant, noise-robust) + bucketed
@@ -2273,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_vad_segments": q_audio_vad_segments,
         "audio_chunk_windows": q_audio_chunks,
         "audio_spectral_quality": q_audio_spectral,
+        "audio_logmel_features": q_audio_logmel,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -2329,7 +2373,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         # audio_decode_conformance / audio_multicodec_conformance /
         # audio_transcode_normalize / audio_vad_segments / audio_chunk_windows /
-        # audio_spectral_quality / contract_full_run: not SQL-expressible
+        # audio_spectral_quality / audio_logmel_features / contract_full_run: not SQL-expressible
         # (binary WAV decode + pandas-UDF invariant) — rows-only check; the
         # vad/chunk/transcode queries are self-verifying (expected-vs-detected
         # columns computed inside the query).

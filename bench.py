@@ -179,6 +179,7 @@ OPERATOR_QUERIES = [
     "audio_vad_segments",
     "audio_chunk_windows",
     "audio_spectral_quality",
+    "audio_logmel_features",
     "group_threshold_checks",
 ]
 

@@ -43,15 +43,30 @@ def resample_linear(pcm: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
                    ).astype(np.int16)
 
 
+def normalize_loudness(pcm: np.ndarray, target_dbfs: float) -> np.ndarray:
+    """Scale int16 PCM so its RMS hits ``target_dbfs`` (clipped at full
+    scale); silence is returned unchanged (nothing to normalize)."""
+    if len(pcm) == 0:
+        return pcm
+    x = pcm.astype(np.float64)
+    rms = np.sqrt(np.mean((x / 32768.0) ** 2))
+    if rms <= 0.0:
+        return pcm
+    gain = (10.0 ** (target_dbfs / 20.0)) / rms
+    return np.clip(np.rint(x * gain), -32768, 32767).astype(np.int16)
+
+
 def audio_transcode(
     df: DataFrame,
     target_codec: str = "pcm_s16le",
     target_sr: Optional[int] = None,
+    target_dbfs: Optional[float] = None,
     id_col: str = "clip_id",
     bytes_col: str = BYTES_COL,
 ) -> DataFrame:
     """Re-encode every clip into ``target_codec`` (optionally resampled to
-    ``target_sr``), returning payloads the validation engine can re-verify.
+    ``target_sr`` and RMS-normalized to ``target_dbfs``), returning payloads
+    the validation engine can re-verify.
 
     Decode accepts the full parse_wav_view codec family, so one pass
     normalizes a mixed-codec corpus. Output schema carries the new declared
@@ -76,6 +91,8 @@ def audio_transcode(
                     sr, _codec, pcm = parse_wav_view(raw)
                     out_sr = target_sr or sr
                     pcm = resample_linear(pcm, sr, out_sr)
+                    if target_dbfs is not None:
+                        pcm = normalize_loudness(pcm, target_dbfs)
                     b_out.append(encode_wav(pcm, out_sr, codec=target_codec))
                     sr_out.append(out_sr)
                     err_out.append(None)
@@ -281,3 +298,124 @@ def audio_chunks(
 
     return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
                      ).mapInArrow(run, schema=CHUNKS_DDL)
+
+
+LOGMEL_DDL = ("clip_id string, n_frames int, n_feats int, feats array<float>, "
+              "decode_error string")
+
+
+def hz_to_mel(f):
+    """HTK mel scale: mel = 2595 * log10(1 + f/700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int,
+                   fmin: float = 0.0, fmax: Optional[float] = None) -> np.ndarray:
+    """Triangular HTK-mel filterbank, shape (n_mels, n_fft//2 + 1).
+
+    Standard construction: n_mels + 2 points equally spaced on the mel scale
+    between fmin and fmax (default sr/2), each filter a triangle between its
+    neighbors, evaluated at the rfft bin centers.
+    """
+    fmax = fmax or sr / 2.0
+    pts_hz = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    bins_hz = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    fb = np.zeros((n_mels, len(bins_hz)))
+    for m in range(n_mels):
+        lo, ctr, hi = pts_hz[m], pts_hz[m + 1], pts_hz[m + 2]
+        up = (bins_hz - lo) / max(ctr - lo, 1e-9)
+        down = (hi - bins_hz) / max(hi - ctr, 1e-9)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def dct2_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (n_out, n_in) — the MFCC decorrelation step."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    m = np.sqrt(2.0 / n_in) * np.cos(np.pi * (n + 0.5) * k / n_in)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def logmel_frames(pcm: np.ndarray, sr: int, n_mels: int = 40,
+                  frame_ms: float = 25.0, hop_ms: float = 10.0,
+                  fb: Optional[np.ndarray] = None) -> np.ndarray:
+    """Framewise log-mel energies, shape (n_frames, n_mels).
+
+    One strided window view + one batched rfft + one matmul per clip — the
+    per-clip cost is a handful of whole-array numpy ops, no per-frame Python.
+    The trailing partial frame is dropped (standard ASR framing).
+    """
+    frame_n = max(16, int(round(sr * frame_ms / 1000.0)))
+    hop_n = max(1, int(round(sr * hop_ms / 1000.0)))
+    if len(pcm) < frame_n:
+        return np.empty((0, n_mels))
+    frames = np.lib.stride_tricks.sliding_window_view(pcm, frame_n)[::hop_n]
+    x = frames.astype(np.float64) / 32768.0 * np.hanning(frame_n)
+    power = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    if fb is None:
+        fb = mel_filterbank(sr, frame_n, n_mels)
+    return np.log(power @ fb.T + 1e-10)
+
+
+def audio_logmel(
+    df: DataFrame,
+    n_mels: int = 40,
+    frame_ms: float = 25.0,
+    hop_ms: float = 10.0,
+    n_mfcc: Optional[int] = None,
+    id_col: str = "clip_id",
+    bytes_col: str = BYTES_COL,
+) -> DataFrame:
+    """ASR training-feature extraction: framewise log-mel energies per clip
+    (``n_mfcc`` set -> DCT-II MFCCs instead), flattened row-major into one
+    ``array<float>`` column of length n_frames * n_feats.
+
+    The mel filterbank and DCT matrix are built ONCE per (sr, frame length)
+    inside each task and reused across clips — per clip the work is a strided
+    window view, one batched rfft, and one matmul. Same zero-copy mapInArrow
+    scan shape as every audio pass; undecodable clips carry the error string.
+    """
+    n_feats = n_mfcc or n_mels
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        fb_cache: dict = {}
+        dct = dct2_matrix(n_mfcc, n_mels) if n_mfcc else None
+        for batch in batches:
+            n_rows = batch.num_rows
+            offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+            nf_out, feats_out, err_out = [], [], []
+            for i in range(n_rows):
+                raw = None if nulls[i] else heap[offsets[i]:offsets[i + 1]]
+                try:
+                    sr, _codec, pcm = parse_wav_view(raw)
+                except (ValueError, struct.error) as e:
+                    nf_out.append(None), feats_out.append(None), err_out.append(str(e))
+                    continue
+                frame_n = max(16, int(round(sr * frame_ms / 1000.0)))
+                fb = fb_cache.get((sr, frame_n))
+                if fb is None:
+                    fb = fb_cache[(sr, frame_n)] = mel_filterbank(sr, frame_n, n_mels)
+                lm = logmel_frames(pcm, sr, n_mels, frame_ms, hop_ms, fb=fb)
+                if dct is not None:
+                    lm = lm @ dct.T
+                nf_out.append(lm.shape[0])
+                feats_out.append(lm.astype(np.float32).ravel())
+                err_out.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0),
+                 pa.array(nf_out, pa.int32()),
+                 pa.array([n_feats] * n_rows, pa.int32()),
+                 pa.array(feats_out, pa.list_(pa.float32())),
+                 pa.array(err_out, pa.string())],
+                ["clip_id", "n_frames", "n_feats", "feats", "decode_error"])
+
+    return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
+                     ).mapInArrow(run, schema=LOGMEL_DDL)

@@ -305,8 +305,16 @@ def cmd_audio(args: argparse.Namespace) -> int:
         F.col(args.id_col).alias("clip_id"), F.col(args.bytes_col).alias("bytes"))
     if args.action == "transcode":
         out = aops.audio_transcode(
-            df, target_codec=args.codec, target_sr=args.sr)
-        label = f"-> {args.codec}" + (f" @ {args.sr} Hz" if args.sr else "")
+            df, target_codec=args.codec, target_sr=args.sr,
+            target_dbfs=args.dbfs)
+        label = f"-> {args.codec}" + (f" @ {args.sr} Hz" if args.sr else "") + (
+            f" normalized to {args.dbfs} dBFS" if args.dbfs is not None else "")
+    elif args.action == "features":
+        out = aops.audio_logmel(
+            df, n_mels=args.n_mels, frame_ms=args.feat_frame_ms,
+            hop_ms=args.feat_hop_ms, n_mfcc=args.n_mfcc)
+        label = (f"{args.n_mfcc}-coeff MFCC" if args.n_mfcc
+                 else f"{args.n_mels}-mel log energies")
     elif args.action == "segment":
         out = aops.audio_segments(
             df, frame_ms=args.frame_ms, energy_floor_dbfs=args.floor_dbfs,
@@ -650,7 +658,7 @@ def main(argv: Optional[list] = None) -> int:
 
     au = sub.add_parser(
         "audio", help="audio corpus actions: transcode | segment | chunk")
-    au.add_argument("action", choices=["transcode", "segment", "chunk"])
+    au.add_argument("action", choices=["transcode", "segment", "chunk", "features"])
     au.add_argument("--input", required=True, help="clips parquet path")
     au.add_argument("--output", required=True, help="result parquet path")
     au.add_argument("--id-col", default="clip_id")
@@ -659,6 +667,15 @@ def main(argv: Optional[list] = None) -> int:
                     help="transcode target codec (also chunk WAV wrapper)")
     au.add_argument("--sr", type=int, default=None,
                     help="transcode target sample rate (default: keep)")
+    au.add_argument("--dbfs", type=float, default=None,
+                    help="transcode: normalize RMS loudness to this dBFS")
+    au.add_argument("--n-mels", type=int, default=40)
+    au.add_argument("--n-mfcc", type=int, default=None,
+                    help="features: emit MFCCs instead of log-mel energies")
+    au.add_argument("--feat-frame-ms", type=float, default=25.0,
+                    help="features: analysis frame length")
+    au.add_argument("--feat-hop-ms", type=float, default=10.0,
+                    help="features: analysis hop")
     au.add_argument("--frame-ms", type=float, default=30.0)
     au.add_argument("--floor-dbfs", type=float, default=-50.0,
                     help="segment: frames above this RMS are speech")

@@ -246,5 +246,96 @@ def test_cli_audio_pipeline(tmp_path, capsys, spark):
                  "--min-silence-ms", "300", "--master", "local[2]"]) == 0
     sdf = spark.read.parquet(s_out)
     assert sdf.filter(sdf.clip_id == "b").count() == 2
+    f_out = str(tmp_path / "feats")
+    assert main(["audio", "features", "--input", src, "--output", f_out,
+                 "--n-mels", "24", "--master", "local[2]"]) == 0
+    fdf = spark.read.parquet(f_out)
+    r = fdf.filter(fdf.clip_id == "a").collect()[0]
+    assert r["n_feats"] == 24 and len(r["feats"]) == r["n_frames"] * 24
+
     out_text = capsys.readouterr().out
     assert "audio transcode" in out_text and "0 decode errors" in out_text
+
+
+# ------------------------------------------------------------ logmel / mfcc
+
+def test_logmel_frame_count_and_shape():
+    from dcspark.audioops import logmel_frames
+
+    pcm = _tone(1000)
+    lm = logmel_frames(pcm, SR, n_mels=40, frame_ms=25.0, hop_ms=10.0)
+    frame_n, hop_n = int(SR * 0.025), int(SR * 0.010)
+    assert lm.shape == ((len(pcm) - frame_n) // hop_n + 1, 40)
+    assert np.isfinite(lm).all()
+
+
+def test_logmel_peak_bin_tracks_tone():
+    from dcspark.audioops import logmel_frames, mel_filterbank, mel_to_hz, hz_to_mel
+
+    for hz in (440.0, 2000.0):
+        lm = logmel_frames(_tone(800, hz=hz), SR, n_mels=40)
+        peak_bin = int(np.bincount(np.argmax(lm, axis=1)).argmax())
+        # center frequency of the winning mel filter should bracket the tone
+        pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(SR / 2), 42))
+        assert pts[peak_bin] <= hz <= pts[peak_bin + 2]
+
+
+def test_mel_filterbank_covers_band():
+    from dcspark.audioops import mel_filterbank
+
+    fb = mel_filterbank(SR, 400, 40)
+    assert fb.shape == (40, 201)
+    assert (fb >= 0).all() and fb.max() <= 1.0
+    assert (fb.sum(axis=1) > 0).all()  # every filter has support
+
+
+def test_dct2_matrix_orthonormal():
+    from dcspark.audioops import dct2_matrix
+
+    m = dct2_matrix(13, 13)
+    assert np.allclose(m @ m.T, np.eye(13), atol=1e-12)
+
+
+def test_audio_logmel_operator(spark):
+    from dcspark.audioops import audio_logmel
+
+    df = spark.createDataFrame(
+        [("a", wav_bytes(_tone(500), SR)), ("bad", b"nope-nope-nope-nope")], SCHEMA)
+    got = {r["clip_id"]: r for r in audio_logmel(df, n_mels=24).collect()}
+    a = got["a"]
+    assert a["n_feats"] == 24 and a["n_frames"] > 0
+    assert len(a["feats"]) == a["n_frames"] * 24
+    assert got["bad"]["decode_error"] and got["bad"]["feats"] is None
+
+
+def test_audio_mfcc_operator(spark):
+    from dcspark.audioops import audio_logmel
+
+    df = spark.createDataFrame([("a", wav_bytes(_tone(500), SR))], SCHEMA)
+    r = audio_logmel(df, n_mels=40, n_mfcc=13).collect()[0]
+    assert r["n_feats"] == 13
+    assert len(r["feats"]) == r["n_frames"] * 13
+
+
+# ------------------------------------------------------- loudness normalize
+
+def test_normalize_loudness_hits_target():
+    from dcspark.audio import rms_dbfs
+    from dcspark.audioops import normalize_loudness
+
+    quiet = (_tone(500, amp=0.05))
+    out = normalize_loudness(quiet, -20.0)
+    assert abs(rms_dbfs(out, SR) - (-20.0)) < 0.1
+    assert np.array_equal(normalize_loudness(_silence(100), -20.0), _silence(100))
+
+
+def test_transcode_with_loudness_target(spark):
+    from dcspark.audio import rms_dbfs
+
+    df = spark.createDataFrame(
+        [("q", wav_bytes(_tone(500, amp=0.03), SR)),
+         ("l", wav_bytes(_tone(500, amp=0.8), SR))], SCHEMA)
+    rows = audio_transcode(df, target_dbfs=-23.0).collect()
+    for r in rows:
+        _, _, out = parse_wav(bytes(r["bytes"]))
+        assert abs(rms_dbfs(out, SR) - (-23.0)) < 0.2
