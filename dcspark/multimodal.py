@@ -296,10 +296,11 @@ def bmp_bytes(pixels: np.ndarray) -> bytes:
 
 def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
     """Sniff-and-decode: REAL numpy decoders for BMP 24/32-bit, binary
-    netpbm P5/P6, and PNG (8-bit gray/GA/RGB/RGBA via stdlib zlib — one
-    real COMPRESSED codec); JPEG/WebP remain the pluggable seam — their
-    libraries do not ship in this sandbox, so they surface as a per-row
-    decode_error, never a crash."""
+    netpbm P5/P6, PNG (8-bit gray/GA/RGB/RGBA via stdlib zlib), and baseline
+    JPEG (dcspark/jpeg.py: Huffman + IDCT + 4:2:0/4:2:2/4:4:4 chroma, no
+    external libraries) — two real COMPRESSED codecs. WebP remains the
+    pluggable seam (library absent in this sandbox): a per-row decode_error,
+    never a crash."""
     if raw is None or len(raw) < 4:
         raise ValueError("empty or truncated image payload")
     if raw[:2] == b"BM":
@@ -308,11 +309,17 @@ def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         return decode_netpbm(raw)
     if raw[:8] == _PNG_SIG:
         return decode_png(raw)
-    if raw[:2] == b"\xff\xd8" or raw[:4] == b"RIFF":
+    if raw[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        h, w, c, px = decode_jpeg(raw)
+        if c == 1:
+            px = px[:, :, None]
+        return h, w, c, px
+    if raw[:4] == b"RIFF":
         raise NotImplementedError(
-            "compressed image codec (jpeg/webp) libraries are not available "
-            "in this environment; inject a decoder (e.g. PIL.Image.open) via the "
-            "decoder= argument"
+            "webp codec library is not available in this environment; inject "
+            "a decoder (e.g. PIL.Image.open) via the decoder= argument"
         )
     raise ValueError("unrecognized image container")
 

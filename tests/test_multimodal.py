@@ -28,8 +28,9 @@ def test_image_metadata_fake_decoder(spark, image_df):
 
 
 def test_image_metadata_default_decoder_errors(spark, image_df):
-    """Garbage payloads surface a per-row decode_error; JPEG magic surfaces
-    the pluggable-codec message (PNG is now a real decoder)."""
+    """Garbage payloads surface a per-row decode_error; a corrupt JPEG body
+    surfaces the real decoder's malformed-stream error (PNG and JPEG are both
+    real decoders now); WebP magic surfaces the pluggable-codec message."""
     out = multimodal.image_metadata(image_df)  # default: real sniffing decoder
     rows = out.collect()
     assert all(r["decode_error"] is not None for r in rows)
@@ -37,7 +38,12 @@ def test_image_metadata_default_decoder_errors(spark, image_df):
     jpeg_df = spark.createDataFrame(
         [("j", b"\xff\xd8\xff\xe0" + b"x" * 100)], "id string, bytes binary")
     jrow = multimodal.image_metadata(jpeg_df).first()
-    assert "codec" in jrow["decode_error"]
+    assert jrow["decode_error"] in ("no SOS scan found",) or \
+        "JPEG" in jrow["decode_error"] or "marker" in jrow["decode_error"]
+    webp_df = spark.createDataFrame(
+        [("w", b"RIFF\x00\x00\x00\x00WEBPx" + b"x" * 50)], "id string, bytes binary")
+    wrow = multimodal.image_metadata(webp_df).first()
+    assert "codec" in wrow["decode_error"]
 
 
 def _checker(h, w):
