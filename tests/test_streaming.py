@@ -231,3 +231,64 @@ def test_windowed_drift_psi_categorical(spark, tmp_path):
     counts[-1] = 100
     expect = drift_mod.drift_statistic_from_counts(counts, stats, "psi")
     assert abs(got["00:05"]["psi"] - expect) < 1e-9
+
+
+AUDIO_STREAM_CONTRACT = """
+id: stream-audio
+models:
+  clips:
+    fields:
+      clip_id: {type: string, required: true}
+      bytes: {type: bytes, required: true}
+      sr_hz: {type: integer}
+      dur_ms: {type: integer}
+      codec: {type: string}
+    quality:
+      - {type: audio, invariant: decode-conformance, snr_db: 30}
+"""
+
+
+def test_stream_audio_decode_conformance(spark, tmp_path):
+    """Audio payload validation under Structured Streaming: each parquet
+    micro-batch runs the full decode-conformance pass (header vs decoded PCM
+    vs SNR oracle); a batch of lying-header clips fails, clean batches pass."""
+    from dcspark import synth
+    from dcspark.audio import synth_oracle
+    from dcspark.engine import ValidationConfig
+
+    seed, dur = 42, (200, 800)
+    src = tmp_path / "clips_in"
+    src.mkdir()
+    clean = synth.generate_audio_table(
+        spark, 30, seed=seed, dur_lo=dur[0], dur_hi=dur[1], num_partitions=2)
+    clean.coalesce(1).write.parquet(str(tmp_path / "stage1"))
+    bad = synth.generate_audio_table(
+        spark, 30, seed=seed, corrupt={"lying_header": 0.4},
+        dur_lo=dur[0], dur_hi=dur[1], num_partitions=2)
+    bad.coalesce(1).write.parquet(str(tmp_path / "stage2"))
+
+    import glob
+    import shutil
+
+    for i, stage in enumerate(("stage1", "stage2")):
+        part = glob.glob(str(tmp_path / stage / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"batch{i}.parquet")
+
+    spec = DataContractSpecification.from_string(AUDIO_STREAM_CONTRACT)
+    stream = (spark.readStream.schema(synth.AUDIO_SCHEMA_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    handle = validate_stream(
+        spark, spec, stream, "clips",
+        config=ValidationConfig(audio_oracle=synth_oracle(seed, dur[0], dur[1])),
+        checkpoint_location=str(tmp_path / "ckpt_audio"),
+    )
+    try:
+        assert handle.await_batches(2, timeout_s=180)
+    finally:
+        handle.stop()
+    runs = handle.runs()
+    results = [r.result for r in runs]
+    assert ResultEnum.passed in results and ResultEnum.failed in results
+    failed_run = next(r for r in runs if r.result == ResultEnum.failed)
+    failed_keys = {c.key for c in failed_run.checks if c.result == ResultEnum.failed}
+    assert "clips__audio_decode_conformance" in failed_keys
