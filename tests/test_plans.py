@@ -351,3 +351,29 @@ def test_lsh_band_hot_bucket_guard(spark):
     # a handful of identical docs below the cap still pair up normally
     small = docs.filter(F.col("id") < 20)
     assert textops.lsh_candidate_pairs(small, max_bucket=500).count() == 20 * 19 // 2
+
+
+def test_audioops_prune_to_id_and_bytes(spark, tmp_path):
+    """Every audioops pass (transcode, segments, chunks, logmel) projects
+    (clip_id, bytes) before mapInArrow, so a parquet-backed clips table scans
+    exactly those two columns — sr_hz/dur_ms/codec/transcript never leave the
+    file reader."""
+    from dcspark import audioops as aops
+    from dcspark.synth import wav_bytes
+    import numpy as np
+
+    p = str(tmp_path / "clips")
+    pcm = np.zeros(1600, dtype=np.int16)
+    spark.createDataFrame(
+        [("a", bytearray(wav_bytes(pcm, 16000)), 16000, 100, "pcm_s16le", "t")],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string").write.parquet(p)
+    table = spark.read.parquet(p)
+    for op in (aops.audio_transcode, aops.audio_segments,
+               lambda d: aops.audio_chunks(d, emit_bytes=False),
+               aops.audio_logmel):
+        plan = _plan(op(table))
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "clip_id" in read_schema and "bytes" in read_schema
+        for col in ("sr_hz", "dur_ms", "codec", "transcript"):
+            assert col not in read_schema, (op, col, read_schema)
