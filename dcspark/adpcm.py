@@ -1,0 +1,181 @@
+"""IMA ADPCM (WAV format tag 0x11) decode/encode — vectorized across blocks.
+
+The 4-bit predictive codec dictation systems and telephony archives wrapped
+in WAV containers for decades. The sample recursion is inherently sequential
+*within* a block, but every block restarts from an explicit (predictor, step
+index) header — so this implementation runs the recursion as a loop over
+NIBBLE POSITIONS with whole-array numpy ops across ALL blocks of a clip at
+each step: cost is O(samples_per_block) tiny vector ops per clip regardless
+of clip length, not O(total_samples) Python steps. The same shape
+(independent restart units -> vectorize across units) is how the engine
+treats partitions at cluster scale.
+
+Tables and update rules are the public IMA/DVI specification (the same ones
+in CPython's audioop.c and every WAV codec); the vectorized decoder is
+locked sample-exact against a direct scalar transliteration AND against
+``audioop.adpcm2lin``'s shared core in tests/test_adpcm.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878,
+    2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+
+INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _nibble_diff(step: np.ndarray, nib: np.ndarray) -> np.ndarray:
+    """vpdiff = (step>>3) + step*(nib&4)/4 + (step>>1)*(nib&2)/2 + ... —
+    the exact integer-truncating update from the spec."""
+    diff = step >> 3
+    diff = diff + np.where(nib & 4, step, 0)
+    diff = diff + np.where(nib & 2, step >> 1, 0)
+    diff = diff + np.where(nib & 1, step >> 2, 0)
+    return diff
+
+
+def decode_ima_blocks(data: np.ndarray, block_align: int) -> np.ndarray:
+    """Decode mono IMA-ADPCM WAV blocks -> int16 PCM.
+
+    ``data`` is the raw data-chunk bytes (uint8). Each ``block_align``-byte
+    block is 4 header bytes (predictor int16le, step index u8, reserved) +
+    packed nibbles, LOW nibble first. The trailing partial block (if any) is
+    decoded for as many whole bytes as it has. Vectorized across blocks: the
+    nibble loop runs samples-per-block times over (n_blocks,) arrays.
+    """
+    n = len(data)
+    if block_align < 5 or n < 4:
+        raise ValueError("IMA ADPCM payload too short")
+    n_full = n // block_align
+    rem = n % block_align
+    blocks = []
+    if n_full:
+        blocks.append(data[: n_full * block_align].reshape(n_full, block_align))
+    tail = data[n_full * block_align:] if rem > 4 else None
+
+    out_parts = []
+    for blk in ([] if not blocks else [blocks[0]]) + ([tail[None, :]] if tail is not None else []):
+        nb, ba = blk.shape
+        pred = blk[:, 0].astype(np.int64) | (blk[:, 1].astype(np.int64) << 8)
+        pred = (pred ^ 0x8000) - 0x8000  # sign-extend int16
+        index = np.clip(blk[:, 2].astype(np.int64), 0, 88)
+        payload = blk[:, 4:]
+        n_nibbles = (ba - 4) * 2
+        samples = np.empty((nb, n_nibbles + 1), dtype=np.int64)
+        samples[:, 0] = pred
+        # interleave low-first nibbles into (nb, n_nibbles)
+        nibs = np.empty((nb, n_nibbles), dtype=np.int64)
+        nibs[:, 0::2] = payload & 0x0F
+        nibs[:, 1::2] = payload >> 4
+        for j in range(n_nibbles):
+            nib = nibs[:, j]
+            step = STEP_TABLE[index]
+            diff = _nibble_diff(step, nib)
+            pred = np.where(nib & 8, pred - diff, pred + diff)
+            pred = np.clip(pred, -32768, 32767)
+            index = np.clip(index + INDEX_TABLE[nib & 7], 0, 88)
+            samples[:, j + 1] = pred
+        out_parts.append(samples.reshape(-1))
+    return np.concatenate(out_parts).astype(np.int16) if out_parts else np.empty(0, np.int16)
+
+
+def decode_ima_scalar(data: np.ndarray, block_align: int) -> np.ndarray:
+    """Direct per-sample transliteration of the spec pseudocode (the test
+    oracle for the vectorized decoder; never used in the hot path)."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        ba = min(block_align, n - pos)
+        pred = int(np.int16(data[pos] | (int(data[pos + 1]) << 8)))
+        index = min(max(int(data[pos + 2]), 0), 88)
+        out.append(pred)
+        for bi in range(pos + 4, pos + ba):
+            byte = int(data[bi])
+            for nib in (byte & 0x0F, byte >> 4):
+                step = int(STEP_TABLE[index])
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(max(pred, -32768), 32767)
+                index = min(max(index + int(INDEX_TABLE[nib & 7]), 0), 88)
+                out.append(pred)
+        pos += ba
+    return np.array(out, dtype=np.int16)
+
+
+def encode_ima_blocks(pcm: np.ndarray, block_align: int = 256) -> Tuple[bytes, int]:
+    """Encode mono int16 PCM as IMA-ADPCM blocks -> (data bytes,
+    samples_per_block). Vectorized across blocks the same way as decode:
+    the greedy nibble quantizer runs once per sample position over all
+    blocks simultaneously.
+    """
+    if block_align < 5:
+        raise ValueError("block_align must be >= 5")
+    spb = (block_align - 4) * 2 + 1
+    x = np.asarray(pcm, dtype=np.int64)
+    if len(x) == 0:
+        return b"", spb
+    n_blocks = -(-len(x) // spb)
+    padded = np.full(n_blocks * spb, 0, dtype=np.int64)
+    padded[: len(x)] = x
+    if len(x) < len(padded):
+        padded[len(x):] = x[-1]  # edge-pad the final block
+    grid = padded.reshape(n_blocks, spb)
+
+    pred = grid[:, 0].copy()
+    # seed each block's step index near the block's typical sample delta —
+    # the header carries (predictor, index) precisely so an encoder can do
+    # this; starting every block at index 0 forces a ~30-sample re-adaptation
+    # transient that costs ~10 dB on full-scale content
+    mean_delta = np.abs(np.diff(grid, axis=1)).mean(axis=1)
+    index = np.clip(np.searchsorted(STEP_TABLE, mean_delta), 0, 88)
+    nibs = np.empty((n_blocks, spb - 1), dtype=np.uint8)
+    for j in range(1, spb):
+        target = grid[:, j]
+        step = STEP_TABLE[index]
+        delta = target - pred
+        sign = delta < 0
+        mag = np.abs(delta)
+        # greedy bit-by-bit quantization (the spec's encoder)
+        nib = np.zeros(n_blocks, dtype=np.int64)
+        big = mag >= step
+        nib |= np.where(big, 4, 0)
+        mag = mag - np.where(big, step, 0)
+        half = mag >= (step >> 1)
+        nib |= np.where(half, 2, 0)
+        mag = mag - np.where(half, step >> 1, 0)
+        quarter = mag >= (step >> 2)
+        nib |= np.where(quarter, 1, 0)
+        nib = nib | np.where(sign, 8, 0)
+        diff = _nibble_diff(step, nib)
+        pred = np.where(sign, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + INDEX_TABLE[nib & 7], 0, 88)
+        nibs[:, j - 1] = nib
+    # pack: low nibble first
+    packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+    header = np.zeros((n_blocks, 4), dtype=np.uint8)
+    first = grid[:, 0].astype(np.uint16)
+    header[:, 0] = first & 0xFF
+    header[:, 1] = first >> 8
+    header[:, 2] = np.clip(np.searchsorted(
+        STEP_TABLE, np.abs(np.diff(grid, axis=1)).mean(axis=1)), 0, 88
+    ).astype(np.uint8)
+    return np.concatenate([header, packed], axis=1).tobytes(), spb

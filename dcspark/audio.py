@@ -62,6 +62,7 @@ DUR_TOL_MS = 1.0
 
 # WAVE format tags (RIFF spec / mmreg.h — public constants)
 _FMT_PCM, _FMT_FLOAT, _FMT_ALAW, _FMT_MULAW, _FMT_EXTENSIBLE = 0x1, 0x3, 0x6, 0x7, 0xFFFE
+_FMT_IMA_ADPCM = 0x11
 
 #: (format_tag, bits) -> canonical codec name (ffmpeg naming convention)
 WAV_CODEC_NAMES = {
@@ -72,6 +73,7 @@ WAV_CODEC_NAMES = {
     (_FMT_FLOAT, 32): "pcm_f32le",
     (_FMT_ALAW, 8): "pcm_alaw",
     (_FMT_MULAW, 8): "pcm_mulaw",
+    (_FMT_IMA_ADPCM, 4): "adpcm_ima_wav",
 }
 
 _g711_cache: dict = {}
@@ -130,13 +132,21 @@ def lin2alaw(pcm: np.ndarray) -> np.ndarray:
 
 
 def _decode_wav_samples(b, data_off: int, data_len: int,
-                        tag: int, bits: int, channels: int):
+                        tag: int, bits: int, channels: int,
+                        block_align: int = 0):
     """Decode a WAV data chunk to canonical mono int16 PCM (one allocation;
     every transform is whole-array numpy). Multi-channel audio is downmixed by
     per-frame arithmetic mean. Raises ValueError on unsupported tag/bits."""
     name = WAV_CODEC_NAMES.get((tag, bits))
     if name is None or channels < 1:
         raise ValueError(f"unsupported codec: fmt={tag} bits={bits} ch={channels}")
+    if name == "adpcm_ima_wav":
+        if channels != 1:
+            raise ValueError("multi-channel IMA ADPCM unsupported")
+        from .adpcm import decode_ima_blocks
+
+        raw = np.frombuffer(b, dtype=np.uint8, count=data_len, offset=data_off)
+        return name, decode_ima_blocks(raw, block_align)
     if name == "pcm_s16le":
         pcm = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=data_off)
     elif name == "pcm_u8":
@@ -189,6 +199,7 @@ def parse_wav_view(b) -> tuple:
     pos = 12
     fmt = None
     ext_tag = None
+    fact_samples = None
     data_off = data_len = None
     n = len(b)
     while pos + 8 <= n:
@@ -200,13 +211,17 @@ def parse_wav_view(b) -> tuple:
             # SubFormat GUID (real format tag = first 2 bytes, little-endian)
             if fmt[0] == _FMT_EXTENSIBLE and size >= 40:
                 (ext_tag,) = struct.unpack_from("<H", mv, pos + 8 + 24)
+        elif chunk_id == b"fact" and size >= 4:
+            # total sample count — authoritative for block codecs whose final
+            # block is padded (IMA ADPCM)
+            (fact_samples,) = struct.unpack_from("<I", mv, pos + 8)
         elif chunk_id == b"data":
             data_off = pos + 8
             data_len = min(size, n - data_off)
         pos += 8 + size + (size & 1)
     if fmt is None or data_off is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
+    audio_format, channels, sr, _byte_rate, block_align, bits = fmt
     if audio_format == _FMT_EXTENSIBLE:
         if ext_tag is None:
             raise ValueError("extensible fmt chunk too short for SubFormat")
@@ -215,7 +230,10 @@ def parse_wav_view(b) -> tuple:
         # hot path: zero-copy int16 view straight into the Arrow value heap
         pcm = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=data_off)
         return sr, "pcm_s16le", pcm
-    name, pcm = _decode_wav_samples(b, data_off, data_len, audio_format, bits, channels)
+    name, pcm = _decode_wav_samples(b, data_off, data_len, audio_format, bits,
+                                    channels, block_align)
+    if fact_samples is not None and fact_samples < len(pcm):
+        pcm = pcm[:fact_samples]
     return sr, name, pcm
 
 
@@ -247,6 +265,23 @@ def encode_wav(pcm: np.ndarray, sr: int, codec: str = "pcm_s16le",
         raise ValueError(f"unknown codec: {codec}")
     tag, bits = tag_bits
     x = np.asarray(pcm, dtype=np.int16)
+    if codec == "adpcm_ima_wav":
+        if channels != 1 or extensible:
+            raise ValueError("IMA ADPCM encoder is mono, non-extensible")
+        from .adpcm import encode_ima_blocks
+
+        ba = 256
+        data, spb = encode_ima_blocks(x, block_align=ba)
+        byte_rate = (sr * ba + spb - 1) // spb
+        fmt_body = struct.pack("<HHIIHHHH", _FMT_IMA_ADPCM, 1, sr,
+                               byte_rate, ba, 4, 2, spb)
+        fact = struct.pack("<I", len(x))
+        pad = b"\x00" if len(data) & 1 else b""
+        riff_len = 4 + (8 + len(fmt_body)) + (8 + len(fact)) + (8 + len(data) + len(pad))
+        return (b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"fact" + struct.pack("<I", len(fact)) + fact
+                + b"data" + struct.pack("<I", len(data)) + data + pad)
     if channels > 1:
         x = np.repeat(x, channels)
     if codec == "pcm_s16le":

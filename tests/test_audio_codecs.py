@@ -102,7 +102,8 @@ def test_g711_transcode_preserves_snr_over_30db():
         assert snr_db(pcm, out) >= 30.0
 
 
-@pytest.mark.parametrize("codec", sorted(WAV_CODEC_NAMES.values()))
+@pytest.mark.parametrize(
+    "codec", sorted(set(WAV_CODEC_NAMES.values()) - {"adpcm_ima_wav"}))
 def test_extensible_header_resolves_subformat(codec):
     pcm = _sine(dur_ms=100)
     sr, name, out = parse_wav(encode_wav(pcm, 22050, codec=codec, extensible=True))
