@@ -2015,24 +2015,23 @@ def q_audio_vad_segments(spark: SparkSession, _sf: str) -> DataFrame:
                              "expected_segs": parts})
             yield pd.DataFrame(rows, columns=["clip_id", "bytes", "expected_segs"])
 
+    # no persist: the result is returned LAZILY (an unpersist-in-finally would
+    # run before any action), and re-synthesizing 96 small clips on the second
+    # branch is cheaper than caching 96 payloads
     clips = spark.range(0, n_clips, 1, 8).mapInPandas(
         build, schema="clip_id string, bytes binary, expected_segs int")
-    clips = clips.persist()
-    try:
-        segs = aops.audio_segments(clips, min_silence_ms=300)
-        per_clip = segs.groupBy("clip_id").agg(
-            F.count(F.lit(1)).cast("long").alias("detected"))
-        joined = clips.select("clip_id", "expected_segs").join(per_clip, "clip_id")
-        return joined.agg(
-            F.count(F.lit(1)).cast("long").alias("clips"),
-            F.sum("expected_segs").cast("long").alias("expected_total"),
-            F.sum("detected").cast("long").alias("detected_total"),
-            F.min(
-                (F.col("detected") == F.col("expected_segs")).cast("int")
-            ).cast("boolean").alias("all_match"),
-        )
-    finally:
-        clips.unpersist()
+    segs = aops.audio_segments(clips, min_silence_ms=300)
+    per_clip = segs.groupBy("clip_id").agg(
+        F.count(F.lit(1)).cast("long").alias("detected"))
+    joined = clips.select("clip_id", "expected_segs").join(per_clip, "clip_id")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("clips"),
+        F.sum("expected_segs").cast("long").alias("expected_total"),
+        F.sum("detected").cast("long").alias("detected_total"),
+        F.min(
+            (F.col("detected") == F.col("expected_segs")).cast("int")
+        ).cast("boolean").alias("all_match"),
+    )
 
 
 def q_audio_chunks(spark: SparkSession, _sf: str) -> DataFrame:
@@ -2053,9 +2052,25 @@ def q_audio_chunks(spark: SparkSession, _sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("actual_chunks"),
         F.countDistinct("clip_id").cast("long").alias("clips"),
         F.max("n_samples").cast("long").alias("max_chunk_samples"))
+    # closed form in SAMPLES (the operator's own unit): win/hop sample counts
+    # per enum sr are injected as exact Python ints, samples from dur_ms via
+    # the synth rule round(sr*dur/1000)
+    win_e, hop_e = F.lit(None), F.lit(None)
+    for sr in synth_mod.SR_ENUM:
+        win_e = F.when(F.col("sr_hz") == sr,
+                       F.lit(int(sr * win // 1000))).otherwise(win_e)
+        hop_e = F.when(F.col("sr_hz") == sr,
+                       F.lit(max(1, int(sr * hop // 1000)))).otherwise(hop_e)
+    # samples = Python round(sr*dur/1000) — banker's at .5 ties (22050*210
+    # is a real tie), reproduced in integer arithmetic: half-to-even
+    prod = F.col("sr_hz").cast("long") * F.col("dur_ms").cast("long")
+    base = F.floor(prod / 1000).cast("long")
+    frac = prod % 1000
+    samples = base + F.when(frac > 500, 1).when(
+        frac == 500, base % 2).otherwise(0)
     expected = df.select(
-        F.when(F.col("dur_ms") <= win, F.lit(1)).otherwise(
-            F.ceil((F.col("dur_ms") - win) / F.lit(hop)) + 1
+        F.when(samples <= win_e, F.lit(1)).otherwise(
+            F.ceil((samples - win_e) / hop_e) + 1
         ).cast("long").alias("n")).agg(F.sum("n").alias("expected_chunks"))
     return actual.crossJoin(expected).select(
         "clips", "actual_chunks", "expected_chunks", "max_chunk_samples",
@@ -2117,7 +2132,13 @@ def q_audio_logmel(spark: SparkSession, _sf: str) -> DataFrame:
         hn = max(1, int(round(sr * 0.010)))
         frame_e = F.when(F.col("sr_hz") == sr, F.lit(fn)).otherwise(frame_e)
         hop_e = F.when(F.col("sr_hz") == sr, F.lit(hn)).otherwise(hop_e)
-    samples = F.round(F.col("sr_hz") * F.col("dur_ms") / 1000.0)
+    # samples = Python round(sr*dur/1000) — banker's at .5 ties, reproduced
+    # in integer arithmetic (F.round is half-up and drifts on real ties)
+    prod = F.col("sr_hz").cast("long") * F.col("dur_ms").cast("long")
+    base = F.floor(prod / 1000).cast("long")
+    frac = prod % 1000
+    samples = base + F.when(frac > 500, 1).when(
+        frac == 500, base % 2).otherwise(0)
     expected = df.select(
         F.when(samples < frame_e, F.lit(0)).otherwise(
             F.floor((samples - frame_e) / hop_e) + 1

@@ -62,7 +62,9 @@ def decode_ima_blocks(data: np.ndarray, block_align: int) -> np.ndarray:
     blocks = []
     if n_full:
         blocks.append(data[: n_full * block_align].reshape(n_full, block_align))
-    tail = data[n_full * block_align:] if rem > 4 else None
+    # a 4-byte tail is a legal header-only block: one predictor sample
+    # (the scalar oracle's `while pos + 4 <= n` emits it; stay sample-exact)
+    tail = data[n_full * block_align:] if rem >= 4 else None
 
     out_parts = []
     for blk in ([] if not blocks else [blocks[0]]) + ([tail[None, :]] if tail is not None else []):
@@ -146,6 +148,7 @@ def encode_ima_blocks(pcm: np.ndarray, block_align: int = 256) -> Tuple[bytes, i
     # transient that costs ~10 dB on full-scale content
     mean_delta = np.abs(np.diff(grid, axis=1)).mean(axis=1)
     index = np.clip(np.searchsorted(STEP_TABLE, mean_delta), 0, 88)
+    seed_index = index.copy()  # written verbatim into the block headers
     nibs = np.empty((n_blocks, spb - 1), dtype=np.uint8)
     for j in range(1, spb):
         target = grid[:, j]
@@ -175,7 +178,5 @@ def encode_ima_blocks(pcm: np.ndarray, block_align: int = 256) -> Tuple[bytes, i
     first = grid[:, 0].astype(np.uint16)
     header[:, 0] = first & 0xFF
     header[:, 1] = first >> 8
-    header[:, 2] = np.clip(np.searchsorted(
-        STEP_TABLE, np.abs(np.diff(grid, axis=1)).mean(axis=1)), 0, 88
-    ).astype(np.uint8)
+    header[:, 2] = seed_index.astype(np.uint8)
     return np.concatenate([header, packed], axis=1).tobytes(), spb

@@ -223,13 +223,16 @@ def audio_segments(
                      ).mapInArrow(run, schema=SEGMENTS_DDL)
 
 
-def chunk_count(dur_ms: int, win_ms: int, hop_ms: int) -> int:
-    """Number of training windows a clip yields: clips shorter than the window
-    produce one short chunk; otherwise strided starts covering the whole clip
-    (the final chunk may be shorter than the window — no tail audio is lost)."""
-    if dur_ms <= win_ms:
+def chunk_count(length: int, win: int, hop: int) -> int:
+    """Number of training windows a clip yields — exact-count arithmetic in
+    whatever unit ``length``/``win``/``hop`` share (the operator uses SAMPLES;
+    a ms-based closed form only agrees when durations are sample-exact).
+    Clips shorter than the window produce one short chunk; otherwise strided
+    starts cover the whole clip (the final chunk may be shorter than the
+    window — no tail audio is lost)."""
+    if length <= win:
         return 1
-    return -((dur_ms - win_ms) // -hop_ms) + 1  # ceil div
+    return -((length - win) // -hop) + 1  # ceil div
 
 
 def audio_chunks(
@@ -270,10 +273,11 @@ def audio_chunks(
                                  ("decode_error", str(e))):
                         out[k].append(v)
                     continue
-                dur_ms = int(len(pcm) * 1000 // sr)
-                n_chunks = chunk_count(dur_ms, win_ms, hop_ms)
                 win_n = int(sr * win_ms // 1000)
-                hop_n = int(sr * hop_ms // 1000)
+                hop_n = max(1, int(sr * hop_ms // 1000))
+                # count in SAMPLES: a floored-ms count drops the final partial
+                # window whenever the sample count isn't millisecond-exact
+                n_chunks = chunk_count(len(pcm), win_n, hop_n)
                 for c in range(n_chunks):
                     s = c * hop_n
                     e = min(s + win_n, len(pcm))

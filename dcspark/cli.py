@@ -323,7 +323,7 @@ def cmd_audio(args: argparse.Namespace) -> int:
     else:  # chunk
         out = aops.audio_chunks(
             df, win_ms=args.win_ms, hop_ms=args.hop_ms,
-            emit_bytes=not args.no_bytes)
+            emit_bytes=not args.no_bytes, codec=args.codec)
         label = f"{args.win_ms} ms windows / {args.hop_ms} ms hop"
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)

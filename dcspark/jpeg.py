@@ -256,7 +256,12 @@ def decode_jpeg(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         raise ValueError("not a JPEG stream (missing SOI)")
     try:
         return _decode_markers(raw)
-    except (IndexError, struct.error) as e:  # truncated segment bodies
+    except ValueError:
+        raise
+    except (IndexError, struct.error, ZeroDivisionError, StopIteration) as e:
+        # truncated segment bodies / degenerate header fields — must surface
+        # as ValueError so the Spark passes record a per-row decode_error
+        # (StopIteration inside mapInArrow would kill the task via PEP 479)
         raise ValueError(f"truncated or malformed JPEG: {e}") from e
 
 
@@ -313,11 +318,15 @@ def _decode_markers(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
+            if any(c.h < 1 or c.v < 1 for c in comps):
+                raise ValueError("SOF sampling factor of zero")
             ns = seg[0]
             order = []
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
-                comp = next(c for c in comps if c.cid == cs)
+                comp = next((c for c in comps if c.cid == cs), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
                 comp.td, comp.ta = tt >> 4, tt & 0xF
                 order.append(comp)
             pixels = _decode_scan(raw, pos + 2 + seglen, order, comps,

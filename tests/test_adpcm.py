@@ -17,7 +17,8 @@ from dcspark.audio import encode_wav, parse_wav, snr_db
 
 with warnings.catch_warnings():
     warnings.simplefilter("ignore", DeprecationWarning)
-    import audioop
+    # removed in Python 3.13: skip only the audioop-oracle comparisons there
+    audioop = pytest.importorskip("audioop")
 
 SR = 16000
 
@@ -27,7 +28,9 @@ def _tone(dur_ms, hz=440.0, amp=12000):
     return (np.sin(2 * np.pi * hz * t) * amp).astype(np.int16)
 
 
-@pytest.mark.parametrize("block_align,n_extra", [(256, 0), (256, 100), (64, 17), (512, 5)])
+@pytest.mark.parametrize("block_align,n_extra",
+                         [(256, 0), (256, 100), (64, 17), (512, 5),
+                          (256, 4), (256, 3)])  # 4-byte header-only tail; sub-header tail
 def test_vectorized_decode_matches_scalar(block_align, n_extra):
     rng = np.random.default_rng(3)
     data = rng.integers(0, 256, block_align * 7 + n_extra, dtype=np.uint8)

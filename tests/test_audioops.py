@@ -136,6 +136,20 @@ def test_chunk_bytes_decode_to_pcm_slices(spark):
         assert r["n_samples"] == len(out)
 
 
+def test_chunks_sample_exact_tail_not_dropped(spark):
+    """22050 Hz x 1001 ms -> 22072 samples: a floored-ms closed form says 1
+    chunk and silently drops the 22-sample tail; the sample-based count must
+    emit 2 and cover every sample."""
+    sr, dur = 22050, 1001
+    pcm = _tone(dur, sr=sr)
+    df = spark.createDataFrame([("c", wav_bytes(pcm, sr))], SCHEMA)
+    rows = audio_chunks(df, win_ms=1000, hop_ms=500).orderBy("chunk_idx").collect()
+    win_n, hop_n = sr, sr // 2
+    assert len(rows) == chunk_count(len(pcm), win_n, hop_n) == 2
+    last = rows[-1]
+    assert last["chunk_idx"] * hop_n + last["n_samples"] == len(pcm)
+
+
 def test_chunks_no_bytes_mode(spark):
     df = spark.createDataFrame([("c", wav_bytes(_tone(7000), SR))], SCHEMA)
     rows = audio_chunks(df, win_ms=5000, hop_ms=2500, emit_bytes=False).collect()

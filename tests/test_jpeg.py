@@ -147,6 +147,24 @@ def test_progressive_marker_rejected():
         decode_jpeg(bytes(enc))
 
 
+def test_sos_unknown_component_is_valueerror_not_stopiteration():
+    """Inside a mapInArrow generator a StopIteration would become PEP 479
+    RuntimeError and kill the task — must surface as ValueError."""
+    enc = bytearray(jpeg_bytes(_gradient(), quality=85))
+    sos = enc.find(b"\xff\xda")
+    enc[sos + 5] = 9  # first scan component id -> unknown
+    with pytest.raises(ValueError, match="unknown component"):
+        decode_jpeg(bytes(enc))
+
+
+def test_zero_sampling_factor_is_valueerror_not_zerodivision():
+    enc = bytearray(jpeg_bytes(_gradient(), quality=85))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 11] = 0x00  # component 1 h/v sampling factors -> 0
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(enc))
+
+
 def test_corrupt_entropy_data_raises_not_crashes():
     enc = bytearray(jpeg_bytes(_gradient(), quality=85))
     sos = enc.find(b"\xff\xda")
