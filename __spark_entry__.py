@@ -2149,6 +2149,35 @@ def q_audio_logmel(spark: SparkSession, _sf: str) -> DataFrame:
         (F.col("frames") == F.col("expected_frames")).alias("frames_match"))
 
 
+def q_audio_augment(spark: SparkSession, _sf: str) -> DataFrame:
+    """Training-set augmentation (dcspark/audioops.py audio_augment):
+    Kaldi-style 3-way speed perturbation + additive noise at a 20 dB target
+    SNR, deterministic per (seed, clip_id, variant) so retried tasks emit
+    byte-identical payloads. Self-verifying: 3 variants per clip, each
+    variant's re-decoded duration must match dur/speed within 2 ms
+    (dur_bad_rows == 0). Not SQL-expressible; locked in tests/test_audioops.py."""
+    from dcspark import audioops as aops
+
+    df = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED,
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8)
+    aug = aops.audio_augment(df, speeds=(0.9, 1.0, 1.1),
+                             noise_snr_db=20.0, seed=SEED)
+    joined = aug.join(df.select("clip_id", F.col("dur_ms").alias("src_dur")),
+                      "clip_id")
+    speed = F.regexp_extract("variant", r"sp([0-9.]+)", 1).cast("double")
+    expected_dur = F.col("src_dur") / speed
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.countDistinct("clip_id").cast("long").alias("clips"),
+        F.countDistinct("variant").cast("long").alias("variants"),
+        F.sum(F.when(F.col("decode_error").isNotNull(), 1).otherwise(0)
+              ).cast("long").alias("decode_errors"),
+        F.sum(F.when(F.abs(F.col("dur_ms") - expected_dur) > 2.0, 1)
+              .otherwise(0)).cast("long").alias("dur_bad_rows"),
+    )
+
+
 def q_audio_fp_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Acoustic-fingerprint near-duplicate detection (dcspark/audiofp.py):
     band-occupancy spectral hashes (gain-invariant, noise-robust) + bucketed
@@ -2338,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_chunk_windows": q_audio_chunks,
         "audio_spectral_quality": q_audio_spectral,
         "audio_logmel_features": q_audio_logmel,
+        "audio_augment_variants": q_audio_augment,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -2394,7 +2424,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _sql_ann_ivf_topk(),
         # audio_decode_conformance / audio_multicodec_conformance /
         # audio_transcode_normalize / audio_vad_segments / audio_chunk_windows /
-        # audio_spectral_quality / audio_logmel_features / contract_full_run: not SQL-expressible
+        # audio_spectral_quality / audio_logmel_features / audio_augment_variants /
+        # contract_full_run: not SQL-expressible
         # (binary WAV decode + pandas-UDF invariant) — rows-only check; the
         # vad/chunk/transcode queries are self-verifying (expected-vs-detected
         # columns computed inside the query).

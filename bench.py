@@ -180,6 +180,7 @@ OPERATOR_QUERIES = [
     "audio_chunk_windows",
     "audio_spectral_quality",
     "audio_logmel_features",
+    "audio_augment_variants",
     "group_threshold_checks",
 ]
 

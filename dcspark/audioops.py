@@ -423,3 +423,109 @@ def audio_logmel(
 
     return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
                      ).mapInArrow(run, schema=LOGMEL_DDL)
+
+
+AUGMENT_DDL = ("clip_id string, variant string, bytes binary, sr_hz int, "
+               "dur_ms int, decode_error string")
+
+
+def augment_speed(pcm: np.ndarray, sr: int, factor: float) -> np.ndarray:
+    """Speed perturbation by resampling the waveform to sr/factor and playing
+    back at sr (the standard 3-way 0.9/1.0/1.1 trick): duration scales by
+    1/factor, pitch shifts with it."""
+    if factor == 1.0:
+        return pcm
+    return resample_linear(pcm, sr, int(round(sr / factor)))
+
+
+def augment_noise(pcm: np.ndarray, snr_target_db: float,
+                  rng: np.random.Generator) -> np.ndarray:
+    """Additive white noise scaled so the result sits at ``snr_target_db``
+    relative to the clean signal (silence passes through unchanged)."""
+    x = pcm.astype(np.float64)
+    p_sig = float(np.mean(x * x))
+    if p_sig <= 0.0:
+        return pcm
+    p_noise = p_sig / (10.0 ** (snr_target_db / 10.0))
+    noise = rng.normal(0.0, np.sqrt(p_noise), len(x))
+    return np.clip(np.rint(x + noise), -32768, 32767).astype(np.int16)
+
+
+def augment_gain(pcm: np.ndarray, gain_db: float) -> np.ndarray:
+    g = 10.0 ** (gain_db / 20.0)
+    return np.clip(np.rint(pcm.astype(np.float64) * g),
+                   -32768, 32767).astype(np.int16)
+
+
+def audio_augment(
+    df: DataFrame,
+    speeds: tuple = (0.9, 1.0, 1.1),
+    noise_snr_db: Optional[float] = None,
+    gain_jitter_db: float = 0.0,
+    seed: int = 0,
+    id_col: str = "clip_id",
+    bytes_col: str = BYTES_COL,
+) -> DataFrame:
+    """Training-set augmentation: one output row per (clip, speed variant),
+    optionally with additive noise at ``noise_snr_db`` and a uniform gain
+    jitter of +-``gain_jitter_db`` — the standard ASR recipe that multiplies
+    corpus hours without new data.
+
+    DETERMINISTIC: the noise/gain draw for a row is keyed on (seed, clip_id,
+    variant) via numpy's SeedSequence entropy spreading, so re-runs and
+    retried Spark tasks produce byte-identical payloads regardless of row
+    order or partitioning — the property every resumable 100 TB job needs.
+    Same single-pass zero-copy mapInArrow shape as the other operators.
+    """
+    import zlib
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+            ids = batch.column(0).to_pylist()
+            out = {k: [] for k in ("clip_id", "variant", "bytes", "sr_hz",
+                                   "dur_ms", "decode_error")}
+
+            def emit(cid, var, b, sr, dur, err):
+                out["clip_id"].append(cid)
+                out["variant"].append(var)
+                out["bytes"].append(b)
+                out["sr_hz"].append(sr)
+                out["dur_ms"].append(dur)
+                out["decode_error"].append(err)
+
+            for i in range(n_rows):
+                raw = None if nulls[i] else heap[offsets[i]:offsets[i + 1]]
+                try:
+                    sr, _codec, pcm = parse_wav_view(raw)
+                except (ValueError, struct.error) as e:
+                    emit(ids[i], None, None, None, None, str(e))
+                    continue
+                for sp in speeds:
+                    var = f"sp{sp:g}"
+                    x = augment_speed(pcm, sr, sp)
+                    rng = np.random.default_rng(
+                        [seed, zlib.crc32(ids[i].encode()), int(sp * 1000)])
+                    if noise_snr_db is not None:
+                        x = augment_noise(x, noise_snr_db, rng)
+                        var += f"-n{noise_snr_db:g}"
+                    if gain_jitter_db:
+                        g = float(rng.uniform(-gain_jitter_db, gain_jitter_db))
+                        x = augment_gain(x, g)
+                        var += "-g"
+                    emit(ids[i], var, encode_wav(x, sr), sr,
+                         int(round(len(x) / sr * 1000.0)), None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out["clip_id"], pa.string()),
+                 pa.array(out["variant"], pa.string()),
+                 pa.array(out["bytes"], pa.binary()),
+                 pa.array(out["sr_hz"], pa.int32()),
+                 pa.array(out["dur_ms"], pa.int32()),
+                 pa.array(out["decode_error"], pa.string())],
+                list(out))
+
+    return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
+                     ).mapInArrow(run, schema=AUGMENT_DDL)

@@ -315,6 +315,13 @@ def cmd_audio(args: argparse.Namespace) -> int:
             hop_ms=args.feat_hop_ms, n_mfcc=args.n_mfcc)
         label = (f"{args.n_mfcc}-coeff MFCC" if args.n_mfcc
                  else f"{args.n_mels}-mel log energies")
+    elif args.action == "augment":
+        speeds = tuple(float(s) for s in args.speeds.split(","))
+        out = aops.audio_augment(
+            df, speeds=speeds, noise_snr_db=args.noise_snr,
+            gain_jitter_db=args.gain_jitter, seed=args.seed)
+        label = f"speeds {args.speeds}" + (
+            f", noise @ {args.noise_snr} dB SNR" if args.noise_snr is not None else "")
     elif args.action == "segment":
         out = aops.audio_segments(
             df, frame_ms=args.frame_ms, energy_floor_dbfs=args.floor_dbfs,
@@ -658,7 +665,8 @@ def main(argv: Optional[list] = None) -> int:
 
     au = sub.add_parser(
         "audio", help="audio corpus actions: transcode | segment | chunk")
-    au.add_argument("action", choices=["transcode", "segment", "chunk", "features"])
+    au.add_argument("action",
+                    choices=["transcode", "segment", "chunk", "features", "augment"])
     au.add_argument("--input", required=True, help="clips parquet path")
     au.add_argument("--output", required=True, help="result parquet path")
     au.add_argument("--id-col", default="clip_id")
@@ -672,6 +680,14 @@ def main(argv: Optional[list] = None) -> int:
     au.add_argument("--n-mels", type=int, default=40)
     au.add_argument("--n-mfcc", type=int, default=None,
                     help="features: emit MFCCs instead of log-mel energies")
+    au.add_argument("--speeds", default="0.9,1.0,1.1",
+                    help="augment: comma-separated speed factors")
+    au.add_argument("--noise-snr", type=float, default=None,
+                    help="augment: additive noise at this target SNR (dB)")
+    au.add_argument("--gain-jitter", type=float, default=0.0,
+                    help="augment: uniform gain jitter +-dB")
+    au.add_argument("--seed", type=int, default=0,
+                    help="augment: determinism seed")
     au.add_argument("--feat-frame-ms", type=float, default=25.0,
                     help="features: analysis frame length")
     au.add_argument("--feat-hop-ms", type=float, default=10.0,

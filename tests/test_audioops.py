@@ -353,3 +353,54 @@ def test_transcode_with_loudness_target(spark):
     for r in rows:
         _, _, out = parse_wav(bytes(r["bytes"]))
         assert abs(rms_dbfs(out, SR) - (-23.0)) < 0.2
+
+
+# ------------------------------------------------------------------- augment
+
+def test_augment_speed_three_way(spark):
+    from dcspark.audioops import audio_augment
+
+    pcm = _tone(1000)
+    df = spark.createDataFrame([("a", wav_bytes(pcm, SR))], SCHEMA)
+    rows = {r["variant"]: r for r in audio_augment(df).collect()}
+    assert set(rows) == {"sp0.9", "sp1", "sp1.1"}
+    assert abs(rows["sp1"]["dur_ms"] - 1000) <= 1
+    assert abs(rows["sp0.9"]["dur_ms"] - 1000 / 0.9) <= 2
+    assert abs(rows["sp1.1"]["dur_ms"] - 1000 / 1.1) <= 2
+    _, _, sp1 = parse_wav(bytes(rows["sp1"]["bytes"]))
+    assert np.array_equal(sp1, pcm)  # factor 1.0 is bit-identical
+
+
+def test_augment_noise_hits_target_snr(spark):
+    from dcspark.audio import snr_db
+    from dcspark.audioops import audio_augment
+
+    pcm = _tone(2000, amp=0.4)
+    df = spark.createDataFrame([("a", wav_bytes(pcm, SR))], SCHEMA)
+    rows = audio_augment(df, speeds=(1.0,), noise_snr_db=20.0).collect()
+    assert len(rows) == 1 and rows[0]["variant"] == "sp1-n20"
+    _, _, noisy = parse_wav(bytes(rows[0]["bytes"]))
+    assert abs(snr_db(pcm, noisy) - 20.0) < 1.0
+
+
+def test_augment_deterministic_across_partitionings(spark):
+    from dcspark.audioops import audio_augment
+
+    rows = [(f"c{i}", bytearray(wav_bytes(_tone(300, hz=300 + 50 * i), SR)))
+            for i in range(6)]
+    a = spark.createDataFrame(rows, SCHEMA).repartition(1)
+    b = spark.createDataFrame(list(reversed(rows)), SCHEMA).repartition(4)
+    kw = dict(speeds=(0.9, 1.1), noise_snr_db=15.0, gain_jitter_db=3.0, seed=7)
+    fa = {(r["clip_id"], r["variant"]): bytes(r["bytes"])
+          for r in audio_augment(a, **kw).collect()}
+    fb = {(r["clip_id"], r["variant"]): bytes(r["bytes"])
+          for r in audio_augment(b, **kw).collect()}
+    assert fa == fb  # byte-identical regardless of row order / partitioning
+
+
+def test_augment_quarantines_bad_rows(spark):
+    from dcspark.audioops import audio_augment
+
+    df = spark.createDataFrame([("bad", b"xxxxxxxxxxxxxxxxxxxx")], SCHEMA)
+    rows = audio_augment(df).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"]
