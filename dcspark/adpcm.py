@@ -45,6 +45,23 @@ def _nibble_diff(step: np.ndarray, nib: np.ndarray) -> np.ndarray:
     return diff
 
 
+def _state_tables():
+    """(89, 16) state-transition tables: NEXT_INDEX[i, n] and the SIGNED
+    predictor delta SDIFF[i, n]. The index recursion depends only on the
+    nibble stream — never on the predictor — which is what lets decode run
+    as one table lookup per step plus a fully vectorized cumsum."""
+    idx = np.arange(89)[:, None]
+    nib = np.arange(16)[None, :]
+    step = STEP_TABLE[idx]
+    diff = _nibble_diff(step, nib)
+    sdiff = np.where(nib & 8, -diff, diff)
+    nxt = np.clip(idx + INDEX_TABLE[nib & 7], 0, 88)
+    return nxt, sdiff
+
+
+_NEXT_INDEX, _SDIFF = _state_tables()
+
+
 def decode_ima_blocks(data: np.ndarray, block_align: int) -> np.ndarray:
     """Decode mono IMA-ADPCM WAV blocks -> int16 PCM.
 
@@ -69,25 +86,40 @@ def decode_ima_blocks(data: np.ndarray, block_align: int) -> np.ndarray:
     out_parts = []
     for blk in ([] if not blocks else [blocks[0]]) + ([tail[None, :]] if tail is not None else []):
         nb, ba = blk.shape
-        pred = blk[:, 0].astype(np.int64) | (blk[:, 1].astype(np.int64) << 8)
-        pred = (pred ^ 0x8000) - 0x8000  # sign-extend int16
-        index = np.clip(blk[:, 2].astype(np.int64), 0, 88)
+        pred0 = blk[:, 0].astype(np.int64) | (blk[:, 1].astype(np.int64) << 8)
+        pred0 = (pred0 ^ 0x8000) - 0x8000  # sign-extend int16
+        index0 = np.clip(blk[:, 2].astype(np.int64), 0, 88)
         payload = blk[:, 4:]
         n_nibbles = (ba - 4) * 2
-        samples = np.empty((nb, n_nibbles + 1), dtype=np.int64)
-        samples[:, 0] = pred
         # interleave low-first nibbles into (nb, n_nibbles)
         nibs = np.empty((nb, n_nibbles), dtype=np.int64)
         nibs[:, 0::2] = payload & 0x0F
         nibs[:, 1::2] = payload >> 4
+        # 1) index path: depends only on nibbles — ONE table lookup per step
+        idx_seq = np.empty((nb, n_nibbles + 1), dtype=np.int64)
+        idx_seq[:, 0] = index0
         for j in range(n_nibbles):
-            nib = nibs[:, j]
-            step = STEP_TABLE[index]
-            diff = _nibble_diff(step, nib)
-            pred = np.where(nib & 8, pred - diff, pred + diff)
-            pred = np.clip(pred, -32768, 32767)
-            index = np.clip(index + INDEX_TABLE[nib & 7], 0, 88)
-            samples[:, j + 1] = pred
+            idx_seq[:, j + 1] = _NEXT_INDEX[idx_seq[:, j], nibs[:, j]]
+        # 2) predictor path: with the index known, deltas are a pure lookup
+        # and the recursion collapses to a cumsum — EXACT as long as the
+        # per-step +-32768 clamp never engaged (checked on the running values)
+        sdiff = _SDIFF[idx_seq[:, :n_nibbles], nibs]
+        samples = np.empty((nb, n_nibbles + 1), dtype=np.int64)
+        samples[:, 0] = pred0
+        np.cumsum(sdiff, axis=1, out=samples[:, 1:])
+        samples[:, 1:] += pred0[:, None]
+        hot = np.nonzero((samples.max(axis=1) > 32767)
+                         | (samples.min(axis=1) < -32768))[0]
+        # 3) rare clamped blocks (hard-limited content) re-run sequentially
+        for r in hot:
+            pred = samples[r, 0]
+            index = idx_seq[r, 0]
+            for j in range(n_nibbles):
+                nib = nibs[r, j]
+                diff = _SDIFF[index, nib]
+                pred = min(max(pred + diff, -32768), 32767)
+                index = _NEXT_INDEX[index, nib]
+                samples[r, j + 1] = pred
         out_parts.append(samples.reshape(-1))
     return np.concatenate(out_parts).astype(np.int16) if out_parts else np.empty(0, np.int16)
 
