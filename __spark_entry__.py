@@ -2178,6 +2178,40 @@ def q_audio_augment(spark: SparkSession, _sf: str) -> DataFrame:
     )
 
 
+def q_asr_wer(spark: SparkSession, _sf: str) -> DataFrame:
+    """Distributed WER (dcspark/wer.py): hypothesis transcripts vs the
+    reference table, substitution/insertion/deletion breakdown per row,
+    pooled corpus rate (total edits / total reference words). The
+    wrong_transcript corruption appends exactly one word, so every corrupted
+    row must show (S, I, D) = (0, 1, 0) and every clean row zero edits —
+    self-verifying via breakdown_ok. Not SQL-expressible at word level
+    (DuckDB's levenshtein is char-level); DP locked against a brute-force
+    oracle in tests/test_wer.py."""
+    from dcspark import wer as wer_mod
+
+    clips = synth_mod.generate_audio_table(
+        spark, _AUDIO_N, seed=SEED, corrupt={"wrong_transcript": 0.15},
+        dur_lo=_AUDIO_DUR[0], dur_hi=_AUDIO_DUR[1], num_partitions=8)
+    ref = synth_mod.generate_transcripts_ref(
+        spark, _AUDIO_N, seed=SEED, num_partitions=8)
+    joined = clips.select("clip_id", F.col("transcript").alias("hyp")).join(
+        ref.select("clip_id", F.col("text").alias("ref")), "clip_id")
+    rep = wer_mod.error_report(joined, id_col="clip_id")
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("rows"),
+        F.sum(F.when(F.col("edits") > 0, 1).otherwise(0)
+              ).cast("long").alias("rows_with_edits"),
+        F.sum("insertions").cast("long").alias("insertions"),
+        F.sum("substitutions").cast("long").alias("substitutions"),
+        F.sum("deletions").cast("long").alias("deletions"),
+        F.sum("ref_len").cast("long").alias("ref_tokens"),
+        F.min(F.when(F.col("edits") > 0,
+                     (F.col("substitutions") == 0) & (F.col("insertions") == 1)
+                     & (F.col("deletions") == 0)).otherwise(F.lit(True))
+              .cast("int")).cast("boolean").alias("breakdown_ok"),
+    )
+
+
 def q_audio_fp_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Acoustic-fingerprint near-duplicate detection (dcspark/audiofp.py):
     band-occupancy spectral hashes (gain-invariant, noise-robust) + bucketed
@@ -2368,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_quality": q_audio_spectral,
         "audio_logmel_features": q_audio_logmel,
         "audio_augment_variants": q_audio_augment,
+        "asr_wer_report": q_asr_wer,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,

@@ -181,6 +181,7 @@ OPERATOR_QUERIES = [
     "audio_spectral_quality",
     "audio_logmel_features",
     "audio_augment_variants",
+    "asr_wer_report",
     "group_threshold_checks",
 ]
 

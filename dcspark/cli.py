@@ -341,6 +341,30 @@ def cmd_audio(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_wer(args: argparse.Namespace) -> int:
+    """Corpus WER/CER: hypothesis transcripts vs a reference table — per-row
+    S/I/D report parquet plus the pooled corpus rate on stdout."""
+    from pyspark.sql import functions as F
+
+    from . import wer as wer_mod
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    hyp = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("id"), F.col(args.hyp_col).alias("hyp"))
+    ref = spark.read.parquet(args.ref).select(
+        F.col(args.ref_id_col).alias("id"), F.col(args.ref_col).alias("ref"))
+    rep = wer_mod.error_report(hyp.join(ref, "id"), char_level=args.char_level)
+    rep.write.mode("overwrite").parquet(args.output)
+    agg = wer_mod.corpus_error_rate(
+        spark.read.parquet(args.output)).collect()[0]
+    unit = "CER" if args.char_level else "WER"
+    print(f"{unit}: {agg['error_rate']:.4f} "
+          f"({agg['edits']} edits / {agg['ref_tokens']} ref tokens; "
+          f"S={agg['substitutions']} I={agg['insertions']} D={agg['deletions']}"
+          f" over {agg['rows']} rows) -> {args.output}")
+    return 0
+
+
 def cmd_mask(args: argparse.Namespace) -> int:
     """Write PII-masked copies of each model's table per the contract's
     pii/classification declarations — see dcspark/mask.py."""
@@ -704,6 +728,19 @@ def main(argv: Optional[list] = None) -> int:
     au.add_argument("--master", default=None)
     au.add_argument("--shuffle-partitions", type=int, default=None)
 
+    wr = sub.add_parser("wer", help="corpus WER/CER vs a reference table")
+    wr.add_argument("--input", required=True, help="hypothesis parquet path")
+    wr.add_argument("--ref", required=True, help="reference parquet path")
+    wr.add_argument("--output", required=True, help="per-row report parquet")
+    wr.add_argument("--id-col", default="clip_id")
+    wr.add_argument("--hyp-col", default="transcript")
+    wr.add_argument("--ref-id-col", default="clip_id")
+    wr.add_argument("--ref-col", default="text")
+    wr.add_argument("--char-level", action="store_true",
+                    help="character error rate instead of word error rate")
+    wr.add_argument("--master", default=None)
+    wr.add_argument("--shuffle-partitions", type=int, default=None)
+
     mk = sub.add_parser(
         "mask", help="write PII-masked tables per contract pii/classification")
     mk.add_argument("contract")
@@ -816,6 +853,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_dedup(args)
     if args.command == "audio":
         return cmd_audio(args)
+    if args.command == "wer":
+        return cmd_wer(args)
     if args.command == "decontam":
         return cmd_decontam(args)
     if args.command == "suggest":
