@@ -110,16 +110,18 @@ def decode_ima_blocks(data: np.ndarray, block_align: int) -> np.ndarray:
         samples[:, 1:] += pred0[:, None]
         hot = np.nonzero((samples.max(axis=1) > 32767)
                          | (samples.min(axis=1) < -32768))[0]
-        # 3) rare clamped blocks (hard-limited content) re-run sequentially
-        for r in hot:
-            pred = samples[r, 0]
-            index = idx_seq[r, 0]
+        if len(hot):
+            # 3) clamp-engaged blocks (hard-limited content — possibly ALL
+            # blocks) re-run the per-step recurrence VECTORIZED across just
+            # those rows: still O(n_nibbles) whole-array steps, never a
+            # per-sample Python loop
+            pred = samples[hot, 0]
+            h_nibs = nibs[hot]
+            h_idx = idx_seq[hot]
             for j in range(n_nibbles):
-                nib = nibs[r, j]
-                diff = _SDIFF[index, nib]
-                pred = min(max(pred + diff, -32768), 32767)
-                index = _NEXT_INDEX[index, nib]
-                samples[r, j + 1] = pred
+                pred = np.clip(pred + _SDIFF[h_idx[:, j], h_nibs[:, j]],
+                               -32768, 32767)
+                samples[hot, j + 1] = pred
         out_parts.append(samples.reshape(-1))
     return np.concatenate(out_parts).astype(np.int16) if out_parts else np.empty(0, np.int16)
 

@@ -507,8 +507,11 @@ def audio_augment(
                 for sp in speeds:
                     var = f"sp{sp:g}"
                     x = augment_speed(pcm, sr, sp)
+                    # null ids key on "" (row kept); round() the speed key —
+                    # int() truncation collides 0.285*1000 == 284.999...
                     rng = np.random.default_rng(
-                        [seed, zlib.crc32(ids[i].encode()), int(sp * 1000)])
+                        [seed, zlib.crc32((ids[i] or "").encode()),
+                         round(sp * 1000)])
                     if noise_snr_db is not None:
                         x = augment_noise(x, noise_snr_db, rng)
                         var += f"-n{noise_snr_db:g}"

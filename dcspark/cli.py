@@ -353,11 +353,23 @@ def cmd_wer(args: argparse.Namespace) -> int:
         F.col(args.id_col).alias("id"), F.col(args.hyp_col).alias("hyp"))
     ref = spark.read.parquet(args.ref).select(
         F.col(args.ref_id_col).alias("id"), F.col(args.ref_col).alias("ref"))
-    rep = wer_mod.error_report(hyp.join(ref, "id"), char_level=args.char_level)
+    # anchor on the REFERENCE set (sclite semantics): a reference with no
+    # hypothesis scores as all deletions via the null-hyp path, instead of
+    # silently vanishing from the corpus rate
+    rep = wer_mod.error_report(ref.join(hyp, "id", "left"),
+                               char_level=args.char_level)
     rep.write.mode("overwrite").parquet(args.output)
+    orphan_hyp = hyp.join(ref, "id", "left_anti").count()
+    if orphan_hyp:
+        print(f"warning: {orphan_hyp} hypothesis rows have no reference "
+              f"(excluded from the rate)")
     agg = wer_mod.corpus_error_rate(
         spark.read.parquet(args.output)).collect()[0]
     unit = "CER" if args.char_level else "WER"
+    if not agg["rows"] or not agg["ref_tokens"]:
+        print(f"{unit}: undefined — {agg['rows'] or 0} scored rows, "
+              f"{agg['ref_tokens'] or 0} reference tokens -> {args.output}")
+        return 1
     print(f"{unit}: {agg['error_rate']:.4f} "
           f"({agg['edits']} edits / {agg['ref_tokens']} ref tokens; "
           f"S={agg['substitutions']} I={agg['insertions']} D={agg['deletions']}"

@@ -26,6 +26,29 @@ from pyspark.sql import functions as F
 WER_DDL = ("id string, ref_len int, hyp_len int, substitutions int, "
            "insertions int, deletions int, edits int, error_rate double")
 
+#: DP cell budget for the backtrace matrix (int32): 25M cells ~= 100 MB.
+#: Rows beyond it (e.g. char-level CER on 50k-char transcripts, whose full
+#: matrix would be ~10 GB) fall back to a two-row distance-only DP — exact
+#: total edits, null S/I/D breakdown.
+BACKTRACE_CELL_LIMIT = 25_000_000
+
+
+def edit_distance_only(ref_ids: np.ndarray, hyp_ids: np.ndarray) -> int:
+    """Levenshtein distance with O(m) memory (two rolling rows, same
+    vectorized prefix-min scan as :func:`edit_counts`) — no backtrace."""
+    n, m = len(ref_ids), len(hyp_ids)
+    prev = np.arange(m + 1, dtype=np.int64)
+    js = np.arange(1, m + 1)
+    for i in range(1, n + 1):
+        sub = prev[:-1] + (hyp_ids != ref_ids[i - 1])
+        np.minimum(sub, prev[1:] + 1, out=sub)
+        pm = np.minimum.accumulate(sub - js)
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i
+        cur[1:] = js + np.minimum(pm, i)
+        prev = cur
+    return int(prev[m])
+
 
 def edit_counts(ref: list, hyp: list) -> Tuple[int, int, int]:
     """(substitutions, insertions, deletions) of the minimum-edit alignment
@@ -89,9 +112,12 @@ def error_report(
     char_level: bool = False,
 ) -> DataFrame:
     """Per-row WER (or CER with ``char_level=True``) report: S/I/D breakdown,
-    reference length, and the row error rate edits/ref_len (null for empty
-    references with empty hypotheses; pure-insertion rows report rate over
-    max(ref_len, 1))."""
+    reference length, and the row error rate edits / max(ref_len, 1) — an
+    empty reference with an empty hypothesis scores 0.0, and a null
+    hypothesis scores as all deletions (the standard ASR-eval treatment of a
+    missing recognition result). Rows whose DP matrix would exceed
+    :data:`BACKTRACE_CELL_LIMIT` report exact ``edits`` from a rolling-row DP
+    with null S/I/D (the breakdown needs the full backtrace matrix)."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
@@ -102,8 +128,15 @@ def error_report(
                                    "error_rate")}
             for rid, ref, hyp in zip(pdf[id_col], pdf[ref_col], pdf[hyp_col]):
                 rt, ht = _tokens(ref, char_level), _tokens(hyp, char_level)
-                s, i, d = edit_counts(rt, ht)
-                e = s + i + d
+                if (len(rt) + 1) * (len(ht) + 1) > BACKTRACE_CELL_LIMIT:
+                    vocab: dict = {}
+                    r_ids = np.array([vocab.setdefault(t, len(vocab)) for t in rt])
+                    h_ids = np.array([vocab.setdefault(t, len(vocab)) for t in ht])
+                    s = i = d = None
+                    e = edit_distance_only(r_ids, h_ids)
+                else:
+                    s, i, d = edit_counts(rt, ht)
+                    e = s + i + d
                 out["id"].append(rid)
                 out["ref_len"].append(len(rt))
                 out["hyp_len"].append(len(ht))

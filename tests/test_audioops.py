@@ -404,3 +404,13 @@ def test_augment_quarantines_bad_rows(spark):
     df = spark.createDataFrame([("bad", b"xxxxxxxxxxxxxxxxxxxx")], SCHEMA)
     rows = audio_augment(df).collect()
     assert len(rows) == 1 and rows[0]["decode_error"]
+
+
+def test_augment_null_clip_id_survives(spark):
+    from dcspark.audioops import audio_augment
+
+    df = spark.createDataFrame([(None, bytearray(wav_bytes(_tone(300), SR)))],
+                               SCHEMA)
+    rows = audio_augment(df, speeds=(1.0,)).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"] is None
+    assert rows[0]["bytes"] is not None

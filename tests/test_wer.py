@@ -107,3 +107,62 @@ def test_wer_against_transcript_corruption(spark):
     for r in bad:
         assert (r["substitutions"], r["insertions"], r["deletions"]) == (0, 1, 0)
 
+
+
+def test_edit_distance_only_matches_brute():
+    from dcspark.wer import edit_distance_only
+
+    rng = np.random.default_rng(23)
+    for _ in range(100):
+        ref = list(rng.integers(0, 6, rng.integers(0, 15)))
+        hyp = list(rng.integers(0, 6, rng.integers(0, 15)))
+        assert edit_distance_only(np.array(ref), np.array(hyp)) == \
+            _brute_distance(ref, hyp)
+
+
+def test_backtrace_limit_falls_back_to_distance_only(spark, monkeypatch):
+    import dcspark.wer as wer_mod
+
+    monkeypatch.setattr(wer_mod, "BACKTRACE_CELL_LIMIT", 10)
+    df = spark.createDataFrame(
+        [("x", "a b c d e", "a b x d e")], "id string, ref string, hyp string")
+    r = wer_mod.error_report(df).collect()[0]
+    assert r["edits"] == 1 and r["error_rate"] == pytest.approx(0.2)
+    assert r["substitutions"] is None and r["insertions"] is None
+
+
+def test_null_hypothesis_scores_as_deletions(spark):
+    df = spark.createDataFrame(
+        [("x", "one two three", None)], "id string, ref string, hyp string")
+    r = error_report(df).collect()[0]
+    assert r["deletions"] == 3 and r["error_rate"] == pytest.approx(1.0)
+
+
+def test_cli_wer_reference_anchored(tmp_path, capsys, spark):
+    """References without hypotheses count as deletions; orphan hypotheses
+    warn; empty intersections report 'undefined' instead of crashing."""
+    from dcspark.cli import main
+
+    hyp_p, ref_p = str(tmp_path / "hyp"), str(tmp_path / "ref")
+    spark.createDataFrame(
+        [("a", "hello world"), ("zz", "orphan row")],
+        "clip_id string, transcript string").write.parquet(hyp_p)
+    spark.createDataFrame(
+        [("a", "hello world"), ("b", "missing entirely")],
+        "clip_id string, text string").write.parquet(ref_p)
+    out_p = str(tmp_path / "rep")
+    assert main(["wer", "--input", hyp_p, "--ref", ref_p,
+                 "--output", out_p, "--master", "local[2]"]) == 0
+    txt = capsys.readouterr().out
+    assert "warning: 1 hypothesis rows have no reference" in txt
+    assert "D=2" in txt  # ref 'b' scored as two deletions
+
+    # disjoint ids -> undefined, exit 1, no crash
+    bad_hyp = str(tmp_path / "hyp2")
+    spark.createDataFrame([("q", "x")], "clip_id string, transcript string"
+                          ).write.parquet(bad_hyp)
+    empty_ref = str(tmp_path / "ref2")
+    spark.createDataFrame([], "clip_id string, text string").write.parquet(empty_ref)
+    assert main(["wer", "--input", bad_hyp, "--ref", empty_ref,
+                 "--output", str(tmp_path / "rep2"), "--master", "local[2]"]) == 1
+    assert "undefined" in capsys.readouterr().out
