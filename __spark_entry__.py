@@ -936,6 +936,43 @@ FROM g
 """
 
 
+def q_edit_distance_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-level edit distance between adjacent documents (dcspark/wer.py
+    family): the exact-verify primitive near-dup pipelines run on candidate
+    pairs — here paired deterministically (doc_id, doc_id+1) on a bounded
+    prefix so DuckDB's levenshtein() can hash-verify Spark's JVM levenshtein
+    end to end. At scale the pair list comes from LSH/ANN candidates, not a
+    self-join; both engines compute distance on the first 80 chars. The DP in
+    dcspark/wer.py is additionally locked against F.levenshtein in
+    tests/test_wer.py — three independent implementations agreeing."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .where(F.col("a.doc_id") < 400)
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("peer_id"),
+            F.levenshtein(F.substring(F.col("a.text"), 1, 80),
+                          F.substring(F.col("b.text"), 1, 80))
+            .cast("bigint").alias("char_distance"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+SELECT cast(a.doc_id AS bigint) AS doc_id,
+       cast(b.doc_id AS bigint) AS peer_id,
+       cast(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS bigint)
+           AS char_distance
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id < 400
+ORDER BY doc_id
+"""
+
+
 def q_doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     return textops.doc_fingerprints(_t(spark, sf, "documents"))
 
@@ -2372,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_counts": q_row_counts,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "text_token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -2435,6 +2473,7 @@ def oracle_sql() -> dict[str, str]:
         "row_counts": SQL_ROW_COUNTS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+        "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
         "text_token_stats": SQL_TOKEN_STATS,
         "bpe_token_stats": _sql_bpe_token_stats(),
         "winnowing_fingerprints": _sql_winnowing(),

@@ -166,3 +166,25 @@ def test_cli_wer_reference_anchored(tmp_path, capsys, spark):
     assert main(["wer", "--input", bad_hyp, "--ref", empty_ref,
                  "--output", str(tmp_path / "rep2"), "--master", "local[2]"]) == 1
     assert "undefined" in capsys.readouterr().out
+
+
+def test_edit_counts_total_matches_spark_levenshtein(spark):
+    """Third independent implementation check: char-level DP totals equal
+    Spark's JVM levenshtein on random strings."""
+    from pyspark.sql.functions import levenshtein, lit
+
+    rng = np.random.default_rng(31)
+    alphabet = "abcdef "
+    pairs = []
+    for i in range(40):
+        a = "".join(alphabet[j] for j in rng.integers(0, len(alphabet),
+                                                      rng.integers(0, 30)))
+        b = "".join(alphabet[j] for j in rng.integers(0, len(alphabet),
+                                                      rng.integers(0, 30)))
+        pairs.append((str(i), a, b))
+    df = spark.createDataFrame(pairs, "id string, a string, b string")
+    jvm = {r["id"]: r["d"] for r in
+           df.select("id", levenshtein("a", "b").alias("d")).collect()}
+    for rid, a, b in pairs:
+        s, i, d = edit_counts(list(a), list(b))
+        assert s + i + d == jvm[rid], (a, b)
