@@ -219,3 +219,30 @@ def test_engine_multicodec_contract(spark):
     assert "audio_clips__sr_hz__field_enum" not in failed
     assert "audio_clips__clip_id__field_unique" not in failed
     clips.unpersist(), ref.unpersist()
+
+
+def test_speaking_rate_expression_rule(spark):
+    """The multicodec contract's speaking-rate CHECK: a transcript pasted onto
+    a clip far too short for it (2500 chars/sec) fails the expression rule."""
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark import synth
+    from dcspark.run_model import ResultEnum
+
+    spec = DataContractSpecification.from_file(
+        "/root/repo/contracts/audio_clips_multicodec.yaml")
+    rule_keys = [c for m in spec.models.values() for c in (m.quality or [])
+                 if getattr(c, "type", None) == "expression"]
+    assert rule_keys, "contract lost its expression rule"
+    clips = synth.generate_audio_table(
+        spark, 40, seed=42, dur_lo=200, dur_hi=900, num_partitions=2)
+    ref = synth.generate_transcripts_ref(spark, 40, seed=42, num_partitions=2)
+    from pyspark.sql import functions as F
+
+    # paste a 600-char transcript onto every sub-second clip
+    bloated = clips.withColumn(
+        "transcript", F.rpad(F.col("transcript"), 600, "x"))
+    cfg = ValidationConfig()
+    res = validate(spark, spec, {"audio_clips": bloated, "transcripts_ref": ref},
+                   cfg)
+    failed = {c.key for c in res.run.checks if c.result == ResultEnum.failed}
+    assert any("quality_expression" in k for k in failed), failed
