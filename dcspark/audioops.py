@@ -532,3 +532,58 @@ def audio_augment(
 
     return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
                      ).mapInArrow(run, schema=AUGMENT_DDL)
+
+
+CENSUS_DDL = ("codec string, sr_hz int, clips bigint, hours double, "
+              "bytes_gb double, decode_errors bigint")
+
+
+def audio_census(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = BYTES_COL,
+) -> DataFrame:
+    """Corpus census by DECODED codec and sample rate: clip counts, audio
+    hours, payload gigabytes, decode failures — what you look at before
+    choosing transcode targets. One scan; per-clip work is a header parse
+    (the PCM itself is never materialized for s16, and other codecs decode
+    only to measure true duration); group keys have tiny cardinality so the
+    shuffle is a handful of rows per task."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+            agg: dict = {}
+            for i in range(n_rows):
+                raw = None if nulls[i] else heap[offsets[i]:offsets[i + 1]]
+                size = 0 if raw is None else len(raw)
+                try:
+                    sr, codec, pcm = parse_wav_view(raw)
+                    key, dur_s, err = (codec, int(sr)), len(pcm) / sr, 0
+                except (ValueError, struct.error):
+                    key, dur_s, err = (None, None), 0.0, 1
+                c = agg.setdefault(key, [0, 0.0, 0, 0])
+                c[0] += 1
+                c[1] += dur_s
+                c[2] += size
+                c[3] += err
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([k[0] for k in agg], pa.string()),
+                 pa.array([k[1] for k in agg], pa.int32()),
+                 pa.array([v[0] for v in agg.values()], pa.int64()),
+                 pa.array([v[1] / 3600.0 for v in agg.values()], pa.float64()),
+                 pa.array([v[2] / 1e9 for v in agg.values()], pa.float64()),
+                 pa.array([v[3] for v in agg.values()], pa.int64())],
+                ["codec", "sr_hz", "clips", "hours", "bytes_gb", "decode_errors"])
+
+    partial = df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
+                        ).mapInArrow(run, schema=CENSUS_DDL)
+    return (partial.groupBy("codec", "sr_hz")
+            .agg(F.sum("clips").alias("clips"),
+                 F.round(F.sum("hours"), 6).alias("hours"),
+                 F.round(F.sum("bytes_gb"), 6).alias("bytes_gb"),
+                 F.sum("decode_errors").alias("decode_errors"))
+            .orderBy("codec", "sr_hz"))

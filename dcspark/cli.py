@@ -322,6 +322,9 @@ def cmd_audio(args: argparse.Namespace) -> int:
             gain_jitter_db=args.gain_jitter, seed=args.seed)
         label = f"speeds {args.speeds}" + (
             f", noise @ {args.noise_snr} dB SNR" if args.noise_snr is not None else "")
+    elif args.action == "census":
+        out = aops.audio_census(df)
+        label = "decoded codec/rate census"
     elif args.action == "segment":
         out = aops.audio_segments(
             df, frame_ms=args.frame_ms, energy_floor_dbfs=args.floor_dbfs,
@@ -335,7 +338,10 @@ def cmd_audio(args: argparse.Namespace) -> int:
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     n = written.count()
-    errs = written.filter(F.col("decode_error").isNotNull()).count()
+    if "decode_error" in written.columns:
+        errs = written.filter(F.col("decode_error").isNotNull()).count()
+    else:  # census carries pre-aggregated counts
+        errs = written.agg(F.sum("decode_errors")).collect()[0][0] or 0
     print(f"audio {args.action}: {n} rows ({errs} decode errors) "
           f"{label} -> {args.output}")
     return 0
@@ -702,7 +708,7 @@ def main(argv: Optional[list] = None) -> int:
     au = sub.add_parser(
         "audio", help="audio corpus actions: transcode | segment | chunk")
     au.add_argument("action",
-                    choices=["transcode", "segment", "chunk", "features", "augment"])
+                    choices=["transcode", "segment", "chunk", "features", "augment", "census"])
     au.add_argument("--input", required=True, help="clips parquet path")
     au.add_argument("--output", required=True, help="result parquet path")
     au.add_argument("--id-col", default="clip_id")

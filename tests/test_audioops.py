@@ -414,3 +414,18 @@ def test_augment_null_clip_id_survives(spark):
     rows = audio_augment(df, speeds=(1.0,)).collect()
     assert len(rows) == 1 and rows[0]["decode_error"] is None
     assert rows[0]["bytes"] is not None
+
+
+def test_audio_census(spark):
+    from dcspark.audioops import audio_census
+
+    rows = [("a", encode_wav(_tone(1000), SR, codec="pcm_mulaw")),
+            ("b", encode_wav(_tone(2000), SR, codec="pcm_mulaw")),
+            ("c", wav_bytes(_tone(500, sr=8000), 8000)),
+            ("bad", b"not audio at all!!")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {(r["codec"], r["sr_hz"]): r for r in audio_census(df).collect()}
+    mu = got[("pcm_mulaw", SR)]
+    assert mu["clips"] == 2 and mu["hours"] == pytest.approx(3 / 3600, abs=1e-5)
+    assert got[("pcm_s16le", 8000)]["clips"] == 1
+    assert got[(None, None)]["decode_errors"] == 1
