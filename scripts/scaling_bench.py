@@ -215,6 +215,12 @@ ceiling, matching the per-node conditions of a real cluster.
 {json.dumps(high)}
 ```
 """
+    # BENCH/APPENDIX.md holds hand-written sections (e.g. the per-codec
+    # decode-cost table) that must survive regeneration
+    appendix = os.path.join(REPO, "BENCH", "APPENDIX.md")
+    if os.path.exists(appendix):
+        with open(appendix, encoding="utf-8") as f:
+            md += "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w", encoding="utf-8") as f:
         f.write(md)
     print(json.dumps(summary))
