@@ -434,6 +434,75 @@ def image_resize(
                      F.col(bytes_col)).mapInPandas(run, schema=IMAGE_RESIZE_DDL)
 
 
+IMAGE_TRANSCODE_DDL = ("id string, bytes binary, width int, height int, "
+                       "channels int, format string, decode_error string")
+
+
+def image_transcode(
+    df: DataFrame,
+    target_format: str = "jpeg",
+    quality: int = 85,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    decoder: ImageDecoder = real_image_decoder,
+) -> DataFrame:
+    """Normalize an image corpus into one container format using the REAL
+    in-repo codecs: ``jpeg`` (baseline, dcspark/jpeg.py, lossy at
+    ``quality``), ``png`` (lossless), ``bmp``, or ``ppm``. The image analog
+    of audioops.audio_transcode: decode-whatever, encode-one-thing, with
+    undecodable rows quarantined per row via decode_error."""
+    if target_format not in ("jpeg", "png", "bmp", "ppm"):
+        raise ValueError("target_format must be jpeg|png|bmp|ppm")
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from .jpeg import jpeg_bytes
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "bytes", "width", "height",
+                                   "channels", "format", "decode_error")}
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                rec = dict(id=rid, bytes=None, width=None, height=None,
+                           channels=None, format=None, decode_error=None)
+                try:
+                    h, w, c, px = decoder(bytes(raw) if raw is not None else None)
+                    if px.ndim == 3 and px.shape[2] == 1:
+                        px = px[:, :, 0]
+                    if target_format == "jpeg":
+                        if px.ndim == 3 and px.shape[2] == 4:
+                            px = px[:, :, :3]  # drop alpha (jpeg has none)
+                        b = jpeg_bytes(px, quality=quality)
+                    elif target_format == "png":
+                        b = png_bytes(px if px.ndim == 3 else px[:, :, None])
+                    elif target_format == "bmp":
+                        b = bmp_bytes(_to_rgb(px))
+                    else:
+                        b = ppm_bytes(_to_rgb(px))
+                    rec.update(bytes=b, width=w, height=h,
+                               channels=(1 if px.ndim == 2 else px.shape[2]),
+                               format=target_format)
+                except (NotImplementedError, ValueError, TypeError) as e:
+                    rec["decode_error"] = str(e)
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).cast("string").alias(id_col),
+                     F.col(bytes_col)).mapInPandas(run, schema=IMAGE_TRANSCODE_DDL)
+
+
+def _to_rgb(px: np.ndarray) -> np.ndarray:
+    """Coerce gray/GA/RGBA rasters to 3-channel RGB for RGB-only writers."""
+    if px.ndim == 2:
+        return np.repeat(px[:, :, None], 3, axis=2)
+    if px.shape[2] == 1:
+        return np.repeat(px, 3, axis=2)
+    if px.shape[2] == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]
+
+
 # ---------------------------------------------------------------------------
 # video ops
 # ---------------------------------------------------------------------------

@@ -200,3 +200,44 @@ def test_png_through_spark_image_pipeline(spark):
         df.filter(F.col("id") == "png"), (6, 3)).first()
     assert resized["decode_error"] is None
     assert (resized["height"], resized["width"]) == (6, 3)
+
+
+def test_image_transcode_mixed_corpus_to_jpeg(spark):
+    """BMP + PNG + gray-JPEG inputs all normalize to baseline JPEG; the
+    outputs re-decode with the right dimensions and reasonable fidelity."""
+    from dcspark.jpeg import decode_jpeg, jpeg_bytes, psnr
+
+    yy, xx = np.mgrid[0:24, 0:32]
+    px = np.stack([(xx * 255 // 31), (yy * 255 // 23),
+                   ((xx + yy) * 255 // 54)], axis=-1).astype(np.uint8)
+    rows = [("bmp", bytearray(multimodal.bmp_bytes(px))),
+            ("png", bytearray(multimodal.png_bytes(px))),
+            ("jpg", bytearray(jpeg_bytes(px[:, :, 0], quality=90))),
+            ("bad", bytearray(b"nope"))]
+    df = spark.createDataFrame(rows, "id string, bytes binary")
+    got = {r["id"]: r for r in
+           multimodal.image_transcode(df, target_format="jpeg",
+                                      quality=90).collect()}
+    for rid in ("bmp", "png"):
+        r = got[rid]
+        assert r["decode_error"] is None and r["format"] == "jpeg"
+        h, w, c, dec = decode_jpeg(bytes(r["bytes"]))
+        assert (h, w, c) == (24, 32, 3)
+        assert psnr(px, dec) > 30.0
+    g = got["jpg"]
+    h, w, c, _dec = decode_jpeg(bytes(g["bytes"]))
+    assert (h, w, c) == (24, 32, 1) and g["channels"] == 1
+    assert got["bad"]["decode_error"] is not None
+
+
+def test_image_transcode_png_lossless(spark):
+    from dcspark.jpeg import jpeg_bytes
+
+    px = _checker(16, 16)
+    df = spark.createDataFrame(
+        [("a", bytearray(multimodal.bmp_bytes(px)))], "id string, bytes binary")
+    r = multimodal.image_transcode(df, target_format="png").collect()[0]
+    h, w, c, dec = multimodal.decode_png(bytes(r["bytes"]))
+    assert (h, w, c) == (16, 16, 3)
+    import numpy as np
+    assert np.array_equal(dec, px)
