@@ -306,7 +306,7 @@ def cmd_audio(args: argparse.Namespace) -> int:
     if args.action == "transcode":
         out = aops.audio_transcode(
             df, target_codec=args.codec, target_sr=args.sr,
-            target_dbfs=args.dbfs)
+            target_dbfs=args.dbfs, resampler=args.resampler)
         label = f"-> {args.codec}" + (f" @ {args.sr} Hz" if args.sr else "") + (
             f" normalized to {args.dbfs} dBFS" if args.dbfs is not None else "")
     elif args.action == "features":
@@ -717,6 +717,8 @@ def main(argv: Optional[list] = None) -> int:
                     help="transcode target codec (also chunk WAV wrapper)")
     au.add_argument("--sr", type=int, default=None,
                     help="transcode target sample rate (default: keep)")
+    au.add_argument("--resampler", choices=["sinc", "linear"], default="sinc",
+                    help="transcode: anti-aliased polyphase sinc or cheap linear")
     au.add_argument("--dbfs", type=float, default=None,
                     help="transcode: normalize RMS loudness to this dBFS")
     au.add_argument("--n-mels", type=int, default=40)
