@@ -180,17 +180,10 @@ def _decode_wav_samples(b, data_off: int, data_len: int,
     return name, pcm
 
 
-def parse_wav_view(b) -> tuple:
-    """RIFF/WAV parser -> (sample_rate, codec_name, mono int16 PCM).
-
-    Accepts any C-contiguous byte buffer (``bytes`` or a ``np.uint8`` slice of
-    an Arrow value heap). For the dominant mono ``pcm_s16le`` case the returned
-    PCM is a ZERO-COPY ``np.frombuffer`` view into the input; other codecs
-    (u8 / s24le / s32le / f32le / G.711 A-law & mu-law, any channel count,
-    WAVE_FORMAT_EXTENSIBLE headers) decode to canonical mono int16 with one
-    whole-array numpy transform. Stdlib-struct + numpy only; raises ValueError
-    on malformed containers or unsupported codecs.
-    """
+def _walk_wav_header(b):
+    """Shared RIFF chunk walk -> (tag, channels, sr, bits, block_align,
+    data_off, data_len, fact_samples). Raises ValueError on malformed
+    containers, zero sample rates, or truncated extensible headers."""
     if b is None or len(b) < 44:
         raise ValueError("not a RIFF/WAVE container")
     mv = memoryview(b)
@@ -222,10 +215,32 @@ def parse_wav_view(b) -> tuple:
     if fmt is None or data_off is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, channels, sr, _byte_rate, block_align, bits = fmt
+    if sr <= 0:
+        # a zero sample rate would turn every downstream duration/ratio
+        # division into a task-killing ZeroDivisionError — reject at the
+        # parse boundary so per-row quarantines catch it
+        raise ValueError("invalid sample rate 0 in fmt chunk")
     if audio_format == _FMT_EXTENSIBLE:
         if ext_tag is None:
             raise ValueError("extensible fmt chunk too short for SubFormat")
         audio_format = ext_tag
+    return (audio_format, channels, sr, bits, block_align,
+            data_off, data_len, fact_samples)
+
+
+def parse_wav_view(b) -> tuple:
+    """RIFF/WAV parser -> (sample_rate, codec_name, mono int16 PCM).
+
+    Accepts any C-contiguous byte buffer (``bytes`` or a ``np.uint8`` slice of
+    an Arrow value heap). For the dominant mono ``pcm_s16le`` case the returned
+    PCM is a ZERO-COPY ``np.frombuffer`` view into the input; other codecs
+    (u8 / s24le / s32le / f32le / G.711 A-law & mu-law / IMA ADPCM, any
+    channel count, WAVE_FORMAT_EXTENSIBLE headers) decode to canonical mono
+    int16 with whole-array numpy transforms. Stdlib-struct + numpy only;
+    raises ValueError on malformed containers or unsupported codecs.
+    """
+    (audio_format, channels, sr, bits, block_align,
+     data_off, data_len, fact_samples) = _walk_wav_header(b)
     if audio_format == _FMT_PCM and bits == 16 and channels == 1:
         # hot path: zero-copy int16 view straight into the Arrow value heap
         pcm = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=data_off)
@@ -235,6 +250,31 @@ def parse_wav_view(b) -> tuple:
     if fact_samples is not None and fact_samples < len(pcm):
         pcm = pcm[:fact_samples]
     return sr, name, pcm
+
+
+def parse_wav_meta(b) -> tuple:
+    """Header-only metadata -> (sample_rate, codec_name, n_samples) WITHOUT
+    decoding any PCM: sample counts derive from the data-chunk size (and the
+    fact chunk for block codecs), so surveying a compressed archive costs a
+    chunk walk per clip instead of a full decode — the census path."""
+    (tag, channels, sr, bits, block_align,
+     data_off, data_len, fact_samples) = _walk_wav_header(b)
+    name = WAV_CODEC_NAMES.get((tag, bits))
+    if name is None or channels < 1:
+        raise ValueError(f"unsupported codec: fmt={tag} bits={bits} ch={channels}")
+    if name == "adpcm_ima_wav":
+        if channels != 1:
+            raise ValueError("multi-channel IMA ADPCM unsupported")
+        if block_align < 5:
+            raise ValueError("IMA ADPCM payload too short")
+        spb = (block_align - 4) * 2 + 1
+        n_full, rem = divmod(data_len, block_align)
+        n = n_full * spb + ((rem - 4) * 2 + 1 if rem >= 4 else 0)
+    else:
+        n = data_len // (bits // 8) // channels
+    if fact_samples is not None and fact_samples < n:
+        n = fact_samples
+    return sr, name, n
 
 
 def parse_wav(b: bytes):

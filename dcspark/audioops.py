@@ -56,9 +56,11 @@ def resample_sinc(pcm: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     The interpolation kernel is sinc(cutoff * t) * Hann, with cutoff =
     min(sr, target_sr)/2 scaled by 0.95 transition margin — on downsampling
     this low-passes BEFORE decimation, so out-of-band content is attenuated
-    instead of folding into band (linear interp aliases it). Whole-array
-    numpy: the output is one (n_out, 2K) gather + one einsum — no sample
-    loop. Cost is ~2K=48 multiplies per output sample.
+    instead of folding into band (linear interp aliases it). True polyphase
+    execution: only target_sr/gcd distinct kernels exist, and within a phase
+    the input base advances by a constant stride, so each phase is a
+    zero-copy strided window view + one BLAS matvec — no per-output kernel
+    evaluation and no (n_out, 2K) gather. ~2K multiplies per output sample.
     """
     if sr == target_sr or len(pcm) == 0:
         return pcm
@@ -605,12 +607,13 @@ def audio_census(
     id_col: str = "clip_id",
     bytes_col: str = BYTES_COL,
 ) -> DataFrame:
-    """Corpus census by DECODED codec and sample rate: clip counts, audio
-    hours, payload gigabytes, decode failures — what you look at before
-    choosing transcode targets. One scan; per-clip work is a header parse
-    (the PCM itself is never materialized for s16, and other codecs decode
-    only to measure true duration); group keys have tiny cardinality so the
-    shuffle is a handful of rows per task."""
+    """Corpus census by codec and sample rate: clip counts, audio hours,
+    payload gigabytes, decode failures — what you look at before choosing
+    transcode targets. One scan; per-clip work is a HEADER-ONLY chunk walk
+    (``parse_wav_meta``: sample counts come from the data-chunk/fact sizes,
+    so even compressed payloads are never decoded); group keys have tiny
+    cardinality so the shuffle is a handful of rows per task."""
+    from .audio import parse_wav_meta
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pyarrow as pa
@@ -623,8 +626,8 @@ def audio_census(
                 raw = None if nulls[i] else heap[offsets[i]:offsets[i + 1]]
                 size = 0 if raw is None else len(raw)
                 try:
-                    sr, codec, pcm = parse_wav_view(raw)
-                    key, dur_s, err = (codec, int(sr)), len(pcm) / sr, 0
+                    sr, codec, n_samples = parse_wav_meta(raw)
+                    key, dur_s, err = (codec, int(sr)), n_samples / sr, 0
                 except (ValueError, struct.error):
                     key, dur_s, err = (None, None), 0.0, 1
                 c = agg.setdefault(key, [0, 0.0, 0, 0])

@@ -706,7 +706,7 @@ def main(argv: Optional[list] = None) -> int:
     dc.add_argument("--shuffle-partitions", type=int, default=None)
 
     au = sub.add_parser(
-        "audio", help="audio corpus actions: transcode | segment | chunk")
+        "audio", help="audio corpus actions: transcode | segment | chunk | features | augment | census")
     au.add_argument("action",
                     choices=["transcode", "segment", "chunk", "features", "augment", "census"])
     au.add_argument("--input", required=True, help="clips parquet path")

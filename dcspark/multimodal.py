@@ -470,8 +470,11 @@ def image_transcode(
                     if px.ndim == 3 and px.shape[2] == 1:
                         px = px[:, :, 0]
                     if target_format == "jpeg":
+                        # jpeg has no alpha: RGBA -> RGB, gray+alpha -> gray
                         if px.ndim == 3 and px.shape[2] == 4:
-                            px = px[:, :, :3]  # drop alpha (jpeg has none)
+                            px = px[:, :, :3]
+                        elif px.ndim == 3 and px.shape[2] == 2:
+                            px = px[:, :, 0]
                         b = jpeg_bytes(px, quality=quality)
                     elif target_format == "png":
                         b = png_bytes(px if px.ndim == 3 else px[:, :, None])

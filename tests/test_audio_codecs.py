@@ -246,3 +246,23 @@ def test_speaking_rate_expression_rule(spark):
                    cfg)
     failed = {c.key for c in res.run.checks if c.result == ResultEnum.failed}
     assert any("quality_expression" in k for k in failed), failed
+
+
+def test_zero_sample_rate_rejected():
+    b = bytearray(encode_wav(_sine(dur_ms=100), 16000))
+    struct.pack_into("<I", b, 24, 0)  # sample-rate field -> 0
+    with pytest.raises(ValueError, match="sample rate"):
+        parse_wav(bytes(b))
+
+
+@pytest.mark.parametrize("codec", sorted(WAV_CODEC_NAMES.values()))
+def test_parse_wav_meta_matches_decode(codec):
+    """Header-only metadata agrees with the full decode for every codec."""
+    from dcspark.audio import parse_wav_meta
+
+    pcm = _sine(dur_ms=437)
+    b = encode_wav(pcm, 16000, codec=codec)
+    sr_m, name_m, n_m = parse_wav_meta(b)
+    sr_d, name_d, out = parse_wav(b)
+    assert (sr_m, name_m) == (sr_d, name_d)
+    assert n_m == len(out)

@@ -241,3 +241,17 @@ def test_image_transcode_png_lossless(spark):
     assert (h, w, c) == (16, 16, 3)
     import numpy as np
     assert np.array_equal(dec, px)
+
+
+def test_image_transcode_gray_alpha_to_jpeg(spark):
+    """Gray+alpha PNGs (color type 4) must transcode to grayscale JPEG, not
+    get mis-quarantined as undecodable."""
+    rng = np.random.RandomState(3)
+    ga = rng.randint(0, 256, size=(12, 10, 2), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("ga", bytearray(multimodal.png_bytes(ga)))], "id string, bytes binary")
+    r = multimodal.image_transcode(df, target_format="jpeg").collect()[0]
+    assert r["decode_error"] is None
+    from dcspark.jpeg import decode_jpeg
+    h, w, c, _ = decode_jpeg(bytes(r["bytes"]))
+    assert (h, w, c) == (12, 10, 1)
