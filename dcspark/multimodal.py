@@ -325,11 +325,24 @@ def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
 
 
 def real_video_decoder(raw: bytes):
-    """Placeholder for an ffmpeg/pyav decode — codec libs absent in sandbox."""
-    raise NotImplementedError(
-        "video codec libraries are not available in this environment; "
-        "inject a decoder (e.g. av.open) via the decoder= argument"
-    )
+    """Sniff-and-decode video: REAL decoder for Motion-JPEG AVI
+    (dcspark/avi.py — RIFF walk + per-frame baseline JPEG, no external
+    libraries). Inter-frame codecs (MP4/H.264, WebM) remain the pluggable
+    seam: a per-row decode_error, never a crash."""
+    if raw is None or len(raw) < 12:
+        raise ValueError("empty or truncated video payload")
+    head = bytes(raw[:12])
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        from .avi import decode_avi
+
+        return decode_avi(bytes(raw))
+    if head[4:8] == b"ftyp" or head[:4] == b"\x1a\x45\xdf\xa3":
+        raise NotImplementedError(
+            "inter-frame video codecs (mp4/h264, webm) are not decodable "
+            "without external libraries; inject a decoder (e.g. av.open) via "
+            "the decoder= argument"
+        )
+    raise ValueError("unrecognized video container")
 
 
 def fake_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
