@@ -2215,6 +2215,58 @@ def q_audio_augment(spark: SparkSession, _sf: str) -> DataFrame:
     )
 
 
+def q_video_mjpeg_frames(spark: SparkSession, _sf: str) -> DataFrame:
+    """Real video-payload plumbing (dcspark/avi.py + multimodal
+    video_frame_sample): deterministic MJPEG AVIs — video v has (v % 4) + 3
+    frames at 10 fps — are frame-sampled every 2nd frame through the Spark
+    pipeline with the REAL decoder. Self-verifying: per-video sampled-frame
+    counts must equal ceil(n_frames / 2) capped at max_frames, and every
+    frame payload is h*w*3 bytes. Not SQL-expressible (JPEG entropy decode);
+    codec locked in tests/test_avi.py and tests/test_jpeg.py."""
+    import numpy as np
+
+    from dcspark import avi as avi_mod
+    from dcspark.multimodal import real_video_decoder, video_frame_sample
+
+    n_videos, h, w, every, cap = 48, 16, 16, 2, 3
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                nf = (i % 4) + 3
+                frames = [
+                    np.full((h, w, 3), ((i * 37 + f * 11) % 256), np.uint8)
+                    for f in range(nf)
+                ]
+                rows.append({"id": f"vid-{i:03d}",
+                             "bytes": avi_mod.avi_bytes(frames, fps=10.0),
+                             "n_frames": nf})
+            yield pd.DataFrame(rows, columns=["id", "bytes", "n_frames"])
+
+    vids = spark.range(0, n_videos, 1, 8).mapInPandas(
+        build, schema="id string, bytes binary, n_frames int")
+    sampled = video_frame_sample(vids, every_n=every, max_frames=cap,
+                                 decoder=real_video_decoder)
+    per_vid = sampled.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("got"),
+        F.min(F.length("frame")).alias("min_len"),
+        F.max(F.length("frame")).alias("max_len"))
+    joined = vids.select("id", "n_frames").join(per_vid, "id")
+    expected = F.least(F.ceil(F.col("n_frames") / every), F.lit(cap))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("videos"),
+        F.sum("got").cast("long").alias("frames_sampled"),
+        F.min((F.col("got") == expected).cast("int")).cast("boolean")
+        .alias("counts_match"),
+        F.min((F.col("min_len") == h * w * 3).cast("int")).cast("boolean")
+        .alias("payload_shape_ok"),
+    )
+
+
 def q_asr_wer(spark: SparkSession, _sf: str) -> DataFrame:
     """Distributed WER (dcspark/wer.py): hypothesis transcripts vs the
     reference table, substitution/insertion/deletion breakdown per row,
@@ -2441,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_logmel_features": q_audio_logmel,
         "audio_augment_variants": q_audio_augment,
         "asr_wer_report": q_asr_wer,
+        "video_mjpeg_frames": q_video_mjpeg_frames,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -2499,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         # audio_decode_conformance / audio_multicodec_conformance /
         # audio_transcode_normalize / audio_vad_segments / audio_chunk_windows /
         # audio_spectral_quality / audio_logmel_features / audio_augment_variants /
+        # video_mjpeg_frames /
         # contract_full_run: not SQL-expressible
         # (binary WAV decode + pandas-UDF invariant) — rows-only check; the
         # vad/chunk/transcode queries are self-verifying (expected-vs-detected

@@ -182,6 +182,7 @@ OPERATOR_QUERIES = [
     "audio_logmel_features",
     "audio_augment_variants",
     "asr_wer_report",
+    "video_mjpeg_frames",
     "group_threshold_checks",
 ]
 
