@@ -2267,6 +2267,66 @@ def q_video_mjpeg_frames(spark: SparkSession, _sf: str) -> DataFrame:
     )
 
 
+def q_image_dhash_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
+    """Perceptual image dedup (dcspark/imagefp.py): dHash over decoded
+    rasters + 4-way 16-bit block equi-joins, Hamming <= 3 verify — the image
+    analog of MinHash-LSH (text) and acoustic-fingerprint near-dup (audio).
+    Input: 64 deterministic smooth 'photos' as PNGs plus, for each of the
+    first 8, a JPEG q70 re-encode — a byte-level identity cannot match any
+    planted pair. Self-verifying: exactly the 8 planted pairs, nothing else.
+    Not SQL-expressible (image decode); locked in tests/test_imagefp.py."""
+    import numpy as np
+
+    from dcspark import imagefp, multimodal
+    from dcspark.jpeg import jpeg_bytes
+
+    n_imgs, n_planted = 64, 8
+
+    def build(batches):
+        import pandas as pd
+
+        def photo(seed, h=48, w=64):
+            rng = np.random.default_rng(9000 + seed)
+            base = rng.uniform(0, 255, (6, 8, 3))
+            yi = np.linspace(0, 5, h)
+            xi = np.linspace(0, 7, w)
+            up = np.empty((h, w, 3))
+            for c in range(3):
+                col = np.array([np.interp(xi, np.arange(8), base[r, :, c])
+                                for r in range(6)])
+                up[..., c] = np.array([np.interp(yi, np.arange(6), col[:, j])
+                                       for j in range(w)]).T
+            return up.astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                px = photo(i % n_imgs)
+                if i < n_imgs:
+                    rows.append({"id": f"img-{i:03d}",
+                                 "bytes": multimodal.png_bytes(px)})
+                else:  # planted re-encode of image (i - n_imgs)
+                    rows.append({"id": f"dup-{i - n_imgs:03d}",
+                                 "bytes": jpeg_bytes(px, quality=70)})
+            yield pd.DataFrame(rows, columns=["id", "bytes"])
+
+    imgs = spark.range(0, n_imgs + n_planted, 1, 8).mapInPandas(
+        build, schema="id string, bytes binary")
+    pairs = imagefp.image_near_dup(imgs)
+    planted = pairs.filter(
+        (F.regexp_replace("id_a", "^(img|dup)-", "")
+         == F.regexp_replace("id_b", "^(img|dup)-", ""))
+        & (F.substring("id_a", 1, 3) != F.substring("id_b", 1, 3)))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("pairs"),
+    ).crossJoin(planted.agg(
+        F.count(F.lit(1)).cast("long").alias("planted_found"))).select(
+        "pairs", "planted_found",
+        (F.col("planted_found") == n_planted).alias("all_planted_found"),
+        (F.col("pairs") == F.col("planted_found")).alias("no_false_pairs"))
+
+
 def q_asr_wer(spark: SparkSession, _sf: str) -> DataFrame:
     """Distributed WER (dcspark/wer.py): hypothesis transcripts vs the
     reference table, substitution/insertion/deletion breakdown per row,
@@ -2494,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_augment_variants": q_audio_augment,
         "asr_wer_report": q_asr_wer,
         "video_mjpeg_frames": q_video_mjpeg_frames,
+        "image_dhash_near_dup": q_image_dhash_near_dup,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -2552,7 +2613,7 @@ def oracle_sql() -> dict[str, str]:
         # audio_decode_conformance / audio_multicodec_conformance /
         # audio_transcode_normalize / audio_vad_segments / audio_chunk_windows /
         # audio_spectral_quality / audio_logmel_features / audio_augment_variants /
-        # video_mjpeg_frames /
+        # video_mjpeg_frames / image_dhash_near_dup /
         # contract_full_run: not SQL-expressible
         # (binary WAV decode + pandas-UDF invariant) — rows-only check; the
         # vad/chunk/transcode queries are self-verifying (expected-vs-detected

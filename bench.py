@@ -183,6 +183,7 @@ OPERATOR_QUERIES = [
     "audio_augment_variants",
     "asr_wer_report",
     "video_mjpeg_frames",
+    "image_dhash_near_dup",
     "group_threshold_checks",
 ]
 

@@ -1,0 +1,138 @@
+"""Perceptual image fingerprints (dHash) + blocked near-duplicate detection.
+
+Completes modality coverage for near-dup training-data dedup: text has
+MinHash/SimHash (textops.py), audio has band-occupancy acoustic hashes
+(audiofp.py) — images get the difference hash: decode, luma, resize to a
+9x8 grid, threshold horizontal gradients -> 64-bit hash that survives
+re-encoding, resizing, small crops, and brightness shifts, while byte-level
+md5 catches none of those.
+
+Scale design mirrors the other modalities: hashes shuffle as 8-byte longs
+(never pixels); candidate pairs come from 4-way 16-bit block equi-joins —
+pigeonhole-complete for Hamming <= 3 — with an optional per-block bucket cap
+so degenerate masses (solid-color thumbnails) cannot emit k^2 pairs; exact
+Hamming verifies candidates only.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .multimodal import ImageDecoder, real_image_decoder
+
+FP_DDL = "id string, dhash long, width int, height int, decode_error string"
+
+
+def dhash(px: np.ndarray, grid: int = 8) -> int:
+    """Difference hash of a decoded uint8 raster -> int (grid*grid bits).
+
+    Luma -> area-downsample to (grid, grid+1) via block means -> bit g,r,c =
+    1 when cell (r, c) is brighter than its right neighbor. Pure whole-array
+    numpy; deterministic."""
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            luma = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+                    + 0.114 * px[..., 2])
+        else:
+            luma = px[..., 0].astype(np.float64)
+    else:
+        luma = px.astype(np.float64)
+    h, w = luma.shape
+    gh, gw = grid, grid + 1
+    # area downsample: mean over variable-size cells (edges via bincount on
+    # the cell index of every pixel — exact for any (h, w) >= grid)
+    ri = (np.arange(h) * gh // h)
+    ci = (np.arange(w) * gw // w)
+    cell = ri[:, None] * gw + ci[None, :]
+    sums = np.bincount(cell.ravel(), weights=luma.ravel(), minlength=gh * gw)
+    counts = np.bincount(cell.ravel(), minlength=gh * gw)
+    small = (sums / np.maximum(counts, 1)).reshape(gh, gw)
+    bits = (small[:, :-1] > small[:, 1:]).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val
+
+
+def image_fingerprints(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    decoder: ImageDecoder = real_image_decoder,
+) -> DataFrame:
+    """Per-image dHash frame (id, dhash, width, height, decode_error): one
+    decode pass; only the 8-byte hash + dims leave the task."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "dhash", "width", "height",
+                                   "decode_error")}
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                rec = dict(id=rid, dhash=None, width=None, height=None,
+                           decode_error=None)
+                try:
+                    h, w, _c, px = decoder(bytes(raw) if raw is not None else None)
+                    # int64 container: flip the top bit into the sign range
+                    v = dhash(px)
+                    rec.update(dhash=v - (1 << 64) if v >= (1 << 63) else v,
+                               width=w, height=h)
+                except (NotImplementedError, ValueError, TypeError,
+                        struct.error) as e:
+                    rec["decode_error"] = str(e)
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).cast("string").alias(id_col),
+                     F.col(bytes_col)).mapInPandas(run, schema=FP_DDL)
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = 1000,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    decoder: ImageDecoder = real_image_decoder,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs (id_a, id_b, hamming <= max_hamming).
+
+    4-way 16-bit block equi-joins over the 64-bit dHash (pigeonhole-complete
+    for Hamming <= 3; 65,536 keys per block so keyspace >> corpus), with a
+    windowed per-(block, key) bucket cap against degenerate masses, exact
+    Hamming on candidates only. Only hashes shuffle.
+    """
+    if max_hamming > 3:
+        raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
+    fp = image_fingerprints(df, id_col=id_col, bytes_col=bytes_col,
+                            decoder=decoder).filter(F.col("dhash").isNotNull())
+    t = fp.select(
+        F.col("id"), F.col("dhash"),
+        *[((F.shiftrightunsigned(F.col("dhash"), b * 16)) % (1 << 16))
+          .alias(f"b{b}") for b in range(4)])
+    cands = None
+    for b in range(4):
+        side = t
+        if max_bucket is not None:
+            from pyspark.sql import Window
+
+            side = (t.withColumn(
+                "_bc", F.count(F.lit(1)).over(Window.partitionBy(f"b{b}")))
+                .filter(F.col("_bc") <= max_bucket).drop("_bc"))
+        a_, b_ = side.alias("a"), side.alias("b")
+        c = (a_.join(b_, on=f"b{b}")
+             .filter(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.dhash").alias("h_a"), F.col("b.dhash").alias("h_b")))
+        cands = c if cands is None else cands.unionByName(c)
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cands.distinct()
+            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -1,0 +1,85 @@
+"""Perceptual image dedup: dHash invariances + blocked near-dup pairs."""
+
+import numpy as np
+import pytest
+
+from dcspark.imagefp import dhash, image_fingerprints, image_near_dup
+from dcspark.jpeg import jpeg_bytes
+from dcspark import multimodal
+
+
+def _photo(seed, h=48, w=64):
+    """Smooth random 'photo': low-frequency noise (JPEG- and resize-stable)."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (6, 8, 3))
+    yi = np.linspace(0, 5, h)
+    xi = np.linspace(0, 7, w)
+    up = np.empty((h, w, 3))
+    for c in range(3):
+        col = np.array([np.interp(xi, np.arange(8), base[r, :, c]) for r in range(6)])
+        up[..., c] = np.array([np.interp(yi, np.arange(6), col[:, j]) for j in range(w)]).T
+    return up.astype(np.uint8)
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_survives_reencode_resize_brightness():
+    px = _photo(1)
+    h0 = dhash(px)
+    # jpeg re-encode at q60
+    from dcspark.jpeg import decode_jpeg
+    _, _, _, re = decode_jpeg(jpeg_bytes(px, quality=60))
+    assert _ham(h0, dhash(re)) <= 3
+    # 2x resize (nearest)
+    big = px.repeat(2, axis=0).repeat(2, axis=1)
+    assert _ham(h0, dhash(big)) <= 3
+    # brightness shift
+    brighter = np.clip(px.astype(np.int16) + 30, 0, 255).astype(np.uint8)
+    assert _ham(h0, dhash(brighter)) <= 3
+
+
+def test_dhash_separates_unrelated_images():
+    hams = [_ham(dhash(_photo(i)), dhash(_photo(i + 100))) for i in range(12)]
+    assert min(hams) > 10  # unrelated photos are far apart
+
+
+def test_image_near_dup_finds_planted_pairs(spark):
+    rows = []
+    for i in range(30):
+        px = _photo(i)
+        rows.append((f"img-{i:02d}", bytearray(multimodal.png_bytes(px))))
+    # planted near-dups: jpeg re-encode + brightness variant of img-00
+    base = _photo(0)
+    rows.append(("dup-jpeg", bytearray(jpeg_bytes(base, quality=70))))
+    bright = np.clip(base.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+    rows.append(("dup-bright", bytearray(multimodal.bmp_bytes(bright))))
+    rows.append(("broken", bytearray(b"not an image")))
+    df = spark.createDataFrame(rows, "id string, bytes binary")
+    pairs = {(r["id_a"], r["id_b"]) for r in image_near_dup(df).collect()}
+    assert ("dup-jpeg", "img-00") in pairs or ("img-00", "dup-jpeg") in pairs
+    assert ("dup-bright", "img-00") in pairs or ("img-00", "dup-bright") in pairs
+    # no unrelated pair sneaks in
+    for a, b in pairs:
+        assert "img-00" in (a, b) or {a, b} <= {"dup-jpeg", "dup-bright"}
+
+
+def test_bucket_cap_bounds_degenerate_mass(spark):
+    flat = np.full((16, 16, 3), 128, np.uint8)
+    rows = [(f"flat-{i:03d}", bytearray(multimodal.bmp_bytes(flat)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "id string, bytes binary")
+    # 60 identical hashes -> every block bucket holds 60 > cap -> 0 candidates
+    assert image_near_dup(df, max_bucket=50).count() == 0
+    # with the cap off the quadratic mass appears (sanity of the guard)
+    assert image_near_dup(df, max_bucket=None).count() == 60 * 59 // 2
+
+
+def test_fingerprints_frame(spark):
+    df = spark.createDataFrame(
+        [("a", bytearray(multimodal.png_bytes(_photo(3)))),
+         ("bad", bytearray(b"zzz"))], "id string, bytes binary")
+    got = {r["id"]: r for r in image_fingerprints(df).collect()}
+    assert got["a"]["dhash"] is not None and got["a"]["width"] == 64
+    assert got["bad"]["decode_error"] is not None
