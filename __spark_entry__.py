@@ -2314,14 +2314,17 @@ def q_image_dhash_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     imgs = spark.range(0, n_imgs + n_planted, 1, 8).mapInPandas(
         build, schema="id string, bytes binary")
     pairs = imagefp.image_near_dup(imgs)
-    planted = pairs.filter(
+    # one aggregate over ONE evaluation of the expensive decode+join lineage
+    # (a crossJoin of two aggs would run the whole pipeline twice)
+    planted_cond = (
         (F.regexp_replace("id_a", "^(img|dup)-", "")
          == F.regexp_replace("id_b", "^(img|dup)-", ""))
         & (F.substring("id_a", 1, 3) != F.substring("id_b", 1, 3)))
     return pairs.agg(
         F.count(F.lit(1)).cast("long").alias("pairs"),
-    ).crossJoin(planted.agg(
-        F.count(F.lit(1)).cast("long").alias("planted_found"))).select(
+        F.coalesce(F.sum(F.when(planted_cond, 1)), F.lit(0)).cast("long")
+        .alias("planted_found"),
+    ).select(
         "pairs", "planted_found",
         (F.col("planted_found") == n_planted).alias("all_planted_found"),
         (F.col("pairs") == F.col("planted_found")).alias("no_false_pairs"))

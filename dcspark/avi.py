@@ -66,13 +66,14 @@ def avi_bytes(frames: List[np.ndarray], fps: float = 25.0,
     hdrl = _list(b"hdrl", _chunk(b"avih", avih)
                  + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
 
-    movi_body = b"movi"
+    chunks = b""
     idx_entries = []
     for e in encoded:
-        # idx1 offsets are relative to the start of the 'movi' list data
-        idx_entries.append((len(movi_body) - 4 + 4, len(e)))
-        movi_body += _chunk(b"00dc", e)
-    movi = _chunk(b"LIST", movi_body)
+        # idx1 offsets are measured from the 'movi' fourcc, which occupies
+        # bytes [0, 4) of the list data — hence the +4 base
+        idx_entries.append((4 + len(chunks), len(e)))
+        chunks += _chunk(b"00dc", e)
+    movi = _list(b"movi", chunks)
     idx1 = b"".join(
         b"00dc" + struct.pack("<3I", 0x10, off, size)
         for off, size in idx_entries)
@@ -89,16 +90,20 @@ def decode_avi(raw: bytes) -> Tuple[float, List[np.ndarray]]:
     fps = 25.0
     frames: List[np.ndarray] = []
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int) -> None:
         nonlocal fps
+        if depth > 8:  # real AVIs nest 2-3 deep; a crafted bomb raises, not
+            raise ValueError("AVI LIST nesting too deep")  # RecursionError
         while pos + 8 <= end:
             fourcc = raw[pos:pos + 4]
             (size,) = struct.unpack_from("<I", raw, pos + 4)
             body_start = pos + 8
             body_end = min(body_start + size, end)
             if fourcc == b"LIST":
-                walk(body_start + 4, body_end)
-            elif fourcc == b"strh" and size >= 48:
+                walk(body_start + 4, body_end, depth + 1)
+            elif fourcc == b"strh" and body_end - body_start >= 28:
+                # bound by bytes actually PRESENT, not the declared size — a
+                # truncated strh must surface as ValueError, not struct.error
                 if raw[body_start:body_start + 4] == b"vids":
                     handler = raw[body_start + 4:body_start + 8]
                     if handler not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00"):
@@ -116,12 +121,10 @@ def decode_avi(raw: bytes) -> Tuple[float, List[np.ndarray]]:
                 frames.append(px)
             pos = body_start + size + (size & 1)
 
-    walk(12, len(raw))
+    try:
+        walk(12, len(raw), 0)
+    except struct.error as e:  # truncated chunk headers
+        raise ValueError(f"truncated AVI container: {e}") from e
     if not frames:
         raise ValueError("no video frames found")
     return fps, frames
-
-
-def real_video_decoder_avi(raw: bytes) -> Tuple[float, List[np.ndarray]]:
-    """multimodal-compatible video decoder: (fps, frames) for MJPG AVIs."""
-    return decode_avi(bytes(raw) if raw is not None else None)

@@ -17,6 +17,7 @@ Hamming verifies candidates only.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator, Optional
 
 import numpy as np
@@ -42,10 +43,17 @@ def dhash(px: np.ndarray, grid: int = 8) -> int:
             luma = px[..., 0].astype(np.float64)
     else:
         luma = px.astype(np.float64)
-    h, w = luma.shape
     gh, gw = grid, grid + 1
+    # tiny images: repeat pixels up to the grid size so every cell has
+    # support (w == grid would leave the last of the grid+1 columns empty,
+    # breaking resize invariance for 8px-wide thumbnails)
+    if luma.shape[0] < gh:
+        luma = np.repeat(luma, -(-gh // luma.shape[0]), axis=0)
+    if luma.shape[1] < gw:
+        luma = np.repeat(luma, -(-gw // luma.shape[1]), axis=1)
+    h, w = luma.shape
     # area downsample: mean over variable-size cells (edges via bincount on
-    # the cell index of every pixel — exact for any (h, w) >= grid)
+    # the cell index of every pixel)
     ri = (np.arange(h) * gh // h)
     ci = (np.arange(w) * gw // w)
     cell = ri[:, None] * gw + ci[None, :]
@@ -84,7 +92,8 @@ def image_fingerprints(
                     rec.update(dhash=v - (1 << 64) if v >= (1 << 63) else v,
                                width=w, height=h)
                 except (NotImplementedError, ValueError, TypeError,
-                        struct.error) as e:
+                        struct.error, zlib.error) as e:
+                    # zlib.error: corrupt PNG IDAT streams raise it directly
                     rec["decode_error"] = str(e)
                 for k, v in rec.items():
                     out[k].append(v)
@@ -115,8 +124,11 @@ def image_near_dup(
                             decoder=decoder).filter(F.col("dhash").isNotNull())
     t = fp.select(
         F.col("id"), F.col("dhash"),
-        *[((F.shiftrightunsigned(F.col("dhash"), b * 16)) % (1 << 16))
-          .alias(f"b{b}") for b in range(4)])
+        # mask, don't '%': Spark % keeps the dividend's sign, so a negative
+        # dhash (bit 63 set) would get a block-0 key that never equi-joins
+        # its positive twins — silently losing recall for ~half the corpus
+        *[(F.shiftrightunsigned(F.col("dhash"), b * 16)
+           .bitwiseAND(F.lit(0xFFFF))).alias(f"b{b}") for b in range(4)])
     cands = None
     for b in range(4):
         side = t

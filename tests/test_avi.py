@@ -85,3 +85,19 @@ def test_video_frame_sample_real_decoder(spark):
     assert all(len(r["frame"]) == 16 * 16 * 3 for r in ok)
     bad = [r for r in rows if r["id"] == "bad"]
     assert len(bad) == 1 and bad[0]["decode_error"]
+
+
+def test_truncated_strh_is_valueerror():
+    raw = avi_bytes(_frames(2))
+    cut = raw[: raw.find(b"vids") + 10]  # mid-strh
+    with pytest.raises(ValueError):
+        decode_avi(cut)
+
+
+def test_list_nesting_bomb_is_valueerror():
+    body = b""
+    for _ in range(50):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"xxxx" + body
+    bomb = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    with pytest.raises(ValueError):
+        decode_avi(bomb)

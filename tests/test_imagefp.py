@@ -83,3 +83,53 @@ def test_fingerprints_frame(spark):
     got = {r["id"]: r for r in image_fingerprints(df).collect()}
     assert got["a"]["dhash"] is not None and got["a"]["width"] == 64
     assert got["bad"]["decode_error"] is not None
+
+
+def test_negative_dhash_block_keys_mask_not_mod(spark):
+    """Block keys must mask, not '%': Spark's % keeps the dividend's sign,
+    so a negative int64 dhash would get a block-0 key that never equi-joins
+    a positive hash with identical low 16 bits."""
+    from pyspark.sql import functions as SF
+
+    neg = -9223366539293486540  # bit 63 set, low 16 bits 0x1234
+    pos = 0x1234
+    df = spark.createDataFrame([(neg,), (pos,)], "dhash long")
+    keys = [r[0] for r in df.select(
+        SF.shiftrightunsigned(SF.col("dhash"), 0)
+        .bitwiseAND(SF.lit(0xFFFF)).alias("b0")).collect()]
+    assert keys[0] == keys[1] == 0x1234
+    # and end to end: two rasters differing only in the top-left grid cells
+    # (high-order hash bits) must still pair when Hamming allows
+    a = _photo(7)
+    b = a.copy()
+    b[:6, :8] = 255
+    ha, hb = dhash(a), dhash(b)
+    rows = [("x", bytearray(multimodal.bmp_bytes(a))),
+            ("y", bytearray(multimodal.bmp_bytes(b)))]
+    got = image_near_dup(
+        spark.createDataFrame(rows, "id string, bytes binary")).count()
+    assert got == (1 if _ham(ha, hb) <= 3 else 0)
+
+
+def test_tiny_images_resize_invariant():
+    """8px-wide thumbnails must hash close to their 2x upsamples (the
+    grid+1 column grid used to leave an empty edge cell)."""
+    rng = np.random.default_rng(5)
+    small = (np.repeat(np.repeat(rng.uniform(60, 200, (4, 4)), 2, 0), 2, 1)
+             ).astype(np.uint8)  # 8x8 smooth
+    big = small.repeat(2, axis=0).repeat(2, axis=1)
+    assert _ham(dhash(small), dhash(big)) <= 3
+
+
+def test_corrupt_png_idat_is_row_error_not_crash(spark):
+    import zlib as _zlib
+
+    good = multimodal.png_bytes(_photo(1))
+    bad = bytearray(good)
+    i = good.find(b"IDAT") + 10
+    for j in range(i, i + 20):
+        bad[j] ^= 0x5A
+    df = spark.createDataFrame(
+        [("z", bytes(bad))], "id string, bytes binary")
+    rows = image_fingerprints(df).collect()
+    assert len(rows) == 1 and rows[0]["decode_error"] is not None
