@@ -851,6 +851,48 @@ def check_audio_near_dup(model: str, q: Quality, idx: int) -> CompiledCheck:
     )
 
 
+def check_image_decode(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Image decode conformance (``type: image, invariant:
+    decode-conformance``): every payload in ``column`` (default "bytes") must
+    decode through the sniffing image decoder (BMP/netpbm/PNG/baseline JPEG
+    real, WebP a per-row error); with ``width_column``/``height_column``
+    given, decoded dimensions must equal those declared columns — the image
+    analog of the audio header-conformance invariant (a payload lying about
+    its size is invisible to column checks). Metric = violating rows; the
+    eight mustBe* forms apply when given, else must be zero.
+
+    Engine extension (the reference has no image path — SURVEY.md §2.5).
+    Execution: one mapInPandas decode pass emitting (id, dims, error); the
+    declared-dims comparison joins back on the primary key (small rows only —
+    payload bytes never shuffle)."""
+    name = q.description or "Image decode conformance"
+    evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
+    extra = getattr(q, "__pydantic_extra__", None) or {}
+    width_col = extra.get("width_column")
+    height_col = extra.get("height_column")
+    dims = (f" with decoded dims == ({width_col}, {height_col})"
+            if width_col or height_col else "")
+    return CompiledCheck(
+        key=_key(model, None, f"image_decode_conformance_{idx}"),
+        check_type="image_decode_conformance",
+        category="image",
+        name=name,
+        model=model,
+        kind="image",
+        params={
+            "bytes_col": q.column or "bytes",
+            "width_col": width_col,
+            "height_col": height_col,
+            "evaluator": evaluator,
+        },
+        expected=f"all image payloads decode{dims}",
+        implementation=(
+            "mapInPandas sniffing decode -> (id, width, height, decode_error) "
+            "-> join declared dims on pk -> violating-row count"
+        ),
+    )
+
+
 def check_audio_drift(model: str, q: Quality, idx: int) -> CompiledCheck:
     """Distribution drift on DECODED-PCM features (``type: audio, invariant:
     loudness-drift``): KS/PSI of a per-clip scalar feature (rms_dbfs,
@@ -1222,6 +1264,8 @@ def create_checks(
                 checks.append(check_audio_quality(model_name, q, qi))
             elif q.type == "audio":
                 checks.append(check_audio(model_name, q, qi))
+            elif q.type == "image":
+                checks.append(check_image_decode(model_name, q, qi))
         out[model_name] = checks
 
     # service levels attach to the first model that has the timestamp field

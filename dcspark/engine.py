@@ -266,6 +266,7 @@ class Validator:
         join_eq_checks = [c for c in checks if c.kind == "join_equality"]
         group_checks = [c for c in checks if c.kind == "group"]
         audio_fp_checks = [c for c in checks if c.kind == "audio_fp"]
+        image_checks = [c for c in checks if c.kind == "image"]
         audio_drift_checks = [c for c in checks if c.kind == "audio_drift"]
         audio_quality_checks = [c for c in checks if c.kind == "audio_quality"]
 
@@ -352,6 +353,10 @@ class Validator:
             for chk in audio_fp_checks
         ]
         thunks += [
+            (lambda c=chk: ("image", c, self._image_compute(model_name, df, c)))
+            for chk in image_checks
+        ]
+        thunks += [
             (lambda c=chk: ("sql", c, self._sql_compute(c))) for chk in sql_checks
         ]
         results = self._parallel(thunks)
@@ -367,6 +372,8 @@ class Validator:
                 self._record_group(chk, res)
             elif kind == "audio_fp":
                 self._record_audio_fp(chk, res)
+            elif kind == "image":
+                self._record_image(chk, res)
             else:
                 self._record_sql(chk, res)
 
@@ -1294,6 +1301,84 @@ class Validator:
         finally:
             pairs.unpersist()
         return {"metric": metric, "vio_rows": vio_rows}
+
+    def _image_compute(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> dict:
+        """Image decode conformance via dcspark/multimodal.py image_metadata.
+
+        One mapInPandas sniffing-decode pass emits (id, width, height,
+        decode_error); with declared width/height columns the comparison
+        joins back on the primary key (8-byte-ish rows — payloads never
+        shuffle). Runs concurrently in the thunk pool."""
+        from . import multimodal
+
+        p = chk.params
+        bytes_col = p["bytes_col"]
+        if bytes_col not in df.columns:
+            return {"error": f"bytes column {bytes_col} missing"}
+        for dim_col in (p["width_col"], p["height_col"]):
+            if dim_col and dim_col not in df.columns:
+                return {"error": f"declared dimension column {dim_col} missing"}
+        id_col = self._pk_column(model_name, df)
+        meta = multimodal.image_metadata(
+            df, id_col=id_col, bytes_col=bytes_col
+        ).withColumnRenamed("id", "__img_id")
+        bad_cond = F.col("decode_error").isNotNull()
+        observed = [F.coalesce(F.col("decode_error"), F.lit(""))]
+        if p["width_col"] or p["height_col"]:
+            declared = df.select(
+                F.col(id_col).cast("string").alias("__img_id"),
+                *( [F.col(p["width_col"]).alias("__decl_w")] if p["width_col"] else [] ),
+                *( [F.col(p["height_col"]).alias("__decl_h")] if p["height_col"] else [] ),
+            )
+            meta = meta.join(declared, "__img_id")
+            if p["width_col"]:
+                bad_cond = bad_cond | (F.col("width") != F.col("__decl_w"))
+                observed.append(F.concat(
+                    F.lit(" w="), F.coalesce(F.col("width").cast("string"), F.lit("?")),
+                    F.lit("/"), F.col("__decl_w").cast("string")))
+            if p["height_col"]:
+                bad_cond = bad_cond | (F.col("height") != F.col("__decl_h"))
+                observed.append(F.concat(
+                    F.lit(" h="), F.coalesce(F.col("height").cast("string"), F.lit("?")),
+                    F.lit("/"), F.col("__decl_h").cast("string")))
+        from pyspark import StorageLevel
+
+        bad = meta.filter(bad_cond).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            metric = float(bad.count())
+            vio_rows = None
+            if metric > 0:
+                vio_rows = bad.orderBy("__img_id").limit(
+                    self.config.violation_cap
+                ).select(
+                    F.lit(self.run.runId).alias("run_id"),
+                    F.lit(None).cast("string").alias("partition_id"),
+                    F.lit(chk.key).alias("check_key"),
+                    F.col("__img_id").alias("clip_id"),
+                    F.concat_ws("", *observed).alias("observed"),
+                    F.lit(chk.expected).alias("expected"),
+                ).collect()
+            return {"metric": metric, "vio_rows": vio_rows}
+        finally:
+            bad.unpersist()
+
+    def _record_image(self, chk: CompiledCheck, res: dict) -> None:
+        if "error" in res:
+            self._record(chk, None, ResultEnum.error, res["error"], None)
+            return
+        metric = res["metric"]
+        evaluator = chk.params.get("evaluator")
+        if evaluator is not None:
+            result, reason = evaluator(metric, {})
+        else:
+            result = ResultEnum.passed if metric == 0 else ResultEnum.failed
+            reason = None if metric == 0 else (
+                f"{chk.name}: {int(metric)} image payload(s) failed decode "
+                "or dimension conformance")
+        self._record(chk, metric, result, reason, None)
+        if res["vio_rows"]:
+            self._violation_frames.append(
+                self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
 
     def _record_audio_fp(self, chk: CompiledCheck, res: dict) -> None:
         if "error" in res:

@@ -6,6 +6,7 @@ import pytest
 from dcspark.imagefp import dhash, image_fingerprints, image_near_dup
 from dcspark.jpeg import jpeg_bytes
 from dcspark import multimodal
+from pyspark.sql import functions as F
 
 
 def _photo(seed, h=48, w=64):
@@ -133,3 +134,48 @@ def test_corrupt_png_idat_is_row_error_not_crash(spark):
         [("z", bytes(bad))], "id string, bytes binary")
     rows = image_fingerprints(df).collect()
     assert len(rows) == 1 and rows[0]["decode_error"] is not None
+
+
+def test_image_decode_conformance_contract_rule(spark):
+    """type: image, invariant: decode-conformance as a first-class contract
+    rule: undecodable payloads and dimension lies fail; clean tables pass."""
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+
+    contract = """
+id: image-contract
+models:
+  images:
+    fields:
+      image_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      width: {type: integer}
+      height: {type: integer}
+    quality:
+      - type: image
+        invariant: decode-conformance
+        column: bytes
+        width_column: width
+        height_column: height
+"""
+    spec = DataContractSpecification.from_string(contract)
+    ddl = "image_id string, bytes binary, width int, height int"
+    rows = [(f"ok-{i}", bytearray(multimodal.png_bytes(_photo(i))), 64, 48)
+            for i in range(6)]
+    good = spark.createDataFrame(rows, ddl)
+    res = validate(spark, spec, {"images": good}, ValidationConfig())
+    assert res.run.result == ResultEnum.passed, [
+        (c.key, c.result, c.reason) for c in res.run.checks]
+
+    bad_rows = rows[:4] + [
+        ("broken", bytearray(b"not an image"), 64, 48),
+        ("liar", bytearray(multimodal.png_bytes(_photo(9))), 640, 480),
+    ]
+    bad = spark.createDataFrame(bad_rows, ddl)
+    res2 = validate(spark, spec, {"images": bad}, ValidationConfig())
+    chk = [c for c in res2.run.checks if "image_decode" in c.key][0]
+    assert chk.result == ResultEnum.failed
+    assert res2.metrics[chk.key] == 2
+    vio_ids = {r["clip_id"] for r in res2.violations.filter(
+        F.col("check_key") == chk.key).collect()}
+    assert vio_ids == {"broken", "liar"}
