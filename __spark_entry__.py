@@ -2330,6 +2330,69 @@ def q_image_dhash_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
         (F.col("pairs") == F.col("planted_found")).alias("no_false_pairs"))
 
 
+def q_image_contract(spark: SparkSession, _sf: str) -> DataFrame:
+    """Image decode-conformance contract rule (`type: image`, engine kind
+    "image"): 40 PNG images with correct declared dims plus 3 planted
+    corruptions (2 undecodable payloads, 1 dimension lie) validated through
+    the FULL engine. Self-verifying: metric == 3, the exact violator ids in
+    the violations table, run fails; the clean table passes. Not
+    SQL-expressible (image decode); locked in tests/test_imagefp.py."""
+    import numpy as np
+
+    from dcspark import multimodal
+    from dcspark.engine import ValidationConfig, validate
+    from dcspark.spec import DataContractSpecification
+
+    contract = """
+id: entry-image-contract
+models:
+  images:
+    fields:
+      image_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      width: {type: integer}
+      height: {type: integer}
+    quality:
+      - {type: image, invariant: decode-conformance, column: bytes,
+         width_column: width, height_column: height}
+"""
+    spec = DataContractSpecification.from_string(contract)
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                rng = np.random.default_rng(7000 + i)
+                px = (rng.uniform(0, 255, (24, 32, 3))).astype(np.uint8)
+                if i in (3, 17):  # undecodable payloads
+                    rows.append({"image_id": f"im-{i:03d}",
+                                 "bytes": b"corrupted-" + bytes(rng.integers(0, 255, 40, dtype=np.uint8)),
+                                 "width": 32, "height": 24})
+                elif i == 29:  # dimension lie
+                    rows.append({"image_id": f"im-{i:03d}",
+                                 "bytes": multimodal.png_bytes(px),
+                                 "width": 320, "height": 240})
+                else:
+                    rows.append({"image_id": f"im-{i:03d}",
+                                 "bytes": multimodal.png_bytes(px),
+                                 "width": 32, "height": 24})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "width", "height"])
+
+    imgs = spark.range(0, 40, 1, 8).mapInPandas(
+        build, schema="image_id string, bytes binary, width int, height int")
+    res = validate(spark, spec, {"images": imgs}, ValidationConfig())
+    chk = [c for c in res.run.checks if "image_decode" in c.key][0]
+    vio_ids = sorted(r["clip_id"] for r in res.violations.filter(
+        F.col("check_key") == chk.key).collect()) if res.violations is not None else []
+    return spark.createDataFrame(
+        [(int(res.metrics[chk.key]), chk.result.value,
+          bool(vio_ids == ["im-003", "im-017", "im-029"]))],
+        "bad_images bigint, result string, violations_match boolean")
+
+
 def q_asr_wer(spark: SparkSession, _sf: str) -> DataFrame:
     """Distributed WER (dcspark/wer.py): hypothesis transcripts vs the
     reference table, substitution/insertion/deletion breakdown per row,
@@ -2558,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asr_wer_report": q_asr_wer,
         "video_mjpeg_frames": q_video_mjpeg_frames,
         "image_dhash_near_dup": q_image_dhash_near_dup,
+        "image_decode_contract": q_image_contract,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -2616,7 +2680,7 @@ def oracle_sql() -> dict[str, str]:
         # audio_decode_conformance / audio_multicodec_conformance /
         # audio_transcode_normalize / audio_vad_segments / audio_chunk_windows /
         # audio_spectral_quality / audio_logmel_features / audio_augment_variants /
-        # video_mjpeg_frames / image_dhash_near_dup /
+        # video_mjpeg_frames / image_dhash_near_dup / image_decode_contract /
         # contract_full_run: not SQL-expressible
         # (binary WAV decode + pandas-UDF invariant) — rows-only check; the
         # vad/chunk/transcode queries are self-verifying (expected-vs-detected

@@ -184,6 +184,7 @@ OPERATOR_QUERIES = [
     "asr_wer_report",
     "video_mjpeg_frames",
     "image_dhash_near_dup",
+    "image_decode_contract",
     "group_threshold_checks",
 ]
 
