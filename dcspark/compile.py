@@ -865,13 +865,19 @@ def check_image_decode(model: str, q: Quality, idx: int) -> CompiledCheck:
     Execution: one mapInPandas decode pass emitting (id, dims, error); the
     declared-dims comparison joins back on the primary key (small rows only —
     payload bytes never shuffle)."""
+    if (q.invariant or "decode-conformance") != "decode-conformance":
+        # fail at compile time: a typo'd or future invariant must not
+        # silently degrade into the decode check and report green
+        raise ValueError(
+            f"unknown image invariant {q.invariant!r}; "
+            "supported: decode-conformance")
     name = q.description or "Image decode conformance"
     evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
     extra = getattr(q, "__pydantic_extra__", None) or {}
     width_col = extra.get("width_column")
     height_col = extra.get("height_column")
-    dims = (f" with decoded dims == ({width_col}, {height_col})"
-            if width_col or height_col else "")
+    dim_cols = [c for c in (width_col, height_col) if c]
+    dims = (f" with decoded dims == ({', '.join(dim_cols)})" if dim_cols else "")
     return CompiledCheck(
         key=_key(model, None, f"image_decode_conformance_{idx}"),
         check_type="image_decode_conformance",

@@ -1319,50 +1319,76 @@ class Validator:
             if dim_col and dim_col not in df.columns:
                 return {"error": f"declared dimension column {dim_col} missing"}
         id_col = self._pk_column(model_name, df)
-        meta = multimodal.image_metadata(
-            df, id_col=id_col, bytes_col=bytes_col
-        ).withColumnRenamed("id", "__img_id")
+        with self._arrow_batch_conf():
+            meta = multimodal.image_metadata(
+                df, id_col=id_col, bytes_col=bytes_col
+            ).withColumnRenamed("id", "__img_id")
         bad_cond = F.col("decode_error").isNotNull()
         observed = [F.coalesce(F.col("decode_error"), F.lit(""))]
         if p["width_col"] or p["height_col"]:
+            # LEFT join (null-pk rows must stay visible) against DEDUPLICATED
+            # declared dims (duplicate pks would fan out and overcount); the
+            # comparisons are null-SAFE so a NULL declared dimension counts as
+            # a violation (the row is unverifiable) instead of slipping
+            # through '!=' three-valued logic
             declared = df.select(
                 F.col(id_col).cast("string").alias("__img_id"),
                 *( [F.col(p["width_col"]).alias("__decl_w")] if p["width_col"] else [] ),
                 *( [F.col(p["height_col"]).alias("__decl_h")] if p["height_col"] else [] ),
-            )
-            meta = meta.join(declared, "__img_id")
+            ).dropDuplicates(["__img_id"])
+            meta = meta.join(declared, "__img_id", "left")
             if p["width_col"]:
-                bad_cond = bad_cond | (F.col("width") != F.col("__decl_w"))
+                bad_cond = bad_cond | ~F.col("width").eqNullSafe(F.col("__decl_w"))
                 observed.append(F.concat(
                     F.lit(" w="), F.coalesce(F.col("width").cast("string"), F.lit("?")),
-                    F.lit("/"), F.col("__decl_w").cast("string")))
+                    F.lit("/"), F.coalesce(F.col("__decl_w").cast("string"), F.lit("?"))))
             if p["height_col"]:
-                bad_cond = bad_cond | (F.col("height") != F.col("__decl_h"))
+                bad_cond = bad_cond | ~F.col("height").eqNullSafe(F.col("__decl_h"))
                 observed.append(F.concat(
                     F.lit(" h="), F.coalesce(F.col("height").cast("string"), F.lit("?")),
-                    F.lit("/"), F.col("__decl_h").cast("string")))
+                    F.lit("/"), F.coalesce(F.col("__decl_h").cast("string"), F.lit("?"))))
+        bad = meta.filter(bad_cond).select(
+            F.col("__img_id").alias("id_a"),
+            F.concat_ws("", *observed).alias("__observed"))
+        return self._count_and_sample(
+            bad, chk, id_expr=F.coalesce(F.col("id_a"), F.lit("<null-id>")),
+            observed_expr=F.col("__observed"))
+
+    def _count_and_sample(self, frame: DataFrame, chk: CompiledCheck,
+                          id_expr, observed_expr) -> dict:
+        """Shared count + capped violation sampling over one persisted
+        evaluation of a violating-row frame (used by the image check; the
+        audio_fp pair path keeps its pair-specific shape)."""
         from pyspark import StorageLevel
 
-        bad = meta.filter(bad_cond).persist(StorageLevel.MEMORY_AND_DISK)
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            metric = float(bad.count())
+            metric = float(frame.count())
             vio_rows = None
             if metric > 0:
-                vio_rows = bad.orderBy("__img_id").limit(
+                vio_rows = frame.orderBy("id_a").limit(
                     self.config.violation_cap
                 ).select(
                     F.lit(self.run.runId).alias("run_id"),
                     F.lit(None).cast("string").alias("partition_id"),
                     F.lit(chk.key).alias("check_key"),
-                    F.col("__img_id").alias("clip_id"),
-                    F.concat_ws("", *observed).alias("observed"),
+                    id_expr.alias("clip_id"),
+                    observed_expr.alias("observed"),
                     F.lit(chk.expected).alias("expected"),
                 ).collect()
             return {"metric": metric, "vio_rows": vio_rows}
         finally:
-            bad.unpersist()
+            frame.unpersist()
 
     def _record_image(self, chk: CompiledCheck, res: dict) -> None:
+        self._record_zero_default(
+            chk, res, lambda m: (f"{chk.name}: {int(m)} image payload(s) "
+                                 "failed decode or dimension conformance"))
+
+    def _record_zero_default(self, chk: CompiledCheck, res: dict,
+                             fail_reason) -> None:
+        """Shared recorder for metric-counts-violations checks: evaluator if
+        configured, else zero-is-pass; violation rows appended when present."""
         if "error" in res:
             self._record(chk, None, ResultEnum.error, res["error"], None)
             return
@@ -1372,31 +1398,16 @@ class Validator:
             result, reason = evaluator(metric, {})
         else:
             result = ResultEnum.passed if metric == 0 else ResultEnum.failed
-            reason = None if metric == 0 else (
-                f"{chk.name}: {int(metric)} image payload(s) failed decode "
-                "or dimension conformance")
+            reason = None if metric == 0 else fail_reason(metric)
         self._record(chk, metric, result, reason, None)
         if res["vio_rows"]:
             self._violation_frames.append(
                 self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
 
     def _record_audio_fp(self, chk: CompiledCheck, res: dict) -> None:
-        if "error" in res:
-            self._record(chk, None, ResultEnum.error, res["error"], None)
-            return
-        metric = res["metric"]
-        evaluator = chk.params.get("evaluator")
-        if evaluator is not None:
-            result, reason = evaluator(metric, {})
-        else:
-            result = ResultEnum.passed if metric == 0 else ResultEnum.failed
-            reason = None if metric == 0 else (
-                f"{chk.name}: {int(metric)} near-duplicate clip pair(s)"
-            )
-        self._record(chk, metric, result, reason, None)
-        if res["vio_rows"]:
-            self._violation_frames.append(
-                self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
+        self._record_zero_default(
+            chk, res,
+            lambda m: f"{chk.name}: {int(m)} near-duplicate clip pair(s)")
 
     # -- referential integrity (anti-join) ------------------------------------
 

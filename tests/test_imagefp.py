@@ -179,3 +179,51 @@ models:
     vio_ids = {r["clip_id"] for r in res2.violations.filter(
         F.col("check_key") == chk.key).collect()}
     assert vio_ids == {"broken", "liar"}
+
+
+def test_image_rule_null_pk_null_dims_and_dup_pk(spark):
+    """Fifth-review regressions: a NULL-pk corrupt row must still count
+    (left join), a NULL declared dimension is a violation (null-safe
+    compare), and duplicate pks must not fan out the metric."""
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+
+    contract = """
+id: image-edge
+models:
+  images:
+    fields:
+      image_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      width: {type: integer}
+      height: {type: integer}
+    quality:
+      - {type: image, invariant: decode-conformance, column: bytes,
+         width_column: width, height_column: height}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    ddl = "image_id string, bytes binary, width int, height int"
+    png = bytearray(multimodal.png_bytes(_photo(1)))
+    rows = [
+        (None, bytearray(b"junk-payload"), 64, 48),   # NULL pk + corrupt
+        ("nullw", png, None, 48),                      # NULL declared width
+        ("dup", png, 64, 48),                          # duplicate pk (valid)
+        ("dup", bytearray(b"other-junk"), 64, 48),     # duplicate pk (corrupt)
+        ("ok", png, 64, 48),
+    ]
+    res = validate(spark, spec,
+                   {"images": spark.createDataFrame(rows, ddl)},
+                   ValidationConfig())
+    chk = [c for c in res.run.checks if "image_decode" in c.key][0]
+    assert chk.result == ResultEnum.failed
+    # null-pk corrupt + null-width + ONE of the dup rows = 3 (no fan-out)
+    assert res.metrics[chk.key] == 3
+
+
+def test_image_rule_unknown_invariant_rejected():
+    from dcspark.compile import check_image_decode
+    from dcspark.spec import Quality
+
+    with pytest.raises(ValueError, match="unknown image invariant"):
+        check_image_decode("m", Quality(type="image",
+                                        invariant="content-uniqueness"), 0)
