@@ -140,6 +140,15 @@ def suggest_model(df: DataFrame, model_name: str = "model") -> Dict[str, Any]:
             {"type": "audio", "invariant": "signal-quality",
              "column": "rms_dbfs", "minimum": -80.0},
         ]
+    elif "bytes" in names and {"width", "height"} <= names:
+        # image-table shape: payload plus declared dimensions -> draft the
+        # image decode-conformance rule (every payload must decode and match
+        # its declared dims)
+        model["quality"] = [
+            {"type": "image", "invariant": "decode-conformance",
+             "column": "bytes", "width_column": "width",
+             "height_column": "height"},
+        ]
     return model
 
 

@@ -227,3 +227,27 @@ def test_image_rule_unknown_invariant_rejected():
     with pytest.raises(ValueError, match="unknown image invariant"):
         check_image_decode("m", Quality(type="image",
                                         invariant="content-uniqueness"), 0)
+
+
+def test_suggest_drafts_image_rule(spark):
+    """suggest on an image-shaped table drafts the decode-conformance rule,
+    and the drafted contract validates the same data green."""
+    import yaml
+
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+    from dcspark.run_model import ResultEnum
+    from dcspark.suggest import suggest_contract
+
+    ddl = "image_id string, bytes binary, width int, height int"
+    rows = [(f"s-{i}", bytearray(multimodal.png_bytes(_photo(i))), 64, 48)
+            for i in range(8)]
+    df = spark.createDataFrame(rows, ddl)
+    text = suggest_contract({"images": df})
+    drafted = yaml.safe_load(text)
+    q = drafted["models"]["images"]["quality"]
+    assert any(r.get("type") == "image" for r in q), q
+    spec = DataContractSpecification.from_string(text)
+    res = validate(spark, spec, {"images": df}, ValidationConfig())
+    assert res.run.result == ResultEnum.passed, [
+        (c.key, c.result, c.reason) for c in res.run.checks
+        if c.result != ResultEnum.passed]
