@@ -2393,6 +2393,192 @@ models:
         "bad_images bigint, result string, violations_match boolean")
 
 
+def q_image_family_contract(spark: SparkSession, _sf: str) -> DataFrame:
+    """The full image contract FAMILY in one run (engine kinds "image",
+    "image_quality", "image_fp" — all riding ONE fused decode pass,
+    dcspark/imagefp.py image_compact): 48 PNG photos with planted violations
+    of each invariant — 1 undecodable payload (decode-conformance), 2 solid
+    cards outside the brightness/entropy bounds (signal-quality), and 1
+    JPEG re-encode of photo 0 (content-uniqueness, dHash Hamming <= 3).
+    Self-verifying: each rule's metric and violator ids must be exactly the
+    planted set — including the solid-card PAIR under content-uniqueness
+    (every gradient-free raster hashes to dHash 0, a known blind spot of
+    difference hashing; the entropy floor is the rule that actually catches
+    solid cards, and this query locks that division of labor). Also guards
+    the Int64 regression where a decode error in the Arrow batch rounded
+    neighboring hashes through float64 coercion. Not SQL-expressible
+    (image decode); the exactly-one-decode fusion is accumulator-locked in
+    tests/test_imagerule.py."""
+    import numpy as np
+
+    from dcspark import multimodal
+    from dcspark.engine import ValidationConfig, validate
+    from dcspark.spec import DataContractSpecification
+
+    contract = """
+id: entry-image-family
+models:
+  images:
+    fields:
+      image_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+    quality:
+      - {type: image, invariant: decode-conformance, column: bytes}
+      - {type: image, invariant: signal-quality, column: brightness,
+         minimum: 10, maximum: 245}
+      - {type: image, invariant: signal-quality, column: entropy, minimum: 1}
+      - {type: image, invariant: content-uniqueness}
+"""
+    spec = DataContractSpecification.from_string(contract)
+
+    def photo(seed):
+        # low-frequency 'photo' (JPEG-stable, entropy well above the floor)
+        rng = np.random.default_rng(8100 + seed)
+        base = rng.uniform(0, 255, (6, 8, 3))
+        reps = (-(-24 // 6), -(-32 // 8))
+        up = base.repeat(reps[0], axis=0).repeat(reps[1], axis=1)[:24, :32]
+        noise = rng.uniform(-12, 12, up.shape)
+        return np.clip(up + noise, 8, 247).astype(np.uint8)
+
+    def build(batches):
+        import pandas as pd
+
+        from dcspark.jpeg import jpeg_bytes
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                if i == 5:    # undecodable
+                    payload = b"corrupt-image-payload"
+                elif i == 11:  # black card: brightness 0, entropy 0
+                    payload = multimodal.png_bytes(
+                        np.zeros((24, 32, 3), np.uint8))
+                elif i == 23:  # white card: brightness 255, entropy 0
+                    payload = multimodal.png_bytes(
+                        np.full((24, 32, 3), 255, np.uint8))
+                elif i == 37:  # JPEG re-encode of photo 0 -> near-dup pair
+                    payload = jpeg_bytes(photo(0), quality=80)
+                else:
+                    payload = multimodal.png_bytes(photo(i))
+                rows.append({"image_id": f"im-{i:03d}", "bytes": payload})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = spark.range(0, 48, 1, 8).mapInPandas(
+        build, schema="image_id string, bytes binary")
+    res = validate(spark, spec, {"images": imgs}, ValidationConfig())
+    by_kind = {}
+    for c in res.run.checks:
+        for tag in ("image_decode", "brightness", "entropy",
+                    "content_uniqueness"):
+            if tag in c.key:
+                by_kind[tag] = c
+
+    def vio_ids(chk):
+        if res.violations is None:
+            return []
+        return sorted(r["clip_id"] for r in res.violations.filter(
+            F.col("check_key") == chk.key).collect())
+
+    pairs = {frozenset(p.split("|"))
+             for p in vio_ids(by_kind["content_uniqueness"])}
+    pair_ok = pairs == {frozenset({"im-000", "im-037"}),
+                        frozenset({"im-011", "im-023"})}
+    return spark.createDataFrame(
+        [(
+            int(res.metrics[by_kind["image_decode"].key]),
+            int(res.metrics[by_kind["brightness"].key]),
+            int(res.metrics[by_kind["entropy"].key]),
+            int(res.metrics[by_kind["content_uniqueness"].key]),
+            bool(vio_ids(by_kind["image_decode"]) == ["im-005"]),
+            bool(vio_ids(by_kind["brightness"]) == ["im-011", "im-023"]),
+            pair_ok,
+        )],
+        "decode_bad bigint, brightness_bad bigint, entropy_bad bigint, "
+        "near_dup_pairs bigint, decode_ids_ok boolean, "
+        "quality_ids_ok boolean, pair_ids_ok boolean")
+
+
+def q_video_contract(spark: SparkSession, _sf: str) -> DataFrame:
+    """Video decode-conformance contract rule (`type: video`, engine kind
+    "video"): 24 Motion-JPEG AVI payloads (REAL container + JPEG codec,
+    dcspark/avi.py) with declared fps / frame-count / dims columns, plus 4
+    planted corruptions — 1 undecodable payload, 1 fps lie (25 declared vs
+    30 encoded), 1 frame-count lie, 1 dimension lie. Self-verifying:
+    metric == 4 with exactly those violator ids; the clean rows pass. Not
+    SQL-expressible (video decode); locked in tests/test_videorule.py."""
+    import numpy as np
+
+    from dcspark.engine import ValidationConfig, validate
+    from dcspark.spec import DataContractSpecification
+
+    contract = """
+id: entry-video-contract
+models:
+  videos:
+    fields:
+      video_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      fps: {type: double}
+      n_frames: {type: integer}
+      width: {type: integer}
+      height: {type: integer}
+    quality:
+      - {type: video, invariant: decode-conformance, column: bytes,
+         fps_column: fps, frames_column: n_frames,
+         width_column: width, height_column: height}
+"""
+    spec = DataContractSpecification.from_string(contract)
+
+    def build(batches):
+        import pandas as pd
+
+        from dcspark.avi import avi_bytes
+
+        def frames(n, phase):
+            out = []
+            for j in range(n):
+                yy, xx = np.mgrid[0:16, 0:20]
+                f = np.stack([(xx * 255 // 19), (yy * 255 // 15),
+                              np.full((16, 20), ((j + phase) * 37) % 256)],
+                             axis=-1).astype(np.uint8)
+                out.append(f)
+            return out
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                n, fps = 4, 25.0
+                payload = avi_bytes(frames(n, i), fps=fps)
+                decl = dict(fps=25.0, n_frames=4, width=20, height=16)
+                if i == 3:
+                    payload = b"RIFF-corrupt-video-payload"
+                elif i == 9:   # fps lie: stream says 30, column says 25
+                    payload = avi_bytes(frames(n, i), fps=30.0)
+                elif i == 14:  # frame-count lie
+                    decl["n_frames"] = 99
+                elif i == 20:  # dimension lie
+                    decl["width"], decl["height"] = 1920, 1080
+                rows.append({"video_id": f"vid-{i:03d}", "bytes": payload,
+                             **decl})
+            yield pd.DataFrame(
+                rows, columns=["video_id", "bytes", "fps", "n_frames",
+                               "width", "height"])
+
+    vids = spark.range(0, 24, 1, 6).mapInPandas(
+        build, schema=("video_id string, bytes binary, fps double, "
+                       "n_frames int, width int, height int"))
+    res = validate(spark, spec, {"videos": vids}, ValidationConfig())
+    chk = [c for c in res.run.checks if "video_decode" in c.key][0]
+    vio_ids = sorted(r["clip_id"] for r in res.violations.filter(
+        F.col("check_key") == chk.key).collect()) if res.violations is not None else []
+    return spark.createDataFrame(
+        [(int(res.metrics[chk.key]), chk.result.value,
+          bool(vio_ids == ["vid-003", "vid-009", "vid-014", "vid-020"]))],
+        "bad_videos bigint, result string, violations_match boolean")
+
+
 def q_asr_wer(spark: SparkSession, _sf: str) -> DataFrame:
     """Distributed WER (dcspark/wer.py): hypothesis transcripts vs the
     reference table, substitution/insertion/deletion breakdown per row,
@@ -2622,6 +2808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_mjpeg_frames": q_video_mjpeg_frames,
         "image_dhash_near_dup": q_image_dhash_near_dup,
         "image_decode_contract": q_image_contract,
+        "image_family_contract": q_image_family_contract,
+        "video_decode_contract": q_video_contract,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,

@@ -125,7 +125,12 @@ def audio_fingerprints(
                         ids.append(rid); ts.append(t); hs.append(int(h)); errs.append(None)
                 except (ValueError, struct.error) as e:
                     ids.append(rid); ts.append(None); hs.append(None); errs.append(str(e))
-            yield pd.DataFrame({"clip_id": ids, "t": ts, "hash": hs,
+            # hash is a nullable int64 column: a None row (decode error) in
+            # the batch must NOT let pandas coerce it to float64 — the 62-bit
+            # hashes exceed float64's 53-bit mantissa, so that rounding
+            # silently breaks equi-join matches for every clip in the batch
+            yield pd.DataFrame({"clip_id": ids, "t": ts,
+                                "hash": pd.array(hs, dtype="Int64"),
                                 "decode_error": errs})
 
     return df.select(

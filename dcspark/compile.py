@@ -869,8 +869,8 @@ def check_image_decode(model: str, q: Quality, idx: int) -> CompiledCheck:
         # fail at compile time: a typo'd or future invariant must not
         # silently degrade into the decode check and report green
         raise ValueError(
-            f"unknown image invariant {q.invariant!r}; "
-            "supported: decode-conformance")
+            f"unknown image invariant {q.invariant!r}; supported: "
+            "decode-conformance, signal-quality, content-uniqueness")
     name = q.description or "Image decode conformance"
     evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
     extra = getattr(q, "__pydantic_extra__", None) or {}
@@ -895,6 +895,162 @@ def check_image_decode(model: str, q: Quality, idx: int) -> CompiledCheck:
         implementation=(
             "mapInPandas sniffing decode -> (id, width, height, decode_error) "
             "-> join declared dims on pk -> violating-row count"
+        ),
+    )
+
+
+def check_image_quality(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Per-image decoded-raster bounds (``type: image, invariant:
+    signal-quality``): the metric is the number of images whose decoded
+    feature (multimodal.IMAGE_FEATURE_FNS) falls outside [minimum, maximum]
+    — e.g. an exposure floor (``column: brightness, minimum: 10``), a
+    blown-pixel ceiling (``column: clip_ratio, maximum: 0.2``), a blur floor
+    (``column: sharpness, minimum: 50``), or a solid-color screen
+    (``column: entropy, minimum: 1``). Catches black/white frames, flat
+    placeholders, and defocus that header columns cannot see. Default pass
+    condition is zero out-of-range images; the eight mustBe* forms apply to
+    the count when given. A payload that fails to decode belongs to
+    decode-conformance and is never double-counted here.
+
+    Scale design: evaluated from the engine's ONE fused image decode pass
+    (imagefp.image_compact) — all image rules on a model share that single
+    payload scan, mirroring the audio family's single-decode invariant."""
+    from .multimodal import IMAGE_FEATURE_FNS
+
+    feature = q.column or "brightness"
+    if feature not in IMAGE_FEATURE_FNS:
+        raise ValueError(
+            f"unknown image signal-quality feature {feature!r}; "
+            f"known: {sorted(IMAGE_FEATURE_FNS)}")
+    lo, hi = q.minimum, q.maximum
+    if lo is None and hi is None:
+        raise ValueError(
+            "image signal-quality rule needs 'minimum' and/or 'maximum' "
+            "for the feature")
+    bounds = " and ".join(
+        s for s in (
+            f"{feature} >= {lo}" if lo is not None else None,
+            f"{feature} <= {hi}" if hi is not None else None,
+        ) if s)
+    name = q.description or f"Image signal quality ({bounds})"
+    evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
+    extra = getattr(q, "__pydantic_extra__", None) or {}
+    return CompiledCheck(
+        # idx keeps two bounds on the same feature (floor AND ceiling as
+        # separate rules) distinct in metrics and violations
+        key=_key(model, feature, f"image_signal_quality_{idx}"),
+        check_type="image_signal_quality",
+        category="image",
+        name=name,
+        model=model,
+        kind="image_quality",
+        params={
+            "feature": feature,
+            "minimum": lo,
+            "maximum": hi,
+            # column names the FEATURE (mirroring audio signal-quality);
+            # the payload column comes from an optional bytes_column key
+            "bytes_col": extra.get("bytes_column", "bytes"),
+            "evaluator": evaluator,
+        },
+        expected=f"decoded {bounds} for every image",
+        implementation=(
+            "per-image feature bound evaluated from the single fused "
+            "mapInPandas decode pass (imagefp.image_compact f_" + feature +
+            " column)"
+        ),
+    )
+
+
+def check_image_near_dup(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Near-duplicate image content check (``type: image, invariant:
+    content-uniqueness``): the metric is the number of image pairs whose
+    64-bit dHash fingerprints are within ``threshold`` Hamming bits (default
+    3) — re-encoded / resized / brightness-shifted duplicates that byte-level
+    uniqueness cannot see. Default pass condition is zero near-dup pairs;
+    the eight mustBe* forms apply to the pair count when given.
+
+    Scale design: fingerprints come from the engine's ONE fused image decode
+    pass; pairs from imagefp.near_dup_pairs_from_fp's 4-way 16-bit block
+    equi-join (pigeonhole-complete for Hamming <= 3, 65,536 keys per block,
+    windowed max_bucket guard against solid-color masses). Only 8-byte
+    hashes shuffle — pixels never leave their task."""
+    max_hamming = int(q.threshold) if q.threshold is not None else 3
+    if not (0 <= max_hamming <= 3):
+        raise ValueError(
+            "image content-uniqueness threshold is the max Hamming distance "
+            "of the 4-block dHash join and must be 0..3, got "
+            f"{q.threshold!r}")
+    name = q.description or "Image content uniqueness (dHash near-dup)"
+    evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
+    extra = getattr(q, "__pydantic_extra__", None) or {}
+    max_bucket = extra.get("max_bucket", 1000)
+    return CompiledCheck(
+        key=_key(model, None, f"image_content_uniqueness_{idx}"),
+        check_type="image_content_uniqueness",
+        category="image",
+        name=name,
+        model=model,
+        kind="image_fp",
+        params={
+            "max_hamming": max_hamming,
+            "max_bucket": max_bucket,
+            "bytes_col": q.column or "bytes",
+            "evaluator": evaluator,
+        },
+        expected=(f"no image pairs within Hamming {max_hamming} "
+                  "of each other's dHash"),
+        implementation=(
+            "fused mapInPandas decode -> (id, dhash) -> 4x16-bit block "
+            "equi-join (max_bucket skew guard) -> exact-Hamming pair count"
+        ),
+    )
+
+
+def check_video_decode(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Video decode conformance (``type: video, invariant:
+    decode-conformance``): every payload in ``column`` (default "bytes")
+    must decode through the sniffing video decoder (Motion-JPEG AVI real,
+    inter-frame codecs a per-row error); with ``fps_column`` /
+    ``frames_column`` / ``width_column`` / ``height_column`` given, the
+    decoded stream header must match those declared columns — fps within
+    ``fps_tolerance`` (default 0.01), frame count and first-frame dims
+    exactly. The video analog of the audio header-conformance invariant
+    (a container lying about its frame rate corrupts every
+    duration-derived downstream computation and is invisible to column
+    checks). Metric = violating rows; mustBe* forms apply when given.
+
+    Engine extension (the reference has no video path — SURVEY.md §2.5).
+    Execution: one mapInPandas decode pass emitting scalars; declared-value
+    comparison joins back on the primary key — pixels never shuffle."""
+    if (q.invariant or "decode-conformance") != "decode-conformance":
+        raise ValueError(
+            f"unknown video invariant {q.invariant!r}; "
+            "supported: decode-conformance")
+    name = q.description or "Video decode conformance"
+    evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
+    extra = getattr(q, "__pydantic_extra__", None) or {}
+    decl = {k: extra.get(f"{k}_column")
+            for k in ("fps", "frames", "width", "height")}
+    decl_desc = ", ".join(f"{k}=={v}" for k, v in decl.items() if v)
+    return CompiledCheck(
+        key=_key(model, None, f"video_decode_conformance_{idx}"),
+        check_type="video_decode_conformance",
+        category="video",
+        name=name,
+        model=model,
+        kind="video",
+        params={
+            "bytes_col": q.column or "bytes",
+            "decl_cols": decl,
+            "fps_tolerance": float(extra.get("fps_tolerance", 0.01)),
+            "evaluator": evaluator,
+        },
+        expected=("all video payloads decode"
+                  + (f" with {decl_desc}" if decl_desc else "")),
+        implementation=(
+            "mapInPandas sniffing decode -> (id, fps, n_frames, dims, "
+            "decode_error) -> join declared columns on pk -> violating rows"
         ),
     )
 
@@ -1270,8 +1426,14 @@ def create_checks(
                 checks.append(check_audio_quality(model_name, q, qi))
             elif q.type == "audio":
                 checks.append(check_audio(model_name, q, qi))
+            elif q.type == "image" and (q.invariant or "") == "signal-quality":
+                checks.append(check_image_quality(model_name, q, qi))
+            elif q.type == "image" and (q.invariant or "") == "content-uniqueness":
+                checks.append(check_image_near_dup(model_name, q, qi))
             elif q.type == "image":
                 checks.append(check_image_decode(model_name, q, qi))
+            elif q.type == "video":
+                checks.append(check_video_decode(model_name, q, qi))
         out[model_name] = checks
 
     # service levels attach to the first model that has the timestamp field

@@ -266,7 +266,11 @@ class Validator:
         join_eq_checks = [c for c in checks if c.kind == "join_equality"]
         group_checks = [c for c in checks if c.kind == "group"]
         audio_fp_checks = [c for c in checks if c.kind == "audio_fp"]
-        image_checks = [c for c in checks if c.kind == "image"]
+        # the whole image family (decode-conformance, signal-quality,
+        # content-uniqueness) shares ONE fused decode pass per payload column
+        image_family = [c for c in checks
+                        if c.kind in ("image", "image_quality", "image_fp")]
+        video_checks = [c for c in checks if c.kind == "video"]
         audio_drift_checks = [c for c in checks if c.kind == "audio_drift"]
         audio_quality_checks = [c for c in checks if c.kind == "audio_quality"]
 
@@ -352,9 +356,18 @@ class Validator:
             (lambda c=chk: ("audio_fp", c, self._audio_fp_compute(model_name, df, c)))
             for chk in audio_fp_checks
         ]
+        image_groups: Dict[str, List[CompiledCheck]] = {}
+        for chk in image_family:
+            image_groups.setdefault(chk.params["bytes_col"], []).append(chk)
         thunks += [
-            (lambda c=chk: ("image", c, self._image_compute(model_name, df, c)))
-            for chk in image_checks
+            (lambda g=grp, bc=bc: (
+                "image_family", g,
+                self._image_family_compute(model_name, df, g, bc)))
+            for bc, grp in sorted(image_groups.items())
+        ]
+        thunks += [
+            (lambda c=chk: ("video", c, self._video_compute(model_name, df, c)))
+            for chk in video_checks
         ]
         thunks += [
             (lambda c=chk: ("sql", c, self._sql_compute(c))) for chk in sql_checks
@@ -372,8 +385,19 @@ class Validator:
                 self._record_group(chk, res)
             elif kind == "audio_fp":
                 self._record_audio_fp(chk, res)
-            elif kind == "image":
-                self._record_image(chk, res)
+            elif kind == "video":
+                self._record_video(chk, res)
+            elif kind == "image_family":
+                # chk is the group list, res maps check key -> result dict;
+                # record in compile order so check ordering stays stable
+                for c in chk:
+                    r = res[c.key]
+                    if c.kind == "image":
+                        self._record_image(c, r)
+                    elif c.kind == "image_quality":
+                        self._record_image_quality(c, r)
+                    else:
+                        self._record_image_fp(c, r)
             else:
                 self._record_sql(chk, res)
 
@@ -1302,27 +1326,67 @@ class Validator:
             pairs.unpersist()
         return {"metric": metric, "vio_rows": vio_rows}
 
-    def _image_compute(self, model_name: str, df: DataFrame, chk: CompiledCheck) -> dict:
-        """Image decode conformance via dcspark/multimodal.py image_metadata.
+    def _image_compact(self, df: DataFrame, id_col: str, bytes_col: str,
+                       with_dhash: bool, features: tuple) -> DataFrame:
+        """The single fused image decode pass (imagefp.image_compact), as a
+        method so the fusion tests can count invocations."""
+        from . import imagefp
 
-        One mapInPandas sniffing-decode pass emits (id, width, height,
-        decode_error); with declared width/height columns the comparison
-        joins back on the primary key (8-byte-ish rows — payloads never
-        shuffle). Runs concurrently in the thunk pool."""
-        from . import multimodal
+        return imagefp.image_compact(
+            df, id_col=id_col, bytes_col=bytes_col,
+            with_dhash=with_dhash, features=features)
 
-        p = chk.params
-        bytes_col = p["bytes_col"]
+    def _image_family_compute(
+        self, model_name: str, df: DataFrame,
+        group: List[CompiledCheck], bytes_col: str,
+    ) -> Dict[str, dict]:
+        """All image contract rules on one payload column from ONE decode.
+
+        A single mapInPandas pass (imagefp.image_compact) emits the compact
+        per-image frame — dims + decode_error always, dHash when a
+        content-uniqueness rule is present, decoded-raster features when
+        signal-quality rules are present. The frame persists (scalar rows
+        only — pixels never shuffle or spill) and every check in the group
+        evaluates from it: at 100 TB the payload scan IS the job, so the
+        family must never decode twice (mirrors the audio family's
+        exactly-one-decode invariant). Runs concurrently in the thunk pool."""
+        from pyspark import StorageLevel
+
         if bytes_col not in df.columns:
-            return {"error": f"bytes column {bytes_col} missing"}
+            return {c.key: {"error": f"bytes column {bytes_col} missing"}
+                    for c in group}
+        decode_checks = [c for c in group if c.kind == "image"]
+        quality_checks = [c for c in group if c.kind == "image_quality"]
+        fp_checks = [c for c in group if c.kind == "image_fp"]
+        features = tuple(sorted({c.params["feature"] for c in quality_checks}))
+        id_col = self._pk_column(model_name, df)
+        with self._arrow_batch_conf():
+            compact = self._image_compact(
+                df, id_col=id_col, bytes_col=bytes_col,
+                with_dhash=bool(fp_checks), features=features)
+        compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out: Dict[str, dict] = {}
+            for c in decode_checks:
+                out[c.key] = self._image_decode_eval(df, compact, c, id_col)
+            for c in quality_checks:
+                out[c.key] = self._image_quality_eval(compact, c)
+            for c in fp_checks:
+                out[c.key] = self._image_fp_eval(compact, c)
+            return out
+        finally:
+            compact.unpersist()
+
+    def _image_decode_eval(self, df: DataFrame, compact: DataFrame,
+                           chk: CompiledCheck, id_col: str) -> dict:
+        """Decode conformance from the compact frame; with declared
+        width/height columns the comparison joins back on the primary key
+        (8-byte-ish rows only)."""
+        p = chk.params
         for dim_col in (p["width_col"], p["height_col"]):
             if dim_col and dim_col not in df.columns:
                 return {"error": f"declared dimension column {dim_col} missing"}
-        id_col = self._pk_column(model_name, df)
-        with self._arrow_batch_conf():
-            meta = multimodal.image_metadata(
-                df, id_col=id_col, bytes_col=bytes_col
-            ).withColumnRenamed("id", "__img_id")
+        meta = compact.withColumnRenamed("id", "__img_id")
         bad_cond = F.col("decode_error").isNotNull()
         observed = [F.coalesce(F.col("decode_error"), F.lit(""))]
         if p["width_col"] or p["height_col"]:
@@ -1380,10 +1444,135 @@ class Validator:
         finally:
             frame.unpersist()
 
+    def _image_quality_eval(self, compact: DataFrame,
+                            chk: CompiledCheck) -> dict:
+        """Signal-quality bounds from the compact frame's f_<feature> column.
+
+        Decode failures belong to decode-conformance and are never
+        double-counted here (their feature columns are NULL, and the
+        explicit decode_error guard keeps the semantics visible)."""
+        p = chk.params
+        feat = F.col(f"f_{p['feature']}")
+        cond = F.lit(False)
+        if p["minimum"] is not None:
+            cond = cond | (feat < F.lit(float(p["minimum"])))
+        if p["maximum"] is not None:
+            cond = cond | (feat > F.lit(float(p["maximum"])))
+        bad = compact.filter(F.col("decode_error").isNull() & cond).select(
+            F.col("id").alias("id_a"),
+            F.concat(F.lit(p["feature"] + "="),
+                     F.round(feat, 4).cast("string")).alias("__observed"))
+        return self._count_and_sample(
+            bad, chk, id_expr=F.coalesce(F.col("id_a"), F.lit("<null-id>")),
+            observed_expr=F.col("__observed"))
+
+    def _image_fp_eval(self, compact: DataFrame, chk: CompiledCheck) -> dict:
+        """Content uniqueness: blocked Hamming pairs over the compact
+        frame's dhash column (imagefp.near_dup_pairs_from_fp — only 8-byte
+        hashes shuffle); metric = pair count, violations = capped pairs."""
+        from pyspark import StorageLevel
+
+        from . import imagefp
+
+        p = chk.params
+        pairs = imagefp.near_dup_pairs_from_fp(
+            compact.select("id", "dhash"),
+            max_hamming=p["max_hamming"], max_bucket=p["max_bucket"],
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            metric = float(pairs.count())
+            vio_rows = None
+            if metric > 0:
+                vio_rows = pairs.orderBy("id_a", "id_b").limit(
+                    self.config.violation_cap
+                ).select(
+                    F.lit(self.run.runId).alias("run_id"),
+                    F.lit(None).cast("string").alias("partition_id"),
+                    F.lit(chk.key).alias("check_key"),
+                    F.concat(F.col("id_a"), F.lit("|"),
+                             F.col("id_b")).alias("clip_id"),
+                    F.concat(F.lit("hamming="),
+                             F.col("hamming").cast("string")).alias("observed"),
+                    F.lit(chk.expected).alias("expected"),
+                ).collect()
+            return {"metric": metric, "vio_rows": vio_rows}
+        finally:
+            pairs.unpersist()
+
+    def _video_compute(self, model_name: str, df: DataFrame,
+                       chk: CompiledCheck) -> dict:
+        """Video decode conformance: one mapInPandas decode pass
+        (multimodal.video_metadata) emitting scalars; declared fps /
+        frame-count / dims join back on the primary key with the same
+        null-safe, left-join, dedup'd-declared-side semantics as the image
+        rule (a NULL declared value is unverifiable -> violation; NULL-pk
+        corrupt rows stay visible; duplicate pks never fan out)."""
+        from . import multimodal
+
+        p = chk.params
+        bytes_col = p["bytes_col"]
+        if bytes_col not in df.columns:
+            return {"error": f"bytes column {bytes_col} missing"}
+        decl = {k: v for k, v in p["decl_cols"].items() if v}
+        for col in decl.values():
+            if col not in df.columns:
+                return {"error": f"declared column {col} missing"}
+        id_col = self._pk_column(model_name, df)
+        with self._arrow_batch_conf():
+            meta = multimodal.video_metadata(
+                df, id_col=id_col, bytes_col=bytes_col
+            ).withColumnRenamed("id", "__vid_id")
+        bad_cond = F.col("decode_error").isNotNull()
+        observed = [F.coalesce(F.col("decode_error"), F.lit(""))]
+        if decl:
+            declared = df.select(
+                F.col(id_col).cast("string").alias("__vid_id"),
+                *[F.col(c).alias(f"__decl_{k}") for k, c in decl.items()],
+            ).dropDuplicates(["__vid_id"])
+            meta = meta.join(declared, "__vid_id", "left")
+            decoded = {"fps": F.col("fps"), "frames": F.col("n_frames"),
+                       "width": F.col("width"), "height": F.col("height")}
+            for k in decl:
+                dv, cv = decoded[k], F.col(f"__decl_{k}")
+                if k == "fps":
+                    # tolerance compare, but NULL on either side (corrupt
+                    # payload / undeclared rate) must count as a violation,
+                    # not slip through three-valued logic
+                    ok = (dv.isNotNull() & cv.isNotNull()
+                          & (F.abs(dv - cv) <= F.lit(p["fps_tolerance"])))
+                    bad_cond = bad_cond | ~ok
+                else:
+                    bad_cond = bad_cond | ~dv.eqNullSafe(cv)
+                observed.append(F.concat(
+                    F.lit(f" {k}="),
+                    F.coalesce(dv.cast("string"), F.lit("?")), F.lit("/"),
+                    F.coalesce(cv.cast("string"), F.lit("?"))))
+        bad = meta.filter(bad_cond).select(
+            F.col("__vid_id").alias("id_a"),
+            F.concat_ws("", *observed).alias("__observed"))
+        return self._count_and_sample(
+            bad, chk, id_expr=F.coalesce(F.col("id_a"), F.lit("<null-id>")),
+            observed_expr=F.col("__observed"))
+
+    def _record_video(self, chk: CompiledCheck, res: dict) -> None:
+        self._record_zero_default(
+            chk, res, lambda m: (f"{chk.name}: {int(m)} video payload(s) "
+                                 "failed decode or stream-header conformance"))
+
     def _record_image(self, chk: CompiledCheck, res: dict) -> None:
         self._record_zero_default(
             chk, res, lambda m: (f"{chk.name}: {int(m)} image payload(s) "
                                  "failed decode or dimension conformance"))
+
+    def _record_image_quality(self, chk: CompiledCheck, res: dict) -> None:
+        self._record_zero_default(
+            chk, res, lambda m: (f"{chk.name}: {int(m)} image(s) outside "
+                                 "decoded-feature bounds"))
+
+    def _record_image_fp(self, chk: CompiledCheck, res: dict) -> None:
+        self._record_zero_default(
+            chk, res, lambda m: (f"{chk.name}: {int(m)} near-duplicate "
+                                 "image pair(s)"))
 
     def _record_zero_default(self, chk: CompiledCheck, res: dict,
                              fail_reason) -> None:

@@ -24,7 +24,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .multimodal import ImageDecoder, real_image_decoder
+from .multimodal import (
+    IMAGE_FEATURE_FNS,
+    ImageDecoder,
+    image_luma,
+    real_image_decoder,
+)
 
 FP_DDL = "id string, dhash long, width int, height int, decode_error string"
 
@@ -97,21 +102,93 @@ def image_fingerprints(
                     rec["decode_error"] = str(e)
                 for k, v in rec.items():
                     out[k].append(v)
-            yield pd.DataFrame(out)
+            pdf_out = pd.DataFrame(out)
+            # a None dhash in the batch (decode error) must NOT let pandas
+            # coerce the int64 column to float64 — that silently rounds the
+            # hash's low bits and near-dup pairs vanish; nullable Int64
+            # keeps every bit exact
+            pdf_out["dhash"] = pd.array(out["dhash"], dtype="Int64")
+            yield pdf_out
 
     return df.select(F.col(id_col).cast("string").alias(id_col),
                      F.col(bytes_col)).mapInPandas(run, schema=FP_DDL)
 
 
-def image_near_dup(
+def image_compact(
     df: DataFrame,
-    max_hamming: int = 3,
-    max_bucket: Optional[int] = 1000,
     id_col: str = "id",
     bytes_col: str = "bytes",
     decoder: ImageDecoder = real_image_decoder,
+    with_dhash: bool = False,
+    features: tuple = (),
 ) -> DataFrame:
-    """Perceptual near-duplicate pairs (id_a, id_b, hamming <= max_hamming).
+    """The fused image decode pass: ONE mapInPandas scan of the payload
+    column emitting everything any image contract rule needs — (id, width,
+    height, channels, decode_error) always, the 64-bit dHash when a
+    content-uniqueness rule is present, and the requested decoded-raster
+    features (multimodal.IMAGE_FEATURE_FNS, as ``f_<name>`` columns) when
+    signal-quality rules are present. The image analog of the audio engine's
+    single mapInArrow decode (dcspark/audio.py audio_decode_compact): at
+    scale, a second decode of the payload corpus is the dominant avoidable
+    cost, so all image rules ride this one frame. Only scalar rows leave the
+    task — pixels never shuffle."""
+    feats = tuple(features)
+    for f in feats:
+        if f not in IMAGE_FEATURE_FNS:
+            raise ValueError(f"unknown image feature {f!r}; "
+                             f"known: {sorted(IMAGE_FEATURE_FNS)}")
+    ddl = "id string, width int, height int, channels int, decode_error string"
+    if with_dhash:
+        ddl += ", dhash long"
+    ddl += "".join(f", f_{f} double" for f in feats)
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        cols = ["id", "width", "height", "channels", "decode_error"]
+        if with_dhash:
+            cols.append("dhash")
+        cols += [f"f_{f}" for f in feats]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                rec = dict.fromkeys(cols)
+                rec["id"] = rid
+                try:
+                    h, w, c, px = decoder(bytes(raw) if raw is not None else None)
+                    rec.update(width=int(w), height=int(h), channels=int(c))
+                    if with_dhash:
+                        v = dhash(px)
+                        rec["dhash"] = v - (1 << 64) if v >= (1 << 63) else v
+                    if feats:
+                        luma = image_luma(px)
+                        for f in feats:
+                            rec[f"f_{f}"] = IMAGE_FEATURE_FNS[f](luma)
+                except (NotImplementedError, ValueError, TypeError,
+                        struct.error, zlib.error) as e:
+                    rec["decode_error"] = str(e)
+                for k, v in rec.items():
+                    out[k].append(v)
+            pdf_out = pd.DataFrame(out)
+            if with_dhash:
+                # None dhash rows (decode errors) must not coerce the int64
+                # column to float64 — that rounds the hash's low bits
+                pdf_out["dhash"] = pd.array(out["dhash"], dtype="Int64")
+            yield pdf_out
+
+    return df.select(F.col(id_col).cast("string").alias(id_col),
+                     F.col(bytes_col)).mapInPandas(run, schema=ddl)
+
+
+def near_dup_pairs_from_fp(
+    fp: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """Blocked Hamming near-dup pairs from an existing fingerprint frame
+    (id, dhash) — the join half of image_near_dup, shared with the engine's
+    content-uniqueness contract rule so fused compact frames can reuse it
+    without a second decode.
 
     4-way 16-bit block equi-joins over the 64-bit dHash (pigeonhole-complete
     for Hamming <= 3; 65,536 keys per block so keyspace >> corpus), with a
@@ -120,8 +197,7 @@ def image_near_dup(
     """
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
-    fp = image_fingerprints(df, id_col=id_col, bytes_col=bytes_col,
-                            decoder=decoder).filter(F.col("dhash").isNotNull())
+    fp = fp.filter(F.col("dhash").isNotNull())
     t = fp.select(
         F.col("id"), F.col("dhash"),
         # mask, don't '%': Spark % keeps the dividend's sign, so a negative
@@ -148,3 +224,19 @@ def image_near_dup(
     return (cands.distinct()
             .select("id_a", "id_b", ham.cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def image_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = 1000,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    decoder: ImageDecoder = real_image_decoder,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs (id_a, id_b, hamming <= max_hamming):
+    one fingerprint decode pass + near_dup_pairs_from_fp's blocked join."""
+    fp = image_fingerprints(df, id_col=id_col, bytes_col=bytes_col,
+                            decoder=decoder)
+    return near_dup_pairs_from_fp(fp, max_hamming=max_hamming,
+                                  max_bucket=max_bucket)

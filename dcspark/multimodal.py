@@ -520,8 +520,108 @@ def _to_rgb(px: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# decoded-raster scalar features (image analog of audio.FEATURE_FNS)
+# ---------------------------------------------------------------------------
+
+def image_luma(px: np.ndarray) -> np.ndarray:
+    """BT.601 luma of a decoded uint8 raster as float64 in [0, 255]."""
+    if px.ndim == 3:
+        if px.shape[2] >= 3:
+            return (0.299 * px[..., 0] + 0.587 * px[..., 1]
+                    + 0.114 * px[..., 2])
+        return px[..., 0].astype(np.float64)
+    return px.astype(np.float64)
+
+
+def _feat_brightness(luma: np.ndarray) -> float:
+    return float(luma.mean())
+
+
+def _feat_contrast(luma: np.ndarray) -> float:
+    return float(luma.std())
+
+
+def _feat_clip_ratio(luma: np.ndarray) -> float:
+    """Fraction of pixels at the exposure rails (<=1 or >=254): blown
+    highlights / crushed blacks — the image analog of audio clipping."""
+    return float(((luma <= 1.0) | (luma >= 254.0)).mean())
+
+
+def _feat_sharpness(luma: np.ndarray) -> float:
+    """Variance of the 4-neighbor Laplacian — the standard no-reference blur
+    score (defocused or heavily-resampled images score near 0)."""
+    if luma.shape[0] < 3 or luma.shape[1] < 3:
+        return 0.0
+    lap = (4.0 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
+           - luma[1:-1, :-2] - luma[1:-1, 2:])
+    return float(lap.var())
+
+
+def _feat_entropy(luma: np.ndarray) -> float:
+    """Shannon entropy (bits) of the 256-bin luma histogram; solid-color or
+    near-empty rasters score near 0, natural photos 6-8."""
+    hist = np.bincount(
+        np.clip(np.rint(luma), 0, 255).astype(np.uint8).ravel(), minlength=256)
+    p = hist[hist > 0] / float(luma.size)
+    return float(-(p * np.log2(p)).sum())
+
+
+# feature name -> fn(luma float64 array) -> float; evaluated once per image
+# inside the single fused decode pass (engine kind "image_quality")
+IMAGE_FEATURE_FNS = {
+    "brightness": _feat_brightness,
+    "contrast": _feat_contrast,
+    "clip_ratio": _feat_clip_ratio,
+    "sharpness": _feat_sharpness,
+    "entropy": _feat_entropy,
+}
+
+
+# ---------------------------------------------------------------------------
 # video ops
 # ---------------------------------------------------------------------------
+
+VIDEO_META_DDL = (
+    "id string, fps double, n_frames int, width int, height int, "
+    "decode_error string"
+)
+
+
+def video_metadata(
+    df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    decoder: VideoDecoder = real_video_decoder,
+) -> DataFrame:
+    """Decode + typed metadata per video payload (fps, frame count, first
+    frame dims): one mapInPandas pass; only scalars leave the task. Feeds
+    the ``type: video, invariant: decode-conformance`` contract rule."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "fps", "n_frames", "width",
+                                   "height", "decode_error")}
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                rec = dict(id=rid, fps=None, n_frames=None, width=None,
+                           height=None, decode_error=None)
+                try:
+                    fps, frames = decoder(bytes(raw) if raw is not None else None)
+                    rec.update(fps=float(fps), n_frames=len(frames))
+                    if frames:
+                        rec.update(height=int(frames[0].shape[0]),
+                                   width=int(frames[0].shape[1]))
+                except (NotImplementedError, ValueError, TypeError,
+                        struct.error) as e:
+                    rec["decode_error"] = str(e)
+                for k, v in rec.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col).cast("string").alias(id_col),
+                     F.col(bytes_col)).mapInPandas(run, schema=VIDEO_META_DDL)
+
 
 def video_frame_sample(
     df: DataFrame,

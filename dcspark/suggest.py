@@ -140,6 +140,18 @@ def suggest_model(df: DataFrame, model_name: str = "model") -> Dict[str, Any]:
             {"type": "audio", "invariant": "signal-quality",
              "column": "rms_dbfs", "minimum": -80.0},
         ]
+    elif "bytes" in names and ({"fps", "n_frames"} & names):
+        # video-table shape (fps / frame-count columns are the tell — must
+        # be tested BEFORE the image branch, since video tables also carry
+        # width/height): draft the video decode-conformance rule over every
+        # declared stream-header column present
+        q = {"type": "video", "invariant": "decode-conformance",
+             "column": "bytes"}
+        for key, col in (("fps", "fps"), ("frames", "n_frames"),
+                         ("width", "width"), ("height", "height")):
+            if col in names:
+                q[f"{key}_column"] = col
+        model["quality"] = [q]
     elif "bytes" in names and {"width", "height"} <= names:
         # image-table shape: payload plus declared dimensions -> draft the
         # image decode-conformance rule (every payload must decode and match

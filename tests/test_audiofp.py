@@ -299,3 +299,25 @@ def test_audio_contaminated_ids_end_to_end(spark):
     ev = spark.createDataFrame(ev_rows, "clip_id string, bytes binary")
     ids = [r["clip_id"] for r in audio_contaminated_ids(corpus, ev).collect()]
     assert ids == ["c0"]
+
+
+def test_decode_error_in_batch_keeps_hashes_bit_exact(spark):
+    """Int64-precision regression (same class as the image dHash bug): a
+    broken clip in the Arrow batch used to coerce the pandas hash column to
+    float64 — the 62-bit fingerprints exceed float64's 53-bit mantissa, so
+    every other clip in that batch got rounded hashes and its equi-join
+    matches vanished. Nullable Int64 keeps every bit."""
+    # broadband noise: occupies high bands, so hashes exceed 2^53 and
+    # float64 rounding would actually corrupt them
+    rng = np.random.default_rng(9)
+    base = rng.normal(0, 8000, SR * 2).clip(-32768, 32767).astype(np.int16)
+    rows_clean = [("a", wav_bytes(base, SR))]
+    rows_mixed = rows_clean + [("bad", b"\x00\x01not-a-wav")]
+    ddl = "clip_id string, bytes binary"
+    solo = sorted(r["hash"] for r in audio_fingerprints(
+        spark.createDataFrame(rows_clean, ddl).coalesce(1)).collect())
+    mixed = sorted(r["hash"] for r in audio_fingerprints(
+        spark.createDataFrame(rows_mixed, ddl).coalesce(1))
+        .filter(F.col("hash").isNotNull()).collect())
+    assert mixed == solo
+    assert any(abs(h) > (1 << 53) for h in solo)  # precision actually at stake

@@ -226,7 +226,7 @@ def test_image_rule_unknown_invariant_rejected():
 
     with pytest.raises(ValueError, match="unknown image invariant"):
         check_image_decode("m", Quality(type="image",
-                                        invariant="content-uniqueness"), 0)
+                                        invariant="palette-drift"), 0)
 
 
 def test_suggest_drafts_image_rule(spark):
@@ -251,3 +251,21 @@ def test_suggest_drafts_image_rule(spark):
     assert res.run.result == ResultEnum.passed, [
         (c.key, c.result, c.reason) for c in res.run.checks
         if c.result != ResultEnum.passed]
+
+
+def test_decode_error_in_batch_keeps_hashes_bit_exact(spark):
+    """Int64-precision regression: a corrupt payload in the same Arrow batch
+    used to coerce the pandas dhash column to float64, rounding the low bits
+    of every OTHER image's hash in that batch (-....65805 -> -....66112) and
+    silently dropping near-dup pairs. Nullable Int64 keeps every bit."""
+    px = _photo(4)
+    rows_clean = [("a", bytearray(multimodal.png_bytes(px)))]
+    rows_mixed = rows_clean + [("bad", bytearray(b"corrupt-image-payload"))]
+    ddl = "id string, bytes binary"
+    solo = image_fingerprints(
+        spark.createDataFrame(rows_clean, ddl).coalesce(1)).collect()[0]
+    mixed = {r["id"]: r for r in image_fingerprints(
+        spark.createDataFrame(rows_mixed, ddl).coalesce(1)).collect()}
+    assert mixed["bad"]["decode_error"] is not None
+    assert mixed["a"]["dhash"] == solo["dhash"] == dhash(px) - (
+        (1 << 64) if dhash(px) >= (1 << 63) else 0)
