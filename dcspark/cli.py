@@ -72,6 +72,31 @@ def _audio_drift_features(spec) -> dict:
     return out
 
 
+def _image_drift_features(spec) -> dict:
+    """model -> ([decoded-raster features with a luminance-drift rule],
+    payload column)."""
+    from .compile import create_checks
+
+    out = {}
+    for model_name, checks in create_checks(spec).items():
+        drift = [c for c in checks if c.kind == "image_drift"]
+        if drift:
+            out[model_name] = (sorted({c.params["feature"] for c in drift}),
+                               drift[0].params["bytes_col"])
+    return out
+
+
+def _model_pk(spec, model_name, df) -> str:
+    model = spec.models.get(model_name)
+    if model:
+        if model.primaryKey:
+            return model.primaryKey[0]
+        for fname, f_ in model.fields.items():
+            if f_.primaryKey:
+                return fname
+    return df.columns[0]
+
+
 def _load_ref_stats(spark, spec, ref_stats_dir: str) -> dict:
     """{model: {column: stats}} from <dir>/<model>.parquet snapshot tables."""
     import os
@@ -99,12 +124,14 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     spark = _build_spark(args.master, args.shuffle_partitions)
     by_model = _drift_columns(spec)
     audio_by_model = _audio_drift_features(spec)
-    if not by_model and not audio_by_model:
+    image_by_model = _image_drift_features(spec)
+    if not by_model and not audio_by_model and not image_by_model:
         print("no drift rules in contract; nothing to snapshot")
         return 0
     tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
     os.makedirs(args.out, exist_ok=True)
-    for model_name in sorted(set(by_model) | set(audio_by_model)):
+    for model_name in sorted(set(by_model) | set(audio_by_model)
+                             | set(image_by_model)):
         cols = by_model.get(model_name, [])
         stats = {}
         if cols:
@@ -151,9 +178,29 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             finally:
                 frame.unpersist()
             stats.update({f"audio:{f}": s for f, s in fstats.items()})
+        ifeats, img_bytes_col = image_by_model.get(model_name, ([], "bytes"))
+        if ifeats:
+            # decoded-raster feature snapshot: one fused decode pass over the
+            # reference sample -> 'image:<feature>' keys, same parquet
+            from pyspark.sql import functions as SF
+
+            from .imagefp import image_compact
+
+            table = tables[model_name]
+            frame = image_compact(
+                table, id_col=_model_pk(spec, model_name, table),
+                bytes_col=img_bytes_col, features=tuple(ifeats)
+            ).filter(SF.col("decode_error").isNull()).select(
+                *[SF.col(f"f_{f}").alias(f) for f in ifeats]).persist()
+            try:
+                istats = build_ref_stats(frame, ifeats)
+            finally:
+                frame.unpersist()
+            stats.update({f"image:{f}": s for f, s in istats.items()})
         out_path = os.path.join(args.out, f"{model_name}.parquet")
         ref_stats_to_df(spark, stats).write.mode("overwrite").parquet(out_path)
-        print(f"snapshot: {model_name} columns={cols} audio={feats} -> {out_path}")
+        print(f"snapshot: {model_name} columns={cols} audio={feats} "
+              f"image={ifeats} -> {out_path}")
     return 0
 
 
@@ -343,6 +390,73 @@ def cmd_audio(args: argparse.Namespace) -> int:
     else:  # census carries pre-aggregated counts
         errs = written.agg(F.sum("decode_errors")).collect()[0][0] or 0
     print(f"audio {args.action}: {n} rows ({errs} decode errors) "
+          f"{label} -> {args.output}")
+    return 0
+
+
+def cmd_image(args: argparse.Namespace) -> int:
+    """Image corpus actions (dcspark/multimodal.py + imagefp.py): transcode
+    to one container format, resize to a fixed raster, decode metadata,
+    dHash fingerprints, or perceptual near-dup pairs."""
+    from pyspark.sql import functions as F
+
+    from . import imagefp, multimodal
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    df = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("id"), F.col(args.bytes_col).alias("bytes"))
+    if args.action == "transcode":
+        out = multimodal.image_transcode(
+            df, target_format=args.format, quality=args.quality)
+        label = f"-> {args.format}" + (
+            f" q{args.quality}" if args.format == "jpeg" else "")
+    elif args.action == "resize":
+        h, w = (int(x) for x in args.size.split("x"))
+        out = multimodal.image_resize(df, target=(h, w))
+        label = f"-> {h}x{w} raw rasters"
+    elif args.action == "metadata":
+        out = multimodal.image_metadata(df)
+        label = "decoded dims/luma metadata"
+    elif args.action == "fingerprint":
+        out = imagefp.image_fingerprints(df)
+        label = "dHash fingerprints"
+    else:  # neardup
+        out = imagefp.image_near_dup(
+            df, max_hamming=args.max_hamming, max_bucket=args.max_bucket)
+        label = f"near-dup pairs (Hamming <= {args.max_hamming})"
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n = written.count()
+    errs = (written.filter(F.col("decode_error").isNotNull()).count()
+            if "decode_error" in written.columns else 0)
+    print(f"image {args.action}: {n} rows ({errs} decode errors) "
+          f"{label} -> {args.output}")
+    return 0
+
+
+def cmd_video(args: argparse.Namespace) -> int:
+    """Video corpus actions: stream-header metadata or frame sampling over
+    real MJPEG AVI payloads (dcspark/avi.py)."""
+    from pyspark.sql import functions as F
+
+    from . import multimodal
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    df = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("id"), F.col(args.bytes_col).alias("bytes"))
+    if args.action == "metadata":
+        out = multimodal.video_metadata(df)
+        label = "fps/frame-count/dims metadata"
+    else:  # frames
+        out = multimodal.video_frame_sample(
+            df, every_n=args.every_n, max_frames=args.max_frames)
+        label = f"every {args.every_n}th frame (max {args.max_frames})"
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n = written.count()
+    errs = (written.filter(F.col("decode_error").isNotNull()).count()
+            if "decode_error" in written.columns else 0)
+    print(f"video {args.action}: {n} rows ({errs} decode errors) "
           f"{label} -> {args.output}")
     return 0
 
@@ -748,6 +862,42 @@ def main(argv: Optional[list] = None) -> int:
     au.add_argument("--master", default=None)
     au.add_argument("--shuffle-partitions", type=int, default=None)
 
+    im = sub.add_parser(
+        "image", help="image corpus actions: transcode | resize | metadata | fingerprint | neardup")
+    im.add_argument("action",
+                    choices=["transcode", "resize", "metadata", "fingerprint",
+                             "neardup"])
+    im.add_argument("--input", required=True, help="images parquet path")
+    im.add_argument("--output", required=True, help="result parquet path")
+    im.add_argument("--id-col", default="id")
+    im.add_argument("--bytes-col", default="bytes")
+    im.add_argument("--format", default="jpeg",
+                    choices=["jpeg", "png", "bmp", "ppm"],
+                    help="transcode target container")
+    im.add_argument("--quality", type=int, default=85,
+                    help="transcode: jpeg quality")
+    im.add_argument("--size", default="32x32",
+                    help="resize target as HxW")
+    im.add_argument("--max-hamming", type=int, default=3,
+                    help="neardup: dHash Hamming radius (0..3)")
+    im.add_argument("--max-bucket", type=int, default=1000,
+                    help="neardup: per-block bucket cap")
+    im.add_argument("--master", default=None)
+    im.add_argument("--shuffle-partitions", type=int, default=None)
+
+    vd = sub.add_parser(
+        "video", help="video corpus actions: metadata | frames")
+    vd.add_argument("action", choices=["metadata", "frames"])
+    vd.add_argument("--input", required=True, help="videos parquet path")
+    vd.add_argument("--output", required=True, help="result parquet path")
+    vd.add_argument("--id-col", default="id")
+    vd.add_argument("--bytes-col", default="bytes")
+    vd.add_argument("--every-n", type=int, default=5,
+                    help="frames: sample every n-th frame")
+    vd.add_argument("--max-frames", type=int, default=8)
+    vd.add_argument("--master", default=None)
+    vd.add_argument("--shuffle-partitions", type=int, default=None)
+
     wr = sub.add_parser("wer", help="corpus WER/CER vs a reference table")
     wr.add_argument("--input", required=True, help="hypothesis parquet path")
     wr.add_argument("--ref", required=True, help="reference parquet path")
@@ -873,6 +1023,10 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_dedup(args)
     if args.command == "audio":
         return cmd_audio(args)
+    if args.command == "image":
+        return cmd_image(args)
+    if args.command == "video":
+        return cmd_video(args)
     if args.command == "wer":
         return cmd_wer(args)
     if args.command == "decontam":

@@ -870,7 +870,8 @@ def check_image_decode(model: str, q: Quality, idx: int) -> CompiledCheck:
         # silently degrade into the decode check and report green
         raise ValueError(
             f"unknown image invariant {q.invariant!r}; supported: "
-            "decode-conformance, signal-quality, content-uniqueness")
+            "decode-conformance, signal-quality, content-uniqueness, "
+            "luminance-drift")
     name = q.description or "Image decode conformance"
     evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
     extra = getattr(q, "__pydantic_extra__", None) or {}
@@ -1003,6 +1004,62 @@ def check_image_near_dup(model: str, q: Quality, idx: int) -> CompiledCheck:
         implementation=(
             "fused mapInPandas decode -> (id, dhash) -> 4x16-bit block "
             "equi-join (max_bucket skew guard) -> exact-Hamming pair count"
+        ),
+    )
+
+
+def check_image_drift(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Distribution drift on DECODED-RASTER features (``type: image,
+    invariant: luminance-drift``): KS/PSI of a per-image scalar feature
+    (multimodal.IMAGE_FEATURE_FNS — brightness, contrast, clip_ratio,
+    sharpness, entropy) against a reference snapshot built by the CLI
+    ``snapshot`` command (stored under ``image:<feature>`` keys). The image
+    analog of audio loudness-drift: a pipeline regression that re-encodes
+    images darker / blurrier / flatter changes no header column, so only a
+    decoded-feature distribution can alarm on it.
+
+    Scale design: the per-image features come from the engine's ONE fused
+    image decode pass (imagefp.image_compact); the drift histogram is a
+    groupBy over the persisted compact frame's scalar column — never a
+    second payload scan."""
+    from .multimodal import IMAGE_FEATURE_FNS
+
+    feature = q.column or "brightness"
+    method = (q.method or "psi").lower()
+    if feature not in IMAGE_FEATURE_FNS:
+        raise ValueError(
+            f"unknown image drift feature {feature!r}; "
+            f"known: {sorted(IMAGE_FEATURE_FNS)}")
+    if method not in ("ks", "psi"):
+        raise ValueError(f"unknown drift method: {method} (expected ks|psi)")
+    threshold = q.threshold if q.threshold is not None else (
+        0.05 if method == "ks" else 0.2)
+    name = q.description or f"Decoded-image drift ({method}) on {feature}"
+
+    def ev(metric: Optional[float], _diag: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+        if metric is None:
+            return ResultEnum.error, f"{name}: statistic not computed"
+        if metric <= threshold:
+            return ResultEnum.passed, None
+        return ResultEnum.failed, (
+            f"{name}: {method.upper()} statistic {metric:.4f} > {threshold}")
+
+    extra = getattr(q, "__pydantic_extra__", None) or {}
+    return CompiledCheck(
+        key=_key(model, feature, f"image_drift_{method}"),
+        check_type=f"image_drift_{method}",
+        category="image",
+        name=name,
+        model=model,
+        kind="image_drift",
+        params={"feature": feature, "method": method, "threshold": threshold,
+                "bytes_col": extra.get("bytes_column", "bytes")},
+        evaluate=ev,
+        expected=f"{method} <= {threshold} on decoded {feature}",
+        implementation=(
+            "per-image feature from the single fused decode pass, bucketed "
+            "vs ref_stats['image:" + feature + "'] (binned "
+            + method.upper() + ")"
         ),
     )
 
@@ -1430,6 +1487,8 @@ def create_checks(
                 checks.append(check_image_quality(model_name, q, qi))
             elif q.type == "image" and (q.invariant or "") == "content-uniqueness":
                 checks.append(check_image_near_dup(model_name, q, qi))
+            elif q.type == "image" and (q.invariant or "") == "luminance-drift":
+                checks.append(check_image_drift(model_name, q, qi))
             elif q.type == "image":
                 checks.append(check_image_decode(model_name, q, qi))
             elif q.type == "video":

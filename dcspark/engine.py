@@ -267,9 +267,11 @@ class Validator:
         group_checks = [c for c in checks if c.kind == "group"]
         audio_fp_checks = [c for c in checks if c.kind == "audio_fp"]
         # the whole image family (decode-conformance, signal-quality,
-        # content-uniqueness) shares ONE fused decode pass per payload column
+        # content-uniqueness, luminance-drift) shares ONE fused decode pass
+        # per payload column
         image_family = [c for c in checks
-                        if c.kind in ("image", "image_quality", "image_fp")]
+                        if c.kind in ("image", "image_quality", "image_fp",
+                                      "image_drift")]
         video_checks = [c for c in checks if c.kind == "video"]
         audio_drift_checks = [c for c in checks if c.kind == "audio_drift"]
         audio_quality_checks = [c for c in checks if c.kind == "audio_quality"]
@@ -396,6 +398,8 @@ class Validator:
                         self._record_image(c, r)
                     elif c.kind == "image_quality":
                         self._record_image_quality(c, r)
+                    elif c.kind == "image_drift":
+                        self._record_image_drift(c, r)
                     else:
                         self._record_image_fp(c, r)
             else:
@@ -1358,7 +1362,24 @@ class Validator:
         decode_checks = [c for c in group if c.kind == "image"]
         quality_checks = [c for c in group if c.kind == "image_quality"]
         fp_checks = [c for c in group if c.kind == "image_fp"]
-        features = tuple(sorted({c.params["feature"] for c in quality_checks}))
+        drift_checks = [c for c in group if c.kind == "image_drift"]
+        out: Dict[str, dict] = {}
+        # drift without a reference snapshot errors at zero cost — and its
+        # feature must not join the decode pass it will never consume
+        drift_eval: List[Tuple[CompiledCheck, dict]] = []
+        for c in drift_checks:
+            feat = c.params["feature"]
+            stats = self.config.ref_stats.get(model_name, {}).get(f"image:{feat}")
+            if not stats:
+                out[c.key] = {"error": (
+                    f"no reference snapshot for image feature {feat} "
+                    "(build with the CLI snapshot command; stored under "
+                    f"ref_stats key 'image:{feat}')")}
+            else:
+                drift_eval.append((c, stats))
+        features = tuple(sorted(
+            {c.params["feature"] for c in quality_checks}
+            | {c.params["feature"] for c, _ in drift_eval}))
         id_col = self._pk_column(model_name, df)
         with self._arrow_batch_conf():
             compact = self._image_compact(
@@ -1366,11 +1387,12 @@ class Validator:
                 with_dhash=bool(fp_checks), features=features)
         compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            out: Dict[str, dict] = {}
             for c in decode_checks:
                 out[c.key] = self._image_decode_eval(df, compact, c, id_col)
             for c in quality_checks:
                 out[c.key] = self._image_quality_eval(compact, c)
+            for c, stats in drift_eval:
+                out[c.key] = self._image_drift_eval(compact, c, stats)
             for c in fp_checks:
                 out[c.key] = self._image_fp_eval(compact, c)
             return out
@@ -1465,6 +1487,35 @@ class Validator:
         return self._count_and_sample(
             bad, chk, id_expr=F.coalesce(F.col("id_a"), F.lit("<null-id>")),
             observed_expr=F.col("__observed"))
+
+    def _image_drift_eval(self, compact: DataFrame, chk: CompiledCheck,
+                          stats: dict) -> dict:
+        """Binned KS/PSI of the compact frame's f_<feature> column against
+        the snapshot's bin grid — one groupBy over persisted scalars, no
+        payload rescan. Decode failures are excluded (they belong to
+        decode-conformance; a drift statistic over them is meaningless)."""
+        from . import drift as drift_mod
+
+        feat = f"f_{chk.params['feature']}"
+        edges = [float(x) for x in stats["bin_edges"]]
+        rows = (compact
+                .filter(F.col("decode_error").isNull()
+                        & F.col(feat).isNotNull())
+                .groupBy(drift_mod.bucket_expr(feat, edges).alias("__b"))
+                .count().collect())
+        counts = [0] * (len(edges) + 1)
+        for r in rows:
+            counts[int(r["__b"])] += int(r["count"])
+        stat = drift_mod.drift_statistic_from_counts(
+            counts, stats, chk.params["method"])
+        return {"stat": stat, "rows": sum(counts)}
+
+    def _record_image_drift(self, chk: CompiledCheck, res: dict) -> None:
+        if "error" in res:
+            self._record(chk, None, ResultEnum.error, res["error"], None)
+            return
+        result, reason = chk.eval_metric(res["stat"], {})
+        self._record(chk, res["stat"], result, reason, res["rows"])
 
     def _image_fp_eval(self, compact: DataFrame, chk: CompiledCheck) -> dict:
         """Content uniqueness: blocked Hamming pairs over the compact

@@ -16,6 +16,7 @@ from dcspark import multimodal
 from dcspark.jpeg import jpeg_bytes
 from dcspark.multimodal import IMAGE_FEATURE_FNS, image_luma
 from dcspark.run_model import ResultEnum
+from pyspark.sql import functions as F
 
 
 def _photo(seed, h=48, w=64):
@@ -330,3 +331,143 @@ models:
     kinds = [c.kind for c in create_checks(spec)["images"]
              if c.kind.startswith("image")]
     assert kinds == ["image", "image_quality", "image_fp"]
+
+
+# ---------------------------------------------------------------------------
+# luminance-drift (type: image, invariant: luminance-drift)
+# ---------------------------------------------------------------------------
+
+DRIFT_CONTRACT = """
+id: image-drift
+models:
+  images:
+    fields:
+      image_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+    quality:
+      - {type: image, invariant: luminance-drift, column: brightness,
+         method: psi, threshold: 0.2}
+"""
+
+
+def _image_ref_stats(spark, df, feats=("brightness",)):
+    from dcspark import drift as drift_mod
+    from dcspark.imagefp import image_compact
+
+    frame = image_compact(df, id_col="image_id", bytes_col="bytes",
+                          features=tuple(feats)).filter(
+        F.col("decode_error").isNull()).select(
+        *[F.col(f"f_{f}").alias(f) for f in feats]).persist()
+    try:
+        stats = drift_mod.build_ref_stats(frame, list(feats))
+    finally:
+        frame.unpersist()
+    return {f"image:{f}": s for f, s in stats.items()}
+
+
+def _photos_df(spark, n=24, gain=1.0, seed0=0):
+    rows = []
+    for i in range(n):
+        px = _photo(seed0 + i)
+        if gain != 1.0:
+            px = np.clip(px.astype(np.float64) * gain, 0, 255).astype(np.uint8)
+        rows.append((f"im-{i:03d}", bytearray(multimodal.png_bytes(px))))
+    return _mkdf(spark, rows)
+
+
+def test_luminance_drift_pass_fail_and_no_snapshot(spark):
+    spec = DataContractSpecification.from_string(DRIFT_CONTRACT)
+    ref_df = _photos_df(spark, 24)
+    ref = _image_ref_stats(spark, ref_df)
+
+    # no snapshot -> error, and the decode pass never pays for the feature
+    res0 = validate(spark, spec, {"images": ref_df}, ValidationConfig())
+    chk0 = [c for c in res0.run.checks if "image_drift" in c.key][0]
+    assert chk0.result == ResultEnum.error
+
+    # same data as the snapshot -> statistic ~0, passes (the audio drift
+    # test's proof shape; PSI between two independent 24-image draws is
+    # dominated by sampling noise and is not a correctness signal)
+    res1 = validate(spark, spec, {"images": ref_df},
+                    ValidationConfig(ref_stats={"images": ref}))
+    chk1 = [c for c in res1.run.checks if "image_drift" in c.key][0]
+    assert chk1.result == ResultEnum.passed, (chk1.reason, res1.metrics)
+
+    # a 0.45x darkening regression (re-encode bug) -> PSI alarm
+    dark = _photos_df(spark, 24, gain=0.45)
+    res2 = validate(spark, spec, {"images": dark},
+                    ValidationConfig(ref_stats={"images": ref}))
+    chk2 = [c for c in res2.run.checks if "image_drift" in c.key][0]
+    assert chk2.result == ResultEnum.failed
+    assert res2.metrics[chk2.key] > 0.2
+
+
+def test_luminance_drift_rides_single_decode(spark, monkeypatch):
+    """drift + quality + conformance + uniqueness: still ONE decode pass,
+    and the drift feature is computed inside it."""
+    from dcspark import engine as engine_mod
+
+    contract = DRIFT_CONTRACT.replace(
+        "    quality:",
+        "    quality:\n"
+        "      - {type: image, invariant: decode-conformance}\n"
+        "      - {type: image, invariant: signal-quality, column: entropy,\n"
+        "         minimum: 0.5}\n"
+        "      - {type: image, invariant: content-uniqueness}")
+    spec = DataContractSpecification.from_string(contract)
+    ref_df = _photos_df(spark, 12)
+    ref = _image_ref_stats(spark, ref_df)
+
+    calls = []
+    orig = engine_mod.Validator._image_compact
+
+    def counting(self, *a, **k):
+        calls.append(k.get("features"))
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(engine_mod.Validator, "_image_compact", counting)
+    res = validate(spark, spec, {"images": ref_df},
+                   ValidationConfig(ref_stats={"images": ref}))
+    assert len(calls) == 1
+    assert calls[0] == ("brightness", "entropy")  # union of needed features
+    img_checks = [c for c in res.run.checks if c.category == "image"]
+    assert len(img_checks) == 4
+    assert all(c.result == ResultEnum.passed for c in img_checks), [
+        (c.key, c.result, c.reason) for c in img_checks]
+
+
+def test_compile_rejects_bad_image_drift():
+    from dcspark.compile import check_image_drift
+    from dcspark.spec import Quality
+
+    with pytest.raises(ValueError, match="unknown image drift feature"):
+        check_image_drift("m", Quality(type="image", column="rms_dbfs"), 0)
+    with pytest.raises(ValueError, match="unknown drift method"):
+        check_image_drift("m", Quality(type="image", column="brightness",
+                                       method="chi2"), 0)
+
+
+def test_cli_snapshot_builds_image_feature_stats(tmp_path, capsys, spark):
+    """`snapshot` decodes the reference image sample and stores
+    'image:brightness' stats; `test --ref-stats` then passes on the same
+    data (self-comparison: zero drift)."""
+    from dcspark.cli import main
+
+    cpath = str(tmp_path / "c.yaml")
+    with open(cpath, "w") as f:
+        f.write(DRIFT_CONTRACT)
+    data_dir = tmp_path / "data"
+    _photos_df(spark, 16).write.parquet(str(data_dir / "images.parquet"))
+    snap_dir = str(tmp_path / "snap")
+
+    assert main(["snapshot", cpath, "--path", str(data_dir),
+                 "--out", snap_dir]) == 0
+    capsys.readouterr()
+    snap = spark.read.parquet(f"{snap_dir}/images.parquet")
+    assert {r["column"] for r in snap.collect()} == {"image:brightness"}
+
+    assert main(["test", cpath, "--path", str(data_dir),
+                 "--ref-stats", snap_dir]) == 0
+    out = capsys.readouterr().out
+    assert "RUN RESULT: passed" in out
+    assert "image_drift_psi" in out

@@ -200,3 +200,45 @@ def test_suggest_drafts_video_rule(spark):
                    {"videos": df}, ValidationConfig())
     assert res.run.result == ResultEnum.passed, [
         (c.key, c.result, c.reason) for c in res.run.checks]
+
+
+def test_cli_image_and_video_commands(tmp_path, capsys, spark):
+    """CLI corpus actions for the non-audio modalities: `image neardup`
+    finds a planted re-encode; `video metadata` reports stream headers and
+    per-row decode errors."""
+    from dcspark.cli import main
+    from dcspark.jpeg import jpeg_bytes
+
+    # smooth interpolated 'photo' (the JPEG-stable dHash construction from
+    # test_imagefp — blocky repeats ring at block edges and flip tie bits)
+    rng = np.random.default_rng(3)
+    ctrl = rng.uniform(0, 255, (6, 8, 3))
+    yi, xi = np.linspace(0, 5, 48), np.linspace(0, 7, 64)
+    base = np.empty((48, 64, 3))
+    for c in range(3):
+        col = np.array([np.interp(xi, np.arange(8), ctrl[r, :, c])
+                        for r in range(6)])
+        base[..., c] = np.array([np.interp(yi, np.arange(6), col[:, j])
+                                 for j in range(64)]).T
+    base = base.astype(np.uint8)
+    img_rows = [("a", bytearray(multimodal.png_bytes(base))),
+                ("a-re", bytearray(jpeg_bytes(base, quality=85))),
+                ("bad", bytearray(b"junk"))]
+    img_dir = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(img_rows, "id string, bytes binary").write.parquet(img_dir)
+    out1 = str(tmp_path / "pairs")
+    assert main(["image", "neardup", "--input", img_dir, "--output", out1]) == 0
+    assert "image neardup" in capsys.readouterr().out
+    pairs = spark.read.parquet(out1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "a-re")}
+
+    vid_rows = [("v", bytearray(avi_bytes(_frames(3), fps=10.0))),
+                ("bad", bytearray(b"not a video"))]
+    vid_dir = str(tmp_path / "vids.parquet")
+    spark.createDataFrame(vid_rows, "id string, bytes binary").write.parquet(vid_dir)
+    out2 = str(tmp_path / "meta")
+    assert main(["video", "metadata", "--input", vid_dir, "--output", out2]) == 0
+    assert "1 decode errors" in capsys.readouterr().out
+    meta = {r["id"]: r for r in spark.read.parquet(out2).collect()}
+    assert meta["v"]["n_frames"] == 3 and meta["v"]["fps"] == 10.0
+    assert meta["bad"]["decode_error"] is not None
