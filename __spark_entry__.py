@@ -2499,6 +2499,68 @@ models:
         "quality_ids_ok boolean, pair_ids_ok boolean")
 
 
+def q_image_decontam(spark: SparkSession, _sf: str) -> DataFrame:
+    """Image eval-set contamination (dcspark/imagefp.py
+    image_cross_contamination): corpus images whose dHash is within
+    Hamming 3 of a benchmark image — the visual leg of the decontam
+    modality matrix (text n-grams / audio fingerprints / image dHash).
+    Eval side broadcast (map-side probe, zero corpus shuffle, plan-gated in
+    tests/test_imagefp.py); the planted leaks are JPEG re-encodes and a
+    brightness shift, which byte-level matching cannot see.
+
+    Input: 60 deterministic PNG photos; eval set of 5 (2 fresh benchmarks +
+    re-encodes of corpus photos 7 and 21 + a brightness-shifted photo 33).
+    Self-verifying: exactly {im-007, im-021, im-033} flagged. No oracle
+    (image decode is not SQL-expressible)."""
+    import numpy as np
+
+    from dcspark import multimodal
+    from dcspark.imagefp import image_contaminated_ids
+
+    def photo(seed):
+        rng = np.random.default_rng(8400 + seed)
+        base = rng.uniform(0, 255, (6, 8, 3))
+        up = base.repeat(4, axis=0).repeat(4, axis=1)[:24, :32]
+        # smooth: interpolate instead of hard block edges (JPEG-stable)
+        k = np.ones((3, 3)) / 9.0
+        sm = np.empty_like(up)
+        pad = np.pad(up, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        for c in range(3):
+            sm[..., c] = sum(
+                k[i, j] * pad[i:i + 24, j:j + 32, c]
+                for i in range(3) for j in range(3))
+        return np.clip(sm, 0, 255).astype(np.uint8)
+
+    def build_corpus(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [{"id": f"im-{int(i):03d}",
+                     "bytes": multimodal.png_bytes(photo(int(i)))}
+                    for i in pdf["id"].tolist()]
+            yield pd.DataFrame(rows, columns=["id", "bytes"])
+
+    corpus = spark.range(0, 60, 1, 8).mapInPandas(
+        build_corpus, schema="id string, bytes binary")
+
+    from dcspark.jpeg import jpeg_bytes
+
+    shifted = np.clip(photo(33).astype(np.int16) + 18, 0, 255).astype(np.uint8)
+    eval_rows = [
+        ("bench-0", bytearray(multimodal.png_bytes(photo(900)))),
+        ("bench-1", bytearray(multimodal.png_bytes(photo(901)))),
+        ("leak-a", bytearray(jpeg_bytes(photo(7), quality=80))),
+        ("leak-b", bytearray(jpeg_bytes(photo(21), quality=65))),
+        ("leak-c", bytearray(multimodal.bmp_bytes(shifted))),
+    ]
+    eval_df = spark.createDataFrame(eval_rows, "id string, bytes binary")
+    ids = sorted(r["id"] for r in
+                 image_contaminated_ids(corpus, eval_df).collect())
+    return spark.createDataFrame(
+        [(len(ids), bool(ids == ["im-007", "im-021", "im-033"]))],
+        "contaminated bigint, ids_match boolean")
+
+
 def q_video_contract(spark: SparkSession, _sf: str) -> DataFrame:
     """Video decode-conformance contract rule (`type: video`, engine kind
     "video"): 24 Motion-JPEG AVI payloads (REAL container + JPEG codec,
@@ -2810,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_contract": q_image_contract,
         "image_family_contract": q_image_family_contract,
         "video_decode_contract": q_video_contract,
+        "image_decontam": q_image_decontam,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,

@@ -420,6 +420,16 @@ def cmd_image(args: argparse.Namespace) -> int:
     elif args.action == "fingerprint":
         out = imagefp.image_fingerprints(df)
         label = "dHash fingerprints"
+    elif args.action == "decontam":
+        if not args.eval:
+            print("image decontam requires --eval <benchmark parquet>")
+            return 2
+        ev = spark.read.parquet(args.eval).select(
+            F.col(args.id_col).alias("id"),
+            F.col(args.bytes_col).alias("bytes"))
+        out = imagefp.image_contaminated_ids(
+            df, ev, max_hamming=args.max_hamming)
+        label = f"visually contaminated ids (Hamming <= {args.max_hamming})"
     else:  # neardup
         out = imagefp.image_near_dup(
             df, max_hamming=args.max_hamming, max_bucket=args.max_bucket)
@@ -863,10 +873,12 @@ def main(argv: Optional[list] = None) -> int:
     au.add_argument("--shuffle-partitions", type=int, default=None)
 
     im = sub.add_parser(
-        "image", help="image corpus actions: transcode | resize | metadata | fingerprint | neardup")
+        "image", help="image corpus actions: transcode | resize | metadata | fingerprint | neardup | decontam")
     im.add_argument("action",
                     choices=["transcode", "resize", "metadata", "fingerprint",
-                             "neardup"])
+                             "neardup", "decontam"])
+    im.add_argument("--eval", default=None,
+                    help="decontam: benchmark images parquet")
     im.add_argument("--input", required=True, help="images parquet path")
     im.add_argument("--output", required=True, help="result parquet path")
     im.add_argument("--id-col", default="id")

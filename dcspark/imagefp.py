@@ -240,3 +240,75 @@ def image_near_dup(
                             decoder=decoder)
     return near_dup_pairs_from_fp(fp, max_hamming=max_hamming,
                                   max_bucket=max_bucket)
+
+
+def image_cross_contamination(
+    corpus_fp: DataFrame,
+    eval_fp: DataFrame,
+    max_hamming: int = 3,
+    max_eval_bucket: int = 50,
+) -> DataFrame:
+    """Eval-set contamination for IMAGES: (id, eval_id, hamming) for corpus
+    images whose dHash is within ``max_hamming`` bits of an evaluation-set
+    image — the visual analog of n-gram benchmark decontamination
+    (dcspark/decontam.py) and acoustic contamination (dcspark/audiofp.py),
+    robust to the JPEG re-encodes / resizes / brightness shifts that defeat
+    byte-level matching. Completes the decontam modality matrix: text
+    n-grams, audio fingerprints, image dHash.
+
+    Scale shape mirrors the other modalities: the eval side is
+    benchmark-sized, never corpus-sized — it is **broadcast**, so the
+    corpus probe is a map-side 16-bit-block hash join with zero corpus
+    shuffle (pigeonhole-complete for Hamming <= 3); exact Hamming verifies
+    candidates only. Eval block-keys shared by more than
+    ``max_eval_bucket`` eval images are dropped first (non-discriminative
+    solid-card masses, all hashing to dHash 0 — the fan-out guard)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-block pigeonhole guarantees recall only for max_hamming <= 3")
+    cu = corpus_fp.filter(F.col("dhash").isNotNull()).select(
+        "id", "dhash")
+    eu = eval_fp.filter(F.col("dhash").isNotNull()).select(
+        F.col("id").alias("eval_id"), F.col("dhash").alias("eval_dhash"))
+
+    def block(col: str, b: int) -> F.Column:
+        # mask, not '%' (negative hashes must share keys with positive twins)
+        return (F.shiftrightunsigned(F.col(col), b * 16)
+                .bitwiseAND(F.lit(0xFFFF)))
+
+    cands = None
+    for b in range(4):
+        from pyspark.sql import Window
+
+        e_side = (eu.withColumn("__k", block("eval_dhash", b))
+                  .withColumn("_bc", F.count(F.lit(1)).over(
+                      Window.partitionBy("__k")))
+                  .filter(F.col("_bc") <= max_eval_bucket).drop("_bc"))
+        c = (cu.withColumn("__k", block("dhash", b))
+             .join(F.broadcast(e_side), on="__k")
+             .select("id", "eval_id", "dhash", "eval_dhash"))
+        cands = c if cands is None else cands.unionByName(c)
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("eval_dhash")))
+    return (cands.distinct()
+            .select("id", "eval_id", ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
+def image_contaminated_ids(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    decoder: ImageDecoder = real_image_decoder,
+    **kw,
+) -> DataFrame:
+    """Distinct corpus image ids visually contaminated by the eval set —
+    fingerprint both sides, probe, project. A drop list composable with the
+    near-dup cluster survivors and the filter quarantine."""
+    cfp = image_fingerprints(corpus, id_col=id_col, bytes_col=bytes_col,
+                             decoder=decoder)
+    efp = image_fingerprints(eval_df, id_col=id_col, bytes_col=bytes_col,
+                             decoder=decoder)
+    return (image_cross_contamination(cfp, efp, max_hamming=max_hamming, **kw)
+            .select("id").distinct())

@@ -269,3 +269,76 @@ def test_decode_error_in_batch_keeps_hashes_bit_exact(spark):
     assert mixed["bad"]["decode_error"] is not None
     assert mixed["a"]["dhash"] == solo["dhash"] == dhash(px) - (
         (1 << 64) if dhash(px) >= (1 << 63) else 0)
+
+
+# ---------------------------------------------------------------------------
+# eval-set contamination (visual decontam)
+# ---------------------------------------------------------------------------
+
+def _contam_fixture(spark):
+    from dcspark.imagefp import image_fingerprints
+
+    corpus_rows = [(f"c-{i:02d}", bytearray(multimodal.png_bytes(_photo(i))))
+                   for i in range(20)]
+    corpus_rows.append(("c-corrupt", bytearray(b"junk")))
+    # eval set: two fresh benchmarks + a re-encode of corpus photo 4
+    eval_rows = [("e-0", bytearray(multimodal.png_bytes(_photo(300)))),
+                 ("e-1", bytearray(multimodal.png_bytes(_photo(301)))),
+                 ("e-leak", bytearray(jpeg_bytes(_photo(4), quality=75)))]
+    ddl = "id string, bytes binary"
+    cfp = image_fingerprints(spark.createDataFrame(corpus_rows, ddl))
+    efp = image_fingerprints(spark.createDataFrame(eval_rows, ddl))
+    return cfp, efp
+
+
+def test_image_cross_contamination_finds_reencoded_leak(spark):
+    from dcspark.imagefp import image_cross_contamination
+
+    cfp, efp = _contam_fixture(spark)
+    hits = image_cross_contamination(cfp, efp).collect()
+    assert {(r["id"], r["eval_id"]) for r in hits} == {("c-04", "e-leak")}
+    assert all(r["hamming"] <= 3 for r in hits)
+
+
+def test_image_contaminated_ids_drop_list(spark):
+    from dcspark.imagefp import image_contaminated_ids
+
+    corpus = spark.createDataFrame(
+        [(f"c-{i:02d}", bytearray(multimodal.png_bytes(_photo(i))))
+         for i in range(8)], "id string, bytes binary")
+    eval_df = spark.createDataFrame(
+        [("e", bytearray(multimodal.bmp_bytes(_photo(2))))],
+        "id string, bytes binary")
+    ids = [r["id"] for r in image_contaminated_ids(corpus, eval_df).collect()]
+    assert ids == ["c-02"]
+
+
+def test_image_contamination_eval_bucket_guard(spark):
+    """Solid-card eval images all hash to dHash 0 (non-discriminative);
+    above the eval bucket cap they must be dropped, not matched against
+    every flat corpus image."""
+    from dcspark.imagefp import image_cross_contamination, image_fingerprints
+
+    flat = np.full((16, 16, 3), 200, np.uint8)
+    corpus = spark.createDataFrame(
+        [(f"c-{i}", bytearray(multimodal.bmp_bytes(flat))) for i in range(6)],
+        "id string, bytes binary")
+    evals = spark.createDataFrame(
+        [(f"e-{i}", bytearray(multimodal.bmp_bytes(flat))) for i in range(6)],
+        "id string, bytes binary")
+    cfp, efp = image_fingerprints(corpus), image_fingerprints(evals)
+    assert image_cross_contamination(cfp, efp, max_eval_bucket=5).count() == 0
+    # guard off (cap above the mass): the degenerate matches appear
+    assert image_cross_contamination(cfp, efp, max_eval_bucket=10).count() == 36
+
+
+def test_image_contamination_broadcast_plan(spark):
+    """The corpus probe must be a broadcast hash join — zero corpus shuffle
+    (the eval side is benchmark-sized by assumption)."""
+    from dcspark.imagefp import image_cross_contamination
+
+    cfp, efp = _contam_fixture(spark)
+    plan = image_cross_contamination(cfp, efp)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

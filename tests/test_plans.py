@@ -377,3 +377,34 @@ def test_audioops_prune_to_id_and_bytes(spark, tmp_path):
         assert "clip_id" in read_schema and "bytes" in read_schema
         for col in ("sr_hz", "dur_ms", "codec", "transcript"):
             assert col not in read_schema, (op, col, read_schema)
+
+
+def test_image_and_video_passes_prune_scan(spark, tmp_path):
+    """image_compact / image_fingerprints / image_metadata / video_metadata
+    read ONLY (id, bytes) from the file reader — a media table's other
+    columns (declared dims, captions) must never reach the decode pass."""
+    import numpy as np
+
+    from dcspark import imagefp, multimodal
+
+    p = str(tmp_path / "media")
+    png = bytearray(multimodal.png_bytes(
+        np.zeros((8, 8, 3), dtype=np.uint8)))
+    spark.createDataFrame(
+        [("a", png, 8, 8, 25.0, "caption text")],
+        "id string, bytes binary, width int, height int, fps double, "
+        "caption string").write.parquet(p)
+    table = spark.read.parquet(p)
+    ops = (
+        lambda d: imagefp.image_compact(
+            d, with_dhash=True, features=("brightness", "entropy")),
+        imagefp.image_fingerprints,
+        multimodal.image_metadata,
+        multimodal.video_metadata,
+    )
+    for op in ops:
+        plan = _plan(op(table))
+        read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "id" in read_schema and "bytes" in read_schema
+        for col in ("width", "height", "fps", "caption"):
+            assert col not in read_schema, (op, col, read_schema)
