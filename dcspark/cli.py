@@ -73,28 +73,31 @@ def _audio_drift_features(spec) -> dict:
 
 
 def _image_drift_features(spec) -> dict:
-    """model -> ([decoded-raster features with a luminance-drift rule],
-    payload column)."""
+    """model -> {bytes_col: [decoded-raster features with a luminance-drift
+    rule on that payload column]}. Raises when one feature is snapshotted
+    from two different payload columns — the 'image:<feature>' ref_stats
+    key carries no column, so that configuration is ambiguous."""
     from .compile import create_checks
 
     out = {}
     for model_name, checks in create_checks(spec).items():
-        drift = [c for c in checks if c.kind == "image_drift"]
-        if drift:
-            out[model_name] = (sorted({c.params["feature"] for c in drift}),
-                               drift[0].params["bytes_col"])
+        groups: dict = {}
+        feat_col: dict = {}
+        for c in checks:
+            if c.kind != "image_drift":
+                continue
+            feat, bc = c.params["feature"], c.params["bytes_col"]
+            if feat_col.setdefault(feat, bc) != bc:
+                raise ValueError(
+                    f"model {model_name}: image drift feature {feat!r} is "
+                    f"declared on two payload columns "
+                    f"({feat_col[feat]!r} and {bc!r}) — the snapshot key "
+                    f"'image:{feat}' cannot distinguish them; use distinct "
+                    "features per payload column")
+            groups.setdefault(bc, set()).add(feat)
+        if groups:
+            out[model_name] = {bc: sorted(fs) for bc, fs in groups.items()}
     return out
-
-
-def _model_pk(spec, model_name, df) -> str:
-    model = spec.models.get(model_name)
-    if model:
-        if model.primaryKey:
-            return model.primaryKey[0]
-        for fname, f_ in model.fields.items():
-            if f_.primaryKey:
-                return fname
-    return df.columns[0]
 
 
 def _load_ref_stats(spark, spec, ref_stats_dir: str) -> dict:
@@ -178,22 +181,25 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
             finally:
                 frame.unpersist()
             stats.update({f"audio:{f}": s for f, s in fstats.items()})
-        ifeats, img_bytes_col = image_by_model.get(model_name, ([], "bytes"))
-        if ifeats:
-            # decoded-raster feature snapshot: one fused decode pass over the
-            # reference sample -> 'image:<feature>' keys, same parquet
+        img_groups = image_by_model.get(model_name, {})
+        ifeats = sorted(f for fs in img_groups.values() for f in fs)
+        for img_bytes_col, group_feats in sorted(img_groups.items()):
+            # decoded-raster feature snapshot: one fused decode pass PER
+            # payload column over the reference sample -> 'image:<feature>'
+            # keys, same parquet (each feature from ITS declared column)
             from pyspark.sql import functions as SF
 
             from .imagefp import image_compact
+            from .spec import model_pk
 
             table = tables[model_name]
             frame = image_compact(
-                table, id_col=_model_pk(spec, model_name, table),
-                bytes_col=img_bytes_col, features=tuple(ifeats)
+                table, id_col=model_pk(spec, model_name, table),
+                bytes_col=img_bytes_col, features=tuple(group_feats)
             ).filter(SF.col("decode_error").isNull()).select(
-                *[SF.col(f"f_{f}").alias(f) for f in ifeats]).persist()
+                *[SF.col(f"f_{f}").alias(f) for f in group_feats]).persist()
             try:
-                istats = build_ref_stats(frame, ifeats)
+                istats = build_ref_stats(frame, list(group_feats))
             finally:
                 frame.unpersist()
             stats.update({f"image:{f}": s for f, s in istats.items()})
@@ -382,15 +388,29 @@ def cmd_audio(args: argparse.Namespace) -> int:
             df, win_ms=args.win_ms, hop_ms=args.hop_ms,
             emit_bytes=not args.no_bytes, codec=args.codec)
         label = f"{args.win_ms} ms windows / {args.hop_ms} ms hop"
-    out.write.mode("overwrite").parquet(args.output)
-    written = spark.read.parquet(args.output)
+    return _write_and_report(spark, out, "audio", args.action, label,
+                             args.output)
+
+
+def _write_and_report(spark, out, family: str, action: str, label: str,
+                      output: str) -> int:
+    """Shared epilogue for the corpus-action commands (audio/image/video):
+    write, re-read, row count, decode-error count when the output carries
+    one (no misleading '0 decode errors' on frames that don't)."""
+    from pyspark.sql import functions as F
+
+    out.write.mode("overwrite").parquet(output)
+    written = spark.read.parquet(output)
     n = written.count()
     if "decode_error" in written.columns:
         errs = written.filter(F.col("decode_error").isNotNull()).count()
-    else:  # census carries pre-aggregated counts
+        err_txt = f" ({errs} decode errors)"
+    elif "decode_errors" in written.columns:  # census: pre-aggregated counts
         errs = written.agg(F.sum("decode_errors")).collect()[0][0] or 0
-    print(f"audio {args.action}: {n} rows ({errs} decode errors) "
-          f"{label} -> {args.output}")
+        err_txt = f" ({errs} decode errors)"
+    else:
+        err_txt = ""
+    print(f"{family} {action}: {n} rows{err_txt} {label} -> {output}")
     return 0
 
 
@@ -434,14 +454,8 @@ def cmd_image(args: argparse.Namespace) -> int:
         out = imagefp.image_near_dup(
             df, max_hamming=args.max_hamming, max_bucket=args.max_bucket)
         label = f"near-dup pairs (Hamming <= {args.max_hamming})"
-    out.write.mode("overwrite").parquet(args.output)
-    written = spark.read.parquet(args.output)
-    n = written.count()
-    errs = (written.filter(F.col("decode_error").isNotNull()).count()
-            if "decode_error" in written.columns else 0)
-    print(f"image {args.action}: {n} rows ({errs} decode errors) "
-          f"{label} -> {args.output}")
-    return 0
+    return _write_and_report(spark, out, "image", args.action, label,
+                             args.output)
 
 
 def cmd_video(args: argparse.Namespace) -> int:
@@ -461,14 +475,8 @@ def cmd_video(args: argparse.Namespace) -> int:
         out = multimodal.video_frame_sample(
             df, every_n=args.every_n, max_frames=args.max_frames)
         label = f"every {args.every_n}th frame (max {args.max_frames})"
-    out.write.mode("overwrite").parquet(args.output)
-    written = spark.read.parquet(args.output)
-    n = written.count()
-    errs = (written.filter(F.col("decode_error").isNotNull()).count()
-            if "decode_error" in written.columns else 0)
-    print(f"video {args.action}: {n} rows ({errs} decode errors) "
-          f"{label} -> {args.output}")
-    return 0
+    return _write_and_report(spark, out, "video", args.action, label,
+                             args.output)
 
 
 def cmd_wer(args: argparse.Namespace) -> int:

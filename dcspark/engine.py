@@ -1038,14 +1038,9 @@ class Validator:
     # -- violations (single scan over all failed predicates) -----------------
 
     def _pk_column(self, model_name: str, df: DataFrame) -> str:
-        model = self.spec.models.get(model_name)
-        if model:
-            if model.primaryKey:
-                return model.primaryKey[0]
-            for fname, f_ in model.fields.items():
-                if f_.primaryKey:
-                    return fname
-        return df.columns[0]
+        from .spec import model_pk
+
+        return model_pk(self.spec, model_name, df)
 
     def _collect_agg_violations(
         self,

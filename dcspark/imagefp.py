@@ -180,6 +180,16 @@ def image_compact(
                      F.col(bytes_col)).mapInPandas(run, schema=ddl)
 
 
+def _block_keys(col: str) -> F.Column:
+    """The four 16-bit block keys of a 64-bit dHash as an array.
+
+    Mask, don't '%': Spark % keeps the dividend's sign, so a negative dhash
+    (bit 63 set) would get a block-0 key that never equi-joins its positive
+    twins — silently losing recall for ~half the corpus."""
+    return F.array(*[(F.shiftrightunsigned(F.col(col), b * 16)
+                      .bitwiseAND(F.lit(0xFFFF))) for b in range(4)])
+
+
 def near_dup_pairs_from_fp(
     fp: DataFrame,
     max_hamming: int = 3,
@@ -190,36 +200,31 @@ def near_dup_pairs_from_fp(
     content-uniqueness contract rule so fused compact frames can reuse it
     without a second decode.
 
-    4-way 16-bit block equi-joins over the 64-bit dHash (pigeonhole-complete
-    for Hamming <= 3; 65,536 keys per block so keyspace >> corpus), with a
+    16-bit block equi-join over the 64-bit dHash (pigeonhole-complete for
+    Hamming <= 3; 65,536 keys per block so keyspace >> corpus), with a
     windowed per-(block, key) bucket cap against degenerate masses, exact
-    Hamming on candidates only. Only hashes shuffle.
+    Hamming on candidates only. Only hashes shuffle. The four blocks are
+    posexploded into (block_idx, key) rows and joined ONCE — a per-block
+    join loop would union four branches that each re-evaluate the
+    fingerprint lineage (4x the decode work when fp is not persisted).
     """
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
-    fp = fp.filter(F.col("dhash").isNotNull())
-    t = fp.select(
-        F.col("id"), F.col("dhash"),
-        # mask, don't '%': Spark % keeps the dividend's sign, so a negative
-        # dhash (bit 63 set) would get a block-0 key that never equi-joins
-        # its positive twins — silently losing recall for ~half the corpus
-        *[(F.shiftrightunsigned(F.col("dhash"), b * 16)
-           .bitwiseAND(F.lit(0xFFFF))).alias(f"b{b}") for b in range(4)])
-    cands = None
-    for b in range(4):
-        side = t
-        if max_bucket is not None:
-            from pyspark.sql import Window
+    t = (fp.filter(F.col("dhash").isNotNull())
+         .select("id", "dhash",
+                 F.posexplode(_block_keys("dhash")).alias("__bi", "__k")))
+    if max_bucket is not None:
+        from pyspark.sql import Window
 
-            side = (t.withColumn(
-                "_bc", F.count(F.lit(1)).over(Window.partitionBy(f"b{b}")))
-                .filter(F.col("_bc") <= max_bucket).drop("_bc"))
-        a_, b_ = side.alias("a"), side.alias("b")
-        c = (a_.join(b_, on=f"b{b}")
+        t = (t.withColumn("_bc", F.count(F.lit(1)).over(
+                Window.partitionBy("__bi", "__k")))
+             .filter(F.col("_bc") <= max_bucket).drop("_bc"))
+    a_, b_ = t.alias("a"), t.alias("b")
+    cands = (a_.join(b_, on=["__bi", "__k"])
              .filter(F.col("a.id") < F.col("b.id"))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                     F.col("a.dhash").alias("h_a"), F.col("b.dhash").alias("h_b")))
-        cands = c if cands is None else cands.unionByName(c)
+                     F.col("a.dhash").alias("h_a"),
+                     F.col("b.dhash").alias("h_b")))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (cands.distinct()
             .select("id_a", "id_b", ham.cast("int").alias("hamming"))
@@ -266,28 +271,25 @@ def image_cross_contamination(
     if max_hamming > 3:
         raise ValueError(
             "4-block pigeonhole guarantees recall only for max_hamming <= 3")
-    cu = corpus_fp.filter(F.col("dhash").isNotNull()).select(
-        "id", "dhash")
-    eu = eval_fp.filter(F.col("dhash").isNotNull()).select(
-        F.col("id").alias("eval_id"), F.col("dhash").alias("eval_dhash"))
+    from pyspark.sql import Window
 
-    def block(col: str, b: int) -> F.Column:
-        # mask, not '%' (negative hashes must share keys with positive twins)
-        return (F.shiftrightunsigned(F.col(col), b * 16)
-                .bitwiseAND(F.lit(0xFFFF)))
-
-    cands = None
-    for b in range(4):
-        from pyspark.sql import Window
-
-        e_side = (eu.withColumn("__k", block("eval_dhash", b))
-                  .withColumn("_bc", F.count(F.lit(1)).over(
-                      Window.partitionBy("__k")))
-                  .filter(F.col("_bc") <= max_eval_bucket).drop("_bc"))
-        c = (cu.withColumn("__k", block("dhash", b))
-             .join(F.broadcast(e_side), on="__k")
+    # ONE join over posexploded (block_idx, key) rows: a per-block join
+    # loop would union four branches that each re-evaluate the corpus
+    # fingerprint lineage — 4x the decode work on the side where the
+    # payload scan IS the job
+    cu = (corpus_fp.filter(F.col("dhash").isNotNull())
+          .select("id", "dhash",
+                  F.posexplode(_block_keys("dhash")).alias("__bi", "__k")))
+    eu = (eval_fp.filter(F.col("dhash").isNotNull())
+          .select(F.col("id").alias("eval_id"),
+                  F.col("dhash").alias("eval_dhash"))
+          .select("eval_id", "eval_dhash",
+                  F.posexplode(_block_keys("eval_dhash")).alias("__bi", "__k"))
+          .withColumn("_bc", F.count(F.lit(1)).over(
+              Window.partitionBy("__bi", "__k")))
+          .filter(F.col("_bc") <= max_eval_bucket).drop("_bc"))
+    cands = (cu.join(F.broadcast(eu), on=["__bi", "__k"])
              .select("id", "eval_id", "dhash", "eval_dhash"))
-        cands = c if cands is None else cands.unionByName(c)
     ham = F.bit_count(F.col("dhash").bitwiseXOR(F.col("eval_dhash")))
     return (cands.distinct()
             .select("id", "eval_id", ham.cast("int").alias("hamming"))

@@ -377,3 +377,19 @@ def from_spark_schema(schema: T.StructType) -> Model:
             field.required = True
         fields[sf.name] = field
     return Model(type="table", fields=fields)
+
+
+def model_pk(spec: "DataContractSpecification", model_name: str, df) -> str:
+    """The column that identifies a row of ``model_name``: the model-level
+    primaryKey's first column, else the first field declaring
+    ``primaryKey: true``, else the frame's first column. Shared by the
+    engine's media passes and the CLI snapshot command so both label
+    decoded frames with the same id."""
+    model = spec.models.get(model_name)
+    if model:
+        if model.primaryKey:
+            return model.primaryKey[0]
+        for fname, f_ in model.fields.items():
+            if f_.primaryKey:
+                return fname
+    return df.columns[0]

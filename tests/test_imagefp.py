@@ -342,3 +342,39 @@ def test_image_contamination_broadcast_plan(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_and_near_dup_decode_corpus_once(spark):
+    """The posexplode single-join shape: one action over
+    image_contaminated_ids decodes every payload exactly once (the
+    per-block join-loop it replaced re-evaluated the unpersisted
+    fingerprint lineage four times); image_near_dup's self-join decodes
+    each payload at most twice (two aliases of one lineage)."""
+    from dcspark import imagefp
+    from dcspark.imagefp import image_contaminated_ids, image_near_dup
+    from dcspark.multimodal import real_image_decoder
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(raw):
+        acc.add(1)
+        return real_image_decoder(raw)
+
+    n, m = 10, 3
+    corpus = spark.createDataFrame(
+        [(f"c-{i}", bytearray(multimodal.png_bytes(_photo(i))))
+         for i in range(n)], "id string, bytes binary")
+    evals = spark.createDataFrame(
+        [(f"e-{i}", bytearray(multimodal.png_bytes(_photo(400 + i))))
+         for i in range(m)], "id string, bytes binary")
+    image_contaminated_ids(corpus, evals, decoder=counting).collect()
+    assert acc.value == n + m, acc.value
+
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def counting2(raw):
+        acc2.add(1)
+        return real_image_decoder(raw)
+
+    image_near_dup(corpus, decoder=counting2).collect()
+    assert acc2.value <= 2 * n, acc2.value
