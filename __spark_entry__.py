@@ -2499,6 +2499,83 @@ models:
         "quality_ids_ok boolean, pair_ids_ok boolean")
 
 
+def q_video_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
+    """Video near-duplicate detection + eval-set decontamination
+    (dcspark/imagefp.py video_fingerprints / video_fp_near_dup /
+    video_contaminated_ids): per-frame dHash sequences over REAL MJPEG AVI
+    payloads, Hamming-tolerant 16-bit-block join (a JPEG re-encode drifts
+    each frame hash 0-3 bits, so exact-match overlap — the audio shape —
+    would miss it), score = matched distinct frame hashes / min clip hash
+    count. Completes near-dup AND decontam coverage for the third
+    modality: text MinHash, audio acoustic fp, image dHash, video
+    frame-dHash.
+
+    Input: 20 deterministic 6-frame videos + 1 planted re-encode of video
+    3 at lower JPEG quality + 1 corrupt payload; eval set containing a
+    re-encode of video 7. Self-verifying: exactly the planted pair and
+    exactly {vid-007} contaminated. No oracle (video decode is not
+    SQL-expressible)."""
+    import numpy as np
+
+    from dcspark.imagefp import video_contaminated_ids, video_near_dup
+
+    def scene(n, seed):
+        rng = np.random.default_rng(8600 + seed)
+        ctrl = rng.uniform(0, 255, (5, 6, 3))
+        out = []
+        for t in range(n):
+            c = np.clip(ctrl + rng.uniform(-6, 6, ctrl.shape) + t * 2, 0, 255)
+            yi, xi = np.linspace(0, 4, 24), np.linspace(0, 5, 32)
+            fr = np.empty((24, 32, 3))
+            for ch in range(3):
+                col = np.array([np.interp(xi, np.arange(6), c[r, :, ch])
+                                for r in range(5)])
+                fr[..., ch] = np.array(
+                    [np.interp(yi, np.arange(5), col[:, j])
+                     for j in range(32)]).T
+            out.append(fr.astype(np.uint8))
+        return out
+
+    def build(batches):
+        import pandas as pd
+
+        from dcspark.avi import avi_bytes
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                if i == 20:   # planted re-encode of video 3
+                    payload = avi_bytes(scene(6, 3), fps=10.0, quality=60)
+                elif i == 21:  # corrupt payload (decode audit row)
+                    payload = b"RIFF-corrupt-video"
+                else:
+                    payload = avi_bytes(scene(6, i), fps=10.0)
+                rows.append({"id": f"vid-{i:03d}", "bytes": payload})
+            yield pd.DataFrame(rows, columns=["id", "bytes"])
+
+    corpus = spark.range(0, 22, 1, 6).mapInPandas(
+        build, schema="id string, bytes binary")
+    pairs = video_near_dup(corpus, threshold=0.6).collect()
+    pair_set = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs}
+
+    from dcspark.avi import avi_bytes as _avi
+
+    eval_df = spark.createDataFrame(
+        [("bench", bytearray(_avi(scene(6, 900), fps=10.0))),
+         ("leak", bytearray(_avi(scene(6, 7), fps=10.0, quality=70)))],
+        "id string, bytes binary")
+    contam = sorted(r["id"] for r in
+                    video_contaminated_ids(corpus, eval_df).collect())
+    return spark.createDataFrame(
+        [(len(pairs),
+          bool(pair_set == {("vid-003", "vid-020")}),
+          len(contam),
+          bool(contam == ["vid-007"]))],
+        "near_dup_pairs bigint, pair_match boolean, "
+        "contaminated bigint, contam_match boolean")
+
+
 def q_image_decontam(spark: SparkSession, _sf: str) -> DataFrame:
     """Image eval-set contamination (dcspark/imagefp.py
     image_cross_contamination): corpus images whose dHash is within
@@ -2873,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_family_contract": q_image_family_contract,
         "video_decode_contract": q_video_contract,
         "image_decontam": q_image_decontam,
+        "video_near_dup": q_video_near_dup,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,

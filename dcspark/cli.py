@@ -471,6 +471,27 @@ def cmd_video(args: argparse.Namespace) -> int:
     if args.action == "metadata":
         out = multimodal.video_metadata(df)
         label = "fps/frame-count/dims metadata"
+    elif args.action == "fingerprint":
+        from . import imagefp
+
+        out = imagefp.video_fingerprints(df, every_n=args.every_n)
+        label = "frame dHash fingerprints"
+    elif args.action == "neardup":
+        from . import imagefp
+
+        out = imagefp.video_near_dup(df, threshold=args.threshold)
+        label = f"near-dup pairs (frame-hash overlap >= {args.threshold})"
+    elif args.action == "decontam":
+        from . import imagefp
+
+        if not args.eval:
+            print("video decontam requires --eval <benchmark parquet>")
+            return 2
+        ev = spark.read.parquet(args.eval).select(
+            F.col(args.id_col).alias("id"),
+            F.col(args.bytes_col).alias("bytes"))
+        out = imagefp.video_contaminated_ids(df, ev, threshold=args.threshold)
+        label = f"visually contaminated ids (overlap >= {args.threshold})"
     else:  # frames
         out = multimodal.video_frame_sample(
             df, every_n=args.every_n, max_frames=args.max_frames)
@@ -906,8 +927,13 @@ def main(argv: Optional[list] = None) -> int:
     im.add_argument("--shuffle-partitions", type=int, default=None)
 
     vd = sub.add_parser(
-        "video", help="video corpus actions: metadata | frames")
-    vd.add_argument("action", choices=["metadata", "frames"])
+        "video", help="video corpus actions: metadata | frames | fingerprint | neardup | decontam")
+    vd.add_argument("action", choices=["metadata", "frames", "fingerprint",
+                                       "neardup", "decontam"])
+    vd.add_argument("--eval", default=None,
+                    help="decontam: benchmark videos parquet")
+    vd.add_argument("--threshold", type=float, default=0.6,
+                    help="neardup/decontam: frame-hash overlap score floor")
     vd.add_argument("--input", required=True, help="videos parquet path")
     vd.add_argument("--output", required=True, help="result parquet path")
     vd.add_argument("--id-col", default="id")

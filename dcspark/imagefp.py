@@ -314,3 +314,198 @@ def image_contaminated_ids(
                              decoder=decoder)
     return (image_cross_contamination(cfp, efp, max_hamming=max_hamming, **kw)
             .select("id").distinct())
+
+
+# ---------------------------------------------------------------------------
+# video: frame-sampled perceptual fingerprints (dHash sequence)
+# ---------------------------------------------------------------------------
+
+VIDEO_FP_DDL = "clip_id string, t int, hash long, decode_error string"
+
+
+def video_fingerprints(
+    df: DataFrame,
+    every_n: int = 1,
+    max_frames: int = 64,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    decoder=None,
+) -> DataFrame:
+    """Per-video dHash sequence (clip_id, t, hash): decode each payload once
+    (Motion-JPEG AVI real), dHash every ``every_n``-th frame up to
+    ``max_frames``. The column shape is deliberately identical to
+    audiofp.FINGERPRINT_DDL so the hash-overlap machinery
+    (audio_fingerprint_near_dup / audio_cross_contamination) is reused
+    verbatim for video near-dup and eval-set decontamination — a re-encoded
+    or rescaled copy of a video shares most frame hashes while byte-level
+    identity sees nothing. Undecodable payloads surface as one row with
+    decode_error set (hash NULL), so the table doubles as a decode audit.
+
+    Only 8-byte hashes leave the task — frames never shuffle."""
+    from .multimodal import real_video_decoder
+
+    dec = decoder or real_video_decoder
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ts, hs, errs = [], [], [], []
+            for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    _fps, frames = dec(bytes(raw) if raw is not None else None)
+                    for t, fr in enumerate(frames[: max_frames * every_n]):
+                        if t % every_n:
+                            continue
+                        v = dhash(fr)
+                        ids.append(rid); ts.append(t)
+                        hs.append(v - (1 << 64) if v >= (1 << 63) else v)
+                        errs.append(None)
+                except (NotImplementedError, ValueError, TypeError,
+                        struct.error) as e:
+                    ids.append(rid); ts.append(None); hs.append(None)
+                    errs.append(str(e))
+            # Int64, not float64: a decode error in the batch must not round
+            # the other rows' 64-bit hashes (same class as the dHash bug)
+            yield pd.DataFrame({"clip_id": ids, "t": ts,
+                                "hash": pd.array(hs, dtype="Int64"),
+                                "decode_error": errs})
+
+    return df.select(F.col(id_col).cast("string").alias(id_col),
+                     F.col(bytes_col)).mapInPandas(run, schema=VIDEO_FP_DDL)
+
+
+def video_fp_near_dup(
+    fp: DataFrame,
+    threshold: float = 0.6,
+    max_hamming: int = 3,
+    min_matches: int = 1,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Near-duplicate video pairs from a frame-hash table (clip_id, hash).
+
+    Audio fingerprints match EXACTLY after re-encoding (band-occupancy is
+    quantized), so audiofp joins on hash equality — but a JPEG re-encode
+    drifts each frame dHash by 0-3 bits, so video needs the image-style
+    block join: posexplode the four 16-bit block keys (pigeonhole-complete
+    for Hamming <= max_hamming), bucket-cap degenerate (block, key) masses,
+    verify exact Hamming on candidates, then score per pair as
+    matched distinct frame hashes / min(|A|, |B|) (a clip embedded in a
+    longer cut still scores high)."""
+    from pyspark.sql import Window
+
+    uniq = (fp.filter(F.col("hash").isNotNull())
+            .select("clip_id", "hash").distinct())
+    t = uniq.select("clip_id", "hash",
+                    F.posexplode(_block_keys("hash")).alias("__bi", "__k"))
+    if max_bucket is not None:
+        t = (t.withColumn("_bc", F.count(F.lit(1)).over(
+                Window.partitionBy("__bi", "__k")))
+             .filter(F.col("_bc") <= max_bucket).drop("_bc"))
+    a_, b_ = t.alias("a"), t.alias("b")
+    cand = (a_.join(b_, on=["__bi", "__k"])
+            .filter(F.col("a.clip_id") < F.col("b.clip_id"))
+            .select(F.col("a.clip_id").alias("id_a"),
+                    F.col("b.clip_id").alias("id_b"),
+                    F.col("a.hash").alias("h_a"),
+                    F.col("b.hash").alias("h_b"))
+            .distinct()
+            .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                    <= max_hamming))
+    matches = cand.groupBy("id_a", "id_b").agg(
+        F.countDistinct("h_a").alias("matches"))
+    counts = uniq.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n"))
+    return (matches
+            .join(counts.withColumnRenamed("clip_id", "id_a")
+                  .withColumnRenamed("n", "n_a"), on="id_a")
+            .join(counts.withColumnRenamed("clip_id", "id_b")
+                  .withColumnRenamed("n", "n_b"), on="id_b")
+            .withColumn("score", F.col("matches") / F.least("n_a", "n_b"))
+            .filter((F.col("score") >= threshold)
+                    & (F.col("matches") >= min_matches))
+            .select("id_a", "id_b", "matches",
+                    F.round("score", 6).alias("score")))
+
+
+def video_near_dup(
+    df: DataFrame,
+    threshold: float = 0.6,
+    max_hamming: int = 3,
+    min_matches: int = 1,
+    max_bucket: int = 500,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    **fp_kw,
+) -> DataFrame:
+    """Near-duplicate video pairs (id_a, id_b, matches, score): one decode
+    pass to frame-hash rows, then video_fp_near_dup's Hamming-tolerant
+    block join."""
+    fp = video_fingerprints(df, id_col=id_col, bytes_col=bytes_col, **fp_kw)
+    return video_fp_near_dup(fp, threshold=threshold,
+                             max_hamming=max_hamming,
+                             min_matches=min_matches, max_bucket=max_bucket)
+
+
+def video_cross_contamination(
+    corpus_fp: DataFrame,
+    eval_fp: DataFrame,
+    threshold: float = 0.6,
+    max_hamming: int = 3,
+    max_eval_bucket: int = 50,
+) -> DataFrame:
+    """Eval-set contamination for VIDEO: (clip_id, eval_id, matches, score)
+    for corpus videos whose frame dHashes lie within ``max_hamming`` bits
+    of an eval video's — Hamming-tolerant (JPEG re-encode drift) where the
+    audio analog can join on exact hash equality. The eval side is
+    benchmark-sized and **broadcast** after a per-(block, key) bucket cap
+    (solid/static-frame masses): the corpus probe is map-side, zero corpus
+    shuffle. Score = matched distinct corpus frame hashes / min(|clip|,
+    |eval|)."""
+    from pyspark.sql import Window
+
+    cu = (corpus_fp.filter(F.col("hash").isNotNull())
+          .select("clip_id", "hash").distinct())
+    eu = (eval_fp.filter(F.col("hash").isNotNull())
+          .select(F.col("clip_id").alias("eval_id"),
+                  F.col("hash").alias("eval_hash")).distinct())
+    ce = cu.select("clip_id", "hash",
+                   F.posexplode(_block_keys("hash")).alias("__bi", "__k"))
+    ee = (eu.select("eval_id", "eval_hash",
+                    F.posexplode(_block_keys("eval_hash"))
+                    .alias("__bi", "__k"))
+          .withColumn("_bc", F.count(F.lit(1)).over(
+              Window.partitionBy("__bi", "__k")))
+          .filter(F.col("_bc") <= max_eval_bucket).drop("_bc"))
+    cand = (ce.join(F.broadcast(ee), on=["__bi", "__k"])
+            .select("clip_id", "eval_id", "hash", "eval_hash")
+            .distinct()
+            .filter(F.bit_count(
+                F.col("hash").bitwiseXOR(F.col("eval_hash")))
+                <= max_hamming))
+    matches = cand.groupBy("clip_id", "eval_id").agg(
+        F.countDistinct("hash").alias("matches"))
+    n_c = cu.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_c"))
+    n_e = eu.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_e"))
+    return (matches.join(n_c, on="clip_id")
+            .join(F.broadcast(n_e), on="eval_id")
+            .withColumn("score", F.col("matches") / F.least("n_c", "n_e"))
+            .filter(F.col("score") >= threshold)
+            .select("clip_id", "eval_id", "matches",
+                    F.round("score", 6).alias("score")))
+
+
+def video_contaminated_ids(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    **kw,
+) -> DataFrame:
+    """Distinct corpus video ids visually contaminated by an eval set:
+    frame-hash both sides (one decode pass each), broadcast the
+    benchmark-sized eval frame, probe map-side — zero corpus shuffle."""
+    cfp = video_fingerprints(corpus, id_col=id_col, bytes_col=bytes_col)
+    efp = video_fingerprints(eval_df, id_col=id_col, bytes_col=bytes_col)
+    return (video_cross_contamination(cfp, efp, threshold=threshold, **kw)
+            .select(F.col("clip_id").alias("id")).distinct())

@@ -242,3 +242,95 @@ def test_cli_image_and_video_commands(tmp_path, capsys, spark):
     meta = {r["id"]: r for r in spark.read.parquet(out2).collect()}
     assert meta["v"]["n_frames"] == 3 and meta["v"]["fps"] == 10.0
     assert meta["bad"]["decode_error"] is not None
+
+
+# ---------------------------------------------------------------------------
+# video perceptual fingerprints: near-dup + decontam
+# ---------------------------------------------------------------------------
+
+def _scene(n, seed, h=24, w=32):
+    """n smooth frames with per-frame drift (distinct dHashes per video)."""
+    rng = np.random.default_rng(seed)
+    ctrl = rng.uniform(0, 255, (5, 6, 3))
+    out = []
+    for t in range(n):
+        c = np.clip(ctrl + rng.uniform(-6, 6, ctrl.shape) + t * 2, 0, 255)
+        yi, xi = np.linspace(0, 4, h), np.linspace(0, 5, w)
+        fr = np.empty((h, w, 3))
+        for ch in range(3):
+            col = np.array([np.interp(xi, np.arange(6), c[r, :, ch])
+                            for r in range(5)])
+            fr[..., ch] = np.array([np.interp(yi, np.arange(5), col[:, j])
+                                    for j in range(w)]).T
+        out.append(fr.astype(np.uint8))
+    return out
+
+
+def test_video_fingerprints_shape_and_audit(spark):
+    from dcspark.imagefp import video_fingerprints
+
+    rows = [("v", bytearray(avi_bytes(_scene(5, 1), fps=10.0))),
+            ("bad", bytearray(b"junk"))]
+    fp = video_fingerprints(
+        spark.createDataFrame(rows, "id string, bytes binary"))
+    got = fp.collect()
+    vrows = [r for r in got if r["clip_id"] == "v"]
+    assert len(vrows) == 5 and all(r["hash"] is not None for r in vrows)
+    bad = [r for r in got if r["clip_id"] == "bad"]
+    assert len(bad) == 1 and bad[0]["decode_error"] is not None
+
+
+def test_video_near_dup_finds_reencode(spark):
+    from dcspark.imagefp import video_near_dup
+
+    rows = [(f"v-{i}", bytearray(avi_bytes(_scene(6, 10 + i), fps=10.0)))
+            for i in range(6)]
+    # re-encode of v-0's frames at lower quality -> same frame dHashes
+    rows.append(("v-re", bytearray(avi_bytes(_scene(6, 10), fps=10.0,
+                                             quality=60))))
+    df = spark.createDataFrame(rows, "id string, bytes binary")
+    pairs = video_near_dup(df, threshold=0.6).collect()
+    assert {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs} == {
+        ("v-0", "v-re")}
+    assert all(r["score"] >= 0.6 for r in pairs)
+
+
+def test_video_contaminated_ids(spark):
+    from dcspark.imagefp import video_contaminated_ids
+
+    corpus = spark.createDataFrame(
+        [(f"v-{i}", bytearray(avi_bytes(_scene(5, 20 + i), fps=12.0)))
+         for i in range(5)], "id string, bytes binary")
+    evals = spark.createDataFrame(
+        [("bench", bytearray(avi_bytes(_scene(5, 500), fps=12.0))),
+         ("leak", bytearray(avi_bytes(_scene(5, 22), fps=12.0, quality=70)))],
+        "id string, bytes binary")
+    ids = [r["id"] for r in video_contaminated_ids(corpus, evals).collect()]
+    assert ids == ["v-2"]
+
+
+def test_video_contamination_broadcast_plan(spark):
+    """The video corpus probe must be a broadcast hash join — zero corpus
+    shuffle (eval side benchmark-sized by assumption)."""
+    from dcspark.imagefp import video_cross_contamination, video_fingerprints
+
+    corpus = spark.createDataFrame(
+        [("v", bytearray(avi_bytes(_scene(3, 1), fps=10.0)))],
+        "id string, bytes binary")
+    # the eval set contains a re-encode of the corpus video so the report
+    # is non-empty — AQE collapses an empty result to EmptyRelation, which
+    # would erase the joins this gate inspects
+    evals = spark.createDataFrame(
+        [("e", bytearray(avi_bytes(_scene(3, 1), fps=10.0, quality=70)))],
+        "id string, bytes binary")
+    rep = video_cross_contamination(
+        video_fingerprints(corpus), video_fingerprints(evals))
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    # the probe (corpus x eval) join must not sort-merge the corpus side;
+    # the n_c/n_e count attachments may shuffle tiny pair/count frames only
+    probe_smj = [l for l in plan.splitlines()
+                 if "SortMergeJoin" in l and "__k" in l]
+    assert not probe_smj, probe_smj
