@@ -2499,6 +2499,65 @@ models:
         "quality_ids_ok boolean, pair_ids_ok boolean")
 
 
+def q_image_hash_block_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The dHash blocked-Hamming join (imagefp.near_dup_pairs_from_fp) under
+    an EXACT DuckDB oracle: decode is not SQL-expressible, but the join
+    logic is — so this query synthesizes deterministic 60-bit hashes from
+    md5(doc_id) over the documents table, plants a Hamming-1 twin for every
+    50th id, and runs the posexploded 16-bit-block equi-join + bucket guard
+    + exact-Hamming verify. The oracle reproduces hash synthesis (hex-digit
+    positional sum), block keys, the per-(block, key) bucket cap, and
+    bit_count(xor) verification — hash-green means the candidate-generation
+    and verification semantics match bit-for-bit."""
+    from dcspark import imagefp
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("did"))
+    val = F.conv(
+        F.substring(F.md5(F.col("did").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = docs.select(F.concat(F.lit("im-"), F.col("did")).alias("id"),
+                       val.alias("dhash"))
+    dups = docs.filter(F.col("did") % 50 == 0).select(
+        F.concat(F.lit("dup-"), F.col("did")).alias("id"),
+        val.bitwiseXOR(F.lit(1)).alias("dhash"))
+    fp = base.unionByName(dups)
+    return imagefp.near_dup_pairs_from_fp(
+        fp, max_hamming=3, max_bucket=1000).orderBy("id_a", "id_b")
+
+
+_HEXVAL_SUM = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) * {16 ** (15 - j)}"
+    for j in range(1, 16))
+
+SQL_IMAGE_HASH_BLOCK_JOIN = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) did FROM documents),
+hx AS (SELECT did, substr(md5(CAST(did AS VARCHAR)), 1, 15) h FROM ids),
+val AS (SELECT did, CAST({_HEXVAL_SUM} AS BIGINT) v FROM hx),
+fp AS (
+  SELECT 'im-' || did AS id, v AS dhash FROM val
+  UNION ALL
+  SELECT 'dup-' || did AS id, xor(v, 1) AS dhash FROM val WHERE did % 50 = 0
+),
+keys AS (
+  SELECT id, dhash, t.b, (dhash >> (16 * t.b)) & 65535 AS k
+  FROM fp, (VALUES (0), (1), (2), (3)) t(b)
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY b, k) c FROM keys
+  ) WHERE c <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b, a.dhash ha, bb.dhash hb
+  FROM kept a JOIN kept bb ON a.b = bb.b AND a.k = bb.k AND a.id < bb.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_video_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Video near-duplicate detection + eval-set decontamination
     (dcspark/imagefp.py video_fingerprints / video_fp_near_dup /
@@ -2951,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_contract": q_video_contract,
         "image_decontam": q_image_decontam,
         "video_near_dup": q_video_near_dup,
+        "image_hash_block_join": q_image_hash_block_join,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -3002,6 +3062,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_categorical_psi": SQL_DRIFT_CATEGORICAL_PSI,
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),
+        "image_hash_block_join": SQL_IMAGE_HASH_BLOCK_JOIN,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
