@@ -185,6 +185,11 @@ OPERATOR_QUERIES = [
     "video_mjpeg_frames",
     "image_dhash_near_dup",
     "image_decode_contract",
+    "image_family_contract",
+    "image_hash_block_join",
+    "image_decontam",
+    "video_decode_contract",
+    "video_near_dup",
     "group_threshold_checks",
 ]
 
