@@ -108,14 +108,29 @@ def block_key_expr(vec: Column, dim: int, block: int, blk_bits: int) -> Column:
     endian. Bit ``j`` of block ``b`` uses global hyperplane index ``b*blk_bits
     + j`` — numerically identical to slicing a single ``bits``-bit signature,
     but never materializes a >32-bit integer (so 64-bit signatures are safe in
-    both Spark and the DuckDB oracle)."""
-    acc = F.lit(0).cast("long")
-    for j in range(blk_bits):
-        plane = F.array(*[
-            F.lit(_hyperplane_component(block * blk_bits + j, d)) for d in range(dim)
-        ])
-        acc = acc + (dot_expr(vec, plane) > 0).cast("long") * F.lit(1 << j)
-    return acc
+    both Spark and the DuckDB oracle).
+
+    The plane matrix and bit weights are baked as SQL literal strings parsed
+    JVM-side in ONE call each, and the key is a single ``zip_with`` +
+    ``aggregate`` fold over (plane, weight) rows — the naive per-bit
+    ``F.array(*[F.lit(...)])`` form costs O(blk_bits * dim) py4j round-trips
+    (~4s of driver time at bits=64, dim=64) for the exact same arithmetic:
+    each dot product folds in index order and the key accumulates j=0 upward,
+    so the result is bit-identical."""
+    matrix_sql = "array({})".format(",".join(
+        "array({})".format(",".join(
+            f"{_hyperplane_component(block * blk_bits + j, d)!r}D" for d in range(dim)
+        )) for j in range(blk_bits)
+    ))
+    weights_sql = "array({})".format(",".join(
+        f"CAST({1 << j} AS BIGINT)" for j in range(blk_bits)
+    ))
+    bit_terms = F.zip_with(
+        F.expr(matrix_sql), F.expr(weights_sql),
+        lambda plane, w: F.when(dot_expr(vec, plane) > 0, w)
+                          .otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bit_terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def _block_candidates(
