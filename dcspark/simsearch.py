@@ -103,6 +103,23 @@ def near_dup_pairs_exact(
     )
 
 
+def _matrix_expr(rows: List[List[float]]) -> Column:
+    """A literal array<array<double>> built as ONE SQL string parsed JVM-side.
+
+    The naive ``F.array(*[F.array(*[F.lit(x) ...]) ...])`` form costs one py4j
+    round-trip per element — seconds of driver time for a 64x64 hyperplane
+    matrix. ``repr(float)`` round-trips exactly and Spark's double-literal
+    parse is correctly rounded, so the values are bit-identical."""
+    return F.expr("array({})".format(",".join(
+        "array({})".format(",".join(f"{x!r}D" for x in row)) for row in rows
+    )))
+
+
+def _int_array_expr(vals: Sequence[int], typ: str = "INT") -> Column:
+    """A literal integer array built as one JVM-parsed SQL string."""
+    return F.expr("array({})".format(",".join(f"CAST({v} AS {typ})" for v in vals)))
+
+
 def block_key_expr(vec: Column, dim: int, block: int, blk_bits: int) -> Column:
     """Block ``block``'s LSH key: ``blk_bits`` hyperplane signs packed little-
     endian. Bit ``j`` of block ``b`` uses global hyperplane index ``b*blk_bits
@@ -117,16 +134,13 @@ def block_key_expr(vec: Column, dim: int, block: int, blk_bits: int) -> Column:
     (~4s of driver time at bits=64, dim=64) for the exact same arithmetic:
     each dot product folds in index order and the key accumulates j=0 upward,
     so the result is bit-identical."""
-    matrix_sql = "array({})".format(",".join(
-        "array({})".format(",".join(
-            f"{_hyperplane_component(block * blk_bits + j, d)!r}D" for d in range(dim)
-        )) for j in range(blk_bits)
-    ))
-    weights_sql = "array({})".format(",".join(
-        f"CAST({1 << j} AS BIGINT)" for j in range(blk_bits)
-    ))
+    planes = [
+        [_hyperplane_component(block * blk_bits + j, d) for d in range(dim)]
+        for j in range(blk_bits)
+    ]
     bit_terms = F.zip_with(
-        F.expr(matrix_sql), F.expr(weights_sql),
+        _matrix_expr(planes),
+        _int_array_expr([1 << j for j in range(blk_bits)], "BIGINT"),
         lambda plane, w: F.when(dot_expr(vec, plane) > 0, w)
                           .otherwise(F.lit(0).cast("long")),
     )
@@ -285,9 +299,7 @@ def ivf_train_centroids(
 
 def cell_expr(vec: Column, cents: List[List[float]]) -> Column:
     """1-based IVF cell id: argmax-dot-product centroid (first max on ties)."""
-    dots = F.array(*[
-        dot_expr(vec, F.array(*[F.lit(x) for x in cent])) for cent in cents
-    ])
+    dots = F.transform(_matrix_expr(cents), lambda cent: dot_expr(vec, cent))
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
 
@@ -320,13 +332,13 @@ def ivf_topk(
     probes = corpus.filter(F.col("vec_id").isin(list(query_ids)))
     # top-nprobe cells per probe: sort (dot, -cell) structs desc -> dot desc,
     # cell asc on ties (matches the SQL oracle's ORDER BY d DESC, cell)
-    cand_structs = F.array(*[
-        F.struct(
-            dot_expr(F.col("v"), F.array(*[F.lit(x) for x in cent])).alias("d"),
-            F.lit(-(i + 1)).alias("negcell"),
-        )
-        for i, cent in enumerate(cents)
-    ])
+    cand_structs = F.zip_with(
+        _matrix_expr(cents),
+        _int_array_expr([-(i + 1) for i in range(len(cents))]),
+        lambda cent, negcell: F.struct(
+            dot_expr(F.col("v"), cent).alias("d"), negcell.alias("negcell")
+        ),
+    )
     probes = probes.select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("q"),
@@ -363,12 +375,13 @@ def _hyperplane_component(bit: int, dim: int) -> float:
 
 def signature_expr(vec: Column, dim: int, bits: int = 8) -> Column:
     """Random-hyperplane LSH signature (int) for an array<double> column."""
-    acc = F.lit(0)
-    for b in range(bits):
-        plane = F.array(*[F.lit(_hyperplane_component(b, d)) for d in range(dim)])
-        proj = dot_expr(vec, plane)
-        acc = acc + (proj > 0).cast("int") * F.lit(1 << b)
-    return acc
+    planes = [[_hyperplane_component(b, d) for d in range(dim)] for b in range(bits)]
+    bit_terms = F.zip_with(
+        _matrix_expr(planes),
+        _int_array_expr([1 << b for b in range(bits)]),
+        lambda plane, w: F.when(dot_expr(vec, plane) > 0, w).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bit_terms, F.lit(0), lambda acc, x: acc + x)
 
 
 def lsh_topk(
