@@ -2558,6 +2558,99 @@ ORDER BY id_a, id_b
 """
 
 
+def q_audio_fp_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The audio fingerprint near-dup JOIN (audiofp.audio_fingerprint_near_dup)
+    under an EXACT DuckDB oracle — the audio analog of image_hash_block_join:
+    decode + spectral fingerprinting are not SQL-expressible, but the
+    candidate join is. Synthesizes a deterministic fingerprint table from
+    md5(doc_id, frame) over the documents table (4-8 frames per clip), plants
+    a near-dup clip for every 39th id sharing all-but-one frame hash, and a
+    degenerate "silence" hash shared by every 7th clip — at sf0.01 that
+    bucket exceeds max_bucket=50 and the hot-bucket guard must drop it. The
+    oracle reproduces distinct, windowed bucket cap, shared-hash equi-join,
+    and matches/min-count scoring bit-for-bit, so hash-green pins the join
+    semantics of the audio near-dup family."""
+    from dcspark import audiofp
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("did"))
+    n_last = F.lit(3) + F.col("did") % 5  # frames t = 0..n_last (4-8 frames)
+
+    def h(t_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("did").cast("string"), F.lit("_"),
+                               t_col.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+
+    frames = docs.select("did", n_last.alias("nl"),
+                         F.explode(F.sequence(F.lit(0), n_last)).alias("t"))
+    base = frames.select(
+        F.concat(F.lit("au-"), F.col("did")).alias("clip_id"),
+        h(F.col("t")).alias("hash"))
+    hot = docs.filter(F.col("did") % 7 == 0).select(
+        F.concat(F.lit("au-"), F.col("did")).alias("clip_id"),
+        F.lit(42).cast("long").alias("hash"))
+    dups = frames.filter((F.col("did") % 39 == 0) & (F.col("t") < F.col("nl"))).select(
+        F.concat(F.lit("dup-"), F.col("did")).alias("clip_id"),
+        h(F.col("t")).alias("hash"))
+    dup_extra = docs.filter(F.col("did") % 39 == 0).select(
+        F.concat(F.lit("dup-"), F.col("did")).alias("clip_id"),
+        h(F.lit(999)).alias("hash"))
+    fp = base.unionByName(hot).unionByName(dups).unionByName(dup_extra)
+    return audiofp.audio_fingerprint_near_dup(
+        fp, threshold=0.35, min_matches=1, max_bucket=50
+    ).orderBy("id_a", "id_b")
+
+
+SQL_AUDIO_FP_JOIN = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) did FROM documents),
+frames AS (
+  SELECT did, CAST(3 + did % 5 AS BIGINT) nl,
+         unnest(generate_series(0, CAST(3 + did % 5 AS BIGINT))) AS t
+  FROM ids
+),
+hx AS (
+  SELECT did, nl, t,
+         substr(md5(CAST(did AS VARCHAR) || '_' || CAST(t AS VARCHAR)), 1, 15) h
+  FROM frames
+),
+hv AS (SELECT did, nl, t, CAST({_HEXVAL_SUM} AS BIGINT) v FROM hx),
+fp AS (
+  SELECT 'au-' || did AS clip_id, v AS hash FROM hv
+  UNION ALL
+  SELECT 'au-' || did, 42 FROM ids WHERE did % 7 = 0
+  UNION ALL
+  SELECT 'dup-' || did, v FROM hv WHERE did % 39 = 0 AND t < nl
+  UNION ALL
+  SELECT 'dup-' || did,
+         CAST({_HEXVAL_SUM.replace("substr(h,", "substr(h9,")} AS BIGINT)
+  FROM (SELECT did, substr(md5(CAST(did AS VARCHAR) || '_999'), 1, 15) h9
+        FROM ids WHERE did % 39 = 0)
+),
+uniq AS (SELECT DISTINCT clip_id, hash FROM fp),
+kept AS (
+  SELECT clip_id, hash FROM (
+    SELECT *, count(*) OVER (PARTITION BY hash) c FROM uniq
+  ) WHERE c <= 50
+),
+counts AS (SELECT clip_id, count(*) n FROM kept GROUP BY clip_id),
+pairs AS (
+  SELECT a.clip_id id_a, b.clip_id id_b, CAST(count(*) AS BIGINT) matches
+  FROM kept a JOIN kept b ON a.hash = b.hash AND a.clip_id < b.clip_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.matches,
+       round(CAST(p.matches AS DOUBLE) / least(ca.n, cb.n), 6) AS score
+FROM pairs p
+JOIN counts ca ON ca.clip_id = p.id_a
+JOIN counts cb ON cb.clip_id = p.id_b
+WHERE CAST(p.matches AS DOUBLE) / least(ca.n, cb.n) >= 0.35 AND p.matches >= 1
+ORDER BY id_a, id_b
+"""
+
+
 def q_video_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Video near-duplicate detection + eval-set decontamination
     (dcspark/imagefp.py video_fingerprints / video_fp_near_dup /
@@ -3011,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decontam": q_image_decontam,
         "video_near_dup": q_video_near_dup,
         "image_hash_block_join": q_image_hash_block_join,
+        "audio_fp_join": q_audio_fp_join,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -3063,6 +3157,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_allpairs": SQL_JACCARD_ALLPAIRS,
         "simhash_fingerprints": _sql_simhash(),
         "image_hash_block_join": SQL_IMAGE_HASH_BLOCK_JOIN,
+        "audio_fp_join": SQL_AUDIO_FP_JOIN,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),

@@ -187,6 +187,7 @@ OPERATOR_QUERIES = [
     "image_decode_contract",
     "image_family_contract",
     "image_hash_block_join",
+    "audio_fp_join",
     "image_decontam",
     "video_decode_contract",
     "video_near_dup",
