@@ -2651,6 +2651,199 @@ ORDER BY id_a, id_b
 """
 
 
+def q_audio_fp_decontam_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The audio eval-set contamination JOIN (audiofp.audio_cross_contamination)
+    under an EXACT DuckDB oracle. Same synthesized md5 fingerprint corpus as
+    audio_fp_join; the eval side is every 23rd clip TRUNCATED by one frame
+    plus one eval-only hash (so score = nl/(nl+1), varied denominators) plus
+    a degenerate hash 77 carried by every eval clip — with max_eval_bucket=5
+    and 22 eval clips the non-discriminative bucket must be dropped, and the
+    per-eval count n_e is taken AFTER the drop (the implementation's
+    semantics; the oracle mirrors it). Pins broadcast-probe scoring for the
+    audio decontam family bit-for-bit."""
+    from dcspark import audiofp
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("did"))
+    n_last = F.lit(3) + F.col("did") % 5
+
+    def h(t_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("did").cast("string"), F.lit("_"),
+                               t_col.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+
+    frames = docs.select("did", n_last.alias("nl"),
+                         F.explode(F.sequence(F.lit(0), n_last)).alias("t"))
+    corpus_fp = frames.select(
+        F.concat(F.lit("au-"), F.col("did")).alias("clip_id"),
+        h(F.col("t")).alias("hash"))
+    ev = F.concat(F.lit("ev-"), F.col("did")).alias("clip_id")
+    eval_fp = (
+        frames.filter((F.col("did") % 23 == 0) & (F.col("t") < F.col("nl")))
+        .select(ev, h(F.col("t")).alias("hash"))
+        .unionByName(docs.filter(F.col("did") % 23 == 0)
+                     .select(ev, h(F.lit(888)).alias("hash")))
+        .unionByName(docs.filter(F.col("did") % 23 == 0)
+                     .select(ev, F.lit(77).cast("long").alias("hash")))
+    )
+    return audiofp.audio_cross_contamination(
+        corpus_fp, eval_fp, threshold=0.35, min_matches=1, max_eval_bucket=5
+    ).orderBy("clip_id", "eval_id")
+
+
+SQL_AUDIO_FP_DECONTAM_JOIN = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) did FROM documents),
+frames AS (
+  SELECT did, CAST(3 + did % 5 AS BIGINT) nl,
+         unnest(generate_series(0, CAST(3 + did % 5 AS BIGINT))) AS t
+  FROM ids
+),
+hx AS (
+  SELECT did, nl, t,
+         substr(md5(CAST(did AS VARCHAR) || '_' || CAST(t AS VARCHAR)), 1, 15) h
+  FROM frames
+),
+hv AS (SELECT did, nl, t, CAST({_HEXVAL_SUM} AS BIGINT) v FROM hx),
+cu AS (SELECT DISTINCT 'au-' || did AS clip_id, v AS hash FROM hv),
+eval_fp AS (
+  SELECT 'ev-' || did AS eval_id, v AS hash FROM hv WHERE did % 23 = 0 AND t < nl
+  UNION ALL
+  SELECT 'ev-' || did,
+         CAST({_HEXVAL_SUM.replace("substr(h,", "substr(h8,")} AS BIGINT)
+  FROM (SELECT did, substr(md5(CAST(did AS VARCHAR) || '_888'), 1, 15) h8
+        FROM ids WHERE did % 23 = 0)
+  UNION ALL
+  SELECT 'ev-' || did, 77 FROM ids WHERE did % 23 = 0
+),
+eu AS (SELECT DISTINCT eval_id, hash FROM eval_fp),
+kept_e AS (
+  SELECT eval_id, hash FROM (
+    SELECT *, count(*) OVER (PARTITION BY hash) c FROM eu
+  ) WHERE c <= 5
+),
+n_c AS (SELECT clip_id, count(*) n FROM cu GROUP BY clip_id),
+n_e AS (SELECT eval_id, count(*) n FROM kept_e GROUP BY eval_id),
+pairs AS (
+  SELECT c.clip_id, e.eval_id, CAST(count(*) AS BIGINT) matches
+  FROM cu c JOIN kept_e e ON c.hash = e.hash
+  GROUP BY 1, 2
+)
+SELECT p.clip_id, p.eval_id, p.matches,
+       round(CAST(p.matches AS DOUBLE) / least(nc.n, ne.n), 6) AS score
+FROM pairs p
+JOIN n_c nc ON nc.clip_id = p.clip_id
+JOIN n_e ne ON ne.eval_id = p.eval_id
+WHERE CAST(p.matches AS DOUBLE) / least(nc.n, ne.n) >= 0.35 AND p.matches >= 1
+ORDER BY p.clip_id, p.eval_id
+"""
+
+
+def q_video_fp_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The video frame-hash near-dup JOIN (imagefp.video_fp_near_dup) under an
+    EXACT DuckDB oracle — pins the Hamming-TOLERANT sequence-scoring join that
+    image_hash_block_join's pairwise oracle does not cover: posexploded 16-bit
+    block keys, per-(block, key) bucket cap, exact-Hamming verify, matches =
+    matched DISTINCT corpus frame hashes, and per-clip counts taken BEFORE the
+    cap (the implementation's semantics — the cap prunes candidates, not the
+    denominator). Synthesizes 3-6 md5-derived frame hashes per clip, plants a
+    re-encode twin for every 33rd id (each frame drifted 1 bit; frame 0
+    drifted 4 bits, beyond max_hamming=3, so it must NOT match), and a solid
+    frame (hash 0) on every 9th clip — 56 clips share it, the (block, 0)
+    buckets exceed max_bucket=25 and must be dropped; twins of every 99th id
+    carry the solid frame on BOTH sides, so their score nl/(nl+2) straddles
+    the 0.6 threshold (nl=2 pairs are dropped, nl>=3 survive) — a
+    deterministic threshold-boundary probe in both engines."""
+    from dcspark import imagefp
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("did"))
+    n_last = F.lit(2) + F.col("did") % 4
+
+    def h(t_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("v"), F.col("did").cast("string"),
+                               F.lit("_"), t_col.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+
+    frames = docs.select("did", n_last.alias("nl"),
+                         F.explode(F.sequence(F.lit(0), n_last)).alias("t"))
+    vi = F.concat(F.lit("vi-"), F.col("did")).alias("clip_id")
+    re_ = F.concat(F.lit("re-"), F.col("did")).alias("clip_id")
+    drift = F.when(F.col("t") == 0, F.lit(15).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(t AS INT))"))
+    fp = (
+        frames.select(vi, h(F.col("t")).alias("hash"))
+        .unionByName(docs.filter(F.col("did") % 9 == 0)
+                     .select(vi, F.lit(0).cast("long").alias("hash")))
+        .unionByName(frames.filter(F.col("did") % 33 == 0)
+                     .select(re_, h(F.col("t")).bitwiseXOR(drift).alias("hash")))
+        .unionByName(docs.filter(F.col("did") % 99 == 0)
+                     .select(re_, F.lit(0).cast("long").alias("hash")))
+    )
+    return imagefp.video_fp_near_dup(
+        fp, threshold=0.6, max_hamming=3, min_matches=1, max_bucket=25
+    ).orderBy("id_a", "id_b")
+
+
+SQL_VIDEO_FP_JOIN = f"""
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) did FROM documents),
+frames AS (
+  SELECT did, CAST(2 + did % 4 AS BIGINT) nl,
+         unnest(generate_series(0, CAST(2 + did % 4 AS BIGINT))) AS t
+  FROM ids
+),
+hx AS (
+  SELECT did, nl, t,
+         substr(md5('v' || CAST(did AS VARCHAR) || '_' || CAST(t AS VARCHAR)), 1, 15) h
+  FROM frames
+),
+hv AS (SELECT did, nl, t, CAST({_HEXVAL_SUM} AS BIGINT) v FROM hx),
+fp AS (
+  SELECT 'vi-' || did AS clip_id, v AS hash FROM hv
+  UNION ALL
+  SELECT 'vi-' || did, 0 FROM ids WHERE did % 9 = 0
+  UNION ALL
+  SELECT 're-' || did,
+         xor(v, CASE WHEN t = 0 THEN 15 ELSE CAST(1 AS BIGINT) << CAST(t AS INT) END)
+  FROM hv WHERE did % 33 = 0
+  UNION ALL
+  SELECT 're-' || did, 0 FROM ids WHERE did % 99 = 0
+),
+uniq AS (SELECT DISTINCT clip_id, hash FROM fp),
+keys AS (
+  SELECT clip_id, hash, t.b, (hash >> (16 * t.b)) & 65535 AS k
+  FROM uniq, (VALUES (0), (1), (2), (3)) t(b)
+),
+kept AS (
+  SELECT clip_id, hash, b, k FROM (
+    SELECT *, count(*) OVER (PARTITION BY b, k) c FROM keys
+  ) WHERE c <= 25
+),
+cand AS (
+  SELECT DISTINCT a.clip_id id_a, bb.clip_id id_b, a.hash ha, bb.hash hb
+  FROM kept a JOIN kept bb ON a.b = bb.b AND a.k = bb.k AND a.clip_id < bb.clip_id
+),
+verified AS (SELECT * FROM cand WHERE bit_count(xor(ha, hb)) <= 3),
+matches AS (
+  SELECT id_a, id_b, CAST(count(DISTINCT ha) AS BIGINT) matches
+  FROM verified GROUP BY 1, 2
+),
+counts AS (SELECT clip_id, count(*) n FROM uniq GROUP BY clip_id)
+SELECT m.id_a, m.id_b, m.matches,
+       round(CAST(m.matches AS DOUBLE) / least(ca.n, cb.n), 6) AS score
+FROM matches m
+JOIN counts ca ON ca.clip_id = m.id_a
+JOIN counts cb ON cb.clip_id = m.id_b
+WHERE CAST(m.matches AS DOUBLE) / least(ca.n, cb.n) >= 0.6 AND m.matches >= 1
+ORDER BY id_a, id_b
+"""
+
+
 def q_video_near_dup(spark: SparkSession, _sf: str) -> DataFrame:
     """Video near-duplicate detection + eval-set decontamination
     (dcspark/imagefp.py video_fingerprints / video_fp_near_dup /
@@ -3105,6 +3298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dup": q_video_near_dup,
         "image_hash_block_join": q_image_hash_block_join,
         "audio_fp_join": q_audio_fp_join,
+        "audio_fp_decontam_join": q_audio_fp_decontam_join,
+        "video_fp_join": q_video_fp_join,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
         "audio_loudness_drift": q_audio_loudness_drift,
@@ -3158,6 +3353,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _sql_simhash(),
         "image_hash_block_join": SQL_IMAGE_HASH_BLOCK_JOIN,
         "audio_fp_join": SQL_AUDIO_FP_JOIN,
+        "audio_fp_decontam_join": SQL_AUDIO_FP_DECONTAM_JOIN,
+        "video_fp_join": SQL_VIDEO_FP_JOIN,
         "ann_cosine_topk": SQL_ANN_TOPK,
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),

@@ -188,6 +188,8 @@ OPERATOR_QUERIES = [
     "image_family_contract",
     "image_hash_block_join",
     "audio_fp_join",
+    "audio_fp_decontam_join",
+    "video_fp_join",
     "image_decontam",
     "video_decode_contract",
     "video_near_dup",
