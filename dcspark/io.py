@@ -77,6 +77,11 @@ def _read_files(
     )
     if sformat == "parquet":
         return spark.read.parquet(model_path)
+    if sformat == "orc":
+        # beyond-reference format (the reference's server.format stops at
+        # delta); ORC ships in Spark core, with the same pushdown/pruning
+        # behavior as parquet, so warehouse-side ORC lakes validate natively
+        return spark.read.orc(model_path)
     if sformat == "delta":
         return spark.read.format("delta").load(model_path)
     schema = to_spark_schema(spec.models[model_name])

@@ -257,3 +257,26 @@ def test_jdbc_derby_detects_violations(spark):
     failed = {c.key for c in res.run.checks if c.result == ResultEnum.failed}
     assert "users__email__field_regex" in failed
     assert "users__age__field_maximum" in failed
+
+
+def test_orc_source_end_to_end(spark, tmp_path):
+    """ORC lake -> contract validation, end to end: write a real ORC file,
+    declare a local server with format orc, and run the full engine path.
+    ORC ships in Spark core (unlike delta/iceberg in this sandbox), with
+    parquet-equivalent pushdown, so this is a live-format row, not a gated
+    one."""
+    from dcspark import ValidationConfig, validate
+    from dcspark.io import load_tables
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "user_id long, page string"
+    ).coalesce(1).write.mode("overwrite").orc(str(tmp_path / "clicks.orc"))
+    spec = DataContractSpecification.from_string(
+        CONTRACT
+        + f"\nservers:\n  lake:\n    type: local\n    format: orc\n    path: {tmp_path}\n"
+    )
+    tables = load_tables(spark, spec, "lake")
+    assert tables["clicks"].count() == 3
+    res = validate(spark, spec, tables, ValidationConfig())
+    by_key = {c.key: c.result for c in res.run.checks}
+    assert str(by_key["clicks__user_id__field_required"]) == "ResultEnum.passed"
