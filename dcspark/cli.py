@@ -383,6 +383,37 @@ def cmd_audio(args: argparse.Namespace) -> int:
             df, frame_ms=args.frame_ms, energy_floor_dbfs=args.floor_dbfs,
             min_silence_ms=args.min_silence_ms, min_speech_ms=args.min_speech_ms)
         label = f"speech segments (floor {args.floor_dbfs} dBFS)"
+    elif args.action == "fingerprint":
+        from . import audiofp
+
+        out = audiofp.audio_fingerprints(df)
+        label = "band-occupancy acoustic fingerprints"
+    elif args.action == "neardup":
+        from . import audiofp, pipeline_ckpt
+
+        if args.checkpoint:
+            out = pipeline_ckpt.audio_near_dup_resumable(
+                df, args.checkpoint, threshold=args.threshold)
+        else:
+            out = audiofp.audio_near_dup(df, threshold=args.threshold)
+        label = f"acoustic near-dup pairs (overlap >= {args.threshold})"
+    elif args.action == "decontam":
+        from . import audiofp, pipeline_ckpt
+
+        if not args.eval:
+            print("audio decontam requires --eval <benchmark parquet>")
+            return 2
+        ev = spark.read.parquet(args.eval).select(
+            F.col(args.id_col).alias("clip_id"),
+            F.col(args.bytes_col).alias("bytes"))
+        if args.checkpoint:
+            out = pipeline_ckpt.audio_decontam_resumable(
+                df, ev, args.checkpoint, threshold=args.threshold
+            ).select("clip_id").distinct()
+        else:
+            out = audiofp.audio_contaminated_ids(
+                df, ev, threshold=args.threshold)
+        label = f"acoustically contaminated ids (overlap >= {args.threshold})"
     else:  # chunk
         out = aops.audio_chunks(
             df, win_ms=args.win_ms, hop_ms=args.hop_ms,
@@ -451,8 +482,15 @@ def cmd_image(args: argparse.Namespace) -> int:
             df, ev, max_hamming=args.max_hamming)
         label = f"visually contaminated ids (Hamming <= {args.max_hamming})"
     else:  # neardup
-        out = imagefp.image_near_dup(
-            df, max_hamming=args.max_hamming, max_bucket=args.max_bucket)
+        if args.checkpoint:
+            from . import pipeline_ckpt
+
+            out = pipeline_ckpt.image_near_dup_resumable(
+                df, args.checkpoint, max_hamming=args.max_hamming,
+                max_bucket=args.max_bucket)
+        else:
+            out = imagefp.image_near_dup(
+                df, max_hamming=args.max_hamming, max_bucket=args.max_bucket)
         label = f"near-dup pairs (Hamming <= {args.max_hamming})"
     return _write_and_report(spark, out, "image", args.action, label,
                              args.output)
@@ -479,7 +517,13 @@ def cmd_video(args: argparse.Namespace) -> int:
     elif args.action == "neardup":
         from . import imagefp
 
-        out = imagefp.video_near_dup(df, threshold=args.threshold)
+        if args.checkpoint:
+            from . import pipeline_ckpt
+
+            out = pipeline_ckpt.video_near_dup_resumable(
+                df, args.checkpoint, threshold=args.threshold)
+        else:
+            out = imagefp.video_near_dup(df, threshold=args.threshold)
         label = f"near-dup pairs (frame-hash overlap >= {args.threshold})"
     elif args.action == "decontam":
         from . import imagefp
@@ -859,9 +903,17 @@ def main(argv: Optional[list] = None) -> int:
     dc.add_argument("--shuffle-partitions", type=int, default=None)
 
     au = sub.add_parser(
-        "audio", help="audio corpus actions: transcode | segment | chunk | features | augment | census")
+        "audio", help="audio corpus actions: transcode | segment | chunk | features | augment | census | fingerprint | neardup | decontam")
     au.add_argument("action",
-                    choices=["transcode", "segment", "chunk", "features", "augment", "census"])
+                    choices=["transcode", "segment", "chunk", "features", "augment", "census",
+                             "fingerprint", "neardup", "decontam"])
+    au.add_argument("--eval", default=None,
+                    help="decontam: benchmark clips parquet")
+    au.add_argument("--threshold", type=float, default=0.35,
+                    help="neardup/decontam: fingerprint overlap score floor")
+    au.add_argument("--checkpoint", default=None,
+                    help="neardup/decontam: stage-checkpoint dir; rerun "
+                         "resumes past the decode")
     au.add_argument("--input", required=True, help="clips parquet path")
     au.add_argument("--output", required=True, help="result parquet path")
     au.add_argument("--id-col", default="clip_id")
@@ -923,6 +975,9 @@ def main(argv: Optional[list] = None) -> int:
                     help="neardup: dHash Hamming radius (0..3)")
     im.add_argument("--max-bucket", type=int, default=1000,
                     help="neardup: per-block bucket cap")
+    im.add_argument("--checkpoint", default=None,
+                    help="neardup: stage-checkpoint dir; rerun resumes past "
+                         "the decode")
     im.add_argument("--master", default=None)
     im.add_argument("--shuffle-partitions", type=int, default=None)
 
@@ -941,6 +996,9 @@ def main(argv: Optional[list] = None) -> int:
     vd.add_argument("--every-n", type=int, default=5,
                     help="frames: sample every n-th frame")
     vd.add_argument("--max-frames", type=int, default=8)
+    vd.add_argument("--checkpoint", default=None,
+                    help="neardup: stage-checkpoint dir; rerun resumes past "
+                         "the decode")
     vd.add_argument("--master", default=None)
     vd.add_argument("--shuffle-partitions", type=int, default=None)
 

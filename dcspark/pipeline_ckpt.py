@@ -180,3 +180,130 @@ def contamination_resumable(
         )
 
     return ck.stage("report", build_report)
+
+
+def audio_near_dup_resumable(
+    df: DataFrame,
+    ckpt_dir: str,
+    threshold: float = 0.35,
+    min_matches: int = 1,
+    max_bucket: int = 500,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    **fp_kwargs,
+) -> DataFrame:
+    """:func:`dcspark.audiofp.audio_near_dup` with stage checkpoints.
+
+    Stages: ``fingerprints`` (the decode+FFT pass — at 10^12 clips the
+    dominant cost by orders of magnitude) and ``pairs`` (bucket-capped
+    shared-hash join, stored UNTHRESHOLDED). ``threshold``/``min_matches``
+    apply at read time, so one checkpointed join serves any threshold sweep;
+    the read-time filter sees the stored 6-decimal-rounded score (a 1e-6
+    boundary sliver vs the one-shot operator, documented tradeoff). A changed
+    fingerprint parameter or input invalidates everything; a changed
+    ``max_bucket`` invalidates only via the signature (both stages, by
+    design: candidates depend on it)."""
+    from . import audiofp
+
+    ck = StageCheckpoint(df.sparkSession, ckpt_dir, {
+        "op": "audio_near_dup", "max_bucket": max_bucket,
+        "fp": dict(sorted(fp_kwargs.items())),
+        "input": input_lineage(df),
+    })
+    fp = ck.stage("fingerprints", lambda: audiofp.audio_fingerprints(
+        df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
+    pairs = ck.stage("pairs", lambda: audiofp.audio_fingerprint_near_dup(
+        fp, threshold=0.0, min_matches=1, max_bucket=max_bucket))
+    return pairs.filter(
+        (F.col("score") >= threshold) & (F.col("matches") >= min_matches))
+
+
+def audio_decontam_resumable(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    ckpt_dir: str,
+    threshold: float = 0.35,
+    min_matches: int = 1,
+    max_eval_bucket: int = 50,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    **fp_kwargs,
+) -> DataFrame:
+    """:func:`dcspark.audiofp.audio_cross_contamination` end-to-end with
+    stage checkpoints: ``eval_fp`` (cheap, pins the benchmark), ``corpus_fp``
+    (the expensive corpus decode), ``report`` (broadcast probe, stored
+    unthresholded; threshold/min_matches filter at read time). A killed
+    10^12-clip decontam run resumes after the last completed decode instead
+    of re-decoding the corpus."""
+    from . import audiofp
+
+    ck = StageCheckpoint(corpus.sparkSession, ckpt_dir, {
+        "op": "audio_decontam", "max_eval_bucket": max_eval_bucket,
+        "fp": dict(sorted(fp_kwargs.items())),
+        "input": input_lineage(corpus), "eval": input_lineage(eval_df),
+    })
+    efp = ck.stage("eval_fp", lambda: audiofp.audio_fingerprints(
+        eval_df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
+    cfp = ck.stage("corpus_fp", lambda: audiofp.audio_fingerprints(
+        corpus, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
+    report = ck.stage("report", lambda: audiofp.audio_cross_contamination(
+        cfp, efp, threshold=0.0, min_matches=1,
+        max_eval_bucket=max_eval_bucket))
+    return report.filter(
+        (F.col("score") >= threshold) & (F.col("matches") >= min_matches))
+
+
+def image_near_dup_resumable(
+    df: DataFrame,
+    ckpt_dir: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """:func:`dcspark.imagefp.image_near_dup` with stage checkpoints:
+    ``fingerprints`` (the image decode pass) and ``pairs`` (blocked Hamming
+    join). ``max_hamming`` shapes the candidate verify, so it lives in the
+    signature rather than a read-time filter."""
+    from . import imagefp
+
+    ck = StageCheckpoint(df.sparkSession, ckpt_dir, {
+        "op": "image_near_dup", "max_hamming": max_hamming,
+        "max_bucket": max_bucket, "input": input_lineage(df),
+    })
+    fp = ck.stage("fingerprints", lambda: imagefp.image_fingerprints(
+        df, id_col=id_col, bytes_col=bytes_col))
+    return ck.stage("pairs", lambda: imagefp.near_dup_pairs_from_fp(
+        fp.select(F.col(id_col).alias("id"), "dhash"),
+        max_hamming=max_hamming, max_bucket=max_bucket))
+
+
+def video_near_dup_resumable(
+    df: DataFrame,
+    ckpt_dir: str,
+    threshold: float = 0.6,
+    max_hamming: int = 3,
+    min_matches: int = 1,
+    max_bucket: int = 500,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    **fp_kwargs,
+) -> DataFrame:
+    """:func:`dcspark.imagefp.video_near_dup` with stage checkpoints:
+    ``fingerprints`` (MJPEG decode + per-frame dHash, the dominant cost) and
+    ``pairs`` (Hamming-tolerant block join, stored unthresholded —
+    threshold/min_matches at read time; ``max_hamming`` in the signature)."""
+    from . import imagefp
+
+    ck = StageCheckpoint(df.sparkSession, ckpt_dir, {
+        "op": "video_near_dup", "max_hamming": max_hamming,
+        "max_bucket": max_bucket, "fp": dict(sorted(fp_kwargs.items())),
+        "input": input_lineage(df),
+    })
+    fp = ck.stage("fingerprints", lambda: imagefp.video_fingerprints(
+        df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
+    pairs = ck.stage("pairs", lambda: imagefp.video_fp_near_dup(
+        fp, threshold=0.0, max_hamming=max_hamming, min_matches=1,
+        max_bucket=max_bucket))
+    return pairs.filter(
+        (F.col("score") >= threshold) & (F.col("matches") >= min_matches))

@@ -162,3 +162,181 @@ def test_cli_dedup_and_decontam_resumable(spark, docs, eval_df, tmp_path, capsys
                                    "contamination"}
     assert report.filter(F.col("contamination") > 0).count() == 1  # doc 3
     capsys.readouterr()
+
+
+# -- modality pipelines (audio / image / video fingerprint resume) ------------
+
+
+def _mix_tone(freqs, amps, sr=8000, n=8000, seed=0):
+    import numpy as np
+    t = np.arange(n) / sr
+    x = sum(a * np.sin(2 * np.pi * f * t) for f, a in zip(freqs, amps))
+    return (x / max(1e-9, np.abs(x).max()) * 20000).astype(np.int16)
+
+
+@pytest.fixture()
+def audio_clips(spark, tmp_path):
+    import numpy as np
+    from dcspark.synth import wav_bytes
+    rows = []
+    for i in range(8):
+        r = np.random.default_rng(500 + i)
+        pcm = _mix_tone(r.uniform(320, 2800, 3), r.uniform(0.3, 1.0, 3))
+        rows.append((f"c{i}", wav_bytes(pcm, 8000)))
+    base = _mix_tone([440, 880], [1.0, 0.5])
+    rows.append(("orig", wav_bytes(base, 8000)))
+    rows.append(("gain_dup", wav_bytes(
+        (base.astype(np.float32) * 0.5).astype(np.int16), 8000)))
+    p = str(tmp_path / "clips")
+    spark.createDataFrame(rows, "clip_id string, bytes binary").write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_audio_near_dup_resumable_skips_decode(spark, audio_clips, tmp_path):
+    from dcspark import audiofp
+    ck = str(tmp_path / "cka")
+    fresh = audiofp.audio_near_dup(audio_clips, threshold=0.35).collect()
+    first = pipeline_ckpt.audio_near_dup_resumable(
+        audio_clips, ck, threshold=0.35).collect()
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["matches"], r["score"])
+                              for r in rows)
+    assert key(first) == key(fresh)
+    assert any({r["id_a"], r["id_b"]} == {"gain_dup", "orig"} for r in first)
+    calls = []
+    orig_fn = audiofp.audio_fingerprints
+    audiofp.audio_fingerprints = (
+        lambda *a, **k: calls.append(1) or orig_fn(*a, **k))
+    try:
+        again = pipeline_ckpt.audio_near_dup_resumable(
+            audio_clips, ck, threshold=0.35).collect()
+        # threshold sweep reuses the same stages — no decode, no re-join
+        sweep = pipeline_ckpt.audio_near_dup_resumable(
+            audio_clips, ck, threshold=0.99).collect()
+    finally:
+        audiofp.audio_fingerprints = orig_fn
+    assert calls == [], "fingerprint decode recomputed on resume"
+    assert key(again) == key(fresh)
+    assert len(sweep) <= len(fresh)
+
+
+def test_audio_decontam_resumable(spark, audio_clips, tmp_path):
+    from dcspark import audiofp
+    eval_df = audio_clips.filter(F.col("clip_id") == "orig")
+    ck = str(tmp_path / "ckd")
+    fresh = audiofp.audio_contaminated_ids(
+        audio_clips.filter(F.col("clip_id") != "orig"), eval_df).collect()
+    got = pipeline_ckpt.audio_decontam_resumable(
+        audio_clips.filter(F.col("clip_id") != "orig"), eval_df, ck)
+    ids = sorted(r["clip_id"] for r in got.select("clip_id").distinct().collect())
+    assert ids == sorted(r["clip_id"] for r in fresh)
+    assert "gain_dup" in ids
+    calls = []
+    orig_fn = audiofp.audio_fingerprints
+    audiofp.audio_fingerprints = (
+        lambda *a, **k: calls.append(1) or orig_fn(*a, **k))
+    try:
+        pipeline_ckpt.audio_decontam_resumable(
+            audio_clips.filter(F.col("clip_id") != "orig"), eval_df, ck).collect()
+    finally:
+        audiofp.audio_fingerprints = orig_fn
+    assert calls == []
+
+
+def test_video_near_dup_resumable(spark, tmp_path):
+    import numpy as np
+    from dcspark import imagefp
+    from dcspark.avi import avi_bytes
+    from dcspark.jpeg import jpeg_bytes
+    from dcspark.multimodal import real_video_decoder
+
+    def frames(n=4, phase=0, h=16, w=20):
+        out = []
+        for i in range(n):
+            yy, xx = np.mgrid[0:h, 0:w]
+            out.append(np.stack(
+                [(xx * 255 // (w - 1)), (yy * 255 // (h - 1)),
+                 np.full((h, w), ((i + phase) * 40) % 256)],
+                axis=-1).astype(np.uint8))
+        return out
+
+    rows = [(f"v{i}", bytearray(avi_bytes(frames(4, phase=3 * i), fps=25.0)))
+            for i in range(3)]
+    # re-encode of v0: decode then re-encode each frame at lower quality
+    _fps, fr0 = real_video_decoder(bytes(rows[0][1]))
+    rows.append(("v0_re", bytearray(avi_bytes(
+        [f.copy() for f in fr0], fps=25.0, quality=60))))
+    p = str(tmp_path / "vids")
+    spark.createDataFrame(rows, "id string, bytes binary").write.parquet(p)
+    vids = spark.read.parquet(p)
+    ck = str(tmp_path / "ckv")
+    fresh = imagefp.video_near_dup(vids, threshold=0.6).collect()
+    first = pipeline_ckpt.video_near_dup_resumable(vids, ck, threshold=0.6).collect()
+    key = lambda rows: sorted((r["id_a"], r["id_b"]) for r in rows)
+    assert key(first) == key(fresh)
+    assert any({r["id_a"], r["id_b"]} == {"v0", "v0_re"} for r in first)
+    calls = []
+    orig_fn = imagefp.video_fingerprints
+    imagefp.video_fingerprints = (
+        lambda *a, **k: calls.append(1) or orig_fn(*a, **k))
+    try:
+        again = pipeline_ckpt.video_near_dup_resumable(
+            vids, ck, threshold=0.6).collect()
+    finally:
+        imagefp.video_fingerprints = orig_fn
+    assert calls == [] and key(again) == key(fresh)
+
+
+def test_image_near_dup_resumable(spark, tmp_path):
+    import numpy as np
+    from dcspark import imagefp, multimodal
+
+    def photo(seed):
+        rng = np.random.default_rng(8200 + seed)
+        base = rng.uniform(0, 255, (6, 8, 3))
+        up = base.repeat(4, axis=0).repeat(4, axis=1)
+        return np.clip(up + rng.uniform(-10, 10, up.shape), 5, 250).astype(np.uint8)
+
+    rows = [(f"im{i}", bytearray(multimodal.png_bytes(photo(i)))) for i in range(6)]
+    from dcspark.jpeg import jpeg_bytes
+    rows.append(("im0_re", bytearray(jpeg_bytes(photo(0), quality=85))))
+    p = str(tmp_path / "imgs")
+    spark.createDataFrame(rows, "id string, bytes binary").write.parquet(p)
+    imgs = spark.read.parquet(p)
+    ck = str(tmp_path / "cki")
+    fresh = imagefp.image_near_dup(imgs).collect()
+    first = pipeline_ckpt.image_near_dup_resumable(imgs, ck).collect()
+    key = lambda rows: sorted((r["id_a"], r["id_b"], r["hamming"]) for r in rows)
+    assert key(first) == key(fresh)
+    assert any({r["id_a"], r["id_b"]} == {"im0", "im0_re"} for r in first)
+    calls = []
+    orig_fn = imagefp.image_fingerprints
+    imagefp.image_fingerprints = (
+        lambda *a, **k: calls.append(1) or orig_fn(*a, **k))
+    try:
+        again = pipeline_ckpt.image_near_dup_resumable(imgs, ck).collect()
+    finally:
+        imagefp.image_fingerprints = orig_fn
+    assert calls == [] and key(again) == key(fresh)
+
+
+def test_cli_audio_neardup_resumable(spark, audio_clips, tmp_path, capsys):
+    """CLI surface: `audio neardup --checkpoint` writes the pairs parquet and
+    a rerun serves both stages from disk (manifest mtimes untouched)."""
+    from dcspark.cli import main
+
+    clips_dir = audio_clips.inputFiles()[0].rsplit("/", 1)[0]
+    ck = str(tmp_path / "au_ck")
+    out = str(tmp_path / "au_pairs")
+    rc = main(["audio", "neardup", "--input", clips_dir, "--output", out,
+               "--checkpoint", ck])
+    assert rc == 0
+    pairs = spark.read.parquet(out)
+    assert set(pairs.columns) == {"id_a", "id_b", "matches", "score"}
+    assert pairs.filter(
+        (F.col("id_a") == "gain_dup") | (F.col("id_b") == "gain_dup")).count() >= 1
+    m = os.path.getmtime(os.path.join(ck, "fingerprints.manifest.json"))
+    rc = main(["audio", "neardup", "--input", clips_dir, "--output", out,
+               "--checkpoint", ck])
+    assert rc == 0
+    assert os.path.getmtime(os.path.join(ck, "fingerprints.manifest.json")) == m
+    capsys.readouterr()
