@@ -201,18 +201,25 @@ def audio_near_dup_resumable(
     the read-time filter sees the stored 6-decimal-rounded score (a 1e-6
     boundary sliver vs the one-shot operator, documented tradeoff). A changed
     fingerprint parameter or input invalidates everything; a changed
-    ``max_bucket`` invalidates only via the signature (both stages, by
-    design: candidates depend on it)."""
+    ``max_bucket`` invalidates only the join stage — the decode stays
+    cached."""
     from . import audiofp
 
-    ck = StageCheckpoint(df.sparkSession, ckpt_dir, {
-        "op": "audio_near_dup", "max_bucket": max_bucket,
-        "fp": dict(sorted(fp_kwargs.items())),
-        "input": input_lineage(df),
-    })
-    fp = ck.stage("fingerprints", lambda: audiofp.audio_fingerprints(
+    # per-stage signatures (the module contract: a changed parameter
+    # invalidates exactly the stages it affects): the decode signature knows
+    # nothing of max_bucket, so a join-parameter sweep reuses fingerprints;
+    # the join signature embeds the decode signature, so a changed fp
+    # parameter or input invalidates both
+    fp_sig = {
+        "op": "audio_near_dup", "id_col": id_col, "bytes_col": bytes_col,
+        "fp": dict(sorted(fp_kwargs.items())), "input": input_lineage(df),
+    }
+    ck_fp = StageCheckpoint(df.sparkSession, ckpt_dir, fp_sig)
+    ck_join = StageCheckpoint(df.sparkSession, ckpt_dir,
+                              {**fp_sig, "max_bucket": max_bucket})
+    fp = ck_fp.stage("fingerprints", lambda: audiofp.audio_fingerprints(
         df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
-    pairs = ck.stage("pairs", lambda: audiofp.audio_fingerprint_near_dup(
+    pairs = ck_join.stage("pairs", lambda: audiofp.audio_fingerprint_near_dup(
         fp, threshold=0.0, min_matches=1, max_bucket=max_bucket))
     return pairs.filter(
         (F.col("score") >= threshold) & (F.col("matches") >= min_matches))
@@ -237,16 +244,19 @@ def audio_decontam_resumable(
     of re-decoding the corpus."""
     from . import audiofp
 
-    ck = StageCheckpoint(corpus.sparkSession, ckpt_dir, {
-        "op": "audio_decontam", "max_eval_bucket": max_eval_bucket,
+    fp_sig = {
+        "op": "audio_decontam", "id_col": id_col, "bytes_col": bytes_col,
         "fp": dict(sorted(fp_kwargs.items())),
         "input": input_lineage(corpus), "eval": input_lineage(eval_df),
-    })
-    efp = ck.stage("eval_fp", lambda: audiofp.audio_fingerprints(
+    }
+    ck_fp = StageCheckpoint(corpus.sparkSession, ckpt_dir, fp_sig)
+    ck_join = StageCheckpoint(corpus.sparkSession, ckpt_dir,
+                              {**fp_sig, "max_eval_bucket": max_eval_bucket})
+    efp = ck_fp.stage("eval_fp", lambda: audiofp.audio_fingerprints(
         eval_df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
-    cfp = ck.stage("corpus_fp", lambda: audiofp.audio_fingerprints(
+    cfp = ck_fp.stage("corpus_fp", lambda: audiofp.audio_fingerprints(
         corpus, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
-    report = ck.stage("report", lambda: audiofp.audio_cross_contamination(
+    report = ck_join.stage("report", lambda: audiofp.audio_cross_contamination(
         cfp, efp, threshold=0.0, min_matches=1,
         max_eval_bucket=max_eval_bucket))
     return report.filter(
@@ -267,14 +277,19 @@ def image_near_dup_resumable(
     signature rather than a read-time filter."""
     from . import imagefp
 
-    ck = StageCheckpoint(df.sparkSession, ckpt_dir, {
-        "op": "image_near_dup", "max_hamming": max_hamming,
-        "max_bucket": max_bucket, "input": input_lineage(df),
-    })
-    fp = ck.stage("fingerprints", lambda: imagefp.image_fingerprints(
+    fp_sig = {
+        "op": "image_near_dup", "id_col": id_col, "bytes_col": bytes_col,
+        "input": input_lineage(df),
+    }
+    ck_fp = StageCheckpoint(df.sparkSession, ckpt_dir, fp_sig)
+    ck_join = StageCheckpoint(df.sparkSession, ckpt_dir, {
+        **fp_sig, "max_hamming": max_hamming, "max_bucket": max_bucket})
+    fp = ck_fp.stage("fingerprints", lambda: imagefp.image_fingerprints(
         df, id_col=id_col, bytes_col=bytes_col))
-    return ck.stage("pairs", lambda: imagefp.near_dup_pairs_from_fp(
-        fp.select(F.col(id_col).alias("id"), "dhash"),
+    # image_fingerprints always emits the fixed FP_DDL columns (id, dhash,
+    # ...) whatever the input id_col was named
+    return ck_join.stage("pairs", lambda: imagefp.near_dup_pairs_from_fp(
+        fp.select("id", "dhash"),
         max_hamming=max_hamming, max_bucket=max_bucket))
 
 
@@ -295,14 +310,16 @@ def video_near_dup_resumable(
     threshold/min_matches at read time; ``max_hamming`` in the signature)."""
     from . import imagefp
 
-    ck = StageCheckpoint(df.sparkSession, ckpt_dir, {
-        "op": "video_near_dup", "max_hamming": max_hamming,
-        "max_bucket": max_bucket, "fp": dict(sorted(fp_kwargs.items())),
-        "input": input_lineage(df),
-    })
-    fp = ck.stage("fingerprints", lambda: imagefp.video_fingerprints(
+    fp_sig = {
+        "op": "video_near_dup", "id_col": id_col, "bytes_col": bytes_col,
+        "fp": dict(sorted(fp_kwargs.items())), "input": input_lineage(df),
+    }
+    ck_fp = StageCheckpoint(df.sparkSession, ckpt_dir, fp_sig)
+    ck_join = StageCheckpoint(df.sparkSession, ckpt_dir, {
+        **fp_sig, "max_hamming": max_hamming, "max_bucket": max_bucket})
+    fp = ck_fp.stage("fingerprints", lambda: imagefp.video_fingerprints(
         df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
-    pairs = ck.stage("pairs", lambda: imagefp.video_fp_near_dup(
+    pairs = ck_join.stage("pairs", lambda: imagefp.video_fp_near_dup(
         fp, threshold=0.0, max_hamming=max_hamming, min_matches=1,
         max_bucket=max_bucket))
     return pairs.filter(

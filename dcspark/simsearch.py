@@ -111,13 +111,14 @@ def _matrix_expr(rows: List[List[float]]) -> Column:
     matrix. ``repr(float)`` round-trips exactly and Spark's double-literal
     parse is correctly rounded, so the values are bit-identical."""
     return F.expr("array({})".format(",".join(
-        "array({})".format(",".join(f"{x!r}D" for x in row)) for row in rows
+        "array({})".format(",".join(f"{float(x)!r}D" for x in row)) for row in rows
     )))
 
 
 def _int_array_expr(vals: Sequence[int], typ: str = "INT") -> Column:
     """A literal integer array built as one JVM-parsed SQL string."""
-    return F.expr("array({})".format(",".join(f"CAST({v} AS {typ})" for v in vals)))
+    return F.expr("array({})".format(",".join(
+        f"CAST({int(v)} AS {typ})" for v in vals)))
 
 
 def block_key_expr(vec: Column, dim: int, block: int, blk_bits: int) -> Column:
@@ -141,8 +142,10 @@ def block_key_expr(vec: Column, dim: int, block: int, blk_bits: int) -> Column:
     bit_terms = F.zip_with(
         _matrix_expr(planes),
         _int_array_expr([1 << j for j in range(blk_bits)], "BIGINT"),
-        lambda plane, w: F.when(dot_expr(vec, plane) > 0, w)
-                          .otherwise(F.lit(0).cast("long")),
+        # cast-multiply, not when/otherwise: a NULL dot (NULL vector or NULL
+        # element) must propagate to a NULL key that never equi-joins, the
+        # pre-fold semantics
+        lambda plane, w: (dot_expr(vec, plane) > 0).cast("long") * w,
     )
     return F.aggregate(bit_terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
@@ -378,10 +381,15 @@ def signature_expr(vec: Column, dim: int, bits: int = 8) -> Column:
     planes = [[_hyperplane_component(b, d) for d in range(dim)] for b in range(bits)]
     bit_terms = F.zip_with(
         _matrix_expr(planes),
-        _int_array_expr([1 << b for b in range(bits)]),
-        lambda plane, w: F.when(dot_expr(vec, plane) > 0, w).otherwise(F.lit(0)),
+        # BIGINT weights: CAST(1<<31 AS INT) would wrap for bits >= 32,
+        # where the pre-fold F.lit(1 << b) promoted to long
+        _int_array_expr([1 << b for b in range(bits)], "BIGINT"),
+        # cast-multiply preserves NULL propagation (see block_key_expr)
+        lambda plane, w: (dot_expr(vec, plane) > 0).cast("int") * w,
     )
-    return F.aggregate(bit_terms, F.lit(0), lambda acc, x: acc + x)
+    sig = F.aggregate(bit_terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # the pre-fold form yielded int for bits <= 31 (long above); keep that type
+    return sig.cast("int") if bits <= 31 else sig
 
 
 def lsh_topk(

@@ -246,7 +246,6 @@ def test_video_near_dup_resumable(spark, tmp_path):
     import numpy as np
     from dcspark import imagefp
     from dcspark.avi import avi_bytes
-    from dcspark.jpeg import jpeg_bytes
     from dcspark.multimodal import real_video_decoder
 
     def frames(n=4, phase=0, h=16, w=20):
@@ -340,3 +339,55 @@ def test_cli_audio_neardup_resumable(spark, audio_clips, tmp_path, capsys):
     assert rc == 0
     assert os.path.getmtime(os.path.join(ck, "fingerprints.manifest.json")) == m
     capsys.readouterr()
+
+
+def test_join_param_sweep_keeps_decode_cached(spark, audio_clips, tmp_path):
+    """Per-stage signatures: changing max_bucket invalidates only the join
+    stage — the fingerprint decode is served from disk (review finding)."""
+    from dcspark import audiofp
+    ck = str(tmp_path / "ck_sweep")
+    pipeline_ckpt.audio_near_dup_resumable(
+        audio_clips, ck, max_bucket=500).collect()
+    m = os.path.getmtime(os.path.join(ck, "fingerprints.manifest.json"))
+    calls = []
+    orig_fn = audiofp.audio_fingerprints
+    audiofp.audio_fingerprints = (
+        lambda *a, **k: calls.append(1) or orig_fn(*a, **k))
+    try:
+        pipeline_ckpt.audio_near_dup_resumable(
+            audio_clips, ck, max_bucket=100).collect()
+    finally:
+        audiofp.audio_fingerprints = orig_fn
+    assert calls == [], "decode recomputed on a join-parameter sweep"
+    assert os.path.getmtime(
+        os.path.join(ck, "fingerprints.manifest.json")) == m
+    # but a changed bytes_col is a DIFFERENT decode: must NOT reuse stages
+    renamed_dir = str(tmp_path / "renamed")
+    audio_clips.withColumnRenamed("bytes", "raw").write.parquet(renamed_dir)
+    with pytest.raises(Exception):
+        # same ckpt dir, different bytes_col, different schema -> the decode
+        # signature differs, so the stage REBUILDS (and here fails fast on
+        # the absent column rather than silently serving stale fingerprints)
+        pipeline_ckpt.audio_near_dup_resumable(
+            audio_clips, ck, bytes_col="raw").collect()
+
+
+def test_image_near_dup_resumable_custom_id_col(spark, tmp_path):
+    """Non-default id_col: image_fingerprints emits a fixed 'id' column, and
+    the pairs stage must select that, not the input column name (review
+    finding: F.col(id_col) raised UNRESOLVED_COLUMN)."""
+    import numpy as np
+    from dcspark import multimodal
+
+    rows = [(f"p{i}", bytearray(multimodal.png_bytes(
+        (np.arange(24 * 32 * 3).reshape(24, 32, 3) % 251).astype("uint8"))))
+        for i in range(2)]
+    p = str(tmp_path / "imgs2")
+    spark.createDataFrame(rows, "img_id string, payload binary").write.parquet(p)
+    imgs = spark.read.parquet(p)
+    out = pipeline_ckpt.image_near_dup_resumable(
+        imgs, str(tmp_path / "cki2"), id_col="img_id", bytes_col="payload")
+    # identical rasters -> one Hamming-0 pair, ids taken from img_id values
+    rows_out = out.collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows_out] == [
+        ("p0", "p1", 0)]
