@@ -478,8 +478,15 @@ def cmd_image(args: argparse.Namespace) -> int:
         ev = spark.read.parquet(args.eval).select(
             F.col(args.id_col).alias("id"),
             F.col(args.bytes_col).alias("bytes"))
-        out = imagefp.image_contaminated_ids(
-            df, ev, max_hamming=args.max_hamming)
+        if args.checkpoint:
+            from . import pipeline_ckpt
+
+            out = pipeline_ckpt.image_decontam_resumable(
+                df, ev, args.checkpoint, max_hamming=args.max_hamming
+            ).select("id").distinct()
+        else:
+            out = imagefp.image_contaminated_ids(
+                df, ev, max_hamming=args.max_hamming)
         label = f"visually contaminated ids (Hamming <= {args.max_hamming})"
     else:  # neardup
         if args.checkpoint:
@@ -534,7 +541,14 @@ def cmd_video(args: argparse.Namespace) -> int:
         ev = spark.read.parquet(args.eval).select(
             F.col(args.id_col).alias("id"),
             F.col(args.bytes_col).alias("bytes"))
-        out = imagefp.video_contaminated_ids(df, ev, threshold=args.threshold)
+        if args.checkpoint:
+            from . import pipeline_ckpt
+
+            out = pipeline_ckpt.video_decontam_resumable(
+                df, ev, args.checkpoint, threshold=args.threshold
+            ).select("clip_id").distinct()
+        else:
+            out = imagefp.video_contaminated_ids(df, ev, threshold=args.threshold)
         label = f"visually contaminated ids (overlap >= {args.threshold})"
     else:  # frames
         out = multimodal.video_frame_sample(
@@ -976,8 +990,8 @@ def main(argv: Optional[list] = None) -> int:
     im.add_argument("--max-bucket", type=int, default=1000,
                     help="neardup: per-block bucket cap")
     im.add_argument("--checkpoint", default=None,
-                    help="neardup: stage-checkpoint dir; rerun resumes past "
-                         "the decode")
+                    help="neardup/decontam: stage-checkpoint dir; rerun "
+                         "resumes past the decode")
     im.add_argument("--master", default=None)
     im.add_argument("--shuffle-partitions", type=int, default=None)
 
@@ -997,8 +1011,8 @@ def main(argv: Optional[list] = None) -> int:
                     help="frames: sample every n-th frame")
     vd.add_argument("--max-frames", type=int, default=8)
     vd.add_argument("--checkpoint", default=None,
-                    help="neardup: stage-checkpoint dir; rerun resumes past "
-                         "the decode")
+                    help="neardup/decontam: stage-checkpoint dir; rerun "
+                         "resumes past the decode")
     vd.add_argument("--master", default=None)
     vd.add_argument("--shuffle-partitions", type=int, default=None)
 

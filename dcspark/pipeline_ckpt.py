@@ -324,3 +324,72 @@ def video_near_dup_resumable(
         max_bucket=max_bucket))
     return pairs.filter(
         (F.col("score") >= threshold) & (F.col("matches") >= min_matches))
+
+
+def image_decontam_resumable(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    ckpt_dir: str,
+    max_hamming: int = 3,
+    max_eval_bucket: int = 50,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """:func:`dcspark.imagefp.image_cross_contamination` end-to-end with
+    stage checkpoints (``eval_fp`` / ``corpus_fp`` decodes, ``report`` probe
+    — same shape as :func:`audio_decontam_resumable`). ``max_hamming`` and
+    ``max_eval_bucket`` shape the probe, so they live in the report stage's
+    signature only: sweeping them reuses both decodes."""
+    from . import imagefp
+
+    fp_sig = {
+        "op": "image_decontam", "id_col": id_col, "bytes_col": bytes_col,
+        "input": input_lineage(corpus), "eval": input_lineage(eval_df),
+    }
+    ck_fp = StageCheckpoint(corpus.sparkSession, ckpt_dir, fp_sig)
+    ck_join = StageCheckpoint(corpus.sparkSession, ckpt_dir, {
+        **fp_sig, "max_hamming": max_hamming,
+        "max_eval_bucket": max_eval_bucket})
+    efp = ck_fp.stage("eval_fp", lambda: imagefp.image_fingerprints(
+        eval_df, id_col=id_col, bytes_col=bytes_col))
+    cfp = ck_fp.stage("corpus_fp", lambda: imagefp.image_fingerprints(
+        corpus, id_col=id_col, bytes_col=bytes_col))
+    return ck_join.stage("report", lambda: imagefp.image_cross_contamination(
+        cfp, efp, max_hamming=max_hamming,
+        max_eval_bucket=max_eval_bucket))
+
+
+def video_decontam_resumable(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    ckpt_dir: str,
+    threshold: float = 0.6,
+    max_hamming: int = 3,
+    max_eval_bucket: int = 50,
+    id_col: str = "id",
+    bytes_col: str = "bytes",
+    **fp_kwargs,
+) -> DataFrame:
+    """:func:`dcspark.imagefp.video_cross_contamination` end-to-end with
+    stage checkpoints. The report is stored with ``threshold=0.0`` and
+    filtered at read time (threshold sweeps never re-probe); ``max_hamming``
+    / ``max_eval_bucket`` sit in the report-stage signature only."""
+    from . import imagefp
+
+    fp_sig = {
+        "op": "video_decontam", "id_col": id_col, "bytes_col": bytes_col,
+        "fp": dict(sorted(fp_kwargs.items())),
+        "input": input_lineage(corpus), "eval": input_lineage(eval_df),
+    }
+    ck_fp = StageCheckpoint(corpus.sparkSession, ckpt_dir, fp_sig)
+    ck_join = StageCheckpoint(corpus.sparkSession, ckpt_dir, {
+        **fp_sig, "max_hamming": max_hamming,
+        "max_eval_bucket": max_eval_bucket})
+    efp = ck_fp.stage("eval_fp", lambda: imagefp.video_fingerprints(
+        eval_df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
+    cfp = ck_fp.stage("corpus_fp", lambda: imagefp.video_fingerprints(
+        corpus, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
+    report = ck_join.stage("report", lambda: imagefp.video_cross_contamination(
+        cfp, efp, threshold=0.0, max_hamming=max_hamming,
+        max_eval_bucket=max_eval_bucket))
+    return report.filter(F.col("score") >= threshold)

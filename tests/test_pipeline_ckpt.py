@@ -391,3 +391,86 @@ def test_image_near_dup_resumable_custom_id_col(spark, tmp_path):
     rows_out = out.collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in rows_out] == [
         ("p0", "p1", 0)]
+
+
+def test_image_and_video_decontam_resumable(spark, tmp_path):
+    """The decontam modality matrix is resumable end to end: image and video
+    eval-probe reports match the one-shot operators, and a rerun (or an
+    eval-bucket sweep) serves both decodes from disk."""
+    import numpy as np
+    from dcspark import imagefp, multimodal
+    from dcspark.avi import avi_bytes
+    from dcspark.jpeg import jpeg_bytes
+    from dcspark.multimodal import real_video_decoder
+
+    def photo(seed):
+        rng = np.random.default_rng(8300 + seed)
+        up = rng.uniform(0, 255, (6, 8, 3)).repeat(4, 0).repeat(4, 1)
+        return np.clip(up + rng.uniform(-10, 10, up.shape), 5, 250).astype(np.uint8)
+
+    # images: corpus has a JPEG re-encode of eval image e0
+    corp = [(f"im{i}", bytearray(multimodal.png_bytes(photo(i)))) for i in range(4)]
+    corp.append(("leak", bytearray(jpeg_bytes(photo(99), quality=85))))
+    ev = [("e0", bytearray(multimodal.png_bytes(photo(99))))]
+    cp, ep = str(tmp_path / "ic"), str(tmp_path / "ie")
+    spark.createDataFrame(corp, "id string, bytes binary").write.parquet(cp)
+    spark.createDataFrame(ev, "id string, bytes binary").write.parquet(ep)
+    corpus, eval_df = spark.read.parquet(cp), spark.read.parquet(ep)
+    ck = str(tmp_path / "ck_imgd")
+    fresh = sorted(r["id"] for r in imagefp.image_contaminated_ids(
+        corpus, eval_df).collect())
+    got = sorted(r["id"] for r in pipeline_ckpt.image_decontam_resumable(
+        corpus, eval_df, ck).select("id").distinct().collect())
+    assert got == fresh and "leak" in got
+    calls = []
+    orig_fn = imagefp.image_fingerprints
+    imagefp.image_fingerprints = (
+        lambda *a, **k: calls.append(1) or orig_fn(*a, **k))
+    try:
+        # max_hamming sweep: report rebuilds, decodes stay cached
+        pipeline_ckpt.image_decontam_resumable(
+            corpus, eval_df, ck, max_hamming=2).collect()
+    finally:
+        imagefp.image_fingerprints = orig_fn
+    assert calls == []
+
+    # videos: corpus has a quality-60 re-encode of eval video ev0
+    def frames(n=4, phase=0, h=16, w=20):
+        out = []
+        for i in range(n):
+            yy, xx = np.mgrid[0:h, 0:w]
+            out.append(np.stack(
+                [(xx * 255 // (w - 1)), (yy * 255 // (h - 1)),
+                 np.full((h, w), ((i + phase) * 40) % 256)],
+                axis=-1).astype(np.uint8))
+        return out
+
+    evraw = avi_bytes(frames(4, phase=7), fps=25.0)
+    _fps, fr = real_video_decoder(evraw)
+    vcorp = [(f"v{i}", bytearray(avi_bytes(frames(4, phase=3 * i), fps=25.0)))
+             for i in range(1, 3)]
+    vcorp.append(("vleak", bytearray(avi_bytes(
+        [f.copy() for f in fr], fps=25.0, quality=60))))
+    vcp, vep = str(tmp_path / "vc"), str(tmp_path / "ve")
+    spark.createDataFrame(vcorp, "id string, bytes binary").write.parquet(vcp)
+    spark.createDataFrame([("ev0", bytearray(evraw))],
+                          "id string, bytes binary").write.parquet(vep)
+    vcorpus, veval = spark.read.parquet(vcp), spark.read.parquet(vep)
+    vck = str(tmp_path / "ck_vidd")
+    vfresh = sorted(r["id"] for r in imagefp.video_contaminated_ids(
+        vcorpus, veval, threshold=0.6).collect())
+    vgot = sorted(r["clip_id"] for r in pipeline_ckpt.video_decontam_resumable(
+        vcorpus, veval, vck, threshold=0.6)
+        .select("clip_id").distinct().collect())
+    assert vgot == vfresh and "vleak" in vgot
+    vcalls = []
+    orig_vfn = imagefp.video_fingerprints
+    imagefp.video_fingerprints = (
+        lambda *a, **k: vcalls.append(1) or orig_vfn(*a, **k))
+    try:
+        # threshold sweep hits the read-time filter: nothing recomputes
+        pipeline_ckpt.video_decontam_resumable(
+            vcorpus, veval, vck, threshold=0.9).collect()
+    finally:
+        imagefp.video_fingerprints = orig_vfn
+    assert vcalls == []
