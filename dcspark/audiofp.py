@@ -164,6 +164,11 @@ def audio_fingerprint_near_dup(
         .filter(F.col("__bucket") <= max_bucket)
         .drop("__bucket")
     )
+    # uniq feeds BOTH join sides and the per-clip counts: persist the tiny
+    # (clip_id, hash) frame so the fingerprint lineage — a full decode pass
+    # when called on audio_fingerprints output — evaluates ONCE, not 3x
+    # (plan-gated: exactly one MapInPandas in the executed plan)
+    uniq = uniq.persist()
     a = uniq.select(F.col("clip_id").alias("id_a"), "hash")
     b = uniq.select(F.col("clip_id").alias("id_b"), "hash")
     pairs = (
@@ -223,10 +228,13 @@ def audio_cross_contamination(
     fan-out and skew guard). Score = shared distinct hashes / min(clip,
     eval) fingerprint count, so a benchmark snippet embedded in a longer
     training clip still scores high."""
+    # corpus hashes feed the probe join AND n_c; eval hashes feed the probe
+    # and n_e: persist both so each side's decode pass runs once (the corpus
+    # side is the 10^12-clip scan — re-evaluating it is the whole job twice)
     cu = (
         corpus_fp.filter(F.col("hash").isNotNull())
         .select("clip_id", "hash").distinct()
-    )
+    ).persist()
     eu = (
         eval_fp.filter(F.col("hash").isNotNull())
         .select(F.col("clip_id").alias("eval_id"), "hash").distinct()
@@ -236,7 +244,7 @@ def audio_cross_contamination(
         eu.withColumn("__bucket", F.count(F.lit(1)).over(we))
         .filter(F.col("__bucket") <= max_eval_bucket)
         .drop("__bucket")
-    )
+    ).persist()
     n_c = cu.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_c"))
     n_e = eu.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_e"))
     pairs = (

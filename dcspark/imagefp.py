@@ -219,6 +219,10 @@ def near_dup_pairs_from_fp(
         t = (t.withColumn("_bc", F.count(F.lit(1)).over(
                 Window.partitionBy("__bi", "__k")))
              .filter(F.col("_bc") <= max_bucket).drop("_bc"))
+    # both self-join sides read t: persist the tiny (id, dhash, block-key)
+    # frame so the fingerprint lineage (a decode pass when fp is unpersisted)
+    # evaluates once, not twice (plan-gated)
+    t = t.persist()
     a_, b_ = t.alias("a"), t.alias("b")
     cands = (a_.join(b_, on=["__bi", "__k"])
              .filter(F.col("a.id") < F.col("b.id"))
@@ -394,8 +398,11 @@ def video_fp_near_dup(
     longer cut still scores high)."""
     from pyspark.sql import Window
 
+    # uniq feeds both join sides (via t) and the per-clip counts: persist so
+    # the frame-hash lineage (a video decode pass when fp is unpersisted)
+    # evaluates once, not 3x (plan-gated)
     uniq = (fp.filter(F.col("hash").isNotNull())
-            .select("clip_id", "hash").distinct())
+            .select("clip_id", "hash").distinct()).persist()
     t = uniq.select("clip_id", "hash",
                     F.posexplode(_block_keys("hash")).alias("__bi", "__k"))
     if max_bucket is not None:
@@ -463,11 +470,14 @@ def video_cross_contamination(
     |eval|)."""
     from pyspark.sql import Window
 
+    # corpus hashes feed the probe and n_c, eval hashes the probe and n_e:
+    # persist both so each decode pass runs once (the corpus side is the
+    # full-scan job)
     cu = (corpus_fp.filter(F.col("hash").isNotNull())
-          .select("clip_id", "hash").distinct())
+          .select("clip_id", "hash").distinct()).persist()
     eu = (eval_fp.filter(F.col("hash").isNotNull())
           .select(F.col("clip_id").alias("eval_id"),
-                  F.col("hash").alias("eval_hash")).distinct())
+                  F.col("hash").alias("eval_hash")).distinct()).persist()
     ce = cu.select("clip_id", "hash",
                    F.posexplode(_block_keys("hash")).alias("__bi", "__k"))
     ee = (eu.select("eval_id", "eval_hash",

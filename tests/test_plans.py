@@ -408,3 +408,57 @@ def test_image_and_video_passes_prune_scan(spark, tmp_path):
         assert "id" in read_schema and "bytes" in read_schema
         for col in ("width", "height", "fps", "caption"):
             assert col not in read_schema, (op, col, read_schema)
+
+
+def test_near_dup_operators_evaluate_source_once(spark):
+    """The standalone near-dup operators must evaluate the payload source
+    (i.e. the decode pass) exactly once per row. Before the fingerprint
+    frames were persisted, video_near_dup re-evaluated its source lineage
+    2x (the self-join's two sides), and audio/image relied on fragile
+    exchange reuse. Counted via an accumulator in the source itself."""
+    import numpy as np
+
+    from dcspark import imagefp
+    from dcspark.audiofp import audio_near_dup
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def gen_audio(batches):
+        import pandas as pd
+
+        from dcspark.synth import wav_bytes
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                acc.add(1)
+                t = np.arange(8000) / 8000.0
+                pcm = (np.sin(2 * np.pi * (300 + i * 37 % 1700) * t)
+                       * 20000).astype(np.int16)
+                rows.append({"clip_id": f"c{i}", "bytes": wav_bytes(pcm, 8000)})
+            yield pd.DataFrame(rows)
+
+    src = spark.range(0, 8, 1, 2).mapInPandas(
+        gen_audio, "clip_id string, bytes binary")
+    audio_near_dup(src, threshold=0.35).collect()
+    assert acc.value == 8, f"audio source evaluated {acc.value / 8.0}x per row"
+
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def gen_video(batches):
+        import pandas as pd
+
+        from dcspark.avi import avi_bytes
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                acc2.add(1)
+                frs = [(np.full((16, 20, 3), (j * 40 + i * 3) % 256, np.uint8)
+                        + np.arange(20, dtype=np.uint8)[None, :, None])
+                       for j in range(3)]
+                rows.append({"id": f"v{i}",
+                             "bytes": avi_bytes(list(frs), fps=25.0)})
+            yield pd.DataFrame(rows)
+
+    vsrc = spark.range(0, 4, 1, 2).mapInPandas(gen_video, "id string, bytes binary")
+    imagefp.video_near_dup(vsrc, threshold=0.6).collect()
+    assert acc2.value == 4, f"video source evaluated {acc2.value / 4.0}x per row"
