@@ -178,7 +178,7 @@ def audio_fingerprint_near_dup(
         .agg(F.count(F.lit(1)).alias("matches"))
     )
     counts = uniq.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n"))
-    return (
+    out = (
         pairs
         .join(counts.withColumnRenamed("clip_id", "id_a")
                     .withColumnRenamed("n", "n_a"), on="id_a")
@@ -188,6 +188,11 @@ def audio_fingerprint_near_dup(
         .filter((F.col("score") >= threshold) & (F.col("matches") >= min_matches))
         .select("id_a", "id_b", "matches", F.round("score", 6).alias("score"))
     )
+    # cache handle for callers on long-lived sessions: after consuming the
+    # pairs, dcspark.pipeline_ckpt.release_caches(out) frees the persisted
+    # hash frame (Spark never GCs Dataset caches)
+    out._dcspark_cached = [uniq]
+    return out
 
 
 def audio_near_dup(
@@ -252,13 +257,15 @@ def audio_cross_contamination(
         .groupBy("clip_id", "eval_id")
         .agg(F.count(F.lit(1)).alias("matches"))
     )
-    return (
+    out = (
         pairs.join(n_c, on="clip_id")
         .join(F.broadcast(n_e), on="eval_id")
         .withColumn("score", F.col("matches") / F.least("n_c", "n_e"))
         .filter((F.col("score") >= threshold) & (F.col("matches") >= min_matches))
         .select("clip_id", "eval_id", "matches", F.round("score", 6).alias("score"))
     )
+    out._dcspark_cached = [cu, eu]
+    return out
 
 
 def audio_contaminated_ids(
@@ -274,7 +281,7 @@ def audio_contaminated_ids(
     with the near-dup cluster survivors and the filter quarantine."""
     cfp = audio_fingerprints(corpus, id_col=id_col, bytes_col=bytes_col)
     efp = audio_fingerprints(eval_df, id_col=id_col, bytes_col=bytes_col)
-    return (
-        audio_cross_contamination(cfp, efp, threshold=threshold, **kw)
-        .select("clip_id").distinct()
-    )
+    rep = audio_cross_contamination(cfp, efp, threshold=threshold, **kw)
+    out = rep.select("clip_id").distinct()
+    out._dcspark_cached = rep._dcspark_cached
+    return out

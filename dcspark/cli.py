@@ -544,9 +544,11 @@ def cmd_video(args: argparse.Namespace) -> int:
         if args.checkpoint:
             from . import pipeline_ckpt
 
+            # same output schema as the non-checkpoint path: the drop list
+            # carries 'id' so downstream anti-joins work either way
             out = pipeline_ckpt.video_decontam_resumable(
                 df, ev, args.checkpoint, threshold=args.threshold
-            ).select("clip_id").distinct()
+            ).select(F.col("clip_id").alias("id")).distinct()
         else:
             out = imagefp.video_contaminated_ids(df, ev, threshold=args.threshold)
         label = f"visually contaminated ids (overlap >= {args.threshold})"

@@ -800,14 +800,20 @@ class Validator:
                         if audio_chk is not None else ([], []))
                     fp_results = []
                     if audio_fp_checks:
+                        from .pipeline_ckpt import release_caches
+
                         fp = compact.filter(F.col("row_type") == "fp").select("clip_id", "hash")
-                        fp_results = [
-                            (chk, self._audio_fp_result(
-                                afp.audio_fingerprint_near_dup(
-                                    fp, threshold=float(chk.params["score_threshold"])),
-                                chk))
-                            for chk in audio_fp_checks
-                        ]
+                        for chk in audio_fp_checks:
+                            nd = afp.audio_fingerprint_near_dup(
+                                fp, threshold=float(chk.params["score_threshold"]))
+                            try:
+                                fp_results.append(
+                                    (chk, self._audio_fp_result(nd, chk)))
+                            finally:
+                                # the operator persists its internal hash
+                                # frame; release per check or repeated runs
+                                # on one session leak cached blocks
+                                release_caches(nd)
                     fhists = self._audio_hist_collect(compact) if feat_bins else {}
                     fq_rows, fv_rows = (
                         self._audio_quality_collect(compact)
@@ -1544,6 +1550,9 @@ class Validator:
             return {"metric": metric, "vio_rows": vio_rows}
         finally:
             pairs.unpersist()
+            from .pipeline_ckpt import release_caches
+
+            release_caches(pairs)
 
     def _video_compute(self, model_name: str, df: DataFrame,
                        chk: CompiledCheck) -> dict:

@@ -230,9 +230,12 @@ def near_dup_pairs_from_fp(
                      F.col("a.dhash").alias("h_a"),
                      F.col("b.dhash").alias("h_b")))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (cands.distinct()
-            .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    out = (cands.distinct()
+           .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+           .filter(F.col("hamming") <= max_hamming))
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    out._dcspark_cached = [t]
+    return out
 
 
 def image_near_dup(
@@ -422,16 +425,18 @@ def video_fp_near_dup(
     matches = cand.groupBy("id_a", "id_b").agg(
         F.countDistinct("h_a").alias("matches"))
     counts = uniq.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n"))
-    return (matches
-            .join(counts.withColumnRenamed("clip_id", "id_a")
-                  .withColumnRenamed("n", "n_a"), on="id_a")
-            .join(counts.withColumnRenamed("clip_id", "id_b")
-                  .withColumnRenamed("n", "n_b"), on="id_b")
-            .withColumn("score", F.col("matches") / F.least("n_a", "n_b"))
-            .filter((F.col("score") >= threshold)
-                    & (F.col("matches") >= min_matches))
-            .select("id_a", "id_b", "matches",
-                    F.round("score", 6).alias("score")))
+    out = (matches
+           .join(counts.withColumnRenamed("clip_id", "id_a")
+                 .withColumnRenamed("n", "n_a"), on="id_a")
+           .join(counts.withColumnRenamed("clip_id", "id_b")
+                 .withColumnRenamed("n", "n_b"), on="id_b")
+           .withColumn("score", F.col("matches") / F.least("n_a", "n_b"))
+           .filter((F.col("score") >= threshold)
+                   & (F.col("matches") >= min_matches))
+           .select("id_a", "id_b", "matches",
+                   F.round("score", 6).alias("score")))
+    out._dcspark_cached = [uniq]
+    return out
 
 
 def video_near_dup(
@@ -496,12 +501,14 @@ def video_cross_contamination(
         F.countDistinct("hash").alias("matches"))
     n_c = cu.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_c"))
     n_e = eu.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_e"))
-    return (matches.join(n_c, on="clip_id")
-            .join(F.broadcast(n_e), on="eval_id")
-            .withColumn("score", F.col("matches") / F.least("n_c", "n_e"))
-            .filter(F.col("score") >= threshold)
-            .select("clip_id", "eval_id", "matches",
-                    F.round("score", 6).alias("score")))
+    out = (matches.join(n_c, on="clip_id")
+           .join(F.broadcast(n_e), on="eval_id")
+           .withColumn("score", F.col("matches") / F.least("n_c", "n_e"))
+           .filter(F.col("score") >= threshold)
+           .select("clip_id", "eval_id", "matches",
+                   F.round("score", 6).alias("score")))
+    out._dcspark_cached = [cu, eu]
+    return out
 
 
 def video_contaminated_ids(
@@ -517,5 +524,7 @@ def video_contaminated_ids(
     benchmark-sized eval frame, probe map-side — zero corpus shuffle."""
     cfp = video_fingerprints(corpus, id_col=id_col, bytes_col=bytes_col)
     efp = video_fingerprints(eval_df, id_col=id_col, bytes_col=bytes_col)
-    return (video_cross_contamination(cfp, efp, threshold=threshold, **kw)
-            .select(F.col("clip_id").alias("id")).distinct())
+    rep = video_cross_contamination(cfp, efp, threshold=threshold, **kw)
+    out = rep.select(F.col("clip_id").alias("id")).distinct()
+    out._dcspark_cached = rep._dcspark_cached
+    return out

@@ -95,9 +95,73 @@ class StageCheckpoint:
             return self.spark.read.parquet(data)
         df = builder()
         df.write.mode("overwrite").parquet(data)
+        # the builder's operator may have persisted internal frames to keep
+        # its decode single-pass; the parquet is now the durable copy, so
+        # release them (long sweeps would otherwise accumulate cached blocks)
+        release_caches(df)
         with open(self._meta_path(name), "w", encoding="utf-8") as f:
             json.dump({"signature": self.sig, "status": "done", "stage": name}, f)
         return self.spark.read.parquet(data)
+
+
+def _require_signable(kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Reject kwargs whose values cannot be JSON-signed (functions, objects).
+
+    ``json.dumps(..., default=str)`` would embed their repr — which carries a
+    memory address for functions — so the signature would differ in every
+    process and the checkpoint would silently never resume (every run would
+    re-decode, invisibly, with correct output)."""
+    for k, v in kwargs.items():
+        try:
+            json.dumps(v)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"resumable wrapper cannot sign parameter {k}={v!r}: only "
+                "JSON-serializable fingerprint parameters can participate in "
+                "a checkpoint signature (a custom decoder/callable cannot — "
+                "use the non-resumable operator)")
+    return dict(sorted(kwargs.items()))
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the internal frames an operator cached while building ``df``.
+
+    Operators that must evaluate their (decode-expensive) input exactly once
+    persist an internal hash frame and tag the returned DataFrame with the
+    handles (``_dcspark_cached``); once the result is consumed/materialized,
+    callers on a long-lived session release them here — otherwise each call
+    leaks MEMORY_AND_DISK blocks until session end (Spark's CacheManager does
+    not GC Dataset caches)."""
+    for cached in getattr(df, "_dcspark_cached", ()):
+        cached.unpersist()
+
+
+def _decontam_resumable(
+    op: str,
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    ckpt_dir: str,
+    fp_builder: Callable[[DataFrame], DataFrame],
+    probe_builder: Callable[[DataFrame, DataFrame], DataFrame],
+    join_params: Dict[str, Any],
+    fp_params: Dict[str, Any],
+) -> DataFrame:
+    """Shared eval_fp / corpus_fp / report skeleton with PER-SIDE decode
+    signatures: ``corpus_fp`` signs only the corpus lineage — swapping the
+    benchmark must NOT re-decode the corpus, the cost this module exists to
+    avoid — and ``eval_fp`` only the eval lineage; the ``report`` stage signs
+    both plus the probe parameters."""
+    base = {"op": op, **fp_params}
+    c_lineage, e_lineage = input_lineage(corpus), input_lineage(eval_df)
+    ck_c = StageCheckpoint(corpus.sparkSession, ckpt_dir,
+                           {**base, "input": c_lineage})
+    ck_e = StageCheckpoint(corpus.sparkSession, ckpt_dir,
+                           {**base, "eval": e_lineage})
+    ck_join = StageCheckpoint(corpus.sparkSession, ckpt_dir, {
+        **base, "input": c_lineage, "eval": e_lineage, **join_params})
+    efp = ck_e.stage("eval_fp", lambda: fp_builder(eval_df))
+    cfp = ck_c.stage("corpus_fp", lambda: fp_builder(corpus))
+    return ck_join.stage("report", lambda: probe_builder(cfp, efp))
 
 
 def minhash_near_dups_resumable(
@@ -212,7 +276,7 @@ def audio_near_dup_resumable(
     # parameter or input invalidates both
     fp_sig = {
         "op": "audio_near_dup", "id_col": id_col, "bytes_col": bytes_col,
-        "fp": dict(sorted(fp_kwargs.items())), "input": input_lineage(df),
+        "fp": _require_signable(fp_kwargs), "input": input_lineage(df),
     }
     ck_fp = StageCheckpoint(df.sparkSession, ckpt_dir, fp_sig)
     ck_join = StageCheckpoint(df.sparkSession, ckpt_dir,
@@ -244,21 +308,17 @@ def audio_decontam_resumable(
     of re-decoding the corpus."""
     from . import audiofp
 
-    fp_sig = {
-        "op": "audio_decontam", "id_col": id_col, "bytes_col": bytes_col,
-        "fp": dict(sorted(fp_kwargs.items())),
-        "input": input_lineage(corpus), "eval": input_lineage(eval_df),
-    }
-    ck_fp = StageCheckpoint(corpus.sparkSession, ckpt_dir, fp_sig)
-    ck_join = StageCheckpoint(corpus.sparkSession, ckpt_dir,
-                              {**fp_sig, "max_eval_bucket": max_eval_bucket})
-    efp = ck_fp.stage("eval_fp", lambda: audiofp.audio_fingerprints(
-        eval_df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
-    cfp = ck_fp.stage("corpus_fp", lambda: audiofp.audio_fingerprints(
-        corpus, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
-    report = ck_join.stage("report", lambda: audiofp.audio_cross_contamination(
-        cfp, efp, threshold=0.0, min_matches=1,
-        max_eval_bucket=max_eval_bucket))
+    report = _decontam_resumable(
+        "audio_decontam", corpus, eval_df, ckpt_dir,
+        lambda d: audiofp.audio_fingerprints(
+            d, id_col=id_col, bytes_col=bytes_col, **fp_kwargs),
+        lambda c, e: audiofp.audio_cross_contamination(
+            c, e, threshold=0.0, min_matches=1,
+            max_eval_bucket=max_eval_bucket),
+        {"max_eval_bucket": max_eval_bucket},
+        {"id_col": id_col, "bytes_col": bytes_col,
+         "fp": _require_signable(fp_kwargs)},
+    )
     return report.filter(
         (F.col("score") >= threshold) & (F.col("matches") >= min_matches))
 
@@ -312,7 +372,7 @@ def video_near_dup_resumable(
 
     fp_sig = {
         "op": "video_near_dup", "id_col": id_col, "bytes_col": bytes_col,
-        "fp": dict(sorted(fp_kwargs.items())), "input": input_lineage(df),
+        "fp": _require_signable(fp_kwargs), "input": input_lineage(df),
     }
     ck_fp = StageCheckpoint(df.sparkSession, ckpt_dir, fp_sig)
     ck_join = StageCheckpoint(df.sparkSession, ckpt_dir, {
@@ -339,24 +399,19 @@ def image_decontam_resumable(
     stage checkpoints (``eval_fp`` / ``corpus_fp`` decodes, ``report`` probe
     — same shape as :func:`audio_decontam_resumable`). ``max_hamming`` and
     ``max_eval_bucket`` shape the probe, so they live in the report stage's
-    signature only: sweeping them reuses both decodes."""
+    signature only: sweeping them reuses both decodes. Swapping the eval
+    benchmark re-decodes only the eval side (per-side lineage)."""
     from . import imagefp
 
-    fp_sig = {
-        "op": "image_decontam", "id_col": id_col, "bytes_col": bytes_col,
-        "input": input_lineage(corpus), "eval": input_lineage(eval_df),
-    }
-    ck_fp = StageCheckpoint(corpus.sparkSession, ckpt_dir, fp_sig)
-    ck_join = StageCheckpoint(corpus.sparkSession, ckpt_dir, {
-        **fp_sig, "max_hamming": max_hamming,
-        "max_eval_bucket": max_eval_bucket})
-    efp = ck_fp.stage("eval_fp", lambda: imagefp.image_fingerprints(
-        eval_df, id_col=id_col, bytes_col=bytes_col))
-    cfp = ck_fp.stage("corpus_fp", lambda: imagefp.image_fingerprints(
-        corpus, id_col=id_col, bytes_col=bytes_col))
-    return ck_join.stage("report", lambda: imagefp.image_cross_contamination(
-        cfp, efp, max_hamming=max_hamming,
-        max_eval_bucket=max_eval_bucket))
+    return _decontam_resumable(
+        "image_decontam", corpus, eval_df, ckpt_dir,
+        lambda d: imagefp.image_fingerprints(
+            d, id_col=id_col, bytes_col=bytes_col),
+        lambda c, e: imagefp.image_cross_contamination(
+            c, e, max_hamming=max_hamming, max_eval_bucket=max_eval_bucket),
+        {"max_hamming": max_hamming, "max_eval_bucket": max_eval_bucket},
+        {"id_col": id_col, "bytes_col": bytes_col},
+    )
 
 
 def video_decontam_resumable(
@@ -372,24 +427,22 @@ def video_decontam_resumable(
 ) -> DataFrame:
     """:func:`dcspark.imagefp.video_cross_contamination` end-to-end with
     stage checkpoints. The report is stored with ``threshold=0.0`` and
-    filtered at read time (threshold sweeps never re-probe); ``max_hamming``
-    / ``max_eval_bucket`` sit in the report-stage signature only."""
+    filtered at read time, so threshold sweeps never re-probe — the filter
+    sees the stored 6-decimal-rounded score, the same 1e-6 boundary sliver
+    vs the one-shot operator documented on :func:`audio_near_dup_resumable`.
+    ``max_hamming`` / ``max_eval_bucket`` sit in the report-stage signature
+    only; swapping the eval benchmark re-decodes only the eval side."""
     from . import imagefp
 
-    fp_sig = {
-        "op": "video_decontam", "id_col": id_col, "bytes_col": bytes_col,
-        "fp": dict(sorted(fp_kwargs.items())),
-        "input": input_lineage(corpus), "eval": input_lineage(eval_df),
-    }
-    ck_fp = StageCheckpoint(corpus.sparkSession, ckpt_dir, fp_sig)
-    ck_join = StageCheckpoint(corpus.sparkSession, ckpt_dir, {
-        **fp_sig, "max_hamming": max_hamming,
-        "max_eval_bucket": max_eval_bucket})
-    efp = ck_fp.stage("eval_fp", lambda: imagefp.video_fingerprints(
-        eval_df, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
-    cfp = ck_fp.stage("corpus_fp", lambda: imagefp.video_fingerprints(
-        corpus, id_col=id_col, bytes_col=bytes_col, **fp_kwargs))
-    report = ck_join.stage("report", lambda: imagefp.video_cross_contamination(
-        cfp, efp, threshold=0.0, max_hamming=max_hamming,
-        max_eval_bucket=max_eval_bucket))
+    report = _decontam_resumable(
+        "video_decontam", corpus, eval_df, ckpt_dir,
+        lambda d: imagefp.video_fingerprints(
+            d, id_col=id_col, bytes_col=bytes_col, **fp_kwargs),
+        lambda c, e: imagefp.video_cross_contamination(
+            c, e, threshold=0.0, max_hamming=max_hamming,
+            max_eval_bucket=max_eval_bucket),
+        {"max_hamming": max_hamming, "max_eval_bucket": max_eval_bucket},
+        {"id_col": id_col, "bytes_col": bytes_col,
+         "fp": _require_signable(fp_kwargs)},
+    )
     return report.filter(F.col("score") >= threshold)

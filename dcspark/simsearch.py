@@ -243,9 +243,13 @@ def near_dup_pairs(
         "id_a", "id_b",
         (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score_raw"),
     )
-    return scored.filter(F.col("score_raw") >= threshold).select(
+    out = scored.filter(F.col("score_raw") >= threshold).select(
         "id_a", "id_b", F.round("score_raw", 4).alias("score")
     )
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    # frees the persisted block-key table on long-lived sessions
+    out._dcspark_cached = [keyed]
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -474,3 +474,42 @@ def test_image_and_video_decontam_resumable(spark, tmp_path):
     finally:
         imagefp.video_fingerprints = orig_vfn
     assert vcalls == []
+
+
+def test_release_caches_and_signable_guard(spark, audio_clips, tmp_path):
+    """Review findings: (a) operators tag their internal persisted frames and
+    release_caches frees them; (b) non-JSON fp kwargs (a callable decoder)
+    are rejected up front instead of producing an address-bearing signature
+    that silently never resumes; (c) swapping the eval set must NOT
+    invalidate the corpus decode (per-side lineage)."""
+    from dcspark import audiofp
+
+    pairs = audiofp.audio_near_dup(audio_clips, threshold=0.35)
+    pairs.collect()
+    cached = pairs._dcspark_cached
+    assert cached and all(c.storageLevel.useMemory for c in cached)
+    pipeline_ckpt.release_caches(pairs)
+    assert all(not c.storageLevel.useMemory for c in cached)
+
+    with pytest.raises(ValueError, match="cannot sign"):
+        pipeline_ckpt.video_near_dup_resumable(
+            audio_clips, str(tmp_path / "x"), decoder=lambda b: None)
+
+    ck = str(tmp_path / "ck_swap")
+    eval1 = audio_clips.filter(F.col("clip_id") == "orig")
+    pipeline_ckpt.audio_decontam_resumable(audio_clips, eval1, ck).collect()
+    m = os.path.getmtime(os.path.join(ck, "corpus_fp.manifest.json"))
+    eval2_dir = str(tmp_path / "eval2")
+    audio_clips.filter(F.col("clip_id") == "c0").write.parquet(eval2_dir)
+    eval2 = audio_clips.sparkSession.read.parquet(eval2_dir)
+    calls = []
+    orig_fn = audiofp.audio_fingerprints
+    audiofp.audio_fingerprints = (
+        lambda *a, **k: calls.append(1) or orig_fn(*a, **k))
+    try:
+        pipeline_ckpt.audio_decontam_resumable(audio_clips, eval2, ck).collect()
+    finally:
+        audiofp.audio_fingerprints = orig_fn
+    # eval side re-decoded (new benchmark), corpus decode untouched
+    assert calls == [1], f"expected 1 rebuild (eval only), got {len(calls)}"
+    assert os.path.getmtime(os.path.join(ck, "corpus_fp.manifest.json")) == m
