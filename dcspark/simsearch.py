@@ -236,12 +236,25 @@ def near_dup_pairs(
     # expression tree stays out of the downstream join plans
     keyed = keyed.persist()
     cands = _block_candidates(keyed, n_blocks, max_bucket)
+    # single-scan verify: the old form joined the candidate pairs back to the
+    # corpus TWICE (an a-side and a b-side join — two full reads of the
+    # embedding column, the table's bulk at 10^12 rows). Instead, explode
+    # each pair into two (pair, role) rows, broadcast them, and join the
+    # corpus ONCE map-side; only the candidates' vectors shuffle into the
+    # per-pair regroup. Cosine is symmetric (zip_with x*y is commutative
+    # index-wise), so grouping order doesn't matter and scores are
+    # bit-identical to the two-join form.
+    stacked = cands.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("vec_id"))
     withv = corpus.withColumn("n", norm_expr(F.col("v")))
-    a_side = withv.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b_side = withv.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    scored = cands.join(a_side, "id_a").join(b_side, "id_b").select(
+    joined = withv.join(F.broadcast(stacked), "vec_id").select(
+        "id_a", "id_b", F.struct("v", "n").alias("e"))
+    paired = joined.groupBy("id_a", "id_b").agg(
+        F.collect_list("e").alias("es"))
+    e0, e1 = F.col("es")[0], F.col("es")[1]
+    scored = paired.select(
         "id_a", "id_b",
-        (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score_raw"),
+        (dot_expr(e0["v"], e1["v"]) / (e0["n"] * e1["n"])).alias("score_raw"),
     )
     out = scored.filter(F.col("score_raw") >= threshold).select(
         "id_a", "id_b", F.round("score_raw", 4).alias("score")

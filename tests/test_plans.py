@@ -462,3 +462,33 @@ def test_near_dup_operators_evaluate_source_once(spark):
     vsrc = spark.range(0, 4, 1, 2).mapInPandas(gen_video, "id string, bytes binary")
     imagefp.video_near_dup(vsrc, threshold=0.6).collect()
     assert acc2.value == 4, f"video source evaluated {acc2.value / 4.0}x per row"
+
+
+def test_embedding_near_dup_scans_corpus_twice_not_thrice(spark):
+    """near_dup_pairs reads its input once for the block keys (persisted) and
+    once for the single-scan verify — the old a-side/b-side verify joins read
+    the embedding column a second and third time. Counted via an accumulator
+    in the source."""
+    import numpy as np
+
+    from dcspark import simsearch
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                acc.add(1)
+                rng = np.random.default_rng(int(i))
+                rows.append({"vec_id": int(i),
+                             "embedding": rng.standard_normal(16).tolist()})
+            yield pd.DataFrame(rows)
+
+    src = spark.range(0, 64, 1, 2).mapInPandas(
+        gen, "vec_id long, embedding array<double>")
+    simsearch.near_dup_pairs(src, dim=16, threshold=0.99).collect()
+    assert acc.value <= 2 * 64, (
+        f"source evaluated {acc.value / 64.0}x per row — verify stage "
+        "re-scanning the corpus more than once")
