@@ -191,7 +191,17 @@ def minhash_near_dups_resumable(
     })
     pairs = ck.stage("candidates", lambda: textops.lsh_candidate_pairs(
         docs, num_hashes, rows_per_band, n, max_bucket=max_bucket))
-    scored = ck.stage("scored", lambda: textops.jaccard_on_pairs(docs, pairs, n))
+
+    def build_scored() -> DataFrame:
+        # jaccard_on_pairs reads the shingle table ~4x (sizes + both
+        # inverted-index sides): share ONE persisted table, released by
+        # stage() after the parquet write
+        sh = textops.shingle_table(docs, n, persist=True)
+        out = textops.jaccard_on_pairs(docs, pairs, n, sh=sh)
+        out._dcspark_cached = [sh]
+        return out
+
+    scored = ck.stage("scored", build_scored)
     # threshold applies at read time (cheap filter), so one checkpointed
     # verify serves any threshold sweep without recomputation
     return scored.filter(F.col("jaccard") >= threshold)

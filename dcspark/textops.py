@@ -147,13 +147,16 @@ def winnowing_near_dups(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         shared.join(sa, "doc_a").join(sb, "doc_b")
         .select(
             "doc_a", "doc_b", "shared",
             F.round(F.col("shared") / F.least("sz_a", "sz_b"), 6).alias("containment"),
         )
     )
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    out._dcspark_cached = [fp]
+    return out
 
 
 def bpe_token_stats(docs: DataFrame) -> DataFrame:
@@ -389,12 +392,15 @@ def lsh_candidate_pairs(
         )
     left = bk.alias("l")
     right = bk.alias("r")
-    return (
+    out = (
         left.join(right, on=["band", "key"])
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    out._dcspark_cached = [bk]
+    return out
 
 
 def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
@@ -482,7 +488,9 @@ def minhash_near_dups(
     pairs = lsh_candidate_pairs(docs, num_hashes, rows_per_band, n, sh=sh,
                                 max_bucket=max_bucket)
     scored = jaccard_on_pairs(docs, pairs, n, sh=sh)
-    return scored.filter(F.col("jaccard") >= threshold)
+    out = scored.filter(F.col("jaccard") >= threshold)
+    out._dcspark_cached = [sh] + list(getattr(pairs, "_dcspark_cached", ()))
+    return out
 
 
 # ---------------------------------------------------------------------------
