@@ -2526,9 +2526,41 @@ def q_image_hash_block_join(spark: SparkSession, sf: str) -> DataFrame:
         fp, max_hamming=3, max_bucket=1000).orderBy("id_a", "id_b")
 
 
-_HEXVAL_SUM = " + ".join(
-    f"(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1) * {16 ** (15 - j)}"
-    for j in range(1, 16))
+def _hexval_sum(col: str = "h") -> str:
+    """DuckDB SQL summing 15 hex digits of ``col`` into the md5-derived
+    60-bit value — the oracle-side twin of Spark's conv(substr(md5, 1, 15)).
+    A function of the column name so every synthesized-hash oracle shares ONE
+    derivation (no string surgery per query)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {j}, 1)) - 1) * {16 ** (15 - j)}"
+        for j in range(1, 16))
+
+
+_HEXVAL_SUM = _hexval_sum()
+
+
+def _synth_fp_scaffold(spark: SparkSession, sf: str, prefix: str = "",
+                       lo: int = 3, mod: int = 5):
+    """Shared deterministic fingerprint synthesis for the join-oracle queries
+    (audio_fp_join / audio_fp_decontam_join / video_fp_join): (docs, frames,
+    h) where docs = documents doc_ids, frames = (did, nl, t) with lo..lo+mod-1
+    extra frames per clip, and h(t_col) the md5-derived 60-bit hash — one
+    derivation on the Spark side, mirrored by :func:`_hexval_sum` in SQL."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("did"))
+    n_last = F.lit(lo) + F.col("did") % mod
+
+    def h(t_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("did").cast("string"),
+                               F.lit("_"), t_col.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long")
+
+    frames = docs.select("did", n_last.alias("nl"),
+                         F.explode(F.sequence(F.lit(0), n_last)).alias("t"))
+    return docs, frames, h
 
 SQL_IMAGE_HASH_BLOCK_JOIN = f"""
 WITH ids AS (SELECT CAST(doc_id AS BIGINT) did FROM documents),
@@ -2572,20 +2604,7 @@ def q_audio_fp_join(spark: SparkSession, sf: str) -> DataFrame:
     semantics of the audio near-dup family."""
     from dcspark import audiofp
 
-    docs = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("long").alias("did"))
-    n_last = F.lit(3) + F.col("did") % 5  # frames t = 0..n_last (4-8 frames)
-
-    def h(t_col):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("did").cast("string"), F.lit("_"),
-                               t_col.cast("string"))), 1, 15),
-            16, 10,
-        ).cast("long")
-
-    frames = docs.select("did", n_last.alias("nl"),
-                         F.explode(F.sequence(F.lit(0), n_last)).alias("t"))
+    docs, frames, h = _synth_fp_scaffold(spark, sf)  # 4-8 frames per clip
     base = frames.select(
         F.concat(F.lit("au-"), F.col("did")).alias("clip_id"),
         h(F.col("t")).alias("hash"))
@@ -2625,7 +2644,7 @@ fp AS (
   SELECT 'dup-' || did, v FROM hv WHERE did % 39 = 0 AND t < nl
   UNION ALL
   SELECT 'dup-' || did,
-         CAST({_HEXVAL_SUM.replace("substr(h,", "substr(h9,")} AS BIGINT)
+         CAST({_hexval_sum("h9")} AS BIGINT)
   FROM (SELECT did, substr(md5(CAST(did AS VARCHAR) || '_999'), 1, 15) h9
         FROM ids WHERE did % 39 = 0)
 ),
@@ -2663,20 +2682,7 @@ def q_audio_fp_decontam_join(spark: SparkSession, sf: str) -> DataFrame:
     audio decontam family bit-for-bit."""
     from dcspark import audiofp
 
-    docs = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("long").alias("did"))
-    n_last = F.lit(3) + F.col("did") % 5
-
-    def h(t_col):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("did").cast("string"), F.lit("_"),
-                               t_col.cast("string"))), 1, 15),
-            16, 10,
-        ).cast("long")
-
-    frames = docs.select("did", n_last.alias("nl"),
-                         F.explode(F.sequence(F.lit(0), n_last)).alias("t"))
+    docs, frames, h = _synth_fp_scaffold(spark, sf)
     corpus_fp = frames.select(
         F.concat(F.lit("au-"), F.col("did")).alias("clip_id"),
         h(F.col("t")).alias("hash"))
@@ -2712,7 +2718,7 @@ eval_fp AS (
   SELECT 'ev-' || did AS eval_id, v AS hash FROM hv WHERE did % 23 = 0 AND t < nl
   UNION ALL
   SELECT 'ev-' || did,
-         CAST({_HEXVAL_SUM.replace("substr(h,", "substr(h8,")} AS BIGINT)
+         CAST({_hexval_sum("h8")} AS BIGINT)
   FROM (SELECT did, substr(md5(CAST(did AS VARCHAR) || '_888'), 1, 15) h8
         FROM ids WHERE did % 23 = 0)
   UNION ALL
@@ -2758,20 +2764,7 @@ def q_video_fp_join(spark: SparkSession, sf: str) -> DataFrame:
     deterministic threshold-boundary probe in both engines."""
     from dcspark import imagefp
 
-    docs = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("long").alias("did"))
-    n_last = F.lit(2) + F.col("did") % 4
-
-    def h(t_col):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("v"), F.col("did").cast("string"),
-                               F.lit("_"), t_col.cast("string"))), 1, 15),
-            16, 10,
-        ).cast("long")
-
-    frames = docs.select("did", n_last.alias("nl"),
-                         F.explode(F.sequence(F.lit(0), n_last)).alias("t"))
+    docs, frames, h = _synth_fp_scaffold(spark, sf, prefix="v", lo=2, mod=4)
     vi = F.concat(F.lit("vi-"), F.col("did")).alias("clip_id")
     re_ = F.concat(F.lit("re-"), F.col("did")).alias("clip_id")
     drift = F.when(F.col("t") == 0, F.lit(15).cast("long")).otherwise(

@@ -135,6 +135,8 @@ def block_key_expr(vec: Column, dim: int, block: int, blk_bits: int) -> Column:
     (~4s of driver time at bits=64, dim=64) for the exact same arithmetic:
     each dot product folds in index order and the key accumulates j=0 upward,
     so the result is bit-identical."""
+    if blk_bits > 63:
+        raise ValueError("block_key_expr supports at most 63 bits per block")
     planes = [
         [_hyperplane_component(block * blk_bits + j, d) for d in range(dim)]
         for j in range(blk_bits)
@@ -239,22 +241,31 @@ def near_dup_pairs(
     # single-scan verify: the old form joined the candidate pairs back to the
     # corpus TWICE (an a-side and a b-side join — two full reads of the
     # embedding column, the table's bulk at 10^12 rows). Instead, explode
-    # each pair into two (pair, role) rows, broadcast them, and join the
-    # corpus ONCE map-side; only the candidates' vectors shuffle into the
-    # per-pair regroup. Cosine is symmetric (zip_with x*y is commutative
-    # index-wise), so grouping order doesn't matter and scores are
-    # bit-identical to the two-join form.
+    # each pair into two (pair, role) rows and join the corpus ONCE; only the
+    # candidates' vectors shuffle into the per-pair regroup. No broadcast
+    # hint: the candidate set is data-dependent and unbounded (a forced
+    # broadcast would hit the 8GB limit / driver heap on a pathological
+    # corpus), so AQE picks broadcast at runtime exactly when the pair set is
+    # actually small — the normal case after the bucket cap.
     stacked = cands.select(
-        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("vec_id"))
+        "id_a", "id_b",
+        F.posexplode(F.array("id_a", "id_b")).alias("role", "vec_id"))
     withv = corpus.withColumn("n", norm_expr(F.col("v")))
-    joined = withv.join(F.broadcast(stacked), "vec_id").select(
-        "id_a", "id_b", F.struct("v", "n").alias("e"))
+    joined = withv.join(stacked, "vec_id").select(
+        "id_a", "id_b", "role", F.struct("v", "n").alias("e"))
+    # role-keyed first() (not collect_list indexing): with a unique-id corpus
+    # there is exactly one candidate per role, so the pick is deterministic
+    # and ea/eb are exactly the old a-side/b-side operands (scores
+    # bit-identical); with dirty duplicate-id input this degrades to scoring
+    # one copy-combination instead of silently computing cos(a,a)=1.0
     paired = joined.groupBy("id_a", "id_b").agg(
-        F.collect_list("e").alias("es"))
-    e0, e1 = F.col("es")[0], F.col("es")[1]
+        F.first(F.when(F.col("role") == 0, F.col("e")), ignorenulls=True).alias("ea"),
+        F.first(F.when(F.col("role") == 1, F.col("e")), ignorenulls=True).alias("eb"),
+    )
+    ea, eb = F.col("ea"), F.col("eb")
     scored = paired.select(
         "id_a", "id_b",
-        (dot_expr(e0["v"], e1["v"]) / (e0["n"] * e1["n"])).alias("score_raw"),
+        (dot_expr(ea["v"], eb["v"]) / (ea["n"] * eb["n"])).alias("score_raw"),
     )
     out = scored.filter(F.col("score_raw") >= threshold).select(
         "id_a", "id_b", F.round("score_raw", 4).alias("score")
@@ -395,6 +406,11 @@ def _hyperplane_component(bit: int, dim: int) -> float:
 
 def signature_expr(vec: Column, dim: int, bits: int = 8) -> Column:
     """Random-hyperplane LSH signature (int) for an array<double> column."""
+    if bits > 63:
+        # 1 << 63 exceeds LONG_MAX: the SQL weight literal would overflow to
+        # NULL under non-ANSI Spark, silently nulling every signature — fail
+        # loudly instead (the pre-fold F.lit(1 << 63) also failed at build)
+        raise ValueError("signature_expr supports at most 63 bits")
     planes = [[_hyperplane_component(b, d) for d in range(dim)] for b in range(bits)]
     bit_terms = F.zip_with(
         _matrix_expr(planes),

@@ -381,8 +381,9 @@ def lsh_candidate_pairs(
     """
     from pyspark import StorageLevel
 
-    bk = lsh_band_keys(docs, num_hashes, rows_per_band, n, sh=sh)
-    bk = bk.persist(StorageLevel.MEMORY_AND_DISK)
+    bk_persisted = lsh_band_keys(docs, num_hashes, rows_per_band, n, sh=sh)
+    bk_persisted = bk_persisted.persist(StorageLevel.MEMORY_AND_DISK)
+    bk = bk_persisted
     if max_bucket is not None:
         w = Window.partitionBy("band", "key")
         bk = (
@@ -398,8 +399,11 @@ def lsh_candidate_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
-    out._dcspark_cached = [bk]
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming.
+    # Tag the frame that IS persisted, not the bucket-cap derivative —
+    # unpersist() only matches sameResult plans, so tagging the derived frame
+    # would make the release a silent no-op
+    out._dcspark_cached = [bk_persisted]
     return out
 
 
