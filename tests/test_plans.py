@@ -492,3 +492,21 @@ def test_embedding_near_dup_scans_corpus_twice_not_thrice(spark):
     assert acc.value <= 2 * 64, (
         f"source evaluated {acc.value / 64.0}x per row — verify stage "
         "re-scanning the corpus more than once")
+
+
+def test_orc_source_pushdown_and_pruning(spark, tmp_path):
+    """The ORC source format gets the same scan hygiene as parquet: filters
+    reach the ORC reader as PushedFilters and a 2-column projection prunes
+    ReadSchema — an ORC lake validates with narrow scans, not full reads."""
+    p = str(tmp_path / "t.orc")
+    spark.range(1000).selectExpr(
+        "id", "id * 2 AS a", "id * 3 AS b", "CAST(id AS STRING) AS c"
+    ).write.orc(p)
+    df = (spark.read.orc(p)
+          .filter(F.col("a") > 1800).select("id", "a"))
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(a,1800" in plan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "id:" in read_schema and "a:" in read_schema
+    assert "b:" not in read_schema and "c:" not in read_schema
