@@ -1094,6 +1094,75 @@ FROM d
 """
 
 
+def q_repetition_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText repetition-quality metrics + flag per document —
+    row-local run-length scans over sorted gram arrays, one map-only pass,
+    zero shuffle/UDF (dcspark.textops.repetition_stats)."""
+    return textops.repetition_stats(_t(spark, sf, "documents"))
+
+
+SQL_REPETITION_FLAGS = rf"""
+WITH base AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         list_filter(list_transform(string_split(lower(text), chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents),
+lstats AS (
+  SELECT doc_id,
+         cast(len(ls) AS bigint) AS n_lines,
+         cast(len(list_distinct(ls)) AS bigint) AS n_dlines,
+         coalesce(list_sum(list_transform(ls, x -> length(x))), 0) AS lchars,
+         coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) AS dlchars,
+         coalesce(list_sum(list_transform(ws, x -> length(x))), 0) AS wchars
+  FROM base),
+bg AS (
+  SELECT doc_id, gram, count(*) AS c, length(gram) - 1 AS gl
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS gram
+        FROM base WHERE len(ws) >= 2)
+  GROUP BY doc_id, gram),
+topbg AS (
+  SELECT doc_id, c * gl AS covered
+  FROM (SELECT doc_id, c, gl,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        FROM bg)
+  WHERE rn = 1),
+g5 AS (
+  SELECT doc_id, gram, count(*) AS c, length(gram) - 4 AS gl
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(ws) - 4),
+                                     i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                          || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+        FROM base WHERE len(ws) >= 5)
+  GROUP BY doc_id, gram),
+dup5 AS (SELECT doc_id, sum(c * gl) AS dcov FROM g5 WHERE c > 1 GROUP BY doc_id),
+fr AS (
+  SELECT l.doc_id, l.n_lines,
+         CASE WHEN l.n_lines > 0
+              THEN (l.n_lines - l.n_dlines) / cast(l.n_lines AS double)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN l.lchars > 0
+              THEN (l.lchars - l.dlchars) / cast(l.lchars AS double)
+              ELSE 0.0 END AS dup_line_char_frac,
+         CASE WHEN l.wchars > 0
+              THEN coalesce(t.covered, 0) / cast(l.wchars AS double)
+              ELSE 0.0 END AS top_bigram_char_frac,
+         CASE WHEN l.wchars > 0
+              THEN least(1.0, coalesce(d.dcov, 0) / cast(l.wchars AS double))
+              ELSE 0.0 END AS dup_5gram_char_frac
+  FROM lstats l LEFT JOIN topbg t USING (doc_id) LEFT JOIN dup5 d USING (doc_id))
+SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+       top_bigram_char_frac, dup_5gram_char_frac,
+       (dup_line_frac > {textops.GOPHER_DUP_LINE_FRAC}
+        OR dup_line_char_frac > {textops.GOPHER_DUP_LINE_CHAR_FRAC}
+        OR top_bigram_char_frac > {textops.GOPHER_TOP_BIGRAM_CHAR_FRAC}
+        OR dup_5gram_char_frac > {textops.GOPHER_DUP_5GRAM_CHAR_FRAC}) AS flagged
+FROM fr
+"""
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return textops.lang_id_confusion(_t(spark, sf, "documents"))
 
@@ -3256,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "winnowing_near_dups": q_winnowing_near_dups,
         "text_quality_scores": q_doc_quality,
+        "gopher_repetition_flags": q_repetition_flags,
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3331,6 +3401,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprints": _sql_winnowing(),
         "winnowing_near_dups": _sql_winnowing_near_dups(),
         "text_quality_scores": SQL_DOC_QUALITY,
+        "gopher_repetition_flags": SQL_REPETITION_FLAGS,
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

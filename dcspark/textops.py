@@ -589,3 +589,190 @@ def simhash_near_dups(docs: DataFrame, bits: int = 16, max_hamming: int = 3) -> 
     return cands.select("doc_a", "doc_b", ham.cast("int").alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition-based quality flags (Gopher / MassiveText rules)
+# ---------------------------------------------------------------------------
+
+#: Gopher (Rae et al. 2021, Table A1) repetition thresholds: a document is
+#: repetitious when any of these fractions is exceeded. Shared verbatim with
+#: the SQL oracle in ``__spark_entry__``.
+GOPHER_DUP_LINE_FRAC = 0.30
+GOPHER_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_TOP_BIGRAM_CHAR_FRAC = 0.20
+GOPHER_DUP_5GRAM_CHAR_FRAC = 0.15
+
+
+def _sum_len(arr: Column) -> Column:
+    """Total characters across an array<string> (0 for empty arrays)."""
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+
+
+def _word_grams(ws: Column, n: int) -> Column:
+    """Overlapping word n-grams joined by single spaces (empty below n words).
+
+    ``sequence(1, size-n+1)`` DESCENDS when size < n (Spark generates a
+    decreasing range), so the short-document guard is mandatory, not cosmetic.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _top_gram_covered(grams: Column, n: int) -> Column:
+    """Characters covered by the most frequent n-gram: count * word-chars.
+
+    Run-length scan over the SORTED gram array with a struct accumulator —
+    O(G log G) per row, zero shuffle, pure codegen. Ties on count resolve to
+    the lexicographically smallest gram (first max run in sorted order; the
+    SQL oracle mirrors with ORDER BY c DESC, gram ASC). Word-chars excludes
+    the n-1 joining spaces: length(gram) - (n-1).
+    """
+    zero = F.lit(0).cast("long")
+
+    def merge(s: Column, x: Column) -> Column:
+        run = F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(run > s["best"], run).otherwise(s["best"]).alias("best"),
+            F.when(run > s["best"], x).otherwise(s["bestg"]).alias("bestg"),
+        )
+
+    st = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"),
+            zero.alias("best"), F.lit("").alias("bestg"),
+        ),
+        merge,
+    )
+    return F.when(
+        st["best"] > 0, st["best"] * (F.length(st["bestg"]) - (n - 1))
+    ).otherwise(zero)
+
+
+def _dup_gram_covered(grams: Column, n: int) -> Column:
+    """Characters covered by n-grams occurring more than once: sum over
+    duplicated grams of count * word-chars (NeMo-Curator-style accounting —
+    overlaps between distinct duplicated grams are not collapsed, so the
+    caller caps the fraction at 1.0). Same sorted run-length scan shape as
+    ``_top_gram_covered``; the finish lambda flushes the final run.
+    """
+    zero = F.lit(0).cast("long")
+
+    def flush(s: Column) -> Column:
+        return F.when(
+            s["run"] > 1, s["acc"] + s["run"] * (F.length(s["prev"]) - (n - 1))
+        ).otherwise(s["acc"])
+
+    return F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("acc")),
+        lambda s, x: F.struct(
+            x.alias("prev"),
+            F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(x == s["prev"], s["acc"]).otherwise(flush(s)).alias("acc"),
+        ),
+        flush,
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    dup_line_frac: float = GOPHER_DUP_LINE_FRAC,
+    dup_line_char_frac: float = GOPHER_DUP_LINE_CHAR_FRAC,
+    top_bigram_char_frac: float = GOPHER_TOP_BIGRAM_CHAR_FRAC,
+    dup_5gram_char_frac: float = GOPHER_DUP_5GRAM_CHAR_FRAC,
+) -> DataFrame:
+    """Gopher/MassiveText repetition-quality metrics per document.
+
+    The repetition family of the MassiveText quality pipeline (Rae et al.
+    2021 — "Scaling Language Models", appendix A1.1; the same rules ship in
+    NVIDIA NeMo Curator's heuristic filters): boilerplate-heavy web documents
+    betray themselves through duplicated lines and degenerate n-gram
+    distributions long before a model sees them. Emitted per doc:
+
+    - ``dup_line_frac``       — (lines - distinct lines) / lines
+    - ``dup_line_char_frac``  — chars in repeat line occurrences / line chars
+    - ``top_bigram_char_frac``— chars covered by the most frequent word
+      2-gram / total word chars
+    - ``dup_5gram_char_frac`` — chars covered by word 5-grams occurring more
+      than once / total word chars, capped at 1.0 (duplicated-gram overlaps
+      are not collapsed)
+    - ``flagged``             — any metric strictly above its threshold
+
+    Scale design: everything is ROW-LOCAL — one projection, zero shuffle,
+    zero UDF, pure JVM higher-order expressions (the per-doc gram counting is
+    a run-length scan over a sorted array, not a groupBy). At 10^12 docs this
+    is a single map-only pass; the only cost that grows is per-row. Lines and
+    words bind once via single-element-array transform let-bindings so
+    CollapseProject cannot inline them into every use (the winnow_expr
+    defect class). Words are the shared ``TOKEN_RE`` alnum tokens; lines are
+    newline-split, trimmed, empties dropped — both mirrored exactly by the
+    DuckDB oracle.
+    """
+    lines = F.filter(
+        # NB: lambda, not bare F.trim — pyspark 4's trim(col, trim=None) is
+        # two-arg, so transform would bind the element INDEX as the
+        # trim-character set and silently not trim at all
+        F.transform(F.split(F.lower(F.col("text")), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    zero = F.lit(0).cast("long")
+
+    def metrics(o: Column) -> Column:
+        ls, ws = o["ls"], o["ws"]
+        derived = F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            F.size(F.array_distinct(ls)).cast("long").alias("n_dlines"),
+            _sum_len(ls).alias("lchars"),
+            _sum_len(F.array_distinct(ls)).alias("dlchars"),
+            _sum_len(ws).alias("wchars"),
+            _top_gram_covered(_word_grams(ws, 2), 2).alias("top2"),
+            _dup_gram_covered(_word_grams(ws, 5), 5).alias("dup5"),
+        )
+
+        def fracs(d: Column) -> Column:
+            dlf = F.when(
+                d["n_lines"] > 0,
+                (d["n_lines"] - d["n_dlines"]).cast("double") / d["n_lines"],
+            ).otherwise(F.lit(0.0))
+            dlcf = F.when(
+                d["lchars"] > 0,
+                (d["lchars"] - d["dlchars"]).cast("double") / d["lchars"],
+            ).otherwise(F.lit(0.0))
+            t2f = F.when(
+                d["wchars"] > 0, d["top2"].cast("double") / d["wchars"]
+            ).otherwise(F.lit(0.0))
+            d5f = F.when(
+                d["wchars"] > 0,
+                F.least(F.lit(1.0), d["dup5"].cast("double") / d["wchars"]),
+            ).otherwise(F.lit(0.0))
+            return F.struct(
+                d["n_lines"].alias("n_lines"),
+                dlf.alias("dup_line_frac"),
+                dlcf.alias("dup_line_char_frac"),
+                t2f.alias("top_bigram_char_frac"),
+                d5f.alias("dup_5gram_char_frac"),
+                (
+                    (dlf > F.lit(dup_line_frac))
+                    | (dlcf > F.lit(dup_line_char_frac))
+                    | (t2f > F.lit(top_bigram_char_frac))
+                    | (d5f > F.lit(dup_5gram_char_frac))
+                ).alias("flagged"),
+            )
+
+        return F.transform(F.array(derived), fracs)[0]
+
+    bound = F.transform(
+        F.array(F.struct(lines.alias("ls"), words_expr().alias("ws"))), metrics
+    )[0]
+    return fan_out(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select("doc_id", bound.alias("_r")).select("doc_id", "_r.*")
