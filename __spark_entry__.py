@@ -1163,6 +1163,54 @@ FROM fr
 """
 
 
+_SPAN_N = 10       # window width in tokens (operator default 50; the synthetic
+_SPAN_MIN = 2      # docs run 10-99 tokens, so the oracle query uses 10)
+
+
+def q_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Global duplicate-span coverage (exact-substring-dedup proxy, Lee et
+    al. 2021): per-doc fraction of windows / tokens covered by 10-token
+    spans occurring >= 2 times corpus-wide. Shuffles only 16-byte digests +
+    positions; per-doc totals row-local (dcspark.textops.duplicate_span_stats)."""
+    return textops.duplicate_span_stats(
+        _t(spark, sf, "documents"), n_tokens=_SPAN_N, min_count=_SPAN_MIN
+    )
+
+
+SQL_DUPLICATE_SPANS = rf"""
+WITH w AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents),
+tot AS (
+  SELECT doc_id, cast(len(ws) AS bigint) AS n_tok,
+         cast(greatest(len(ws) - {_SPAN_N} + 1, 0) AS bigint) AS n_windows
+  FROM w),
+g AS (
+  SELECT doc_id, t.g AS pos,
+         md5(list_aggr(ws[t.g + 1 : t.g + {_SPAN_N}], 'string_agg', ' ')) AS d
+  FROM w, unnest(range(greatest(len(ws) - {_SPAN_N} + 1, 0))) AS t(g)),
+c AS (SELECT d FROM g GROUP BY d HAVING count(*) >= {_SPAN_MIN}),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (d)),
+cov AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS dup_windows,
+         cast(sum(coalesce(least({_SPAN_N}, nxt - pos), {_SPAN_N})) AS bigint) AS covered
+  FROM (SELECT doc_id, pos,
+               lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM dup)
+  GROUP BY doc_id)
+SELECT t.doc_id, t.n_tok, t.n_windows,
+       coalesce(c2.dup_windows, 0) AS dup_windows,
+       CASE WHEN t.n_windows > 0
+            THEN coalesce(c2.dup_windows, 0) / cast(t.n_windows AS double)
+            ELSE 0.0 END AS dup_window_frac,
+       CASE WHEN t.n_tok > 0
+            THEN least(1.0, coalesce(c2.covered, 0) / cast(t.n_tok AS double))
+            ELSE 0.0 END AS dup_token_frac
+FROM tot t LEFT JOIN cov c2 USING (doc_id)
+"""
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return textops.lang_id_confusion(_t(spark, sf, "documents"))
 
@@ -3326,6 +3374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_near_dups": q_winnowing_near_dups,
         "text_quality_scores": q_doc_quality,
         "gopher_repetition_flags": q_repetition_flags,
+        "duplicate_span_coverage": q_duplicate_spans,
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3402,6 +3451,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_near_dups": _sql_winnowing_near_dups(),
         "text_quality_scores": SQL_DOC_QUALITY,
         "gopher_repetition_flags": SQL_REPETITION_FLAGS,
+        "duplicate_span_coverage": SQL_DUPLICATE_SPANS,
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

@@ -151,6 +151,8 @@ OPERATOR_QUERIES = [
     "drift_ks",
     "dedup_exact",
     "text_quality_scores",
+    "gopher_repetition_flags",
+    "duplicate_span_coverage",
     "minhash_lsh_near_dup",
     "near_dup_clusters",
     "simhash_fingerprints",

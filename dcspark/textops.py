@@ -792,3 +792,114 @@ def repetition_stats(
     return fan_out(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     ).select("doc_id", bound.alias("_r")).select("doc_id", "_r.*")
+
+
+# ---------------------------------------------------------------------------
+# global duplicate-span coverage (exact-substring-dedup proxy)
+# ---------------------------------------------------------------------------
+
+def span_window_table(docs: DataFrame, n_tokens: int = 50) -> DataFrame:
+    """(doc_id, pos, digest) for every overlapping ``n_tokens``-token window.
+
+    Tokens are the shared ``TOKEN_RE`` alnum tokens; the digest is
+    ``unhex(md5(window))`` — 16 raw bytes instead of a 32-char hex string, so
+    the global count shuffle moves half the bytes (at 10^12-doc scale the
+    full 128 bits are needed: a 64-bit key has birthday collisions well below
+    10^13 windows). pos is the 0-based index of the window's first token.
+    Docs shorter than ``n_tokens`` yield no rows. One md5 per token (stride-1
+    windows), computed in a single let-bound projection.
+    """
+    ws = words_expr()
+    windows = F.when(
+        F.size(ws) >= n_tokens,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n_tokens - 1)),
+            lambda i: F.unhex(F.md5(F.array_join(F.slice(ws, i, n_tokens), " "))),
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
+    return fan_out(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select("doc_id", F.posexplode(windows).alias("pos", "digest"))
+
+
+def duplicate_span_stats(
+    docs: DataFrame, n_tokens: int = 50, min_count: int = 2
+) -> DataFrame:
+    """Per-document coverage by text spans duplicated ANYWHERE in the corpus.
+
+    The distributable proxy for exact substring deduplication (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"): the
+    reference method builds a corpus-wide suffix array — inherently
+    sequential — so the scalable form used by large-corpus pipelines counts
+    overlapping fixed-width token windows globally and marks windows whose
+    content occurs >= ``min_count`` times. Per doc:
+
+    - ``dup_windows`` / ``dup_window_frac`` — windows whose n-gram occurs
+      elsewhere (or again) in the corpus
+    - ``dup_token_frac`` — fraction of the doc's tokens covered by the UNION
+      of duplicated windows (overlaps collapsed via an interval-union scan,
+      so a doc fully tiled by one repeated span scores 1.0, not > 1)
+
+    Scale design: every data-sized shuffle moves (doc_id:8, pos:4,
+    digest:16) bytes — never text (``fan_out``'s repartition is the one
+    text-bearing exchange and fires only on under-partitioned small inputs). The global count is a partial-agg groupBy
+    on the 16-byte digest; the dup-window restriction is an un-hinted semi
+    join (AQE broadcasts the duplicated-digest set when it is small, falls
+    back to sort-merge co-partitioned on digest when it is not). Per-doc
+    totals (token count, window count) are ROW-LOCAL — no join back to a
+    corpus aggregate. The interval union runs over each doc's sorted
+    duplicated-window positions (bounded by tokens/doc, the same per-row
+    bound as the shingle arrays).
+    """
+    base = fan_out(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    ws = words_expr()
+    totals = base.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tok"),
+        F.greatest(F.size(ws) - (n_tokens - 1), F.lit(0)).cast("long").alias("n_windows"),
+    )
+    w = span_window_table(docs, n_tokens)
+    dup_digests = (
+        w.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("digest")
+    )
+    dup = w.join(dup_digests, "digest", "left_semi")
+
+    n = F.lit(n_tokens).cast("long")
+    covered = F.aggregate(
+        F.array_sort(F.collect_list(F.col("pos").cast("long"))),
+        F.struct(F.lit(-1).cast("long").alias("prev"), F.lit(0).cast("long").alias("acc")),
+        lambda s, p: F.struct(
+            p.alias("prev"),
+            (s["acc"] + F.when(s["prev"] < 0, F.lit(0).cast("long"))
+             .otherwise(F.least(n, p - s["prev"]))).alias("acc"),
+        ),
+        lambda s: F.when(s["prev"] >= 0, s["acc"] + n).otherwise(F.lit(0).cast("long")),
+    )
+    cov = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_windows"),
+        covered.alias("covered"),
+    )
+    z = F.lit(0).cast("long")
+    return (
+        totals.join(cov, "doc_id", "left")
+        .select(
+            "doc_id", "n_tok", "n_windows",
+            F.coalesce(F.col("dup_windows"), z).alias("dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce(F.col("dup_windows"), z).cast("double") / F.col("n_windows"),
+            ).otherwise(F.lit(0.0)).alias("dup_window_frac"),
+            F.when(
+                F.col("n_tok") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col("covered"), z).cast("double") / F.col("n_tok"),
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        )
+    )
