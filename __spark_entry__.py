@@ -1211,6 +1211,47 @@ FROM tot t LEFT JOIN cov c2 USING (doc_id)
 """
 
 
+def q_c4_page_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) per page: line keeps
+    (>=5 words + terminal punctuation), drop-reason counts, lorem/brace page
+    poison flags, page_keep gate, and the cleaned text — one map-only codegen
+    projection (dcspark.textops.c4_page_stats)."""
+    return textops.c4_page_stats(_t(spark, sf, "documents"))
+
+
+_C4_KEEP_LAMBDA = (
+    "x -> len(regexp_extract_all(lower(x), '[a-z0-9]+')) >= 5 "
+    "AND right(x, 1) IN ('.', '!', '?', '\"')"
+)
+
+SQL_C4_PAGE_STATS = rf"""
+WITH base AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id, text,
+         cast(len(ls) AS bigint) AS n_lines,
+         cast(len(list_filter(ls, {_C4_KEEP_LAMBDA})) AS bigint) AS kept_lines,
+         cast(len(list_filter(ls,
+              x -> len(regexp_extract_all(lower(x), '[a-z0-9]+')) < 5))
+              AS bigint) AS removed_short,
+         coalesce(list_aggr(list_filter(ls, {_C4_KEEP_LAMBDA}),
+                            'string_agg', chr(10)), '') AS cleaned_text
+  FROM base)
+SELECT doc_id, n_lines, kept_lines, removed_short,
+       n_lines - kept_lines - removed_short AS removed_no_punct,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, chr(123)) AS has_brace,
+       (kept_lines >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, chr(123))) AS page_keep,
+       cleaned_text
+FROM m
+"""
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return textops.lang_id_confusion(_t(spark, sf, "documents"))
 
@@ -3375,6 +3416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": q_doc_quality,
         "gopher_repetition_flags": q_repetition_flags,
         "duplicate_span_coverage": q_duplicate_spans,
+        "c4_page_filter": q_c4_page_stats,
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3452,6 +3494,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_scores": SQL_DOC_QUALITY,
         "gopher_repetition_flags": SQL_REPETITION_FLAGS,
         "duplicate_span_coverage": SQL_DUPLICATE_SPANS,
+        "c4_page_filter": SQL_C4_PAGE_STATS,
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

@@ -153,6 +153,7 @@ OPERATOR_QUERIES = [
     "text_quality_scores",
     "gopher_repetition_flags",
     "duplicate_span_coverage",
+    "c4_page_filter",
     "minhash_lsh_near_dup",
     "near_dup_clusters",
     "simhash_fingerprints",

@@ -903,3 +903,77 @@ def duplicate_span_stats(
             ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style page cleaning (Raffel et al. 2020)
+# ---------------------------------------------------------------------------
+
+#: C4 keeps a line only when it has at least this many words...
+C4_MIN_LINE_WORDS = 5
+#: ...and ends in a terminal punctuation mark (period, !, ?, closing quote).
+C4_TERMINALS = (".", "!", "?", '"')
+#: A page survives only with at least this many kept lines (the paper's
+#: "at least 3 sentences" gate, applied to kept lines).
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_page_stats(docs: DataFrame) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, §2.2) per document.
+
+    The deterministic core of the C4 line/page filters, re-expressed as ONE
+    map-only codegen projection (zero shuffle, zero UDF):
+
+    - a line is KEPT iff it has >= 5 words and ends in terminal punctuation
+      (``. ! ? "``); empty/whitespace lines are ignored entirely
+    - ``removed_short`` / ``removed_no_punct`` — why lines were dropped
+      (word count first: a 2-word line without punctuation counts as short)
+    - ``has_lorem`` / ``has_brace`` — page poison markers ("lorem ipsum"
+      placeholder text, ``{`` as the code heuristic)
+    - ``page_keep`` — >= 3 kept lines and neither poison marker
+    - ``cleaned_text`` — the kept lines rejoined (the actionable output: the
+      corpus a C4-style pipeline would actually train on)
+
+    The paper's langdetect / bad-words-list / URL-dedup steps are separate
+    concerns (lang_id_confusion, contract enum/regex rules, dedup_exact) and
+    intentionally not folded in. Lines bind once via a let-binding transform;
+    word counts use the shared ``TOKEN_RE``, mirrored exactly by the DuckDB
+    oracle.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+
+    def is_long(x: Column) -> Column:
+        return F.size(
+            F.regexp_extract_all(F.lower(x), F.lit(TOKEN_RE), F.lit(0))
+        ) >= C4_MIN_LINE_WORDS
+
+    def is_terminated(x: Column) -> Column:
+        return F.substring(x, -1, 1).isin(*C4_TERMINALS)
+
+    def metrics(o: Column) -> Column:
+        ls = o["ls"]
+        kept = F.filter(ls, lambda x: is_long(x) & is_terminated(x))
+        n_kept = F.size(kept).cast("long")
+        n_short = F.size(F.filter(ls, lambda x: ~is_long(x))).cast("long")
+        has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+        has_brace = F.col("text").contains("{")
+        return F.struct(
+            F.size(ls).cast("long").alias("n_lines"),
+            n_kept.alias("kept_lines"),
+            n_short.alias("removed_short"),
+            (F.size(ls).cast("long") - n_kept - n_short).alias("removed_no_punct"),
+            has_lorem.alias("has_lorem"),
+            has_brace.alias("has_brace"),
+            (
+                (n_kept >= F.lit(C4_MIN_KEPT_LINES)) & ~has_lorem & ~has_brace
+            ).alias("page_keep"),
+            F.array_join(kept, "\n").alias("cleaned_text"),
+        )
+
+    bound = F.transform(F.array(F.struct(lines.alias("ls"))), metrics)[0]
+    return fan_out(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select("doc_id", bound.alias("_c")).select("doc_id", "_c.*")

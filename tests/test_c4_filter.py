@@ -1,0 +1,81 @@
+"""C4 page-cleaning heuristics (textops.c4_page_stats), Raffel et al. 2020.
+
+Hand-built fixtures; DuckDB oracle parity runs in test_entry_parity
+(key ``c4_page_filter``).
+"""
+
+import pytest
+
+from dcspark import textops
+
+
+def _stats(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r["doc_id"]: r.asDict() for r in textops.c4_page_stats(df).collect()}
+
+
+GOOD = "this sentence definitely has enough words to keep."
+
+
+def test_line_and_page_rules(spark):
+    out = _stats(spark, [
+        # 0: three keepable lines -> page kept
+        "\n".join([GOOD, "Another full sentence with plenty of words here!",
+                   'A third quoted line with at least five words."']),
+        # 1: enough words but no terminal punctuation
+        "\n".join([GOOD, "this line has many words but no terminal mark",
+                   GOOD, GOOD]),
+        # 2: short lines dropped as short even when punctuated
+        "\n".join([GOOD, "too short.", GOOD, GOOD]),
+        # 3: lorem ipsum poisons an otherwise keepable page
+        "\n".join([GOOD, GOOD, GOOD, "filler lorem ipsum dolor sit amet."]),
+        # 4: curly brace -> code page
+        "\n".join([GOOD, GOOD, GOOD, "function f() { return 1; }"]),
+        # 5: only two kept lines -> below the 3-sentence gate
+        "\n".join([GOOD, GOOD]),
+    ])
+
+    a = out[0]
+    assert (a["n_lines"], a["kept_lines"], a["removed_short"],
+            a["removed_no_punct"]) == (3, 3, 0, 0)
+    assert a["page_keep"] is True
+    assert a["cleaned_text"].count("\n") == 2
+
+    b = out[1]
+    assert (b["kept_lines"], b["removed_no_punct"], b["removed_short"]) == (3, 1, 0)
+    assert b["page_keep"] is True
+
+    c = out[2]
+    assert (c["kept_lines"], c["removed_short"]) == (3, 1)
+
+    d = out[3]
+    assert d["has_lorem"] is True and d["page_keep"] is False
+    assert d["kept_lines"] == 4  # the lorem line itself passes the line rules
+
+    e = out[4]
+    assert e["has_brace"] is True and e["page_keep"] is False
+
+    f = out[5]
+    assert f["kept_lines"] == 2 and f["page_keep"] is False
+
+
+def test_empty_and_whitespace_lines_ignored(spark):
+    out = _stats(spark, ["\n\n  \n" + GOOD + "\n\n"])
+    assert out[0]["n_lines"] == 1
+    assert out[0]["kept_lines"] == 1
+    assert out[0]["cleaned_text"] == GOOD
+
+
+def test_word_count_precedence_over_punctuation(spark):
+    # a 2-word unpunctuated line is counted as SHORT, not as no-punct
+    out = _stats(spark, ["two words"])
+    assert (out[0]["removed_short"], out[0]["removed_no_punct"]) == (1, 0)
+
+
+def test_row_local_plan_no_shuffle(spark):
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = textops.c4_page_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
