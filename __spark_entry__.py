@@ -1105,7 +1105,8 @@ SQL_REPETITION_FLAGS = rf"""
 WITH base AS (
   SELECT cast(doc_id AS bigint) AS doc_id,
          list_filter(list_transform(string_split(lower(text), chr(10)),
-                                    x -> trim(x)), x -> x <> '') AS ls,
+                                    x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                     x -> x <> '') AS ls,
          regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
   FROM documents),
 lstats AS (
@@ -1228,7 +1229,8 @@ SQL_C4_PAGE_STATS = rf"""
 WITH base AS (
   SELECT cast(doc_id AS bigint) AS doc_id, text,
          list_filter(list_transform(string_split(text, chr(10)),
-                                    x -> trim(x)), x -> x <> '') AS ls
+                                    x -> regexp_replace(x, '^\s+|\s+$', '', 'g')),
+                     x -> x <> '') AS ls
   FROM documents),
 m AS (
   SELECT doc_id, text,

@@ -54,6 +54,27 @@ def fingerprint_expr(col: str = "text") -> Column:
     return F.md5(norm_text(col))
 
 
+def lines_expr(col: str = "text", lower: bool = False) -> Column:
+    """Non-empty lines as array<string>: newline-split, whitespace-trimmed.
+
+    Trimming is a ``^\\s+|\\s+$`` regexp, NOT ``trim`` — trim strips only
+    spaces (in Spark AND DuckDB), so a CRLF corpus would keep the trailing
+    ``\\r`` and defeat any ends-with check downstream (and ``\\r``-only lines
+    would survive the empty filter). The lambda wrapper matters too: pyspark
+    4's ``trim(col, trim=None)``-style two-arg functions, passed bare to
+    ``transform``, bind the element INDEX as the second argument and silently
+    misbehave. Mirrored exactly by the SQL oracles in ``__spark_entry__``.
+    """
+    src = F.lower(F.col(col)) if lower else F.col(col)
+    return F.filter(
+        F.transform(
+            F.split(src, "\n"),
+            lambda x: F.regexp_replace(x, r"^\s+|\s+$", ""),
+        ),
+        lambda x: x != F.lit(""),
+    )
+
+
 #: GPT-2-style pre-tokenizer pattern, lookahead-free so Java regex (Spark) and
 #: RE2 (DuckDB oracle) tokenize identically: contractions, space-prefixed
 #: letter runs, digit runs, punctuation runs, whitespace runs. Counting these
@@ -733,14 +754,7 @@ def repetition_stats(
     newline-split, trimmed, empties dropped — both mirrored exactly by the
     DuckDB oracle.
     """
-    lines = F.filter(
-        # NB: lambda, not bare F.trim — pyspark 4's trim(col, trim=None) is
-        # two-arg, so transform would bind the element INDEX as the
-        # trim-character set and silently not trim at all
-        F.transform(F.split(F.lower(F.col("text")), "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
-    )
-    zero = F.lit(0).cast("long")
+    lines = lines_expr(lower=True)
 
     def metrics(o: Column) -> Column:
         ls, ws = o["ls"], o["ws"]
@@ -798,28 +812,45 @@ def repetition_stats(
 # global duplicate-span coverage (exact-substring-dedup proxy)
 # ---------------------------------------------------------------------------
 
-def span_window_table(docs: DataFrame, n_tokens: int = 50) -> DataFrame:
-    """(doc_id, pos, digest) for every overlapping ``n_tokens``-token window.
+def span_digests_expr(n_tokens: int) -> Column:
+    """array<binary> of ``unhex(md5(window))`` for every overlapping
+    ``n_tokens``-token window of the text (empty below ``n_tokens`` tokens).
 
-    Tokens are the shared ``TOKEN_RE`` alnum tokens; the digest is
-    ``unhex(md5(window))`` — 16 raw bytes instead of a 32-char hex string, so
-    the global count shuffle moves half the bytes (at 10^12-doc scale the
-    full 128 bits are needed: a 64-bit key has birthday collisions well below
-    10^13 windows). pos is the 0-based index of the window's first token.
-    Docs shorter than ``n_tokens`` yield no rows. One md5 per token (stride-1
-    windows), computed in a single let-bound projection.
+    The token array is LET-BOUND (single-element-array transform) — the
+    window lambda references it once per element; unbound, the full-text
+    ``regexp_extract_all`` re-evaluates PER WINDOW, O(tokens x doc-length)
+    per document (measured 26x on an 8k-token doc; the winnow_expr defect
+    class). Raw 16-byte digests instead of 32-char hex halve the downstream
+    shuffle; at 10^12-doc scale the full 128 bits are needed — a 64-bit key
+    has birthday collisions well below 10^13 windows.
     """
-    ws = words_expr()
-    windows = F.when(
+
+    return F.transform(
+        F.array(words_expr()), lambda ws: _span_windows(ws, n_tokens)
+    )[0]
+
+
+def _span_windows(ws: Column, n_tokens: int) -> Column:
+    """Digest windows over an ALREADY-BOUND token array (see span_digests_expr)."""
+    return F.when(
         F.size(ws) >= n_tokens,
         F.transform(
             F.sequence(F.lit(1), F.size(ws) - (n_tokens - 1)),
             lambda i: F.unhex(F.md5(F.array_join(F.slice(ws, i, n_tokens), " "))),
         ),
     ).otherwise(F.array().cast("array<binary>"))
+
+
+def span_window_table(docs: DataFrame, n_tokens: int = 50) -> DataFrame:
+    """(doc_id, pos, digest) for every overlapping ``n_tokens``-token window.
+
+    pos is the 0-based index of the window's first token; docs shorter than
+    ``n_tokens`` yield no rows. One md5 per token (stride-1 windows) in one
+    let-bound projection — see :func:`span_digests_expr`.
+    """
     return fan_out(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    ).select("doc_id", F.posexplode(windows).alias("pos", "digest"))
+    ).select("doc_id", F.posexplode(span_digests_expr(n_tokens)).alias("pos", "digest"))
 
 
 def duplicate_span_stats(
@@ -842,25 +873,39 @@ def duplicate_span_stats(
 
     Scale design: every data-sized shuffle moves (doc_id:8, pos:4,
     digest:16) bytes — never text (``fan_out``'s repartition is the one
-    text-bearing exchange and fires only on under-partitioned small inputs). The global count is a partial-agg groupBy
-    on the 16-byte digest; the dup-window restriction is an un-hinted semi
-    join (AQE broadcasts the duplicated-digest set when it is small, falls
-    back to sort-merge co-partitioned on digest when it is not). Per-doc
-    totals (token count, window count) are ROW-LOCAL — no join back to a
-    corpus aggregate. The interval union runs over each doc's sorted
+    text-bearing exchange and fires only on under-partitioned small inputs).
+    The tokenize+md5 projection runs EXACTLY ONCE: one persisted compact
+    frame (doc_id, n_tok, n_windows, digests) feeds the totals, the global
+    count, and the semi-join probe (unpersisted, the count and probe
+    subtrees would each re-run it — release via the ``_dcspark_cached``
+    handle). The global count is a partial-agg groupBy on the 16-byte
+    digest; the dup-window restriction is an un-hinted semi join (AQE
+    broadcasts the duplicated-digest set when it is small, falls back to
+    sort-merge co-partitioned on digest when it is not). Per-doc totals
+    (token count, window count) are ROW-LOCAL — no join back to a corpus
+    aggregate. The interval union runs over each doc's sorted
     duplicated-window positions (bounded by tokens/doc, the same per-row
     bound as the shingle arrays).
     """
-    base = fan_out(
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    from pyspark import StorageLevel
+
+    def row(ws: Column) -> Column:
+        return F.struct(
+            F.size(ws).cast("long").alias("n_tok"),
+            F.greatest(F.size(ws) - (n_tokens - 1), F.lit(0))
+            .cast("long").alias("n_windows"),
+            _span_windows(ws, n_tokens).alias("digests"),
+        )
+
+    bound = F.transform(F.array(words_expr()), row)[0]
+    spans = (
+        fan_out(docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        .select("doc_id", bound.alias("_s"))
+        .select("doc_id", "_s.*")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ws = words_expr()
-    totals = base.select(
-        "doc_id",
-        F.size(ws).cast("long").alias("n_tok"),
-        F.greatest(F.size(ws) - (n_tokens - 1), F.lit(0)).cast("long").alias("n_windows"),
-    )
-    w = span_window_table(docs, n_tokens)
+    totals = spans.select("doc_id", "n_tok", "n_windows")
+    w = spans.select("doc_id", F.posexplode("digests").alias("pos", "digest"))
     dup_digests = (
         w.groupBy("digest")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -885,7 +930,7 @@ def duplicate_span_stats(
         covered.alias("covered"),
     )
     z = F.lit(0).cast("long")
-    return (
+    out = (
         totals.join(cov, "doc_id", "left")
         .select(
             "doc_id", "n_tok", "n_windows",
@@ -903,6 +948,9 @@ def duplicate_span_stats(
             ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
         )
     )
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    out._dcspark_cached = [spans]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -936,35 +984,40 @@ def c4_page_stats(docs: DataFrame) -> DataFrame:
 
     The paper's langdetect / bad-words-list / URL-dedup steps are separate
     concerns (lang_id_confusion, contract enum/regex rules, dedup_exact) and
-    intentionally not folded in. Lines bind once via a let-binding transform;
-    word counts use the shared ``TOKEN_RE``, mirrored exactly by the DuckDB
+    intentionally not folded in. The line array binds once via a let-binding
+    transform and each line is TAGGED (long?, terminated?) in a single pass
+    — the per-line token regexp runs exactly once per line, not once per
+    derived filter. Lines come from the shared whitespace-trimming
+    ``lines_expr`` (CRLF corpora keep their terminal punctuation); word
+    counts use the shared ``TOKEN_RE``. Mirrored exactly by the DuckDB
     oracle.
     """
-    lines = F.filter(
-        F.transform(F.split(F.col("text"), "\n"), lambda x: F.trim(x)),
-        lambda x: x != F.lit(""),
+    tagged = F.transform(
+        lines_expr(),
+        lambda x: F.struct(
+            x.alias("t"),
+            (
+                F.size(F.regexp_extract_all(F.lower(x), F.lit(TOKEN_RE), F.lit(0)))
+                >= C4_MIN_LINE_WORDS
+            ).alias("lg"),
+            F.substring(x, -1, 1).isin(*C4_TERMINALS).alias("tm"),
+        ),
     )
 
-    def is_long(x: Column) -> Column:
-        return F.size(
-            F.regexp_extract_all(F.lower(x), F.lit(TOKEN_RE), F.lit(0))
-        ) >= C4_MIN_LINE_WORDS
-
-    def is_terminated(x: Column) -> Column:
-        return F.substring(x, -1, 1).isin(*C4_TERMINALS)
-
     def metrics(o: Column) -> Column:
-        ls = o["ls"]
-        kept = F.filter(ls, lambda x: is_long(x) & is_terminated(x))
+        tg = o["tg"]
+        kept = F.transform(
+            F.filter(tg, lambda s: s["lg"] & s["tm"]), lambda s: s["t"]
+        )
         n_kept = F.size(kept).cast("long")
-        n_short = F.size(F.filter(ls, lambda x: ~is_long(x))).cast("long")
+        n_short = F.size(F.filter(tg, lambda s: ~s["lg"])).cast("long")
         has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
         has_brace = F.col("text").contains("{")
         return F.struct(
-            F.size(ls).cast("long").alias("n_lines"),
+            F.size(tg).cast("long").alias("n_lines"),
             n_kept.alias("kept_lines"),
             n_short.alias("removed_short"),
-            (F.size(ls).cast("long") - n_kept - n_short).alias("removed_no_punct"),
+            (F.size(tg).cast("long") - n_kept - n_short).alias("removed_no_punct"),
             has_lorem.alias("has_lorem"),
             has_brace.alias("has_brace"),
             (
@@ -973,7 +1026,7 @@ def c4_page_stats(docs: DataFrame) -> DataFrame:
             F.array_join(kept, "\n").alias("cleaned_text"),
         )
 
-    bound = F.transform(F.array(F.struct(lines.alias("ls"))), metrics)[0]
+    bound = F.transform(F.array(F.struct(tagged.alias("tg"))), metrics)[0]
     return fan_out(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     ).select("doc_id", bound.alias("_c")).select("doc_id", "_c.*")

@@ -79,3 +79,21 @@ def test_row_local_plan_no_shuffle(spark):
     plan = textops.c4_page_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_crlf_lines_keep_terminal_punctuation(spark):
+    # review finding: split('\n') on a CRLF page leaves '\r' at line end;
+    # space-only trim would defeat the terminal-punctuation check and drop
+    # every line of every CRLF web page
+    out = _stats(spark, ["\r\n".join([GOOD, GOOD, GOOD]), "\r\n \r \n"])
+    assert out[0]["kept_lines"] == 3 and out[0]["page_keep"] is True
+    assert "\r" not in out[0]["cleaned_text"]
+    assert out[1]["n_lines"] == 0  # '\r'-only lines are empty, not lines
+
+
+def test_single_tokenization_per_line(spark):
+    # the per-line token regexp must appear once (the tagged-struct pass),
+    # not once per derived filter
+    df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
+    plan = textops.c4_page_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all") == 1

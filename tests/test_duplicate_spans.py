@@ -70,3 +70,25 @@ def test_scale_plan_shape(spark):
     assert "Window" not in plan
     # the digest is raw binary md5 (16 bytes), not the 32-char hex string
     assert "unhex(md5(" in plan
+
+
+def test_single_tokenization_let_binding(spark):
+    """Review finding: without the let-binding, the full-text tokenization
+    regexp re-evaluates once PER WINDOW (measured 26x / quadratic on an
+    8k-token doc). The bound form references regexp_extract_all exactly once
+    in the whole plan."""
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = (
+        textops.span_window_table(docs, n_tokens=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("regexp_extract_all") == 1
+    # fused compact frame: the whole pipeline tokenizes once — totals, the
+    # global count, and the semi-join probe ALL read the persisted spans
+    # frame (three InMemoryTableScans over one cached tokenize+md5 pass)
+    out = textops.duplicate_span_stats(docs, n_tokens=3)
+    out.collect()
+    full = out._jdf.queryExecution().executedPlan().toString()
+    assert full.count("InMemoryTableScan") >= 3
+    from dcspark import pipeline_ckpt
+    pipeline_ckpt.release_caches(out)

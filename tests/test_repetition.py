@@ -91,3 +91,11 @@ def test_row_local_plan_no_shuffle(spark):
     plan = textops.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_crlf_and_tab_edges_trimmed(spark):
+    # lines_expr strips ALL whitespace at line edges ('\r' from CRLF, tabs),
+    # so duplicate-line detection is not defeated by line-ending style
+    out = _stats(spark, ["dup line\r\ndup line\t\n  dup line  "])
+    assert out[0]["n_lines"] == 3
+    assert out[0]["dup_line_frac"] == pytest.approx(2 / 3)
