@@ -319,6 +319,53 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_spans(args: argparse.Namespace) -> int:
+    """Global duplicate-span coverage report (exact-substring-dedup proxy),
+    with stage-checkpoint resume — see dcspark/textops.py duplicate_span_stats."""
+    from pyspark.sql import functions as F
+
+    from . import pipeline_ckpt, textops
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text"))
+    if args.checkpoint:
+        rep = pipeline_ckpt.duplicate_spans_resumable(
+            docs, args.checkpoint, n_tokens=args.window, min_count=args.min_count)
+    else:
+        rep = textops.duplicate_span_stats(
+            docs, n_tokens=args.window, min_count=args.min_count)
+    rep.write.mode("overwrite").parquet(args.output)
+    pipeline_ckpt.release_caches(rep)
+    flagged = spark.read.parquet(args.output).filter(
+        F.col("dup_token_frac") > args.threshold).count()
+    print(f"spans: {flagged} documents over dup_token_frac {args.threshold} "
+          f"-> {args.output}"
+          + (f" [resumable: {args.checkpoint}]" if args.checkpoint else ""))
+    return 0
+
+
+def cmd_textquality(args: argparse.Namespace) -> int:
+    """Row-local text-quality report (Gopher repetition + C4 cleaning +
+    token stats) in one corpus pass — see dcspark/textops.py
+    text_quality_report."""
+    from pyspark.sql import functions as F
+
+    from . import textops
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text"))
+    rep = textops.text_quality_report(docs)
+    rep.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n = out.count()
+    flagged = out.filter(F.col("flagged") | ~F.col("page_keep")).count()
+    print(f"textquality: {n} documents, {flagged} flagged by repetition or "
+          f"C4 page rules -> {args.output}")
+    return 0
+
+
 def cmd_decontam(args: argparse.Namespace) -> int:
     """Benchmark decontamination report (n-gram collision vs an eval set),
     with stage-checkpoint resume — see dcspark/decontam.py."""
@@ -918,6 +965,33 @@ def main(argv: Optional[list] = None) -> int:
     dc.add_argument("--master", default=None)
     dc.add_argument("--shuffle-partitions", type=int, default=None)
 
+    sp = sub.add_parser(
+        "spans", help="global duplicate-span coverage report (resumable)")
+    sp.add_argument("--input", required=True, help="documents parquet path")
+    sp.add_argument("--output", required=True, help="report parquet path")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--window", type=int, default=50,
+                    help="span width in tokens (Lee et al. use 50)")
+    sp.add_argument("--min-count", type=int, default=2,
+                    help="a span is duplicated at >= this many occurrences")
+    sp.add_argument("--threshold", type=float, default=0.0,
+                    help="report documents with dup_token_frac > this")
+    sp.add_argument("--checkpoint", default=None,
+                    help="stage-checkpoint dir; rerun resumes completed stages")
+    sp.add_argument("--master", default=None)
+    sp.add_argument("--shuffle-partitions", type=int, default=None)
+
+    tq = sub.add_parser(
+        "textquality",
+        help="one-pass text-quality report (Gopher repetition + C4 + token stats)")
+    tq.add_argument("--input", required=True, help="documents parquet path")
+    tq.add_argument("--output", required=True, help="report parquet path")
+    tq.add_argument("--id-col", default="doc_id")
+    tq.add_argument("--text-col", default="text")
+    tq.add_argument("--master", default=None)
+    tq.add_argument("--shuffle-partitions", type=int, default=None)
+
     au = sub.add_parser(
         "audio", help="audio corpus actions: transcode | segment | chunk | features | augment | census | fingerprint | neardup | decontam")
     au.add_argument("action",
@@ -1151,6 +1225,10 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_wer(args)
     if args.command == "decontam":
         return cmd_decontam(args)
+    if args.command == "spans":
+        return cmd_spans(args)
+    if args.command == "textquality":
+        return cmd_textquality(args)
     if args.command == "suggest":
         return cmd_suggest(args)
     if args.command == "repair":

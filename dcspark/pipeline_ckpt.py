@@ -207,6 +207,36 @@ def minhash_near_dups_resumable(
     return scored.filter(F.col("jaccard") >= threshold)
 
 
+def duplicate_spans_resumable(
+    docs: DataFrame,
+    ckpt_dir: str,
+    n_tokens: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """:func:`dcspark.textops.duplicate_span_stats` with stage checkpoints.
+
+    Stages: ``spans`` (the tokenize+md5 compact frame — the map-heavy pass,
+    signed by n_tokens + input lineage only) and ``report`` (global count +
+    semi join + interval-union coverage, signed additionally by min_count).
+    A ``min_count`` sweep therefore reuses the checkpointed spans parquet
+    without re-tokenizing the corpus; a changed ``n_tokens`` or input
+    invalidates both stages.
+    """
+    from . import textops
+
+    base = {"op": "duplicate_spans", "n_tokens": n_tokens,
+            "input": input_lineage(docs)}
+    ck_spans = StageCheckpoint(docs.sparkSession, ckpt_dir, base)
+    ck_report = StageCheckpoint(docs.sparkSession, ckpt_dir,
+                                {**base, "min_count": min_count})
+    spans = ck_spans.stage(
+        "spans", lambda: textops.span_compact_table(docs, n_tokens, persist=False)
+    )
+    return ck_report.stage(
+        "report", lambda: textops.span_report(spans, n_tokens, min_count)
+    )
+
+
 def contamination_resumable(
     docs: DataFrame,
     eval_df: DataFrame,

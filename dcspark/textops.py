@@ -754,6 +754,24 @@ def repetition_stats(
     newline-split, trimmed, empties dropped — both mirrored exactly by the
     DuckDB oracle.
     """
+    bound = repetition_struct_expr(
+        dup_line_frac, dup_line_char_frac,
+        top_bigram_char_frac, dup_5gram_char_frac,
+    )
+    return fan_out(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select("doc_id", bound.alias("_r")).select("doc_id", "_r.*")
+
+
+def repetition_struct_expr(
+    dup_line_frac: float = GOPHER_DUP_LINE_FRAC,
+    dup_line_char_frac: float = GOPHER_DUP_LINE_CHAR_FRAC,
+    top_bigram_char_frac: float = GOPHER_TOP_BIGRAM_CHAR_FRAC,
+    dup_5gram_char_frac: float = GOPHER_DUP_5GRAM_CHAR_FRAC,
+) -> Column:
+    """The :func:`repetition_stats` metrics as one struct Column over a
+    ``text`` column — composable with other row-local quality structs in a
+    single projection (see :func:`text_quality_report`)."""
     lines = lines_expr(lower=True)
 
     def metrics(o: Column) -> Column:
@@ -800,12 +818,9 @@ def repetition_stats(
 
         return F.transform(F.array(derived), fracs)[0]
 
-    bound = F.transform(
+    return F.transform(
         F.array(F.struct(lines.alias("ls"), words_expr().alias("ws"))), metrics
     )[0]
-    return fan_out(
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    ).select("doc_id", bound.alias("_r")).select("doc_id", "_r.*")
 
 
 # ---------------------------------------------------------------------------
@@ -887,6 +902,22 @@ def duplicate_span_stats(
     duplicated-window positions (bounded by tokens/doc, the same per-row
     bound as the shingle arrays).
     """
+    spans = span_compact_table(docs, n_tokens, persist=True)
+    out = span_report(spans, n_tokens, min_count)
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    out._dcspark_cached = [spans]
+    return out
+
+
+def span_compact_table(
+    docs: DataFrame, n_tokens: int = 50, persist: bool = True
+) -> DataFrame:
+    """One-pass compact frame (doc_id, n_tok, n_windows, digests) — the
+    tokenize+md5 projection of :func:`duplicate_span_stats`, shared by the
+    totals, the global count, and the semi-join probe. The token array binds
+    once (see :func:`span_digests_expr`); ``persist=False`` for callers that
+    materialize it durably themselves (the resumable wrapper's parquet stage).
+    """
     from pyspark import StorageLevel
 
     def row(ws: Column) -> Column:
@@ -902,8 +933,19 @@ def duplicate_span_stats(
         fan_out(docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
         .select("doc_id", bound.alias("_s"))
         .select("doc_id", "_s.*")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persist:
+        spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    return spans
+
+
+def span_report(
+    spans: DataFrame, n_tokens: int, min_count: int = 2
+) -> DataFrame:
+    """Duplicate-span report over a prebuilt compact spans frame
+    (doc_id, n_tok, n_windows, digests) — the post-tokenization half of
+    :func:`duplicate_span_stats`, split out so the resumable wrapper can
+    feed it a checkpointed parquet copy of the spans frame."""
     totals = spans.select("doc_id", "n_tok", "n_windows")
     w = spans.select("doc_id", F.posexplode("digests").alias("pos", "digest"))
     dup_digests = (
@@ -948,8 +990,6 @@ def duplicate_span_stats(
             ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
         )
     )
-    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
-    out._dcspark_cached = [spans]
     return out
 
 
@@ -992,6 +1032,15 @@ def c4_page_stats(docs: DataFrame) -> DataFrame:
     counts use the shared ``TOKEN_RE``. Mirrored exactly by the DuckDB
     oracle.
     """
+    return fan_out(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select("doc_id", c4_struct_expr().alias("_c")).select("doc_id", "_c.*")
+
+
+def c4_struct_expr() -> Column:
+    """The :func:`c4_page_stats` metrics as one struct Column over a
+    ``text`` column — composable with other row-local quality structs in a
+    single projection (see :func:`text_quality_report`)."""
     tagged = F.transform(
         lines_expr(),
         lambda x: F.struct(
@@ -1026,7 +1075,32 @@ def c4_page_stats(docs: DataFrame) -> DataFrame:
             F.array_join(kept, "\n").alias("cleaned_text"),
         )
 
-    bound = F.transform(F.array(F.struct(tagged.alias("tg"))), metrics)[0]
-    return fan_out(
+    return F.transform(F.array(F.struct(tagged.alias("tg"))), metrics)[0]
+
+
+def text_quality_report(docs: DataFrame) -> DataFrame:
+    """Every row-local text-quality signal in ONE map-only projection:
+    Gopher/MassiveText repetition metrics + C4 cleaning metrics + the shared
+    token/stopword/punctuation scores — the single corpus pass a curation
+    pipeline actually runs (three separate operators would scan the 100 TB
+    corpus three times for row-local math). Column names are the union of
+    :func:`repetition_stats` and :func:`c4_page_stats` (whose duplicate
+    ``n_lines`` is emitted once) plus ``tokens``/``chars``.
+    """
+    rep = repetition_struct_expr()
+    c4 = c4_struct_expr()
+    base = fan_out(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    ).select("doc_id", bound.alias("_c")).select("doc_id", "_c.*")
+    )
+    out = base.select(
+        "doc_id",
+        F.size(words_expr()).cast("long").alias("tokens"),
+        F.length("text").cast("long").alias("chars"),
+        rep.alias("_r"),
+        c4.alias("_c"),
+    )
+    c4_fields = [f for f in out.schema["_c"].dataType.fieldNames() if f != "n_lines"]
+    return out.select(
+        "doc_id", "tokens", "chars", "_r.*",
+        *[F.col(f"_c.{f}").alias(f) for f in c4_fields],
+    )

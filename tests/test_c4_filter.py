@@ -97,3 +97,27 @@ def test_single_tokenization_per_line(spark):
     df = spark.createDataFrame([(1, GOOD)], "doc_id long, text string")
     plan = textops.c4_page_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("regexp_extract_all") == 1
+
+
+def test_text_quality_report_single_pass(spark):
+    """Combined report equals the individual operators column-for-column and
+    is still ONE map-only projection (no join/shuffle between the rule
+    families — three scans collapsed into one)."""
+    docs = spark.createDataFrame(
+        [(0, GOOD + "\n" + GOOD), (1, "dup\ndup\n" + GOOD), (2, "")],
+        "doc_id long, text string",
+    )
+    combined = {r["doc_id"]: r.asDict()
+                for r in textops.text_quality_report(docs).collect()}
+    rep = {r["doc_id"]: r.asDict()
+           for r in textops.repetition_stats(docs).collect()}
+    c4 = {r["doc_id"]: r.asDict()
+          for r in textops.c4_page_stats(docs).collect()}
+    for i in combined:
+        for k, v in rep[i].items():
+            assert combined[i][k] == v, (i, k)
+        for k, v in c4[i].items():
+            assert combined[i][k] == v, (i, k)
+    plan = (textops.text_quality_report(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan

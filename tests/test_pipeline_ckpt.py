@@ -513,3 +513,70 @@ def test_release_caches_and_signable_guard(spark, audio_clips, tmp_path):
     # eval side re-decoded (new benchmark), corpus decode untouched
     assert calls == [1], f"expected 1 rebuild (eval only), got {len(calls)}"
     assert os.path.getmtime(os.path.join(ck, "corpus_fp.manifest.json")) == m
+
+
+def _span_key(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_duplicate_spans_resumable(spark, docs, tmp_path):
+    ck = str(tmp_path / "ck_spans")
+    fresh = textops.duplicate_span_stats(docs, n_tokens=3, min_count=2)
+    fresh_rows = fresh.collect()
+    pipeline_ckpt.release_caches(fresh)
+    first = pipeline_ckpt.duplicate_spans_resumable(
+        docs, ck, n_tokens=3, min_count=2).collect()
+    assert _span_key(first) == _span_key(fresh_rows)
+
+    # resume: the tokenize stage must be served from parquet
+    calls = []
+    orig = textops.span_compact_table
+    textops.span_compact_table = lambda *a, **k: calls.append(1) or orig(*a, **k)
+    try:
+        again = pipeline_ckpt.duplicate_spans_resumable(
+            docs, ck, n_tokens=3, min_count=2).collect()
+        # a min_count sweep reuses the spans parquet (stage signed without it)
+        swept = pipeline_ckpt.duplicate_spans_resumable(
+            docs, ck, n_tokens=3, min_count=3).collect()
+    finally:
+        textops.span_compact_table = orig
+    assert calls == [], "spans stage recomputed on resume / min_count sweep"
+    assert _span_key(again) == _span_key(fresh_rows)
+    assert {r["doc_id"] for r in swept} == {r["doc_id"] for r in fresh_rows}
+
+    # a changed n_tokens invalidates the spans stage
+    try:
+        textops.span_compact_table = lambda *a, **k: calls.append(1) or orig(*a, **k)
+        pipeline_ckpt.duplicate_spans_resumable(
+            docs, ck, n_tokens=4, min_count=2).collect()
+    finally:
+        textops.span_compact_table = orig
+    assert calls == [1], "changed n_tokens must re-run the spans stage"
+
+
+def test_cli_spans_and_textquality(spark, docs, tmp_path):
+    """CLI surface: spans (resumable) + textquality write parquet reports."""
+    from dcspark.cli import main
+
+    docs_dir = docs.inputFiles()[0].rsplit("/", 1)[0]
+    ck = str(tmp_path / "spans_ck")
+    out = str(tmp_path / "spans_rep")
+    rc = main(["spans", "--input", docs_dir, "--output", out,
+               "--checkpoint", ck, "--window", "3"])
+    assert rc == 0
+    rep = spark.read.parquet(out)
+    assert set(rep.columns) == {"doc_id", "n_tok", "n_windows", "dup_windows",
+                                "dup_window_frac", "dup_token_frac"}
+    m = os.path.getmtime(os.path.join(ck, "spans.manifest.json"))
+    rc = main(["spans", "--input", docs_dir, "--output", out,
+               "--checkpoint", ck, "--window", "3"])
+    assert rc == 0
+    assert os.path.getmtime(os.path.join(ck, "spans.manifest.json")) == m
+
+    tq = str(tmp_path / "tq_rep")
+    rc = main(["textquality", "--input", docs_dir, "--output", tq])
+    assert rc == 0
+    tqr = spark.read.parquet(tq)
+    assert {"doc_id", "tokens", "chars", "dup_line_frac", "flagged",
+            "kept_lines", "page_keep", "cleaned_text"} <= set(tqr.columns)
+    assert tqr.count() == docs.count()
