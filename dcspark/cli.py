@@ -358,9 +358,10 @@ def cmd_textquality(args: argparse.Namespace) -> int:
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text"))
     rep = textops.text_quality_report(docs)
     rep.write.mode("overwrite").parquet(args.output)
-    out = spark.read.parquet(args.output)
-    n = out.count()
-    flagged = out.filter(F.col("flagged") | ~F.col("page_keep")).count()
+    n, flagged = spark.read.parquet(args.output).agg(
+        F.count(F.lit(1)),
+        F.count(F.when(F.col("flagged") | ~F.col("page_keep"), 1)),
+    ).first()
     print(f"textquality: {n} documents, {flagged} flagged by repetition or "
           f"C4 page rules -> {args.output}")
     return 0

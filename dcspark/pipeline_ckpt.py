@@ -93,6 +93,14 @@ class StageCheckpoint:
         data = self._data_path(name)
         if self.completed(name):
             return self.spark.read.parquet(data)
+        # invalidate the OLD manifest before touching the data dir: a crash
+        # between the parquet overwrite and the manifest rewrite must leave
+        # the stage incomplete, not serve the new parameters' parquet under
+        # the old signature (parameter sweeps alternate signatures against
+        # one checkpoint dir, so this window is real, not theoretical)
+        meta = self._meta_path(name)
+        if os.path.exists(meta):
+            os.remove(meta)
         df = builder()
         df.write.mode("overwrite").parquet(data)
         # the builder's operator may have persisted internal frames to keep

@@ -241,30 +241,45 @@ def token_stats_by_lang(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_metrics(
+    ws: Column, min_tokens: int = 30, max_stop_ratio: float = 0.5
+) -> Column:
+    """doc_quality's signals as a struct over an ALREADY-BOUND token array —
+    composable with the repetition metrics in one shared tokenization (see
+    :func:`text_quality_report`). Ratios are deterministic rationals rounded
+    to 6 places so the SQL oracle hashes identically."""
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    tokens = F.size(ws).cast("long")
+    stop_hits = F.size(
+        F.filter(ws, lambda x: F.array_contains(stop_arr, x))
+    ).cast("long")
+    punct_chars = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("long")
+    chars = F.length("text").cast("long")
+    return F.struct(
+        tokens.alias("tokens"),
+        stop_hits.alias("stop_hits"),
+        F.round(stop_hits / F.greatest(tokens, F.lit(1)), 6).alias("stop_ratio"),
+        F.round(punct_chars / F.greatest(chars, F.lit(1)), 6).alias("punct_ratio"),
+        (
+            (tokens >= min_tokens)
+            & (stop_hits / F.greatest(tokens, F.lit(1)) <= max_stop_ratio)
+        ).cast("int").alias("is_quality"),
+    )
+
+
 def doc_quality(docs: DataFrame, min_tokens: int = 30, max_stop_ratio: float = 0.5) -> DataFrame:
     """Per-document quality signals: tokens, stopword ratio, punct ratio, flag.
 
     All ratios are deterministic rational values rounded to 6 places so the SQL
     oracle hashes identically.
     """
-    w = words_expr()
-    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    d = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(w).cast("long").alias("tokens"),
-        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("long").alias("stop_hits"),
-        F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", "")).cast("long").alias("punct_chars"),
-        F.length("text").cast("long").alias("chars"),
-    )
-    return d.select(
-        "doc_id", "tokens", "stop_hits",
-        F.round(F.col("stop_hits") / F.greatest(F.col("tokens"), F.lit(1)), 6).alias("stop_ratio"),
-        F.round(F.col("punct_chars") / F.greatest(F.col("chars"), F.lit(1)), 6).alias("punct_ratio"),
-        (
-            (F.col("tokens") >= min_tokens)
-            & (F.col("stop_hits") / F.greatest(F.col("tokens"), F.lit(1)) <= max_stop_ratio)
-        ).cast("int").alias("is_quality"),
-    )
+    bound = F.transform(
+        F.array(words_expr()),
+        lambda ws: quality_metrics(ws, min_tokens, max_stop_ratio),
+    )[0]
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), bound.alias("_q")
+    ).select("doc_id", "_q.*")
 
 
 def lang_id_confusion(docs: DataFrame, min_hits: int = 1) -> DataFrame:
@@ -772,55 +787,68 @@ def repetition_struct_expr(
     """The :func:`repetition_stats` metrics as one struct Column over a
     ``text`` column — composable with other row-local quality structs in a
     single projection (see :func:`text_quality_report`)."""
-    lines = lines_expr(lower=True)
+    return F.transform(
+        F.array(F.struct(lines_expr(lower=True).alias("ls"),
+                         words_expr().alias("ws"))),
+        lambda o: repetition_metrics(
+            o["ls"], o["ws"],
+            dup_line_frac, dup_line_char_frac,
+            top_bigram_char_frac, dup_5gram_char_frac,
+        ),
+    )[0]
 
-    def metrics(o: Column) -> Column:
-        ls, ws = o["ls"], o["ws"]
-        derived = F.struct(
-            F.size(ls).cast("long").alias("n_lines"),
-            F.size(F.array_distinct(ls)).cast("long").alias("n_dlines"),
-            _sum_len(ls).alias("lchars"),
-            _sum_len(F.array_distinct(ls)).alias("dlchars"),
-            _sum_len(ws).alias("wchars"),
-            _top_gram_covered(_word_grams(ws, 2), 2).alias("top2"),
-            _dup_gram_covered(_word_grams(ws, 5), 5).alias("dup5"),
+
+def repetition_metrics(
+    ls: Column,
+    ws: Column,
+    dup_line_frac: float = GOPHER_DUP_LINE_FRAC,
+    dup_line_char_frac: float = GOPHER_DUP_LINE_CHAR_FRAC,
+    top_bigram_char_frac: float = GOPHER_TOP_BIGRAM_CHAR_FRAC,
+    dup_5gram_char_frac: float = GOPHER_DUP_5GRAM_CHAR_FRAC,
+) -> Column:
+    """Repetition metrics over ALREADY-BOUND line/token arrays (the
+    composable core of :func:`repetition_struct_expr`)."""
+    derived = F.struct(
+        F.size(ls).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(ls)).cast("long").alias("n_dlines"),
+        _sum_len(ls).alias("lchars"),
+        _sum_len(F.array_distinct(ls)).alias("dlchars"),
+        _sum_len(ws).alias("wchars"),
+        _top_gram_covered(_word_grams(ws, 2), 2).alias("top2"),
+        _dup_gram_covered(_word_grams(ws, 5), 5).alias("dup5"),
+    )
+
+    def fracs(d: Column) -> Column:
+        dlf = F.when(
+            d["n_lines"] > 0,
+            (d["n_lines"] - d["n_dlines"]).cast("double") / d["n_lines"],
+        ).otherwise(F.lit(0.0))
+        dlcf = F.when(
+            d["lchars"] > 0,
+            (d["lchars"] - d["dlchars"]).cast("double") / d["lchars"],
+        ).otherwise(F.lit(0.0))
+        t2f = F.when(
+            d["wchars"] > 0, d["top2"].cast("double") / d["wchars"]
+        ).otherwise(F.lit(0.0))
+        d5f = F.when(
+            d["wchars"] > 0,
+            F.least(F.lit(1.0), d["dup5"].cast("double") / d["wchars"]),
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            d["n_lines"].alias("n_lines"),
+            dlf.alias("dup_line_frac"),
+            dlcf.alias("dup_line_char_frac"),
+            t2f.alias("top_bigram_char_frac"),
+            d5f.alias("dup_5gram_char_frac"),
+            (
+                (dlf > F.lit(dup_line_frac))
+                | (dlcf > F.lit(dup_line_char_frac))
+                | (t2f > F.lit(top_bigram_char_frac))
+                | (d5f > F.lit(dup_5gram_char_frac))
+            ).alias("flagged"),
         )
 
-        def fracs(d: Column) -> Column:
-            dlf = F.when(
-                d["n_lines"] > 0,
-                (d["n_lines"] - d["n_dlines"]).cast("double") / d["n_lines"],
-            ).otherwise(F.lit(0.0))
-            dlcf = F.when(
-                d["lchars"] > 0,
-                (d["lchars"] - d["dlchars"]).cast("double") / d["lchars"],
-            ).otherwise(F.lit(0.0))
-            t2f = F.when(
-                d["wchars"] > 0, d["top2"].cast("double") / d["wchars"]
-            ).otherwise(F.lit(0.0))
-            d5f = F.when(
-                d["wchars"] > 0,
-                F.least(F.lit(1.0), d["dup5"].cast("double") / d["wchars"]),
-            ).otherwise(F.lit(0.0))
-            return F.struct(
-                d["n_lines"].alias("n_lines"),
-                dlf.alias("dup_line_frac"),
-                dlcf.alias("dup_line_char_frac"),
-                t2f.alias("top_bigram_char_frac"),
-                d5f.alias("dup_5gram_char_frac"),
-                (
-                    (dlf > F.lit(dup_line_frac))
-                    | (dlcf > F.lit(dup_line_char_frac))
-                    | (t2f > F.lit(top_bigram_char_frac))
-                    | (d5f > F.lit(dup_5gram_char_frac))
-                ).alias("flagged"),
-            )
-
-        return F.transform(F.array(derived), fracs)[0]
-
-    return F.transform(
-        F.array(F.struct(lines.alias("ls"), words_expr().alias("ws"))), metrics
-    )[0]
+    return F.transform(F.array(derived), fracs)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -860,12 +888,18 @@ def span_window_table(docs: DataFrame, n_tokens: int = 50) -> DataFrame:
     """(doc_id, pos, digest) for every overlapping ``n_tokens``-token window.
 
     pos is the 0-based index of the window's first token; docs shorter than
-    ``n_tokens`` yield no rows. One md5 per token (stride-1 windows) in one
-    let-bound projection — see :func:`span_digests_expr`.
+    ``n_tokens`` yield no rows. The digest scheme lives in
+    :func:`span_digests_expr`; the generator takes that expression INLINE —
+    routing through an unpersisted :func:`span_compact_table` select looks
+    tidier but lets predicate pushdown substitute the whole tokenize+md5
+    expression into Generate's inferred ``size(...) > 0`` filter, evaluating
+    it twice per row (plan-gated at one ``regexp_extract_all``).
     """
     return fan_out(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    ).select("doc_id", F.posexplode(span_digests_expr(n_tokens)).alias("pos", "digest"))
+    ).select(
+        "doc_id", F.posexplode(span_digests_expr(n_tokens)).alias("pos", "digest")
+    )
 
 
 def duplicate_span_stats(
@@ -1080,27 +1114,38 @@ def c4_struct_expr() -> Column:
 
 def text_quality_report(docs: DataFrame) -> DataFrame:
     """Every row-local text-quality signal in ONE map-only projection:
-    Gopher/MassiveText repetition metrics + C4 cleaning metrics + the shared
-    token/stopword/punctuation scores — the single corpus pass a curation
-    pipeline actually runs (three separate operators would scan the 100 TB
-    corpus three times for row-local math). Column names are the union of
-    :func:`repetition_stats` and :func:`c4_page_stats` (whose duplicate
-    ``n_lines`` is emitted once) plus ``tokens``/``chars``.
+    Gopher/MassiveText repetition metrics + C4 cleaning metrics +
+    :func:`doc_quality`'s token/stopword/punctuation scores — the single
+    corpus pass a curation pipeline actually runs (four separate operators
+    would scan the 100 TB corpus four times for row-local math). The
+    repetition and quality metrics share ONE let-bound document tokenization
+    (C4's per-line tokenization is inherently separate). Column names are
+    the union of :func:`doc_quality`, :func:`repetition_stats`, and
+    :func:`c4_page_stats` (whose duplicate ``n_lines`` is emitted once)
+    plus ``chars``.
     """
-    rep = repetition_struct_expr()
-    c4 = c4_struct_expr()
+    rep_q = F.transform(
+        F.array(F.struct(lines_expr(lower=True).alias("ls"),
+                         words_expr().alias("ws"))),
+        lambda o: F.struct(
+            repetition_metrics(o["ls"], o["ws"]).alias("rep"),
+            quality_metrics(o["ws"]).alias("q"),
+        ),
+    )[0]
     base = fan_out(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
     )
+    # one alias per expensive struct; the second select expands fields off
+    # the ATTRIBUTE (CollapseProject refuses to duplicate non-cheap exprs,
+    # so each struct still evaluates once per row)
     out = base.select(
         "doc_id",
-        F.size(words_expr()).cast("long").alias("tokens"),
         F.length("text").cast("long").alias("chars"),
-        rep.alias("_r"),
-        c4.alias("_c"),
+        rep_q.alias("_rq"),
+        c4_struct_expr().alias("_c"),
     )
     c4_fields = [f for f in out.schema["_c"].dataType.fieldNames() if f != "n_lines"]
     return out.select(
-        "doc_id", "tokens", "chars", "_r.*",
+        "doc_id", "chars", "_rq.q.*", "_rq.rep.*",
         *[F.col(f"_c.{f}").alias(f) for f in c4_fields],
     )

@@ -113,11 +113,19 @@ def test_text_quality_report_single_pass(spark):
            for r in textops.repetition_stats(docs).collect()}
     c4 = {r["doc_id"]: r.asDict()
           for r in textops.c4_page_stats(docs).collect()}
+    dq = {r["doc_id"]: r.asDict()
+          for r in textops.doc_quality(docs).collect()}
     for i in combined:
         for k, v in rep[i].items():
             assert combined[i][k] == v, (i, k)
         for k, v in c4[i].items():
             assert combined[i][k] == v, (i, k)
+        for k, v in dq[i].items():
+            assert combined[i][k] == v, (i, k)
     plan = (textops.text_quality_report(docs)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+    # ONE document-level tokenization shared by repetition + quality (review
+    # finding: an extra F.size(words_expr()) tokenized every doc twice); the
+    # only other token regexp is C4's inherently per-line one
+    assert plan.count("regexp_extract_all(lower(text") == 1
