@@ -1254,6 +1254,35 @@ FROM m
 """
 
 
+_CENSUS_K = 50
+
+
+def q_token_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary census: top-k tokens by occurrences with doc_freq
+    and corpus share — two-phase distinct counting (map-side combine on
+    (token, doc_id), then one pass over the distinct-pair frame), broadcast
+    one-row total, TakeOrderedAndProject top-k
+    (dcspark.textops.token_census)."""
+    return textops.token_census(_t(spark, sf, "documents"), top_k=_CENSUS_K)
+
+
+SQL_TOKEN_CENSUS = rf"""
+WITH t AS (
+  SELECT cast(doc_id AS bigint) AS doc_id, unnest(ws) AS token
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents)),
+per_token AS (
+  SELECT token, cast(count(*) AS bigint) AS occurrences,
+         cast(count(DISTINCT doc_id) AS bigint) AS doc_freq
+  FROM t GROUP BY token)
+SELECT token, occurrences, doc_freq,
+       round(occurrences / cast((SELECT sum(occurrences) FROM per_token) AS double), 6) AS share
+FROM per_token
+ORDER BY occurrences DESC, token ASC
+LIMIT {_CENSUS_K}
+"""
+
+
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return textops.lang_id_confusion(_t(spark, sf, "documents"))
 
@@ -3419,6 +3448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_flags": q_repetition_flags,
         "duplicate_span_coverage": q_duplicate_spans,
         "c4_page_filter": q_c4_page_stats,
+        "token_census": q_token_census,
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3497,6 +3527,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition_flags": SQL_REPETITION_FLAGS,
         "duplicate_span_coverage": SQL_DUPLICATE_SPANS,
         "c4_page_filter": SQL_C4_PAGE_STATS,
+        "token_census": SQL_TOKEN_CENSUS,
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,

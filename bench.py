@@ -154,6 +154,7 @@ OPERATOR_QUERIES = [
     "gopher_repetition_flags",
     "duplicate_span_coverage",
     "c4_page_filter",
+    "token_census",
     "minhash_lsh_near_dup",
     "near_dup_clusters",
     "simhash_fingerprints",

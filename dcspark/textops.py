@@ -1149,3 +1149,44 @@ def text_quality_report(docs: DataFrame) -> DataFrame:
         "doc_id", "chars", "_rq.q.*", "_rq.rep.*",
         *[F.col(f"_c.{f}").alias(f) for f in c4_fields],
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary census
+# ---------------------------------------------------------------------------
+
+def token_census(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """Corpus-level vocabulary statistics: the ``top_k`` tokens by total
+    occurrences, with document frequency and corpus share.
+
+    The aggregation a tokenizer/vocab design pass runs over a training
+    corpus (OOV-rate estimation, stopword discovery, vocab sizing). Scale
+    shape: the classic TWO-PHASE census — explode tokens once, partial-agg
+    ``groupBy(token, doc_id)`` (map-side combine collapses each document's
+    repeats before the shuffle), then ``groupBy(token)`` over the tiny
+    distinct-pair frame yields occurrences AND doc_freq in one pass — no
+    ``countDistinct`` over the raw explode. The global token total for
+    ``share`` rides a broadcast one-row cross join; top-k is a
+    TakeOrderedAndProject (never a full sort). Ties on occurrences break
+    lexicographically (mirrored by the SQL oracle).
+    """
+    pairs = (
+        fan_out(docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"))
+        .select("doc_id", F.explode(words_expr()).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_token = pairs.groupBy("token").agg(
+        F.sum("_c").cast("long").alias("occurrences"),
+        F.count(F.lit(1)).cast("long").alias("doc_freq"),
+    )
+    total = per_token.agg(F.sum("occurrences").cast("long").alias("_total"))
+    return (
+        per_token.crossJoin(F.broadcast(total))
+        .select(
+            "token", "occurrences", "doc_freq",
+            F.round(F.col("occurrences") / F.col("_total"), 6).alias("share"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
