@@ -1904,6 +1904,44 @@ SELECT id_a, id_b, round(s, 4) AS score FROM s WHERE s >= {_ND_THRESHOLD}
 """
 
 
+_SD_CELLS = 8
+_SD_THRESHOLD = 0.9
+
+
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cell blocking + within-cell
+    cosine >= threshold — the learned-cluster blocking scheme alongside the
+    LSH one (dcspark.simsearch.semantic_dedup_pairs; deterministic quantizer
+    so the DuckDB oracle reproduces cells bit-for-bit)."""
+    return simsearch.semantic_dedup_pairs(
+        _t(spark, sf, "embeddings"), dim=EMB_DIM,
+        n_cells=_SD_CELLS, threshold=_SD_THRESHOLD,
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    cents = simsearch.ivf_centroids(_SD_CELLS, EMB_DIM)
+    cent_rows = ",\n  ".join(
+        f"({i + 1}, [{', '.join(repr(x) for x in cent)}]::DOUBLE[])"
+        for i, cent in enumerate(cents)
+    )
+    return f"""
+WITH c AS (SELECT cast(vec_id AS bigint) vec_id, embedding::DOUBLE[] v FROM embeddings),
+cents(cell, cv) AS (VALUES
+  {cent_rows}),
+dots AS (SELECT vec_id, v, cell, list_dot_product(v, cv) d FROM c, cents),
+assign AS (SELECT vec_id, v, cell FROM
+             (SELECT vec_id, v, cell,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell) rn
+              FROM dots) WHERE rn = 1),
+s AS (SELECT a.vec_id id_a, b.vec_id id_b, cast(a.cell AS int) cell,
+             list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) sr
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cell, round(sr, 4) AS score FROM s WHERE sr >= {_SD_THRESHOLD}
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed ANN (random hyperplanes, multi-probe Hamming-1)."""
     return simsearch.lsh_topk(
@@ -3466,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "audio_decode_conformance": q_audio_decode,
         "audio_multicodec_conformance": q_audio_multicodec,
         "audio_transcode_normalize": q_audio_transcode,
@@ -3549,6 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _sql_embedding_near_dup(),
         "ann_lsh_topk": _sql_ann_lsh_topk(),
         "ann_ivf_topk": _sql_ann_ivf_topk(),
+        "semantic_dedup": _sql_semantic_dedup(),
         # audio_decode_conformance / audio_multicodec_conformance /
         # audio_transcode_normalize / audio_vad_segments / audio_chunk_windows /
         # audio_spectral_quality / audio_logmel_features / audio_augment_variants /

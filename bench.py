@@ -162,6 +162,7 @@ OPERATOR_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_near_dup",
+    "semantic_dedup",
     "bpe_token_stats",
     "contract_filter_split",
     "pii_mask",

@@ -466,3 +466,80 @@ def lsh_topk(
         .select("qid", "vec_id", F.col("rank").cast("int").alias("rank"),
                 F.round("score_raw", 4).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-blocked semantic deduplication
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    threshold: float = 0.9,
+    centroids: Optional[List[List[float]]] = None,
+    max_bucket: Optional[int] = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic duplicate pairs via k-means
+    cluster blocking — assign every embedding to its nearest centroid, then
+    compare pairs ONLY within a cluster and keep those with cosine >=
+    ``threshold``.
+
+    The third blocking scheme for embedding dedup alongside
+    :func:`near_dup_pairs` (random-hyperplane LSH) and
+    :func:`near_dup_pairs_exact` (bounded all-pairs): learned/data-shaped
+    cells catch semantic duplicates whose signatures differ on every LSH
+    block, at the cost of missing cross-cell pairs (the paper's explicit
+    trade). ``centroids=None`` uses the deterministic md5-derived quantizer
+    (exactly reproducible in the DuckDB oracle); production passes
+    :func:`ivf_train_centroids` output, sizing ``n_cells`` so N/cells stays
+    bounded (the paper runs ~100k clusters at web scale).
+
+    Scale design: the cell assignment is one codegen projection over a
+    persisted (id, vector, cell) frame; the within-cell self-join is an
+    equi-join co-partitioned on cell (never a cross product), with the
+    audiofp-style hot-cell guard — cells larger than ``max_bucket`` are
+    dropped via an un-hinted anti-join on the tiny hot-cell frame (a cell
+    that big means the quantizer is undersized; resize n_cells rather than
+    paying (N/cells)^2). Feed the output to
+    :func:`dcspark.cluster.near_dup_clusters` (src='id_a', dst='id_b') for
+    the keep-one-per-component drop list.
+    """
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    corpus = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    keyed = corpus.select(
+        "vec_id", "v",
+        cell_expr(F.col("v"), cents).alias("cell"),
+        norm_expr(F.col("v")).alias("n"),
+    ).persist()
+    bk = keyed
+    if max_bucket is not None:
+        hot = (
+            bk.groupBy("cell").agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > max_bucket).select("cell")
+        )
+        bk = bk.join(hot, "cell", "left_anti")
+    a = bk.select(F.col("vec_id").alias("id_a"), F.col("cell"),
+                  F.col("v").alias("va"), F.col("n").alias("na"))
+    b = bk.select(F.col("vec_id").alias("id_b"), F.col("cell"),
+                  F.col("v").alias("vb"), F.col("n").alias("nb"))
+    raw = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "cell",
+            (dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            .alias("score_raw"),
+        )
+    )
+    out = raw.filter(F.col("score_raw") >= threshold).select(
+        "id_a", "id_b", "cell", F.round("score_raw", 4).alias("score")
+    )
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    out._dcspark_cached = [keyed]
+    return out
