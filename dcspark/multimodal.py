@@ -296,9 +296,10 @@ def bmp_bytes(pixels: np.ndarray) -> bytes:
 
 def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
     """Sniff-and-decode: REAL numpy decoders for BMP 24/32-bit, binary
-    netpbm P5/P6, PNG (8-bit gray/GA/RGB/RGBA via stdlib zlib), and baseline
+    netpbm P5/P6, PNG (8-bit gray/GA/RGB/RGBA via stdlib zlib), baseline
     JPEG (dcspark/jpeg.py: Huffman + IDCT + 4:2:0/4:2:2/4:4:4 chroma, no
-    external libraries) — two real COMPRESSED codecs. WebP remains the
+    external libraries), and GIF87a/89a (dcspark/gif.py: LZW + palettes +
+    interlace; first frame) — three real COMPRESSED codecs. WebP remains the
     pluggable seam (library absent in this sandbox): a per-row decode_error,
     never a crash."""
     if raw is None or len(raw) < 4:
@@ -307,6 +308,10 @@ def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         return decode_bmp(raw)
     if raw[:1] == b"P" and raw[1:2] in b"56":
         return decode_netpbm(raw)
+    if bytes(raw[:4]) == b"GIF8":
+        from .gif import decode_gif_image
+
+        return decode_gif_image(bytes(raw))
     if raw[:8] == _PNG_SIG:
         return decode_png(raw)
     if raw[:2] == b"\xff\xd8":
@@ -325,10 +330,12 @@ def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
 
 
 def real_video_decoder(raw: bytes):
-    """Sniff-and-decode video: REAL decoder for Motion-JPEG AVI
+    """Sniff-and-decode video: REAL decoders for Motion-JPEG AVI
     (dcspark/avi.py — RIFF walk + per-frame baseline JPEG, no external
-    libraries). Inter-frame codecs (MP4/H.264, WebM) remain the pluggable
-    seam: a per-row decode_error, never a crash."""
+    libraries) and animated GIF (dcspark/gif.py — LZW frames composited on
+    the logical screen, fps from the graphic-control delays). Inter-frame
+    codecs (MP4/H.264, WebM) remain the pluggable seam: a per-row
+    decode_error, never a crash."""
     if raw is None or len(raw) < 12:
         raise ValueError("empty or truncated video payload")
     head = bytes(raw[:12])
@@ -336,6 +343,10 @@ def real_video_decoder(raw: bytes):
         from .avi import decode_avi
 
         return decode_avi(bytes(raw))
+    if head[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(bytes(raw))
     if head[4:8] == b"ftyp" or head[:4] == b"\x1a\x45\xdf\xa3":
         raise NotImplementedError(
             "inter-frame video codecs (mp4/h264, webm) are not decodable "
