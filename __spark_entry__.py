@@ -1913,9 +1913,13 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     cosine >= threshold — the learned-cluster blocking scheme alongside the
     LSH one (dcspark.simsearch.semantic_dedup_pairs; deterministic quantizer
     so the DuckDB oracle reproduces cells bit-for-bit)."""
+    # max_bucket=None: the oracle has no hot-cell guard, and the default cap
+    # would silently drop whole cells (diverging from the SQL) once a cell
+    # exceeds it at a larger scale factor — guard behavior is unit-tested in
+    # tests/test_semantic_dedup.py instead
     return simsearch.semantic_dedup_pairs(
         _t(spark, sf, "embeddings"), dim=EMB_DIM,
-        n_cells=_SD_CELLS, threshold=_SD_THRESHOLD,
+        n_cells=_SD_CELLS, threshold=_SD_THRESHOLD, max_bucket=None,
     )
 
 

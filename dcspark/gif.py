@@ -93,6 +93,12 @@ def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
             if code == eoi:
                 return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8).copy()
             if prev is None:
+                if code >= len(table):
+                    # bounds-check, not IndexError: decode errors must
+                    # surface as per-row decode_error in the Arrow UDFs,
+                    # whose catch tuples take ValueError — a stray
+                    # IndexError would abort the whole Spark job
+                    raise ValueError("corrupt GIF LZW stream")
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
@@ -299,7 +305,14 @@ def encode_gif(
     out += bytes([0x80 | (n_bits - 1), 0, 0])  # GCT present, bg 0
     out += palette.tobytes()
     delay = max(1, round(100.0 / fps))
-    lut = {c: i for c, i in colors.items()}
+    # vectorized pixel -> palette-index lookup: pack RGB to int24 and
+    # searchsorted against the palette keys (a per-pixel Python dict walk
+    # costs O(h*w) tuple allocations per frame)
+    keys = np.array(
+        [(c[0] << 16) | (c[1] << 8) | c[2] for c in colors], dtype=np.int64
+    )
+    order = np.argsort(keys)
+    sorted_keys = keys[order]
     min_code = max(2, n_bits)
     for fi, f in enumerate(frames):
         # graphic control (delay only)
@@ -308,10 +321,9 @@ def encode_gif(
         out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
         inter = interlace_first and fi == 0
         out += bytes([0x40 if inter else 0x00])
-        flat = f.reshape(-1, 3)
-        idx = np.fromiter(
-            (lut[tuple(px)] for px in flat), dtype=np.uint8, count=len(flat)
-        )
+        flat = f.reshape(-1, 3).astype(np.int64)
+        flatk = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+        idx = order[np.searchsorted(sorted_keys, flatk)].astype(np.uint8)
         if inter:
             rows = idx.reshape(h, w)
             order = [y for start, step in _INTERLACE for y in range(start, h, step)]

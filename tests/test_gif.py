@@ -13,10 +13,13 @@ import pytest
 
 from dcspark import gif, multimodal
 
-IDLE_ICONS = sorted(glob.glob(
-    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-    "python3.11/idlelib/Icons/*.gif"
-))
+try:  # real tool-produced GIFs ship with the running Python's idlelib
+    import idlelib
+    import os
+    IDLE_ICONS = sorted(glob.glob(
+        os.path.join(os.path.dirname(idlelib.__file__), "Icons", "*.gif")))
+except ImportError:
+    IDLE_ICONS = []
 
 
 def _img(seed=7, shape=(23, 31), colors=5):
@@ -85,3 +88,16 @@ def test_multimodal_sniffers_route_gif():
     assert (h, w, c) == (23, 31, 3) and np.array_equal(px, img)
     fps, frames = multimodal.real_video_decoder(raw)
     assert fps == 50.0 and len(frames) == 2
+
+
+def test_corrupt_first_code_raises_valueerror_not_indexerror():
+    # review finding: a first-after-clear code beyond the table must raise
+    # ValueError (the Arrow UDF decode_error catch tuple), never IndexError
+    good = gif.encode_gif([_img()])
+    # locate the image data sub-block and poison its first code byte
+    pos = good.index(b"\x2c")          # image descriptor (no local color table)
+    data_start = pos + 10 + 1 + 1      # descriptor + min-code + first len byte
+    bad = bytearray(good)
+    bad[data_start] = 0xFF             # codes far beyond the fresh table
+    with pytest.raises(ValueError):
+        gif.decode_gif(bytes(bad))

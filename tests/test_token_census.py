@@ -33,4 +33,5 @@ def test_scale_plan_shape(spark):
     assert "partial_count" in plan          # map-side combine on (token, doc_id)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan
-    assert "Sort " not in plan or "TakeOrderedAndProject" in plan
+    # never a global sort: no range-partitioned exchange anywhere in the plan
+    assert "rangepartitioning" not in plan
