@@ -3448,6 +3448,50 @@ def q_contract_full_run(spark: SparkSession, _sf: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware survivor selection (dcspark/cluster.py
+    survivor_selection): given cluster membership (here: exact-dup
+    fingerprint groups, the SQL-provable cluster source) and a per-doc
+    quality score (alnum token count), keep the highest-scoring member per
+    cluster, ties to the minimum doc_id. The rank window and the score join
+    touch only the membership table — sized by the duplicate count, never
+    the corpus — so the pattern holds at 10^12 docs."""
+    docs = _t(spark, sf, "documents")
+    fp = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textops.fingerprint_expr("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    members = (
+        fp.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("cluster_id", F.min("doc_id").over(w))
+        .filter(F.col("cluster_size") > 1)
+        .select("doc_id", "cluster_id", "cluster_size"))
+    scores = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(textops.words_expr("text")).cast("long").alias("score"))
+    return cluster_mod.survivor_selection(members, scores).select(
+        "doc_id", "cluster_id", "cluster_size",
+        F.col("score").cast("long").alias("score"), "keep")
+
+
+SQL_DEDUP_SURVIVORS = r"""
+WITH fp AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f,
+         cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS bigint) AS score
+  FROM documents),
+m AS (
+  SELECT doc_id, f, score,
+         cast(count(*) OVER (PARTITION BY f) AS bigint) AS cluster_size,
+         min(doc_id) OVER (PARTITION BY f) AS cluster_id
+  FROM fp)
+SELECT doc_id, cluster_id, cluster_size, score,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY score DESC, doc_id ASC) = 1 AS keep
+FROM m WHERE cluster_size > 1
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -3494,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": q_lang_id,
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
+        "dedup_survivor_selection": q_dedup_survivors,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
         "benchmark_decontam": q_benchmark_decontam,
@@ -3574,6 +3619,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_confusion": SQL_LANG_ID,
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+        "dedup_survivor_selection": SQL_DEDUP_SURVIVORS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,

@@ -193,3 +193,76 @@ def near_dup_clusters(
         .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+def survivor_selection(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware keep-one-per-cluster: the survivor is the member with the
+    HIGHEST score (ties broken by minimum doc id, so selection is fully
+    deterministic across runs and partitionings).
+
+    ``clusters`` is any (doc_id, cluster_id) membership frame —
+    `near_dup_clusters` output, an exact-dup fingerprint grouping, or an
+    external assignment. ``scores`` maps doc_id -> a quality score (token
+    count, a classifier probability, an LM perplexity negated — anything
+    orderable); members missing from ``scores`` rank below every scored
+    member (NULL sorts last) and among themselves by min id.
+
+    Returns (doc_id, cluster_id, cluster_size, score, keep). `keep` marks
+    exactly one row per cluster. The drop list is ``filter(~keep)``; the
+    deduplicated corpus is ``docs.join(drop_list, id, "left_anti")``.
+
+    Scale shape: the join and the rank window touch ONLY the cluster
+    membership table — sized by the duplicate count, orders of magnitude
+    smaller than the corpus — never document payloads. The scores frame is
+    filtered to cluster members via the join itself (Catalyst pushes the
+    equi-join; with a small membership table AQE converts it to a broadcast
+    join), so a corpus-wide score column costs one column-pruned scan. The
+    rank shuffle partitions by cluster_id; near-dup clusters are near-cliques
+    of bounded size, so no skew beyond AQE's reach.
+    """
+    m = clusters.select(
+        F.col(id_col).alias("doc_id"),
+        "cluster_id",
+        *(["cluster_size"] if "cluster_size" in clusters.columns else []),
+    )
+    s = scores.select(F.col(id_col).alias("doc_id"),
+                      F.col(score_col).alias("score"))
+    joined = m.join(s, "doc_id", "left")
+    if "cluster_size" not in joined.columns:
+        joined = joined.withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+    rk = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("doc_id").asc())
+    return (
+        joined
+        .withColumn("keep", F.row_number().over(rk) == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "score", "keep")
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """End-to-end dedup: pairs -> components -> best-quality survivor ->
+    corpus minus the losers. Docs in no cluster pass through untouched; one
+    left-anti join against the (small) drop list is the only corpus-wide op.
+    """
+    members = near_dup_clusters(pairs, src=src, dst=dst).select(
+        F.col("doc_id").alias(id_col), "cluster_id", "cluster_size")
+    drops = (
+        survivor_selection(members, scores, id_col=id_col, score_col=score_col)
+        .filter(~F.col("keep"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return docs.join(drops, id_col, "left_anti")

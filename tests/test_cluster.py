@@ -123,3 +123,38 @@ def test_cutoff_boundary_forces_distributed(spark):
     # 2 distinct edges > cutoff of 1 -> distributed path must run (and agree)
     got = _cc_dict(spark, [(1, 2), (3, 4)], driver_cutoff=1)
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_survivor_selection_best_score_wins(spark):
+    # two clusters via transitivity: {1,2,3} (1-2, 2-3) and {7,8}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long")
+    members = cluster.near_dup_clusters(pairs)
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (7, 1.0)],  # 8 unscored
+        "doc_id long, score double")
+    sel = {r["doc_id"]: r for r in
+           cluster.survivor_selection(members, scores).collect()}
+    assert len(sel) == 5
+    # tie 2 vs 3 at 9.0 -> min id (2) survives; 1 dropped
+    assert [sel[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    # unscored 8 ranks below scored 7
+    assert sel[7]["keep"] and not sel[8]["keep"]
+    assert all(r["cluster_size"] == (3 if r["cluster_id"] == 1 else 2)
+               for r in sel.values())
+    # exactly one survivor per cluster
+    assert sum(r["keep"] for r in sel.values()) == 2
+
+
+def test_dedup_corpus_keeps_unclustered_and_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text-{i}") for i in range(10)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)],
+                                  "doc_a long, doc_b long")
+    scores = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, score double")
+    kept = sorted(r["doc_id"] for r in
+                  cluster.dedup_corpus(docs, pairs, scores).collect())
+    # highest score survives: 3 from {1,2,3}, 8 from {7,8};
+    # 0,4,5,6,9 never clustered -> pass through
+    assert kept == [0, 3, 4, 5, 6, 8, 9]
