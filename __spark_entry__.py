@@ -3492,6 +3492,50 @@ FROM m WHERE cluster_size > 1
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity scoring (dcspark/lmscore.py): train an
+    add-k bigram model on the corpus in ONE scan (context totals and vocab
+    derive from the aggregated bigram table, never a rescan), score every doc
+    via two equi-joins against the unique-key count tables — no UDFs, partial
+    aggregation map-side, LM broadcastable. In-domain outlier mining: the
+    corpus's own distribution flags its boilerplate/spam tail."""
+    from dcspark import lmscore
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "doc_id", F.col("doc_id").cast("long"))
+    out = lmscore.self_perplexity(docs)
+    rows = out.select("doc_id", "n_bigrams", "avg_logprob", "perplexity")
+    # materialize before releasing the LM cache handle is unnecessary here —
+    # the driver collects immediately; handle left attached for reuse paths
+    return rows
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH toks AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         list_prepend(chr(2), regexp_extract_all(lower(text), '[a-z0-9]+')) AS ws
+  FROM documents),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, unnest(range(1, len(ws))) AS t(i)),
+lm2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+lm1 AS (SELECT w1, sum(c12) AS c1 FROM lm2 GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS vocab FROM lm2),
+sc AS (
+  SELECT b.doc_id,
+         ln((coalesce(c12, 0) + 0.1) / (coalesce(c1, 0) + 0.1 * vocab)) AS lp
+  FROM big b LEFT JOIN lm2 USING (w1, w2) LEFT JOIN lm1 USING (w1) CROSS JOIN v),
+agg AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams, avg(lp) AS alp
+  FROM sc GROUP BY doc_id)
+SELECT cast(d.doc_id AS bigint) AS doc_id,
+       coalesce(n_bigrams, 0) AS n_bigrams,
+       round(alp, 6) AS avg_logprob,
+       round(exp(-alp), 6) AS perplexity
+FROM documents d LEFT JOIN agg ON cast(d.doc_id AS bigint) = agg.doc_id
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -3539,6 +3583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_near_dup": q_minhash_near_dup,
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_survivor_selection": q_dedup_survivors,
+        "lm_perplexity_scores": q_lm_perplexity,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
         "benchmark_decontam": q_benchmark_decontam,
@@ -3620,6 +3665,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_near_dup": SQL_MINHASH_NEAR_DUP,
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "dedup_survivor_selection": SQL_DEDUP_SURVIVORS,
+        "lm_perplexity_scores": SQL_LM_PERPLEXITY,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,
