@@ -3536,6 +3536,62 @@ FROM documents d LEFT JOIN agg ON cast(d.doc_id AS bigint) = agg.doc_id
 """
 
 
+MIX_TARGETS = {"en": 0.3, "de": 0.45, "fr": 0.15, "es": 0.1}
+MIX_BUDGET_SHARE = 0.4
+
+
+def q_domain_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture reweighting (dcspark/sampling.py mixture_plan/sample):
+    steer the corpus toward target language shares under a token budget of
+    40% of the whole corpus. The de target (0.45 of output from ~0.14 of
+    input) caps at fraction 1.0 — under-represented domains are taken whole,
+    visibly; zh is unlisted and dropped. One groupBy scan builds the plan,
+    one broadcast-join + keyed-md5 filter pass samples; per-domain summary
+    here so the oracle hash pins both the plan math and the exact kept set."""
+    docs = _t(spark, sf, "documents").withColumn(
+        "tokens", F.size(textops.words_expr("text")).cast("long"))
+    kept = sampling_mod.mixture_sample(
+        docs, "doc_id", "lang", MIX_TARGETS,
+        budget_share=MIX_BUDGET_SHARE, token_col="tokens", salt="mix")
+    return kept.groupBy(F.col("lang").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("tokens").cast("long").alias("kept_tokens"),
+        F.round(F.max("fraction"), 6).alias("fraction"),
+    )
+
+
+def _sql_domain_mixture() -> str:
+    tot = sum(MIX_TARGETS.values())
+    shares = ", ".join(
+        f"('{k}', CAST({v!r} AS DOUBLE) / CAST({tot!r} AS DOUBLE))"
+        for k, v in MIX_TARGETS.items())
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+         cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS bigint) AS tokens
+  FROM documents),
+tot AS (SELECT lang, sum(CAST(tokens AS DOUBLE)) AS ltok FROM d GROUP BY lang),
+grand AS (SELECT sum(CAST(tokens AS DOUBLE)) AS T FROM d),
+shares(lang, share) AS (VALUES {shares}),
+plan AS (
+  SELECT t.lang, least(CAST(1.0 AS DOUBLE),
+                       CAST({MIX_BUDGET_SHARE!r} AS DOUBLE) * T * share / ltok) AS fraction
+  FROM tot t JOIN shares s ON t.lang = s.lang CROSS JOIN grand),
+kept AS (
+  SELECT d.doc_id, d.lang, d.tokens, p.fraction
+  FROM d JOIN plan p ON d.lang = p.lang
+  WHERE substr(md5(coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'null') || '|mix'), 1, 8)
+      < CASE WHEN CAST(round(least(greatest(fraction, 0.0), 1.0) * 4294967296)
+                      AS BIGINT) >= 4294967296 THEN 'g'
+             ELSE printf('%08x', CAST(round(least(greatest(fraction, 0.0), 1.0)
+                                            * 4294967296) AS BIGINT)) END)
+SELECT lang AS domain, cast(count(*) AS bigint) AS kept_docs,
+       cast(sum(tokens) AS bigint) AS kept_tokens,
+       round(max(fraction), 6) AS fraction
+FROM kept GROUP BY lang
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -3584,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "dedup_survivor_selection": q_dedup_survivors,
         "lm_perplexity_scores": q_lm_perplexity,
+        "domain_mixture_sample": q_domain_mixture,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
         "benchmark_decontam": q_benchmark_decontam,
@@ -3666,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
         "dedup_survivor_selection": SQL_DEDUP_SURVIVORS,
         "lm_perplexity_scores": SQL_LM_PERPLEXITY,
+        "domain_mixture_sample": _sql_domain_mixture(),
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,

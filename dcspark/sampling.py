@@ -143,3 +143,88 @@ def weighted_hash_sample(
     thresh = F.when(bound >= _SPACE, F.lit("g")).otherwise(
         F.format_string(f"%0{_HEX_DIGITS}x", bound))
     return df.filter(hash_hex(id_col, salt) < thresh)
+
+
+def mixture_plan(
+    docs: DataFrame,
+    domain_col: str,
+    targets: Dict[str, float],
+    budget_tokens: Optional[float] = None,
+    budget_share: Optional[float] = None,
+    token_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-domain sampling fractions that steer the corpus toward a target
+    mixture — the "data mixing" step of LLM corpus assembly (rebalance
+    languages/sources to published recipe weights under a token budget).
+
+    ``targets`` maps domain value -> desired share of the OUTPUT mixture
+    (normalized here, so {'en': 3, 'de': 1} means 75/25). The budget is
+    either absolute (``budget_tokens``) or relative (``budget_share`` of the
+    WHOLE corpus's tokens, unlisted domains included — so 'keep 40% of the
+    corpus at this mixture' scales with the input). Per domain:
+
+        fraction_d = min(1, budget * share_d / tokens_d)
+
+    The cap means an under-represented domain is taken whole (the realized
+    mixture then undershoots its target — visible in the plan, never silent);
+    domains absent from ``targets`` get no row (dropped by the sample's inner
+    join). ``token_col`` weights by a token-count column; None counts docs.
+
+    Returns (domain, tokens, docs, target_share, fraction). Scale shape: one
+    partial-aggregated groupBy over the corpus; everything after operates on
+    the domain-count table (rows = |domains|).
+    """
+    if (budget_tokens is None) == (budget_share is None):
+        raise ValueError("pass exactly one of budget_tokens / budget_share")
+    tot = float(sum(targets.values()))
+    if tot <= 0:
+        raise ValueError("targets must have positive total weight")
+    spark = docs.sparkSession
+    share_df = spark.createDataFrame(
+        [(str(k), float(v) / tot) for k, v in targets.items()],
+        "domain string, target_share double")
+    tok = F.col(token_col).cast("double") if token_col else F.lit(1.0)
+    totals = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(tok).alias("tokens"), F.count(F.lit(1)).alias("docs"))
+    plan = totals.join(F.broadcast(share_df), "domain")
+    if budget_share is not None:
+        grand = totals.agg(F.sum("tokens").alias("__T"))
+        plan = plan.crossJoin(F.broadcast(grand))
+        budget = F.lit(float(budget_share)) * F.col("__T")
+    else:
+        budget = F.lit(float(budget_tokens))
+    return (
+        plan.withColumn(
+            "fraction",
+            F.least(F.lit(1.0), budget * F.col("target_share") / F.col("tokens")))
+        .select("domain", "tokens", "docs", "target_share", "fraction")
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    id_col: str,
+    domain_col: str,
+    targets: Dict[str, float],
+    budget_tokens: Optional[float] = None,
+    budget_share: Optional[float] = None,
+    token_col: Optional[str] = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically sample ``docs`` to the `mixture_plan` fractions.
+
+    The plan (|domains| rows) broadcast-joins onto the corpus and the keyed
+    md5 draw filters per-row — same reproducibility contract as every sampler
+    here: stable across runs, engines, partitionings; tightening the budget
+    keeps a strict subset. Output = input columns + ``fraction``; domains
+    outside ``targets`` (and NULL domains) are dropped by the inner join.
+    Cost at scale: the plan's one groupBy scan plus one map-only filter pass.
+    """
+    plan = mixture_plan(docs, domain_col, targets,
+                        budget_tokens=budget_tokens, budget_share=budget_share,
+                        token_col=token_col)
+    p = plan.select(F.col("domain").alias("__mix_domain"), "fraction")
+    joined = docs.join(
+        F.broadcast(p),
+        docs[domain_col] == F.col("__mix_domain"), "inner").drop("__mix_domain")
+    return weighted_hash_sample(joined, id_col, "fraction", salt=salt)
