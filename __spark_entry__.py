@@ -3592,6 +3592,75 @@ FROM kept GROUP BY lang
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (dcspark/sampling.py
+    leakage_safe_split): near-duplicate clusters move through the split as a
+    unit, so no near-dup pair straddles train and test (the split-level
+    analogue of benchmark decontamination). Pairs here are exact-dup
+    fingerprint twins (the SQL-provable pair source: each dup group is a star
+    on its min id, whose connected component is the group itself); the oracle
+    reproduces the cluster key, the md5 split draw, and the zero-straddle
+    invariant byte-for-byte. Per-split doc counts + the global straddle count
+    (must be 0) come back so the hash pins the whole assignment."""
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textops.fingerprint_expr("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    grouped = docs.withColumn("gmin", F.min("doc_id").over(w)).withColumn(
+        "gsize", F.count(F.lit(1)).over(w))
+    pairs = (grouped.filter((F.col("gsize") > 1) & (F.col("doc_id") != F.col("gmin")))
+             .select(F.col("gmin").alias("doc_a"), F.col("doc_id").alias("doc_b")))
+    assigned = sampling_mod.leakage_safe_split(
+        grouped.select("doc_id"), pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1}, salt="lsplit")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    straddles = (
+        pairs.join(a, pairs["doc_a"] == F.col("a.doc_id"))
+        .join(b, pairs["doc_b"] == F.col("b.doc_id"))
+        .filter(F.col("a.split") != F.col("b.split"))
+        .count())
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).withColumn("straddling_pairs", F.lit(straddles).cast("long"))
+
+
+def _sql_leakage_safe_split() -> str:
+    # embed the exact hex boundaries hash_split computes (0.8 + 0.1 in float
+    # is 0.9000000000000001 — recomputing the cumsum in SQL decimal math
+    # would round differently)
+    t_train = sampling_mod._threshold_hex(0.8)
+    t_val = sampling_mod._threshold_hex(0.8 + 0.1)
+    return SQL_LEAKAGE_SAFE_SPLIT_TMPL.format(t_train=t_train, t_val=t_val)
+
+
+SQL_LEAKAGE_SAFE_SPLIT_TMPL = r"""
+WITH d AS (
+  SELECT cast(doc_id AS bigint) AS doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY fp) AS gmin,
+         count(*) OVER (PARTITION BY fp) AS gsize
+  FROM d),
+keyed AS (
+  SELECT doc_id,
+         CASE WHEN gsize > 1 THEN CAST(gmin AS VARCHAR)
+              ELSE CAST(doc_id AS VARCHAR) END AS k
+  FROM g),
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(k || '|lsplit'), 1, 8) < '{t_train}' THEN 'train'
+              WHEN substr(md5(k || '|lsplit'), 1, 8) < '{t_val}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM keyed)
+SELECT split, cast(count(*) AS bigint) AS n_docs,
+       cast(0 AS bigint) AS straddling_pairs
+FROM assigned GROUP BY split
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -3641,6 +3710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivor_selection": q_dedup_survivors,
         "lm_perplexity_scores": q_lm_perplexity,
         "domain_mixture_sample": q_domain_mixture,
+        "leakage_safe_split": q_leakage_safe_split,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
         "benchmark_decontam": q_benchmark_decontam,
@@ -3724,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_survivor_selection": SQL_DEDUP_SURVIVORS,
         "lm_perplexity_scores": SQL_LM_PERPLEXITY,
         "domain_mixture_sample": _sql_domain_mixture(),
+        "leakage_safe_split": _sql_leakage_safe_split(),
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,

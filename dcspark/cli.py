@@ -316,6 +316,117 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     n = spark.read.parquet(args.output).count()
     print(f"dedup: {n} near-dup pairs (jaccard >= {args.threshold}) -> {args.output}"
           + (f" [resumable: {args.checkpoint}]" if args.checkpoint else ""))
+    if args.survivors:
+        from . import cluster as cluster_mod
+        from .textops import words_expr
+
+        members = cluster_mod.near_dup_clusters(
+            spark.read.parquet(args.output)).select(
+            "doc_id", "cluster_id", "cluster_size")
+        scores = docs.select(
+            "doc_id", F.size(words_expr("text")).cast("long").alias("score"))
+        sel = cluster_mod.survivor_selection(members, scores)
+        sel.write.mode("overwrite").parquet(args.survivors)
+        out = spark.read.parquet(args.survivors)
+        kept, dropped = out.agg(
+            F.count(F.when(F.col("keep"), 1)),
+            F.count(F.when(~F.col("keep"), 1))).first()
+        print(f"dedup: survivor selection (best token count per cluster): "
+              f"{kept} kept, {dropped} to drop -> {args.survivors}")
+    return 0
+
+
+def cmd_lmscore(args: argparse.Namespace) -> int:
+    """CCNet-style bigram-LM perplexity scoring (dcspark/lmscore.py): train
+    on a reference corpus (or the input itself) in one scan, score every doc,
+    optionally bucket head/middle/tail per group."""
+    from pyspark.sql import functions as F
+
+    from . import lmscore, pipeline_ckpt
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    docs = spark.read.parquet(args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text"),
+        *([F.col(args.bucket_by)] if args.bucket_by else []))
+    if args.train:
+        ref = spark.read.parquet(args.train).select(
+            F.col(args.id_col).alias("doc_id"),
+            F.col(args.text_col).alias("text"))
+        lm = lmscore.train_bigram_lm(ref, min_count=args.min_count)
+        scored = lmscore.perplexity(docs, lm, k=args.k)
+    else:
+        scored = lmscore.self_perplexity(docs, k=args.k,
+                                         min_count=args.min_count)
+    if args.bucket_by or args.buckets:
+        scored = lmscore.perplexity_buckets(
+            scored.join(docs.drop("text"), "doc_id", "left")
+            if args.bucket_by else scored,
+            n_buckets=args.buckets or 3, by=args.bucket_by)
+    scored.write.mode("overwrite").parquet(args.output)
+    pipeline_ckpt.release_caches(scored)
+    n, med = spark.read.parquet(args.output).agg(
+        F.count(F.lit(1)), F.median("perplexity")).first()
+    print(f"lmscore: {n} documents scored (median perplexity "
+          f"{med:.1f}) -> {args.output}")
+    return 0
+
+
+def cmd_mixture(args: argparse.Namespace) -> int:
+    """Domain-mixture reweighting (dcspark/sampling.py mixture_sample):
+    deterministic sampling toward target domain shares under a token budget."""
+    from pyspark.sql import functions as F
+
+    from . import sampling
+    from .textops import words_expr
+
+    targets = {}
+    for part in args.targets.split(","):
+        k, _, v = part.partition("=")
+        targets[k.strip()] = float(v)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    docs = spark.read.parquet(args.input)
+    token_col = args.token_col
+    if token_col == "__derive__":
+        docs = docs.withColumn(
+            "__tokens", F.size(words_expr(args.text_col)).cast("long"))
+        token_col = "__tokens"
+    kept = sampling.mixture_sample(
+        docs, args.id_col, args.domain_col, targets,
+        budget_tokens=args.budget_tokens, budget_share=args.budget_share,
+        token_col=token_col, salt=args.salt)
+    kept.drop("__tokens").write.mode("overwrite").parquet(args.output)
+    summary = (spark.read.parquet(args.output)
+               .groupBy(args.domain_col).count().collect())
+    mix = ", ".join(f"{r[args.domain_col]}={r['count']}" for r in summary)
+    print(f"mixture: kept {sum(r['count'] for r in summary)} docs "
+          f"({mix}) -> {args.output}")
+    return 0
+
+
+def cmd_split(args: argparse.Namespace) -> int:
+    """Deterministic train/val/test assignment (dcspark/sampling.py); with
+    --pairs, near-dup clusters move as a unit so no pair straddles splits."""
+    from pyspark.sql import functions as F
+
+    from . import sampling
+
+    fractions = {}
+    for part in args.fractions.split(","):
+        k, _, v = part.partition("=")
+        fractions[k.strip()] = float(v)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    docs = spark.read.parquet(args.input)
+    if args.pairs:
+        pairs = spark.read.parquet(args.pairs)
+        out = sampling.leakage_safe_split(
+            docs, pairs, fractions, id_col=args.id_col, salt=args.salt)
+    else:
+        out = sampling.hash_split(docs, args.id_col, fractions, salt=args.salt)
+    out.write.mode("overwrite").parquet(args.output)
+    counts = spark.read.parquet(args.output).groupBy("split").count().collect()
+    per = ", ".join(f"{r['split']}={r['count']}" for r in counts)
+    print(f"split: {per} -> {args.output}"
+          + (" [leakage-safe: clusters move together]" if args.pairs else ""))
     return 0
 
 
@@ -947,8 +1058,67 @@ def main(argv: Optional[list] = None) -> int:
                     help="hot-bucket guard for LSH band joins")
     dd.add_argument("--checkpoint", default=None,
                     help="stage-checkpoint dir; rerun resumes completed stages")
+    dd.add_argument("--survivors", default=None,
+                    help="also write a survivor-selection table here (clusters "
+                         "from the pairs; best token count per cluster kept)")
     dd.add_argument("--master", default=None)
     dd.add_argument("--shuffle-partitions", type=int, default=None)
+
+    lq = sub.add_parser(
+        "lmscore",
+        help="bigram-LM perplexity quality scores (CCNet-style)")
+    lq.add_argument("--input", required=True, help="documents parquet path")
+    lq.add_argument("--output", required=True, help="scores parquet path")
+    lq.add_argument("--train", default=None,
+                    help="reference-corpus parquet to train on (default: "
+                         "the input itself — in-domain outlier mining)")
+    lq.add_argument("--id-col", default="doc_id")
+    lq.add_argument("--text-col", default="text")
+    lq.add_argument("--k", type=float, default=0.1, help="add-k smoothing")
+    lq.add_argument("--min-count", type=int, default=1,
+                    help="prune bigrams rarer than this from the model")
+    lq.add_argument("--buckets", type=int, default=0,
+                    help="also assign equal-count perplexity buckets (1=best)")
+    lq.add_argument("--bucket-by", default=None,
+                    help="bucket within this column (e.g. lang)")
+    lq.add_argument("--master", default=None)
+    lq.add_argument("--shuffle-partitions", type=int, default=None)
+
+    mx = sub.add_parser(
+        "mixture",
+        help="sample toward target domain shares under a token budget")
+    mx.add_argument("--input", required=True, help="documents parquet path")
+    mx.add_argument("--output", required=True, help="sampled parquet path")
+    mx.add_argument("--targets", required=True,
+                    help="comma list domain=weight, e.g. en=0.5,de=0.3,fr=0.2")
+    mx.add_argument("--budget-tokens", type=float, default=None,
+                    help="absolute output token budget")
+    mx.add_argument("--budget-share", type=float, default=None,
+                    help="budget as a share of the whole corpus's tokens")
+    mx.add_argument("--domain-col", default="lang")
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--token-col", default="__derive__",
+                    help="token-count column; default derives an alnum token "
+                         "count from --text-col")
+    mx.add_argument("--text-col", default="text")
+    mx.add_argument("--salt", default="")
+    mx.add_argument("--master", default=None)
+    mx.add_argument("--shuffle-partitions", type=int, default=None)
+
+    sl = sub.add_parser(
+        "split",
+        help="deterministic train/val/test assignment (leakage-safe with --pairs)")
+    sl.add_argument("--input", required=True, help="documents parquet path")
+    sl.add_argument("--output", required=True, help="assigned parquet path")
+    sl.add_argument("--fractions", default="train=0.8,val=0.1,test=0.1",
+                    help="comma list split=fraction (last absorbs remainder)")
+    sl.add_argument("--pairs", default=None,
+                    help="near-dup pairs parquet (doc_a, doc_b): clusters "
+                         "then move through the split as a unit")
+    sl.add_argument("--id-col", default="doc_id")
+    sl.add_argument("--salt", default="")
+    sl.add_argument("--master", default=None)
+    sl.add_argument("--shuffle-partitions", type=int, default=None)
 
     dc = sub.add_parser(
         "decontam", help="n-gram benchmark-contamination report (resumable)")
@@ -1216,6 +1386,12 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_mask(args)
     if args.command == "dedup":
         return cmd_dedup(args)
+    if args.command == "lmscore":
+        return cmd_lmscore(args)
+    if args.command == "mixture":
+        return cmd_mixture(args)
+    if args.command == "split":
+        return cmd_split(args)
     if args.command == "audio":
         return cmd_audio(args)
     if args.command == "image":

@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -167,3 +167,25 @@ def self_perplexity(docs: DataFrame, col: str = "text", id_col: str = "doc_id",
                      broadcast_lm=broadcast_lm, digits=digits)
     out._dcspark_cached = list(getattr(lm.bigrams, "_dcspark_cached", ())) or [lm.bigrams]
     return out
+
+
+def perplexity_buckets(scored: DataFrame, n_buckets: int = 3,
+                       by: str | None = None) -> DataFrame:
+    """CCNet's head/middle/tail partitioning: equal-count perplexity buckets
+    (1 = lowest perplexity = most in-distribution), optionally within a
+    grouping column (CCNet buckets per language so no language is judged by
+    another's LM). Unscorable docs (NULL perplexity, i.e. <2 tokens) get
+    bucket NULL rather than polluting the tail. Ordering ties break on
+    doc_id, so bucket assignment is fully deterministic.
+
+    ntile is one shuffle on the (tiny) score frame; at 10^12 docs prefer
+    approx-quantile cutoffs from `tdigest` and a map-side CASE — this exact
+    form is for corpus-sized score frames and oracle checks.
+    """
+    part = [F.col(by)] if by else []
+    w = (Window.partitionBy(*part)
+         .orderBy(F.col("perplexity").asc(), F.col("doc_id").asc()))
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("perplexity").isNull(), F.lit(None).cast("int"))
+         .otherwise(F.ntile(n_buckets).over(w)))

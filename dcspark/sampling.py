@@ -228,3 +228,43 @@ def mixture_sample(
         F.broadcast(p),
         docs[domain_col] == F.col("__mix_domain"), "inner").drop("__mix_domain")
     return weighted_hash_sample(joined, id_col, "fraction", salt=salt)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: Dict[str, float],
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """`hash_split`, but near-duplicates NEVER straddle a split boundary.
+
+    Splitting by doc id leaks: a near-duplicate pair split across train and
+    test inflates eval scores exactly like benchmark contamination. The fix
+    is to split by *cluster*: connected components over the near-dup pair
+    graph give every doc a component representative, and the split draw keys
+    on ``coalesce(component, doc_id)`` — whole clusters move together, docs
+    in no cluster keep their own key (bit-identical to plain `hash_split`
+    for them, so adding pairs never reshuffles the unclustered majority).
+
+    Scale shape: components run on the pair table only (see
+    `cluster.connected_components`); the corpus-side cost is one equi-join
+    against the (node, component) map — component maps for near-dup graphs
+    are duplicate-count-sized, so AQE broadcasts them — plus the usual
+    zero-shuffle hash CASE. Returns ``docs`` + ``split_col``.
+    """
+    from dcspark.cluster import connected_components
+
+    cc = connected_components(pairs, src=src, dst=dst).select(
+        F.col("node").alias(id_col), F.col("component").alias("__cc"))
+    keyed = docs.join(cc, id_col, "left").withColumn(
+        "__split_key",
+        F.coalesce(F.col("__cc"), F.col(id_col)).cast("string"))
+    return (
+        hash_split(keyed, "__split_key", fractions, salt=salt,
+                   split_col=split_col)
+        .drop("__cc", "__split_key")
+    )
