@@ -3661,6 +3661,41 @@ FROM assigned GROUP BY split
 """
 
 
+def q_avro_file_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Avro OCF source end-to-end (dcspark/avrofile.py): the documents table
+    round-trips through the pure-Python spec codec — partition-parallel
+    encode to container files (deflate), binaryFile + mapInArrow decode back
+    — and the per-lang aggregates must equal the parquet originals (the
+    oracle computes them straight from parquet, so any codec value drift
+    breaks the hash). Conformance vs the Java avro library is test-locked in
+    tests/test_avrofile.py; this query proves the Spark plumbing."""
+    import hashlib
+    import shutil
+
+    from dcspark import avrofile
+
+    out = "/tmp/dcspark_avro_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    ).repartition(8, "doc_id")
+    avrofile.write_avro(docs, out, codec="deflate")
+    back = avrofile.read_avro(spark, out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+SQL_AVRO_FILE_SOURCE = """
+SELECT lang, cast(count(*) AS bigint) AS n_docs,
+       cast(sum(length(text)) AS bigint) AS total_chars,
+       cast(sum(doc_id) AS bigint) AS sum_ids
+FROM documents GROUP BY lang
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -3711,6 +3746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_scores": q_lm_perplexity,
         "domain_mixture_sample": q_domain_mixture,
         "leakage_safe_split": q_leakage_safe_split,
+        "avro_file_source": q_avro_file_source,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
         "benchmark_decontam": q_benchmark_decontam,
@@ -3795,6 +3831,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity_scores": SQL_LM_PERPLEXITY,
         "domain_mixture_sample": _sql_domain_mixture(),
         "leakage_safe_split": _sql_leakage_safe_split(),
+        "avro_file_source": SQL_AVRO_FILE_SOURCE,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,

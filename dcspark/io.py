@@ -84,6 +84,18 @@ def _read_files(
         return spark.read.orc(model_path)
     if sformat == "delta":
         return spark.read.format("delta").load(model_path)
+    if sformat == "avro":
+        # prefer the JVM datasource when the external spark-avro module is
+        # deployed; otherwise the in-repo pure-Python OCF reader (conformance
+        # -tested vs the Java avro library) keeps the format first-class
+        try:
+            return spark.read.format("avro").load(model_path)
+        except Exception as e:
+            if "Failed to find data source" not in str(e):
+                raise
+        from .avrofile import read_avro
+
+        return read_avro(spark, model_path)
     schema = to_spark_schema(spec.models[model_name])
     if sformat == "json":
         return spark.read.schema(schema).json(model_path)
@@ -228,15 +240,30 @@ def decode_kafka_value(
     if fmt == "avro":
         import json as _json
 
-        from pyspark.sql.avro.functions import from_avro
-
         from .export import to_avro_schema
 
-        avro_schema = _json.dumps(to_avro_schema(model_name, spec.models[model_name]))
-        body = strip_confluent_header()
-        return df.select(
-            from_avro(body, avro_schema, {"mode": "PERMISSIVE"}).alias("a")
-        ).select("a.*")
+        schema_dict = to_avro_schema(model_name, spec.models[model_name])
+        try:
+            # JVM path when the external spark-avro module is deployed.
+            # The missing-jar failure is the specific AVRO_NOT_LOADED
+            # analysis error (raised when the plan is analyzed, not when the
+            # expression is built) — only that error falls through to the
+            # fallback, so jar-present analysis errors still surface.
+            from pyspark.sql.avro.functions import from_avro
+
+            decoded = from_avro(strip_confluent_header(),
+                                _json.dumps(schema_dict),
+                                {"mode": "PERMISSIVE"})
+            return df.select(decoded.alias("a")).select("a.*")
+        except Exception as e:
+            if "AVRO_NOT_LOADED" not in str(e) and not isinstance(e, ImportError):
+                raise
+        # no spark-avro jar on the classpath: the pure-Python spec decoder
+        # (dcspark/avrofile.py, conformance-tested against the Java avro
+        # library) runs in an Arrow-batched pass instead
+        from .avrofile import decode_confluent_avro
+
+        return decode_confluent_avro(df, schema_dict)
     schema = to_spark_schema(spec.models[model_name])
     return df.select(
         F.from_json(F.col("value").cast("string"), schema, {"mode": "PERMISSIVE"}).alias("j")
