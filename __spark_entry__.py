@@ -3661,6 +3661,46 @@ FROM assigned GROUP BY split
 """
 
 
+def q_audio_semantic_dedup(spark: SparkSession, _sf: str) -> DataFrame:
+    """Audio SemDeDup (dcspark/audiosem.py): pooled log-mel clip embeddings
+    (RMS-normalized + dynamic-range-clamped, so exactly gain-invariant) +
+    k-means-cell-blocked cosine pairs — the semantic layer above the
+    acoustic-fingerprint near-dup, catching variants perturbed past hash
+    equality (additive noise at 20 dB SNR defeats band-hash matching; the
+    embedding cosine stays ~0.91 vs <=0.78 for distinct content). Not
+    SQL-expressible (FFT + k-means), so no oracle — rows-only check;
+    margins, exactly-one-decode, and the broadcast decontam plan are locked
+    in tests/test_audiosem.py.
+
+    Input: 24 deterministic 4-sine mixes + noisy (20 dB SNR) and gain (0.3x)
+    variants of three of them. Expected: exactly the 9 planted variant pairs
+    (3 per trio), nothing across distinct content."""
+    import numpy as np
+
+    from dcspark.audiosem import audio_semantic_near_dup
+    from dcspark.synth import synth_pcm, wav_bytes
+
+    sr = 16000
+
+    def mix(seed: int) -> np.ndarray:
+        r = np.random.RandomState(seed)
+        return synth_pcm(sr, 1200, r.uniform(200, 3800, 4), r.uniform(0.4, 1.0, 4))
+
+    rows = [(f"orig-{i:02d}", wav_bytes(mix(100 + i), sr)) for i in range(24)]
+    for i in (0, 5, 11):
+        pcm = mix(100 + i).astype(np.float64)
+        p = float(np.mean(pcm ** 2))
+        noise = np.random.RandomState(i).randn(len(pcm)) * np.sqrt(p / 100.0)
+        rows.append((f"noisy-{i:02d}", wav_bytes(
+            np.clip(pcm + noise, -32768, 32767).astype(np.int16), sr)))
+        rows.append((f"gain-{i:02d}", wav_bytes(
+            np.clip(pcm * 0.3, -32768, 32767).astype(np.int16), sr)))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary").repartition(8)
+    pairs = audio_semantic_near_dup(df, threshold=0.85, n_cells=4)
+    return pairs.select("id_a", "id_b", F.round("score", 2).alias("score")
+                        ).orderBy("id_a", "id_b")
+
+
 def q_avro_file_source(spark: SparkSession, sf: str) -> DataFrame:
     """Avro OCF source end-to-end (dcspark/avrofile.py): the documents table
     round-trips through the pure-Python spec codec — partition-parallel
@@ -3784,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_fp_join": q_video_fp_join,
         "audio_fp_near_dup": q_audio_fp_near_dup,
         "audio_decontam": q_audio_decontam,
+        "audio_semantic_dedup": q_audio_semantic_dedup,
         "audio_loudness_drift": q_audio_loudness_drift,
         "audio_signal_quality": q_audio_signal_quality,
         "contract_full_run": q_contract_full_run,

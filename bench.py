@@ -178,6 +178,7 @@ OPERATOR_QUERIES = [
     "tdigest_quantiles",
     "audio_fp_near_dup",
     "audio_decontam",
+    "audio_semantic_dedup",
     "audio_loudness_drift",
     "audio_multicodec_conformance",
     "audio_transcode_normalize",

@@ -573,6 +573,29 @@ def cmd_audio(args: argparse.Namespace) -> int:
             out = audiofp.audio_contaminated_ids(
                 df, ev, threshold=args.threshold)
         label = f"acoustically contaminated ids (overlap >= {args.threshold})"
+    elif args.action == "embed":
+        from . import audiosem
+
+        out = audiosem.audio_embeddings(df, n_mels=args.n_mels)
+        label = f"{2 * args.n_mels}-dim pooled log-mel embeddings"
+    elif args.action == "semneardup":
+        from . import audiosem
+
+        out = audiosem.audio_semantic_near_dup(
+            df, threshold=args.sem_threshold, n_mels=args.n_mels)
+        label = f"semantic near-dup pairs (cosine >= {args.sem_threshold})"
+    elif args.action == "semdecontam":
+        from . import audiosem
+
+        if not args.eval:
+            print("audio semdecontam requires --eval <benchmark parquet>")
+            return 2
+        ev = spark.read.parquet(args.eval).select(
+            F.col(args.id_col).alias("clip_id"),
+            F.col(args.bytes_col).alias("bytes"))
+        out = audiosem.audio_semantic_contaminated_ids(
+            df, ev, threshold=args.sem_threshold, n_mels=args.n_mels)
+        label = f"semantically contaminated ids (cosine >= {args.sem_threshold})"
     else:  # chunk
         out = aops.audio_chunks(
             df, win_ms=args.win_ms, hop_ms=args.hop_ms,
@@ -1164,14 +1187,19 @@ def main(argv: Optional[list] = None) -> int:
     tq.add_argument("--shuffle-partitions", type=int, default=None)
 
     au = sub.add_parser(
-        "audio", help="audio corpus actions: transcode | segment | chunk | features | augment | census | fingerprint | neardup | decontam")
+        "audio", help="audio corpus actions: transcode | segment | chunk | "
+                      "features | augment | census | fingerprint | neardup | "
+                      "decontam | embed | semneardup | semdecontam")
     au.add_argument("action",
                     choices=["transcode", "segment", "chunk", "features", "augment", "census",
-                             "fingerprint", "neardup", "decontam"])
+                             "fingerprint", "neardup", "decontam",
+                             "embed", "semneardup", "semdecontam"])
     au.add_argument("--eval", default=None,
-                    help="decontam: benchmark clips parquet")
+                    help="decontam/semdecontam: benchmark clips parquet")
     au.add_argument("--threshold", type=float, default=0.35,
                     help="neardup/decontam: fingerprint overlap score floor")
+    au.add_argument("--sem-threshold", type=float, default=0.85,
+                    help="semneardup/semdecontam: embedding cosine floor")
     au.add_argument("--checkpoint", default=None,
                     help="neardup/decontam: stage-checkpoint dir; rerun "
                          "resumes past the decode")

@@ -481,6 +481,7 @@ def semantic_dedup_pairs(
     max_bucket: Optional[int] = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    id_cast: Optional[str] = "long",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic duplicate pairs via k-means
     cluster blocking — assign every embedding to its nearest centroid, then
@@ -508,8 +509,12 @@ def semantic_dedup_pairs(
     the keep-one-per-component drop list.
     """
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim)
+    # id_cast="long" matches the embeddings-table oracle; id_cast=None keeps
+    # native string ids (the audio clip_id path) — `id_a < id_b` dedups pairs
+    # under either ordering, the comparison only needs to be a total order
+    id_expr = F.col(id_col) if id_cast is None else F.col(id_col).cast(id_cast)
     corpus = emb.select(
-        F.col(id_col).cast("long").alias("vec_id"),
+        id_expr.alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
     )
     keyed = corpus.select(
