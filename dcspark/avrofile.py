@@ -363,9 +363,12 @@ def parse_container(data: bytes) -> Tuple[Any, Iterator[dict]]:
 
 
 def write_container(schema: Any, rows: List[dict], codec: str = "deflate",
-                    sync_seed: str = "", rows_per_block: int = 4096) -> bytes:
+                    sync_seed: str = "", rows_per_block: int = 4096,
+                    meta: Optional[Dict[str, bytes]] = None) -> bytes:
     """Rows -> OCF bytes. Deterministic: the sync marker is
-    md5(schema || sync_seed), not a random draw."""
+    md5(schema || sync_seed), not a random draw. ``meta`` adds extra
+    header key/values (e.g. Iceberg manifests carry "schema",
+    "partition-spec-id", "format-version", "content")."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
@@ -373,8 +376,10 @@ def write_container(schema: Any, rows: List[dict], codec: str = "deflate",
     writer = compile_writer(schema)
     meta_writer = compile_writer({"type": "map", "values": "bytes"})
     out = bytearray(MAGIC)
-    meta_writer(out, {"avro.schema": schema_json.encode(),
-                      "avro.codec": codec.encode()})
+    header = dict(meta or {})
+    header["avro.schema"] = schema_json.encode()
+    header["avro.codec"] = codec.encode()
+    meta_writer(out, header)
     out.extend(sync)
     for start in range(0, len(rows), rows_per_block):
         chunk = rows[start:start + rows_per_block]

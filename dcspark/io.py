@@ -120,10 +120,19 @@ def _read_iceberg(
         try:
             return spark.read.table(qualified)
         except Exception:
-            pass  # no Iceberg runtime — fall back to parquet
+            pass  # no Iceberg runtime — try the pure-Python format reader
     root = base_path or (server.location or server.path if server else None)
     if not root:
         raise ValueError(f"no Iceberg catalog and no fallback path for model {model_name}")
+    # real Iceberg metadata tree (dcspark/iceberg.py implements the spec's
+    # v2 format: manifest-list/manifest Avro, snapshots, positional deletes)
+    for candidate in (os.path.join(root, model_name), root):
+        if os.path.isdir(os.path.join(candidate, "metadata")):
+            from .iceberg import IcebergTable
+
+            t = IcebergTable(candidate)
+            if t.exists():
+                return t.read(spark)
     return spark.read.parquet(os.path.join(root, f"{model_name}.parquet"))
 
 
@@ -296,4 +305,11 @@ def write_results(results_df: DataFrame, path: str, fmt: str = "parquet") -> Non
             return
         except Exception:
             pass
+        if os.sep in path or "/" in path:
+            # no catalog: the pure-Python Iceberg writer commits a real
+            # snapshot (metadata + manifests) at the filesystem location
+            from .iceberg import write_results_iceberg
+
+            write_results_iceberg(results_df, path)
+            return
     results_df.write.mode("append").parquet(path)
