@@ -3736,6 +3736,127 @@ FROM documents GROUP BY lang
 """
 
 
+def q_iceberg_snapshot_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure-Python Iceberg v2 as a live table format (dcspark/iceberg.py):
+    orders lands in a real Iceberg table (identity-partitioned on
+    o_orderstatus, real manifest-list/manifest Avro + metadata JSON), gets a
+    second append and a v2 *positional delete* (captured via Spark's
+    _metadata.file_path/row_index hidden columns), and each snapshot is read
+    back via time-travel. The oracle reproduces every snapshot's count and
+    price sum straight from parquet, so a single row misplaced by the
+    manifest plumbing, the partition routing, or the delete anti-join breaks
+    the hash."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_iceberg_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    t = IcebergTable.create(out, orders.schema,
+                            partition_by=[("o_orderstatus", "identity")])
+    s1 = t.append(orders)
+    s2 = t.append(orders.filter("o_orderstatus = 'F'"))
+    s3 = t.delete_where(spark, "o_totalprice < 100000")
+    frames = []
+    for ord_, sid in ((1, s1), (2, s2), (3, s3)):
+        frames.append(
+            t.read(spark, snapshot_id=sid).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            ).select(F.lit(ord_).cast("long").alias("snap_ord"),
+                     "n_rows", "sum_price"))
+    outdf = frames[0]
+    for fdf in frames[1:]:
+        outdf = outdf.unionByName(fdf)
+    return outdf.orderBy("snap_ord")
+
+
+SQL_ICEBERG_SNAPSHOT_TRAVEL = """
+SELECT 1 AS snap_ord, cast(count(*) AS bigint) AS n_rows,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+UNION ALL
+SELECT 2,
+       cast(count(*) + sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bigint),
+       round(sum(o_totalprice)
+             + sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2)
+FROM orders
+UNION ALL
+SELECT 3,
+       cast(sum(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN o_orderstatus = 'F' AND o_totalprice >= 100000
+                       THEN 1 ELSE 0 END) AS bigint),
+       round(sum(CASE WHEN o_totalprice >= 100000 THEN o_totalprice ELSE 0 END)
+             + sum(CASE WHEN o_orderstatus = 'F' AND o_totalprice >= 100000
+                        THEN o_totalprice ELSE 0 END), 2)
+FROM orders
+ORDER BY snap_ord
+"""
+
+
+def q_delta_log_versions(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure-Python Delta Lake protocol (dcspark/deltalog.py): customer lands
+    in a real Delta table (hive-partitioned on c_mktsegment, partition
+    values carried in the _delta_log add actions, not the data files), gets
+    a second append and an overwrite, and every version is read back via
+    version time-travel — log replay, remove-action reconciliation, and
+    partition-value recovery all on the hash path."""
+    import hashlib
+    import shutil
+
+    from dcspark.deltalog import DeltaTable
+
+    out = "/tmp/dcspark_delta_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    t = DeltaTable.create(out, cust.schema,
+                          partition_columns=["c_mktsegment"])
+    v1 = t.append(cust)
+    v2 = t.append(cust.filter("c_acctbal < 0"))
+    v3 = t.overwrite(cust.filter("c_mktsegment = 'BUILDING'"))
+    frames = []
+    for v in (v1, v2, v3):
+        frames.append(
+            t.read(spark, version_as_of=v).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            ).select(F.lit(int(v)).cast("long").alias("version"),
+                     "n_rows", "sum_bal"))
+    outdf = frames[0]
+    for fdf in frames[1:]:
+        outdf = outdf.unionByName(fdf)
+    return outdf.orderBy("version")
+
+
+SQL_DELTA_LOG_VERSIONS = """
+SELECT 1 AS version, cast(count(*) AS bigint) AS n_rows,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+UNION ALL
+SELECT 2,
+       cast(count(*) + sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS bigint),
+       round(sum(c_acctbal)
+             + sum(CASE WHEN c_acctbal < 0 THEN c_acctbal ELSE 0 END), 2)
+FROM customer
+UNION ALL
+SELECT 3,
+       cast(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS bigint),
+       round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal ELSE 0 END), 2)
+FROM customer
+ORDER BY version
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -3787,6 +3908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture_sample": q_domain_mixture,
         "leakage_safe_split": q_leakage_safe_split,
         "avro_file_source": q_avro_file_source,
+        "iceberg_snapshot_travel": q_iceberg_snapshot_travel,
+        "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
         "benchmark_decontam": q_benchmark_decontam,
@@ -3873,6 +3996,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture_sample": _sql_domain_mixture(),
         "leakage_safe_split": _sql_leakage_safe_split(),
         "avro_file_source": SQL_AVRO_FILE_SOURCE,
+        "iceberg_snapshot_travel": SQL_ICEBERG_SNAPSHOT_TRAVEL,
+        "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
         "benchmark_decontam": SQL_BENCHMARK_DECONTAM,

@@ -239,6 +239,11 @@ def parse_wav_view(b) -> tuple:
     int16 with whole-array numpy transforms. Stdlib-struct + numpy only;
     raises ValueError on malformed containers or unsupported codecs.
     """
+    if bytes(b[:4]) == b"fLaC":
+        # real compressed codec: the in-repo FLAC decoder (dcspark/flac.py)
+        from .flac import decode_flac
+
+        return decode_flac(b)
     (audio_format, channels, sr, bits, block_align,
      data_off, data_len, fact_samples) = _walk_wav_header(b)
     if audio_format == _FMT_PCM and bits == 16 and channels == 1:
@@ -257,6 +262,10 @@ def parse_wav_meta(b) -> tuple:
     decoding any PCM: sample counts derive from the data-chunk size (and the
     fact chunk for block codecs), so surveying a compressed archive costs a
     chunk walk per clip instead of a full decode — the census path."""
+    if bytes(b[:4]) == b"fLaC":
+        from .flac import parse_flac_meta
+
+        return parse_flac_meta(b)
     (tag, channels, sr, bits, block_align,
      data_off, data_len, fact_samples) = _walk_wav_header(b)
     name = WAV_CODEC_NAMES.get((tag, bits))
@@ -300,6 +309,13 @@ def encode_wav(pcm: np.ndarray, sr: int, codec: str = "pcm_s16le",
     WAVE_FORMAT_EXTENSIBLE fmt chunk with the codec in the SubFormat GUID.
     All sample transforms are whole-array numpy.
     """
+    if codec == "flac":
+        if extensible:
+            raise ValueError("flac has no WAVE_FORMAT_EXTENSIBLE form")
+        from .flac import encode_flac
+
+        return encode_flac(np.asarray(pcm, dtype=np.int16), sr,
+                           channels=channels)
     tag_bits = _ENCODE_TAGS.get(codec)
     if tag_bits is None:
         raise ValueError(f"unknown codec: {codec}")

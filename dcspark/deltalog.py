@@ -1,0 +1,403 @@
+"""Pure-Python Delta Lake transaction log: read AND append, no jar.
+
+The sandbox has no delta-spark jar, so `format("delta")` is unavailable;
+this module implements the published Delta protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md) directly:
+
+- **state reconstruction**: replay `_delta_log/NNNNNNNNNNNNNNNNNNNN.json`
+  commits (add / remove / metaData / protocol actions), starting from the
+  newest parquet checkpoint referenced by `_last_checkpoint` when present.
+  The live file set is adds minus removes, last-metaData-wins for schema.
+- **time travel**: `version_as_of` replays a prefix of the log;
+  `timestamp_as_of` resolves the newest commit at/before the instant via
+  commitInfo/file timestamps.
+- **partition handling**: Delta stores partition values in the log (data
+  files do NOT contain partition columns). Reads recover them through
+  Spark's hive-style partition discovery (`basePath` option) when the
+  files sit in `col=value/` dirs — the layout this writer and Spark's own
+  delta writer both produce — and fall back to per-partition literal
+  columns otherwise. `partition_filter` prunes the file list driver-side,
+  O(#files), before any scan.
+- **append/overwrite commits**: distributed `partitionBy` parquet write
+  into the table dir, then an atomic `os.link` of the next
+  `<version>.json` — the same optimistic-concurrency swap the protocol
+  specifies (a racer's existing version file fails the link).
+
+Reference parity: the reference CLI reads delta via soda/duckdb's
+delta_scan (`datacontract/engines/soda/connections/duckdb.py:60-75`) and
+only where a Delta runtime exists; here the protocol itself is
+implemented so `server.format: delta` validates real Delta tables with
+zero extra dependencies.
+
+Documented seams: deletion vectors and column mapping (protocol reader
+features beyond minReaderVersion 1 are rejected with a clear error),
+checkpoint *writing* (we read checkpoints; commits always append JSON).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid as _uuid
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DeltaProtocolError(RuntimeError):
+    pass
+
+
+class DeltaCommitConflict(RuntimeError):
+    """Another writer committed the log version we raced for."""
+
+
+def _log_dir(location: str) -> str:
+    return os.path.join(os.path.abspath(location), "_delta_log")
+
+
+def _commit_path(location: str, version: int) -> str:
+    return os.path.join(_log_dir(location), f"{version:020d}.json")
+
+
+class DeltaTable:
+    """A filesystem Delta table. `location` is the table root."""
+
+    def __init__(self, location: str):
+        self.location = os.path.abspath(location)
+
+    # -- log replay ---------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.exists(_commit_path(self.location, 0)) or \
+            os.path.exists(os.path.join(_log_dir(self.location),
+                                        "_last_checkpoint"))
+
+    def latest_version(self) -> int:
+        ld = _log_dir(self.location)
+        best = -1
+        if os.path.isdir(ld):
+            for name in os.listdir(ld):
+                if name.endswith(".json") and name[:20].isdigit():
+                    best = max(best, int(name[:20]))
+        # a compacted log may hold only a checkpoint (json prefix removed)
+        lc = os.path.join(ld, "_last_checkpoint")
+        if os.path.exists(lc):
+            with open(lc) as f:
+                best = max(best, int(json.load(f).get("version", -1)))
+        if best < 0:
+            raise FileNotFoundError(f"no Delta log under {ld}")
+        return best
+
+    def _checkpoint_start(
+        self, upto: int
+    ) -> Tuple[int, Dict[str, dict], Optional[dict], Optional[dict]]:
+        """-> (first json version to replay, adds, metaData, protocol)
+        seeded from the newest eligible checkpoint, if any. Read via
+        pyarrow so Spark-free metadata paths (schema checks) work too."""
+        ld = _log_dir(self.location)
+        lc = os.path.join(ld, "_last_checkpoint")
+        if not os.path.exists(lc):
+            return 0, {}, None, None
+        with open(lc) as f:
+            info = json.load(f)
+        v = int(info["version"])
+        if v > upto:
+            # checkpoint is newer than the requested version: replay json only
+            return 0, {}, None, None
+        cp = [os.path.join(ld, f"{v:020d}.checkpoint.parquet")]
+        if not os.path.exists(cp[0]):
+            cp = [os.path.join(ld, n) for n in sorted(os.listdir(ld))
+                  if n.startswith(f"{v:020d}.checkpoint.") and
+                  n.endswith(".parquet")]
+            if not cp:
+                return 0, {}, None, None
+        import pyarrow.parquet as pq
+
+        def _plain(x):
+            if isinstance(x, dict):
+                return {k: _plain(v2) for k, v2 in x.items() if v2 is not None}
+            if isinstance(x, list):
+                if x and isinstance(x[0], tuple) and len(x[0]) == 2:
+                    return {k: _plain(v2) for k, v2 in x}  # map type
+                return [_plain(v2) for v2 in x]
+            return x
+
+        adds: Dict[str, dict] = {}
+        meta = proto = None
+        for path in cp:
+            for row in pq.read_table(path).to_pylist():
+                act = _plain(row)
+                if act.get("add"):
+                    adds[act["add"]["path"]] = act["add"]
+                elif act.get("metaData"):
+                    meta = act["metaData"]
+                elif act.get("protocol"):
+                    proto = act["protocol"]
+        return v + 1, adds, meta, proto
+
+    def _replay(
+        self, spark: Optional[SparkSession] = None,
+        version_as_of: Optional[int] = None,
+        timestamp_as_of_ms: Optional[int] = None,
+    ) -> Tuple[Dict[str, dict], dict, int]:
+        """-> (live adds by path, metaData, resolved version)."""
+        latest = self.latest_version()
+        upto = latest if version_as_of is None else version_as_of
+        if upto > latest:
+            raise ValueError(f"version {upto} > latest {latest}")
+        if timestamp_as_of_ms is not None:
+            upto = self._version_at(timestamp_as_of_ms)
+        start, adds, meta, proto = self._checkpoint_start(upto)
+        for v in range(start, upto + 1):
+            path = _commit_path(self.location, v)
+            if not os.path.exists(path):
+                if v < start or adds:
+                    continue  # compacted away below a checkpoint
+                raise FileNotFoundError(f"missing Delta commit {v}")
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if act.get("add"):
+                        a = act["add"]
+                        adds[a["path"]] = a
+                    elif act.get("remove"):
+                        adds.pop(act["remove"]["path"], None)
+                    elif act.get("metaData"):
+                        meta = act["metaData"]
+                    elif act.get("protocol"):
+                        proto = act["protocol"]
+        if proto and int(proto.get("minReaderVersion", 1)) > 1 and \
+                proto.get("readerFeatures"):
+            unsupported = set(proto["readerFeatures"]) - {"timestampNtz"}
+            if unsupported:
+                raise DeltaProtocolError(
+                    f"table requires reader features {sorted(unsupported)} "
+                    "(deletion vectors / column mapping are documented seams)")
+        if meta is None:
+            raise DeltaProtocolError("Delta log has no metaData action")
+        return adds, meta, upto
+
+    def _version_at(self, ts_ms: int) -> int:
+        """Newest version whose commit timestamp <= ts_ms."""
+        best = None
+        for v in range(0, self.latest_version() + 1):
+            path = _commit_path(self.location, v)
+            if not os.path.exists(path):
+                continue
+            commit_ts = None
+            with open(path) as f:
+                for line in f:
+                    act = json.loads(line)
+                    if act.get("commitInfo", {}).get("timestamp"):
+                        commit_ts = int(act["commitInfo"]["timestamp"])
+                        break
+            if commit_ts is None:
+                commit_ts = int(os.path.getmtime(path) * 1000)
+            if commit_ts <= ts_ms:
+                best = v
+        if best is None:
+            raise ValueError(f"no Delta commit at/before {ts_ms}")
+        return best
+
+    # -- read ---------------------------------------------------------------
+
+    def schema(self) -> T.StructType:
+        _adds, meta, _v = self._replay()
+        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+
+    def read(
+        self,
+        spark: SparkSession,
+        version_as_of: Optional[int] = None,
+        timestamp_as_of_ms: Optional[int] = None,
+        partition_filter: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
+        """The table as a DataFrame at the requested version: log replay ->
+        pruned file list -> one parquet scan with hive partition recovery."""
+        adds, meta, _v = self._replay(spark, version_as_of, timestamp_as_of_ms)
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        part_cols = list(meta.get("partitionColumns") or [])
+        live = list(adds.values())
+        if partition_filter:
+            for col, want in partition_filter.items():
+                live = [a for a in live
+                        if a.get("partitionValues", {}).get(col) == str(want)
+                        or col not in (a.get("partitionValues") or {})]
+        if not live:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.location, a["path"]) for a in live]
+        hive_layout = all(
+            all(f"{c}=" in a["path"] for c in part_cols) for a in live
+        ) if part_cols else True
+        if hive_layout:
+            df = (spark.read.option("basePath", self.location)
+                  .parquet(*paths))
+            # partition discovery types partition cols by inference; cast to
+            # the declared schema and restore declared column order
+            for c in part_cols:
+                declared = schema[c].dataType
+                df = df.withColumn(c, F.col(c).cast(declared))
+            return df.select(*[f.name for f in schema.fields])
+        # non-hive layout: attach partition values as per-file literals
+        by_part: Dict[Tuple, List[str]] = {}
+        for a in live:
+            key = tuple((a.get("partitionValues") or {}).get(c)
+                        for c in part_cols)
+            by_part.setdefault(key, []).append(
+                os.path.join(self.location, a["path"]))
+        frames = []
+        for key, fpaths in sorted(by_part.items()):
+            sub = spark.read.parquet(*fpaths)
+            for c, v in zip(part_cols, key):
+                sub = sub.withColumn(
+                    c, F.lit(v).cast(schema[c].dataType))
+            frames.append(sub.select(*[f.name for f in schema.fields]))
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2)
+        return out
+
+    def files(self, **kw) -> List[str]:
+        adds, _meta, _v = self._replay(**kw)
+        return sorted(os.path.join(self.location, a["path"])
+                      for a in adds.values())
+
+    # -- write --------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls, location: str, schema: T.StructType,
+        partition_columns: Optional[List[str]] = None,
+        properties: Optional[Dict[str, str]] = None,
+    ) -> "DeltaTable":
+        t = cls(location)
+        if t.exists():
+            raise FileExistsError(f"Delta table already exists at {location}")
+        os.makedirs(_log_dir(location), exist_ok=True)
+        import time
+
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {"metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema.jsonValue()),
+                "partitionColumns": list(partition_columns or []),
+                "configuration": dict(properties or {}),
+                "createdTime": int(time.time() * 1000),
+            }},
+            {"commitInfo": {"timestamp": int(time.time() * 1000),
+                            "operation": "CREATE TABLE"}},
+        ]
+        t._commit(0, actions)
+        return t
+
+    def _commit(self, version: int, actions: List[dict]) -> None:
+        target = _commit_path(self.location, version)
+        tmp = os.path.join(_log_dir(self.location),
+                           f".tmp-{_uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise DeltaCommitConflict(
+                f"Delta version {version} already committed by a "
+                "concurrent writer") from None
+        finally:
+            os.unlink(tmp)
+
+    def _write_files(self, df: DataFrame, part_cols: List[str]) -> List[dict]:
+        """Distributed parquet write -> add actions. Partition columns are
+        dropped from the data files (protocol: values live in the log) and
+        the hive `col=value` layout keeps reads single-scan."""
+        import time
+
+        staging = os.path.join(self.location,
+                               f".staging-{_uuid.uuid4().hex}")
+        if part_cols:
+            df.write.partitionBy(*part_cols).parquet(staging)
+        else:
+            df.write.parquet(staging)
+        commit_id = _uuid.uuid4().hex[:12]
+        adds = []
+        from urllib.parse import unquote
+
+        for root, _d, names in os.walk(staging):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                rel_dir = os.path.relpath(root, staging)
+                pvals: Dict[str, str] = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        pvals[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                                    else unquote(v))
+                dest_dir = (self.location if rel_dir == "."
+                            else os.path.join(self.location, rel_dir))
+                os.makedirs(dest_dir, exist_ok=True)
+                fname = f"{commit_id}-{name}"
+                os.rename(src, os.path.join(dest_dir, fname))
+                rel_path = (fname if rel_dir == "."
+                            else os.path.join(rel_dir, fname))
+                adds.append({"add": {
+                    "path": rel_path.replace(os.sep, "/"),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(dest_dir, fname)),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": True,
+                }})
+        shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    def _check_schema(self, df: DataFrame) -> Tuple[dict, List[str]]:
+        adds, meta, _v = self._replay()
+        declared = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
+        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if sorted(want) != sorted(got):
+            raise ValueError(f"append schema mismatch: table={want} df={got}")
+        return meta, list(meta.get("partitionColumns") or [])
+
+    def append(self, df: DataFrame) -> int:
+        import time
+
+        _meta, part_cols = self._check_schema(df)
+        v = self.latest_version() + 1
+        actions = self._write_files(df, part_cols)
+        actions.append({"commitInfo": {
+            "timestamp": int(time.time() * 1000), "operation": "WRITE",
+            "operationParameters": {"mode": "Append"}}})
+        self._commit(v, actions)
+        return v
+
+    def overwrite(self, df: DataFrame) -> int:
+        import time
+
+        _meta, part_cols = self._check_schema(df)
+        adds, _m, _v = self._replay()
+        v = self.latest_version() + 1
+        actions = [{"remove": {"path": p,
+                               "deletionTimestamp": int(time.time() * 1000),
+                               "dataChange": True}}
+                   for p in sorted(adds)]
+        actions += self._write_files(df, part_cols)
+        actions.append({"commitInfo": {
+            "timestamp": int(time.time() * 1000), "operation": "WRITE",
+            "operationParameters": {"mode": "Overwrite"}}})
+        self._commit(v, actions)
+        return v
+
+
+def read_delta_table(spark: SparkSession, location: str, **kw) -> DataFrame:
+    return DeltaTable(location).read(spark, **kw)

@@ -83,7 +83,17 @@ def _read_files(
         # behavior as parquet, so warehouse-side ORC lakes validate natively
         return spark.read.orc(model_path)
     if sformat == "delta":
-        return spark.read.format("delta").load(model_path)
+        try:
+            return spark.read.format("delta").load(model_path)
+        except Exception:
+            # no delta-spark jar: the pure-Python protocol reader
+            # (dcspark/deltalog.py) replays _delta_log directly
+            from .deltalog import DeltaTable
+
+            t = DeltaTable(model_path)
+            if t.exists():
+                return t.read(spark)
+            raise
     if sformat == "avro":
         # prefer the JVM datasource when the external spark-avro module is
         # deployed; otherwise the in-repo pure-Python OCF reader (conformance
