@@ -239,7 +239,7 @@ def parse_wav_view(b) -> tuple:
     int16 with whole-array numpy transforms. Stdlib-struct + numpy only;
     raises ValueError on malformed containers or unsupported codecs.
     """
-    if bytes(b[:4]) == b"fLaC":
+    if b is not None and len(b) >= 4 and bytes(b[:4]) == b"fLaC":
         # real compressed codec: the in-repo FLAC decoder (dcspark/flac.py)
         from .flac import decode_flac
 
@@ -262,7 +262,7 @@ def parse_wav_meta(b) -> tuple:
     decoding any PCM: sample counts derive from the data-chunk size (and the
     fact chunk for block codecs), so surveying a compressed archive costs a
     chunk walk per clip instead of a full decode — the census path."""
-    if bytes(b[:4]) == b"fLaC":
+    if b is not None and len(b) >= 4 and bytes(b[:4]) == b"fLaC":
         from .flac import parse_flac_meta
 
         return parse_flac_meta(b)

@@ -232,7 +232,11 @@ def cmd_test(args: argparse.Namespace) -> int:
     if args.junit:
         write_junit_xml(result.run, args.junit)
     if args.results_path:
-        rows = spark.createDataFrame(result.results)
+        # explicit schema: an all-pass run has every `reason` NULL, which
+        # would fail dict type inference
+        from .engine import RESULTS_DDL
+
+        rows = spark.createDataFrame(result.results, schema=RESULTS_DDL)
         write_results(rows, args.results_path)
     if args.violations_path and result.violations is not None:
         write_results(result.violations, args.violations_path)

@@ -1055,6 +1055,46 @@ class IcebergTable:
     def data_files(self, **kw) -> List[str]:
         return self._plan_files(**kw)[0]
 
+    def incremental_files(
+        self, from_snapshot_id: int, to_snapshot_id: Optional[int] = None
+    ) -> List[str]:
+        """Data files ADDED strictly after `from_snapshot_id`, up to
+        `to_snapshot_id` (default: current) — the validate-only-new-data
+        path for checkpointed runs: a resumed contract run scans only the
+        appended files, never the already-validated history. Manifests whose
+        sequence_number predates the boundary are skipped without being
+        opened (metadata work is O(#new manifests), not O(#snapshots))."""
+        md = self.metadata()
+        from_snap = self._resolve_snapshot(md, from_snapshot_id, None)
+        to_snap = self._resolve_snapshot(md, to_snapshot_id, None)
+        if to_snap is None:
+            return []
+        from_seq = from_snap["sequence-number"]
+        out: List[str] = []
+        for m in self._read_manifest_list(to_snap["manifest-list"]):
+            if m.get("sequence_number", 0) <= from_seq or \
+                    m.get("content", 0) == 1:
+                continue
+            for entry in self._read_manifest(m["manifest_path"]):
+                if entry.get("status") != 1:
+                    continue
+                if (entry.get("sequence_number") or 0) <= from_seq:
+                    continue
+                dfile = entry["data_file"]
+                if dfile.get("content", 0) == 0:
+                    out.append(dfile["file_path"])
+        return out
+
+    def read_incremental(
+        self, spark: SparkSession, from_snapshot_id: int,
+        to_snapshot_id: Optional[int] = None,
+    ) -> DataFrame:
+        """The appended rows between two snapshots as one parquet scan."""
+        files = self.incremental_files(from_snapshot_id, to_snapshot_id)
+        if not files:
+            return spark.createDataFrame([], self.spark_schema())
+        return spark.read.parquet(*[self._local(p) for p in files])
+
     def read(
         self,
         spark: SparkSession,

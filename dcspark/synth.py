@@ -36,9 +36,11 @@ CORRUPTION_FLAGS = [
 ]
 
 #: alternate payload codecs for ``codec_mix`` rows — every one decodes back to
-#: canonical int16 at SNR >= 30 dB (u8 ~50 dB, G.711 ~38 dB, s24/f32 lossless),
-#: so a correctly-declared alternate-codec clip still passes the full contract
-ALT_CODECS = ("pcm_u8", "pcm_s24le", "pcm_f32le", "pcm_mulaw", "pcm_alaw")
+#: canonical int16 at SNR >= 30 dB (u8 ~50 dB, G.711 ~38 dB, s24/f32/flac
+#: lossless), so a correctly-declared alternate-codec clip still passes the
+#: full contract
+ALT_CODECS = ("pcm_u8", "pcm_s24le", "pcm_f32le", "pcm_mulaw", "pcm_alaw",
+              "flac")
 
 AUDIO_SCHEMA_DDL = (
     "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
