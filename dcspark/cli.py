@@ -114,6 +114,51 @@ def _load_ref_stats(spark, spec, ref_stats_dir: str) -> dict:
     return out
 
 
+def _iceberg_table_location(spec, server_name, base_path, model_name: str) -> str:
+    """Resolve the on-disk Iceberg table root for a model (mirrors
+    io._read_iceberg's fallback candidates: <root>/<model> then <root>)."""
+    import os
+
+    server = None
+    if spec.servers:
+        if server_name and server_name in spec.servers:
+            server = spec.servers[server_name]
+        else:
+            server = next(iter(spec.servers.values()))
+    root = base_path or (server.location or server.path if server else None)
+    if not root:
+        raise ValueError(f"no Iceberg location for model {model_name}")
+    for candidate in (os.path.join(root, model_name), root):
+        if os.path.isdir(os.path.join(candidate, "metadata")):
+            return candidate
+    raise ValueError(f"no Iceberg metadata tree under {root} for {model_name}")
+
+
+def cmd_iceberg(args: argparse.Namespace) -> int:
+    """Iceberg table maintenance over the pure-Python format reader."""
+    from .iceberg import IcebergTable
+
+    t = IcebergTable(args.table)
+    if not t.exists():
+        print(f"no Iceberg table at {args.table}")
+        return 1
+    if args.action == "snapshots":
+        for s in t.snapshots():
+            print(f"{s['snapshot-id']}  ts={s['timestamp-ms']}  "
+                  f"op={s.get('summary', {}).get('operation', '?')}")
+        return 0
+    if args.action == "files":
+        for p in t.data_files(snapshot_id=args.snapshot_id):
+            print(p)
+        return 0
+    if args.action == "expire":
+        out = t.expire_snapshots(keep_last=args.keep_last)
+        print(f"expired {out['snapshots_removed']} snapshots, "
+              f"deleted {out['files_deleted']} files")
+        return 0
+    return 1
+
+
 def cmd_snapshot(args: argparse.Namespace) -> int:
     """Build the drift reference snapshot (quantile grid + bin probs) from a
     trusted data snapshot; `test --ref-stats` evaluates later runs against it."""
@@ -227,6 +272,25 @@ def cmd_test(args: argparse.Namespace) -> int:
         unique_mode=args.unique_mode,
         pctl_mode=args.pctl_mode,
     )
+    if args.incremental_state:
+        # validate ONLY rows appended to the model's Iceberg table since the
+        # snapshot recorded in the state file (streaming.py poll shape)
+        from .streaming import validate_iceberg_increments
+
+        model_name = args.model or next(iter(spec.models))
+        loc = _iceberg_table_location(spec, args.server, args.path, model_name)
+        static = {k: v for k, v in tables.items() if k != model_name}
+        result = validate_iceberg_increments(
+            spark, spec, loc, model_name, args.incremental_state,
+            static_tables=static, config=cfg,
+            results_sink=args.results_path)
+        if result is None:
+            print(f"incremental: no new snapshots for {model_name} — nothing to do")
+            return 0
+        print_console(result.run)
+        if args.junit:
+            write_junit_xml(result.run, args.junit)
+        return exit_code(result.run)
     result = validate(spark, spec, tables, cfg)
     print_console(result.run)
     if args.junit:
@@ -1053,6 +1117,22 @@ def main(argv: Optional[list] = None) -> int:
                    help="exact: percentile_approx (GK) + a dedicated global pass "
                         "when partitioned; sketch: mergeable t-digests that "
                         "checkpoint with the manifest (resume never rescans)")
+    t.add_argument("--incremental-state", default=None,
+                   help="JSON state file; validate ONLY rows appended to the "
+                        "model's Iceberg table since the snapshot recorded "
+                        "there (first run validates the whole table)")
+    t.add_argument("--model", default=None,
+                   help="with --incremental-state: which model's Iceberg "
+                        "table to poll (default: the first payload model)")
+
+    ice = sub.add_parser(
+        "iceberg", help="Iceberg table maintenance (pure-Python format)")
+    ice.add_argument("action", choices=["snapshots", "files", "expire"])
+    ice.add_argument("--table", required=True, help="table root directory")
+    ice.add_argument("--keep-last", type=int, default=2,
+                     help="expire: retain this many newest snapshots")
+    ice.add_argument("--snapshot-id", type=int, default=None,
+                     help="files: list a specific snapshot's data files")
 
     pr = sub.add_parser("profile", help="one-scan column statistics per model")
     pr.add_argument("contract")
@@ -1408,6 +1488,8 @@ def main(argv: Optional[list] = None) -> int:
     args = p.parse_args(argv)
     if args.command == "test":
         return cmd_test(args)
+    if args.command == "iceberg":
+        return cmd_iceberg(args)
     if args.command == "snapshot":
         return cmd_snapshot(args)
     if args.command == "profile":

@@ -1085,6 +1085,56 @@ class IcebergTable:
                     out.append(dfile["file_path"])
         return out
 
+    def expire_snapshots(self, keep_last: int = 1) -> Dict[str, int]:
+        """Table maintenance: drop all but the newest `keep_last` snapshots
+        and physically delete files no retained snapshot references
+        (manifest lists, manifests, data + delete files). Returns counts.
+
+        The reachability walk is metadata-only (O(#files), driver-side,
+        same as a catalog's expire action); time-travel to an expired
+        snapshot subsequently raises, current reads are untouched.
+        """
+        md = self.metadata()
+        snaps = list(md.get("snapshots", []))
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return {"snapshots_removed": 0, "files_deleted": 0}
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        kept_manifests: set = set()
+        kept_files: set = set()
+        for s in keep:
+            for m in self._read_manifest_list(s["manifest-list"]):
+                kept_manifests.add(m["manifest_path"])
+                for e in self._read_manifest(m["manifest_path"]):
+                    kept_files.add(e["data_file"]["file_path"])
+        deleted = 0
+        for s in drop:
+            for m in self._read_manifest_list(s["manifest-list"]):
+                if m["manifest_path"] in kept_manifests:
+                    continue
+                for e in self._read_manifest(m["manifest_path"]):
+                    p = e["data_file"]["file_path"]
+                    if p not in kept_files:
+                        kept_files.add(p)  # delete once
+                        try:
+                            os.unlink(self._local(p))
+                            deleted += 1
+                        except FileNotFoundError:
+                            pass
+                os.unlink(self._local(m["manifest_path"]))
+                deleted += 1
+            os.unlink(self._local(s["manifest-list"]))
+            deleted += 1
+        kept_ids = {s["snapshot-id"] for s in keep}
+        new_md = dict(md)
+        new_md["snapshots"] = keep
+        new_md["snapshot-log"] = [
+            e for e in md.get("snapshot-log", [])
+            if e["snapshot-id"] in kept_ids]
+        self._commit_metadata(new_md, expected_version=self._version())
+        return {"snapshots_removed": len(drop), "files_deleted": deleted}
+
     def read_incremental(
         self, spark: SparkSession, from_snapshot_id: int,
         to_snapshot_id: Optional[int] = None,

@@ -367,3 +367,46 @@ def test_empty_table_reads_empty_with_schema(spark, clips_df, tmp_path):
     df = t.read(spark)
     assert df.count() == 0
     assert df.columns == clips_df.columns
+
+
+def test_expire_snapshots_prunes_files_keeps_current(spark, clips_df, tmp_path):
+    """expire drops old snapshots + physically deletes unreferenced files;
+    current reads are untouched, travel to an expired snapshot raises."""
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, clips_df.schema)
+    s1 = t.append(clips_df.filter("shard = 0"))
+    t.overwrite(clips_df.filter("shard = 1"))  # s1's data now unreferenced
+    s3 = t.append(clips_df.filter("shard = 2"))
+    def _data_files():
+        return {os.path.join(dp, f) for dp, _, fs in os.walk(loc)
+                for f in fs if f.endswith(".parquet")}
+
+    files_before = _data_files()
+    out = t.expire_snapshots(keep_last=2)
+    assert out["snapshots_removed"] == 1 and out["files_deleted"] > 0
+    files_after = _data_files()
+    assert files_after < files_before  # s1's orphaned data physically gone
+    t2 = IcebergTable(loc)
+    assert [s["snapshot-id"] for s in t2.snapshots()][-1] == s3
+    assert t2.read(spark).count() == 100  # shard1 (50) + shard2 (50)
+    with pytest.raises(ValueError):
+        t2.read(spark, snapshot_id=s1)
+    # no-op below the floor
+    assert t2.expire_snapshots(keep_last=5)["snapshots_removed"] == 0
+
+
+def test_cli_iceberg_maintenance(spark, clips_df, tmp_path, capsys):
+    from dcspark.cli import main
+
+    loc = str(tmp_path / "tbl")
+    t = IcebergTable.create(loc, clips_df.schema)
+    t.append(clips_df.filter("shard = 0"))
+    t.append(clips_df.filter("shard = 1"))
+    assert main(["iceberg", "snapshots", "--table", loc]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if "op=append" in l]
+    assert len(lines) == 2
+    assert main(["iceberg", "files", "--table", loc]) == 0
+    assert capsys.readouterr().out.strip()
+    assert main(["iceberg", "expire", "--table", loc, "--keep-last", "1"]) == 0
+    assert "expired 1 snapshots" in capsys.readouterr().out
+    assert main(["iceberg", "snapshots", "--table", str(tmp_path / "nope")]) == 1

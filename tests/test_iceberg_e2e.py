@@ -134,3 +134,61 @@ def test_incremental_skips_old_manifests(spark, iceberg_root):
     assert inc and not (inc & base)  # disjoint from the validated history
     cur = set(t.data_files(snapshot_id=last["snapshot-id"]))
     assert inc == cur - base
+
+
+def test_polling_incremental_validator(spark, spec, tmp_path):
+    """validate_iceberg_increments: first poll validates the whole table,
+    later polls only the appended snapshot, no-op when nothing landed, and
+    the state file advances atomically only after a completed run."""
+    import json
+
+    from dcspark.streaming import validate_iceberg_increments
+
+    loc = str(tmp_path / "audio_clips")
+    state = str(tmp_path / "state.json")
+    clips1 = synth.generate_audio_table(
+        spark, 48, seed=5, dur_lo=DUR[0], dur_hi=DUR[1], num_partitions=2)
+    t = IcebergTable.create(loc, clips1.schema)
+    t.append(clips1)
+    ref1 = synth.generate_transcripts_ref(spark, 48, seed=5,
+                                          num_partitions=2)
+    stats1 = {"audio_clips": drift_mod.build_ref_stats(
+        clips1, ["dur_ms", "sr_hz"], n_quantiles=49, n_bins=10)}
+    cfg1 = ValidationConfig(ref_stats=stats1,
+                            audio_oracle=synth_oracle(5, DUR[0], DUR[1]))
+    sink = str(tmp_path / "results_tbl")
+    r1 = validate_iceberg_increments(
+        spark, spec, loc, "audio_clips", state,
+        static_tables={"transcripts_ref": ref1}, config=cfg1,
+        results_sink=sink)
+    assert r1 is not None and r1.run.result == ResultEnum.passed
+    with open(state) as f:
+        assert json.load(f)["last_snapshot_id"] == t.current_snapshot_id()
+    # nothing new -> no-op, state untouched
+    assert validate_iceberg_increments(
+        spark, spec, loc, "audio_clips", state,
+        static_tables={"transcripts_ref": ref1}, config=cfg1) is None
+    # corrupt append -> next poll validates ONLY the increment and fails it
+    bad = synth.generate_audio_table(
+        spark, 32, seed=6, dur_lo=DUR[0], dur_hi=DUR[1],
+        corrupt={"bad_sr": 0.5}, num_partitions=2)
+    t.append(bad)
+    ref2 = synth.generate_transcripts_ref(spark, 32, seed=6,
+                                          num_partitions=2)
+    stats2 = {"audio_clips": drift_mod.build_ref_stats(
+        synth.generate_audio_table(spark, 32, seed=6, dur_lo=DUR[0],
+                                   dur_hi=DUR[1], num_partitions=2),
+        ["dur_ms", "sr_hz"], n_quantiles=49, n_bins=10)}
+    cfg2 = ValidationConfig(ref_stats=stats2,
+                            audio_oracle=synth_oracle(6, DUR[0], DUR[1]))
+    r2 = validate_iceberg_increments(
+        spark, spec, loc, "audio_clips", state,
+        static_tables={"transcripts_ref": ref2}, config=cfg2,
+        results_sink=sink)
+    failed = {c.key for c in r2.run.checks if c.result == ResultEnum.failed}
+    assert "audio_clips__sr_hz__field_enum" in failed
+    # results table holds both polls as separate Iceberg snapshots with the
+    # validated snapshot id stamped on every row
+    rt = IcebergTable(sink)
+    assert len(rt.snapshots()) == 2
+    assert rt.read(spark).select("snapshot_id").distinct().count() == 2
