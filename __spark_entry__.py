@@ -3800,6 +3800,76 @@ ORDER BY snap_ord
 """
 
 
+def q_iceberg_stats_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest column stats as a live pruning index (dcspark/iceberg.py):
+    events lands in an Iceberg table range-partitioned on event_id so every
+    data file carries a disjoint [lower, upper] envelope in its manifest
+    (spec fields 125/128, parquet-footer harvest), then three scoped reads
+    run through `read(where=...)` — an int range, a timestamp cutoff, and a
+    string equality. The planner must SKIP files for the int range (asserted
+    here: a pruning regression fails the query, not just a benchmark) and
+    every surviving row set must match DuckDB running the same predicates on
+    the raw parquet — exactness of prune + residual filter is the hash."""
+    import datetime
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icestats_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts").alias("ts"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    ).repartitionByRange(8, "event_id").sortWithinPartitions("event_id")
+    t = IcebergTable.create(out, ev.schema)
+    t.append(ev)
+    max_id, min_ts = ev.agg(F.max("event_id"), F.min("ts")).first()
+    id_cut = (max_id * 3) // 4
+    ts_cut = min_ts + datetime.timedelta(days=3)
+    total = len(t.data_files())
+    planned = len(t.data_files(column_filter=[("event_id", ">=", id_cut)]))
+    if not planned < total:
+        raise AssertionError(
+            f"stats pruning regressed: planned {planned}/{total} files for "
+            f"event_id >= {id_cut}")
+    probes = [
+        ("id_tail", [("event_id", ">=", id_cut)]),
+        ("ts_window", [("ts", ">=", ts_cut)]),
+        ("type_eq", [("event_type", "=", "click")]),
+    ]
+    frames = []
+    for name, preds in probes:
+        frames.append(
+            t.read(spark, where=preds).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            ).select(F.lit(name).alias("probe"), "n_rows", "sum_value"))
+    outdf = frames[0]
+    for fdf in frames[1:]:
+        outdf = outdf.unionByName(fdf)
+    return outdf.orderBy("probe")
+
+
+SQL_ICEBERG_STATS_PRUNING = """
+SELECT 'id_tail' AS probe, cast(count(*) AS bigint) AS n_rows,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id >= (SELECT (max(event_id) * 3) // 4 FROM events)
+UNION ALL
+SELECT 'ts_window', cast(count(*) AS bigint), round(sum(value), 2)
+FROM events
+WHERE ts >= (SELECT min(ts) + INTERVAL 3 DAY FROM events)
+UNION ALL
+SELECT 'type_eq', cast(count(*) AS bigint), round(sum(value), 2)
+FROM events
+WHERE event_type = 'click'
+ORDER BY probe
+"""
+
+
 def q_delta_log_versions(spark: SparkSession, sf: str) -> DataFrame:
     """Pure-Python Delta Lake protocol (dcspark/deltalog.py): customer lands
     in a real Delta table (hive-partitioned on c_mktsegment, partition
@@ -3909,6 +3979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "avro_file_source": q_avro_file_source,
         "iceberg_snapshot_travel": q_iceberg_snapshot_travel,
+        "iceberg_stats_pruning": q_iceberg_stats_pruning,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -3997,6 +4068,7 @@ def oracle_sql() -> dict[str, str]:
         "leakage_safe_split": _sql_leakage_safe_split(),
         "avro_file_source": SQL_AVRO_FILE_SOURCE,
         "iceberg_snapshot_travel": SQL_ICEBERG_SNAPSHOT_TRAVEL,
+        "iceberg_stats_pruning": SQL_ICEBERG_STATS_PRUNING,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,

@@ -148,8 +148,48 @@ def cmd_iceberg(args: argparse.Namespace) -> int:
                   f"op={s.get('summary', {}).get('operation', '?')}")
         return 0
     if args.action == "files":
-        for p in t.data_files(snapshot_id=args.snapshot_id):
+        from .iceberg import parse_where
+
+        cf = parse_where(args.where) if args.where else None
+        files = t.data_files(snapshot_id=args.snapshot_id, column_filter=cf)
+        for p in files:
             print(p)
+        if cf:
+            total = len(t.data_files(snapshot_id=args.snapshot_id))
+            print(f"# planned {len(files)}/{total} files "
+                  f"(stats pruning skipped {total - len(files)})")
+        return 0
+    if args.action == "stats":
+        from .iceberg import deserialize_bound
+
+        md = t.metadata()
+        fids = t._field_id_types(md)
+        by_fid = {fid: (n, ice_t) for n, (fid, ice_t) in fids.items()}
+        snap = t._resolve_snapshot(md, args.snapshot_id, None)
+        if snap is None:
+            print("no snapshot")
+            return 1
+        for m in t._read_manifest_list(snap["manifest-list"]):
+            for e in t._read_manifest(m["manifest_path"]):
+                d = e["data_file"]
+                if d.get("content", 0) != 0 or e.get("status") == 2:
+                    continue
+                lo = {x["key"]: x["value"] for x in (d.get("lower_bounds") or [])}
+                hi = {x["key"]: x["value"] for x in (d.get("upper_bounds") or [])}
+                nn = {x["key"]: x["value"] for x in
+                      (d.get("null_value_counts") or [])}
+                parts = []
+                for fid in sorted(by_fid):
+                    name, ice_t = by_fid[fid]
+                    l_ = deserialize_bound(lo.get(fid), ice_t)
+                    h_ = deserialize_bound(hi.get(fid), ice_t)
+                    if l_ is None and h_ is None and fid not in nn:
+                        continue
+                    parts.append(f"{name}=[{l_!r}..{h_!r}] "
+                                 f"nulls={nn.get(fid, '?')}")
+                print(f"{d['file_path']}  rows={d['record_count']}")
+                for p in parts:
+                    print(f"  {p}")
         return 0
     if args.action == "expire":
         out = t.expire_snapshots(keep_last=args.keep_last)
@@ -1127,12 +1167,16 @@ def main(argv: Optional[list] = None) -> int:
 
     ice = sub.add_parser(
         "iceberg", help="Iceberg table maintenance (pure-Python format)")
-    ice.add_argument("action", choices=["snapshots", "files", "expire"])
+    ice.add_argument("action", choices=["snapshots", "files", "stats",
+                                        "expire"])
     ice.add_argument("--table", required=True, help="table root directory")
     ice.add_argument("--keep-last", type=int, default=2,
                      help="expire: retain this many newest snapshots")
     ice.add_argument("--snapshot-id", type=int, default=None,
-                     help="files: list a specific snapshot's data files")
+                     help="files/stats: scope to a specific snapshot")
+    ice.add_argument("--where", default=None,
+                     help="files: prune via manifest column stats, e.g. "
+                          "\"dur_ms >= 200 AND clip_id < 'clip_01'\"")
 
     pr = sub.add_parser("profile", help="one-scan column statistics per model")
     pr.add_argument("contract")

@@ -39,10 +39,17 @@ duckdb.py`) and can only do so where an Iceberg runtime exists; here the
 format itself is implemented, so `server.type: iceberg` validates real
 Iceberg metadata with zero extra dependencies.
 
+- **column stats**: manifests carry the spec's per-file metrics maps
+  (value_counts 109, null_value_counts 110, lower_bounds 125, upper_bounds
+  128; bounds use Appendix-D single-value binary serialization, string /
+  binary bounds truncated to 16 bytes with upper-bound increment). The
+  stats are harvested from the parquet footers the distributed write
+  already produced — no extra scan — and the read path prunes files whose
+  [lower, upper] envelope provably misses a predicate, so a range query
+  over 10^12 rows opens only the files that can match.
+
 Not implemented (documented seams): equality deletes, schema evolution
-(appends must match the table schema exactly), sort orders, metrics/bounds
-in manifests (pruning uses partition values, not column stats), snapshot
-expiration/compaction.
+(appends must match the table schema exactly), sort orders.
 """
 
 from __future__ import annotations
@@ -408,6 +415,350 @@ _AVRO_PART_TYPES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# column stats — Appendix D single-value serialization + bound truncation
+# ---------------------------------------------------------------------------
+
+#: string/binary bounds stored in manifests are truncated to this many
+#: bytes/chars (real writers default to 16: long text or audio payloads must
+#: never bloat metadata — manifests stay O(#files · #columns · 16B)).
+BOUND_TRUNCATION = 16
+
+_EPOCH_DATE = None  # lazy date(1970, 1, 1)
+
+
+def _norm_stat_value(v: Any, ice_type: str) -> Any:
+    """Normalize a python value (parquet-footer stat or user literal) to the
+    comparison domain of its Iceberg type: int for int/long/date/timestamps
+    (days / microseconds), float, str, bytes, bool."""
+    global _EPOCH_DATE
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(v)
+    if ice_type in ("float", "double"):
+        return float(v)
+    if ice_type == "boolean":
+        return bool(v)
+    if ice_type == "date":
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            if _EPOCH_DATE is None:
+                _EPOCH_DATE = _dt.date(1970, 1, 1)
+            return (v - _EPOCH_DATE).days
+        return int(v)
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        return int(v)
+    if ice_type == "string":
+        if isinstance(v, bytes):
+            return v.decode("utf-8", errors="replace")
+        return str(v)
+    if ice_type == "binary":
+        return bytes(v)
+    return None  # decimal/nested: no stats
+
+
+def serialize_bound(v: Any, ice_type: str) -> Optional[bytes]:
+    """Iceberg Appendix-D single-value binary serialization (the byte layout
+    a real reader expects in lower_bounds/upper_bounds)."""
+    v = _norm_stat_value(v, ice_type)
+    if v is None:
+        return None
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type in ("int", "date"):
+        return struct.pack("<i", v)
+    if ice_type in ("long", "timestamp", "timestamptz"):
+        return struct.pack("<q", v)
+    if ice_type == "float":
+        return struct.pack("<f", v)
+    if ice_type == "double":
+        return struct.pack("<d", v)
+    if ice_type == "string":
+        return v.encode("utf-8")
+    if ice_type == "binary":
+        return bytes(v)
+    return None
+
+
+def deserialize_bound(b: Optional[bytes], ice_type: str) -> Any:
+    if b is None:
+        return None
+    b = bytes(b)
+    if ice_type == "boolean":
+        return b != b"\x00"
+    if ice_type in ("int", "date"):
+        return struct.unpack("<i", b)[0]
+    if ice_type in ("long", "timestamp", "timestamptz"):
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8", errors="replace")
+    if ice_type == "binary":
+        return b
+    return None
+
+
+def truncate_lower(v: Any, ice_type: str) -> Any:
+    """A value <= v, shortened for storage (strings/binary only).
+    Truncation only ever *decreases* a string, so the stored lower bound
+    stays a valid lower bound."""
+    if ice_type == "string" and isinstance(v, str) and len(v) > BOUND_TRUNCATION:
+        return v[:BOUND_TRUNCATION]
+    if ice_type == "binary" and isinstance(v, (bytes, bytearray)) \
+            and len(v) > BOUND_TRUNCATION:
+        return bytes(v[:BOUND_TRUNCATION])
+    return v
+
+
+def truncate_upper(v: Any, ice_type: str) -> Any:
+    """A value >= v, shortened for storage. A truncated prefix is SMALLER
+    than the original, so the last unit is incremented (spec rule); if every
+    unit is already maximal the bound is unrepresentable -> None (omitted,
+    reader treats the side as unbounded). Returns v unchanged when short."""
+    if ice_type == "string" and isinstance(v, str) and len(v) > BOUND_TRUNCATION:
+        pfx = v[:BOUND_TRUNCATION]
+        for i in range(len(pfx) - 1, -1, -1):
+            cp = ord(pfx[i])
+            if cp < 0x10FFFF:
+                return pfx[:i] + chr(cp + 1)
+        return None
+    if ice_type == "binary" and isinstance(v, (bytes, bytearray)) \
+            and len(v) > BOUND_TRUNCATION:
+        pfx = bytearray(v[:BOUND_TRUNCATION])
+        for i in range(len(pfx) - 1, -1, -1):
+            if pfx[i] < 0xFF:
+                pfx[i] += 1
+                return bytes(pfx[: i + 1])
+        return None
+    return v
+
+
+def _collect_file_stats(
+    pq_path: str, fid_types: Dict[str, Tuple[int, str]]
+) -> Dict[str, list]:
+    """Per-column metrics for one landed parquet file, straight from the
+    footer the distributed write already produced (zero extra data scan,
+    driver work is O(#row-groups · #columns)). Returns the four data_file
+    stats entries as Avro array-of-kv rows, keyed by Iceberg field-id."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(pq_path).metadata
+    value_counts: Dict[int, int] = {}
+    null_counts: Dict[int, int] = {}
+    mins: Dict[int, Any] = {}
+    maxs: Dict[int, Any] = {}
+    bounds_ok: Dict[int, bool] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in fid_types:
+                continue  # stats cover top-level primitives only
+            fid, ice_t = fid_types[name]
+            value_counts[fid] = value_counts.get(fid, 0) + group.num_rows
+            st = col.statistics
+            if st is None:
+                bounds_ok[fid] = False
+                continue
+            if st.null_count is not None:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if not st.has_min_max:
+                # a row group without min/max poisons the file's bounds —
+                # a partial envelope would wrongly prune
+                bounds_ok[fid] = False
+                continue
+            lo = _norm_stat_value(st.min, ice_t)
+            hi = _norm_stat_value(st.max, ice_t)
+            if lo is None or hi is None:
+                bounds_ok[fid] = False
+                continue
+            bounds_ok.setdefault(fid, True)
+            if fid not in mins or lo < mins[fid]:
+                mins[fid] = lo
+            if fid not in maxs or hi > maxs[fid]:
+                maxs[fid] = hi
+    lowers: Dict[int, bytes] = {}
+    uppers: Dict[int, bytes] = {}
+    type_of = {fid: t for _n, (fid, t) in fid_types.items()}
+    for fid, lo in mins.items():
+        if not bounds_ok.get(fid):
+            continue
+        b = serialize_bound(truncate_lower(lo, type_of[fid]), type_of[fid])
+        if b is not None:
+            lowers[fid] = b
+    for fid, hi in maxs.items():
+        if not bounds_ok.get(fid):
+            continue
+        t = type_of[fid]
+        hi2 = truncate_upper(hi, t)
+        if hi2 is None:
+            continue
+        b = serialize_bound(hi2, t)
+        if b is not None:
+            uppers[fid] = b
+
+    def kv(d: Dict[int, Any]) -> list:
+        return [{"key": k, "value": d[k]} for k in sorted(d)]
+
+    return {
+        "value_counts": kv(value_counts),
+        "null_value_counts": kv(null_counts),
+        "lower_bounds": kv(lowers),
+        "upper_bounds": kv(uppers),
+    }
+
+
+_PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "in", "is_null", "is_not_null")
+
+
+def _stats_map(dfile: dict, key: str) -> Dict[int, Any]:
+    return {e["key"]: e["value"] for e in (dfile.get(key) or [])}
+
+
+def file_may_match(
+    dfile: dict,
+    predicates: Sequence[Tuple[str, str, Any]],
+    fid_types: Dict[str, Tuple[int, str]],
+) -> bool:
+    """Conservative file-skip test against manifest column stats: False only
+    when a predicate PROVABLY matches no row of the file (bounds disjoint,
+    or the column is all-null for a value predicate). Missing stats — old
+    manifests, unsupported types — always keep the file, so pruning is an
+    optimization, never a semantics change."""
+    if not predicates:
+        return True
+    lowers = _stats_map(dfile, "lower_bounds")
+    uppers = _stats_map(dfile, "upper_bounds")
+    nulls = _stats_map(dfile, "null_value_counts")
+    counts = _stats_map(dfile, "value_counts")
+    for col, op, lit in predicates:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported prune op: {op!r}")
+        if col not in fid_types:
+            continue
+        fid, ice_t = fid_types[col]
+        n_null = nulls.get(fid)
+        n_val = counts.get(fid, dfile.get("record_count"))
+        if op == "is_null":
+            if n_null == 0:
+                return False
+            continue
+        if op == "is_not_null":
+            if n_null is not None and n_val is not None and n_null >= n_val:
+                return False
+            continue
+        # value predicates never match NULL: an all-null file can't match
+        if n_null is not None and n_val is not None and n_null >= n_val:
+            return False
+        lo = deserialize_bound(lowers.get(fid), ice_t)
+        hi = deserialize_bound(uppers.get(fid), ice_t)
+        if op == "in":
+            vals = [_norm_stat_value(x, ice_t) for x in lit]
+            if vals and not any(
+                (lo is None or lo <= x) and (hi is None or x <= hi)
+                for x in vals if x is not None
+            ):
+                return False
+            continue
+        v = _norm_stat_value(lit, ice_t)
+        if v is None:
+            continue
+        if op in ("=", "=="):
+            if (lo is not None and lo > v) or (hi is not None and hi < v):
+                return False
+        elif op == "<":
+            if lo is not None and lo >= v:
+                return False
+        elif op == "<=":
+            if lo is not None and lo > v:
+                return False
+        elif op == ">":
+            if hi is not None and hi <= v:
+                return False
+        elif op == ">=":
+            if hi is not None and hi < v:
+                return False
+    return True
+
+
+def parse_where(s: str) -> List[Tuple[str, str, Any]]:
+    """A tiny conjunction parser for the CLI surface: ``"k >= 7000 AND
+    clip_id < 'clip_01' AND score IS NOT NULL AND dur_ms IN (40, 50)"``
+    -> prune triples. Literals: quoted -> string, else int/float."""
+    import re
+
+    def lit(tok: str) -> Any:
+        tok = tok.strip()
+        if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in "'\"":
+            return tok[1:-1]
+        try:
+            return int(tok)
+        except ValueError:
+            return float(tok)
+
+    out: List[Tuple[str, str, Any]] = []
+    for clause in re.split(r"(?i)\s+and\s+", s.strip()):
+        m = re.match(r"^(\w+)\s+is\s+not\s+null$", clause, re.I)
+        if m:
+            out.append((m.group(1), "is_not_null", None))
+            continue
+        m = re.match(r"^(\w+)\s+is\s+null$", clause, re.I)
+        if m:
+            out.append((m.group(1), "is_null", None))
+            continue
+        m = re.match(r"^(\w+)\s+in\s*\((.*)\)$", clause, re.I)
+        if m:
+            out.append((m.group(1), "in",
+                        [lit(x) for x in m.group(2).split(",")]))
+            continue
+        m = re.match(r"^(\w+)\s*(>=|<=|==|=|>|<)\s*(.+)$", clause)
+        if not m:
+            raise ValueError(f"cannot parse where clause: {clause!r}")
+        out.append((m.group(1), m.group(2), lit(m.group(3))))
+    return out
+
+
+def _predicates_to_column(
+    predicates: Sequence[Tuple[str, str, Any]]
+):
+    """The same triples as one Spark Column — applied as a residual filter
+    after pruning, so results are exact whether or not any file was
+    skippable."""
+    out = None
+    for col, op, lit in predicates:
+        c = F.col(col)
+        if op in ("=", "=="):
+            e = c == F.lit(lit)
+        elif op == "<":
+            e = c < F.lit(lit)
+        elif op == "<=":
+            e = c <= F.lit(lit)
+        elif op == ">":
+            e = c > F.lit(lit)
+        elif op == ">=":
+            e = c >= F.lit(lit)
+        elif op == "in":
+            e = c.isin(list(lit))
+        elif op == "is_null":
+            e = c.isNull()
+        elif op == "is_not_null":
+            e = c.isNotNull()
+        else:
+            raise ValueError(f"unsupported prune op: {op!r}")
+        out = e if out is None else (out & e)
+    return out
+
+
 def _partition_avro_fields(part_types: Sequence[Tuple[str, str]]) -> List[dict]:
     """[(name, iceberg_type_str)] -> Avro record fields (r102), all optional."""
     out = []
@@ -419,6 +770,26 @@ def _partition_avro_fields(part_types: Sequence[Tuple[str, str]]) -> List[dict]:
             "field-id": 1000 + i,
         })
     return out
+
+
+def _stats_map_field(name: str, fid: int, key_id: int, val_id: int,
+                     val_type: str) -> dict:
+    """Spec encoding for the int-keyed metrics maps: Avro can't key a map by
+    int, so they ship as an array of key/value records with field-ids
+    (logicalType map), exactly as Java writers emit them."""
+    rec = f"k{key_id}_v{val_id}"
+    return {
+        "name": name,
+        "type": ["null", {
+            "type": "array", "logicalType": "map",
+            "items": {"type": "record", "name": rec, "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": val_type, "field-id": val_id},
+            ]},
+        }],
+        "default": None,
+        "field-id": fid,
+    }
 
 
 def manifest_entry_schema(part_types: Sequence[Tuple[str, str]]) -> dict:
@@ -434,6 +805,10 @@ def manifest_entry_schema(part_types: Sequence[Tuple[str, str]]) -> dict:
              "field-id": 102},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            _stats_map_field("value_counts", 109, 117, 118, "long"),
+            _stats_map_field("null_value_counts", 110, 121, 122, "long"),
+            _stats_map_field("lower_bounds", 125, 126, 127, "bytes"),
+            _stats_map_field("upper_bounds", 128, 129, 130, "bytes"),
         ],
     }
     return {
@@ -521,6 +896,20 @@ class IcebergTable:
 
     def current_snapshot_id(self) -> Optional[int]:
         return self.metadata().get("current-snapshot-id") or None
+
+    def _field_id_types(self, md: dict) -> Dict[str, Tuple[int, str]]:
+        """Top-level primitive columns of the current schema as
+        name -> (field-id, iceberg type string) — the key space of the
+        manifest stats maps."""
+        sid = md.get("current-schema-id", 0)
+        out: Dict[str, Tuple[int, str]] = {}
+        for s in md.get("schemas", []):
+            if s.get("schema-id") != sid:
+                continue
+            for f in s.get("fields", []):
+                if isinstance(f.get("type"), str):
+                    out[f["name"]] = (f["id"], f["type"])
+        return out
 
     def _spec_fields(self, md: dict) -> List[dict]:
         spec_id = md.get("default-spec-id", 0)
@@ -631,6 +1020,7 @@ class IcebergTable:
 
         spec_fields = self._spec_fields(md)
         src_types = self._source_types(md)
+        fid_types = self._field_id_types(md)
         staging = os.path.join(self.data_dir, f".staging-{_uuid.uuid4().hex}")
         part_cols = []
         out = df
@@ -684,14 +1074,17 @@ class IcebergTable:
                 os.makedirs(dest_dir, exist_ok=True)
                 dest = os.path.join(dest_dir, f"{commit_id}-{name}")
                 os.rename(src, dest)
-                files.append({
+                dfile = {
                     "content": 0,
                     "file_path": "file://" + dest,
                     "file_format": "PARQUET",
                     "partition": part_rec,
                     "record_count": pq.ParquetFile(dest).metadata.num_rows,
                     "file_size_in_bytes": os.path.getsize(dest),
-                })
+                }
+                # column metrics from the footer the write already produced
+                dfile.update(_collect_file_stats(dest, fid_types))
+                files.append(dfile)
         shutil.rmtree(staging, ignore_errors=True)
         return files
 
@@ -1003,12 +1396,17 @@ class IcebergTable:
         snapshot_id: Optional[int] = None,
         as_of_ms: Optional[int] = None,
         partition_filter: Optional[Dict[str, Any]] = None,
+        column_filter: Optional[Sequence[Tuple[str, str, Any]]] = None,
     ) -> Tuple[List[str], List[str]]:
-        """-> (data file paths, position-delete file paths), partition-pruned.
+        """-> (data file paths, position-delete file paths), pruned.
 
         ``partition_filter`` maps *source column* -> literal; each file whose
         stored partition value differs from transform(literal) is pruned
-        driver-side — the scan never opens it. Work is O(#files).
+        driver-side — the scan never opens it. ``column_filter`` is a list of
+        (column, op, literal) triples checked against the manifests' per-file
+        lower/upper bounds and null counts (`file_may_match`): a file whose
+        stats envelope provably misses every matching row is skipped without
+        being opened. Both are O(#files) metadata work.
         """
         md = self.metadata()
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
@@ -1036,6 +1434,7 @@ class IcebergTable:
                         return False
             return True
 
+        fid_types = self._field_id_types(md) if column_filter else {}
         data_files: List[str] = []
         delete_files: List[str] = []
         for m in self._read_manifest_list(snap["manifest-list"]):
@@ -1048,15 +1447,20 @@ class IcebergTable:
                     continue
                 if dfile.get("content", 0) == 2:
                     raise NotImplementedError("equality deletes (seam)")
-                if keep(dfile.get("partition") or {}):
-                    data_files.append(dfile["file_path"])
+                if not keep(dfile.get("partition") or {}):
+                    continue
+                if column_filter and not file_may_match(
+                        dfile, column_filter, fid_types):
+                    continue
+                data_files.append(dfile["file_path"])
         return data_files, delete_files
 
     def data_files(self, **kw) -> List[str]:
         return self._plan_files(**kw)[0]
 
     def incremental_files(
-        self, from_snapshot_id: int, to_snapshot_id: Optional[int] = None
+        self, from_snapshot_id: int, to_snapshot_id: Optional[int] = None,
+        column_filter: Optional[Sequence[Tuple[str, str, Any]]] = None,
     ) -> List[str]:
         """Data files ADDED strictly after `from_snapshot_id`, up to
         `to_snapshot_id` (default: current) — the validate-only-new-data
@@ -1070,6 +1474,7 @@ class IcebergTable:
         if to_snap is None:
             return []
         from_seq = from_snap["sequence-number"]
+        fid_types = self._field_id_types(md) if column_filter else {}
         out: List[str] = []
         for m in self._read_manifest_list(to_snap["manifest-list"]):
             if m.get("sequence_number", 0) <= from_seq or \
@@ -1081,8 +1486,12 @@ class IcebergTable:
                 if (entry.get("sequence_number") or 0) <= from_seq:
                     continue
                 dfile = entry["data_file"]
-                if dfile.get("content", 0) == 0:
-                    out.append(dfile["file_path"])
+                if dfile.get("content", 0) != 0:
+                    continue
+                if column_filter and not file_may_match(
+                        dfile, column_filter, fid_types):
+                    continue
+                out.append(dfile["file_path"])
         return out
 
     def expire_snapshots(self, keep_last: int = 1) -> Dict[str, int]:
@@ -1138,12 +1547,18 @@ class IcebergTable:
     def read_incremental(
         self, spark: SparkSession, from_snapshot_id: int,
         to_snapshot_id: Optional[int] = None,
+        where: Optional[Sequence[Tuple[str, str, Any]]] = None,
     ) -> DataFrame:
-        """The appended rows between two snapshots as one parquet scan."""
-        files = self.incremental_files(from_snapshot_id, to_snapshot_id)
+        """The appended rows between two snapshots as one parquet scan,
+        optionally stats-pruned + filtered like `read(where=...)`."""
+        files = self.incremental_files(from_snapshot_id, to_snapshot_id,
+                                       column_filter=where)
         if not files:
             return spark.createDataFrame([], self.spark_schema())
-        return spark.read.parquet(*[self._local(p) for p in files])
+        df = spark.read.parquet(*[self._local(p) for p in files])
+        if where:
+            df = df.filter(_predicates_to_column(where))
+        return df
 
     def read(
         self,
@@ -1151,15 +1566,27 @@ class IcebergTable:
         snapshot_id: Optional[int] = None,
         as_of_ms: Optional[int] = None,
         partition_filter: Optional[Dict[str, Any]] = None,
+        where: Optional[Sequence[Tuple[str, str, Any]]] = None,
     ) -> DataFrame:
         """The table as a DataFrame: snapshot-scoped file list -> one parquet
         scan; positional deletes applied as a (file_path, row_index)
-        anti-join against Spark's `_metadata` hidden columns."""
+        anti-join against Spark's `_metadata` hidden columns.
+
+        ``where`` — (column, op, literal) triples, op in =, <, <=, >, >=,
+        in, is_null, is_not_null — does double duty: files whose manifest
+        stats envelope provably misses are skipped driver-side (never
+        opened), and the SAME triples run as a Spark filter over the
+        surviving files, so the result is exact regardless of how much the
+        stats could prune. At 10^12 rows this is the difference between
+        scanning a time/range slice and scanning the table."""
         files, deletes = self._plan_files(snapshot_id, as_of_ms,
-                                          partition_filter)
+                                          partition_filter,
+                                          column_filter=where)
         if not files:
             return spark.createDataFrame([], self.spark_schema())
         df = spark.read.parquet(*[self._local(p) for p in files])
+        if where:
+            df = df.filter(_predicates_to_column(where))
         if deletes:
             cols = df.columns
             pos = (spark.read.parquet(*[self._local(p) for p in deletes])
