@@ -317,6 +317,20 @@ def compile_writer(schema: Any, names: Optional[Dict[str, Any]] = None) -> Write
 # ---------------------------------------------------------------------------
 
 
+def read_container_meta(data: bytes) -> Dict[str, bytes]:
+    """OCF bytes -> the header metadata map only (no block decode).
+
+    Iceberg manifests carry the table schema at write time under the
+    "schema" key; readers use it to project old data files to the current
+    schema by field-id without opening any data block.
+    """
+    if data[:4] != MAGIC:
+        raise ValueError("avro: bad magic (not an Object Container File)")
+    meta_reader = compile_reader({"type": "map", "values": "bytes"})
+    meta, _pos = meta_reader(data, 4)
+    return meta
+
+
 def parse_container(data: bytes) -> Tuple[Any, Iterator[dict]]:
     """OCF bytes -> (schema, iterator of record dicts). Validates magic,
     codec, per-block sync markers, and block boundary alignment."""

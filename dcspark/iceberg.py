@@ -48,8 +48,22 @@ Iceberg metadata with zero extra dependencies.
   [lower, upper] envelope provably misses a predicate, so a range query
   over 10^12 rows opens only the files that can match.
 
-Not implemented (documented seams): equality deletes, schema evolution
-(appends must match the table schema exactly), sort orders.
+- **schema evolution** (spec "Schema Evolution"): `update_schema` adds /
+  drops / renames columns and promotes types (int->long, float->double,
+  decimal widening) as a metadata-only commit. Every manifest embeds the
+  table schema current at its write time ("schema" OCF header key, as real
+  writers do), so the read path projects each file group to the current
+  schema **by field-id** — renames resolve, added columns null-fill,
+  promoted columns cast — and never rewrites data.
+- **equality deletes** (v2, content=2): `delete_equality(keys_df)` writes
+  the key rows as a delete file with `equality_ids`; a data row is removed
+  when a delete with a strictly greater data sequence number null-safe
+  matches all key columns (the spec's sequence rule), applied as a
+  broadcast anti-join. `upsert(df, key_cols)` commits delete + append in
+  ONE snapshot at the same sequence number, so the new rows survive their
+  own delete — MERGE semantics without rewriting files.
+
+Not implemented (documented seam): sort orders.
 """
 
 from __future__ import annotations
@@ -66,7 +80,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .avrofile import parse_container, write_container
+from .avrofile import parse_container, read_container_meta, write_container
 
 # ---------------------------------------------------------------------------
 # murmur3_x86_32 — the spec's bucket-transform hash (Appendix B)
@@ -427,6 +441,43 @@ BOUND_TRUNCATION = 16
 _EPOCH_DATE = None  # lazy date(1970, 1, 1)
 
 
+def _field_spark_type(f: dict) -> T.DataType:
+    """Spark type of a single Iceberg schema field dict."""
+    return iceberg_to_spark_schema({"fields": [f]}).fields[0].dataType
+
+
+def _promotion_ok(old: Any, new: Any) -> bool:
+    """Spec-legal type promotions: int->long, float->double, and
+    decimal(P,S) -> decimal(P'>=P,S)."""
+    if (old, new) in (("int", "long"), ("float", "double")):
+        return True
+    if (isinstance(old, str) and old.startswith("decimal(")
+            and isinstance(new, str) and new.startswith("decimal(")):
+        p1, s1 = (x.strip() for x in old[8:-1].split(","))
+        p2, s2 = (x.strip() for x in new[8:-1].split(","))
+        return s1 == s2 and int(p2) >= int(p1)
+    return False
+
+
+def _offset_field_ids(f: dict, off: int) -> dict:
+    """Shift every field-id in a converted subtree by `off` so columns added
+    by evolution get ids above the table's last-column-id."""
+    def walk(t: Any) -> Any:
+        if isinstance(t, dict):
+            t = dict(t)
+            for k in ("id", "element-id", "key-id", "value-id"):
+                if isinstance(t.get(k), int):
+                    t[k] += off
+            if "fields" in t:
+                t["fields"] = [walk(x) for x in t["fields"]]
+            for k in ("type", "element", "key", "value"):
+                if isinstance(t.get(k), dict):
+                    t[k] = walk(t[k])
+            return t
+        return t
+    return walk(f)
+
+
 def _norm_stat_value(v: Any, ice_type: str) -> Any:
     """Normalize a python value (parquet-footer stat or user literal) to the
     comparison domain of its Iceberg type: int for int/long/date/timestamps
@@ -495,11 +546,13 @@ def deserialize_bound(b: Optional[bytes], ice_type: str) -> Any:
     if ice_type in ("int", "date"):
         return struct.unpack("<i", b)[0]
     if ice_type in ("long", "timestamp", "timestamptz"):
-        return struct.unpack("<q", b)[0]
+        # files written before an int->long promotion carry 4-byte bounds
+        return struct.unpack("<q" if len(b) == 8 else "<i", b)[0]
     if ice_type == "float":
         return struct.unpack("<f", b)[0]
     if ice_type == "double":
-        return struct.unpack("<d", b)[0]
+        # files written before a float->double promotion carry 4-byte bounds
+        return struct.unpack("<d" if len(b) == 8 else "<f", b)[0]
     if ice_type == "string":
         return b.decode("utf-8", errors="replace")
     if ice_type == "binary":
@@ -809,6 +862,9 @@ def manifest_entry_schema(part_types: Sequence[Tuple[str, str]]) -> dict:
             _stats_map_field("null_value_counts", 110, 121, 122, "long"),
             _stats_map_field("lower_bounds", 125, 126, 127, "bytes"),
             _stats_map_field("upper_bounds", 128, 129, 130, "bytes"),
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "default": None, "field-id": 135},
         ],
     }
     return {
@@ -883,13 +939,15 @@ class IcebergTable:
         with open(self._meta_path(v)) as f:
             return json.load(f)
 
-    def spark_schema(self) -> T.StructType:
-        md = self.metadata()
+    def _current_schema(self, md: dict) -> dict:
         sid = md.get("current-schema-id", 0)
         for s in md.get("schemas", []):
             if s.get("schema-id") == sid:
-                return iceberg_to_spark_schema(s)
+                return s
         raise ValueError("current schema not found in metadata")
+
+    def spark_schema(self) -> T.StructType:
+        return iceberg_to_spark_schema(self._current_schema(self.metadata()))
 
     def snapshots(self) -> List[dict]:
         return list(self.metadata().get("snapshots", []))
@@ -1166,11 +1224,11 @@ class IcebergTable:
                 "file_sequence_number": e.get("file_sequence_number", seq),
                 "data_file": dfile,
             })
-        # spec: manifests carry their schema + spec in OCF metadata
+        # spec: manifests carry their schema + spec in OCF metadata; the
+        # WRITE-TIME schema is what lets readers project old files to the
+        # current schema by field-id after evolution
         extra_meta = {
-            "schema": json.dumps(
-                self.metadata()["schemas"][0] if self.exists() else {}
-            ).encode(),
+            "schema": json.dumps(self._current_schema(md)).encode(),
             "partition-spec-id": b"0",
             "format-version": b"2",
             "content": b"data" if content == 0 else b"deletes",
@@ -1219,6 +1277,24 @@ class IcebergTable:
         with open(self._local(path), "rb") as f:
             _schema, rows = parse_container(f.read())
         return list(rows)
+
+    def _read_manifest_full(
+        self, path: str
+    ) -> Tuple[Optional[dict], List[dict]]:
+        """-> (embedded write-time table schema or None, entries)."""
+        with open(self._local(path), "rb") as f:
+            data = f.read()
+        emb: Optional[dict] = None
+        raw = read_container_meta(data).get("schema")
+        if raw:
+            try:
+                cand = json.loads(raw)
+                if isinstance(cand, dict) and cand.get("fields"):
+                    emb = cand
+            except (ValueError, TypeError):
+                emb = None
+        _schema, rows = parse_container(data)
+        return emb, list(rows)
 
     def _apply_commit(self, md: dict, snap: dict, ts_ms: int) -> None:
         v = self._version()
@@ -1313,15 +1389,16 @@ class IcebergTable:
         """
         md = self.metadata()
         ts = _now_ms(spark)
-        files, _deletes = self._plan_files()
-        if not files:
+        data, _pos, _eq = self._plan_files()
+        if not data:
             raise ValueError("delete_where on an empty table")
         import pyarrow.parquet as pq
 
-        df = spark.read.parquet(*[self._local(p) for p in files])
+        df = self._scan(spark, data, self._current_schema(md),
+                        with_meta=True)
         hits = (df.filter(condition)
-                  .select(F.col("_metadata.file_path").alias("file_path"),
-                          F.col("_metadata.row_index").alias("pos"))
+                  .select(F.col("__ice_fp").alias("file_path"),
+                          F.col("__ice_pos").alias("pos"))
                   .orderBy("file_path", "pos"))
         staging = os.path.join(self.data_dir, f".staging-{_uuid.uuid4().hex}")
         hits.coalesce(1).write.parquet(staging)
@@ -1368,6 +1445,226 @@ class IcebergTable:
         self._apply_commit(md, snap, ts)
         return snap["snapshot-id"]
 
+    # -- equality deletes + upsert -------------------------------------------
+
+    def _write_eq_delete_files(
+        self, keys_df: DataFrame, md: dict, eq_ids: Sequence[int]
+    ) -> List[dict]:
+        """Distributed parquet write of delete-key rows -> data_file dicts
+        with content=2 and the spec's equality_ids field (135)."""
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.data_dir, f".staging-{_uuid.uuid4().hex}")
+        keys_df.write.parquet(staging)
+        commit_id = _uuid.uuid4().hex[:12]
+        out: List[dict] = []
+        for root, _d, names in os.walk(staging):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                src = os.path.join(root, name)
+                n_rows = pq.ParquetFile(src).metadata.num_rows
+                if n_rows == 0:
+                    continue
+                dest = os.path.join(self.data_dir,
+                                    f"{commit_id}-eqdelete-{name}")
+                os.rename(src, dest)
+                out.append({
+                    "content": 2,  # equality deletes
+                    "file_path": "file://" + dest,
+                    "file_format": "PARQUET",
+                    "partition": {pn: None
+                                  for pn, _t in self._part_types(md)},
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(dest),
+                    "equality_ids": list(eq_ids),
+                })
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _eq_ids_for(self, md: dict, cols: Sequence[str]) -> List[int]:
+        fid_types = self._field_id_types(md)
+        ids = []
+        for c in cols:
+            if c not in fid_types:
+                raise ValueError(
+                    f"equality delete column {c!r} is not a top-level "
+                    "primitive column of the current schema")
+            ids.append(fid_types[c][0])
+        return ids
+
+    def delete_equality(self, keys_df: DataFrame) -> int:
+        """Row-level delete by key (v2 equality deletes): every table row
+        whose values null-safe match a row of ``keys_df`` (on keys_df's
+        columns) disappears from subsequent reads. Data files are untouched,
+        prior snapshots still time-travel; the keys flow through a
+        distributed write, never the driver. Returns the snapshot id."""
+        md = self.metadata()
+        eq_ids = self._eq_ids_for(md, keys_df.columns)
+        ts = _now_ms(keys_df.sparkSession)
+        files = self._write_eq_delete_files(keys_df.dropDuplicates(), md,
+                                            eq_ids)
+        seq = md.get("last-sequence-number", 0) + 1
+        manifests = self._existing_manifests(md)
+        snap = self._new_snapshot(md, manifests, "delete", 0, 0, ts)
+        if files:
+            entries = [{"status": 1, "data_file": f} for f in files]
+            del_manifest = self._write_manifest(md, entries,
+                                                snap["snapshot-id"], seq,
+                                                content=1)
+            all_manifests = [del_manifest] + manifests
+        else:
+            all_manifests = manifests
+        ml_path = self._local(snap["manifest-list"])
+        blob = write_container(MANIFEST_LIST_SCHEMA, all_manifests,
+                               codec="deflate",
+                               sync_seed=os.path.basename(ml_path))
+        with open(ml_path, "wb") as f:
+            f.write(blob)
+        snap["summary"]["deleted-equality-records"] = str(
+            sum(f["record_count"] for f in files))
+        self._apply_commit(md, snap, ts)
+        return snap["snapshot-id"]
+
+    def upsert(self, df: DataFrame, key_cols: Sequence[str]) -> int:
+        """MERGE by key in ONE snapshot: an equality delete on ``key_cols``
+        (keys taken from ``df``) plus an append of ``df``, both at the same
+        data sequence number. The spec's strict-inequality rule means the
+        delete hits only files with a SMALLER sequence number, so the new
+        rows survive their own delete — upsert without rewriting a single
+        existing file. Returns the snapshot id."""
+        md = self.metadata()
+        self._check_schema(df)
+        eq_ids = self._eq_ids_for(md, list(key_cols))
+        ts = _now_ms(df.sparkSession)
+        keys = df.select(*key_cols).dropDuplicates()
+        del_files = self._write_eq_delete_files(keys, md, eq_ids)
+        new_files = self._write_data_files(df, md)
+        seq = md.get("last-sequence-number", 0) + 1
+        manifests = self._existing_manifests(md)
+        snap = self._new_snapshot(md, manifests, "overwrite",
+                                  len(new_files),
+                                  sum(f["record_count"] for f in new_files),
+                                  ts)
+        data_manifest = self._write_manifest(
+            md, [{"status": 1, "data_file": f} for f in new_files],
+            snap["snapshot-id"], seq, content=0)
+        all_manifests = [data_manifest] + manifests
+        if del_files:
+            del_manifest = self._write_manifest(
+                md, [{"status": 1, "data_file": f} for f in del_files],
+                snap["snapshot-id"], seq, content=1)
+            all_manifests = [del_manifest] + all_manifests
+        ml_path = self._local(snap["manifest-list"])
+        blob = write_container(MANIFEST_LIST_SCHEMA, all_manifests,
+                               codec="deflate",
+                               sync_seed=os.path.basename(ml_path))
+        with open(ml_path, "wb") as f:
+            f.write(blob)
+        snap["summary"]["total-data-files"] = str(
+            sum(m["added_files_count"] + m["existing_files_count"]
+                for m in all_manifests if m["content"] == 0))
+        snap["summary"]["total-records"] = str(
+            sum(m["added_rows_count"] + m["existing_rows_count"]
+                for m in all_manifests if m["content"] == 0))
+        self._apply_commit(md, snap, ts)
+        return snap["snapshot-id"]
+
+    # -- schema evolution -----------------------------------------------------
+
+    def update_schema(
+        self,
+        add: Optional[Sequence[Tuple[str, Any]]] = None,
+        drop: Optional[Sequence[str]] = None,
+        rename: Optional[Dict[str, str]] = None,
+        promote: Optional[Dict[str, Any]] = None,
+    ) -> int:
+        """Schema evolution as a metadata-only commit (spec "Schema
+        Evolution"): data files are never rewritten — reads project every
+        file to the new schema **by field-id** via the write-time schema
+        each manifest embeds.
+
+        - ``add``: [(name, Spark DataType or Iceberg type string)] —
+          appended as optional columns with fresh field-ids (old rows read
+          as null).
+        - ``drop``: [name] — refused for partition source columns.
+        - ``rename``: {old: new} — the field-id is preserved, so old files
+          still resolve under the new name.
+        - ``promote``: {name: new type} — widening only: int->long,
+          float->double, decimal precision growth at fixed scale.
+
+        Names refer to the CURRENT schema (drop/promote apply before
+        rename). Returns the new schema-id.
+        """
+        md = self.metadata()
+        cur = self._current_schema(md)
+        fields = [dict(f) for f in cur["fields"]]
+        by_name = {f["name"]: f for f in fields}
+        drop = list(drop or [])
+        rename = dict(rename or {})
+        promote = dict(promote or {})
+        add = list(add or [])
+        part_src = {pf["source-id"] for pf in self._spec_fields(md)}
+        for name in drop:
+            f = by_name.get(name)
+            if f is None:
+                raise ValueError(f"drop: no column {name!r}")
+            if f["id"] in part_src:
+                raise ValueError(
+                    f"drop: {name!r} is a partition source column")
+        for name, newt in promote.items():
+            f = by_name.get(name)
+            if f is None or name in drop:
+                raise ValueError(f"promote: no column {name!r}")
+            if isinstance(newt, T.DataType):
+                newt = spark_to_iceberg_schema(
+                    T.StructType([T.StructField(name, newt)])
+                )[0]["fields"][0]["type"]
+            if not _promotion_ok(f["type"], newt):
+                raise ValueError(
+                    f"promote: {f['type']} -> {newt} is not a legal "
+                    "widening (int->long, float->double, decimal(P,S)->"
+                    "decimal(P'>=P,S))")
+            f["type"] = newt
+        dropped = set(drop)
+        fields = [f for f in fields if f["name"] not in dropped]
+        names_now = {f["name"] for f in fields}
+        for old, new in rename.items():
+            f = by_name.get(old)
+            if f is None or old in dropped:
+                raise ValueError(f"rename: no column {old!r}")
+            if new in names_now - {old}:
+                raise ValueError(f"rename: column {new!r} already exists")
+            f["name"] = new
+            names_now.discard(old)
+            names_now.add(new)
+        last_col = md.get("last-column-id", 0)
+        for name, t in add:
+            if name in names_now:
+                raise ValueError(f"add: column {name!r} already exists")
+            names_now.add(name)
+            if isinstance(t, str):
+                last_col += 1
+                fields.append({"id": last_col, "name": name,
+                               "required": False, "type": t})
+            else:
+                ice, k = spark_to_iceberg_schema(
+                    T.StructType([T.StructField(name, t, True)]))
+                nf = _offset_field_ids(ice["fields"][0], last_col)
+                nf["required"] = False
+                fields.append(nf)
+                last_col += k
+        new_sid = max((s.get("schema-id", 0)
+                       for s in md.get("schemas", [])), default=0) + 1
+        new_md = dict(md)
+        new_md["schemas"] = list(md.get("schemas", [])) + [
+            {"type": "struct", "schema-id": new_sid, "fields": fields}]
+        new_md["current-schema-id"] = new_sid
+        new_md["last-column-id"] = last_col
+        new_md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
+        self._commit_metadata(new_md, expected_version=self._version())
+        return new_sid
+
     # -- read path ----------------------------------------------------------
 
     def _resolve_snapshot(self, md: dict, snapshot_id: Optional[int],
@@ -1397,8 +1694,14 @@ class IcebergTable:
         as_of_ms: Optional[int] = None,
         partition_filter: Optional[Dict[str, Any]] = None,
         column_filter: Optional[Sequence[Tuple[str, str, Any]]] = None,
-    ) -> Tuple[List[str], List[str]]:
-        """-> (data file paths, position-delete file paths), pruned.
+    ) -> Tuple[List[dict], List[str], List[dict]]:
+        """-> (data entries, position-delete paths, equality-delete entries).
+
+        Data entries are ``{"path", "seq", "schema"}`` — ``schema`` is the
+        manifest's embedded write-time table schema (None for pre-evolution
+        manifests), ``seq`` the data sequence number the equality-delete rule
+        compares against. Equality entries are ``{"path", "seq",
+        "equality_ids", "schema"}``.
 
         ``partition_filter`` maps *source column* -> literal; each file whose
         stored partition value differs from transform(literal) is pruned
@@ -1411,7 +1714,7 @@ class IcebergTable:
         md = self.metadata()
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
         if snap is None:
-            return [], []
+            return [], [], []
         spec_fields = self._spec_fields(md)
         src_types = self._source_types(md)
         by_source = {}
@@ -1435,33 +1738,48 @@ class IcebergTable:
             return True
 
         fid_types = self._field_id_types(md) if column_filter else {}
-        data_files: List[str] = []
-        delete_files: List[str] = []
+        data_entries: List[dict] = []
+        pos_deletes: List[str] = []
+        eq_entries: List[dict] = []
         for m in self._read_manifest_list(snap["manifest-list"]):
-            for entry in self._read_manifest(m["manifest_path"]):
+            emb, entries = self._read_manifest_full(m["manifest_path"])
+            for entry in entries:
                 if entry.get("status") == 2:  # deleted entry
                     continue
                 dfile = entry["data_file"]
-                if m.get("content", 0) == 1 or dfile.get("content", 0) == 1:
-                    delete_files.append(dfile["file_path"])
-                    continue
+                seq = (entry.get("sequence_number")
+                       or m.get("sequence_number", 0))
                 if dfile.get("content", 0) == 2:
-                    raise NotImplementedError("equality deletes (seam)")
+                    eq_entries.append({
+                        "path": dfile["file_path"],
+                        "seq": seq,
+                        "equality_ids": list(dfile.get("equality_ids") or []),
+                        "schema": emb,
+                    })
+                    continue
+                if m.get("content", 0) == 1 or dfile.get("content", 0) == 1:
+                    pos_deletes.append(dfile["file_path"])
+                    continue
                 if not keep(dfile.get("partition") or {}):
                     continue
                 if column_filter and not file_may_match(
                         dfile, column_filter, fid_types):
                     continue
-                data_files.append(dfile["file_path"])
-        return data_files, delete_files
+                data_entries.append({
+                    "path": dfile["file_path"],
+                    "seq": seq,
+                    "schema": emb,
+                })
+        return data_entries, pos_deletes, eq_entries
 
     def data_files(self, **kw) -> List[str]:
-        return self._plan_files(**kw)[0]
+        return [e["path"] for e in self._plan_files(**kw)[0]]
 
     def incremental_files(
         self, from_snapshot_id: int, to_snapshot_id: Optional[int] = None,
         column_filter: Optional[Sequence[Tuple[str, str, Any]]] = None,
-    ) -> List[str]:
+        _paths_only: bool = True,
+    ) -> List:
         """Data files ADDED strictly after `from_snapshot_id`, up to
         `to_snapshot_id` (default: current) — the validate-only-new-data
         path for checkpointed runs: a resumed contract run scans only the
@@ -1475,12 +1793,13 @@ class IcebergTable:
             return []
         from_seq = from_snap["sequence-number"]
         fid_types = self._field_id_types(md) if column_filter else {}
-        out: List[str] = []
+        out: List[dict] = []
         for m in self._read_manifest_list(to_snap["manifest-list"]):
             if m.get("sequence_number", 0) <= from_seq or \
                     m.get("content", 0) == 1:
                 continue
-            for entry in self._read_manifest(m["manifest_path"]):
+            emb, entries = self._read_manifest_full(m["manifest_path"])
+            for entry in entries:
                 if entry.get("status") != 1:
                     continue
                 if (entry.get("sequence_number") or 0) <= from_seq:
@@ -1491,8 +1810,10 @@ class IcebergTable:
                 if column_filter and not file_may_match(
                         dfile, column_filter, fid_types):
                     continue
-                out.append(dfile["file_path"])
-        return out
+                out.append({"path": dfile["file_path"],
+                            "seq": entry.get("sequence_number") or 0,
+                            "schema": emb})
+        return [e["path"] for e in out] if _paths_only else out
 
     def expire_snapshots(self, keep_last: int = 1) -> Dict[str, int]:
         """Table maintenance: drop all but the newest `keep_last` snapshots
@@ -1550,15 +1871,124 @@ class IcebergTable:
         where: Optional[Sequence[Tuple[str, str, Any]]] = None,
     ) -> DataFrame:
         """The appended rows between two snapshots as one parquet scan,
-        optionally stats-pruned + filtered like `read(where=...)`."""
-        files = self.incremental_files(from_snapshot_id, to_snapshot_id,
-                                       column_filter=where)
-        if not files:
+        optionally stats-pruned + filtered like `read(where=...)`; files
+        written before a schema evolution are projected to the current
+        schema by field-id, like `read`."""
+        entries = self.incremental_files(from_snapshot_id, to_snapshot_id,
+                                         column_filter=where,
+                                         _paths_only=False)
+        if not entries:
             return spark.createDataFrame([], self.spark_schema())
-        df = spark.read.parquet(*[self._local(p) for p in files])
+        df = self._scan(spark, entries, self._current_schema(self.metadata()))
         if where:
             df = df.filter(_predicates_to_column(where))
         return df
+
+    def _scan(
+        self,
+        spark: SparkSession,
+        data_entries: List[dict],
+        current: dict,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """One parquet scan per distinct write-time schema, each projected
+        to the CURRENT schema **by field-id**: renames resolve to the new
+        name, promoted columns cast, added columns null-fill, dropped
+        columns are simply not selected. A pre-evolution table has a single
+        group — one plain scan, zero overhead. ``with_meta`` appends the
+        ``_metadata`` hidden columns as ``__ice_fp``/``__ice_pos`` for the
+        delete anti-joins."""
+        groups: Dict[str, Tuple[Optional[dict], List[str]]] = {}
+        for e in data_entries:
+            key = (json.dumps(e["schema"], sort_keys=True)
+                   if e["schema"] else "")
+            groups.setdefault(key, (e["schema"], []))[1].append(e["path"])
+        parts: List[DataFrame] = []
+        for _k, (src_schema, paths) in sorted(groups.items()):
+            src = src_schema or current
+            df = spark.read.parquet(*[self._local(p) for p in paths])
+            by_id = {f["id"]: f for f in src["fields"]}
+            cols = []
+            for f in current["fields"]:
+                tgt = _field_spark_type(f)
+                old = by_id.get(f["id"])
+                if old is None or old["name"] not in df.columns:
+                    cols.append(F.lit(None).cast(tgt).alias(f["name"]))
+                    continue
+                c = F.col(old["name"])
+                if old["type"] != f["type"]:
+                    c = c.cast(tgt)
+                cols.append(c.alias(f["name"]))
+            if with_meta:
+                cols.append(F.col("_metadata.file_path").alias("__ice_fp"))
+                cols.append(F.col("_metadata.row_index").alias("__ice_pos"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _apply_equality_deletes(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        data_entries: List[dict],
+        eq_entries: List[dict],
+        current: dict,
+    ) -> DataFrame:
+        """Spec sequence rule: a data row is deleted when an equality-delete
+        file with a STRICTLY GREATER data sequence number null-safe matches
+        all its equality columns. Per-file data sequence numbers join in via
+        a broadcast O(#files) map on the scan's hidden file path; each group
+        of delete files sharing an equality_ids set applies as one broadcast
+        anti-join (delete keysets are small next to the table)."""
+        cur_by_id = {f["id"]: f for f in current["fields"]}
+        # `_metadata.file_path` renders file:/x while manifests store
+        # file:///x — join on the scheme-normalized local path
+        seq_df = spark.createDataFrame(
+            [(self._local(e["path"]), int(e["seq"])) for e in data_entries],
+            "__ice_fp_norm string, __ice_dseq long")
+        df = df.withColumn(
+            "__ice_fp_norm",
+            F.regexp_replace(F.col("__ice_fp"), "^file:/+", "/"))
+        df = (df.join(F.broadcast(seq_df), "__ice_fp_norm", "left")
+                .drop("__ice_fp_norm"))
+        groups: Dict[Tuple[int, ...], List[dict]] = {}
+        for e in eq_entries:
+            groups.setdefault(tuple(sorted(e["equality_ids"])), []).append(e)
+        for ids, dels in sorted(groups.items()):
+            key_fields = []
+            for fid in ids:
+                f = cur_by_id.get(fid)
+                if f is None:
+                    raise ValueError(
+                        f"equality delete references field id {fid} which is "
+                        "not in the current schema (dropped?)")
+                key_fields.append(f)
+            parts: List[DataFrame] = []
+            for e in dels:
+                src = e["schema"] or current
+                src_by_id = {f["id"]: f for f in src["fields"]}
+                sel = []
+                for f in key_fields:
+                    old = src_by_id.get(f["id"], f)
+                    c = F.col(old["name"])
+                    if old["type"] != f["type"]:
+                        c = c.cast(_field_spark_type(f))
+                    sel.append(c.alias("__del_" + f["name"]))
+                parts.append(
+                    spark.read.parquet(self._local(e["path"]))
+                    .select(*sel)
+                    .withColumn("__ice_eseq", F.lit(int(e["seq"]))))
+            dels_df = parts[0]
+            for p in parts[1:]:
+                dels_df = dels_df.unionByName(p)
+            cond = F.col("__ice_dseq") < F.col("__ice_eseq")
+            for f in key_fields:
+                cond = cond & F.col(f["name"]).eqNullSafe(
+                    F.col("__del_" + f["name"]))
+            df = df.join(F.broadcast(dels_df), cond, "left_anti")
+        return df.drop("__ice_dseq")
 
     def read(
         self,
@@ -1569,8 +1999,10 @@ class IcebergTable:
         where: Optional[Sequence[Tuple[str, str, Any]]] = None,
     ) -> DataFrame:
         """The table as a DataFrame: snapshot-scoped file list -> one parquet
-        scan; positional deletes applied as a (file_path, row_index)
-        anti-join against Spark's `_metadata` hidden columns.
+        scan per write-time schema (projected to the current schema by
+        field-id), positional deletes applied as a (file_path, row_index)
+        anti-join against Spark's `_metadata` hidden columns, equality
+        deletes as sequence-aware broadcast anti-joins.
 
         ``where`` — (column, op, literal) triples, op in =, <, <=, >, >=,
         in, is_null, is_not_null — does double duty: files whose manifest
@@ -1579,25 +2011,26 @@ class IcebergTable:
         surviving files, so the result is exact regardless of how much the
         stats could prune. At 10^12 rows this is the difference between
         scanning a time/range slice and scanning the table."""
-        files, deletes = self._plan_files(snapshot_id, as_of_ms,
-                                          partition_filter,
-                                          column_filter=where)
-        if not files:
+        data, pos_deletes, eq_entries = self._plan_files(
+            snapshot_id, as_of_ms, partition_filter, column_filter=where)
+        if not data:
             return spark.createDataFrame([], self.spark_schema())
-        df = spark.read.parquet(*[self._local(p) for p in files])
+        current = self._current_schema(self.metadata())
+        need_meta = bool(pos_deletes) or bool(eq_entries)
+        df = self._scan(spark, data, current, with_meta=need_meta)
         if where:
             df = df.filter(_predicates_to_column(where))
-        if deletes:
-            cols = df.columns
-            pos = (spark.read.parquet(*[self._local(p) for p in deletes])
+        if eq_entries:
+            df = self._apply_equality_deletes(spark, df, data, eq_entries,
+                                              current)
+        if pos_deletes:
+            pos = (spark.read.parquet(*[self._local(p) for p in pos_deletes])
                    .select(F.col("file_path").alias("__ice_fp"),
                            F.col("pos").alias("__ice_pos"))
                    .dropDuplicates(["__ice_fp", "__ice_pos"]))
-            df = (df.select("*",
-                            F.col("_metadata.file_path").alias("__ice_fp"),
-                            F.col("_metadata.row_index").alias("__ice_pos"))
-                    .join(pos, ["__ice_fp", "__ice_pos"], "left_anti")
-                    .select(*cols))
+            df = df.join(pos, ["__ice_fp", "__ice_pos"], "left_anti")
+        if need_meta:
+            df = df.drop("__ice_fp", "__ice_pos")
         return df
 
 
