@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dcspark import simsearch, textops
 from dcspark import cluster as cluster_mod
@@ -3870,6 +3871,144 @@ ORDER BY probe
 """
 
 
+def q_iceberg_upsert_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """v2 equality deletes as MERGE (dcspark/iceberg.py upsert /
+    delete_equality): customer lands in an Iceberg table, an upsert then
+    rewrites every c_custkey % 10 == 0 row (balance +1000, name uppercased)
+    AND inserts brand-new keys — delete + append committed in ONE snapshot
+    at the same data sequence number, so the spec's strict-inequality rule
+    lets the new rows survive their own delete. A second commit
+    equality-deletes every remaining c_custkey % 7 == 0 row. The final read
+    is bucket-aggregated; a row resurrected, double-deleted, or matched at
+    the wrong sequence number breaks the hash."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icemerge_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    t = IcebergTable.create(out, cust.schema)
+    t.append(cust)
+    updated = (cust.filter("c_custkey % 10 = 0")
+               .withColumn("c_name", F.upper("c_name"))
+               .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0)))
+    inserted = (cust.filter("c_custkey % 100 = 3")
+                .withColumn("c_custkey",
+                            F.col("c_custkey") + F.lit(10000000).cast("long")))
+    t.upsert(updated.unionByName(inserted), key_cols=["c_custkey"])
+    doomed = t.read(spark).filter("c_custkey % 7 = 0").select("c_custkey")
+    t.delete_equality(doomed)
+    return (t.read(spark)
+            .groupBy((F.col("c_custkey") % 5).cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+                 F.countDistinct("c_name").cast("long").alias("n_names"))
+            .orderBy("bucket"))
+
+
+SQL_ICEBERG_UPSERT_MERGE = """
+WITH updated AS (
+  SELECT c_custkey, upper(c_name) AS c_name, c_acctbal + 1000 AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+), inserted AS (
+  SELECT c_custkey + 10000000 AS c_custkey, c_name, c_acctbal
+  FROM customer WHERE c_custkey % 100 = 3
+), merged AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 <> 0
+  UNION ALL SELECT * FROM updated
+  UNION ALL SELECT * FROM inserted
+), final AS (
+  SELECT * FROM merged WHERE c_custkey % 7 <> 0
+)
+SELECT cast(c_custkey % 5 AS bigint) AS bucket,
+       cast(count(*) AS bigint) AS n_rows,
+       round(sum(c_acctbal), 2) AS sum_bal,
+       cast(count(DISTINCT c_name) AS bigint) AS n_names
+FROM final GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_iceberg_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution without rewriting data (dcspark/iceberg.py
+    update_schema): half of part lands under schema v1 (with a p_comment
+    column), then a metadata-only commit drops p_comment, renames
+    p_name -> part_name, promotes p_size int->long, and adds p_retailprice;
+    the other half lands under schema v2 with prices. The read must project
+    v1 files BY FIELD-ID — rename resolves, the dropped column vanishes,
+    p_size widens, old rows null-fill the added price — and the bucketed
+    aggregate (count of non-null prices included) hashes against a UNION
+    oracle that reproduces exactly that projection."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_iceevo_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    part = _t(spark, sf, "part")
+    old_half = part.filter("p_partkey % 2 = 0").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_name",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.lit("v1").alias("p_comment"),
+    )
+    t = IcebergTable.create(out, old_half.schema)
+    t.append(old_half)
+    t.update_schema(
+        add=[("p_retailprice", T.DoubleType())],
+        drop=["p_comment"],
+        rename={"p_name": "part_name"},
+        promote={"p_size": "long"},
+    )
+    new_half = part.filter("p_partkey % 2 = 1").select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        F.col("p_name").alias("part_name"),
+        F.col("p_size").cast("long").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    t.append(new_half)
+    cur = t.read(spark)
+    if "p_comment" in cur.columns:
+        raise AssertionError("dropped column p_comment survived evolution")
+    return (cur
+            .groupBy((F.col("p_partkey") % 4).cast("long").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.sum("p_size").cast("long").alias("sum_size"),
+                 F.count("p_retailprice").cast("long").alias("n_price"),
+                 F.round(F.sum(F.coalesce("p_retailprice", F.lit(0.0))),
+                         2).alias("sum_price"),
+                 F.countDistinct("part_name").cast("long").alias("n_names"))
+            .orderBy("bucket"))
+
+
+SQL_ICEBERG_SCHEMA_EVOLUTION = """
+WITH v1 AS (
+  SELECT p_partkey, p_name AS part_name, cast(p_size AS bigint) AS p_size,
+         cast(NULL AS double) AS p_retailprice
+  FROM part WHERE p_partkey % 2 = 0
+), v2 AS (
+  SELECT p_partkey, p_name AS part_name, cast(p_size AS bigint) AS p_size,
+         p_retailprice
+  FROM part WHERE p_partkey % 2 = 1
+), u AS (
+  SELECT * FROM v1 UNION ALL SELECT * FROM v2
+)
+SELECT cast(p_partkey % 4 AS bigint) AS bucket,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(sum(p_size) AS bigint) AS sum_size,
+       cast(count(p_retailprice) AS bigint) AS n_price,
+       round(sum(coalesce(p_retailprice, 0)), 2) AS sum_price,
+       cast(count(DISTINCT part_name) AS bigint) AS n_names
+FROM u GROUP BY 1 ORDER BY bucket
+"""
+
+
 def q_delta_log_versions(spark: SparkSession, sf: str) -> DataFrame:
     """Pure-Python Delta Lake protocol (dcspark/deltalog.py): customer lands
     in a real Delta table (hive-partitioned on c_mktsegment, partition
@@ -3980,6 +4119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_file_source": q_avro_file_source,
         "iceberg_snapshot_travel": q_iceberg_snapshot_travel,
         "iceberg_stats_pruning": q_iceberg_stats_pruning,
+        "iceberg_upsert_merge": q_iceberg_upsert_merge,
+        "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4069,6 +4210,8 @@ def oracle_sql() -> dict[str, str]:
         "avro_file_source": SQL_AVRO_FILE_SOURCE,
         "iceberg_snapshot_travel": SQL_ICEBERG_SNAPSHOT_TRAVEL,
         "iceberg_stats_pruning": SQL_ICEBERG_STATS_PRUNING,
+        "iceberg_upsert_merge": SQL_ICEBERG_UPSERT_MERGE,
+        "iceberg_schema_evolution": SQL_ICEBERG_SCHEMA_EVOLUTION,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
