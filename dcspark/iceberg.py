@@ -63,7 +63,13 @@ Iceberg metadata with zero extra dependencies.
   ONE snapshot at the same sequence number, so the new rows survive their
   own delete — MERGE semantics without rewriting files.
 
-Not implemented (documented seam): sort orders.
+- **sort orders** (spec "Sort Orders"): `create(sort_by=...)` /
+  `replace_sort_order` register a table write order; `_write_data_files`
+  range-shuffles + sorts on it so each data file covers a narrow
+  [lower, upper] stats envelope (manifest pruning skips most files on
+  sorted-column predicates), and each data_file records its
+  `sort_order_id` (field 140). Sort order evolution is metadata-only;
+  old files keep their recorded order.
 """
 
 from __future__ import annotations
@@ -845,6 +851,35 @@ def _stats_map_field(name: str, fid: int, key_id: int, val_id: int,
     }
 
 
+def _normalize_sort_fields(sort_by: Sequence, by_name: Dict[str, dict]) -> List[dict]:
+    """User sort_by spec -> spec-shaped sort-order field dicts.
+
+    Accepts "col", ("col", "asc"|"desc"), or ("col", dir, "nulls-first"|
+    "nulls-last"). Identity transform only (the useful case for write
+    clustering); null-order defaults follow the spec: asc -> nulls-first,
+    desc -> nulls-last."""
+    fields: List[dict] = []
+    for item in sort_by:
+        if isinstance(item, str):
+            col, direction, null_order = item, "asc", None
+        else:
+            col = item[0]
+            direction = item[1] if len(item) > 1 else "asc"
+            null_order = item[2] if len(item) > 2 else None
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"sort direction {direction!r} (want asc|desc)")
+        if null_order is None:
+            null_order = "nulls-first" if direction == "asc" else "nulls-last"
+        if null_order not in ("nulls-first", "nulls-last"):
+            raise ValueError(f"null order {null_order!r}")
+        f = by_name.get(col)
+        if f is None:
+            raise ValueError(f"sort column {col!r} not in schema")
+        fields.append({"transform": "identity", "source-id": f["id"],
+                       "direction": direction, "null-order": null_order})
+    return fields
+
+
 def manifest_entry_schema(part_types: Sequence[Tuple[str, str]]) -> dict:
     data_file = {
         "type": "record", "name": "r2",
@@ -865,6 +900,8 @@ def manifest_entry_schema(part_types: Sequence[Tuple[str, str]]) -> dict:
             {"name": "equality_ids",
              "type": ["null", {"type": "array", "items": "int"}],
              "default": None, "field-id": 135},
+            {"name": "sort_order_id", "type": ["null", "int"],
+             "default": None, "field-id": 140},
         ],
     }
     return {
@@ -996,9 +1033,17 @@ class IcebergTable:
         schema: T.StructType,
         partition_by: Optional[Sequence[Tuple[str, str]]] = None,
         properties: Optional[Dict[str, str]] = None,
+        sort_by: Optional[Sequence] = None,
     ) -> "IcebergTable":
         """Create an empty table. ``partition_by``: [(column, transform)],
-        e.g. [("codec", "identity"), ("clip_id", "bucket[16]")]."""
+        e.g. [("codec", "identity"), ("clip_id", "bucket[16]")].
+
+        ``sort_by``: table write order (spec "Sort Orders") — ["col"],
+        [("col", "desc")], or [("col", "asc", "nulls-last")]. Appends
+        range-shuffle + sort on these columns before writing, so each data
+        file covers a narrow [lower, upper] envelope and manifest-stats
+        pruning (``read(where=...)``) skips most files on sorted-column
+        predicates."""
         t = cls(location)
         if t.exists():
             raise FileExistsError(f"Iceberg table already exists at {location}")
@@ -1021,6 +1066,13 @@ class IcebergTable:
                 "name": f"{col}{suffix}",
                 "transform": str(transform),
             })
+        sort_orders = [{"order-id": 0, "fields": []}]
+        default_soid = 0
+        if sort_by:
+            sort_orders.append({
+                "order-id": 1,
+                "fields": _normalize_sort_fields(sort_by, by_name)})
+            default_soid = 1
         md = {
             "format-version": 2,
             "table-uuid": str(_uuid.uuid4()),
@@ -1033,8 +1085,8 @@ class IcebergTable:
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
             "last-partition-id": 1000 + len(spec_fields) - 1 if spec_fields else 999,
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": default_soid,
+            "sort-orders": sort_orders,
             "properties": dict(properties or {}),
             "current-snapshot-id": -1,
             "refs": {},
@@ -1088,6 +1140,20 @@ class IcebergTable:
             pcol = f"__ice_p_{pf['name']}"
             out = out.withColumn(pcol, tr.spark_col(name, dtype))
             part_cols.append(pcol)
+        soid, sfields = self._default_sort_fields(md)
+        sort_exprs = self._sort_exprs(md, sfields) if sfields else []
+        if sort_exprs:
+            # table write order: ONE range shuffle clusters the sort key, so
+            # each file's manifest [lower, upper] envelope is narrow and
+            # read(where=...) prunes most files on sorted-column predicates;
+            # partition value leads the within-task sort so the dynamic
+            # writer emits one run per partition dir. Explicit N keeps the
+            # incoming partition count (= incoming file sizing) and stops
+            # AQE from coalescing small appends into one giant file.
+            n_out = max(1, out.rdd.getNumPartitions())
+            out = out.repartitionByRange(n_out, *sort_exprs) \
+                .sortWithinPartitions(
+                    *([F.col(p) for p in part_cols] + sort_exprs))
         if part_cols:
             out.write.partitionBy(*part_cols).parquet(staging)
         else:
@@ -1139,6 +1205,7 @@ class IcebergTable:
                     "partition": part_rec,
                     "record_count": pq.ParquetFile(dest).metadata.num_rows,
                     "file_size_in_bytes": os.path.getsize(dest),
+                    "sort_order_id": soid if sort_exprs else 0,
                 }
                 # column metrics from the footer the write already produced
                 dfile.update(_collect_file_stats(dest, fid_types))
@@ -1605,6 +1672,8 @@ class IcebergTable:
         promote = dict(promote or {})
         add = list(add or [])
         part_src = {pf["source-id"] for pf in self._spec_fields(md)}
+        _soid, sfields = self._default_sort_fields(md)
+        sort_src = {sf_["source-id"] for sf_ in sfields}
         for name in drop:
             f = by_name.get(name)
             if f is None:
@@ -1612,6 +1681,10 @@ class IcebergTable:
             if f["id"] in part_src:
                 raise ValueError(
                     f"drop: {name!r} is a partition source column")
+            if f["id"] in sort_src:
+                raise ValueError(
+                    f"drop: {name!r} is a sort-order source column — "
+                    "replace_sort_order first")
         for name, newt in promote.items():
             f = by_name.get(name)
             if f is None or name in drop:
@@ -1664,6 +1737,59 @@ class IcebergTable:
         new_md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
         self._commit_metadata(new_md, expected_version=self._version())
         return new_sid
+
+    # -- sort orders ----------------------------------------------------------
+
+    def _default_sort_fields(self, md: dict) -> Tuple[int, List[dict]]:
+        soid = md.get("default-sort-order-id", 0)
+        for so in md.get("sort-orders", []):
+            if so.get("order-id") == soid:
+                return soid, list(so.get("fields") or [])
+        return 0, []
+
+    def replace_sort_order(self, sort_by: Optional[Sequence]) -> int:
+        """Set the table write order (spec: sort order evolution) as a
+        metadata-only commit. ``sort_by=None`` or ``[]`` -> unsorted
+        (order 0). Existing files keep their recorded sort_order_id; only
+        FUTURE writes sort. An identical existing order is reused rather
+        than re-registered. Returns the new default order id."""
+        md = self.metadata()
+        cur = self._current_schema(md)
+        by_name = {f["name"]: f for f in cur["fields"]}
+        fields = _normalize_sort_fields(sort_by, by_name) if sort_by else []
+        orders = list(md.get("sort-orders") or [{"order-id": 0, "fields": []}])
+        soid = None
+        for so in orders:
+            if so.get("fields", []) == fields:
+                soid = so["order-id"]
+                break
+        if soid is None:
+            soid = max(o["order-id"] for o in orders) + 1
+            orders = orders + [{"order-id": soid, "fields": fields}]
+        new_md = dict(md)
+        new_md["sort-orders"] = orders
+        new_md["default-sort-order-id"] = soid
+        new_md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
+        self._commit_metadata(new_md, expected_version=self._version())
+        return soid
+
+    def _sort_exprs(self, md: dict, sfields: List[dict]):
+        """Sort-order field dicts -> Spark sort Columns on current names."""
+        names = {f["id"]: f["name"] for f in self._current_schema(md)["fields"]}
+        cols = []
+        for sf_ in sfields:
+            name = names.get(sf_["source-id"])
+            if name is None:  # dropped source (guarded, but stay safe)
+                continue
+            c = F.col(name)
+            asc = sf_.get("direction", "asc") == "asc"
+            nf = sf_.get("null-order") == "nulls-first"
+            if asc:
+                c = c.asc_nulls_first() if nf else c.asc_nulls_last()
+            else:
+                c = c.desc_nulls_first() if nf else c.desc_nulls_last()
+            cols.append(c)
+        return cols
 
     # -- read path ----------------------------------------------------------
 
