@@ -4009,6 +4009,82 @@ FROM u GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_iceberg_sort_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Table write order as a live pruning index (dcspark/iceberg.py
+    sort orders, spec "Sort Orders"): events arrives deliberately SCRAMBLED
+    on event_id, lands in a table created with sort_by=["event_id"] — the
+    writer itself range-shuffles + sorts, so each data file covers a narrow
+    [lower, upper] manifest envelope WITHOUT the caller pre-sorting. The
+    query asserts the planner skips at least half the files for a tail
+    predicate (a pruning regression fails the query), then a
+    replace_sort_order(None) + second unsorted append proves order evolution
+    is metadata-only and reads span both file generations; three scoped
+    aggregates hash against DuckDB on the raw parquet."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icesort_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    max_id = ev.agg(F.max("event_id")).first()[0]
+    id_cut = (max_id * 7) // 8
+    # deterministic scramble: partition by a hash of the key, so an
+    # UNSORTED write would give every file a full-domain stats envelope
+    half1 = ev.filter("event_id % 2 = 0").repartition(8, F.crc32(
+        F.col("event_id").cast("string")))
+    half2 = ev.filter("event_id % 2 = 1").repartition(8, F.crc32(
+        F.col("event_id").cast("string")))
+    t = IcebergTable.create(out, ev.schema, sort_by=["event_id"])
+    t.append(half1)  # sorted generation (write order 1)
+    n_total = len(t.data_files())
+    n_hit = len(t.data_files(column_filter=[("event_id", ">=", id_cut)]))
+    if n_total > 1 and not n_hit <= max(1, n_total // 2):
+        raise AssertionError(
+            f"sort-order pruning regressed: {n_hit}/{n_total} files for "
+            f"event_id >= {id_cut}")
+    t.replace_sort_order(None)  # metadata-only evolution
+    t.append(half2)  # unsorted generation (order 0) — both must coexist
+    probes = [
+        ("id_tail", [("event_id", ">=", id_cut)]),
+        ("id_head", [("event_id", "<", max(1, max_id // 8))]),
+        ("type_eq", [("event_type", "=", "purchase")]),
+    ]
+    frames = []
+    for name, preds in probes:
+        frames.append(
+            t.read(spark, where=preds).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            ).select(F.lit(name).alias("probe"), "n_rows", "sum_value"))
+    outdf = frames[0]
+    for fdf in frames[1:]:
+        outdf = outdf.unionByName(fdf)
+    return outdf.orderBy("probe")
+
+
+SQL_ICEBERG_SORT_ORDER = """
+SELECT 'id_head' AS probe, cast(count(*) AS bigint) AS n_rows,
+       round(sum(value), 2) AS sum_value
+FROM events
+WHERE event_id < (SELECT greatest(1, max(event_id) // 8) FROM events)
+UNION ALL
+SELECT 'id_tail', cast(count(*) AS bigint), round(sum(value), 2)
+FROM events
+WHERE event_id >= (SELECT (max(event_id) * 7) // 8 FROM events)
+UNION ALL
+SELECT 'type_eq', cast(count(*) AS bigint), round(sum(value), 2)
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY probe
+"""
+
+
 def q_delta_log_versions(spark: SparkSession, sf: str) -> DataFrame:
     """Pure-Python Delta Lake protocol (dcspark/deltalog.py): customer lands
     in a real Delta table (hive-partitioned on c_mktsegment, partition
@@ -4121,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_stats_pruning": q_iceberg_stats_pruning,
         "iceberg_upsert_merge": q_iceberg_upsert_merge,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
+        "iceberg_sort_order": q_iceberg_sort_order,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4212,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_stats_pruning": SQL_ICEBERG_STATS_PRUNING,
         "iceberg_upsert_merge": SQL_ICEBERG_UPSERT_MERGE,
         "iceberg_schema_evolution": SQL_ICEBERG_SCHEMA_EVOLUTION,
+        "iceberg_sort_order": SQL_ICEBERG_SORT_ORDER,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
