@@ -196,6 +196,15 @@ def cmd_iceberg(args: argparse.Namespace) -> int:
         print(f"expired {out['snapshots_removed']} snapshots, "
               f"deleted {out['files_deleted']} files")
         return 0
+    if args.action == "compact":
+        spark = _build_spark(args.master, args.shuffle_partitions)
+        out = t.compact(spark,
+                        target_file_bytes=args.target_file_mb * 1024 * 1024)
+        print(f"rewrote {out['rewritten_data_files']} data files "
+              f"({out['rewritten_bytes']} bytes) into "
+              f"{out['added_data_files']}; retired "
+              f"{out['removed_delete_files']} delete files")
+        return 0
     return 1
 
 
@@ -1168,10 +1177,14 @@ def main(argv: Optional[list] = None) -> int:
     ice = sub.add_parser(
         "iceberg", help="Iceberg table maintenance (pure-Python format)")
     ice.add_argument("action", choices=["snapshots", "files", "stats",
-                                        "expire"])
+                                        "expire", "compact"])
     ice.add_argument("--table", required=True, help="table root directory")
     ice.add_argument("--keep-last", type=int, default=2,
                      help="expire: retain this many newest snapshots")
+    ice.add_argument("--target-file-mb", type=int, default=128,
+                     help="compact: bin-pack output file size")
+    ice.add_argument("--master", default=None)
+    ice.add_argument("--shuffle-partitions", type=int, default=None)
     ice.add_argument("--snapshot-id", type=int, default=None,
                      help="files/stats: scope to a specific snapshot")
     ice.add_argument("--where", default=None,

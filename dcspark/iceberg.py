@@ -76,6 +76,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import struct
 import uuid as _uuid
@@ -1165,6 +1166,8 @@ class IcebergTable:
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(root, name)
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue  # e.g. compaction where every row was deleted
                 rel = os.path.relpath(root, staging)
                 # parse __ice_p_<field>=<value> dirs back into partition values
                 pvals: Dict[str, Any] = {}
@@ -1262,8 +1265,14 @@ class IcebergTable:
         return snap
 
     def _write_manifest(self, md: dict, entries: List[dict], snap_id: int,
-                        seq: int, content: int) -> dict:
-        """entries: list of (status, data_file) dicts -> manifest_file row."""
+                        seq: int, content: int,
+                        embed_schema: Optional[dict] = None) -> dict:
+        """entries: list of (status, data_file) dicts -> manifest_file row.
+
+        ``embed_schema`` overrides the embedded write-time table schema —
+        required when REWRITING an old manifest (compaction): its surviving
+        entries still point at files written under the OLD schema, and the
+        field-id projection at read time keys off this header."""
         part_types = self._part_types(md)
         schema = manifest_entry_schema(part_types)
         name = f"{_uuid.uuid4().hex}-m0.avro"
@@ -1295,7 +1304,8 @@ class IcebergTable:
         # WRITE-TIME schema is what lets readers project old files to the
         # current schema by field-id after evolution
         extra_meta = {
-            "schema": json.dumps(self._current_schema(md)).encode(),
+            "schema": json.dumps(embed_schema
+                                 or self._current_schema(md)).encode(),
             "partition-spec-id": b"0",
             "format-version": b"2",
             "content": b"data" if content == 0 else b"deletes",
@@ -1814,6 +1824,35 @@ class IcebergTable:
                 return s
         return None
 
+    def _partition_keep_fn(
+        self, md: dict, partition_filter: Optional[Dict[str, Any]]
+    ):
+        """partition_filter (source column -> literal) -> predicate over a
+        manifest entry's stored partition record."""
+        spec_fields = self._spec_fields(md)
+        src_types = self._source_types(md)
+        by_source: Dict[str, list] = {}
+        for pf in spec_fields:
+            name, dtype = src_types[pf["source-id"]]
+            by_source.setdefault(name, []).append(
+                (pf["name"], Transform.parse(pf["transform"]), dtype))
+
+        def keep(partition: Dict[str, Any]) -> bool:
+            if not partition_filter:
+                return True
+            for col, want in partition_filter.items():
+                for pname, tr, dtype in by_source.get(col, []):
+                    stored = partition.get(pname)
+                    if stored is None:
+                        continue  # unknown -> can't prune safely
+                    expect = tr.apply_py(want, dtype)
+                    # hive dirs stringified identity values; compare loosely
+                    if str(stored) != str(expect):
+                        return False
+            return True
+
+        return keep
+
     def _plan_files(
         self,
         snapshot_id: Optional[int] = None,
@@ -1841,28 +1880,7 @@ class IcebergTable:
         snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
         if snap is None:
             return [], [], []
-        spec_fields = self._spec_fields(md)
-        src_types = self._source_types(md)
-        by_source = {}
-        for pf in spec_fields:
-            name, dtype = src_types[pf["source-id"]]
-            by_source.setdefault(name, []).append(
-                (pf["name"], Transform.parse(pf["transform"]), dtype))
-
-        def keep(partition: Dict[str, Any]) -> bool:
-            if not partition_filter:
-                return True
-            for col, want in partition_filter.items():
-                for pname, tr, dtype in by_source.get(col, []):
-                    stored = partition.get(pname)
-                    if stored is None:
-                        continue  # unknown -> can't prune safely
-                    expect = tr.apply_py(want, dtype)
-                    # hive dirs stringified identity values; compare loosely
-                    if str(stored) != str(expect):
-                        return False
-            return True
-
+        keep = self._partition_keep_fn(md, partition_filter)
         fid_types = self._field_id_types(md) if column_filter else {}
         data_entries: List[dict] = []
         pos_deletes: List[str] = []
@@ -1919,10 +1937,16 @@ class IcebergTable:
             return []
         from_seq = from_snap["sequence-number"]
         fid_types = self._field_id_types(md) if column_filter else {}
+        # compaction rewrites old rows into new files under a "replace"
+        # snapshot — those are NOT new data, and an incremental consumer
+        # (validate-only-new-data) must not re-validate them
+        replace_ids = {s["snapshot-id"] for s in md.get("snapshots", [])
+                       if s.get("summary", {}).get("operation") == "replace"}
         out: List[dict] = []
         for m in self._read_manifest_list(to_snap["manifest-list"]):
             if m.get("sequence_number", 0) <= from_seq or \
-                    m.get("content", 0) == 1:
+                    m.get("content", 0) == 1 or \
+                    m.get("added_snapshot_id") in replace_ids:
                 continue
             emb, entries = self._read_manifest_full(m["manifest_path"])
             for entry in entries:
@@ -1990,6 +2014,216 @@ class IcebergTable:
             if e["snapshot-id"] in kept_ids]
         self._commit_metadata(new_md, expected_version=self._version())
         return {"snapshots_removed": len(drop), "files_deleted": deleted}
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_file_bytes: Optional[int] = None,
+        partition_filter: Optional[Dict[str, Any]] = None,
+        rewrite_deletes: bool = True,
+    ) -> Dict[str, int]:
+        """Bin-pack small data files and materialize row-level deletes
+        (the reference CLI has no table writer; this matches Spark's
+        `rewrite_data_files` maintenance action).
+
+        Candidates = in-scope data files smaller than ``small_file_bytes``
+        (default ``target_file_bytes * 3 // 4``), plus (when
+        ``rewrite_deletes``) files pinned by positional deletes or older
+        than an equality delete. All candidates are read in ONE distributed
+        scan with deletes applied, coalesced to ~``target_file_bytes``
+        outputs (partition routing and the table write order still apply),
+        and committed as a "replace" snapshot: new files ADDED at the new
+        sequence number, rewritten files dropped by rewriting only the
+        affected manifests (surviving entries keep status=existing, their
+        original per-entry sequence numbers, AND the original embedded
+        write-time schema, so field-id projection across evolutions is
+        undisturbed); fully-applied delete files retire with them. Old
+        snapshots still time-travel — nothing is physically deleted here
+        (that's `expire_snapshots`).
+
+        At 10^12 rows this is what keeps read amplification flat: appends
+        land small, deletes pile up as extra anti-join inputs, and the
+        periodic compact turns both back into full-size, delete-free files
+        whose manifest stats envelopes prune like fresh writes.
+        """
+        if small_file_bytes is None:
+            small_file_bytes = target_file_bytes * 3 // 4
+        md = self.metadata()
+        snap = self._resolve_snapshot(md, None, None)
+        if snap is None:
+            return {"rewritten_data_files": 0, "added_data_files": 0,
+                    "removed_delete_files": 0, "rewritten_bytes": 0}
+        keep = self._partition_keep_fn(md, partition_filter)
+        mlist = self._read_manifest_list(snap["manifest-list"])
+        manifests: List[dict] = []  # (manifest row, emb schema, entries)
+        data_recs: List[dict] = []
+        pos_recs: List[dict] = []
+        eq_recs: List[dict] = []
+        for m in mlist:
+            emb, entries = self._read_manifest_full(m["manifest_path"])
+            manifests.append({"m": m, "emb": emb, "entries": entries})
+            for e in entries:
+                if e.get("status") == 2:
+                    continue
+                dfile = e["data_file"]
+                seq = (e.get("sequence_number")
+                       or m.get("sequence_number", 0))
+                rec = {"path": dfile["file_path"], "seq": seq,
+                       "schema": emb, "dfile": dfile}
+                content = dfile.get("content", 0)
+                if content == 2:
+                    rec["equality_ids"] = list(dfile.get("equality_ids")
+                                               or [])
+                    eq_recs.append(rec)
+                elif content == 1 or m.get("content", 0) == 1:
+                    pos_recs.append(rec)
+                else:
+                    rec["in_scope"] = keep(dfile.get("partition") or {})
+                    data_recs.append(rec)
+        # positional-delete target file sets (delete files are small and
+        # bounded; this is the same driver-side metadata work as planning)
+        import pyarrow.parquet as pq
+
+        def norm(p: str) -> str:
+            # `_metadata.file_path` renders file:/x, manifests file:///x
+            return re.sub(r"^file:/+", "/", p)
+
+        pos_targets: Dict[str, set] = {}
+        for r in pos_recs:
+            tbl = pq.read_table(self._local(r["path"]),
+                                columns=["file_path"])
+            pos_targets[r["path"]] = {norm(p)
+                                      for p in tbl["file_path"].to_pylist()}
+        pinned = set()
+        for targets in pos_targets.values():
+            pinned |= targets
+        max_eq_seq = max((r["seq"] for r in eq_recs), default=0)
+
+        def is_candidate(rec: dict) -> bool:
+            if not rec["in_scope"]:
+                return False
+            if rec["dfile"].get("file_size_in_bytes", 0) < small_file_bytes:
+                return True
+            if rewrite_deletes and (norm(rec["path"]) in pinned
+                                    or rec["seq"] < max_eq_seq):
+                return True
+            return False
+
+        cands = [r for r in data_recs if is_candidate(r)]
+        cand_paths = {r["path"] for r in cands}
+        cand_norm = {norm(p) for p in cand_paths}
+        carries_deletes = any(
+            norm(r["path"]) in pinned or r["seq"] < max_eq_seq
+            for r in cands)
+        if not cands or (len(cands) < 2 and not carries_deletes):
+            return {"rewritten_data_files": 0, "added_data_files": 0,
+                    "removed_delete_files": 0, "rewritten_bytes": 0}
+        # -- one distributed read of the candidates, deletes applied --------
+        current = self._current_schema(md)
+        applicable_eq = [r for r in eq_recs
+                         if any(c["seq"] < r["seq"] for c in cands)]
+        applicable_pos = [r for r in pos_recs
+                          if pos_targets[r["path"]] & cand_norm]
+        need_meta = bool(applicable_eq) or bool(applicable_pos)
+        df = self._scan(spark, cands, current, with_meta=need_meta)
+        if applicable_eq:
+            df = self._apply_equality_deletes(spark, df, cands,
+                                              applicable_eq, current)
+        if applicable_pos:
+            pos = (spark.read.parquet(
+                       *[self._local(r["path"]) for r in applicable_pos])
+                   .select(F.col("file_path").alias("__ice_fp"),
+                           F.col("pos").alias("__ice_pos"))
+                   .dropDuplicates(["__ice_fp", "__ice_pos"]))
+            df = df.join(pos, ["__ice_fp", "__ice_pos"], "left_anti")
+        if need_meta:
+            df = df.drop("__ice_fp", "__ice_pos")
+        cand_bytes = sum(r["dfile"].get("file_size_in_bytes", 0)
+                         for r in cands)
+        n_out = max(1, -(-cand_bytes // target_file_bytes))
+        # coalesce, not repartition: narrow (no shuffle) when the table is
+        # unsorted; under a write order _write_data_files range-shuffles to
+        # the incoming partition count anyway, so sizing still holds
+        ts = _now_ms(spark)
+        new_files = self._write_data_files(df.coalesce(n_out), md)
+        seq = md.get("last-sequence-number", 0) + 1
+        # -- which delete files are now fully applied? ----------------------
+        survivor_min_seq = min(
+            (r["seq"] for r in data_recs if r["path"] not in cand_paths),
+            default=None)
+        dead_deletes = set()
+        for r in pos_recs:
+            if not (pos_targets[r["path"]] - cand_norm):
+                dead_deletes.add(r["path"])  # every target was rewritten
+        for r in eq_recs:
+            if survivor_min_seq is None or survivor_min_seq >= r["seq"]:
+                dead_deletes.add(r["path"])  # nothing older remains
+        # -- commit: added manifest + rewritten survivors --------------------
+        snap_new = self._new_snapshot(
+            md, [], "replace", len(new_files),
+            sum(f["record_count"] for f in new_files), ts)
+        snap_id = snap_new["snapshot-id"]
+        new_manifests = []
+        if new_files:
+            new_manifests.append(self._write_manifest(
+                md, [{"status": 1, "data_file": f} for f in new_files],
+                snap_id, seq, content=0))
+        removed_delete_files = 0
+        for rec in manifests:
+            m = rec["m"]
+            drop_here = []
+            for e in rec["entries"]:
+                if e.get("status") == 2:
+                    continue
+                p = e["data_file"]["file_path"]
+                if p in cand_paths or p in dead_deletes:
+                    drop_here.append(p)
+            if not drop_here:
+                new_manifests.append(m)
+                continue
+            removed_delete_files += sum(1 for p in drop_here
+                                        if p in dead_deletes)
+            survivors = []
+            for e in rec["entries"]:
+                if e.get("status") == 2:
+                    continue
+                p = e["data_file"]["file_path"]
+                if p in cand_paths or p in dead_deletes:
+                    continue
+                eseq = (e.get("sequence_number")
+                        or m.get("sequence_number", 0))
+                survivors.append({
+                    "status": 0,  # existing
+                    "data_file": e["data_file"],
+                    "sequence_number": eseq,
+                    "file_sequence_number": (e.get("file_sequence_number")
+                                             or eseq),
+                })
+            if survivors:
+                new_manifests.append(self._write_manifest(
+                    md, survivors, snap_id,
+                    m.get("sequence_number", seq),
+                    content=m.get("content", 0),
+                    embed_schema=rec["emb"]))
+        ml_path = self._local(snap_new["manifest-list"])
+        blob = write_container(MANIFEST_LIST_SCHEMA, new_manifests,
+                               codec="deflate",
+                               sync_seed=os.path.basename(ml_path))
+        with open(ml_path, "wb") as f:
+            f.write(blob)
+        snap_new["summary"]["total-data-files"] = str(
+            sum(m["added_files_count"] + m["existing_files_count"]
+                for m in new_manifests if m["content"] == 0))
+        snap_new["summary"]["total-records"] = str(
+            sum(m["added_rows_count"] + m["existing_rows_count"]
+                for m in new_manifests if m["content"] == 0))
+        snap_new["summary"]["deleted-data-files"] = str(len(cands))
+        self._apply_commit(md, snap_new, ts)
+        return {"rewritten_data_files": len(cands),
+                "added_data_files": len(new_files),
+                "removed_delete_files": removed_delete_files,
+                "rewritten_bytes": cand_bytes}
 
     def read_incremental(
         self, spark: SparkSession, from_snapshot_id: int,
