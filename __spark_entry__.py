@@ -4085,6 +4085,74 @@ ORDER BY probe
 """
 
 
+def q_iceberg_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Compaction as a correctness property (dcspark/iceberg.py compact):
+    orders lands in three small appends, takes a positional delete
+    (delete_where) AND an equality-delete MERGE (upsert), then compact()
+    bin-packs everything into full-size files with both delete families
+    materialized. The query asserts file count strictly drops and ZERO
+    delete files survive planning (read amplification back to baseline —
+    the 10^12-row maintenance argument), then aggregates the compacted
+    table against a DuckDB oracle that reproduces delete+upsert+rewrite
+    end-state by algebra. Any row lost or resurrected by the rewrite is a
+    hash mismatch."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icecomp_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    base = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    t = IcebergTable.create(out, base.schema)
+    for i in range(3):
+        t.append(base.filter(F.col("o_orderkey") % 3 == i).repartition(4))
+    t.delete_where(spark, "o_orderkey % 10 = 0")
+    upd = (base.filter(F.col("o_custkey") % 5 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0))
+    t.upsert(upd, ["o_orderkey"])
+    files_before = len(t.data_files())
+    _d, pos_before, eq_before = t._plan_files()
+    if not pos_before or not eq_before:
+        raise AssertionError("setup: expected both delete families live")
+    stats = t.compact(spark, target_file_bytes=1 << 30)
+    _d2, pos_after, eq_after = t._plan_files()
+    if pos_after or eq_after:
+        raise AssertionError(
+            f"compact left delete files: pos={len(pos_after)} "
+            f"eq={len(eq_after)}")
+    if not len(t.data_files()) < files_before:
+        raise AssertionError(
+            f"compact did not shrink the table: {len(t.data_files())} vs "
+            f"{files_before} files (rewrote {stats['rewritten_data_files']})")
+    return (t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+                 F.countDistinct("o_custkey").cast("long").alias("n_cust"))
+            .orderBy("o_orderstatus"))
+
+
+SQL_ICEBERG_COMPACTION = """
+WITH final AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_custkey % 5 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS price
+  FROM orders
+  WHERE o_custkey % 5 = 0 OR o_orderkey % 10 <> 0
+)
+SELECT o_orderstatus, cast(count(*) AS bigint) AS n_rows,
+       round(sum(price), 2) AS sum_price,
+       cast(count(DISTINCT o_custkey) AS bigint) AS n_cust
+FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_delta_log_versions(spark: SparkSession, sf: str) -> DataFrame:
     """Pure-Python Delta Lake protocol (dcspark/deltalog.py): customer lands
     in a real Delta table (hive-partitioned on c_mktsegment, partition
@@ -4198,6 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_upsert_merge": q_iceberg_upsert_merge,
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "iceberg_sort_order": q_iceberg_sort_order,
+        "iceberg_compaction": q_iceberg_compaction,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4290,6 +4359,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_upsert_merge": SQL_ICEBERG_UPSERT_MERGE,
         "iceberg_schema_evolution": SQL_ICEBERG_SCHEMA_EVOLUTION,
         "iceberg_sort_order": SQL_ICEBERG_SORT_ORDER,
+        "iceberg_compaction": SQL_ICEBERG_COMPACTION,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
