@@ -196,6 +196,23 @@ def cmd_iceberg(args: argparse.Namespace) -> int:
         print(f"expired {out['snapshots_removed']} snapshots, "
               f"deleted {out['files_deleted']} files")
         return 0
+    if args.action == "refs":
+        for name, r in sorted(t.refs().items()):
+            print(f"{name}  type={r.get('type')}  "
+                  f"snapshot={r.get('snapshot-id')}")
+        return 0
+    if args.action == "tag":
+        sid = t.create_tag(args.name, snapshot_id=args.snapshot_id)
+        print(f"tag {args.name} -> {sid}")
+        return 0
+    if args.action == "branch":
+        sid = t.create_branch(args.name, snapshot_id=args.snapshot_id)
+        print(f"branch {args.name} -> {sid}")
+        return 0
+    if args.action == "publish":
+        sid = t.fast_forward("main", args.name)
+        print(f"main fast-forwarded to {args.name} ({sid})")
+        return 0
     if args.action == "compact":
         spark = _build_spark(args.master, args.shuffle_partitions)
         out = t.compact(spark,
@@ -1177,7 +1194,10 @@ def main(argv: Optional[list] = None) -> int:
     ice = sub.add_parser(
         "iceberg", help="Iceberg table maintenance (pure-Python format)")
     ice.add_argument("action", choices=["snapshots", "files", "stats",
-                                        "expire", "compact"])
+                                        "expire", "compact", "refs", "tag",
+                                        "branch", "publish"])
+    ice.add_argument("--name", default=None,
+                     help="tag/branch/publish: the ref name")
     ice.add_argument("--table", required=True, help="table root directory")
     ice.add_argument("--keep-last", type=int, default=2,
                      help="expire: retain this many newest snapshots")

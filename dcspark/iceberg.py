@@ -1232,6 +1232,7 @@ class IcebergTable:
     def _new_snapshot(
         self, md: dict, manifests: List[dict], operation: str,
         added_files: int, added_rows: int, ts_ms: int,
+        parent_id: Optional[int] = None,
     ) -> dict:
         seq = md.get("last-sequence-number", 0) + 1
         snap_id = int(_uuid.uuid4().int % (1 << 62)) + 1
@@ -1259,7 +1260,8 @@ class IcebergTable:
                 "total-data-files": str(total_files),
             },
         }
-        parent = md.get("current-snapshot-id")
+        parent = (parent_id if parent_id is not None
+                  else md.get("current-snapshot-id"))
         if parent and parent != -1:
             snap["parent-snapshot-id"] = parent
         return snap
@@ -1332,8 +1334,13 @@ class IcebergTable:
             "partitions": None,
         }
 
-    def _existing_manifests(self, md: dict) -> List[dict]:
-        snap_id = md.get("current-snapshot-id")
+    def _existing_manifests(self, md: dict,
+                            branch: Optional[str] = None) -> List[dict]:
+        if branch and branch != "main":
+            r = md.get("refs", {}).get(branch)
+            snap_id = r["snapshot-id"] if r else None
+        else:
+            snap_id = md.get("current-snapshot-id")
         if not snap_id or snap_id == -1:
             return []
         for s in md.get("snapshots", []):
@@ -1373,20 +1380,28 @@ class IcebergTable:
         _schema, rows = parse_container(data)
         return emb, list(rows)
 
-    def _apply_commit(self, md: dict, snap: dict, ts_ms: int) -> None:
+    def _apply_commit(self, md: dict, snap: dict, ts_ms: int,
+                      branch: Optional[str] = None) -> None:
         v = self._version()
         md = dict(md)
         md["last-sequence-number"] = snap["sequence-number"]
         md["last-updated-ms"] = ts_ms
-        md["current-snapshot-id"] = snap["snapshot-id"]
         md["snapshots"] = list(md.get("snapshots", [])) + [snap]
-        md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
-            {"timestamp-ms": ts_ms, "snapshot-id": snap["snapshot-id"]}]
         md["metadata-log"] = list(md.get("metadata-log", [])) + [
             {"timestamp-ms": ts_ms,
              "metadata-file": "file://" + self._meta_path(v)}]
-        md["refs"] = {"main": {"snapshot-id": snap["snapshot-id"],
-                               "type": "branch"}}
+        refs = dict(md.get("refs") or {})
+        if branch is None or branch == "main":
+            # main advances: current pointer + the spec's snapshot-log
+            md["current-snapshot-id"] = snap["snapshot-id"]
+            md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
+                {"timestamp-ms": ts_ms, "snapshot-id": snap["snapshot-id"]}]
+            refs["main"] = {"snapshot-id": snap["snapshot-id"],
+                            "type": "branch"}
+        else:
+            refs[branch] = {"snapshot-id": snap["snapshot-id"],
+                            "type": "branch"}
+        md["refs"] = refs
         self._commit_metadata(md, expected_version=v)
 
     def _check_schema(self, df: DataFrame) -> None:
@@ -1399,9 +1414,23 @@ class IcebergTable:
                 "append schema mismatch (schema evolution is a documented "
                 f"seam): table={wantn} df={gotn}")
 
-    def append(self, df: DataFrame) -> int:
-        """Append `df` as a new snapshot; returns the snapshot id."""
+    def append(self, df: DataFrame, branch: Optional[str] = None) -> int:
+        """Append `df` as a new snapshot; returns the snapshot id.
+
+        ``branch``: commit to a named branch instead of main (create it
+        with `create_branch` first) — the write-audit-publish pattern: land
+        data on an audit branch, run the contract engine over
+        ``read(ref=branch)``, and `fast_forward("main", branch)` only when
+        the run is green. Main readers never see unaudited rows."""
         md = self.metadata()
+        if branch and branch != "main":
+            r = md.get("refs", {}).get(branch)
+            if r is None or r.get("type") != "branch":
+                raise ValueError(
+                    f"unknown branch {branch!r} — create_branch first")
+            parent_id: Optional[int] = r["snapshot-id"]
+        else:
+            parent_id = None
         self._check_schema(df)
         ts = _now_ms(df.sparkSession)
         new_files = self._write_data_files(df, md)
@@ -1409,9 +1438,10 @@ class IcebergTable:
         snap_id = None
         entries = [{"status": 1, "data_file": f} for f in new_files]
         # carry prior manifests forward untouched (fast append)
-        manifests = self._existing_manifests(md)
+        manifests = self._existing_manifests(md, branch)
         snap = self._new_snapshot(md, manifests, "append", len(new_files),
-                                  sum(f["record_count"] for f in new_files), ts)
+                                  sum(f["record_count"] for f in new_files),
+                                  ts, parent_id=parent_id)
         snap_id = snap["snapshot-id"]
         new_manifest = self._write_manifest(md, entries, snap_id, seq, content=0)
         all_manifests = [new_manifest] + manifests
@@ -1428,7 +1458,7 @@ class IcebergTable:
         snap["summary"]["total-records"] = str(
             sum(m["added_rows_count"] + m["existing_rows_count"]
                 for m in all_manifests if m["content"] == 0))
-        self._apply_commit(md, snap, ts)
+        self._apply_commit(md, snap, ts, branch=branch)
         return snap_id
 
     def overwrite(self, df: DataFrame) -> int:
@@ -1801,11 +1831,104 @@ class IcebergTable:
             cols.append(c)
         return cols
 
+    # -- branches and tags (spec: refs) ---------------------------------------
+
+    def refs(self) -> Dict[str, dict]:
+        return dict(self.metadata().get("refs") or {})
+
+    def _create_ref(self, name: str, kind: str,
+                    snapshot_id: Optional[int]) -> int:
+        md = self.metadata()
+        if name in (md.get("refs") or {}):
+            raise ValueError(f"ref {name!r} already exists")
+        snap = self._resolve_snapshot(md, snapshot_id, None)
+        if snap is None:
+            raise ValueError("cannot create a ref on an empty table")
+        new_md = dict(md)
+        new_md["refs"] = {**(md.get("refs") or {}),
+                          name: {"snapshot-id": snap["snapshot-id"],
+                                 "type": kind}}
+        new_md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
+        self._commit_metadata(new_md, expected_version=self._version())
+        return snap["snapshot-id"]
+
+    def create_tag(self, name: str,
+                   snapshot_id: Optional[int] = None) -> int:
+        """Immutable named pointer to a snapshot (spec refs, type=tag) —
+        e.g. tag the snapshot a model was trained on. Returns its id."""
+        return self._create_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str,
+                      snapshot_id: Optional[int] = None) -> int:
+        """Named mutable line of history (spec refs, type=branch), starting
+        at `snapshot_id` (default: current main head). `append(df,
+        branch=name)` advances it without touching main."""
+        return self._create_ref(name, "branch", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop the main branch")
+        md = self.metadata()
+        refs = dict(md.get("refs") or {})
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        del refs[name]
+        new_md = dict(md)
+        new_md["refs"] = refs
+        new_md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
+        self._commit_metadata(new_md, expected_version=self._version())
+
+    def fast_forward(self, to_ref: str, from_ref: str) -> int:
+        """Advance branch ``to_ref`` to ``from_ref``'s head — the PUBLISH
+        step of write-audit-publish. Refused unless ``to_ref``'s head is an
+        ancestor of ``from_ref``'s head (no history rewrite; a diverged
+        branch needs an explicit overwrite instead). Metadata-only; the
+        audited data files are served to main readers with zero rewrites.
+        Returns the new head snapshot id."""
+        md = self.metadata()
+        refs = dict(md.get("refs") or {})
+        src = refs.get(from_ref)
+        dst = refs.get(to_ref)
+        if src is None:
+            raise ValueError(f"unknown ref {from_ref!r}")
+        if dst is None:
+            raise ValueError(f"unknown ref {to_ref!r}")
+        if dst.get("type") != "branch":
+            raise ValueError(f"{to_ref!r} is a tag — tags never move")
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        cur = src["snapshot-id"]
+        ancestors = set()
+        while cur is not None and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent-snapshot-id")
+        head = src["snapshot-id"]
+        if dst["snapshot-id"] not in ancestors:
+            raise ValueError(
+                f"{to_ref!r} ({dst['snapshot-id']}) is not an ancestor of "
+                f"{from_ref!r} ({head}) — fast-forward impossible")
+        refs[to_ref] = {"snapshot-id": head, "type": "branch"}
+        new_md = dict(md)
+        new_md["refs"] = refs
+        new_md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
+        if to_ref == "main":
+            new_md["current-snapshot-id"] = head
+            new_md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
+                {"timestamp-ms": new_md["last-updated-ms"],
+                 "snapshot-id": head}]
+        self._commit_metadata(new_md, expected_version=self._version())
+        return head
+
     # -- read path ----------------------------------------------------------
 
     def _resolve_snapshot(self, md: dict, snapshot_id: Optional[int],
-                          as_of_ms: Optional[int]) -> Optional[dict]:
+                          as_of_ms: Optional[int],
+                          ref: Optional[str] = None) -> Optional[dict]:
         snaps = md.get("snapshots", [])
+        if ref is not None:
+            r = md.get("refs", {}).get(ref)
+            if r is None:
+                raise ValueError(f"unknown ref {ref!r}")
+            snapshot_id = r["snapshot-id"]
         if snapshot_id is not None:
             for s in snaps:
                 if s["snapshot-id"] == snapshot_id:
@@ -1859,6 +1982,7 @@ class IcebergTable:
         as_of_ms: Optional[int] = None,
         partition_filter: Optional[Dict[str, Any]] = None,
         column_filter: Optional[Sequence[Tuple[str, str, Any]]] = None,
+        ref: Optional[str] = None,
     ) -> Tuple[List[dict], List[str], List[dict]]:
         """-> (data entries, position-delete paths, equality-delete entries).
 
@@ -1877,7 +2001,7 @@ class IcebergTable:
         being opened. Both are O(#files) metadata work.
         """
         md = self.metadata()
-        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms)
+        snap = self._resolve_snapshot(md, snapshot_id, as_of_ms, ref=ref)
         if snap is None:
             return [], [], []
         keep = self._partition_keep_fn(md, partition_filter)
@@ -1980,7 +2104,15 @@ class IcebergTable:
             raise ValueError("keep_last must be >= 1")
         if len(snaps) <= keep_last:
             return {"snapshots_removed": 0, "files_deleted": 0}
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        # every ref head (tag or branch) is protected regardless of age
+        ref_heads = {r["snapshot-id"]
+                     for r in (md.get("refs") or {}).values()}
+        keep = [s for s in snaps
+                if s in snaps[-keep_last:]
+                or s["snapshot-id"] in ref_heads]
+        drop = [s for s in snaps if s not in keep]
+        if not drop:
+            return {"snapshots_removed": 0, "files_deleted": 0}
         kept_manifests: set = set()
         kept_files: set = set()
         for s in keep:
@@ -2357,6 +2489,7 @@ class IcebergTable:
         as_of_ms: Optional[int] = None,
         partition_filter: Optional[Dict[str, Any]] = None,
         where: Optional[Sequence[Tuple[str, str, Any]]] = None,
+        ref: Optional[str] = None,
     ) -> DataFrame:
         """The table as a DataFrame: snapshot-scoped file list -> one parquet
         scan per write-time schema (projected to the current schema by
@@ -2372,7 +2505,8 @@ class IcebergTable:
         stats could prune. At 10^12 rows this is the difference between
         scanning a time/range slice and scanning the table."""
         data, pos_deletes, eq_entries = self._plan_files(
-            snapshot_id, as_of_ms, partition_filter, column_filter=where)
+            snapshot_id, as_of_ms, partition_filter, column_filter=where,
+            ref=ref)
         if not data:
             return spark.createDataFrame([], self.spark_schema())
         current = self._current_schema(self.metadata())
