@@ -4210,6 +4210,81 @@ ORDER BY version
 """
 
 
+def q_iceberg_refs_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """Branches + tags and write-audit-publish (dcspark/iceberg.py refs):
+    orders' stable slice lands on main, the head is tagged, a staging slice
+    is appended to an AUDIT branch — the query asserts main's pointer and
+    visible rows are untouched by branch commits — then fast_forward
+    publishes. The publish must be metadata-only (zero data files added or
+    rewritten by the pointer move, asserted on the file list) and the tag
+    must keep serving the pre-publish snapshot. Five scoped aggregates
+    (main/audit/tag before, main/tag after) hash against a DuckDB oracle
+    that reproduces each ref's row set by slice algebra — a branch commit
+    bleeding into main, a tag drifting, or a publish rewriting files all
+    break the query, not just a benchmark."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icerefs_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    stable = orders.filter(F.col("o_orderkey") % 4 != 0)
+    staged = orders.filter(F.col("o_orderkey") % 4 == 0)
+    t = IcebergTable.create(out, orders.schema)
+    t.append(stable)
+    main_head = t.current_snapshot_id()
+    t.create_tag("train-v1")
+    t.create_branch("audit")
+    t.append(staged, branch="audit")
+    if t.current_snapshot_id() != main_head:
+        raise AssertionError("branch commit moved main's pointer")
+
+    def probe(name, **kw):
+        return (t.read(spark, **kw).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        ).select(F.lit(name).alias("probe"), "n_rows", "sum_price"))
+
+    frames = [probe("1_pre_main"),
+              probe("2_pre_audit", ref="audit"),
+              probe("3_pre_tag", ref="train-v1")]
+    files_before = set(t.data_files(ref="audit"))
+    t.fast_forward("main", "audit")
+    files_after = set(t.data_files())
+    if files_after != files_before:
+        raise AssertionError(
+            "publish was not metadata-only: file list changed "
+            f"({len(files_before)} -> {len(files_after)})")
+    frames += [probe("4_post_main"), probe("5_post_tag", ref="train-v1")]
+    outdf = frames[0]
+    for fdf in frames[1:]:
+        outdf = outdf.unionByName(fdf)
+    return outdf.orderBy("probe")
+
+
+SQL_ICEBERG_REFS_WAP = """
+WITH stable AS (
+  SELECT cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS s
+  FROM orders WHERE o_orderkey % 4 <> 0
+), full_t AS (
+  SELECT cast(count(*) AS bigint) AS n, round(sum(o_totalprice), 2) AS s
+  FROM orders
+)
+SELECT '1_pre_main' AS probe, n AS n_rows, s AS sum_price FROM stable
+UNION ALL SELECT '2_pre_audit', n, s FROM full_t
+UNION ALL SELECT '3_pre_tag', n, s FROM stable
+UNION ALL SELECT '4_post_main', n, s FROM full_t
+UNION ALL SELECT '5_post_tag', n, s FROM stable
+ORDER BY probe
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -4267,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_schema_evolution": q_iceberg_schema_evolution,
         "iceberg_sort_order": q_iceberg_sort_order,
         "iceberg_compaction": q_iceberg_compaction,
+        "iceberg_refs_wap": q_iceberg_refs_wap,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4360,6 +4436,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_schema_evolution": SQL_ICEBERG_SCHEMA_EVOLUTION,
         "iceberg_sort_order": SQL_ICEBERG_SORT_ORDER,
         "iceberg_compaction": SQL_ICEBERG_COMPACTION,
+        "iceberg_refs_wap": SQL_ICEBERG_REFS_WAP,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
