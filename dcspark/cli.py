@@ -196,6 +196,13 @@ def cmd_iceberg(args: argparse.Namespace) -> int:
         print(f"expired {out['snapshots_removed']} snapshots, "
               f"deleted {out['files_deleted']} files")
         return 0
+    if args.action == "orphans":
+        out = t.remove_orphan_files(older_than_ms=args.older_than_ms,
+                                    dry_run=args.dry_run)
+        verb = "would remove" if args.dry_run else "removed"
+        print(f"{verb} {out['orphans_removed']} orphan files "
+              f"(scanned {out['files_scanned']})")
+        return 0
     if args.action == "refs":
         for name, r in sorted(t.refs().items()):
             print(f"{name}  type={r.get('type')}  "
@@ -389,6 +396,45 @@ def cmd_test(args: argparse.Namespace) -> int:
             ).write.mode("overwrite").parquet(
                 f"{args.quarantine_path}/{model_name}")
     return exit_code(result.run)
+
+
+def cmd_wap(args: argparse.Namespace) -> int:
+    """Write-audit-publish one batch into an Iceberg table (dcspark/wap.py):
+    the batch lands on the audit branch, the contract run gates the
+    metadata-only publish to main; a red batch quarantines instead."""
+    from .engine import ValidationConfig
+    from .io import load_tables
+    from .output import print_console
+    from .spec import DataContractSpecification
+    from .wap import wap_append
+
+    spec = DataContractSpecification.from_file(args.contract)
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    df = spark.read.parquet(args.input)
+    model_name = args.model or next(iter(spec.models))
+    static = None
+    if args.static_path:
+        tables = load_tables(spark, spec, server_name=None,
+                             base_path=args.static_path)
+        static = {k: v for k, v in tables.items() if k != model_name}
+    cfg = ValidationConfig(
+        ref_stats=_load_ref_stats(spark, spec, args.ref_stats)
+        if args.ref_stats else {})
+    out = wap_append(spark, spec, args.table, df, model_name,
+                     branch=args.branch, static_tables=static,
+                     config=cfg, quarantine_sink=args.quarantine)
+    if out.result is not None:
+        print_console(out.result.run)
+    if out.published:
+        print(f"PUBLISHED {out.rows} rows -> main head {out.main_head}")
+        return 0
+    if out.rows == 0:
+        print("empty batch — nothing to do")
+        return 0
+    print(f"REJECTED {out.rows} rows (audit snapshot {out.snapshot_id}; "
+          f"quarantined {out.quarantined_rows}); failed: "
+          + ", ".join(out.failed_checks))
+    return 1
 
 
 def cmd_profile(args: argparse.Namespace) -> int:
@@ -1195,9 +1241,14 @@ def main(argv: Optional[list] = None) -> int:
         "iceberg", help="Iceberg table maintenance (pure-Python format)")
     ice.add_argument("action", choices=["snapshots", "files", "stats",
                                         "expire", "compact", "refs", "tag",
-                                        "branch", "publish"])
+                                        "branch", "publish", "orphans"])
     ice.add_argument("--name", default=None,
                      help="tag/branch/publish: the ref name")
+    ice.add_argument("--older-than-ms", type=int, default=None,
+                     help="orphans: only files with mtime before this "
+                          "epoch-ms cutoff (protects in-flight writers)")
+    ice.add_argument("--dry-run", action="store_true",
+                     help="orphans: report without deleting")
     ice.add_argument("--table", required=True, help="table root directory")
     ice.add_argument("--keep-last", type=int, default=2,
                      help="expire: retain this many newest snapshots")
@@ -1210,6 +1261,25 @@ def main(argv: Optional[list] = None) -> int:
     ice.add_argument("--where", default=None,
                      help="files: prune via manifest column stats, e.g. "
                           "\"dur_ms >= 200 AND clip_id < 'clip_01'\"")
+
+    wp = sub.add_parser(
+        "wap", help="write-audit-publish a batch into an Iceberg table "
+                    "(contract run gates the publish)")
+    wp.add_argument("contract")
+    wp.add_argument("--table", required=True, help="Iceberg table root")
+    wp.add_argument("--input", required=True, help="batch parquet path")
+    wp.add_argument("--model", default=None,
+                    help="contract model the batch lands as (default: first)")
+    wp.add_argument("--branch", default="audit")
+    wp.add_argument("--quarantine", default=None,
+                    help="append rejected batches to this parquet path")
+    wp.add_argument("--static-path", default=None,
+                    help="dir of {model}.parquet for the contract's other "
+                         "models (e.g. the referential-integrity parent)")
+    wp.add_argument("--ref-stats", default=None,
+                    help="drift reference snapshot dir (see snapshot)")
+    wp.add_argument("--master", default=None)
+    wp.add_argument("--shuffle-partitions", type=int, default=None)
 
     pr = sub.add_parser("profile", help="one-scan column statistics per model")
     pr.add_argument("contract")
@@ -1567,6 +1637,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_test(args)
     if args.command == "iceberg":
         return cmd_iceberg(args)
+    if args.command == "wap":
+        return cmd_wap(args)
     if args.command == "snapshot":
         return cmd_snapshot(args)
     if args.command == "profile":

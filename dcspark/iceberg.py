@@ -991,7 +991,9 @@ class IcebergTable:
         return list(self.metadata().get("snapshots", []))
 
     def current_snapshot_id(self) -> Optional[int]:
-        return self.metadata().get("current-snapshot-id") or None
+        cur = self.metadata().get("current-snapshot-id")
+        # the spec writes -1 for "no current snapshot" (fresh table)
+        return None if cur is None or cur == -1 else cur
 
     def _field_id_types(self, md: dict) -> Dict[str, Tuple[int, str]]:
         """Top-level primitive columns of the current schema as
@@ -2090,9 +2092,11 @@ class IcebergTable:
         return [e["path"] for e in out] if _paths_only else out
 
     def expire_snapshots(self, keep_last: int = 1) -> Dict[str, int]:
-        """Table maintenance: drop all but the newest `keep_last` snapshots
-        and physically delete files no retained snapshot references
-        (manifest lists, manifests, data + delete files). Returns counts.
+        """Table maintenance: drop all but the newest `keep_last`
+        ref-reachable snapshots — plus EVERY snapshot no ref can reach,
+        whatever its age — and physically delete files no retained snapshot
+        references (manifest lists, manifests, data + delete files).
+        Ref heads themselves never expire. Returns counts.
 
         The reachability walk is metadata-only (O(#files), driver-side,
         same as a catalog's expire action); time-travel to an expired
@@ -2102,15 +2106,28 @@ class IcebergTable:
         snaps = list(md.get("snapshots", []))
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        if len(snaps) <= keep_last:
-            return {"snapshots_removed": 0, "files_deleted": 0}
-        # every ref head (tag or branch) is protected regardless of age
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        # every ref head (tag or branch) is protected regardless of age;
+        # so is anything REACHABLE from a ref head within the keep window.
+        # Snapshots no ref can reach (e.g. audit-branch commits whose ref
+        # was dropped after a red write-audit-publish run) are expirable
+        # immediately, regardless of recency — Iceberg's retention rule.
         ref_heads = {r["snapshot-id"]
                      for r in (md.get("refs") or {}).values()}
-        keep = [s for s in snaps
-                if s in snaps[-keep_last:]
-                or s["snapshot-id"] in ref_heads]
-        drop = [s for s in snaps if s not in keep]
+        cur_id = md.get("current-snapshot-id")
+        if cur_id and cur_id != -1:  # legacy tables without a refs map
+            ref_heads.add(cur_id)
+        reachable: set = set()
+        for h in ref_heads:
+            cur = h
+            while cur is not None and cur in by_id and cur not in reachable:
+                reachable.add(cur)
+                cur = by_id[cur].get("parent-snapshot-id")
+        reach_list = [s for s in snaps if s["snapshot-id"] in reachable]
+        keep_ids = ({s["snapshot-id"] for s in reach_list[-keep_last:]}
+                    | (ref_heads & set(by_id)))
+        keep = [s for s in snaps if s["snapshot-id"] in keep_ids]
+        drop = [s for s in snaps if s["snapshot-id"] not in keep_ids]
         if not drop:
             return {"snapshots_removed": 0, "files_deleted": 0}
         kept_manifests: set = set()
@@ -2146,6 +2163,52 @@ class IcebergTable:
             if e["snapshot-id"] in kept_ids]
         self._commit_metadata(new_md, expected_version=self._version())
         return {"snapshots_removed": len(drop), "files_deleted": deleted}
+
+    def remove_orphan_files(self, older_than_ms: Optional[int] = None,
+                            dry_run: bool = False) -> Dict[str, int]:
+        """Delete files under data/ that NO snapshot references — the
+        complement of `expire_snapshots`: expiry reclaims files whose
+        snapshots were dropped; orphans were never committed at all
+        (crashed writers' staging leftovers, or data files of expired
+        audit-branch snapshots a concurrent crash detached). The walk is
+        metadata-vs-filesystem set difference, O(#files), driver-side.
+
+        `older_than_ms` (epoch millis, on file mtime) protects files a
+        live writer staged but has not yet committed; pass None only when
+        no writer can be in flight (tests, offline maintenance windows).
+        """
+        md = self.metadata()
+        referenced: set = set()
+        for s in md.get("snapshots", []):
+            for m in self._read_manifest_list(s["manifest-list"]):
+                for e in self._read_manifest(m["manifest_path"]):
+                    referenced.add(
+                        os.path.abspath(
+                            self._local(e["data_file"]["file_path"])))
+        scanned = 0
+        removed = 0
+        empty_dirs = []
+        for root, dirs, files in os.walk(self.data_dir, topdown=False):
+            for name in files:
+                p = os.path.abspath(os.path.join(root, name))
+                scanned += 1
+                if p in referenced:
+                    continue
+                if older_than_ms is not None and \
+                        os.path.getmtime(p) * 1000.0 > older_than_ms:
+                    continue
+                if not dry_run:
+                    os.unlink(p)
+                removed += 1
+            if root != self.data_dir and not os.listdir(root):
+                empty_dirs.append(root)
+        if not dry_run:
+            for d in empty_dirs:
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    pass
+        return {"files_scanned": scanned, "orphans_removed": removed}
 
     def compact(
         self,

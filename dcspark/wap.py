@@ -1,0 +1,200 @@
+"""Write-audit-publish ingestion: contract-gated Iceberg commits.
+
+The reference validates tables in place (`datacontract test` reads a
+configured server and reports; /root/reference/datacontract/cli.py `test`)
+— it has no way to stop a bad batch from becoming visible in the first
+place. This module closes that loop using the Iceberg `refs` machinery
+(dcspark/iceberg.py): every incoming batch lands on an AUDIT branch, the
+contract engine validates ONLY the branch increment, and the batch becomes
+visible on main via an atomic, metadata-only fast-forward iff the run is
+green. Main readers never observe unaudited rows, and a red batch needs no
+rollback of main because it never reached main.
+
+Scale shape: the audit run scans exactly the increment's data files
+(`read_incremental` plans manifests by sequence number — already-published
+history is never rescanned), publish moves a pointer (zero data rewrites
+at any table size), and a red batch's files are reclaimed by the normal
+retention pair `expire_snapshots` (its snapshot is ref-unreachable once
+the branch resets) + `remove_orphan_files`.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, List, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .engine import ValidationConfig, ValidationResult, validate
+from .iceberg import IcebergTable
+from .run_model import ResultEnum
+from .spec import DataContractSpecification
+
+
+@dataclass
+class WapOutcome:
+    """One batch's trip through write-audit-publish."""
+
+    published: bool
+    result: Optional[ValidationResult]  # None for an empty batch
+    snapshot_id: Optional[int]          # branch snapshot the batch landed as
+    main_head: Optional[int]            # main's head AFTER this batch
+    rows: int = 0
+    failed_checks: List[str] = dc_field(default_factory=list)
+    quarantined_rows: int = 0
+
+
+def _failed_keys(result: ValidationResult) -> List[str]:
+    return [c.key for c in result.run.checks
+            if c.result in (ResultEnum.failed, ResultEnum.error)]
+
+
+def wap_append(
+    spark: SparkSession,
+    spec: DataContractSpecification,
+    table: Union[IcebergTable, str],
+    df: DataFrame,
+    model_name: str,
+    branch: str = "audit",
+    static_tables: Optional[Dict[str, DataFrame]] = None,
+    config: Optional[ValidationConfig] = None,
+    quarantine_sink: Optional[str] = None,
+) -> WapOutcome:
+    """Land `df` on the audit branch, validate the increment, publish iff
+    the contract run passes.
+
+    Green path: append to `branch` -> validate the branch-over-main
+    increment (plus `static_tables`, e.g. the transcripts reference) ->
+    `fast_forward("main", branch)`. Red path: main is untouched, the
+    branch is reset to main's head so the bad snapshot becomes
+    ref-unreachable (expirable), and the increment is appended to
+    `quarantine_sink` (parquet) when given.
+
+    Bootstrap: an empty table has no snapshot to branch from, so the first
+    batch validates standalone and appends straight to main when green.
+
+    Single-writer per table, like every Iceberg commit path here (the
+    metadata commit is version-checked); foreachBatch serializes batches,
+    so `wap_stream` satisfies this by construction.
+    """
+    t = table if isinstance(table, IcebergTable) else IcebergTable(table)
+    n = df.count()
+    if n == 0:
+        return WapOutcome(published=False, result=None, snapshot_id=None,
+                          main_head=t.current_snapshot_id(), rows=0)
+    tables: Dict[str, DataFrame] = {model_name: df}
+    if static_tables:
+        tables.update(static_tables)
+
+    main_head = t.current_snapshot_id()
+    if main_head is None:
+        # bootstrap: nothing to branch from; audit the batch standalone
+        result = validate(spark, spec, tables, config)
+        if result.run.result == ResultEnum.passed:
+            sid = t.append(df)
+            return WapOutcome(published=True, result=result,
+                              snapshot_id=sid, main_head=sid, rows=n)
+        q = _quarantine(df, quarantine_sink)
+        return WapOutcome(published=False, result=result, snapshot_id=None,
+                          main_head=None, rows=n,
+                          failed_checks=_failed_keys(result),
+                          quarantined_rows=q)
+
+    # the audit branch is ephemeral per batch: (re)point it at main's head
+    refs = t.refs()
+    r = refs.get(branch)
+    if r is None:
+        t.create_branch(branch)
+    elif r.get("type") != "branch":
+        raise ValueError(f"{branch!r} is a tag — WAP needs a branch")
+    elif r["snapshot-id"] != main_head:
+        t.drop_ref(branch)
+        t.create_branch(branch)
+
+    branch_head = t.append(df, branch=branch)
+    inc = t.read_incremental(spark, main_head, to_snapshot_id=branch_head)
+    tables[model_name] = inc  # validate what actually landed, not the input
+    result = validate(spark, spec, tables, config)
+    if result.run.result == ResultEnum.passed:
+        head = t.fast_forward("main", branch)
+        return WapOutcome(published=True, result=result,
+                          snapshot_id=branch_head, main_head=head, rows=n)
+    q = _quarantine(inc, quarantine_sink)
+    # reset: the red snapshot stays readable by id for debugging but is
+    # ref-unreachable, so the next expire_snapshots reclaims it
+    t.drop_ref(branch)
+    t.create_branch(branch)
+    return WapOutcome(published=False, result=result,
+                      snapshot_id=branch_head, main_head=main_head, rows=n,
+                      failed_checks=_failed_keys(result),
+                      quarantined_rows=q)
+
+
+def _quarantine(df: DataFrame, sink: Optional[str]) -> int:
+    if sink is None:
+        return 0
+    df.write.mode("append").parquet(sink)
+    return df.count()
+
+
+@dataclass
+class WapStream:
+    """Handle for a running WAP ingestion stream."""
+
+    query: "object"  # StreamingQuery
+    outcomes: List[WapOutcome] = dc_field(default_factory=list)
+    _lock: threading.Lock = dc_field(default_factory=threading.Lock)
+
+    def stop(self) -> None:
+        self.query.stop()
+
+    def await_batches(self, count: int, timeout_s: float = 120.0) -> bool:
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            with self._lock:
+                if len(self.outcomes) >= count:
+                    return True
+            time.sleep(0.2)
+        return False
+
+
+def wap_stream(
+    spark: SparkSession,
+    spec: DataContractSpecification,
+    table: Union[IcebergTable, str],
+    stream_df: DataFrame,
+    model_name: str,
+    branch: str = "audit",
+    static_tables: Optional[Dict[str, DataFrame]] = None,
+    config: Optional[ValidationConfig] = None,
+    quarantine_sink: Optional[str] = None,
+    checkpoint_location: Optional[str] = None,
+) -> WapStream:
+    """Continuous contract-gated ingestion: every micro-batch rides
+    `wap_append`, so main only ever advances by audited batches while the
+    stream keeps flowing past red ones (they quarantine instead of
+    poisoning the table or killing the query).
+
+    foreachBatch runs batches strictly in sequence, which is exactly the
+    single-writer discipline the Iceberg commit path wants; the streaming
+    checkpoint gives at-least-once per batch, and a replayed batch that
+    already published simply re-validates identical rows.
+    """
+    t = table if isinstance(table, IcebergTable) else IcebergTable(table)
+    handle = WapStream(query=None)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = wap_append(spark, spec, t, batch_df, model_name,
+                         branch=branch, static_tables=static_tables,
+                         config=config, quarantine_sink=quarantine_sink)
+        with handle._lock:
+            handle.outcomes.append(out)
+
+    writer = stream_df.writeStream.foreachBatch(process_batch)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    handle.query = writer.start()
+    return handle
