@@ -4285,6 +4285,78 @@ ORDER BY probe
 """
 
 
+def q_wap_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """The write-audit-publish gate as a correctness property
+    (dcspark/wap.py wap_append): three orders batches ride the full
+    WAP loop against a live contract — batch 1 clean (bootstrap), batch 2
+    CORRUPTED (negated prices violate `minimum: 0`), batch 3 clean. The
+    gate must publish 1 and 3 and reject 2 (asserted, including main's
+    pointer standing still across the red batch); the published table and
+    the quarantine are then aggregated against a DuckDB oracle that
+    reproduces both from slice algebra. A row leaking past a red audit,
+    a lost green batch, or a quarantine mismatch all break the hash."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+    from dcspark.spec import DataContractSpecification, to_spark_schema
+    from dcspark.wap import wap_append
+
+    contract = """
+id: wap-gate
+models:
+  orders_t:
+    fields:
+      o_orderkey: {type: long, required: true, unique: true}
+      o_orderstatus: {type: string, enum: ["F", "O", "P"]}
+      o_totalprice: {type: double, minimum: 0}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    out = "/tmp/dcspark_wapgate_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b2 = (orders.filter(F.col("o_orderkey") % 3 == 1)
+          .withColumn("o_totalprice", -F.col("o_totalprice")))
+    b3 = orders.filter(F.col("o_orderkey") % 3 == 2)
+    t = IcebergTable.create(out + "/tbl",
+                            to_spark_schema(spec.models["orders_t"]))
+    quar = out + "/quarantine"
+    o1 = wap_append(spark, spec, t, b1, "orders_t", quarantine_sink=quar)
+    o2 = wap_append(spark, spec, t, b2, "orders_t", quarantine_sink=quar)
+    o3 = wap_append(spark, spec, t, b3, "orders_t", quarantine_sink=quar)
+    if not (o1.published and not o2.published and o3.published):
+        raise AssertionError(
+            f"gate verdicts wrong: {o1.published} {o2.published} "
+            f"{o3.published}")
+    if o2.main_head != o1.main_head:
+        raise AssertionError("red batch moved main's head")
+    main_agg = t.read(spark).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    ).select(F.lit("published").alias("side"), "n_rows", "sum_price")
+    quar_agg = spark.read.parquet(quar).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    ).select(F.lit("quarantined").alias("side"), "n_rows", "sum_price")
+    return main_agg.unionByName(quar_agg).orderBy("side")
+
+
+SQL_WAP_GATE = """
+SELECT 'published' AS side, cast(count(*) AS bigint) AS n_rows,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderkey % 3 <> 1
+UNION ALL
+SELECT 'quarantined', cast(count(*) AS bigint), round(sum(-o_totalprice), 2)
+FROM orders WHERE o_orderkey % 3 = 1
+ORDER BY side
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -4343,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_sort_order": q_iceberg_sort_order,
         "iceberg_compaction": q_iceberg_compaction,
         "iceberg_refs_wap": q_iceberg_refs_wap,
+        "wap_gate": q_wap_gate,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4437,6 +4510,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_sort_order": SQL_ICEBERG_SORT_ORDER,
         "iceberg_compaction": SQL_ICEBERG_COMPACTION,
         "iceberg_refs_wap": SQL_ICEBERG_REFS_WAP,
+        "wap_gate": SQL_WAP_GATE,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,
