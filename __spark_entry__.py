@@ -4357,6 +4357,79 @@ ORDER BY side
 """
 
 
+def q_iceberg_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition evolution without moving data (dcspark/iceberg.py
+    update_partition_spec): events lands identity-partitioned on
+    event_type, the spec evolves to bucket[8] on event_id (asserted
+    metadata-only: the file set is unchanged), and a second slice lands
+    under the new layout. Both partition filters must then prune — the
+    event_type filter against OLD files under their write spec, the
+    event_id filter against NEW files under theirs (each asserted) — while
+    three scoped aggregates stay exact against DuckDB running the same
+    predicates on the raw rows. Pruning a file that still held matching
+    rows breaks the hash; failing to prune breaks the assertions."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icepev_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    old_slice = ev.filter(F.col("event_id") % 2 == 0)
+    new_slice = ev.filter(F.col("event_id") % 2 == 1)
+    t = IcebergTable.create(out, ev.schema,
+                            partition_by=[("event_type", "identity")])
+    t.append(old_slice)
+    files_before = set(t.data_files())
+    t.update_partition_spec([("event_id", "bucket[8]")])
+    if set(t.data_files()) != files_before:
+        raise AssertionError("partition evolution moved data files")
+    t.append(new_slice)
+    total = len(t.data_files())
+    by_type = len(t.data_files(partition_filter={"event_type": "click"}))
+    by_bucket = len(t.data_files(partition_filter={"event_id": 11}))
+    if not (by_type < total and by_bucket < total):
+        raise AssertionError(
+            f"pruning regressed across specs: type {by_type}/{total}, "
+            f"bucket {by_bucket}/{total}")
+    probes = [
+        ("1_all", t.read(spark)),
+        ("2_type", t.read(spark, partition_filter={"event_type": "click"})
+         .filter(F.col("event_type") == "click")),
+        ("3_bucket", t.read(spark, partition_filter={"event_id": 11})
+         .filter(F.col("event_id") == 11)),
+    ]
+    frames = []
+    for name, df in probes:
+        frames.append(df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ).select(F.lit(name).alias("probe"), "n_rows", "sum_value"))
+    outdf = frames[0]
+    for fdf in frames[1:]:
+        outdf = outdf.unionByName(fdf)
+    return outdf.orderBy("probe")
+
+
+SQL_ICEBERG_PARTITION_EVOLUTION = """
+SELECT '1_all' AS probe, cast(count(*) AS bigint) AS n_rows,
+       round(sum(value), 2) AS sum_value
+FROM events
+UNION ALL
+SELECT '2_type', cast(count(*) AS bigint), round(sum(value), 2)
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT '3_bucket', cast(count(*) AS bigint), round(sum(value), 2)
+FROM events WHERE event_id = 11
+ORDER BY probe
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -4416,6 +4489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_compaction": q_iceberg_compaction,
         "iceberg_refs_wap": q_iceberg_refs_wap,
         "wap_gate": q_wap_gate,
+        "iceberg_partition_evolution": q_iceberg_partition_evolution,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4511,6 +4585,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_compaction": SQL_ICEBERG_COMPACTION,
         "iceberg_refs_wap": SQL_ICEBERG_REFS_WAP,
         "wap_gate": SQL_WAP_GATE,
+        "iceberg_partition_evolution": SQL_ICEBERG_PARTITION_EVOLUTION,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,

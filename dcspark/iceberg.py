@@ -1009,8 +1009,10 @@ class IcebergTable:
                     out[f["name"]] = (f["id"], f["type"])
         return out
 
-    def _spec_fields(self, md: dict) -> List[dict]:
-        spec_id = md.get("default-spec-id", 0)
+    def _spec_fields(self, md: dict,
+                     spec_id: Optional[int] = None) -> List[dict]:
+        if spec_id is None:
+            spec_id = md.get("default-spec-id", 0)
         for s in md.get("partition-specs", []):
             if s.get("spec-id") == spec_id:
                 return s.get("fields", [])
@@ -1218,11 +1220,18 @@ class IcebergTable:
         shutil.rmtree(staging, ignore_errors=True)
         return files
 
-    def _part_types(self, md: dict) -> List[Tuple[str, str]]:
-        spec_fields = self._spec_fields(md)
+    def _part_types(self, md: dict,
+                    spec_id: Optional[int] = None) -> List[Tuple[str, str]]:
+        spec_fields = self._spec_fields(md, spec_id)
         src_types = self._source_types(md)
         out = []
         for pf in spec_fields:
+            if pf["source-id"] not in src_types:
+                # source column dropped after this (non-default) spec was
+                # retired: keep the partition field name, type degrades to
+                # string — records in old manifests remain readable
+                out.append((pf["name"], "string"))
+                continue
             _n, dtype = src_types[pf["source-id"]]
             tr = Transform.parse(pf["transform"])
             rt = tr.result_spark_type(dtype)
@@ -1270,14 +1279,20 @@ class IcebergTable:
 
     def _write_manifest(self, md: dict, entries: List[dict], snap_id: int,
                         seq: int, content: int,
-                        embed_schema: Optional[dict] = None) -> dict:
+                        embed_schema: Optional[dict] = None,
+                        spec_id: Optional[int] = None) -> dict:
         """entries: list of (status, data_file) dicts -> manifest_file row.
 
         ``embed_schema`` overrides the embedded write-time table schema —
         required when REWRITING an old manifest (compaction): its surviving
         entries still point at files written under the OLD schema, and the
-        field-id projection at read time keys off this header."""
-        part_types = self._part_types(md)
+        field-id projection at read time keys off this header. ``spec_id``
+        likewise pins the manifest's PARTITION spec — surviving entries of
+        a pre-evolution manifest carry partition records in the old spec's
+        field names, and pruning interprets them by this id."""
+        if spec_id is None:
+            spec_id = md.get("default-spec-id", 0)
+        part_types = self._part_types(md, spec_id)
         schema = manifest_entry_schema(part_types)
         name = f"{_uuid.uuid4().hex}-m0.avro"
         path = os.path.join(self.meta_dir, name)
@@ -1310,7 +1325,7 @@ class IcebergTable:
         extra_meta = {
             "schema": json.dumps(embed_schema
                                  or self._current_schema(md)).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(spec_id).encode(),
             "format-version": b"2",
             "content": b"data" if content == 0 else b"deletes",
         }
@@ -1321,7 +1336,7 @@ class IcebergTable:
         return {
             "manifest_path": "file://" + path,
             "manifest_length": len(blob),
-            "partition_spec_id": 0,
+            "partition_spec_id": spec_id,
             "content": content,
             "sequence_number": seq,
             "min_sequence_number": min((e.get("sequence_number", seq)
@@ -1782,6 +1797,82 @@ class IcebergTable:
 
     # -- sort orders ----------------------------------------------------------
 
+    def update_partition_spec(
+        self, partition_by: Sequence[Tuple[str, str]]) -> int:
+        """Partition evolution as a metadata-only commit (spec "Partition
+        Evolution"): existing data files keep the layout and partition
+        records of the spec they were written under; only FUTURE writes
+        route by the new spec. No data moves — at 10^12 rows that is the
+        only affordable way to change a table's partitioning; `compact`
+        migrates old files to the new spec incrementally if wanted.
+
+        Reads plan both populations in one pass: each manifest records its
+        partition_spec_id and `partition_filter` pruning interprets every
+        file's partition record under the spec that wrote it, so a filter
+        keeps pruning new files even while old files (unprunable under the
+        new spec) are conservatively kept.
+
+        ``partition_by``: [(column, transform)] like `create`; [] makes
+        the table unpartitioned going forward. A (source, transform) pair
+        seen in any prior spec keeps its partition field-id and name, as
+        the spec requires. Returns the (possibly reused) spec id."""
+        md = self.metadata()
+        src_types = self._source_types(md)
+        by_name = {n: fid for fid, (n, _t) in src_types.items()}
+        prior: Dict[Tuple[int, str], Tuple[int, str]] = {}
+        used_names = set()
+        for s in md.get("partition-specs", []):
+            for f in s.get("fields", []):
+                prior[(f["source-id"], f["transform"])] = (f["field-id"],
+                                                           f["name"])
+                used_names.add(f["name"])
+        last_pid = md.get("last-partition-id", 999)
+        fields: List[dict] = []
+        for col, tr in partition_by:
+            if col not in by_name:
+                raise ValueError(f"partition column {col!r} not in schema")
+            transform = Transform.parse(tr)
+            key = (by_name[col], str(transform))
+            if key in prior:
+                fid, name = prior[key]
+            else:
+                suffix = {"identity": "", "bucket": "_bucket",
+                          "truncate": "_trunc", "year": "_year",
+                          "month": "_month", "day": "_day", "hour": "_hour",
+                          "void": "_null"}[transform.kind]
+                name = f"{col}{suffix}"
+                last_pid += 1
+                fid = last_pid
+                if name in used_names:  # same col, different bucket/trunc arg
+                    name = f"{name}_{fid}"
+                used_names.add(name)
+            fields.append({"source-id": key[0], "field-id": fid,
+                           "name": name, "transform": key[1]})
+
+        def sig(fs):
+            return tuple((f["source-id"], f["transform"]) for f in fs)
+
+        new_md = dict(md)
+        for s in md.get("partition-specs", []):
+            if sig(s.get("fields", [])) == sig(fields):
+                if s["spec-id"] == md.get("default-spec-id", 0):
+                    return s["spec-id"]  # already the default: no-op
+                new_md["default-spec-id"] = s["spec-id"]
+                new_md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
+                self._commit_metadata(new_md,
+                                      expected_version=self._version())
+                return s["spec-id"]
+        new_id = max((s["spec-id"] for s in md.get("partition-specs", [])),
+                     default=-1) + 1
+        new_md["partition-specs"] = list(md.get("partition-specs", [])) + [
+            {"spec-id": new_id, "fields": fields}]
+        new_md["default-spec-id"] = new_id
+        new_md["last-partition-id"] = max(last_pid,
+                                          md.get("last-partition-id", 999))
+        new_md["last-updated-ms"] = md.get("last-updated-ms", 0) + 1
+        self._commit_metadata(new_md, expected_version=self._version())
+        return new_id
+
     def _default_sort_fields(self, md: dict) -> Tuple[int, List[dict]]:
         soid = md.get("default-sort-order-id", 0)
         for so in md.get("sort-orders", []):
@@ -1953,18 +2044,26 @@ class IcebergTable:
         self, md: dict, partition_filter: Optional[Dict[str, Any]]
     ):
         """partition_filter (source column -> literal) -> predicate over a
-        manifest entry's stored partition record."""
-        spec_fields = self._spec_fields(md)
+        manifest entry's stored partition record. The predicate takes the
+        MANIFEST's partition_spec_id so that after partition evolution a
+        pre-evolution file is pruned under the spec it was written with
+        (its record's field names and transforms), never the current one."""
         src_types = self._source_types(md)
-        by_source: Dict[str, list] = {}
-        for pf in spec_fields:
-            name, dtype = src_types[pf["source-id"]]
-            by_source.setdefault(name, []).append(
-                (pf["name"], Transform.parse(pf["transform"]), dtype))
+        by_spec: Dict[int, Dict[str, list]] = {}
+        for s in md.get("partition-specs", []):
+            by_source: Dict[str, list] = {}
+            for pf in s.get("fields", []):
+                if pf["source-id"] not in src_types:
+                    continue  # source column since dropped: never prune
+                name, dtype = src_types[pf["source-id"]]
+                by_source.setdefault(name, []).append(
+                    (pf["name"], Transform.parse(pf["transform"]), dtype))
+            by_spec[s.get("spec-id", 0)] = by_source
 
-        def keep(partition: Dict[str, Any]) -> bool:
+        def keep(partition: Dict[str, Any], spec_id: int = 0) -> bool:
             if not partition_filter:
                 return True
+            by_source = by_spec.get(spec_id, {})
             for col, want in partition_filter.items():
                 for pname, tr, dtype in by_source.get(col, []):
                     stored = partition.get(pname)
@@ -2030,7 +2129,8 @@ class IcebergTable:
                 if m.get("content", 0) == 1 or dfile.get("content", 0) == 1:
                     pos_deletes.append(dfile["file_path"])
                     continue
-                if not keep(dfile.get("partition") or {}):
+                if not keep(dfile.get("partition") or {},
+                            m.get("partition_spec_id", 0)):
                     continue
                 if column_filter and not file_may_match(
                         dfile, column_filter, fid_types):
@@ -2274,7 +2374,9 @@ class IcebergTable:
                 elif content == 1 or m.get("content", 0) == 1:
                     pos_recs.append(rec)
                 else:
-                    rec["in_scope"] = keep(dfile.get("partition") or {})
+                    rec["in_scope"] = keep(
+                        dfile.get("partition") or {},
+                        m.get("partition_spec_id", 0))
                     data_recs.append(rec)
         # positional-delete target file sets (delete files are small and
         # bounded; this is the same driver-side metadata work as planning)
@@ -2400,7 +2502,8 @@ class IcebergTable:
                     md, survivors, snap_id,
                     m.get("sequence_number", seq),
                     content=m.get("content", 0),
-                    embed_schema=rec["emb"]))
+                    embed_schema=rec["emb"],
+                    spec_id=m.get("partition_spec_id", 0)))
         ml_path = self._local(snap_new["manifest-list"])
         blob = write_container(MANIFEST_LIST_SCHEMA, new_manifests,
                                codec="deflate",
