@@ -4430,6 +4430,75 @@ ORDER BY probe
 """
 
 
+def q_delta_checkpoint_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta checkpoint write + log cleanup (dcspark/deltalog.py
+    checkpoint/clean_log): customer lands in two commits, the state is
+    compacted into a classic parquet checkpoint, the now-redundant JSON
+    commits are DELETED (asserted), and a third commit lands on top. Both
+    the checkpoint-seeded snapshot and the post-checkpoint head must then
+    aggregate exactly against DuckDB — a row lost or duplicated by the
+    checkpoint round-trip, or a replay that still needed the deleted JSON
+    prefix, breaks the query."""
+    import hashlib
+    import os
+    import shutil
+
+    from dcspark.deltalog import DeltaTable
+
+    out = "/tmp/dcspark_deltacp_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+    )
+    t = DeltaTable.create(out, cust.schema,
+                          partition_columns=["c_mktsegment"])
+    t.append(cust)
+    v2 = t.append(cust.filter("c_acctbal < 0"))
+    t.checkpoint()
+    removed = t.clean_log()
+    if removed < 3:  # commits 0..2 (create + two appends)
+        raise AssertionError(f"clean_log removed only {removed} commits")
+    ld = os.path.join(out, "_delta_log")
+    if any(n.endswith(".json") and int(n[:20]) <= v2
+           for n in os.listdir(ld) if n[:20].isdigit()):
+        raise AssertionError("redundant JSON commits survived clean_log")
+    t2 = DeltaTable(out)  # fresh handle: must open from the checkpoint
+    v3 = t2.append(cust.filter("c_mktsegment = 'BUILDING'"))
+    frames = []
+    for ord_, v in ((1, v2), (2, v3)):
+        frames.append(
+            t2.read(spark, version_as_of=v).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            ).select(F.lit(ord_).cast("long").alias("snap_ord"),
+                     "n_rows", "sum_bal"))
+    return frames[0].unionByName(frames[1]).orderBy("snap_ord")
+
+
+SQL_DELTA_CHECKPOINT_REPLAY = """
+SELECT 1 AS snap_ord,
+       cast(count(*) + sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+            AS bigint) AS n_rows,
+       round(sum(c_acctbal)
+             + sum(CASE WHEN c_acctbal < 0 THEN c_acctbal ELSE 0 END), 2)
+           AS sum_bal
+FROM customer
+UNION ALL
+SELECT 2,
+       cast(count(*) + sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+            AS bigint),
+       round(sum(c_acctbal)
+             + sum(CASE WHEN c_acctbal < 0 THEN c_acctbal ELSE 0 END)
+             + sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal
+                        ELSE 0 END), 2)
+FROM customer
+ORDER BY snap_ord
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -4490,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_refs_wap": q_iceberg_refs_wap,
         "wap_gate": q_wap_gate,
         "iceberg_partition_evolution": q_iceberg_partition_evolution,
+        "delta_checkpoint_replay": q_delta_checkpoint_replay,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4586,6 +4656,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_refs_wap": SQL_ICEBERG_REFS_WAP,
         "wap_gate": SQL_WAP_GATE,
         "iceberg_partition_evolution": SQL_ICEBERG_PARTITION_EVOLUTION,
+        "delta_checkpoint_replay": SQL_DELTA_CHECKPOINT_REPLAY,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,

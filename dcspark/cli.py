@@ -398,6 +398,28 @@ def cmd_test(args: argparse.Namespace) -> int:
     return exit_code(result.run)
 
 
+def cmd_delta(args: argparse.Namespace) -> int:
+    """Delta table maintenance over the pure-Python protocol
+    (dcspark/deltalog.py)."""
+    from .deltalog import DeltaTable
+
+    t = DeltaTable(args.table)
+    if args.action == "versions":
+        print(f"latest version: {t.latest_version()}")
+        return 0
+    if args.action == "files":
+        for p in t.files():
+            print(p)
+        return 0
+    if args.action == "checkpoint":
+        print(f"wrote {t.checkpoint()}")
+        return 0
+    if args.action == "clean":
+        print(f"removed {t.clean_log()} redundant commit files")
+        return 0
+    return 2
+
+
 def cmd_wap(args: argparse.Namespace) -> int:
     """Write-audit-publish one batch into an Iceberg table (dcspark/wap.py):
     the batch lands on the audit branch, the contract run gates the
@@ -1262,6 +1284,12 @@ def main(argv: Optional[list] = None) -> int:
                      help="files: prune via manifest column stats, e.g. "
                           "\"dur_ms >= 200 AND clip_id < 'clip_01'\"")
 
+    dl = sub.add_parser(
+        "delta", help="Delta table maintenance (pure-Python protocol)")
+    dl.add_argument("action", choices=["versions", "files", "checkpoint",
+                                       "clean"])
+    dl.add_argument("--table", required=True, help="table root directory")
+
     wp = sub.add_parser(
         "wap", help="write-audit-publish a batch into an Iceberg table "
                     "(contract run gates the publish)")
@@ -1639,6 +1667,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_iceberg(args)
     if args.command == "wap":
         return cmd_wap(args)
+    if args.command == "delta":
+        return cmd_delta(args)
     if args.command == "snapshot":
         return cmd_snapshot(args)
     if args.command == "profile":

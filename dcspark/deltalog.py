@@ -29,9 +29,14 @@ only where a Delta runtime exists; here the protocol itself is
 implemented so `server.format: delta` validates real Delta tables with
 zero extra dependencies.
 
+Checkpoints are read AND written: `checkpoint()` compacts the state at a
+version into the protocol's classic parquet checkpoint + _last_checkpoint
+(commits themselves always append JSON), and `clean_log()` drops the
+now-redundant JSON commits below it — the two maintenance actions that
+keep log replay O(#commits since checkpoint) on long-lived tables.
+
 Documented seams: deletion vectors and column mapping (protocol reader
-features beyond minReaderVersion 1 are rejected with a clear error),
-checkpoint *writing* (we read checkpoints; commits always append JSON).
+features beyond minReaderVersion 1 are rejected with a clear error).
 """
 
 from __future__ import annotations
@@ -143,8 +148,8 @@ class DeltaTable:
         self, spark: Optional[SparkSession] = None,
         version_as_of: Optional[int] = None,
         timestamp_as_of_ms: Optional[int] = None,
-    ) -> Tuple[Dict[str, dict], dict, int]:
-        """-> (live adds by path, metaData, resolved version)."""
+    ) -> Tuple[Dict[str, dict], dict, Optional[dict], int]:
+        """-> (live adds by path, metaData, protocol, resolved version)."""
         latest = self.latest_version()
         upto = latest if version_as_of is None else version_as_of
         if upto > latest:
@@ -182,7 +187,7 @@ class DeltaTable:
                     "(deletion vectors / column mapping are documented seams)")
         if meta is None:
             raise DeltaProtocolError("Delta log has no metaData action")
-        return adds, meta, upto
+        return adds, meta, proto, upto
 
     def _version_at(self, ts_ms: int) -> int:
         """Newest version whose commit timestamp <= ts_ms."""
@@ -209,7 +214,7 @@ class DeltaTable:
     # -- read ---------------------------------------------------------------
 
     def schema(self) -> T.StructType:
-        _adds, meta, _v = self._replay()
+        _adds, meta, _proto, _v = self._replay()
         return T.StructType.fromJson(json.loads(meta["schemaString"]))
 
     def read(
@@ -221,7 +226,7 @@ class DeltaTable:
     ) -> DataFrame:
         """The table as a DataFrame at the requested version: log replay ->
         pruned file list -> one parquet scan with hive partition recovery."""
-        adds, meta, _v = self._replay(spark, version_as_of, timestamp_as_of_ms)
+        adds, meta, _proto, _v = self._replay(spark, version_as_of, timestamp_as_of_ms)
         schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
         part_cols = list(meta.get("partitionColumns") or [])
         live = list(adds.values())
@@ -264,8 +269,70 @@ class DeltaTable:
             out = out.unionByName(f2)
         return out
 
+    def checkpoint(self, version: Optional[int] = None) -> str:
+        """Write a classic parquet checkpoint of the state at ``version``
+        (default: latest) plus `_last_checkpoint` — the Delta protocol's
+        log-compaction point. Replay cost for every later reader drops
+        from O(#commits since table birth) to O(#commits since the
+        checkpoint): at production commit rates (one per micro-batch,
+        10^5-10^6 commits/year) this is the difference between a
+        millisecond open and replaying the table's entire history. One
+        row per action (add / metaData / protocol), the same shape
+        `_checkpoint_start` reads back. Returns the checkpoint path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        adds, meta, proto, v = self._replay(version_as_of=version)
+        proto = proto or {"minReaderVersion": 1, "minWriterVersion": 2}
+
+        def clean(x):
+            # empty dicts (unpartitioned partitionValues, metaData
+            # configuration) infer as zero-child structs, which parquet
+            # cannot store; None round-trips (the reader drops Nones and
+            # every consumer defaults missing maps to {})
+            if isinstance(x, dict):
+                out = {k: clean(v2) for k, v2 in x.items()}
+                return out or None
+            if isinstance(x, list):
+                return [clean(v2) for v2 in x]
+            return x
+
+        rows = [{"add": clean(a), "metaData": None, "protocol": None}
+                for _p, a in sorted(adds.items())]
+        rows.append({"add": None, "metaData": clean(meta), "protocol": None})
+        rows.append({"add": None, "metaData": None, "protocol": clean(proto)})
+        ld = _log_dir(self.location)
+        path = os.path.join(ld, f"{v:020d}.checkpoint.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), path)
+        lc = os.path.join(ld, "_last_checkpoint")
+        tmp = lc + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "size": len(rows)}, f)
+        os.replace(tmp, lc)
+        return path
+
+    def clean_log(self) -> int:
+        """Delete JSON commits at/below the newest checkpoint — they are
+        redundant for every read at or after it (replay seeds from the
+        checkpoint). Time/version travel BELOW the checkpoint becomes
+        unavailable, exactly like Delta's own log retention. Returns the
+        number of commit files removed; refuses without a checkpoint."""
+        ld = _log_dir(self.location)
+        lc = os.path.join(ld, "_last_checkpoint")
+        if not os.path.exists(lc):
+            raise ValueError("clean_log requires a checkpoint first")
+        with open(lc) as f:
+            cpv = int(json.load(f)["version"])
+        removed = 0
+        for name in sorted(os.listdir(ld)):
+            if name.endswith(".json") and name[:20].isdigit() and \
+                    int(name[:20]) <= cpv:
+                os.unlink(os.path.join(ld, name))
+                removed += 1
+        return removed
+
     def files(self, **kw) -> List[str]:
-        adds, _meta, _v = self._replay(**kw)
+        adds, _meta, _proto, _v = self._replay(**kw)
         return sorted(os.path.join(self.location, a["path"])
                       for a in adds.values())
 
@@ -361,7 +428,7 @@ class DeltaTable:
         return adds
 
     def _check_schema(self, df: DataFrame) -> Tuple[dict, List[str]]:
-        adds, meta, _v = self._replay()
+        adds, meta, _proto, _v = self._replay()
         declared = T.StructType.fromJson(json.loads(meta["schemaString"]))
         want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
         got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
@@ -385,7 +452,7 @@ class DeltaTable:
         import time
 
         _meta, part_cols = self._check_schema(df)
-        adds, _m, _v = self._replay()
+        adds, _m, _proto, _v = self._replay()
         v = self.latest_version() + 1
         actions = [{"remove": {"path": p,
                                "deletionTimestamp": int(time.time() * 1000),

@@ -102,7 +102,7 @@ def test_checkpoint_seeded_replay(spark, docs_df, tmp_path):
     t = DeltaTable.create(loc, docs_df.schema)
     t.append(docs_df.filter("bucket = 0"))
     t.append(docs_df.filter("bucket = 1"))
-    adds, meta, v = t._replay()
+    adds, meta, _proto, v = t._replay()
     # build a checkpoint at v (one row per action, delta checkpoint shape)
     rows = [{"add": a, "metaData": None, "protocol": None}
             for a in adds.values()]
@@ -173,3 +173,43 @@ def test_io_delta_fallback(spark, docs_df, tmp_path):
     df = _read_files(spark, None, "docs", "delta", str(tmp_path), server)
     assert df.count() == 120
     assert read_delta_table(spark, loc).count() == 120
+
+
+def test_checkpoint_writer_and_clean_log(spark, docs_df, tmp_path):
+    """The protocol's own maintenance pair: checkpoint() compacts state to
+    parquet + _last_checkpoint, clean_log() drops the redundant JSON
+    prefix; reads and later appends replay seeded from the checkpoint."""
+    loc = str(tmp_path / "tbl")
+    t = DeltaTable.create(loc, docs_df.schema,
+                          partition_columns=["lang"])
+    t.append(docs_df.filter("bucket = 0"))
+    t.append(docs_df.filter("bucket = 1"))
+    cp = t.checkpoint()
+    assert os.path.exists(cp)
+    removed = t.clean_log()
+    assert removed == 3  # commits 0..2 now redundant
+    t2 = DeltaTable(loc)
+    assert t2.read(spark).count() == 80
+    # partition pruning still works from checkpoint-carried adds
+    assert t2.read(spark, partition_filter={"lang": "en"})         .filter("lang = 'en'").count() == 40
+    # appends after the checkpoint replay on top of it
+    t2.append(docs_df.filter("bucket = 2"))
+    assert t2.read(spark).count() == 120
+    # roll the checkpoint forward and clean again
+    t2.checkpoint()
+    assert t2.clean_log() == 1
+    assert DeltaTable(loc).read(spark).count() == 120
+    # travel below a cleaned checkpoint is gone, like Delta's log retention
+    with pytest.raises(FileNotFoundError):
+        DeltaTable(loc).read(spark, version_as_of=1)
+
+
+def test_checkpoint_unpartitioned_and_guard(spark, docs_df, tmp_path):
+    loc = str(tmp_path / "tbl")
+    t = DeltaTable.create(loc, docs_df.schema)
+    with pytest.raises(ValueError, match="requires a checkpoint"):
+        t.clean_log()
+    t.append(docs_df)
+    t.checkpoint()
+    t.clean_log()
+    assert DeltaTable(loc).read(spark).count() == 120
