@@ -444,11 +444,15 @@ def cmd_wap(args: argparse.Namespace) -> int:
         if args.ref_stats else {})
     out = wap_append(spark, spec, args.table, df, model_name,
                      branch=args.branch, static_tables=static,
-                     config=cfg, quarantine_sink=args.quarantine)
+                     config=cfg, quarantine_sink=args.quarantine,
+                     on_fail=args.on_fail)
     if out.result is not None:
         print_console(out.result.run)
     if out.published:
-        print(f"PUBLISHED {out.rows} rows -> main head {out.main_head}")
+        extra = (f" (salvaged {out.salvaged_rows}, quarantined "
+                 f"{out.quarantined_rows})" if out.salvaged_rows else "")
+        print(f"PUBLISHED {out.rows} rows -> main head {out.main_head}"
+              + extra)
         return 0
     if out.rows == 0:
         print("empty batch — nothing to do")
@@ -1301,6 +1305,10 @@ def main(argv: Optional[list] = None) -> int:
     wp.add_argument("--branch", default="audit")
     wp.add_argument("--quarantine", default=None,
                     help="append rejected batches to this parquet path")
+    wp.add_argument("--on-fail", default="quarantine",
+                    choices=["quarantine", "salvage"],
+                    help="salvage: quarantine only row-rule violators and "
+                         "re-gate the clean remainder")
     wp.add_argument("--static-path", default=None,
                     help="dir of {model}.parquet for the contract's other "
                          "models (e.g. the referential-integrity parent)")

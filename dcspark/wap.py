@@ -25,6 +25,7 @@ from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .engine import ValidationConfig, ValidationResult, validate
 from .iceberg import IcebergTable
@@ -43,6 +44,7 @@ class WapOutcome:
     rows: int = 0
     failed_checks: List[str] = dc_field(default_factory=list)
     quarantined_rows: int = 0
+    salvaged_rows: int = 0              # rows published by salvage split
 
 
 def _failed_keys(result: ValidationResult) -> List[str]:
@@ -60,6 +62,7 @@ def wap_append(
     static_tables: Optional[Dict[str, DataFrame]] = None,
     config: Optional[ValidationConfig] = None,
     quarantine_sink: Optional[str] = None,
+    on_fail: str = "quarantine",
 ) -> WapOutcome:
     """Land `df` on the audit branch, validate the increment, publish iff
     the contract run passes.
@@ -68,8 +71,13 @@ def wap_append(
     increment (plus `static_tables`, e.g. the transcripts reference) ->
     `fast_forward("main", branch)`. Red path: main is untouched, the
     branch is reset to main's head so the bad snapshot becomes
-    ref-unreachable (expirable), and the increment is appended to
-    `quarantine_sink` (parquet) when given.
+    ref-unreachable (expirable), and — `on_fail="quarantine"` (default) —
+    the whole increment is appended to `quarantine_sink` (parquet).
+    `on_fail="salvage"` instead quarantines only the rows the contract's
+    row-expressible rules reject (with their `__reasons`) and sends the
+    clean remainder back through the full gate, so one poison row does
+    not block a million good ones; the remainder still re-validates
+    end-to-end, so table-level rules (drift, SQL quality) keep their veto.
 
     Bootstrap: an empty table has no snapshot to branch from, so the first
     batch validates standalone and appends straight to main when green.
@@ -87,6 +95,8 @@ def wap_append(
     if static_tables:
         tables.update(static_tables)
 
+    if on_fail not in ("quarantine", "salvage"):
+        raise ValueError(f"on_fail must be quarantine|salvage, got {on_fail!r}")
     main_head = t.current_snapshot_id()
     if main_head is None:
         # bootstrap: nothing to branch from; audit the batch standalone
@@ -95,6 +105,35 @@ def wap_append(
             sid = t.append(df)
             return WapOutcome(published=True, result=result,
                               snapshot_id=sid, main_head=sid, rows=n)
+        if on_fail == "salvage":
+            from . import filter as filter_mod
+
+            valid, bad = filter_mod.split(df, spec, model_name, tables)
+            bad = bad.withColumn(
+                filter_mod.REASONS_COL,
+                F.array_join(F.col(filter_mod.REASONS_COL), ","))
+            q = _quarantine(bad, quarantine_sink)
+            n_valid = valid.count()
+            if n_valid:
+                tables = dict(tables)
+                tables[model_name] = valid
+                result2 = validate(spark, spec, tables, config)
+                if result2.run.result == ResultEnum.passed:
+                    sid = t.append(valid)
+                    return WapOutcome(published=True, result=result2,
+                                      snapshot_id=sid, main_head=sid,
+                                      rows=n, quarantined_rows=q,
+                                      salvaged_rows=n_valid)
+                result = result2
+                q += _quarantine(
+                    valid.withColumn(
+                        filter_mod.REASONS_COL,
+                        F.lit(",".join(_failed_keys(result2)))),
+                    quarantine_sink)
+            return WapOutcome(published=False, result=result,
+                              snapshot_id=None, main_head=None, rows=n,
+                              failed_checks=_failed_keys(result),
+                              quarantined_rows=q)
         q = _quarantine(df, quarantine_sink)
         return WapOutcome(published=False, result=result, snapshot_id=None,
                           main_head=None, rows=n,
@@ -120,14 +159,63 @@ def wap_append(
         head = t.fast_forward("main", branch)
         return WapOutcome(published=True, result=result,
                           snapshot_id=branch_head, main_head=head, rows=n)
-    q = _quarantine(inc, quarantine_sink)
     # reset: the red snapshot stays readable by id for debugging but is
     # ref-unreachable, so the next expire_snapshots reclaims it
     t.drop_ref(branch)
     t.create_branch(branch)
+    if on_fail == "salvage":
+        return _salvage(spark, spec, t, inc, model_name, branch, tables,
+                        config, quarantine_sink, result, branch_head, n)
+    q = _quarantine(inc, quarantine_sink)
     return WapOutcome(published=False, result=result,
                       snapshot_id=branch_head, main_head=main_head, rows=n,
                       failed_checks=_failed_keys(result),
+                      quarantined_rows=q)
+
+
+def _salvage(spark, spec, t, inc, model_name, branch, tables, config,
+             quarantine_sink, first_result, branch_head, n) -> WapOutcome:
+    """Row-level rescue of a red batch: split the increment on the
+    contract's row-expressible rules (dcspark/filter.py — per-row
+    predicates + reference anti-joins), quarantine only the violators
+    (WITH their `__reasons`), and send the clean remainder back through
+    the FULL gate — the re-validation is what catches table-level rules
+    (drift, SQL quality, aggregate thresholds) that no row filter can
+    attribute to single rows. If even the clean remainder fails the gate,
+    everything quarantines and main stays untouched."""
+    from . import filter as filter_mod
+
+    valid, bad = filter_mod.split(inc, spec, model_name, tables)
+    bad = bad.withColumn(filter_mod.REASONS_COL,
+                         F.array_join(F.col(filter_mod.REASONS_COL), ","))
+    q = _quarantine(bad, quarantine_sink)
+    n_valid = valid.count()
+    main_head = t.current_snapshot_id()
+    if n_valid == 0:
+        return WapOutcome(published=False, result=first_result,
+                          snapshot_id=branch_head, main_head=main_head,
+                          rows=n, failed_checks=_failed_keys(first_result),
+                          quarantined_rows=q)
+    retry_head = t.append(valid, branch=branch)
+    inc2 = t.read_incremental(spark, main_head, to_snapshot_id=retry_head)
+    tables = dict(tables)
+    tables[model_name] = inc2
+    result2 = validate(spark, spec, tables, config)
+    if result2.run.result == ResultEnum.passed:
+        head = t.fast_forward("main", branch)
+        return WapOutcome(published=True, result=result2,
+                          snapshot_id=retry_head, main_head=head, rows=n,
+                          quarantined_rows=q, salvaged_rows=n_valid)
+    # table-level rules still red: the whole batch is bad, salvage off
+    t.drop_ref(branch)
+    t.create_branch(branch)
+    q += _quarantine(
+        inc2.withColumn(filter_mod.REASONS_COL,
+                        F.lit(",".join(_failed_keys(result2)))),
+        quarantine_sink)
+    return WapOutcome(published=False, result=result2,
+                      snapshot_id=retry_head, main_head=main_head, rows=n,
+                      failed_checks=_failed_keys(result2),
                       quarantined_rows=q)
 
 
@@ -172,6 +260,7 @@ def wap_stream(
     config: Optional[ValidationConfig] = None,
     quarantine_sink: Optional[str] = None,
     checkpoint_location: Optional[str] = None,
+    on_fail: str = "quarantine",
 ) -> WapStream:
     """Continuous contract-gated ingestion: every micro-batch rides
     `wap_append`, so main only ever advances by audited batches while the
@@ -189,7 +278,8 @@ def wap_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = wap_append(spark, spec, t, batch_df, model_name,
                          branch=branch, static_tables=static_tables,
-                         config=config, quarantine_sink=quarantine_sink)
+                         config=config, quarantine_sink=quarantine_sink,
+                         on_fail=on_fail)
         with handle._lock:
             handle.outcomes.append(out)
 

@@ -178,3 +178,55 @@ def test_wap_stream_gates_each_microbatch(spark, spec, tmp_path):
     assert ids == [0, 1, 2, 3, 4]
     qids = sorted(r["event_id"] for r in spark.read.parquet(quar).collect())
     assert qids == [10, 11]
+
+
+def test_wap_salvage_publishes_clean_remainder(spark, spec, make_batch,
+                                               tmp_path):
+    """on_fail="salvage": only the row-rule violators quarantine (with
+    reasons); the clean remainder re-gates and publishes."""
+    t = IcebergTable.create(str(tmp_path / "tbl"),
+                            to_spark_schema(spec.models["ev"]))
+    wap_append(spark, spec, t, make_batch(0, 50), "ev")
+    quar = str(tmp_path / "quarantine")
+    mixed = make_batch(50, 70).unionByName(make_batch(70, 80, kind="zzz"))
+    out = wap_append(spark, spec, t, mixed, "ev",
+                     quarantine_sink=quar, on_fail="salvage")
+    assert out.published and out.salvaged_rows == 20
+    assert out.quarantined_rows == 10
+    ids = sorted(r["event_id"] for r in t.read(spark).collect())
+    assert ids == list(range(70))
+    q = spark.read.parquet(quar)
+    assert sorted(r["event_id"] for r in q.collect()) == list(range(70, 80))
+    assert all("field_enum" in r["__reasons"] for r in q.collect())
+
+
+def test_wap_salvage_bootstrap_mixed_batch(spark, spec, make_batch,
+                                           tmp_path):
+    t = IcebergTable.create(str(tmp_path / "tbl"),
+                            to_spark_schema(spec.models["ev"]))
+    quar = str(tmp_path / "quarantine")
+    mixed = make_batch(0, 30).unionByName(make_batch(30, 35, v=-1.0))
+    out = wap_append(spark, spec, t, mixed, "ev",
+                     quarantine_sink=quar, on_fail="salvage")
+    assert out.published and out.salvaged_rows == 30
+    assert out.quarantined_rows == 5
+    assert t.read(spark).count() == 30
+
+
+def test_wap_salvage_all_bad_stays_red(spark, spec, make_batch, tmp_path):
+    t = IcebergTable.create(str(tmp_path / "tbl"),
+                            to_spark_schema(spec.models["ev"]))
+    wap_append(spark, spec, t, make_batch(0, 50), "ev")
+    quar = str(tmp_path / "quarantine")
+    out = wap_append(spark, spec, t, make_batch(50, 60, kind="zzz"), "ev",
+                     quarantine_sink=quar, on_fail="salvage")
+    assert not out.published and out.salvaged_rows == 0
+    assert out.quarantined_rows == 10
+    assert t.read(spark).count() == 50
+
+
+def test_wap_on_fail_validated(spark, spec, make_batch, tmp_path):
+    t = IcebergTable.create(str(tmp_path / "tbl"),
+                            to_spark_schema(spec.models["ev"]))
+    with pytest.raises(ValueError, match="on_fail"):
+        wap_append(spark, spec, t, make_batch(0, 5), "ev", on_fail="nope")
