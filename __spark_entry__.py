@@ -4499,6 +4499,83 @@ ORDER BY snap_ord
 """
 
 
+def q_iceberg_metadata_consistency(spark: SparkSession, sf: str) -> DataFrame:
+    """Metadata-inspection tables vs the data itself (dcspark/iceberg.py
+    inspect): orders lands in two appends plus a positional delete, then
+    the `files` / `snapshots` / `refs` metadata tables are audited AGAINST
+    the table's actual rows — file-level record_count sums must equal the
+    rows written, delete-file counts must reconcile the live row count,
+    and the snapshot ledger must show exactly the operations performed.
+    The whole audit is a metadata walk (no data file opened) hash-checked
+    against DuckDB slice algebra: a manifest losing a row, double-counting
+    a file, or mislabeling an operation breaks the hash."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icemeta_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    orders = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    t = IcebergTable.create(out, orders.schema,
+                            partition_by=[("o_orderstatus", "identity")])
+    t.append(orders)
+    t.append(orders.filter("o_orderstatus = 'F'"))
+    t.delete_where(spark, "o_orderkey % 7 = 0")
+    files = t.inspect(spark, "files")
+    snaps = t.inspect(spark, "snapshots")
+    refs = t.inspect(spark, "refs")
+    written = files.filter("content = 0").agg(
+        F.sum("record_count").cast("long").alias("n")).first()["n"]
+    deleted = files.filter("content = 1").agg(
+        F.coalesce(F.sum("record_count"), F.lit(0))
+        .cast("long").alias("n")).first()["n"]
+    live = t.read(spark).count()
+    if written - deleted != live:
+        raise AssertionError(
+            f"metadata does not reconcile the data: {written} written - "
+            f"{deleted} deleted != {live} live")
+    n_appends = snaps.filter("operation = 'append'").count()
+    n_deletes = snaps.filter("operation = 'delete'").count()
+    n_refs = refs.count()
+    rows = [("1_written_rows", int(written)),
+            ("2_deleted_rows", int(deleted)),
+            ("3_live_rows", int(live)),
+            ("4_append_snapshots", int(n_appends)),
+            ("5_delete_snapshots", int(n_deletes)),
+            ("6_refs", int(n_refs))]
+    return spark.createDataFrame(rows, "probe string, metric long") \
+        .orderBy("probe")
+
+
+SQL_ICEBERG_METADATA_CONSISTENCY = """
+SELECT '1_written_rows' AS probe,
+       cast(count(*) + sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS bigint) AS metric
+FROM orders
+UNION ALL
+SELECT '2_deleted_rows',
+       cast(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+                       THEN 1 ELSE 0 END) AS bigint)
+FROM orders
+UNION ALL
+SELECT '3_live_rows',
+       cast(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 <> 0
+                       THEN 1 ELSE 0 END) AS bigint)
+FROM orders
+UNION ALL SELECT '4_append_snapshots', 2
+UNION ALL SELECT '5_delete_snapshots', 1
+UNION ALL SELECT '6_refs', 1
+ORDER BY probe
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -4560,6 +4637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wap_gate": q_wap_gate,
         "iceberg_partition_evolution": q_iceberg_partition_evolution,
         "delta_checkpoint_replay": q_delta_checkpoint_replay,
+        "iceberg_metadata_consistency": q_iceberg_metadata_consistency,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4657,6 +4735,7 @@ def oracle_sql() -> dict[str, str]:
         "wap_gate": SQL_WAP_GATE,
         "iceberg_partition_evolution": SQL_ICEBERG_PARTITION_EVOLUTION,
         "delta_checkpoint_replay": SQL_DELTA_CHECKPOINT_REPLAY,
+        "iceberg_metadata_consistency": SQL_ICEBERG_METADATA_CONSISTENCY,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,

@@ -2145,6 +2145,101 @@ class IcebergTable:
     def data_files(self, **kw) -> List[str]:
         return [e["path"] for e in self._plan_files(**kw)[0]]
 
+    def inspect(self, spark: SparkSession, kind: str) -> DataFrame:
+        """Metadata tables as DataFrames — the engine-side parity surface
+        for Spark-Iceberg's `tbl.snapshots` / `tbl.files` / `tbl.history`
+        / `tbl.manifests` / `tbl.refs` / `tbl.partitions`. All driver-side
+        metadata walks (O(#files), never opens a data file), so auditing a
+        10^12-row table's layout costs manifest IO only.
+
+        - ``snapshots``: snapshot_id, parent_id, committed_at_ms,
+          operation, total_records, total_data_files
+        - ``history``: made_current_at_ms, snapshot_id, is_current
+        - ``refs``: name, type, snapshot_id
+        - ``manifests``: path, length, partition_spec_id, content,
+          added_files, existing_files, deleted_files, added_rows
+        - ``files``: current snapshot's live entries — file_path, content
+          (0 data / 1 position deletes / 2 equality deletes),
+          record_count, file_size_bytes, spec_id, partition (JSON)
+        - ``partitions``: live data files rolled up by partition value —
+          partition (JSON), spec_id, file_count, record_count
+        """
+        import json as _json
+
+        md = self.metadata()
+        if kind == "snapshots":
+            rows = [(s["snapshot-id"], s.get("parent-snapshot-id"),
+                     s.get("timestamp-ms", 0),
+                     s.get("summary", {}).get("operation"),
+                     int(s.get("summary", {}).get("total-records", 0)),
+                     int(s.get("summary", {}).get("total-data-files", 0)))
+                    for s in md.get("snapshots", [])]
+            return spark.createDataFrame(
+                rows, "snapshot_id long, parent_id long, "
+                      "committed_at_ms long, operation string, "
+                      "total_records long, total_data_files long")
+        if kind == "history":
+            cur = md.get("current-snapshot-id")
+            rows = [(e["timestamp-ms"], e["snapshot-id"],
+                     e["snapshot-id"] == cur)
+                    for e in md.get("snapshot-log", [])]
+            return spark.createDataFrame(
+                rows, "made_current_at_ms long, snapshot_id long, "
+                      "is_current boolean")
+        if kind == "refs":
+            rows = [(name, r.get("type"), r.get("snapshot-id"))
+                    for name, r in sorted((md.get("refs") or {}).items())]
+            return spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long")
+        snap = self._resolve_snapshot(md, None, None)
+        manifests = (self._read_manifest_list(snap["manifest-list"])
+                     if snap else [])
+        if kind == "manifests":
+            rows = [(m["manifest_path"], m["manifest_length"],
+                     m.get("partition_spec_id", 0), m.get("content", 0),
+                     m.get("added_files_count", 0),
+                     m.get("existing_files_count", 0),
+                     m.get("deleted_files_count", 0),
+                     m.get("added_rows_count", 0))
+                    for m in manifests]
+            return spark.createDataFrame(
+                rows, "path string, length long, partition_spec_id int, "
+                      "content int, added_files int, existing_files int, "
+                      "deleted_files int, added_rows long")
+        if kind in ("files", "partitions"):
+            frows = []
+            for m in manifests:
+                for e in self._read_manifest(m["manifest_path"]):
+                    if e.get("status") == 2:
+                        continue
+                    d = e["data_file"]
+                    frows.append((d["file_path"], d.get("content", 0),
+                                  d.get("record_count", 0),
+                                  d.get("file_size_in_bytes", 0),
+                                  m.get("partition_spec_id", 0),
+                                  _json.dumps(d.get("partition") or {},
+                                              sort_keys=True, default=str)))
+            if kind == "files":
+                return spark.createDataFrame(
+                    frows, "file_path string, content int, "
+                           "record_count long, file_size_bytes long, "
+                           "spec_id int, partition string")
+            agg: Dict[Tuple[str, int], List[int]] = {}
+            for _p, content, rc, _sz, sid, part in frows:
+                if content != 0:
+                    continue
+                cur = agg.setdefault((part, sid), [0, 0])
+                cur[0] += 1
+                cur[1] += rc
+            rows = [(part, sid, c[0], c[1])
+                    for (part, sid), c in sorted(agg.items())]
+            return spark.createDataFrame(
+                rows, "partition string, spec_id int, file_count long, "
+                      "record_count long")
+        raise ValueError(
+            f"unknown metadata table {kind!r} — one of snapshots, history, "
+            "refs, manifests, files, partitions")
+
     def incremental_files(
         self, from_snapshot_id: int, to_snapshot_id: Optional[int] = None,
         column_filter: Optional[Sequence[Tuple[str, str, Any]]] = None,
