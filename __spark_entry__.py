@@ -4576,6 +4576,84 @@ ORDER BY probe
 """
 
 
+def q_iceberg_zorder_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order clustering compaction (dcspark/iceberg.py compact
+    cluster_by=...): events lands SHUFFLED in an Iceberg table (every file's
+    stats envelope spans the full range — nothing prunes), then one
+    clustered rewrite Morton-orders the files on (event_id, value). After
+    it, manifest stats must prune files for a predicate on EITHER column —
+    asserted inline, so a clustering or pruning regression fails
+    correctness, not just a benchmark — and three scoped reads (id tail,
+    value top-quarter, 2-D corner) hash-check against DuckDB running the
+    same predicates on raw parquet. Cuts derive from exact min/max so both
+    engines compute identical constants. A linear sort order would prune
+    only its leading column; the Morton layout is the 10^12-row answer to
+    multi-dimensional slicing."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icez_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    ev = _t(spark, sf, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+        "event_type",
+    ).repartition(8, "event_id")  # hash-shuffled: full-range envelopes
+    t = IcebergTable.create(out, ev.schema)
+    t.append(ev)
+    t.compact(spark, cluster_by=["event_id", "value"], output_files=16)
+    lo_id, hi_id, lo_v, hi_v = ev.agg(
+        F.min("event_id"), F.max("event_id"),
+        F.min("value"), F.max("value")).first()
+    id_cut = lo_id + (hi_id - lo_id) * 3 // 4
+    v_cut = round(lo_v + (hi_v - lo_v) * 0.75, 6)
+    total = len(t.data_files())
+    for col, op, cut in (("event_id", ">=", id_cut), ("value", ">=", v_cut)):
+        planned = len(t.data_files(column_filter=[(col, op, cut)]))
+        if not planned < total:
+            raise AssertionError(
+                f"z-order pruning regressed: {planned}/{total} files "
+                f"planned for {col} {op} {cut}")
+    probes = [
+        ("id_tail", [("event_id", ">=", id_cut)]),
+        ("val_top", [("value", ">=", v_cut)]),
+        ("corner", [("event_id", ">=", id_cut), ("value", ">=", v_cut)]),
+    ]
+    frames = []
+    for name, preds in probes:
+        frames.append(
+            t.read(spark, where=preds).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            ).select(F.lit(name).alias("probe"), "n_rows", "sum_value"))
+    outdf = frames[0]
+    for fdf in frames[1:]:
+        outdf = outdf.unionByName(fdf)
+    return outdf.orderBy("probe")
+
+
+SQL_ICEBERG_ZORDER_PRUNING = """
+WITH cuts AS (
+  SELECT min(event_id) + ((max(event_id) - min(event_id)) * 3) // 4
+           AS id_cut,
+         round(min(value) + (max(value) - min(value)) * 0.75, 6) AS v_cut
+  FROM events
+)
+SELECT 'corner' AS probe, cast(count(*) AS bigint) AS n_rows,
+       round(sum(value), 2) AS sum_value
+FROM events, cuts WHERE event_id >= id_cut AND value >= v_cut
+UNION ALL
+SELECT 'id_tail', cast(count(*) AS bigint), round(sum(value), 2)
+FROM events, cuts WHERE event_id >= id_cut
+UNION ALL
+SELECT 'val_top', cast(count(*) AS bigint), round(sum(value), 2)
+FROM events, cuts WHERE value >= v_cut
+ORDER BY probe
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -4638,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_evolution": q_iceberg_partition_evolution,
         "delta_checkpoint_replay": q_delta_checkpoint_replay,
         "iceberg_metadata_consistency": q_iceberg_metadata_consistency,
+        "iceberg_zorder_pruning": q_iceberg_zorder_pruning,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4736,6 +4815,7 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_partition_evolution": SQL_ICEBERG_PARTITION_EVOLUTION,
         "delta_checkpoint_replay": SQL_DELTA_CHECKPOINT_REPLAY,
         "iceberg_metadata_consistency": SQL_ICEBERG_METADATA_CONSISTENCY,
+        "iceberg_zorder_pruning": SQL_ICEBERG_ZORDER_PRUNING,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,

@@ -222,8 +222,11 @@ def cmd_iceberg(args: argparse.Namespace) -> int:
         return 0
     if args.action == "compact":
         spark = _build_spark(args.master, args.shuffle_partitions)
+        cluster = ([c.strip() for c in args.cluster_by.split(",") if c.strip()]
+                   if args.cluster_by else None)
         out = t.compact(spark,
-                        target_file_bytes=args.target_file_mb * 1024 * 1024)
+                        target_file_bytes=args.target_file_mb * 1024 * 1024,
+                        cluster_by=cluster)
         print(f"rewrote {out['rewritten_data_files']} data files "
               f"({out['rewritten_bytes']} bytes) into "
               f"{out['added_data_files']}; retired "
@@ -1280,6 +1283,10 @@ def main(argv: Optional[list] = None) -> int:
                      help="expire: retain this many newest snapshots")
     ice.add_argument("--target-file-mb", type=int, default=128,
                      help="compact: bin-pack output file size")
+    ice.add_argument("--cluster-by", default=None,
+                     help="compact: comma-separated columns to Z-ORDER the "
+                          "rewrite by (rewrites all in-scope files; stats "
+                          "prune on every listed column afterwards)")
     ice.add_argument("--master", default=None)
     ice.add_argument("--shuffle-partitions", type=int, default=None)
     ice.add_argument("--snapshot-id", type=int, default=None,

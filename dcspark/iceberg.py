@@ -881,6 +881,84 @@ def _normalize_sort_fields(sort_by: Sequence, by_name: Dict[str, dict]) -> List[
     return fields
 
 
+def _zorder_double_expr(c: str, dt: T.DataType):
+    """An order-preserving double embedding of a cluster column.
+
+    Strings embed as the first 7 UTF-8 bytes read big-endian (hex is
+    right-zero-padded so shorter strings stay left-aligned — lexical order
+    is preserved up to the 7-byte prefix, which is what file-level
+    clustering needs). Dates count days since epoch; timestamps cast to
+    epoch seconds; numerics cast directly."""
+    if isinstance(dt, T.StringType):
+        return F.conv(
+            F.rpad(F.hex(F.substring(F.encode(F.col(c), "UTF-8"), 1, 7)),
+                   14, "0"), 16, 10).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    if isinstance(dt, T.BooleanType):
+        return F.col(c).cast("int").cast("double")
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.NumericType)):
+        return F.col(c).cast("double")
+    raise ValueError(
+        f"z-order: unsupported type {dt.simpleString()} for column {c!r}")
+
+
+def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 8,
+                 rel_err: float = 0.001,
+                 out_col: str = "__ice_zval") -> DataFrame:
+    """Append a Z-order (Morton) key interleaving rank-bucketed columns.
+
+    Each cluster column is embedded as a double (`_zorder_double_expr`),
+    rank-normalized into ``2**bits`` quantile buckets (boundaries from ONE
+    column-pruned `approxQuantile` pass, so skewed distributions still fill
+    the bucket range evenly), and the bucket ids' bit-planes are interleaved
+    into one long. Sorting files by this key gives every file a compact
+    hyper-rectangle in cluster-column space, so the manifest [lower, upper]
+    stats envelopes prune on EVERY cluster column, not just a leading sort
+    key — the multi-dimensional analogue of a table write order, and the
+    shape Delta's OPTIMIZE ZORDER / Iceberg's rewrite with zorder strategy
+    produce. Bucketing + interleave are single JVM-parsed expressions
+    (aggregate-fold over boundary literals; no UDF, no driver loop per row).
+
+    NULLs land in bucket 0 (sort lowest). ``bits * len(cols)`` must fit a
+    signed long."""
+    if not cols:
+        raise ValueError("z-order: need at least one cluster column")
+    if bits < 1 or bits * len(cols) > 62:
+        raise ValueError(
+            f"z-order: bits={bits} x {len(cols)} columns exceeds 62 bits")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"z-order: columns {missing} not in schema")
+    dbl = [_zorder_double_expr(c, by_name[c]) for c in cols]
+    tmp = [f"__ice_zd{i}" for i in range(len(cols))]
+    nb = 1 << bits
+    probs = [i / nb for i in range(1, nb)]
+    bounds = (df.select(*[e.alias(n) for e, n in zip(dbl, tmp)])
+              .stat.approxQuantile(tmp, probs, rel_err))
+    out = df
+    for n, e in zip(tmp, dbl):
+        out = out.withColumn(n, e)
+    bucket_cols = []
+    for i, (n, bs) in enumerate(zip(tmp, bounds)):
+        bn = f"__ice_zb{i}"
+        uniq = sorted({float(b) for b in bs if b is not None})
+        if not uniq:  # all-null / constant column: one bucket
+            out = out.withColumn(bn, F.lit(0).cast("bigint"))
+        else:
+            arr = ",".join(f"cast({b!r} as double)" for b in uniq)
+            out = out.withColumn(bn, F.expr(
+                f"aggregate(array({arr}), 0L,"
+                f" (acc, b) -> acc + IF({n} > b, 1L, 0L))"))
+        bucket_cols.append(bn)
+    ncols = len(cols)
+    terms = [f"shiftleft(shiftright({bn}, {j}) & 1, {j * ncols + i})"
+             for i, bn in enumerate(bucket_cols) for j in range(bits)]
+    out = out.withColumn(out_col, F.expr(" + ".join(terms)))
+    return out.drop(*tmp, *bucket_cols)
+
+
 def manifest_entry_schema(part_types: Sequence[Tuple[str, str]]) -> dict:
     data_file = {
         "type": "record", "name": "r2",
@@ -1123,7 +1201,7 @@ class IcebergTable:
     # -- write path ---------------------------------------------------------
 
     def _write_data_files(
-        self, df: DataFrame, md: dict
+        self, df: DataFrame, md: dict, table_order: bool = True
     ) -> List[dict]:
         """Distributed partitioned parquet write -> list of data_file dicts.
 
@@ -1146,6 +1224,8 @@ class IcebergTable:
             out = out.withColumn(pcol, tr.spark_col(name, dtype))
             part_cols.append(pcol)
         soid, sfields = self._default_sort_fields(md)
+        if not table_order:  # caller pre-clustered (e.g. z-order compact)
+            sfields = []
         sort_exprs = self._sort_exprs(md, sfields) if sfields else []
         if sort_exprs:
             # table write order: ONE range shuffle clusters the sort key, so
@@ -2412,6 +2492,9 @@ class IcebergTable:
         small_file_bytes: Optional[int] = None,
         partition_filter: Optional[Dict[str, Any]] = None,
         rewrite_deletes: bool = True,
+        cluster_by: Optional[Sequence[str]] = None,
+        zorder_bits: int = 8,
+        output_files: Optional[int] = None,
     ) -> Dict[str, int]:
         """Bin-pack small data files and materialize row-level deletes
         (the reference CLI has no table writer; this matches Spark's
@@ -2436,9 +2519,23 @@ class IcebergTable:
         land small, deletes pile up as extra anti-join inputs, and the
         periodic compact turns both back into full-size, delete-free files
         whose manifest stats envelopes prune like fresh writes.
+
+        ``cluster_by`` switches the rewrite to Z-ORDER clustering (the
+        shape of Delta's OPTIMIZE ZORDER / Iceberg's zorder rewrite
+        strategy): every in-scope file is a candidate by default (the point
+        is re-clustering, not just bin-packing), rows are range-shuffled on
+        a Morton key over quantile-bucketed cluster columns
+        (`zorder_value`), and the table write order is bypassed for this
+        write — each output file then covers a compact hyper-rectangle in
+        cluster space, so manifest stats prune `read(where=...)` on ANY of
+        the cluster columns. One extra column-pruned quantile scan of the
+        candidates pays for the bucketing. At 10^12 rows this is the only
+        affordable multi-dimensional layout tool: a linear sort order
+        prunes the leading column only.
         """
         if small_file_bytes is None:
-            small_file_bytes = target_file_bytes * 3 // 4
+            small_file_bytes = (float("inf") if cluster_by
+                                else target_file_bytes * 3 // 4)
         md = self.metadata()
         snap = self._resolve_snapshot(md, None, None)
         if snap is None:
@@ -2533,12 +2630,19 @@ class IcebergTable:
             df = df.drop("__ice_fp", "__ice_pos")
         cand_bytes = sum(r["dfile"].get("file_size_in_bytes", 0)
                          for r in cands)
-        n_out = max(1, -(-cand_bytes // target_file_bytes))
+        n_out = (int(output_files) if output_files
+                 else max(1, -(-cand_bytes // target_file_bytes)))
         # coalesce, not repartition: narrow (no shuffle) when the table is
         # unsorted; under a write order _write_data_files range-shuffles to
         # the incoming partition count anyway, so sizing still holds
         ts = _now_ms(spark)
-        new_files = self._write_data_files(df.coalesce(n_out), md)
+        if cluster_by:
+            df = zorder_value(df, list(cluster_by), bits=zorder_bits)
+            df = (df.repartitionByRange(n_out, F.col("__ice_zval"))
+                  .sortWithinPartitions("__ice_zval").drop("__ice_zval"))
+            new_files = self._write_data_files(df, md, table_order=False)
+        else:
+            new_files = self._write_data_files(df.coalesce(n_out), md)
         seq = md.get("last-sequence-number", 0) + 1
         # -- which delete files are now fully applied? ----------------------
         survivor_min_seq = min(
