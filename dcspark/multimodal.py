@@ -298,10 +298,11 @@ def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
     """Sniff-and-decode: REAL numpy decoders for BMP 24/32-bit, binary
     netpbm P5/P6, PNG (8-bit gray/GA/RGB/RGBA via stdlib zlib), baseline
     JPEG (dcspark/jpeg.py: Huffman + IDCT + 4:2:0/4:2:2/4:4:4 chroma, no
-    external libraries), and GIF87a/89a (dcspark/gif.py: LZW + palettes +
-    interlace; first frame) — three real COMPRESSED codecs. WebP remains the
-    pluggable seam (library absent in this sandbox): a per-row decode_error,
-    never a crash."""
+    external libraries), GIF87a/89a (dcspark/gif.py: LZW + palettes +
+    interlace; first frame), and lossless WebP (dcspark/webp.py: full VP8L
+    — prefix codes, color cache, LZ77 distance map, all four transforms) —
+    four real COMPRESSED codecs. Lossy WebP (VP8) remains the pluggable
+    seam: a per-row decode_error, never a crash."""
     if raw is None or len(raw) < 4:
         raise ValueError("empty or truncated image payload")
     if raw[:2] == b"BM":
@@ -321,11 +322,10 @@ def real_image_decoder(raw: bytes) -> Tuple[int, int, int, np.ndarray]:
         if c == 1:
             px = px[:, :, None]
         return h, w, c, px
-    if raw[:4] == b"RIFF":
-        raise NotImplementedError(
-            "webp codec library is not available in this environment; inject "
-            "a decoder (e.g. PIL.Image.open) via the decoder= argument"
-        )
+    if raw[:4] == b"RIFF" and bytes(raw[8:12]) == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(bytes(raw))
     raise ValueError("unrecognized image container")
 
 

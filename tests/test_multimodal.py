@@ -43,7 +43,7 @@ def test_image_metadata_default_decoder_errors(spark, image_df):
     webp_df = spark.createDataFrame(
         [("w", b"RIFF\x00\x00\x00\x00WEBPx" + b"x" * 50)], "id string, bytes binary")
     wrow = multimodal.image_metadata(webp_df).first()
-    assert "codec" in wrow["decode_error"]
+    assert "VP8L" in wrow["decode_error"]  # junk chunks: no lossless stream
 
 
 def _checker(h, w):
