@@ -4654,6 +4654,72 @@ ORDER BY probe
 """
 
 
+def q_iceberg_bloom_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """File-level bloom-filter point lookup (dcspark/bloomfilter.py +
+    IcebergTable.lookup): orders lands hash-shuffled across 24+ files in
+    two commits with `bloom.columns` on the stringified order key — a
+    random high-cardinality key whose min/max stats envelopes span
+    everything, so manifest stats alone prune NOTHING for an IN probe.
+    The bloom sidecars (built distributed from the write, JVM murmur3 +
+    xxhash64, never collected) must (a) keep every file that really holds
+    a probed key — lookup output hash-checks against DuckDB's plain IN —
+    and (b) actually skip files: asserted inline for present probes
+    (survivors < candidates) and for an absent probe (≤ a quarter of the
+    candidates at ~0.8% fpp). At 10^12 rows this is fetch-by-id without a
+    table scan."""
+    import hashlib
+    import shutil
+
+    from dcspark.iceberg import IcebergTable
+
+    out = "/tmp/dcspark_icebloom_" + hashlib.md5(sf.encode()).hexdigest()[:8]
+    shutil.rmtree(out, ignore_errors=True)
+    base = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").cast("string").alias("okey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.round(F.col("o_totalprice"), 2).alias("total"),
+    )
+    t = IcebergTable.create(out, base.schema,
+                            properties={"bloom.columns": "okey"})
+    # two commits split on a deterministic digest bit -> two bloom sidecars
+    lo = base.filter(F.substring(F.md5("okey"), 1, 1) < "8").repartition(12)
+    hi = base.filter(F.substring(F.md5("okey"), 1, 1) >= "8").repartition(12)
+    t.append(lo)
+    t.append(hi)
+    # digest-ordered probes: deterministic in both engines, but scattered
+    # over the key domain so min/max stats can't pre-prune them — the
+    # pruning measured below is the bloom index's alone
+    probe = [r.okey for r in
+             base.select("okey").orderBy(F.md5("okey"), "okey")
+             .limit(5).collect()]
+    surv, cand, _, _ = t.lookup_plan(spark, "okey", probe)
+    if not len(surv) < len(cand):
+        raise AssertionError(
+            f"bloom pruning regressed: {len(surv)}/{len(cand)} files "
+            f"survive a 5-key probe")
+    surv_abs, cand_abs, _, _ = t.lookup_plan(
+        spark, "okey", ["~no-such-key~"])
+    if not len(surv_abs) <= max(1, len(cand_abs) // 4):
+        raise AssertionError(
+            f"bloom fpp regressed: {len(surv_abs)}/{len(cand_abs)} files "
+            f"survive an absent-key probe")
+    return t.lookup(spark, "okey", probe).orderBy("okey")
+
+
+SQL_ICEBERG_BLOOM_LOOKUP = """
+WITH probe AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS okey
+  FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)), okey LIMIT 5
+)
+SELECT CAST(o_orderkey AS VARCHAR) AS okey,
+       CAST(o_custkey AS BIGINT) AS custkey,
+       round(o_totalprice, 2) AS total
+FROM orders
+WHERE CAST(o_orderkey AS VARCHAR) IN (SELECT okey FROM probe)
+ORDER BY okey
+"""
+
+
 # ===========================================================================
 # driver surface
 # ===========================================================================
@@ -4717,6 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_checkpoint_replay": q_delta_checkpoint_replay,
         "iceberg_metadata_consistency": q_iceberg_metadata_consistency,
         "iceberg_zorder_pruning": q_iceberg_zorder_pruning,
+        "iceberg_bloom_lookup": q_iceberg_bloom_lookup,
         "delta_log_versions": q_delta_log_versions,
         "contract_filter_split": q_contract_filter_split,
         "pii_mask": q_pii_mask,
@@ -4816,6 +4883,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_checkpoint_replay": SQL_DELTA_CHECKPOINT_REPLAY,
         "iceberg_metadata_consistency": SQL_ICEBERG_METADATA_CONSISTENCY,
         "iceberg_zorder_pruning": SQL_ICEBERG_ZORDER_PRUNING,
+        "iceberg_bloom_lookup": SQL_ICEBERG_BLOOM_LOOKUP,
         "delta_log_versions": SQL_DELTA_LOG_VERSIONS,
         "contract_filter_split": SQL_CONTRACT_FILTER_SPLIT,
         "pii_mask": SQL_PII_MASK,

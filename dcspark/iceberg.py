@@ -1298,7 +1298,22 @@ class IcebergTable:
                 dfile.update(_collect_file_stats(dest, fid_types))
                 files.append(dfile)
         shutil.rmtree(staging, ignore_errors=True)
+        # bloom sidecar for the new files (table property `bloom.columns`):
+        # one column-pruned scan of just-written files, landed distributed —
+        # the point-lookup pruning path (dcspark/bloomfilter.py)
+        bcols = self._bloom_cols(md)
+        if bcols and files:
+            from .bloomfilter import write_blooms
+            write_blooms(df.sparkSession, os.path.join(self.meta_dir, "blooms"),
+                         commit_id,
+                         [self._local(f["file_path"]) for f in files], bcols)
         return files
+
+    def _bloom_cols(self, md: Optional[dict] = None) -> List[str]:
+        md = md or self.metadata()
+        prop = (md.get("properties") or {}).get("bloom.columns", "")
+        names = {f["name"] for f in self._current_schema(md)["fields"]}
+        return [c.strip() for c in prop.split(",") if c.strip() in names]
 
     def _part_types(self, md: dict,
                     spec_id: Optional[int] = None) -> List[Tuple[str, str]]:
@@ -2872,6 +2887,18 @@ class IcebergTable:
         data, pos_deletes, eq_entries = self._plan_files(
             snapshot_id, as_of_ms, partition_filter, column_filter=where,
             ref=ref)
+        return self._read_entries(spark, data, pos_deletes, eq_entries, where)
+
+    def _read_entries(
+        self,
+        spark: SparkSession,
+        data: List[dict],
+        pos_deletes: List[str],
+        eq_entries: List[dict],
+        where: Optional[Sequence[Tuple[str, str, Any]]] = None,
+    ) -> DataFrame:
+        """Planned entries -> DataFrame (scan + deletes + exact filter);
+        shared tail of `read` and the bloom-pruned `lookup`."""
         if not data:
             return spark.createDataFrame([], self.spark_schema())
         current = self._current_schema(self.metadata())
@@ -2891,6 +2918,73 @@ class IcebergTable:
         if need_meta:
             df = df.drop("__ice_fp", "__ice_pos")
         return df
+
+
+    def lookup_plan(
+        self, spark: SparkSession, column: str, values: Sequence[Any],
+        **plan_kw,
+    ) -> Tuple[List[dict], List[dict], List[str], List[dict]]:
+        """-> (surviving data entries, candidate entries, pos-delete paths,
+        eq-delete entries) for a point lookup.
+
+        Candidates come from the usual partition + manifest-stats pruning
+        with the ``IN`` predicate; the bloom sidecar then drops every
+        candidate file whose bitset provably misses all probe values.
+        Surviving ⊆ candidates always; a file without a bloom row (written
+        before `bloom.columns` was set) always survives."""
+        where = [(column, "in", list(values))]
+        data, pos_deletes, eq_entries = self._plan_files(
+            column_filter=where, **plan_kw)
+        if column not in self._bloom_cols() or not data:
+            return data, data, pos_deletes, eq_entries
+        from .bloomfilter import prune_files
+        dtype = self.spark_schema()[column].dataType
+        keep = set(prune_files(
+            spark, os.path.join(self.meta_dir, "blooms"), column,
+            list(values), dtype, [e["path"] for e in data]))
+        return ([e for e in data if e["path"] in keep], data,
+                pos_deletes, eq_entries)
+
+    def lookup(self, spark: SparkSession, column: str,
+               values: Sequence[Any], **plan_kw) -> DataFrame:
+        """Point lookup: ``SELECT * WHERE column IN (values)`` that opens
+        only the files the bloom index cannot rule out. Exactness never
+        depends on the index — the surviving files are still filtered by
+        the real ``IN`` predicate, so bloom false positives cost IO only.
+        At 10^12 rows with `bloom.columns` on the key this is the
+        difference between a thousand-file read and a table scan."""
+        survivors, _cand, pos_deletes, eq_entries = self.lookup_plan(
+            spark, column, values, **plan_kw)
+        return self._read_entries(spark, survivors, pos_deletes, eq_entries,
+                                  where=[(column, "in", list(values))])
+
+    def build_blooms(self, spark: SparkSession) -> int:
+        """Backfill bloom sidecars for current-snapshot data files that
+        lack them (files written before `bloom.columns` was set, or after
+        the property gained a column). Returns the number of files
+        indexed. New writes index themselves in `_write_data_files`."""
+        bcols = self._bloom_cols()
+        if not bcols:
+            return 0
+        blooms_dir = os.path.join(self.meta_dir, "blooms")
+        have: set = set()
+        dirs = []
+        if os.path.isdir(blooms_dir):
+            dirs = [os.path.join(blooms_dir, d)
+                    for d in sorted(os.listdir(blooms_dir))]
+            dirs = [d for d in dirs if os.path.isdir(d)]
+        if dirs:
+            have = {(r.file_path, r.column) for r in
+                    spark.read.parquet(*dirs)
+                    .select("file_path", "column").distinct().collect()}
+        todo = [e["path"] for e in self._plan_files()[0]
+                if any((e["path"], c) not in have for c in bcols)]
+        if not todo:
+            return 0
+        from .bloomfilter import write_blooms
+        write_blooms(spark, blooms_dir, f"backfill-{_uuid.uuid4().hex[:12]}",
+                     [self._local(p) for p in todo], bcols)
+        return len(todo)
 
 
 def read_iceberg_table(
