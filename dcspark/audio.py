@@ -692,6 +692,74 @@ def spectral_flatness(pcm, sr) -> float:
     return g / m
 
 
+#: energy-VAD framing: 20 ms frames, a frame is "speech-active" above this
+#: absolute gate. An absolute (not adaptive) gate is deliberate — the
+#: feature is a QUALITY bound ("is there audible signal where the contract
+#: says speech is?"), so a -60 dBFS whisper-level capture scoring low is
+#: the correct outcome, and determinism is trivial to reason about.
+VAD_FRAME_S = 0.02
+VAD_GATE_DBFS = -40.0
+
+
+def _vad_frame_db(pcm, sr) -> np.ndarray:
+    """Per-20ms-frame RMS dBFS (tail remainder folded into a final short
+    frame so trailing silence/speech is never dropped)."""
+    n = max(1, int(sr * VAD_FRAME_S))
+    k = len(pcm) // n
+    x = pcm.astype(np.float64) / 32768.0
+    out = np.empty(k + (1 if len(pcm) > k * n else 0), dtype=np.float64)
+    if k:
+        f = x[:k * n].reshape(k, n)
+        out[:k] = (f * f).mean(axis=1)
+    if len(pcm) > k * n:
+        t = x[k * n:]
+        out[k] = float((t * t).mean())
+    with np.errstate(divide="ignore"):
+        db = 10.0 * np.log10(out, out=np.full_like(out, -12.0),
+                             where=out > 0)
+    return np.maximum(db, -120.0)
+
+
+def speech_ratio(pcm, sr) -> float:
+    """Fraction of 20 ms frames with RMS above the -40 dBFS speech gate.
+    0 for silence-only payloads, ~1 for continuous speech/tone. The bound
+    a speech corpus wants: `min: 0.5` drops clips that are mostly dead
+    air even when every header column (sr_hz, dur_ms, codec) is valid and
+    the decode round-trips perfectly."""
+    if len(pcm) == 0:
+        return 0.0
+    return float(np.mean(_vad_frame_db(pcm, sr) > VAD_GATE_DBFS))
+
+
+def leading_silence_ms(pcm, sr) -> float:
+    """Milliseconds of dead air before the first speech-active frame
+    (whole clip duration if nothing is active). Catches padding that
+    inflates dur_ms and shifts transcript alignment."""
+    if len(pcm) == 0:
+        return 0.0
+    db = _vad_frame_db(pcm, sr)
+    act = np.flatnonzero(db > VAD_GATE_DBFS)
+    frame_ms = VAD_FRAME_S * 1000.0
+    if len(act) == 0:
+        return float(len(pcm)) * 1000.0 / float(sr)
+    return float(min(act[0] * frame_ms, len(pcm) * 1000.0 / float(sr)))
+
+
+def trailing_silence_ms(pcm, sr) -> float:
+    """Milliseconds of dead air after the last speech-active frame."""
+    if len(pcm) == 0:
+        return 0.0
+    db = _vad_frame_db(pcm, sr)
+    act = np.flatnonzero(db > VAD_GATE_DBFS)
+    total_ms = float(len(pcm)) * 1000.0 / float(sr)
+    if len(act) == 0:
+        return total_ms
+    n = max(1, int(sr * VAD_FRAME_S))
+    # end of the last active frame, clamped to the true clip length
+    end_ms = min((act[-1] + 1) * n, len(pcm)) * 1000.0 / float(sr)
+    return float(total_ms - end_ms)
+
+
 #: decoded-PCM scalar features available to loudness-drift and
 #: signal-quality checks and :func:`audio_feature_frame`; all vectorized
 #: numpy over the int16 buffer
@@ -704,6 +772,9 @@ FEATURE_FNS = {
     "spectral_centroid_hz": spectral_centroid_hz,
     "spectral_rolloff_hz": spectral_rolloff_hz,
     "spectral_flatness": spectral_flatness,
+    "speech_ratio": speech_ratio,
+    "leading_silence_ms": leading_silence_ms,
+    "trailing_silence_ms": trailing_silence_ms,
 }
 
 
