@@ -2887,7 +2887,36 @@ class IcebergTable:
         data, pos_deletes, eq_entries = self._plan_files(
             snapshot_id, as_of_ms, partition_filter, column_filter=where,
             ref=ref)
+        data = self._bloom_prune(spark, data, where)
         return self._read_entries(spark, data, pos_deletes, eq_entries, where)
+
+    def _bloom_prune(
+        self, spark: SparkSession, data: List[dict],
+        where: Optional[Sequence[Tuple[str, str, Any]]],
+    ) -> List[dict]:
+        """Drop planned files whose bloom sidecar provably misses every
+        value of an ``=``/``in`` predicate on an indexed column — so any
+        `read(where=...)` (validation scans, WAP increments, CLI --where)
+        gets point-lookup pruning transparently, not just `lookup`.
+        Conjunct semantics: each predicate may only shrink the file set."""
+        if not where or not data:
+            return data
+        bcols = self._bloom_cols()
+        if not bcols:
+            return data
+        from .bloomfilter import prune_files
+        schema = self.spark_schema()
+        for col, op, val in where:
+            if col not in bcols or op not in ("=", "in") or not data:
+                continue
+            values = list(val) if op == "in" else [val]
+            if not values:
+                continue
+            keep = set(prune_files(
+                spark, os.path.join(self.meta_dir, "blooms"), col, values,
+                schema[col].dataType, [e["path"] for e in data]))
+            data = [e for e in data if e["path"] in keep]
+        return data
 
     def _read_entries(
         self,
@@ -2935,15 +2964,8 @@ class IcebergTable:
         where = [(column, "in", list(values))]
         data, pos_deletes, eq_entries = self._plan_files(
             column_filter=where, **plan_kw)
-        if column not in self._bloom_cols() or not data:
-            return data, data, pos_deletes, eq_entries
-        from .bloomfilter import prune_files
-        dtype = self.spark_schema()[column].dataType
-        keep = set(prune_files(
-            spark, os.path.join(self.meta_dir, "blooms"), column,
-            list(values), dtype, [e["path"] for e in data]))
-        return ([e for e in data if e["path"] in keep], data,
-                pos_deletes, eq_entries)
+        survivors = self._bloom_prune(spark, data, where)
+        return survivors, data, pos_deletes, eq_entries
 
     def lookup(self, spark: SparkSession, column: str,
                values: Sequence[Any], **plan_kw) -> DataFrame:

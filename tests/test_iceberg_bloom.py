@@ -135,6 +135,21 @@ def test_int_column_typing(spark, tmp_path):
     assert got == {7, 450}
 
 
+def test_read_where_prunes_transparently(spark, tmp_path):
+    # read(where=[(col, "in"/"=", ...)]) must consult blooms without the
+    # caller ever naming the index — and stay exact
+    t = _mk(spark, tmp_path, props={"bloom.columns": "clip_id"})
+    probe = _ids_for(spark, [42, 2048])
+    got = {r.score for r in
+           t.read(spark, where=[("clip_id", "in", probe)]).collect()}
+    assert got == {42, 2048}
+    one = _ids_for(spark, [99])[0]
+    assert [r.score for r in
+            t.read(spark, where=[("clip_id", "=", one)]).collect()] == [99]
+    # absent key: bloom prunes everything (or nearly), result is empty
+    assert t.read(spark, where=[("clip_id", "=", "~absent~")]).count() == 0
+
+
 def test_bloom_frame_one_row_per_file_col(spark, tmp_path):
     p = os.path.join(str(tmp_path), "plain")
     spark.range(0, 100, 1, 3).select(
