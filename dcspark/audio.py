@@ -745,6 +745,25 @@ def leading_silence_ms(pcm, sr) -> float:
     return float(min(act[0] * frame_ms, len(pcm) * 1000.0 / float(sr)))
 
 
+def speech_seconds(pcm, sr) -> float:
+    """Seconds of speech-active audio (active 20 ms frames x frame length,
+    clamped to the clip). The denominator of the speaking-rate invariant;
+    also boundable directly (``minimum: 1.0`` = at least a second of
+    audible signal)."""
+    if len(pcm) == 0:
+        return 0.0
+    db = _vad_frame_db(pcm, sr)
+    active = int(np.count_nonzero(db > VAD_GATE_DBFS))
+    return float(min(active * VAD_FRAME_S, len(pcm) / float(sr)))
+
+
+#: pseudo-feature of the speaking-rate invariant: transcript characters per
+#: second of DETECTED speech. Not in FEATURE_FNS — it needs the transcript
+#: column, which rides the decode scan as a JVM-computed length (__chars),
+#: so the Python side never sees the text itself.
+RATE_FEATURE = "chars_per_speech_sec"
+
+
 def trailing_silence_ms(pcm, sr) -> float:
     """Milliseconds of dead air after the last speech-active frame."""
     if len(pcm) == 0:
@@ -775,6 +794,7 @@ FEATURE_FNS = {
     "speech_ratio": speech_ratio,
     "leading_silence_ms": leading_silence_ms,
     "trailing_silence_ms": trailing_silence_ms,
+    "speech_seconds": speech_seconds,
 }
 
 
@@ -789,6 +809,7 @@ def audio_decode_compact(
     fp_fn=None,
     feat_bins: Optional[Dict[str, List[float]]] = None,
     feat_limits: Optional[List[Tuple[str, Optional[float], Optional[float]]]] = None,
+    text_col: Optional[str] = None,
 ) -> DataFrame:
     """Single-pass engine path: ONE decode scan -> per-task aggregate counts
     plus capped violation rows.
@@ -825,9 +846,19 @@ def audio_decode_compact(
     successful decode), so the two checks stay disjoint like missing/invalid.
     """
     limit_names = {name for name, _, _ in (feat_limits or [])}
+    # speaking-rate pseudo-feature: needs the transcript length, which the
+    # scan carries as a JVM-computed __chars column (the text itself never
+    # crosses into Python); the denominator is the speech_seconds feature
+    needs_chars = RATE_FEATURE in limit_names
+    if feat_bins and RATE_FEATURE in feat_bins:
+        raise ValueError(
+            f"{RATE_FEATURE} is a per-clip bound, not a histogrammable "
+            "feature; use a signal-quality rule")
+    fn_names = (set(feat_bins or ()) | (limit_names - {RATE_FEATURE})
+                | ({"speech_seconds"} if needs_chars else set()))
     feat_fns = (
-        {name: FEATURE_FNS[name] for name in set(feat_bins or ()) | limit_names}
-        if (feat_bins or limit_names) else None)
+        {name: FEATURE_FNS[name] for name in fn_names} if fn_names else None)
+    text_col = text_col or "transcript"
 
     def compact_batches(batches: Iterator["object"]) -> Iterator["object"]:
         import bisect
@@ -843,8 +874,10 @@ def audio_decode_compact(
         fq_counts: dict = {}
         fq_vios: dict = {}
         for batch in batches:
-            has_part = batch.num_columns > 5
-            parts = batch.column(5).to_pylist() if has_part else None
+            base = 6 if needs_chars else 5
+            has_part = batch.num_columns > base
+            parts = batch.column(base).to_pylist() if has_part else None
+            chars = batch.column(5).to_pylist() if needs_chars else None
             for i, (clip_id, rec) in enumerate(
                     _eval_batch(batch, oracle, snr_fn, snr_floor_db,
                                 fp_fn=fp_fn, feat_fns=feat_fns)):
@@ -866,7 +899,16 @@ def audio_decode_compact(
                             h = fhists[(part, name)] = [0] * (len(edges) + 1)
                         h[bisect.bisect_left(edges, val)] += 1
                     for li, (name, lo, hi) in enumerate(feat_limits or ()):
-                        val = feats[name]
+                        if name == RATE_FEATURE:
+                            ch = chars[i]
+                            if ch is None or ch < 0:
+                                # missing transcript is field_required's
+                                # finding; rate stays disjoint from it the
+                                # way invalid stays disjoint from missing
+                                continue
+                            val = ch / max(feats["speech_seconds"], 1e-9)
+                        else:
+                            val = feats[name]
                         if (lo is not None and val < lo) or (hi is not None and val > hi):
                             fq_counts[(part, li)] = fq_counts.get((part, li), 0) + 1
                             v = fq_vios.setdefault((part, li), [])
@@ -969,6 +1011,16 @@ def audio_decode_compact(
         yield pa.RecordBatch.from_arrays(arrays, names)
 
     cols = [F.col(id_col), F.col(BYTES_COL), F.col("sr_hz"), F.col("dur_ms"), F.col("codec")]
+    if needs_chars:
+        if text_col not in df.columns:
+            raise ValueError(
+                f"speaking-rate rule needs text column {text_col!r} "
+                f"in the model")
+        # transcript LENGTH rides the scan (JVM length()); the text itself
+        # never crosses the Arrow boundary. -1 sentinel = NULL transcript.
+        cols.append(F.when(F.col(text_col).isNull(), F.lit(-1))
+                    .otherwise(F.length(F.col(text_col)))
+                    .cast("int").alias("__chars"))
     if partition_col:
         cols.append(F.col(partition_col).cast("string").alias("__part"))
     return df.select(*cols).mapInArrow(compact_batches, schema=AUDIO_COMPACT_DDL)

@@ -1216,6 +1216,60 @@ def check_audio_quality(model: str, q: Quality, idx: int) -> CompiledCheck:
     )
 
 
+def check_audio_rate(model: str, q: Quality, idx: int) -> CompiledCheck:
+    """Cross-modal speaking-rate invariant (``type: audio, invariant:
+    speaking-rate``): transcript characters per second of DETECTED speech
+    (energy-VAD active frames, audio.speech_seconds) bounded per clip —
+    e.g. ``minimum: 5, maximum: 40`` for read speech. No column rule can
+    express this: the denominator needs the decoded PCM, and that is the
+    point — a transcript pasted onto the wrong clip, a half-truncated
+    payload with a full transcript, or dead air billed as speech all show
+    an absurd rate while every header column and even the SNR oracle pass.
+
+    ``column`` names the transcript column (default ``transcript``). NULL
+    transcripts are skipped (field_required's finding, kept disjoint), as
+    are clips that fail to decode (decode-conformance's finding).
+
+    Scale design: identical to signal-quality — the bound is evaluated
+    inside the ONE mapInArrow decode pass via the feat_limits machinery;
+    only the JVM-computed transcript LENGTH rides the scan (the text never
+    crosses the Arrow boundary), and counts merge per partition and
+    through the checkpoint manifest."""
+    from .audio import RATE_FEATURE
+
+    lo, hi = q.minimum, q.maximum
+    if lo is None and hi is None:
+        raise ValueError(
+            "speaking-rate rule needs 'minimum' and/or 'maximum' "
+            "(chars per second of detected speech)")
+    text_col = q.column or "transcript"
+    bounds = " and ".join(
+        s for s in (
+            f"rate >= {lo}" if lo is not None else None,
+            f"rate <= {hi}" if hi is not None else None,
+        ) if s)
+    name = q.description or f"Speaking rate ({bounds} chars/speech-sec)"
+    evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
+    return CompiledCheck(
+        key=_key(model, RATE_FEATURE, f"audio_speaking_rate_{idx}"),
+        check_type="audio_speaking_rate",
+        category="audio",
+        name=name,
+        model=model,
+        kind="audio_quality",
+        params={"feature": RATE_FEATURE, "minimum": lo, "maximum": hi,
+                "text_column": text_col},
+        evaluate=evaluator,
+        expected=f"len({text_col}) / speech_seconds within [{lo}, {hi}] "
+                 "for every decodable clip with a transcript",
+        implementation=(
+            "per-clip chars/speech-sec bound evaluated inside the single "
+            "mapInArrow decode pass (VAD speech_seconds denominator; "
+            "transcript length carried as a JVM column)"
+        ),
+    )
+
+
 def check_transcript_equality(model: str, q: Quality, idx: int) -> CompiledCheck:
     """Per-row transcript equality vs the oracle reference table (BASELINE.json
     input_hint). Sort-merge equi-join on the key column; at 10^12 scale both
@@ -1481,6 +1535,8 @@ def create_checks(
                 checks.append(check_audio_drift(model_name, q, qi))
             elif q.type == "audio" and (q.invariant or "") == "signal-quality":
                 checks.append(check_audio_quality(model_name, q, qi))
+            elif q.type == "audio" and (q.invariant or "") == "speaking-rate":
+                checks.append(check_audio_rate(model_name, q, qi))
             elif q.type == "audio":
                 checks.append(check_audio(model_name, q, qi))
             elif q.type == "image" and (q.invariant or "") == "signal-quality":

@@ -509,7 +509,7 @@ class Validator:
 
     def _audio_compact(
         self, df: DataFrame, chk: Optional[CompiledCheck], partition_col: Optional[str],
-        fp_fn=None, feat_bins=None, feat_limits=None,
+        fp_fn=None, feat_bins=None, feat_limits=None, text_col=None,
     ) -> DataFrame:
         # partition col is threaded through the Arrow batch as __part (no
         # re-join); chk=None (feature-histograms-only scan) skips the SNR
@@ -524,6 +524,7 @@ class Validator:
             fp_fn=fp_fn,
             feat_bins=feat_bins,
             feat_limits=feat_limits,
+            text_col=text_col,
         )
 
     def _audio_compact_collect(
@@ -716,6 +717,16 @@ class Validator:
             (c.params["feature"], c.params["minimum"], c.params["maximum"])
             for c in audio_quality_checks or []
         ]
+        # speaking-rate rules carry the transcript column the decode scan
+        # must add as a JVM length; one text column per model
+        rate_cols = {c.params["text_column"]
+                     for c in audio_quality_checks or []
+                     if c.params.get("text_column")}
+        if len(rate_cols) > 1:
+            raise ValueError(
+                f"speaking-rate rules on one model must share a text "
+                f"column, got {sorted(rate_cols)}")
+        rate_text_col = next(iter(rate_cols), None)
 
         part_rows: List[Dict[str, Any]] = []
         audio_part_rows: List[Dict[str, Any]] = []
@@ -761,6 +772,7 @@ class Validator:
                 drift_jobs, feat_bins=feat_bins or None,
                 feat_limits=feat_limits or None,
                 pctl_cols=pctl_cols or None,
+                rate_text_col=rate_text_col,
             )
             if pctl_aliases and len(part_rows) > 1:
                 pctl_row = pctl_job()
@@ -793,6 +805,7 @@ class Validator:
                     fp_fn=afp.fingerprint_hashes if audio_fp_checks else None,
                     feat_bins=feat_bins or None,
                     feat_limits=feat_limits or None,
+                    text_col=rate_text_col,
                 ).persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     rows, vio = (
@@ -1807,6 +1820,7 @@ class Validator:
         feat_bins: Optional[Dict[str, List[float]]] = None,
         feat_limits: Optional[List[Tuple[str, Optional[float], Optional[float]]]] = None,
         pctl_cols: Optional[List[str]] = None,
+        rate_text_col: Optional[str] = None,
     ) -> Tuple[
         List[Dict[str, Any]], List[Dict[str, Any]],
         List[Tuple[Optional[str], str, str]], Dict[str, Dict[int, int]],
@@ -1859,6 +1873,9 @@ class Validator:
             "audio": audio_chk.key if audio_chk is not None else None,
             "feat_bins": feat_bins or {},
             "feat_limits": feat_limits or [],
+            # a changed transcript column changes every rate metric; the
+            # manifest's per-partition counts cannot be merged across it
+            "rate_text_col": rate_text_col,
             "pctl_cols": pctl_cols or [],
             # sketch configs: manifest HLL sketches of a different lgConfigK
             # would make hll_union_agg throw on resume, and t-digests of a
@@ -1988,7 +2005,7 @@ class Validator:
 
                 compact = self._audio_compact(
                     sub, audio_chk, partition_col, feat_bins=feat_bins or None,
-                    feat_limits=feat_limits or None)
+                    feat_limits=feat_limits or None, text_col=rate_text_col)
                 compact = compact.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
                     with self._arrow_batch_conf():

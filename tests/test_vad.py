@@ -97,6 +97,69 @@ def _mostly_silent_subset(df, n_bad):
     return df.mapInArrow(pad, schema=df.schema), ids
 
 
+RATE_CONTRACT = """
+id: audio-rate
+models:
+  clips:
+    fields:
+      clip_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      sr_hz: {type: integer}
+      dur_ms: {type: integer}
+      codec: {type: string}
+      transcript: {type: string}
+    quality:
+      - {type: audio, invariant: speaking-rate, minimum: 0.001, maximum: 500}
+"""
+
+
+def test_speaking_rate_compile_validation():
+    no_bounds = RATE_CONTRACT.replace(
+        ", minimum: 0.001, maximum: 500", "")
+    with pytest.raises(ValueError, match="speaking-rate"):
+        from dcspark.compile import create_checks
+        create_checks(DataContractSpecification.from_string(no_bounds))
+
+
+def test_speaking_rate_contract(spark):
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    df = synth.generate_audio_table(spark, 40, seed=37, dur_lo=300,
+                                    dur_hi=900, num_partitions=2)
+    spec = DataContractSpecification.from_string(RATE_CONTRACT)
+    res = validate(spark, spec, {"clips": df}, ValidationConfig())
+    key = [c.key for c in res.run.checks
+           if "speaking_rate" in c.key][0]
+    assert [c.result for c in res.run.checks if c.key == key] \
+        == [ResultEnum.passed]
+    # inflate 5 transcripts 1000x: rate blows through the max bound while
+    # every header column, the payload, and the SNR oracle stay valid
+    ids = sorted(r[0] for r in df.select("clip_id").collect())[:5]
+    bad = df.withColumn(
+        "transcript",
+        F.when(F.col("clip_id").isin(ids),
+               F.repeat(F.col("transcript"), 1000))
+        .otherwise(F.col("transcript")))
+    res2 = validate(spark, spec, {"clips": bad}, ValidationConfig())
+    chk2 = [c for c in res2.run.checks if c.key == key][0]
+    assert chk2.result == ResultEnum.failed
+    assert res2.metrics[key] == 5
+    vio = res2.violations.filter(F.col("check_key") == key).collect()
+    assert sorted(r["clip_id"] for r in vio) == ids
+    assert all(r["observed"].startswith("chars_per_speech_sec=")
+               for r in vio)
+    # NULL transcripts are field_required's finding, never double-counted
+    nulled = df.withColumn(
+        "transcript",
+        F.when(F.col("clip_id").isin(ids), F.lit(None).cast("string"))
+        .otherwise(F.col("transcript")))
+    res3 = validate(spark, spec, {"clips": nulled}, ValidationConfig())
+    chk3 = [c for c in res3.run.checks if c.key == key][0]
+    assert chk3.result == ResultEnum.passed
+    assert res3.metrics[key] == 0
+
+
 def test_silence_padding_fails_contract(spark):
     df = synth.generate_audio_table(spark, 40, seed=31, dur_lo=300,
                                     dur_hi=900, num_partitions=2)
