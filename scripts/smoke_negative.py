@@ -44,6 +44,11 @@ expected_failed = {
     "audio_clips__clip_id__field_reference",
     "audio_clips__audio_decode_conformance",
     "audio_clips__rms_dbfs__audio_signal_quality_3",
+    # muted_pcm: an all-zero payload has no detected speech, so the VAD
+    # ratio floor AND the speaking-rate bound (chars over ~zero speech
+    # seconds) both fire alongside the rms silence floor
+    "audio_clips__speech_ratio__audio_signal_quality_4",
+    "audio_clips__chars_per_speech_sec__audio_speaking_rate_5",
     "audio_clips__transcript__transcript_equality",
 }
 failed = {c.key for c in res.run.checks if c.result.value == "failed"}

@@ -27,7 +27,8 @@ def test_inventory_for_canonical_audio_contract():
     assert len(audio["field_reference"]) == 1
     assert len(audio["drift_ks"]) == 1 and len(audio["drift_psi"]) == 1
     assert len(audio["audio_decode_conformance"]) == 1
-    assert len(audio["audio_signal_quality"]) == 1
+    assert len(audio["audio_signal_quality"]) == 2  # rms floor + speech_ratio
+    assert len(audio["audio_speaking_rate"]) == 1
     assert len(audio["transcript_equality"]) == 1
     assert len(audio["quality_sql"]) == 1
     ref = _checks_by_type(by_model["transcripts_ref"])

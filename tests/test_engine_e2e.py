@@ -49,7 +49,7 @@ def _cfg(ref_stats, **kw):
 def test_golden_pass(spark, spec, clean_tables, ref_stats):
     res = validate(spark, spec, clean_tables, _cfg(ref_stats))
     assert res.run.result == ResultEnum.passed
-    assert len(res.run.checks) == 40
+    assert len(res.run.checks) == 42
     assert all(c.result == ResultEnum.passed for c in res.run.checks)
     assert res.violations is None
 

@@ -73,7 +73,7 @@ def test_validate_from_iceberg_into_iceberg(spark, spec, iceberg_root,
         n_bins=10)}
     res = validate(spark, spec, tables, _cfg(ref_stats))
     assert res.run.result == ResultEnum.passed
-    assert len(res.run.checks) == 40
+    assert len(res.run.checks) == 42
     # results land in a REAL Iceberg table (snapshot-committed)
     results_loc = str(tmp_path / "run_results")
     from dcspark.engine import RESULTS_DDL
