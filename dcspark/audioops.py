@@ -175,6 +175,94 @@ def audio_transcode(
                      ).mapInArrow(run, schema=TRANSCODE_DDL)
 
 
+TRIM_DDL = ("clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, trimmed_lead_ms double, trimmed_tail_ms double, "
+            "decode_error string")
+
+
+def audio_trim(
+    df: DataFrame,
+    frame_ms: float = 30.0,
+    energy_floor_dbfs: float = -50.0,
+    pad_ms: float = 100.0,
+    min_silence_ms: float = 300.0,
+    min_speech_ms: float = 100.0,
+    id_col: str = "clip_id",
+    bytes_col: str = BYTES_COL,
+) -> DataFrame:
+    """Trim leading/trailing dead air from every clip: keep [first speech
+    run start - pad_ms, last speech run end + pad_ms], re-encode in the
+    clip's own codec, report how much was cut. The act-operator the VAD
+    features diagnose for — a corpus failing a `leading_silence_ms` bound
+    gets repaired here in one pass, shrinking storage AND restoring
+    transcript/audio alignment for training windows.
+
+    Same run-length VAD as :func:`audio_segments` (gaps under
+    ``min_silence_ms`` are speech pauses, runs under ``min_speech_ms`` are
+    clicks), so internal pauses are never cut — only the outer margins.
+    Clips with no detected speech emit null bytes with
+    ``decode_error='no speech detected'`` (quarantine them or lower the
+    floor); undecodable clips pass the decode error through. One
+    mapInArrow pass over (id, bytes); everything else prunes out of the
+    scan.
+    """
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
+            b_out, sr_out, dur_out = [], [], []
+            codec_out, lead_out, tail_out, err_out = [], [], [], []
+
+            def emit(b, sr, dur, codec, lead, tail, err):
+                b_out.append(b), sr_out.append(sr), dur_out.append(dur)
+                codec_out.append(codec), lead_out.append(lead)
+                tail_out.append(tail), err_out.append(err)
+
+            for i in range(n_rows):
+                if nulls[i]:
+                    emit(None, None, None, None, None, None, "null payload")
+                    continue
+                raw = heap[offsets[i]:offsets[i + 1]]
+                try:
+                    sr, codec, pcm = parse_wav_view(raw)
+                except (ValueError, struct.error) as e:
+                    emit(None, None, None, None, None, None, str(e))
+                    continue
+                n_f = max(1, int(round(sr * frame_ms / 1000.0)))
+                db = _frame_rms_db(pcm, sr, frame_ms)
+                runs = _speech_runs(
+                    db > energy_floor_dbfs,
+                    max(1, int(round(min_silence_ms / frame_ms))),
+                    max(1, int(round(min_speech_ms / frame_ms))))
+                if not runs:
+                    emit(None, None, None, None, None, None,
+                         "no speech detected")
+                    continue
+                pad = int(round(sr * pad_ms / 1000.0))
+                s = max(0, runs[0][0] * n_f - pad)
+                e = min(len(pcm), runs[-1][1] * n_f + pad)
+                cut = pcm[s:e]
+                emit(encode_wav(cut, sr, codec=codec), sr,
+                     int(round(len(cut) / sr * 1000.0)), codec,
+                     s / sr * 1000.0, (len(pcm) - e) / sr * 1000.0, None)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(b_out, pa.binary()),
+                 pa.array(sr_out, pa.int32()),
+                 pa.array(dur_out, pa.int32()),
+                 pa.array(codec_out, pa.string()),
+                 pa.array(lead_out, pa.float64()),
+                 pa.array(tail_out, pa.float64()),
+                 pa.array(err_out, pa.string())],
+                ["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                 "trimmed_lead_ms", "trimmed_tail_ms", "decode_error"])
+
+    return df.select(F.col(id_col).alias("clip_id"), F.col(bytes_col)
+                     ).mapInArrow(run, schema=TRIM_DDL)
+
+
 def _frame_rms_db(pcm: np.ndarray, sr: int, frame_ms: float) -> np.ndarray:
     """Per-frame RMS in dBFS via one reduceat over the squared signal; the
     trailing partial frame is included (normalized by its true length)."""

@@ -751,6 +751,13 @@ def cmd_audio(args: argparse.Namespace) -> int:
             df, frame_ms=args.frame_ms, energy_floor_dbfs=args.floor_dbfs,
             min_silence_ms=args.min_silence_ms, min_speech_ms=args.min_speech_ms)
         label = f"speech segments (floor {args.floor_dbfs} dBFS)"
+    elif args.action == "trim":
+        out = aops.audio_trim(
+            df, frame_ms=args.frame_ms, energy_floor_dbfs=args.floor_dbfs,
+            pad_ms=args.pad_ms, min_silence_ms=args.min_silence_ms,
+            min_speech_ms=args.min_speech_ms)
+        label = (f"dead air trimmed (floor {args.floor_dbfs} dBFS, "
+                 f"pad {args.pad_ms} ms)")
     elif args.action == "fingerprint":
         from . import audiofp
 
@@ -1465,7 +1472,7 @@ def main(argv: Optional[list] = None) -> int:
                       "features | augment | census | fingerprint | neardup | "
                       "decontam | embed | semneardup | semdecontam")
     au.add_argument("action",
-                    choices=["transcode", "segment", "chunk", "features", "augment", "census",
+                    choices=["transcode", "segment", "trim", "chunk", "features", "augment", "census",
                              "fingerprint", "neardup", "decontam",
                              "embed", "semneardup", "semdecontam"])
     au.add_argument("--eval", default=None,
@@ -1509,6 +1516,8 @@ def main(argv: Optional[list] = None) -> int:
                     help="segment: frames above this RMS are speech")
     au.add_argument("--min-silence-ms", type=float, default=300.0)
     au.add_argument("--min-speech-ms", type=float, default=100.0)
+    au.add_argument("--pad-ms", type=float, default=100.0,
+                    help="trim: silence kept around the speech span")
     au.add_argument("--win-ms", type=int, default=5000)
     au.add_argument("--hop-ms", type=int, default=2500)
     au.add_argument("--no-bytes", action="store_true",

@@ -15,6 +15,7 @@ from dcspark.audioops import (
     audio_chunks,
     audio_segments,
     audio_transcode,
+    audio_trim,
     chunk_count,
     resample_linear,
 )
@@ -113,6 +114,57 @@ def test_segments_decode_error_row(spark):
     rows = audio_segments(df).collect()
     assert len(rows) == 1 and rows[0]["decode_error"]
     assert rows[0]["start_ms"] is None
+
+
+# ---------------------------------------------------------------------- trim
+
+def test_trim_cuts_outer_silence_keeps_pad(spark):
+    df = _seg_df(spark, _silence(900), _tone(600), _silence(1200))
+    row = audio_trim(df, pad_ms=100, min_silence_ms=300).collect()[0]
+    assert row["decode_error"] is None
+    # ~900ms lead minus 100ms pad cut; ~1200ms tail minus pad.
+    assert abs(row["trimmed_lead_ms"] - 800) <= 60
+    assert abs(row["trimmed_tail_ms"] - 1100) <= 60
+    assert abs(row["dur_ms"] - 800) <= 120  # 600 speech + 2x100 pad
+    sr2, _, pcm = parse_wav(bytes(row["bytes"]))
+    assert sr2 == SR and abs(len(pcm) / sr2 * 1000 - row["dur_ms"]) <= 2
+
+
+def test_trim_preserves_internal_pause(spark):
+    df = _seg_df(spark, _silence(800), _tone(400), _silence(700),
+                 _tone(400), _silence(800))
+    row = audio_trim(df, pad_ms=50, min_silence_ms=300).collect()[0]
+    # the 700ms pause between the runs stays: 400+700+400 + 2x50 pad
+    assert abs(row["dur_ms"] - 1600) <= 120
+    assert abs(row["trimmed_lead_ms"] - 750) <= 60
+
+
+def test_trim_pad_clamps_at_clip_edges(spark):
+    df = _seg_df(spark, _tone(500))  # speech starts at 0, no room for pad
+    row = audio_trim(df, pad_ms=200).collect()[0]
+    assert row["trimmed_lead_ms"] == 0.0 and row["trimmed_tail_ms"] == 0.0
+    assert abs(row["dur_ms"] - 500) <= 30
+
+
+def test_trim_preserves_codec(spark):
+    pcm = np.concatenate([_silence(600), _tone(500), _silence(600)])
+    df = spark.createDataFrame(
+        [("m", encode_wav(pcm, SR, codec="pcm_mulaw"))], SCHEMA)
+    row = audio_trim(df).collect()[0]
+    assert row["codec"] == "pcm_mulaw"
+    sr2, name2, _ = parse_wav(bytes(row["bytes"]))
+    assert (sr2, name2) == (SR, "pcm_mulaw")
+
+
+def test_trim_all_silence_quarantined(spark):
+    df = spark.createDataFrame(
+        [("s", wav_bytes(_silence(1000), SR)), ("bad", b"not a wav"),
+         ("nul", None)], SCHEMA)
+    got = {r["clip_id"]: r for r in audio_trim(df).collect()}
+    assert got["s"]["bytes"] is None
+    assert got["s"]["decode_error"] == "no speech detected"
+    assert got["bad"]["bytes"] is None and got["bad"]["decode_error"]
+    assert got["nul"]["decode_error"] == "null payload"
 
 
 # -------------------------------------------------------------------- chunks
@@ -260,6 +312,17 @@ def test_cli_audio_pipeline(tmp_path, capsys, spark):
                  "--min-silence-ms", "300", "--master", "local[2]"]) == 0
     sdf = spark.read.parquet(s_out)
     assert sdf.filter(sdf.clip_id == "b").count() == 2
+    tr_src = str(tmp_path / "padded")
+    spark.createDataFrame(
+        [("p", bytearray(wav_bytes(
+            np.concatenate([_silence(900), _tone(500), _silence(900)]), SR)))],
+        SCHEMA).write.parquet(tr_src)
+    tr_out = str(tmp_path / "trimmed")
+    assert main(["audio", "trim", "--input", tr_src, "--output", tr_out,
+                 "--pad-ms", "100", "--master", "local[2]"]) == 0
+    trow = spark.read.parquet(tr_out).collect()[0]
+    assert abs(trow["dur_ms"] - 700) <= 120 and trow["trimmed_lead_ms"] > 700
+
     f_out = str(tmp_path / "feats")
     assert main(["audio", "features", "--input", src, "--output", f_out,
                  "--n-mels", "24", "--master", "local[2]"]) == 0
