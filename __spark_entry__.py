@@ -899,6 +899,76 @@ SELECT a_n AS n_view, b_n AS n_click, round(greatest({diffs}), 6) AS ks FROM a, 
 """
 
 
+def q_metric_change_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-over-time + robust anomaly statistics over a metric series
+    (dcspark/history.py ``series_change_stats`` — the engine's ``type:
+    history`` checks use the same formulas on its results table). The series
+    here: orders row_count per order month, i.e. one "validation run" per
+    month. For every point, the trailing 7-run frame yields the avg baseline,
+    percent change, median/MAD, and the 0.6745*(x-med)/MAD robust z-score;
+    |pct_change| > 15 raises the alert flag. All window math is JVM
+    expressions (one collect_list frame + array higher-order functions), no
+    UDF — the identical call handles a per-check series table with 10^6 runs
+    per key, partitioned by check key."""
+    from dcspark.history import series_change_stats
+
+    orders = _t(spark, sf, "orders")
+    series = orders.groupBy(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("month")
+    ).agg(F.count(F.lit(1)).cast("double").alias("metric"))
+    out = series_change_stats(series, "month", "metric", window=7, agg="avg")
+    # the first month has an empty frame (nothing to judge against — the
+    # engine's insufficient-history pass); a zero-MAD frame with a moved value
+    # leaves robust_z undefined, surfaced as the z_undefined flag so the
+    # output stays NULL-free for exact comparison
+    return (
+        out.filter(F.col("n_history") > 0)
+        .select(
+            "month",
+            F.col("metric").cast("long").alias("run_metric"),
+            F.col("n_history").cast("int").alias("n_history"),
+            F.round("baseline", 6).alias("baseline"),
+            F.round("pct_change", 6).alias("pct_change"),
+            F.round("hist_median", 6).alias("hist_median"),
+            F.round("hist_mad", 6).alias("hist_mad"),
+            F.round(F.coalesce("robust_z", F.lit(0.0)), 6).alias("robust_z"),
+            ((F.col("hist_mad") == 0.0) & (F.col("metric") != F.col("hist_median")))
+            .alias("z_undefined"),
+            (F.abs(F.col("pct_change")) > 15.0).alias("alert"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_METRIC_CHANGE_ALERTS = """
+WITH series AS (
+  SELECT substr(CAST(o_orderdate AS VARCHAR),1,7) AS month,
+         CAST(count(*) AS DOUBLE) AS metric
+  FROM orders GROUP BY 1
+), stats AS (
+  SELECT month, metric,
+    CAST(count(metric) OVER w AS INTEGER) AS n_history,
+    avg(metric) OVER w AS baseline,
+    CAST(median(metric) OVER w AS DOUBLE) AS hist_median,
+    CAST(mad(metric) OVER w AS DOUBLE) AS hist_mad
+  FROM series
+  WINDOW w AS (ORDER BY month ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT month, CAST(metric AS BIGINT) AS run_metric, n_history,
+  round(baseline,6) AS baseline,
+  round((metric - baseline)/abs(baseline)*100, 6) AS pct_change,
+  round(hist_median,6) AS hist_median,
+  round(hist_mad,6) AS hist_mad,
+  round(CASE WHEN hist_mad > 0 THEN 0.6745*(metric - hist_median)/hist_mad
+             ELSE 0.0 END, 6) AS robust_z,
+  (hist_mad = 0 AND metric <> hist_median) AS z_undefined,
+  abs((metric - baseline)/abs(baseline)*100) > 15.0 AS alert
+FROM stats
+WHERE n_history > 0
+ORDER BY month
+"""
+
+
 def q_row_counts(spark: SparkSession, sf: str) -> DataFrame:
     """root-quality row_count passthrough over every contract model."""
     out = None
@@ -4751,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "drift_ks": q_drift_ks,
         "row_counts": q_row_counts,
+        "metric_change_alerts": q_metric_change_alerts,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
         "edit_distance_pairs": q_edit_distance_pairs,
@@ -4851,6 +4922,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi": _sql_drift_psi(),
         "drift_ks": _sql_drift_ks(),
         "row_counts": SQL_ROW_COUNTS,
+        "metric_change_alerts": SQL_METRIC_CHANGE_ALERTS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,

@@ -347,6 +347,10 @@ def cmd_test(args: argparse.Namespace) -> int:
         ref_stats=_load_ref_stats(spark, spec, args.ref_stats) if args.ref_stats else {},
         unique_mode=args.unique_mode,
         pctl_mode=args.pctl_mode,
+        # history checks read a results table this engine wrote; default to
+        # the results sink so `--results-path r.parquet` alone closes the loop
+        history_path=args.history_path or args.results_path,
+        history_format=args.history_format,
     )
     if args.incremental_state:
         # validate ONLY rows appended to the model's Iceberg table since the
@@ -1250,6 +1254,12 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--junit", default=None, help="write JUnit XML here")
     t.add_argument("--results-path", default=None)
     t.add_argument("--violations-path", default=None)
+    t.add_argument("--history-path", default=None,
+                   help="metric-history source for `type: history` checks "
+                        "(a results table from earlier runs; defaults to "
+                        "--results-path so one flag closes the loop)")
+    t.add_argument("--history-format", default="parquet",
+                   choices=["parquet", "iceberg", "delta"])
     t.add_argument("--ref-stats", default=None,
                    help="dir of <model>.parquet drift snapshots (see `snapshot`)")
     t.add_argument("--publish", default=None,

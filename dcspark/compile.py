@@ -759,6 +759,83 @@ def check_quality_group(model: str, q: Quality, idx: int) -> CompiledCheck:
     )
 
 
+def check_quality_history(
+    model: str, q: Quality, idx: int, fname: Optional[str] = None
+) -> CompiledCheck:
+    """Change-over-time / anomaly checks on the engine's own metric history
+    (``type: history``). SodaCL has both forms (``change avg last 7 for
+    row_count < 10%`` and ``anomaly score``), but the reference CLI cannot run
+    them — they need Soda Cloud's stored series. Here the series source is the
+    results table this engine writes (engine.RESULTS_DDL via
+    ValidationConfig.history_path), so the loop closes without a SaaS.
+
+    ``watch`` names the tracked metric: a full check key
+    (``clips__clip_id__field_unique``) or a check_type shorthand resolved
+    against this rule's model/field (``row_count``, ``field_required``, ...).
+    ``method: change`` judges percent change of the current run's metric vs an
+    ``agg`` (avg default) of the last ``window`` runs; ``method: anomaly``
+    judges the robust z-score 0.6745*(x-median)/MAD over the same frame
+    (median/MAD so one past outlier can't widen the band). Thresholds: the
+    eight mustBe* forms on the statistic itself, or ``threshold: t`` as the
+    symmetric band [-t, t]. Runs with fewer than ``min_history`` prior points
+    pass with an explanatory reason — a brand-new table has no past to drift
+    from (soda's anomaly warm-up behaves the same way)."""
+    watch = q.watch or "row_count"
+    watch_key = watch if "__" in watch else _key(model, fname, watch)
+    method = (q.method or "change").lower()
+    if method not in ("change", "anomaly"):
+        raise ValueError(f"history method must be change|anomaly, got {method!r}")
+    window = int(q.window or 7)
+    agg = (q.agg or "avg").lower()
+    min_history = int(
+        q.min_history if q.min_history is not None else (3 if method == "anomaly" else 1)
+    )
+    stat_name = "pct_change" if method == "change" else "robust_z"
+    name = q.description or (
+        f"{stat_name} of {watch_key} vs {agg} of last {window} runs"
+    )
+    if has_threshold(q):
+        base_ev, desc = to_threshold_evaluator(q, name)
+    else:
+        t = float(q.threshold) if q.threshold is not None else (
+            10.0 if method == "change" else 3.5
+        )
+        band = Quality(mustBeBetween=[-t, t])
+        base_ev, desc = to_threshold_evaluator(band, name)
+
+    def ev(metric: Optional[float], diag: Dict[str, Any]) -> Tuple[ResultEnum, Optional[str]]:
+        n = int(diag.get("n_history", 0))
+        if n < min_history:
+            return ResultEnum.passed, (
+                f"{name}: insufficient history (n={n} < {min_history}), not judged"
+            )
+        if metric is None:
+            return ResultEnum.error, (
+                f"{name}: statistic undefined ({diag.get('undefined', 'no data')})"
+            )
+        return base_ev(metric, diag)
+
+    return CompiledCheck(
+        key=_key(model, fname, f"quality_history_{idx}"),
+        check_type="quality_history",
+        category="quality",
+        name=name,
+        model=model,
+        field=fname,
+        kind="history",
+        params={
+            "watch_key": watch_key, "method": method, "window": window,
+            "agg": agg, "min_history": min_history, "threshold": desc,
+        },
+        evaluate=ev,
+        expected=f"{stat_name} {desc}",
+        implementation=(
+            f"history.collect_series(results_table, {watch_key!r}, window={window})"
+            f" -> point_stats(method={method!r}, agg={agg!r}) {desc}"
+        ),
+    )
+
+
 def check_drift(model: str, q: Quality, idx: int) -> CompiledCheck:
     method = (q.method or "ks").lower()
     threshold = q.threshold if q.threshold is not None else (0.05 if method == "ks" else 0.2)
@@ -1499,6 +1576,8 @@ def create_checks(
                     checks.append(check_quality_metric(model_name, q, qi, fname))
                 elif q.type == "expression" and q.expression:
                     checks.append(check_quality_expression(model_name, q, qi, fname))
+                elif q.type == "history":
+                    checks.append(check_quality_history(model_name, q, qi, fname))
             ftype = (f_.type or "").lower()
             if ftype in ("object", "record", "struct"):
                 for child_name, child in f_.fields.items():
@@ -1525,6 +1604,8 @@ def create_checks(
                 checks.append(check_quality_expression(model_name, q, qi))
             elif q.type == "group" and q.column:
                 checks.append(check_quality_group(model_name, q, qi))
+            elif q.type == "history":
+                checks.append(check_quality_history(model_name, q, qi))
             elif q.type == "drift" and q.column:
                 checks.append(check_drift(model_name, q, qi))
             elif q.type == "audio" and (q.invariant or "") == "transcript-equality":
@@ -1549,6 +1630,18 @@ def create_checks(
                 checks.append(check_image_decode(model_name, q, qi))
             elif q.type == "video":
                 checks.append(check_video_decode(model_name, q, qi))
+        # A history rule watching row_count auto-materializes the row_count
+        # metric as an always-true check, so the watched series both exists in
+        # THIS run's metrics and lands in the results table for future runs —
+        # no separate passthrough rule needed.
+        rc_key = _key(model_name, None, "row_count")
+        if any(
+            c.kind == "history" and c.params.get("watch_key") == rc_key
+            for c in checks
+        ) and all(c.key != rc_key for c in checks):
+            rc = check_row_count_passthrough(model_name, "row_count >= 0")
+            if rc is not None:
+                checks.append(rc)
         out[model_name] = checks
 
     # service levels attach to the first model that has the timestamp field

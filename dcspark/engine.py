@@ -95,6 +95,11 @@ class ValidationConfig:
     # manifest as base64, so resumed runs never re-read completed partitions.
     pctl_mode: str = "exact"
     pctl_tdigest_delta: int = 500  # compression: ~0.1-1% rank error, ~16 KB/digest
+    # metric-history source for ``type: history`` checks: a results table this
+    # engine wrote (RESULTS_DDL schema). The per-key window prune runs
+    # distributed; only checks x window floats reach the driver.
+    history_path: Optional[str] = None
+    history_format: str = "parquet"  # parquet | iceberg | delta
     # resume-time lineage verification: each manifest record stores the
     # partition's input-file lineage (file count + md5 of the sorted file
     # list); on resume, a completed partition whose file set changed is
@@ -275,6 +280,7 @@ class Validator:
         video_checks = [c for c in checks if c.kind == "video"]
         audio_drift_checks = [c for c in checks if c.kind == "audio_drift"]
         audio_quality_checks = [c for c in checks if c.kind == "audio_quality"]
+        history_checks = [c for c in checks if c.kind == "history"]
 
         self._run_schema_checks(schema_checks, df)
 
@@ -404,6 +410,62 @@ class Validator:
                         self._record_image_fp(c, r)
             else:
                 self._record_sql(chk, res)
+
+        # History checks judge the CURRENT run's metrics against the trailing
+        # window in the results table, so they must run after every other
+        # check of this model has recorded (their watched metrics are filled
+        # by the loop above). They append at the end of the model's check
+        # order; watched keys must be produced by this model's own checks
+        # (cross-model watches would race the parallel per-model recorders).
+        if history_checks:
+            self._run_history_checks(model_name, history_checks)
+
+    def _run_history_checks(
+        self, model_name: str, checks: List[CompiledCheck]
+    ) -> None:
+        """Evaluate ``type: history`` checks: one distributed window-pruned
+        read of the results table for ALL watched keys of this model, then a
+        driver-side judgment per check on <= window floats. An absent history
+        table (first-ever run) is an empty series, which the compiled
+        evaluator reports as an insufficient-history pass, not an error."""
+        from . import history as hist_mod
+
+        path = self.config.history_path
+        series: Dict[str, List[float]] = {}
+        load_err: Optional[str] = None
+        if path:
+            keys = sorted({c.params["watch_key"] for c in checks})
+            max_w = max(int(c.params["window"]) for c in checks)
+            try:
+                frame = hist_mod.load_history(
+                    self.spark, path, self.config.history_format)
+                series = hist_mod.collect_series(
+                    frame, model_name, keys, max_w, exclude_run_id=self.run.runId)
+            except Exception as exc:
+                load_err = f"{type(exc).__name__}: {exc}"
+        for chk in checks:
+            wkey = chk.params["watch_key"]
+            if not path:
+                self._record(
+                    chk, None, ResultEnum.error,
+                    f"{chk.name}: no history source (set ValidationConfig."
+                    "history_path / --history-path to this engine's results table)",
+                    None)
+                continue
+            current = self._metrics.get(wkey)
+            if current is None:
+                self._record(
+                    chk, None, ResultEnum.error,
+                    f"{chk.name}: watched metric {wkey} was not computed in "
+                    "this run (check the watch key)", None)
+                continue
+            vals = series.get(wkey, [])[-int(chk.params["window"]):]
+            stat, diag = hist_mod.point_stats(
+                vals, current, agg=chk.params["agg"], method=chk.params["method"])
+            if load_err and not vals:
+                diag["history_load"] = load_err
+            result, reason = chk.eval_metric(stat, diag)
+            self._record(chk, stat, result, reason, None, diagnostics=diag)
 
     def _parallel(self, thunks: List[Any]) -> List[Any]:
         """Run thunks via a driver-side thread pool (Spark job submission is

@@ -70,6 +70,11 @@ class Quality(BaseModel):
     ref: Optional[str] = None           # transcript-equality: reference model name
     key: Optional[str] = None           # transcript-equality: join key (default clip_id)
     ref_column: Optional[str] = None    # transcript-equality: reference text column
+    # history checks (method: change | anomaly over the engine's results table)
+    watch: Optional[str] = None         # history: watched check key or check_type shorthand
+    window: Optional[int] = None        # history: trailing runs in the baseline frame
+    agg: Optional[str] = None           # history change: avg|median|min|max|last baseline
+    min_history: Optional[int] = None   # history: runs required before the rule can fail
 
 
 class Field(BaseModel):
