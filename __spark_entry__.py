@@ -4794,6 +4794,101 @@ ORDER BY okey
 # driver surface
 # ===========================================================================
 
+_RECON_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q_table_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table reconciliation (dcspark/reconcile.py): bucketed row-hash
+    diff of a deterministically perturbed copy of ``orders`` against the
+    original. Summary pass folds each side to 4096 (bucket, count, digest)
+    rows — shuffle volume independent of table size — and only rows landing
+    in differing buckets are re-read for the key-level full-outer drill, so
+    diff traffic is proportional to drift, not data. Perturbations by
+    ``o_orderkey % 1000``: 1 dropped (missing_in_right), 2 repriced
+    (changed: o_totalprice), 3 status+priority tampered (changed, two
+    columns), 4 double-ingested byte-identical (cardinality_changed — the
+    drift per-column comparison can never see), 5 injected under a new key
+    (missing_in_left)."""
+    from dcspark.reconcile import reconcile
+
+    orders = _t(spark, sf, "orders")
+    m = F.col("o_orderkey") % 1000
+    right = (
+        orders.filter(m != 1)
+        .withColumn(
+            "o_totalprice",
+            F.when(m == 2, F.lit(-1.0)).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(m == 3, F.lit("X")).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(m == 3, F.lit("0-TAMPERED")).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    right = right.unionByName(right.filter(m == 4)).unionByName(
+        orders.filter(m == 5).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(2000000000)
+        )
+    )
+    res = reconcile(
+        orders, right, ["o_orderkey"], compare_cols=_RECON_COLS,
+        count_diff=False,
+    )
+    return (
+        res.diff.select(
+            "o_orderkey",
+            "status",
+            F.array_join("changed_cols", ",").alias("changed_cols"),
+        )
+        .orderBy("o_orderkey", "status")
+    )
+
+
+def _sql_table_reconcile() -> str:
+    diffs = ", ".join(
+        f"CASE WHEN l.{c} IS DISTINCT FROM r.{c} THEN '{c}' END"
+        for c in _RECON_COLS
+    )
+    cols = ", ".join(_RECON_COLS)
+    mins = ", ".join(f"min({c}) AS {c}" for c in _RECON_COLS)
+    any_diff = " OR ".join(f"l.{c} IS DISTINCT FROM r.{c}" for c in _RECON_COLS)
+    return f"""
+WITH kept AS (
+  SELECT o_orderkey,
+    o_custkey,
+    CASE WHEN o_orderkey % 1000 = 3 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+    CASE WHEN o_orderkey % 1000 = 2 THEN -1.0 ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN o_orderkey % 1000 = 3 THEN '0-TAMPERED' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 <> 1
+), right_t AS (
+  SELECT * FROM kept
+  UNION ALL SELECT * FROM kept WHERE o_orderkey % 1000 = 4
+  UNION ALL SELECT o_orderkey + 2000000000 AS o_orderkey, {cols}
+    FROM orders WHERE o_orderkey % 1000 = 5
+), lg AS (
+  SELECT o_orderkey, count(*) AS ln, {mins} FROM orders GROUP BY 1
+), rg AS (
+  SELECT o_orderkey, count(*) AS rn, {mins} FROM right_t GROUP BY 1
+)
+SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+  CASE WHEN r.o_orderkey IS NULL THEN 'missing_in_right'
+       WHEN l.o_orderkey IS NULL THEN 'missing_in_left'
+       WHEN l.ln <> r.rn THEN 'cardinality_changed'
+       ELSE 'changed' END AS status,
+  CASE WHEN l.o_orderkey IS NOT NULL AND r.o_orderkey IS NOT NULL
+            AND l.ln = r.rn
+       THEN array_to_string(list_sort(list_filter([{diffs}], x -> x IS NOT NULL)), ',')
+       ELSE '' END AS changed_cols
+FROM lg l FULL OUTER JOIN rg r ON l.o_orderkey = r.o_orderkey
+WHERE l.o_orderkey IS NULL OR r.o_orderkey IS NULL
+   OR l.ln <> r.rn OR {any_diff}
+ORDER BY o_orderkey, status
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_shared_multiagg(spark, "/root/testdata/sf0.001")
@@ -4822,6 +4917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_ks": q_drift_ks,
         "row_counts": q_row_counts,
         "metric_change_alerts": q_metric_change_alerts,
+        "table_reconcile": q_table_reconcile,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
         "edit_distance_pairs": q_edit_distance_pairs,
@@ -4923,6 +5019,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_ks": _sql_drift_ks(),
         "row_counts": SQL_ROW_COUNTS,
         "metric_change_alerts": SQL_METRIC_CHANGE_ALERTS,
+        "table_reconcile": _sql_table_reconcile(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,

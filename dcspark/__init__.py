@@ -26,6 +26,7 @@ from .export import export
 from .imports import import_contract
 from .profile import profile_model, profile_tables
 from .publish import publish_run
+from .reconcile import ReconcileResult, reconcile
 
 __version__ = "0.2.0"
 
@@ -37,4 +38,5 @@ __all__ = [
     "ValidationConfig", "ValidationResult", "Validator", "validate",
     "lint", "breaking", "changelog", "export", "import_contract",
     "profile_model", "profile_tables", "publish_run",
+    "ReconcileResult", "reconcile",
 ]

@@ -998,6 +998,45 @@ def cmd_wer(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_reconcile(args: argparse.Namespace) -> int:
+    """Bucketed row-hash diff of two tables (dcspark/reconcile.py): two
+    single-scan summary passes, then a key-level drill over only the
+    differing buckets. Exit 0 iff the tables reconcile exactly."""
+    # "from . import reconcile" would resolve to the FUNCTION re-exported in
+    # __init__, which shadows the submodule attribute of the same name
+    from .reconcile import reconcile as _reconcile
+
+    spark = _build_spark(args.master, args.shuffle_partitions)
+    left = spark.read.parquet(args.left)
+    right = spark.read.parquet(args.right)
+    keys = [k.strip() for k in args.keys.split(",") if k.strip()]
+    cols = ([c.strip() for c in args.compare_cols.split(",") if c.strip()]
+            if args.compare_cols else None)
+    r = _reconcile(left, right, keys, compare_cols=cols,
+                   buckets=args.buckets)
+    print(f"reconcile: left={r.rows_left} rows, right={r.rows_right} rows, "
+          f"{r.buckets_differing}/{r.buckets_total} buckets differ")
+    if r.dup_keys_left or r.dup_keys_right:
+        print(f"warning: ~{r.dup_keys_left} duplicate-key rows left / "
+              f"~{r.dup_keys_right} right (HLL estimate) — row-level "
+              "attribution is per-key, dedup or refine --keys to trust it")
+    if r.identical:
+        print("reconcile: tables are identical")
+        return 0
+    for status, n in sorted(r.counts.items()):
+        print(f"  {status}: {n}")
+    if args.output:
+        r.diff.write.mode("overwrite").parquet(args.output)
+        print(f"reconcile: diff rows -> {args.output}")
+    else:
+        for row in r.diff.limit(args.sample).collect():
+            key = ", ".join(f"{k}={row[k]}" for k in keys)
+            extra = (f" [{','.join(row['changed_cols'])}]"
+                     if row["changed_cols"] else "")
+            print(f"  {row['status']}: {key}{extra}")
+    return 1
+
+
 def cmd_mask(args: argparse.Namespace) -> int:
     """Write PII-masked copies of each model's table per the contract's
     pii/classification declarations — see dcspark/mask.py."""
@@ -1597,6 +1636,25 @@ def main(argv: Optional[list] = None) -> int:
     wr.add_argument("--master", default=None)
     wr.add_argument("--shuffle-partitions", type=int, default=None)
 
+    rc = sub.add_parser(
+        "reconcile",
+        help="bucketed row-hash diff of two tables (replication/migration "
+             "check); exit 0 iff identical")
+    rc.add_argument("--left", required=True, help="source-of-truth parquet")
+    rc.add_argument("--right", required=True, help="candidate copy parquet")
+    rc.add_argument("--keys", required=True, help="comma-separated key columns")
+    rc.add_argument("--compare-cols", default=None,
+                    help="comma-separated columns to compare "
+                         "(default: all shared non-key columns)")
+    rc.add_argument("--buckets", type=int, default=4096)
+    rc.add_argument("--output", default=None,
+                    help="write the full diff frame as parquet instead of "
+                         "printing a sample")
+    rc.add_argument("--sample", type=int, default=20,
+                    help="diff rows to print when --output is not given")
+    rc.add_argument("--master", default=None)
+    rc.add_argument("--shuffle-partitions", type=int, default=None)
+
     mk = sub.add_parser(
         "mask", help="write PII-masked tables per contract pii/classification")
     mk.add_argument("contract")
@@ -1711,6 +1769,8 @@ def main(argv: Optional[list] = None) -> int:
         return cmd_filter(args)
     if args.command == "mask":
         return cmd_mask(args)
+    if args.command == "reconcile":
+        return cmd_reconcile(args)
     if args.command == "dedup":
         return cmd_dedup(args)
     if args.command == "lmscore":
