@@ -4794,6 +4794,135 @@ ORDER BY okey
 # driver surface
 # ===========================================================================
 
+def q_composite_key_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite primary-key checks (model-level ``primaryKey: [a, b]`` —
+    the reference parses the DCS v1.1 list but executes nothing on it).
+    Perturbs lineitem deterministically: rows with l_orderkey % 997 == 0 are
+    double-ingested (duplicate (l_orderkey, l_linenumber) tuples) and rows
+    with l_orderkey % 991 == 0 get a NULL l_linenumber (NULL PK component).
+    NULL-component count is the REAL compiled shared-scan aggregate
+    (check_composite_key_null); tuple duplicates use the same two-phase
+    groupBy shape as the engine's exact-unique job — shuffle bounded by
+    distinct tuples per input partition."""
+    from dcspark.compile import check_composite_key_null
+
+    li = _t(spark, sf, "lineitem")
+    nulled = li.withColumn(
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 991 == 0, F.lit(None)).otherwise(
+            F.col("l_linenumber")
+        ),
+    )
+    t = nulled.unionByName(nulled.filter(F.col("l_orderkey") % 997 == 0))
+    chk = check_composite_key_null("m", ["l_orderkey", "l_linenumber"])
+    nulls = t.agg(chk.agg_expr().cast("long").alias("pk_null_count"))
+    dup = (
+        t.filter(F.col("l_orderkey").isNotNull() & F.col("l_linenumber").isNotNull())
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_tuples"),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long").alias("dup_rows"),
+        )
+    )
+    return nulls.crossJoin(dup)
+
+
+SQL_COMPOSITE_KEY_CHECKS = """
+WITH t AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 991 = 0 THEN NULL ELSE l_linenumber END AS l_linenumber
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey % 991 = 0 THEN NULL ELSE l_linenumber END AS l_linenumber
+  FROM lineitem WHERE l_orderkey % 997 = 0
+)
+SELECT
+  (SELECT cast(count(*) AS bigint) FROM t
+    WHERE l_orderkey IS NULL OR l_linenumber IS NULL) AS pk_null_count,
+  (SELECT cast(count(*) AS bigint) FROM (
+     SELECT 1 FROM t WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+     GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS dup_tuples,
+  (SELECT cast(coalesce(sum(c - 1), 0) AS bigint) FROM (
+     SELECT count(*) AS c FROM t
+     WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+     GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS dup_rows
+"""
+
+
+def q_filtered_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-check ``filter:`` row scoping (SodaCL filter analog) evaluated with
+    the REAL compiled expressions: a scoped field_minimum rebuilt by
+    scope_to_filter as sum(when(filter AND violation, 1)), a scoped avg
+    metric whose source column goes NULL out of scope (aggregates over
+    `WHERE filter` with zero extra scan), a scoped expression invariant, and
+    a scoped duplicate count (filter applied before the groupBy). All four
+    fold into ordinary aggregates — one shared scan plus one unique job."""
+    from dcspark.compile import (
+        check_field_minimum,
+        check_quality_expression,
+        check_quality_metric,
+        scope_to_filter,
+    )
+    from dcspark.spec import Quality
+
+    orders = _t(spark, sf, "orders")
+    flt = "o_orderstatus = 'F'"
+    min_chk = scope_to_filter(
+        check_field_minimum("m", "o_totalprice", 25000.0), flt)
+    avg_chk = check_quality_metric(
+        "m",
+        Quality(type="metric", metric="avg", column="o_totalprice",
+                filter=flt, mustBeLessThanOrEqualTo=1e12),
+        0,
+    )
+    expr_chk = check_quality_expression(
+        "m",
+        Quality(type="expression", expression="o_totalprice > 50000",
+                filter=flt),
+        1,
+    )
+    cnt_alias = [k for k in avg_chk.extra_aggs if k.endswith("__cnt")][0]
+    shared = orders.agg(
+        min_chk.agg_expr().cast("long").alias("min_invalid_f"),
+        avg_chk.agg_expr().alias("__sum"),
+        avg_chk.extra_aggs[cnt_alias]().alias("__cnt"),
+        expr_chk.agg_expr().cast("long").alias("expr_invalid_f"),
+    ).select(
+        "min_invalid_f",
+        F.round(F.col("__sum") / F.col("__cnt"), 6).alias("avg_f_price"),
+        "expr_invalid_f",
+    )
+    dup = (
+        orders.filter(F.expr(flt))
+        .select(F.col("o_custkey").alias("__key"))
+        .filter(F.col("__key").isNotNull())
+        .groupBy("__key").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_custkey_f"))
+    )
+    return shared.crossJoin(dup)
+
+
+SQL_FILTERED_CHECKS = """
+SELECT
+  (SELECT cast(count(*) AS bigint) FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+      AND o_totalprice < 25000.0) AS min_invalid_f,
+  (SELECT round(avg(o_totalprice), 6) FROM orders
+    WHERE o_orderstatus = 'F') AS avg_f_price,
+  (SELECT cast(count(*) AS bigint) FROM orders
+    WHERE o_orderstatus = 'F'
+      AND NOT coalesce(o_totalprice > 50000, true)) AS expr_invalid_f,
+  (SELECT cast(count(*) AS bigint) FROM (
+     SELECT o_custkey FROM orders
+     WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+     GROUP BY 1 HAVING count(*) > 1)) AS dup_custkey_f
+"""
+
+
 _RECON_COLS = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 
 
@@ -4918,6 +5047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_counts": q_row_counts,
         "metric_change_alerts": q_metric_change_alerts,
         "table_reconcile": q_table_reconcile,
+        "composite_key_checks": q_composite_key_checks,
+        "filtered_checks": q_filtered_checks,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprints": q_doc_fingerprints,
         "edit_distance_pairs": q_edit_distance_pairs,
@@ -5020,6 +5151,8 @@ def oracle_sql() -> dict[str, str]:
         "row_counts": SQL_ROW_COUNTS,
         "metric_change_alerts": SQL_METRIC_CHANGE_ALERTS,
         "table_reconcile": _sql_table_reconcile(),
+        "composite_key_checks": SQL_COMPOSITE_KEY_CHECKS,
+        "filtered_checks": SQL_FILTERED_CHECKS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "doc_fingerprints": SQL_DOC_FINGERPRINTS,
         "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,

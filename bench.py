@@ -206,6 +206,10 @@ OPERATOR_QUERIES = [
     "video_decode_contract",
     "video_near_dup",
     "group_threshold_checks",
+    "metric_change_alerts",
+    "table_reconcile",
+    "composite_key_checks",
+    "filtered_checks",
 ]
 
 

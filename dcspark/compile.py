@@ -181,6 +181,96 @@ def check_field_unique(model: str, fname: str) -> CompiledCheck:
     )
 
 
+def scope_to_filter(chk: CompiledCheck, flt: str) -> CompiledCheck:
+    """Scope a compiled field-constraint check to rows matching a SQL filter
+    (SodaCL per-check ``filter:`` analog — the reference reaches it only via
+    hand-written SodaCL). Every field agg check's metric is by construction
+    the count of rows matching its violation predicate, so scoping rebuilds
+    the aggregate as ``sum(when(filter AND violation, 1))`` — identical to
+    evaluating the rule over ``WHERE filter`` (a FALSE or NULL filter puts
+    the row out of scope). The scoped predicate flows unchanged into the
+    per-row violations pass. unique / reference checks carry the filter to
+    their dedicated jobs, which prepend ``df.filter``. Diagnostic extra
+    aggregates (unscopable opaque thunks) are dropped rather than reported
+    over the wrong row set. Schema checks never scan rows — no-op."""
+    if chk.kind in ("schema_present", "schema_type"):
+        return chk
+    if chk.kind in ("unique", "reference"):
+        chk.params["filter"] = flt
+    elif chk.kind == "agg" and chk.violation_predicate is not None:
+        vp = chk.violation_predicate
+        scoped = lambda: (
+            F.coalesce(F.expr(flt).cast("boolean"), F.lit(False)) & vp()
+        )
+        chk.violation_predicate = scoped
+        chk.agg_expr = lambda: F.coalesce(
+            F.sum(F.when(scoped(), 1).otherwise(0)), F.lit(0)
+        )
+        chk.extra_aggs = {}
+    else:
+        return chk
+    chk.name = f"{chk.name} [filter: {flt}]"
+    chk.implementation = f"{chk.implementation} WHERE ({flt})"
+    return chk
+
+
+def check_composite_key_null(model: str, key_cols: List[str]) -> CompiledCheck:
+    """Composite primary key, NULL-component half: every PK column must be
+    non-null in every row (model-level ``primaryKey: [a, b]``, DCS v1.1 —
+    the reference parses the list but never executes a check on it,
+    data_contract_specification.py:197). One sum(when(any IS NULL)) column
+    in the shared scan."""
+    def pred() -> Column:
+        p = F.col(key_cols[0]).isNull()
+        for c in key_cols[1:]:
+            p = p | F.col(c).isNull()
+        return p
+
+    return CompiledCheck(
+        key=_key(model, None, "composite_key_null"),
+        check_type="composite_key_null",
+        category="field",
+        name=f"Check that primary key ({', '.join(key_cols)}) has no NULL components",
+        model=model,
+        kind="agg",
+        agg_alias="__pk__null_count",
+        agg_expr=lambda: F.coalesce(F.sum(F.when(pred(), 1).otherwise(0)), F.lit(0)),
+        violation_predicate=pred,
+        observed_expr=lambda: F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL")) for c in key_cols]
+        ),
+        expected="all primary-key components not null",
+        params={"require_cols": list(key_cols)},
+        implementation=(
+            f"sum(when({' OR '.join(c + ' IS NULL' for c in key_cols)}, 1)) = 0"
+        ),
+    )
+
+
+def check_composite_key_unique(model: str, key_cols: List[str]) -> CompiledCheck:
+    """Composite primary key, uniqueness half: no two rows share the full key
+    tuple. Same two-phase salted groupBy job as field_unique, grouped on ALL
+    key columns — shuffle volume is bounded by distinct tuples per input
+    partition, never row count. Rows with any NULL component are excluded
+    (they belong to composite_key_null). Always exact, even under
+    unique_mode=approx: a composite PK is a certification, not an estimate."""
+    return CompiledCheck(
+        key=_key(model, None, "composite_key_unique"),
+        check_type="composite_key_unique",
+        category="field",
+        name=f"Check that primary key ({', '.join(key_cols)}) is unique",
+        model=model,
+        kind="unique",
+        expected="unique",
+        params={"key_cols": list(key_cols), "require_cols": list(key_cols)},
+        implementation=(
+            f"duplicate_count({', '.join(key_cols)}) = 0 :: "
+            f"groupBy({', '.join(key_cols)}).count().filter(count>1) — "
+            "two-phase partial agg, AQE skew-safe"
+        ),
+    )
+
+
 def check_field_min_length(model: str, fname: str, n: int) -> CompiledCheck:
     pred = lambda: F.length(F.col(fname)) < n
     return CompiledCheck(
@@ -594,6 +684,17 @@ def check_quality_metric(model: str, q: Quality, idx: int, fname: Optional[str] 
             implementation=f"unsupported metric {q.metric!r}",
         )
 
+    # per-check row scope (SodaCL filter analog): out-of-scope rows become
+    # NULL in the source expression, which every aggregate here (count, sum,
+    # min, max, percentile_approx, the avg/stddev partials) ignores — exactly
+    # the semantics of aggregating over `WHERE filter`, with zero extra scan
+    src: Callable[[], Column]
+    if q.filter:
+        flt = q.filter
+        src = lambda: F.when(F.expr(flt).cast("boolean"), F.col(col))
+    else:
+        src = lambda: F.col(col)
+
     agg_alias: str
     extra: Dict[str, Callable[[], Column]] = {}
     if pctl_m:
@@ -602,37 +703,37 @@ def check_quality_metric(model: str, q: Quality, idx: int, fname: Optional[str] 
         # contract-tunable to trade executor memory for precision at scale
         acc = int(q.accuracy or 10000)
         agg_alias = f"{base}__pctl"      # __pctl suffix -> "global" merge op
-        agg_expr = lambda: F.percentile_approx(F.col(col), F.lit(frac), F.lit(acc))
+        agg_expr = lambda: F.percentile_approx(src(), F.lit(frac), F.lit(acc))
         finisher = None
     elif metric == "count":
         agg_alias = f"{base}__cnt"
-        agg_expr = lambda: F.count(F.col(col))
+        agg_expr = lambda: F.count(src())
         finisher = lambda row: _f(row.get(agg_alias))
     elif metric == "sum":
         agg_alias = f"{base}__sum"
-        agg_expr = lambda: F.sum(F.col(col))
+        agg_expr = lambda: F.sum(src())
         finisher = lambda row: _f(row.get(agg_alias))
     elif metric == "min":
         agg_alias = f"{base}__min"          # __min suffix -> min merge op
-        agg_expr = lambda: F.min(F.col(col))
+        agg_expr = lambda: F.min(src())
         finisher = lambda row: _f(row.get(agg_alias))
     elif metric == "max":
         agg_alias = f"{base}__max"          # __max suffix -> max merge op
-        agg_expr = lambda: F.max(F.col(col))
+        agg_expr = lambda: F.max(src())
         finisher = lambda row: _f(row.get(agg_alias))
     elif metric == "avg":
         agg_alias = f"{base}__sum"
-        agg_expr = lambda: F.sum(F.col(col))
-        extra = {f"{base}__cnt": lambda: F.count(F.col(col))}
+        agg_expr = lambda: F.sum(src())
+        extra = {f"{base}__cnt": lambda: F.count(src())}
         def finisher(row: Dict[str, Any]) -> Optional[float]:
             s, n = row.get(f"{base}__sum"), row.get(f"{base}__cnt")
             return None if not n else float(s) / float(n)
     else:  # stddev (sample, matching Spark stddev / DuckDB stddev defaults)
         agg_alias = f"{base}__sum"
-        agg_expr = lambda: F.sum(F.col(col))
+        agg_expr = lambda: F.sum(src())
         extra = {
-            f"{base}__sumsq": lambda: F.sum(F.col(col) * F.col(col)),
-            f"{base}__cnt": lambda: F.count(F.col(col)),
+            f"{base}__sumsq": lambda: F.sum(src() * src()),
+            f"{base}__cnt": lambda: F.count(src()),
         }
         def finisher(row: Dict[str, Any]) -> Optional[float]:
             s, ss, n = (row.get(f"{base}__sum"), row.get(f"{base}__sumsq"),
@@ -659,6 +760,7 @@ def check_quality_metric(model: str, q: Quality, idx: int, fname: Optional[str] 
         implementation=(
             f"{metric}({col}) {desc} :: decomposable partials "
             f"(sum/count/min/max) in the shared scan + driver finisher"
+            + (f" WHERE ({q.filter})" if q.filter else "")
         ),
     )
 
@@ -675,7 +777,17 @@ def check_quality_expression(model: str, q: Quality, idx: int, fname: Optional[s
     forms apply to the violating-row count when given."""
     expr_s = q.expression or "true"
     name = q.description or f"Expression check: {expr_s}"
-    pred = lambda: ~F.coalesce(F.expr(expr_s).cast("boolean"), F.lit(True))
+    if q.filter:
+        # scoped invariant: only rows matching the filter can violate (a
+        # FALSE or NULL filter puts the row out of scope — SodaCL semantics)
+        flt = q.filter
+        pred = lambda: (
+            F.coalesce(F.expr(flt).cast("boolean"), F.lit(False))
+            & ~F.coalesce(F.expr(expr_s).cast("boolean"), F.lit(True))
+        )
+        name = f"{name} [filter: {flt}]"
+    else:
+        pred = lambda: ~F.coalesce(F.expr(expr_s).cast("boolean"), F.lit(True))
     evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
     return CompiledCheck(
         key=_key(model, fname, f"quality_expression_{idx}"),
@@ -750,11 +862,13 @@ def check_quality_group(model: str, q: Quality, idx: int) -> CompiledCheck:
         params={
             "group_col": gcol, "metric": metric, "over": over,
             "agg_expr": agg_thunk, "pass_pred": pass_pred, "threshold": desc,
+            "filter": q.filter,
         },
         expected=f"{metric}({over or '*'}) {desc} per {gcol}",
         implementation=(
             f"groupBy({gcol}).agg({metric}({over or '*'})).filter(NOT ({desc}))"
             " — map-side combined partials, AQE skew-safe, capped collect"
+            + (f" WHERE ({q.filter})" if q.filter else "")
         ),
     )
 
@@ -1534,6 +1648,10 @@ def create_checks(
             ``F.col("a.b")`` as struct access, so dotted predicates join the
             same shared multi-aggregate scan as top-level ones (and Parquet
             still prunes to the referenced leaves)."""
+            # field-level `filter:` scopes every constraint check emitted
+            # below to rows matching the SQL predicate (quality rules carry
+            # their own Quality.filter instead)
+            n0 = len(checks)
             checks.append(check_field_is_present(model_name, fname))
             if f_.type and is_check_types(server_format):
                 checks.append(check_field_type(model_name, fname, f_))
@@ -1569,6 +1687,9 @@ def create_checks(
                 )
             if f_.references:
                 checks.append(check_field_reference(model_name, fname, f_.references))
+            if f_.filter:
+                for c in checks[n0:]:
+                    scope_to_filter(c, f_.filter)
             for qi, q in enumerate(f_.quality):
                 if q.type == "sql" and q.query:
                     checks.append(check_quality_sql(model_name, q, qi, fname))
@@ -1595,6 +1716,12 @@ def create_checks(
 
         for fname, f_ in model.fields.items():
             emit_field(fname, f_)
+        if model.primaryKey:
+            # model-level composite primary key (DCS v1.1 `primaryKey: [a,b]`
+            # — the reference parses it but executes no check): NULL-component
+            # count in the shared scan + an exact tuple-uniqueness job
+            checks.append(check_composite_key_null(model_name, model.primaryKey))
+            checks.append(check_composite_key_unique(model_name, model.primaryKey))
         for qi, q in enumerate(model.quality):
             if q.type == "sql" and q.query:
                 checks.append(check_quality_sql(model_name, q, qi))

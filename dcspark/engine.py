@@ -287,13 +287,15 @@ class Validator:
         # checks on absent columns can't scan — report error, drop from data
         # path; dotted paths resolve through nested structs
         def runnable(chk: CompiledCheck) -> bool:
-            if (
-                chk.field
-                and chk.kind != "sql"
-                and resolve_schema_field(df.schema, chk.field) is None
-            ):
-                self._record(chk, None, ResultEnum.error, f"column {chk.field} missing", None)
-                return False
+            if chk.kind == "sql":
+                return True
+            req = chk.params.get("require_cols") or (
+                [chk.field] if chk.field else [])
+            for c in req:
+                if resolve_schema_field(df.schema, c) is None:
+                    self._record(chk, None, ResultEnum.error,
+                                 f"column {c} missing", None)
+                    return False
             return True
 
         agg_checks = [c for c in agg_checks if runnable(c)]
@@ -304,8 +306,15 @@ class Validator:
         approx_unique: List[CompiledCheck] = []
         if self.config.unique_mode == "approx":
             # uniqueness joins the shared scan as an HLL sketch — the
-            # dedicated groupBy job (and its shuffle) disappears entirely
-            approx_unique, unique_checks = unique_checks, []
+            # dedicated groupBy job (and its shuffle) disappears entirely.
+            # Composite-key and row-filtered uniqueness keep the exact job:
+            # a composite PK is a certification, and a scoped check can't
+            # ride the unscoped shared scan's sketch.
+            approx_unique = [
+                c for c in unique_checks
+                if not c.params.get("key_cols") and not c.params.get("filter")
+            ]
+            unique_checks = [c for c in unique_checks if c not in approx_unique]
 
         # Content-uniqueness shares the ONE decode pass whenever another audio
         # scan will run anyway (decode-conformance, or loudness-drift with a
@@ -1269,12 +1278,28 @@ class Validator:
         (no ``dropDuplicates``) — only (key, count) pairs with count > 1 survive
         the first pass.
         """
-        col = chk.field
-        # alias so dotted (nested-struct) paths keep a stable key column name
+        key_cols = chk.params.get("key_cols") or [chk.field]
+        flt = chk.params.get("filter")
+        base = df.filter(F.expr(flt)) if flt else df
+        # alias so dotted (nested-struct) paths keep a stable key column name;
+        # composite keys group on every component and report the tuple as a
+        # '|'-joined string. Rows with any NULL component are excluded (field
+        # semantics: duplicate_count is over non-null values; composite PK
+        # semantics: NULL components belong to composite_key_null).
+        aliased = [F.col(c).alias(f"__k{i}") for i, c in enumerate(key_cols)]
+        names = [f"__k{i}" for i in range(len(key_cols))]
+        notnull = F.col(names[0]).isNotNull()
+        for n_ in names[1:]:
+            notnull = notnull & F.col(n_).isNotNull()
         dup = (
-            df.select(F.col(col).alias("__key")).filter(F.col("__key").isNotNull())
-            .groupBy("__key").agg(F.count(F.lit(1)).alias("__cnt"))
+            base.select(*aliased).filter(notnull)
+            .groupBy(*names).agg(F.count(F.lit(1)).alias("__cnt"))
             .filter(F.col("__cnt") > 1)
+            .select(
+                F.concat_ws("|", *[F.col(n_).cast("string") for n_ in names])
+                .alias("__key"),
+                "__cnt",
+            )
         )
         stats = dup.agg(
             F.count(F.lit(1)).alias("dup_values"),
@@ -1324,6 +1349,10 @@ class Validator:
             return {"error": f"group column {gcol} missing"}
         if p["over"] and resolve_schema_field(df.schema, p["over"]) is None:
             return {"error": f"aggregated column {p['over']} missing"}
+        if p.get("filter"):
+            # scoped group thresholds: out-of-scope rows never reach the
+            # groupBy (groups entirely out of scope simply don't exist)
+            df = df.filter(F.expr(p["filter"]))
         grouped = df.groupBy(F.col(gcol).alias("__gkey")).agg(agg_thunk().alias("__gval"))
         pass_pred = p["pass_pred"](F.col("__gval"))
         viol = grouped.filter(~F.coalesce(pass_pred, F.lit(False)))
@@ -1742,6 +1771,12 @@ class Validator:
         if self.config.broadcast_references:
             keys = F.broadcast(keys)
         child_col = chk.field
+        flt = chk.params.get("filter")
+        if flt:
+            # scoped referential integrity: only in-scope child rows must
+            # resolve (filter applied before the anti-join, so pushdown
+            # shrinks the probe side)
+            df = df.filter(F.expr(flt))
         # alias so dotted (nested-struct) paths keep a stable key column name
         orphans = df.select(F.col(child_col).alias("__child")).filter(
             F.col("__child").isNotNull()
@@ -1932,6 +1967,11 @@ class Validator:
             # with the same grid size but shifted edges (or reordered
             # categories) must also invalidate, not merge misaligned bins
             "aliases": sorted(ops),
+            # the alias alone can't see a SEMANTIC change that keeps the name
+            # — e.g. a per-check `filter:` added to a field constraint, or an
+            # edited bound — so the expression trees themselves join the
+            # signature (their reprs are deterministic unresolved-plan text)
+            "exprs": sorted((k, str(v)) for k, v in exprs.items()),
             "audio": audio_chk.key if audio_chk is not None else None,
             "feat_bins": feat_bins or {},
             "feat_limits": feat_limits or [],

@@ -70,6 +70,11 @@ class Quality(BaseModel):
     ref: Optional[str] = None           # transcript-equality: reference model name
     key: Optional[str] = None           # transcript-equality: join key (default clip_id)
     ref_column: Optional[str] = None    # transcript-equality: reference text column
+    # SodaCL-style per-check row scope: a SQL boolean expression; rows where
+    # it is FALSE or NULL are out of scope for this rule (metric aggregates,
+    # expression invariants, and group thresholds). The reference reaches
+    # this only through hand-written SodaCL; here it is first-class.
+    filter: Optional[str] = None
     # history checks (method: change | anomaly over the engine's results table)
     watch: Optional[str] = None         # history: watched check key or check_type shorthand
     window: Optional[int] = None        # history: trailing runs in the baseline frame
@@ -107,6 +112,11 @@ class Field(BaseModel):
     keys: Optional["Field"] = None
     values: Optional["Field"] = None
     quality: List[Quality] = []
+    # engine extension: SQL boolean row scope applied to every CONSTRAINT
+    # check of this field (required/unique/length/range/enum/regex/format/
+    # references) — rows where it is FALSE or NULL are out of scope. The
+    # field's own quality rules take their scope from Quality.filter instead.
+    filter: Optional[str] = None
     ref: Optional[str] = PydanticField(default=None, alias="$ref")
     config: Dict[str, Any] = {}
 
