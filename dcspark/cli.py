@@ -232,6 +232,23 @@ def cmd_iceberg(args: argparse.Namespace) -> int:
               f"{out['added_data_files']}; retired "
               f"{out['removed_delete_files']} delete files")
         return 0
+    if args.action == "verify":
+        spark = _build_spark(args.master, args.shuffle_partitions)
+        keys = ([k.strip() for k in args.keys.split(",") if k.strip()]
+                if args.keys else None)
+        r = t.verify_rewrite(spark, from_snapshot_id=args.from_snapshot,
+                             to_snapshot_id=args.snapshot_id, keys=keys)
+        if r.identical:
+            print(f"verify: logical content identical "
+                  f"({r.rows_left} rows, {r.buckets_total} digest buckets)")
+            return 0
+        print(f"verify: CONTENT DRIFT — {r.buckets_differing}/"
+              f"{r.buckets_total} buckets differ "
+              f"(rows {r.rows_left} -> {r.rows_right})")
+        if keys:
+            for status, n in sorted(r.counts.items()):
+                print(f"  {status}: {n}")
+        return 1
     return 1
 
 
@@ -351,6 +368,8 @@ def cmd_test(args: argparse.Namespace) -> int:
         # the results sink so `--results-path r.parquet` alone closes the loop
         history_path=args.history_path or args.results_path,
         history_format=args.history_format,
+        sample_fraction=args.sample_fraction,
+        sample_seed=args.sample_seed,
     )
     if args.incremental_state:
         # validate ONLY rows appended to the model's Iceberg table since the
@@ -1314,6 +1333,14 @@ def main(argv: Optional[list] = None) -> int:
                    help="exact: percentile_approx (GK) + a dedicated global pass "
                         "when partitioned; sketch: mergeable t-digests that "
                         "checkpoint with the manifest (resume never rescans)")
+    t.add_argument("--sample-fraction", type=float, default=None,
+                   help="pre-flight mode: validate a deterministic keyed-hash "
+                        "sample of each table (same rows every run per "
+                        "--sample-seed). Violations found are real; a pass "
+                        "bounds the violation rate instead of certifying it — "
+                        "per-check reasons and diagnostics disclose the mode")
+    t.add_argument("--sample-seed", type=int, default=0,
+                   help="draw a different sample panel (default 0)")
     t.add_argument("--incremental-state", default=None,
                    help="JSON state file; validate ONLY rows appended to the "
                         "model's Iceberg table since the snapshot recorded "
@@ -1326,7 +1353,8 @@ def main(argv: Optional[list] = None) -> int:
         "iceberg", help="Iceberg table maintenance (pure-Python format)")
     ice.add_argument("action", choices=["snapshots", "files", "stats",
                                         "expire", "compact", "refs", "tag",
-                                        "branch", "publish", "orphans"])
+                                        "branch", "publish", "orphans",
+                                        "verify"])
     ice.add_argument("--name", default=None,
                      help="tag/branch/publish: the ref name")
     ice.add_argument("--older-than-ms", type=int, default=None,
@@ -1350,6 +1378,12 @@ def main(argv: Optional[list] = None) -> int:
     ice.add_argument("--where", default=None,
                      help="files: prune via manifest column stats, e.g. "
                           "\"dur_ms >= 200 AND clip_id < 'clip_01'\"")
+    ice.add_argument("--from-snapshot", type=int, default=None,
+                     help="verify: baseline snapshot (default: parent of "
+                          "--snapshot-id / current)")
+    ice.add_argument("--keys", default=None,
+                     help="verify: comma-separated key columns for per-key "
+                          "drift attribution (default: keyless multiset proof)")
 
     dl = sub.add_parser(
         "delta", help="Delta table maintenance (pure-Python protocol)")

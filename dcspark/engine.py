@@ -100,6 +100,22 @@ class ValidationConfig:
     # distributed; only checks x window floats reach the driver.
     history_path: Optional[str] = None
     history_format: str = "parquet"  # parquet | iceberg | delta
+    # pre-flight sampled validation: run every data check on a DETERMINISTIC
+    # keyed-hash sample (xxhash64 of the model's pk + seed, pure JVM — stable
+    # under repartition, task retries, and across runs, so a violation found
+    # once reproduces). The point at 10^12 rows: hunt violations and decode
+    # payloads at fraction cost before paying for the certifying full run.
+    # Semantics are explicit, not hidden: metrics are RAW sample counts
+    # (never scaled up); every check's diagnostics carry sample_fraction;
+    # found violations are REAL rows (a failure is definitive), while a pass
+    # only bounds the violation rate (~3/sample_n at 95%, rule of three).
+    # Checks whose meaning doesn't survive sampling keep honest behavior:
+    # uniqueness/referential run on the sample (duplicate pairs survive with
+    # prob ~fraction^2 — a found duplicate is real, absence proves little),
+    # row_count/freshness see sample counts / sample max — all of which the
+    # reason string discloses.
+    sample_fraction: Optional[float] = None
+    sample_seed: int = 0
     # resume-time lineage verification: each manifest record stores the
     # partition's input-file lineage (file count + md5 of the sorted file
     # list); on resume, a completed partition whose file set changed is
@@ -260,6 +276,9 @@ class Validator:
             for chk in checks:
                 self._record(chk, None, ResultEnum.error, f"table {model_name} not provided", None)
             return
+
+        if self.config.sample_fraction is not None:
+            df = self._sample_frame(model_name, df)
 
         schema_checks = [c for c in checks if c.kind in ("schema_present", "schema_type")]
         agg_checks = [c for c in checks if c.kind in ("agg", "freshness", "retention") or c.agg_alias == "__row_count"]
@@ -1132,6 +1151,29 @@ class Validator:
 
         return model_pk(self.spec, model_name, df)
 
+    def _sample_frame(self, model_name: str, df: DataFrame) -> DataFrame:
+        """Deterministic keyed-hash sample for pre-flight validation (see
+        ValidationConfig.sample_fraction). xxhash64(pk, seed) is uniform over
+        the signed 64-bit range, so `hash < frac * 2^64 - 2^63` keeps an
+        unbiased ~frac of rows — pure JVM, pushdown-friendly, stable under
+        repartition/retries, and the SAME rows every run at a given seed
+        (a violation found once reproduces; change the seed to draw a
+        different panel)."""
+        frac = float(self.config.sample_fraction)
+        if not (0.0 < frac < 1.0):
+            raise ValueError("sample_fraction must be in (0, 1) — run without "
+                             "it for the certifying full scan")
+        pk = self._pk_column(model_name, df)
+        thr = min(int(frac * 2.0 ** 64) - 2 ** 63, 2 ** 63 - 1)
+        self.run.log_warn(
+            f"{model_name}: SAMPLED validation at fraction {frac:g} "
+            f"(seed {self.config.sample_seed}) — metrics are raw sample "
+            "counts; a pass bounds, not certifies, the violation rate")
+        return df.filter(
+            F.xxhash64(F.col(pk).cast("string"),
+                       F.lit(self.config.sample_seed)) < F.lit(thr)
+        )
+
     def _collect_agg_violations(
         self,
         model_name: str,
@@ -1986,6 +2028,9 @@ class Validator:
             # rescans instead of failing the merged run
             "hll_lgk": self.config.unique_hll_lgk,
             "tdigest_delta": self.config.pctl_tdigest_delta,
+            # sampled partitions can never merge with full ones (or with a
+            # different fraction/seed's panel)
+            "sample": [self.config.sample_fraction, self.config.sample_seed],
             "drift": [
                 {"p": j["prefix"], "m": j["method"],
                  "s": {k: j["stats"].get(k) for k in
@@ -2229,8 +2274,15 @@ class Validator:
                 language="spark",
                 implementation=chk.implementation,
                 result=result,
-                reason=reason,
-                diagnostics=(diagnostics or {}) | ({"metric": metric} if metric is not None else {}),
+                reason=(reason if reason is not None
+                        else (f"evaluated on a {self.config.sample_fraction:g} "
+                              "deterministic sample (bounds, not certifies)"
+                              if self.config.sample_fraction is not None
+                              and result == ResultEnum.passed else None)),
+                diagnostics=(diagnostics or {})
+                | ({"metric": metric} if metric is not None else {})
+                | ({"sample_fraction": self.config.sample_fraction}
+                   if self.config.sample_fraction is not None else {}),
             ))
             self._metrics[chk.key] = metric
         now = dt.datetime.now(dt.timezone.utc)

@@ -2737,6 +2737,47 @@ class IcebergTable:
                 "removed_delete_files": removed_delete_files,
                 "rewritten_bytes": cand_bytes}
 
+    def verify_rewrite(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: Optional[int] = None,
+        to_snapshot_id: Optional[int] = None,
+        keys: Optional[Sequence[str]] = None,
+        buckets: int = 4096,
+    ):
+        """Prove a rewrite preserved LOGICAL content — don't trust the
+        rewriter (this class included). Every physical reorganization
+        (compact bin-pack, z-order re-clustering, partition-evolution
+        migration, delete materialization) must be invisible through
+        ``read``: deletes are applied at BOTH snapshots, so the logical row
+        multiset is invariant even when the rewrite bakes deletes in.
+
+        Defaults compare the current snapshot against its parent. Without
+        ``keys``: a whole-row multiset proof (reconcile.multiset_equal) —
+        two scans folding to ``buckets`` digest rows each, zero row shuffle
+        when identical, at any table size. With ``keys``: a full
+        ``reconcile`` whose diff frame attributes every drifted key
+        (missing/changed/cardinality) for rewrite forensics. Returns the
+        corresponding MultisetResult / ReconcileResult."""
+        from .reconcile import multiset_equal, reconcile as _reconcile
+
+        to_id = to_snapshot_id or self.current_snapshot_id()
+        if to_id is None:
+            raise ValueError("table has no current snapshot to verify")
+        if from_snapshot_id is None:
+            by_id = {s["snapshot-id"]: s for s in self.snapshots()}
+            parent = by_id.get(to_id, {}).get("parent-snapshot-id")
+            if parent is None or parent not in by_id:
+                raise ValueError(
+                    f"snapshot {to_id} has no parent to verify against; "
+                    "pass from_snapshot_id explicitly")
+            from_snapshot_id = parent
+        left = self.read(spark, snapshot_id=from_snapshot_id)
+        right = self.read(spark, snapshot_id=to_id)
+        if keys:
+            return _reconcile(left, right, list(keys), buckets=buckets)
+        return multiset_equal(left, right, buckets=buckets)
+
     def read_incremental(
         self, spark: SparkSession, from_snapshot_id: int,
         to_snapshot_id: Optional[int] = None,

@@ -100,6 +100,52 @@ def bucket_summary(
 
 
 @dataclass
+class MultisetResult:
+    """Outcome of a keyless whole-row multiset comparison."""
+
+    identical: bool
+    buckets_total: int
+    buckets_differing: int
+    rows_left: int
+    rows_right: int
+
+
+def multiset_equal(
+    left: DataFrame, right: DataFrame, buckets: int = 4096
+) -> MultisetResult:
+    """Prove (to 64-bit-collision confidence) that two tables hold the same
+    row MULTISET — no key column needed. Each side folds to ``buckets``
+    (count, digest-sum) rows in one scan over the whole row (every column is
+    both bucket key and content), so two identical 100 TB tables compare
+    with zero row shuffle. The use case is rewrite verification: a
+    compaction / re-clustering / migration that must not change logical
+    content, where no per-key attribution is wanted — reach for
+    ``reconcile`` when it is."""
+    if sorted(left.columns) != sorted(right.columns):
+        raise ValueError(
+            f"column sets differ: {sorted(left.columns)} vs {sorted(right.columns)}"
+        )
+    cols = list(left.columns)
+    ls = bucket_summary(left, cols, cols, buckets).alias("l")
+    rs = bucket_summary(right, cols, cols, buckets).alias("r")
+    merged = ls.join(rs, on="__bucket", how="full_outer").select(
+        F.coalesce(F.col("l.n_rows"), F.lit(0)).alias("ln"),
+        F.coalesce(F.col("r.n_rows"), F.lit(0)).alias("rn"),
+        F.coalesce(F.col("l.digest"), F.lit(0)).alias("ld"),
+        F.coalesce(F.col("r.digest"), F.lit(0)).alias("rd"),
+    ).collect()
+    differing = sum(
+        1 for m in merged if m["ln"] != m["rn"] or m["ld"] != m["rd"])
+    return MultisetResult(
+        identical=differing == 0,
+        buckets_total=buckets,
+        buckets_differing=differing,
+        rows_left=sum(int(m["ln"]) for m in merged),
+        rows_right=sum(int(m["rn"]) for m in merged),
+    )
+
+
+@dataclass
 class ReconcileResult:
     diff: DataFrame                      # keys + status + changed_cols
     buckets_total: int

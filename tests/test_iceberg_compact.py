@@ -222,3 +222,42 @@ def test_noop_when_nothing_to_do(spark, small_df, tmp_path):
     out = t.compact(spark, target_file_bytes=10)  # nothing is "small"
     assert out["rewritten_data_files"] == 0
     assert len(t.snapshots()) == n_snaps  # no empty commit
+
+
+def test_verify_rewrite_multiset_proof(spark, small_df, tmp_path):
+    # compaction with pending deletes: physical layout changes completely,
+    # logical content (deletes applied at BOTH snapshots) must not
+    t = IcebergTable.create(str(tmp_path / "t"), small_df(0, 1).schema)
+    t.append(small_df(0, 200))
+    t.append(small_df(200, 300))
+    t.delete_where(spark, "k % 7 = 0")
+    t.compact(spark, target_file_bytes=1 << 30)
+    r = t.verify_rewrite(spark)  # current (compaction) vs its parent
+    assert r.identical and r.buckets_differing == 0
+    assert r.rows_left == r.rows_right == sum(1 for k in range(300) if k % 7)
+
+
+def test_verify_rewrite_detects_content_drift(spark, small_df, tmp_path):
+    # an append is NOT content-preserving: verify must refuse it, and with
+    # keys it must attribute exactly the injected rows
+    t = IcebergTable.create(str(tmp_path / "t"), small_df(0, 1).schema)
+    t.append(small_df(0, 100))
+    t.append(small_df(100, 110))
+    r = t.verify_rewrite(spark)
+    assert not r.identical and r.rows_left == 100 and r.rows_right == 110
+    rk = t.verify_rewrite(spark, keys=["k"])
+    assert rk.counts == {"missing_in_left": 10}
+    assert sorted(row["k"] for row in rk.diff.collect()) == list(range(100, 110))
+
+
+def test_verify_rewrite_explicit_snapshots_and_no_parent(spark, small_df,
+                                                         tmp_path):
+    t = IcebergTable.create(str(tmp_path / "t"), small_df(0, 1).schema)
+    s1 = t.append(small_df(0, 50))
+    t.delete_where(spark, "k < 10")
+    s3 = t.compact(spark, target_file_bytes=1 << 30)
+    assert t.verify_rewrite(spark, from_snapshot_id=s1).rows_left == 50
+    with pytest.raises(ValueError):
+        t2 = IcebergTable.create(str(tmp_path / "t2"), small_df(0, 1).schema)
+        t2.append(small_df(0, 10))
+        t2.verify_rewrite(spark)  # first snapshot has no parent
