@@ -394,7 +394,13 @@ def cmd_test(args: argparse.Namespace) -> int:
     print_console(result.run)
     if args.junit:
         write_junit_xml(result.run, args.junit)
-    if args.results_path:
+    if args.results_path and args.sample_fraction is not None:
+        # the results table doubles as the metric-history store; raw sample
+        # counts appended there would poison every future change/anomaly rule
+        print("results: NOT writing sampled-run metrics to "
+              f"{args.results_path} (pre-flight runs don't join the "
+              "full-run history series)")
+    elif args.results_path:
         # explicit schema: an all-pass run has every `reason` NULL, which
         # would fail dict type inference
         from .engine import RESULTS_DDL

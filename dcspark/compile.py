@@ -181,6 +181,22 @@ def check_field_unique(model: str, fname: str) -> CompiledCheck:
     )
 
 
+_FILTERABLE_QUALITY = ("metric", "expression", "group")
+
+
+def _reject_unsupported_filter(model: str, q: Quality) -> None:
+    """A ``filter:`` on a quality type that cannot honor it (drift compares
+    against an UNSCOPED snapshot, sql is the user's own query, audio/image/
+    video ride fused decode passes, history judges stored series) would be
+    silently ignored — fail at compile time instead of lying at run time."""
+    if q.filter and (q.type or "") not in _FILTERABLE_QUALITY:
+        raise ValueError(
+            f"model {model}: quality rule type {q.type!r} does not support "
+            f"'filter:' (supported: {', '.join(_FILTERABLE_QUALITY)}); for a "
+            "scoped slice, filter the table upstream or use an expression "
+            "rule")
+
+
 def scope_to_filter(chk: CompiledCheck, flt: str) -> CompiledCheck:
     """Scope a compiled field-constraint check to rows matching a SQL filter
     (SodaCL per-check ``filter:`` analog — the reference reaches it only via
@@ -754,7 +770,8 @@ def check_quality_metric(model: str, q: Quality, idx: int, fname: Optional[str] 
         agg_alias=agg_alias,
         agg_expr=agg_expr,
         extra_aggs=extra,
-        params={"finisher": finisher, "metric": metric, "column": col, "threshold": desc},
+        params={"finisher": finisher, "metric": metric, "column": col,
+                "threshold": desc, "filter": q.filter},
         evaluate=evaluator,
         expected=desc,
         implementation=(
@@ -1691,6 +1708,7 @@ def create_checks(
                 for c in checks[n0:]:
                     scope_to_filter(c, f_.filter)
             for qi, q in enumerate(f_.quality):
+                _reject_unsupported_filter(model_name, q)
                 if q.type == "sql" and q.query:
                     checks.append(check_quality_sql(model_name, q, qi, fname))
                 elif q.type == "metric" and q.metric:
@@ -1723,6 +1741,7 @@ def create_checks(
             checks.append(check_composite_key_null(model_name, model.primaryKey))
             checks.append(check_composite_key_unique(model_name, model.primaryKey))
         for qi, q in enumerate(model.quality):
+            _reject_unsupported_filter(model_name, q)
             if q.type == "sql" and q.query:
                 checks.append(check_quality_sql(model_name, q, qi))
             elif q.type == "metric" and q.metric:

@@ -445,7 +445,15 @@ class Validator:
         # by the loop above). They append at the end of the model's check
         # order; watched keys must be produced by this model's own checks
         # (cross-model watches would race the parallel per-model recorders).
-        if history_checks:
+        if history_checks and self.config.sample_fraction is not None:
+            # a sampled run's metrics are raw sample counts — judging them
+            # against a full-run series (or letting them join it) would make
+            # every change/anomaly rule fire on the sampling itself
+            for chk in history_checks:
+                self._record(chk, None, ResultEnum.passed,
+                             "skipped: sampled run (history judges and "
+                             "feeds full-run metrics only)", None)
+        elif history_checks:
             self._run_history_checks(model_name, history_checks)
 
     def _run_history_checks(
@@ -842,13 +850,18 @@ class Validator:
         if pctl_aliases and self.config.pctl_mode == "sketch":
             for chk in agg_checks:
                 if chk.agg_alias in pctl_aliases and chk.agg_alias not in pctl_specs:
+                    # a row-scoped (filter:) percentile keeps the GK path:
+                    # the t-digest pass reads the RAW column and would
+                    # silently ignore the scope
+                    if chk.params.get("filter"):
+                        continue
                     pctl_specs[chk.agg_alias] = (
                         chk.params["column"],
                         float(chk.params["metric"][1:]) / 100.0)
-            for alias in pctl_aliases:
+            for alias in list(pctl_specs):
                 exprs.pop(alias, None)
                 ops.pop(alias, None)
-            pctl_aliases = []
+            pctl_aliases = [a for a in pctl_aliases if a not in pctl_specs]
         pctl_cols = sorted({c for c, _ in pctl_specs.values()})
 
         audio_fhists: Dict[str, Dict[int, int]] = {}

@@ -26,7 +26,9 @@ DataFrame passes:
    count — e.g. a double-ingested batch of identical rows, invisible to
    per-column comparison) / ``changed`` (with the exact changed-column list
    via null-safe comparison of the representatives); keys that merely share
-   a bucket with a drifted key compare equal and are dropped.
+   a bucket with a drifted key compare equal and are dropped. All hashing is
+   over NATIVE column values (see ``_col_hash``), so binary payload columns
+   compare byte-exact — no lossy string casts anywhere.
 
 Duplicate keys are supported by the digests (sums don't care) but make the
 drill join ambiguous (full-outer on a duplicated key cross-products);
@@ -47,23 +49,25 @@ from typing import Dict, List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# NULL normalization sentinel: a string no real cast produces (\x00 prefix),
-# so NULL never collides with a legitimate value and multi-column hashing
-# never silently skips a column (xxhash64 ignores NULL args entirely, which
-# would make ("a", NULL) and (NULL, "a") hash identically).
-_NULL = "\x00<null>"
+# NULL normalization: xxhash64 SKIPS null args entirely, which would make
+# ("a", NULL) and (NULL, "a") hash identically — so each column is hashed
+# SEPARATELY first (a NULL column folds zero children into the seed and
+# yields the constant 42, preserving the column's position), and the row
+# digest hashes the per-column hashes. Hashing the native values — never a
+# string cast — keeps binary columns (audio payloads), decimals, and nested
+# types byte-exact: a lossy cast could let two different payloads collide.
 
 
-def _norm(c: str) -> Column:
-    return F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+def _col_hash(c: str) -> Column:
+    return F.xxhash64(F.col(c))
 
 
 def _row_digest(cols: List[str]) -> Column:
-    return F.xxhash64(*[_norm(c) for c in cols])
+    return F.xxhash64(*[_col_hash(c) for c in cols])
 
 
 def _bucket(keys: List[str], buckets: int) -> Column:
-    return F.pmod(F.xxhash64(*[_norm(k) for k in keys]), F.lit(buckets))
+    return F.pmod(F.xxhash64(*[_col_hash(k) for k in keys]), F.lit(buckets))
 
 
 def bucket_summary(
@@ -84,7 +88,7 @@ def bucket_summary(
     return (
         df.select(
             _bucket(keys, buckets).alias("__bucket"),
-            F.xxhash64(*[_norm(k) for k in keys]).alias("__keyhash"),
+            F.xxhash64(*[_col_hash(k) for k in keys]).alias("__keyhash"),
             _row_digest(cols).cast("decimal(38,0)").alias("__rowhash"),
         )
         .groupBy("__bucket")

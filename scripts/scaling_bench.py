@@ -44,6 +44,11 @@ def run_bench(cpus: int, sf_dir: str, clips: int, skip_operators: bool = True) -
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_CLIPS=str(clips),
         BENCH_TRIALS=os.environ.get("BENCH_TRIALS", "3"),
+        # the efficiency metric uses audio_suite_sec at BENCH_CLIPS only;
+        # bench's extra 64k/512k scale points would multiply every timed
+        # leg's wall (a 512k pass at local[2] alone is minutes) for numbers
+        # this protocol never reads
+        BENCH_SCALE_POINTS="",
     )
     if skip_operators:
         env["BENCH_SKIP_OPERATORS"] = "1"

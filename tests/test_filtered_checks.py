@@ -177,6 +177,60 @@ def test_group_filter_scopes_groups(spark):
     assert by["t__quality_group_2"].result == ResultEnum.passed
 
 
+def test_filtered_percentile_keeps_gk_path_in_sketch_mode(spark):
+    # the t-digest pass reads the raw column; a scoped pNN must therefore
+    # stay on the GK path (which honors the filter) even under sketch mode
+    contract = """
+dataContractSpecification: 1.1.0
+id: p
+info: {title: p, version: 1.0.0}
+models:
+  t:
+    fields:
+      id: {type: bigint}
+      status: {type: string}
+      v: {type: double}
+    quality:
+      - type: metric
+        metric: p50
+        column: v
+        filter: "status = 'active'"
+        mustBeBetween: [89, 91]
+"""
+    spec = DataContractSpecification.from_string(contract)
+    rows = ([(i, "active", 90.0) for i in range(50)]
+            + [(i + 50, "inactive", 1000.0) for i in range(50)])
+    df = spark.createDataFrame(rows, "id long, status string, v double")
+    for mode in ("exact", "sketch"):
+        res = validate(spark, spec, {"t": df},
+                       ValidationConfig(pctl_mode=mode))
+        chk = {c.key: c for c in res.run.checks}["t__quality_metric_0"]
+        assert chk.result == ResultEnum.passed, (mode, chk.reason)
+        assert chk.diagnostics["metric"] == pytest.approx(90.0)
+
+
+def test_filter_on_unsupported_quality_type_fails_compile():
+    from dcspark.compile import create_checks
+
+    contract = """
+dataContractSpecification: 1.1.0
+id: bad
+info: {title: bad, version: 1.0.0}
+models:
+  t:
+    fields:
+      v: {type: double}
+    quality:
+      - type: drift
+        method: ks
+        column: v
+        filter: "v > 0"
+"""
+    spec = DataContractSpecification.from_string(contract)
+    with pytest.raises(ValueError, match="does not support 'filter:'"):
+        create_checks(spec)
+
+
 def test_missing_pk_column_is_error_not_crash(spark):
     df = spark.createDataFrame([(1, "s", 1.0, "c", 1)],
                                "a long, status string, v double, code string, ref_id long")

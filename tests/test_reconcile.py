@@ -128,6 +128,35 @@ def test_count_diff_false_keeps_lazy(spark, base):
     assert r.diff.count() == 1
 
 
+def test_binary_columns_compare_byte_exact(spark):
+    # audio-payload shape: non-UTF8 bytes must never be compared through a
+    # lossy string cast — two invalid-UTF8 payloads would collide there
+    l_rows = [(1, bytearray(b"\xff\xfe\x00A")), (2, bytearray(b"\x80\x81"))]
+    r_rows = [(1, bytearray(b"\xff\xfe\x00B")), (2, bytearray(b"\x80\x81"))]
+    left = spark.createDataFrame(l_rows, "id long, payload binary")
+    right = spark.createDataFrame(r_rows, "id long, payload binary")
+    r = reconcile(left, right, ["id"])
+    got = {row["id"]: (row["status"], list(row["changed_cols"]))
+           for row in r.diff.collect()}
+    assert got == {1: ("changed", ["payload"])}
+
+
+def test_multiset_equal_keyless(spark, base):
+    from dcspark.reconcile import multiset_equal
+
+    assert multiset_equal(base, base).identical
+    # a changed value, a dropped row, and a duplicated row all refuse
+    assert not multiset_equal(base, base.filter(F.col("id") != 5)).identical
+    assert not multiset_equal(
+        base, base.unionByName(base.limit(1))).identical
+    assert not multiset_equal(
+        base,
+        base.withColumn("v", F.when(F.col("id") == 3, -1.0).otherwise(F.col("v"))),
+    ).identical
+    with pytest.raises(ValueError):
+        multiset_equal(base, base.drop("v"))
+
+
 def test_cli_reconcile(spark, base, tmp_path, capsys):
     from dcspark.cli import main
 

@@ -96,6 +96,25 @@ def test_pass_reason_discloses_sampling(spark):
     assert "sample_fraction" not in (fchk.diagnostics or {})
 
 
+def test_history_checks_skip_under_sampling(spark, tmp_path):
+    # a sampled run must neither judge against nor feed the full-run series
+    contract = CONTRACT + """
+    quality:
+      - type: history
+        watch: row_count
+        method: change
+        window: 5
+        threshold: 10
+"""
+    spec = DataContractSpecification.from_string(contract)
+    res = validate(spark, spec, {"m": _table(spark)},
+                   ValidationConfig(sample_fraction=0.1,
+                                    history_path=str(tmp_path / "none")))
+    chk = [c for c in res.run.checks if c.type == "quality_history"]
+    assert chk and chk[0].result == ResultEnum.passed
+    assert "skipped: sampled run" in chk[0].reason
+
+
 def test_invalid_fraction_raises(spark):
     with pytest.raises(ValueError):
         _run(spark, _table(spark), sample_fraction=1.5)
