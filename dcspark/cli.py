@@ -348,6 +348,21 @@ def cmd_snapshot(args: argparse.Namespace) -> int:
     return 0
 
 
+def _resolve_where(args: argparse.Namespace, spec) -> dict:
+    """--where targets --model when given, else a single-model contract's
+    only model; ambiguous multi-model contracts must name the target."""
+    if not getattr(args, "where", None):
+        return {}
+    model = getattr(args, "model", None)
+    if model is None:
+        if len(spec.models) != 1:
+            raise SystemExit(
+                "--where with a multi-model contract needs --model "
+                f"(models: {', '.join(spec.models)})")
+        model = next(iter(spec.models))
+    return {model: args.where}
+
+
 def cmd_test(args: argparse.Namespace) -> int:
     from .engine import ValidationConfig, validate
     from .io import load_tables, write_results
@@ -370,6 +385,7 @@ def cmd_test(args: argparse.Namespace) -> int:
         history_format=args.history_format,
         sample_fraction=args.sample_fraction,
         sample_seed=args.sample_seed,
+        model_where=_resolve_where(args, spec),
     )
     if args.incremental_state:
         # validate ONLY rows appended to the model's Iceberg table since the
@@ -1339,6 +1355,12 @@ def main(argv: Optional[list] = None) -> int:
                    help="exact: percentile_approx (GK) + a dedicated global pass "
                         "when partitioned; sketch: mergeable t-digests that "
                         "checkpoint with the manifest (resume never rescans)")
+    t.add_argument("--where", default=None,
+                   help="dataset filter: SQL boolean scoping EVERY check of "
+                        "the target model to matching rows (e.g. the current "
+                        "ingest partition); ANDed with the contract's "
+                        "model-level filter. Use --model to name the target "
+                        "in multi-model contracts")
     t.add_argument("--sample-fraction", type=float, default=None,
                    help="pre-flight mode: validate a deterministic keyed-hash "
                         "sample of each table (same rows every run per "
@@ -1352,8 +1374,10 @@ def main(argv: Optional[list] = None) -> int:
                         "model's Iceberg table since the snapshot recorded "
                         "there (first run validates the whole table)")
     t.add_argument("--model", default=None,
-                   help="with --incremental-state: which model's Iceberg "
-                        "table to poll (default: the first payload model)")
+                   help="target model for --where (required when the "
+                        "contract has several models) and for "
+                        "--incremental-state polling (default there: the "
+                        "first payload model)")
 
     ice = sub.add_parser(
         "iceberg", help="Iceberg table maintenance (pure-Python format)")

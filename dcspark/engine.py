@@ -116,6 +116,9 @@ class ValidationConfig:
     # reason string discloses.
     sample_fraction: Optional[float] = None
     sample_seed: int = 0
+    # ad-hoc dataset filters per model (CLI --where): ANDed with the model's
+    # contract-declared `filter:` when both are present
+    model_where: Dict[str, str] = dc_field(default_factory=dict)
     # resume-time lineage verification: each manifest record stores the
     # partition's input-file lineage (file count + md5 of the sorted file
     # list); on resume, a completed partition whose file set changed is
@@ -276,6 +279,22 @@ class Validator:
             for chk in checks:
                 self._record(chk, None, ResultEnum.error, f"table {model_name} not provided", None)
             return
+
+        # dataset filter (SodaCL table-filter analog): the contract's
+        # model-level `filter:` and/or the CLI --where scope EVERY check of
+        # this model; a Spark filter before anything else, so predicate
+        # pushdown / partition pruning reach the source scan. row_count /
+        # freshness / drift then describe the SLICE — which is the point.
+        scopes = [s for s in (
+            getattr(self.spec.models.get(model_name), "filter", None),
+            self.config.model_where.get(model_name),
+        ) if s]
+        for s in scopes:
+            df = df.filter(F.expr(s))
+        if scopes:
+            self.run.log_info(
+                f"{model_name}: dataset filter(s) applied: "
+                + " AND ".join(f"({s})" for s in scopes))
 
         if self.config.sample_fraction is not None:
             df = self._sample_frame(model_name, df)
@@ -2042,8 +2061,13 @@ class Validator:
             "hll_lgk": self.config.unique_hll_lgk,
             "tdigest_delta": self.config.pctl_tdigest_delta,
             # sampled partitions can never merge with full ones (or with a
-            # different fraction/seed's panel)
+            # different fraction/seed's panel); same for a changed dataset
+            # filter — a different slice is a different table
             "sample": [self.config.sample_fraction, self.config.sample_seed],
+            "dataset_filter": [
+                getattr(self.spec.models.get(model_name), "filter", None),
+                self.config.model_where.get(model_name),
+            ],
             "drift": [
                 {"p": j["prefix"], "m": j["method"],
                  "s": {k: j["stats"].get(k) for k in

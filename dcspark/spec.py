@@ -140,6 +140,11 @@ class Model(BaseModel):
     quality: List[Quality] = []
     primaryKey: List[str] = []
     config: Dict[str, Any] = {}
+    # engine extension — SodaCL "dataset filter" analog: a SQL boolean scoping
+    # EVERY check of this model to matching rows (e.g. the current ingest date
+    # partition). Pushed into the scan, so partition pruning applies; at
+    # 10^12 rows this is how a contract validates a slice instead of history.
+    filter: Optional[str] = None
 
 
 class Server(BaseModel):

@@ -209,6 +209,58 @@ models:
         assert chk.diagnostics["metric"] == pytest.approx(90.0)
 
 
+DATASET_CONTRACT = """
+dataContractSpecification: 1.1.0
+id: ds
+info: {title: ds, version: 1.0.0}
+models:
+  t:
+    filter: "ingest_date = '2026-08-20'"
+    fields:
+      id: {type: bigint, primaryKey: true}
+      ingest_date: {type: string}
+      v: {type: double, minimum: 0}
+    quality:
+      - type: metric
+        metric: count
+        column: id
+        mustBe: 2
+"""
+
+
+def test_model_dataset_filter_scopes_everything(spark):
+    spec = DataContractSpecification.from_string(DATASET_CONTRACT)
+    rows = [
+        (1, "2026-08-20", 1.0),
+        (2, "2026-08-20", 2.0),
+        (3, "2026-08-19", -5.0),   # out of slice: violation invisible
+        (4, "2026-08-19", -6.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, ingest_date string, v double")
+    res = validate(spark, spec, {"t": df}, ValidationConfig())
+    by = {c.key: c for c in res.run.checks}
+    assert by["t__v__field_minimum"].result == ResultEnum.passed
+    assert by["t__quality_metric_0"].result == ResultEnum.passed  # count==2
+    assert res.run.result == ResultEnum.passed
+    assert any("dataset filter" in l.message for l in res.run.logs)
+
+
+def test_cli_where_ands_with_model_filter(spark):
+    spec = DataContractSpecification.from_string(DATASET_CONTRACT)
+    rows = [
+        (1, "2026-08-20", 1.0),
+        (2, "2026-08-20", -2.0),   # in slice, violating
+    ]
+    df = spark.createDataFrame(rows, "id long, ingest_date string, v double")
+    res = validate(spark, spec, {"t": df},
+                   ValidationConfig(model_where={"t": "id = 1"}))
+    by = {c.key: c for c in res.run.checks}
+    # the --where AND the model filter: id=2's violation is out of scope,
+    # but the count==2 metric now fails (slice has 1 row) — scoping is real
+    assert by["t__v__field_minimum"].result == ResultEnum.passed
+    assert by["t__quality_metric_0"].result == ResultEnum.failed
+
+
 def test_filter_on_unsupported_quality_type_fails_compile():
     from dcspark.compile import create_checks
 
