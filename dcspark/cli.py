@@ -360,6 +360,12 @@ def _resolve_where(args: argparse.Namespace, spec) -> dict:
                 "--where with a multi-model contract needs --model "
                 f"(models: {', '.join(spec.models)})")
         model = next(iter(spec.models))
+    elif model not in spec.models:
+        # a typo'd --model would otherwise silently validate the FULL table
+        # while the user believes the slice passed
+        raise SystemExit(
+            f"--model {model!r} is not in the contract "
+            f"(models: {', '.join(spec.models)})")
     return {model: args.where}
 
 
@@ -1075,6 +1081,7 @@ def cmd_reconcile(args: argparse.Namespace) -> int:
             extra = (f" [{','.join(row['changed_cols'])}]"
                      if row["changed_cols"] else "")
             print(f"  {row['status']}: {key}{extra}")
+    r.unpersist()
     return 1
 
 

@@ -224,7 +224,12 @@ def scope_to_filter(chk: CompiledCheck, flt: str) -> CompiledCheck:
         )
         chk.extra_aggs = {}
     else:
-        return chk
+        # defensive: a future unscopable kind must fail loudly, not run
+        # unscoped while claiming the filter (the silent-scope lie this
+        # module's _reject_unsupported_filter exists to prevent)
+        raise ValueError(
+            f"check {chk.key} (kind {chk.kind!r}) cannot be scoped by "
+            f"'filter:'")
     chk.name = f"{chk.name} [filter: {flt}]"
     chk.implementation = f"{chk.implementation} WHERE ({flt})"
     return chk
@@ -1704,6 +1709,21 @@ def create_checks(
                 )
             if f_.references:
                 checks.append(check_field_reference(model_name, fname, f_.references))
+            # collection-element constraints are CONSTRAINT checks of this
+            # field, so they must be appended before the scoping loop below
+            # — a filtered array field's element checks would otherwise
+            # silently escape the scope
+            ftype = (f_.type or "").lower()
+            if ftype == "array" and f_.items is not None:
+                for ec in _element_constraints(f_.items):
+                    checks.append(check_collection_elements(model_name, fname, "items", ec))
+            elif ftype == "map":
+                if f_.keys is not None:
+                    for ec in _element_constraints(f_.keys):
+                        checks.append(check_collection_elements(model_name, fname, "keys", ec))
+                if f_.values is not None:
+                    for ec in _element_constraints(f_.values):
+                        checks.append(check_collection_elements(model_name, fname, "values", ec))
             if f_.filter:
                 for c in checks[n0:]:
                     scope_to_filter(c, f_.filter)
@@ -1717,20 +1737,11 @@ def create_checks(
                     checks.append(check_quality_expression(model_name, q, qi, fname))
                 elif q.type == "history":
                     checks.append(check_quality_history(model_name, q, qi, fname))
-            ftype = (f_.type or "").lower()
             if ftype in ("object", "record", "struct"):
+                # children are separate fields: they scope under their OWN
+                # `filter:` declarations, not the parent struct's
                 for child_name, child in f_.fields.items():
                     emit_field(f"{fname}.{child_name}", child)
-            elif ftype == "array" and f_.items is not None:
-                for ec in _element_constraints(f_.items):
-                    checks.append(check_collection_elements(model_name, fname, "items", ec))
-            elif ftype == "map":
-                if f_.keys is not None:
-                    for ec in _element_constraints(f_.keys):
-                        checks.append(check_collection_elements(model_name, fname, "keys", ec))
-                if f_.values is not None:
-                    for ec in _element_constraints(f_.values):
-                        checks.append(check_collection_elements(model_name, fname, "values", ec))
 
         for fname, f_ in model.fields.items():
             emit_field(fname, f_)

@@ -63,6 +63,11 @@ def _col_hash(c: str) -> Column:
 
 
 def _row_digest(cols: List[str]) -> Column:
+    # no compare columns (keys cover every shared column): the content digest
+    # is constant and reconcile degrades to a key-multiset comparison —
+    # a zero-arg xxhash64 would be an AnalysisException
+    if not cols:
+        return F.lit(0).cast("bigint")
     return F.xxhash64(*[_col_hash(c) for c in cols])
 
 
@@ -71,7 +76,8 @@ def _bucket(keys: List[str], buckets: int) -> Column:
 
 
 def bucket_summary(
-    df: DataFrame, keys: List[str], cols: List[str], buckets: int
+    df: DataFrame, keys: List[str], cols: List[str], buckets: int,
+    dup_keys: bool = True,
 ) -> DataFrame:
     """One scan -> ``buckets`` rows of (bucket, n_rows, digest, n_dup_keys).
 
@@ -82,25 +88,29 @@ def bucket_summary(
     approx-distinct of the key hash, 1% rsd, floored at 0) — an exact count
     would shuffle every distinct key, which is precisely the cost this
     module exists to avoid; the engine's field_unique check certifies
-    exact-zero duplicates when that matters. All three aggregates are
-    map-side combinable, so the shuffle stays at ``buckets`` rows.
+    exact-zero duplicates when that matters. ``dup_keys=False`` skips the
+    per-row HLL update entirely — the keyless multiset proof has no use for
+    it, and it is the only non-trivial per-row cost in the hot scan. All
+    aggregates are map-side combinable, so the shuffle stays at ``buckets``
+    rows.
     """
-    return (
-        df.select(
-            _bucket(keys, buckets).alias("__bucket"),
-            F.xxhash64(*[_col_hash(k) for k in keys]).alias("__keyhash"),
-            _row_digest(cols).cast("decimal(38,0)").alias("__rowhash"),
-        )
-        .groupBy("__bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("__rowhash").alias("digest"),
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__rowhash").alias("digest"),
+    ]
+    sel = [
+        _bucket(keys, buckets).alias("__bucket"),
+        _row_digest(cols).cast("decimal(38,0)").alias("__rowhash"),
+    ]
+    if dup_keys:
+        sel.append(
+            F.xxhash64(*[_col_hash(k) for k in keys]).alias("__keyhash"))
+        aggs.append(
             F.greatest(
                 F.lit(0),
                 F.count(F.lit(1)) - F.approx_count_distinct("__keyhash", 0.01),
-            ).alias("n_dup_keys"),
-        )
-    )
+            ).alias("n_dup_keys"))
+    return df.select(*sel).groupBy("__bucket").agg(*aggs)
 
 
 @dataclass
@@ -130,8 +140,8 @@ def multiset_equal(
             f"column sets differ: {sorted(left.columns)} vs {sorted(right.columns)}"
         )
     cols = list(left.columns)
-    ls = bucket_summary(left, cols, cols, buckets).alias("l")
-    rs = bucket_summary(right, cols, cols, buckets).alias("r")
+    ls = bucket_summary(left, cols, cols, buckets, dup_keys=False).alias("l")
+    rs = bucket_summary(right, cols, cols, buckets, dup_keys=False).alias("r")
     merged = ls.join(rs, on="__bucket", how="full_outer").select(
         F.coalesce(F.col("l.n_rows"), F.lit(0)).alias("ln"),
         F.coalesce(F.col("r.n_rows"), F.lit(0)).alias("rn"),
@@ -163,6 +173,15 @@ class ReconcileResult:
     @property
     def identical(self) -> bool:
         return self.buckets_differing == 0
+
+    def unpersist(self) -> None:
+        """Release the cached drill frame (a non-identical result persists
+        ``diff`` so counts and the caller's collect/write share one
+        execution)."""
+        try:
+            self.diff.unpersist()
+        except Exception:
+            pass
 
 
 def reconcile(
@@ -238,21 +257,37 @@ def reconcile(
     # on a literal list is fine for the default 4096 buckets; a pathological
     # all-buckets diff degrades to the per-key diff you'd have written anyway.
     def _side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).alias(f"{tag}_n"),
+            F.sum(_row_digest(compare_cols).cast("decimal(38,0)"))
+            .alias(f"{tag}_d"),
+            # representative row for changed-column attribution; with no
+            # compare columns a constant presence marker serves the
+            # missing-side classification (min(struct()) has no meaning)
+            (F.min(F.struct(*[F.col(c) for c in compare_cols]))
+             if compare_cols else F.lit(1)).alias(f"__{tag}"),
+        ]
         return (
             df.withColumn("__bucket", _bucket(keys, buckets))
             .filter(F.col("__bucket").isin(differing))
             .groupBy(*[F.col(k) for k in keys])
-            .agg(
-                F.count(F.lit(1)).alias(f"{tag}_n"),
-                F.sum(_row_digest(compare_cols).cast("decimal(38,0)"))
-                .alias(f"{tag}_d"),
-                F.min(F.struct(*[F.col(c) for c in compare_cols]))
-                .alias(f"__{tag}"),
-            )
+            .agg(*aggs)
         )
 
-    l2, r2 = _side(left, "l"), _side(right, "r")
-    j = l2.join(r2, on=list(keys), how="full_outer")
+    l2 = _side(left, "l").alias("L")
+    r2 = _side(right, "r").alias("R")
+    # NULL-SAFE key join: a NULL key component is a legitimate key value here
+    # (the bucket hash already treats it as one); plain equality would report
+    # a byte-identical NULL-keyed row as missing from BOTH sides whenever its
+    # bucket drifts
+    cond = F.col(f"L.`{keys[0]}`").eqNullSafe(F.col(f"R.`{keys[0]}`"))
+    for k in keys[1:]:
+        cond = cond & F.col(f"L.`{k}`").eqNullSafe(F.col(f"R.`{k}`"))
+    j = l2.join(r2, on=cond, how="full_outer").select(
+        *[F.coalesce(F.col(f"L.`{k}`"), F.col(f"R.`{k}`")).alias(k)
+          for k in keys],
+        "l_n", "l_d", "__l", "r_n", "r_d", "__r",
+    )
     changed = F.array_sort(
         F.array_compact(
             F.array(*[
@@ -286,6 +321,11 @@ def reconcile(
         )
         .select(*keys, "status", "changed_cols")
     )
+    # the drill re-reads both tables' differing buckets; persist so the
+    # per-status counts AND the caller's collect/write execute it once
+    from pyspark import StorageLevel
+
+    diff = diff.persist(StorageLevel.MEMORY_AND_DISK)
     counts: Dict[str, int] = {}
     if count_diff:
         counts = {

@@ -261,6 +261,47 @@ def test_cli_where_ands_with_model_filter(spark):
     assert by["t__quality_metric_0"].result == ResultEnum.failed
 
 
+def test_element_constraints_honor_field_filter(spark):
+    # review finding: element checks appended after the scoping loop were
+    # silently escaping a field's `filter:`
+    contract = """
+dataContractSpecification: 1.1.0
+id: el
+info: {title: el, version: 1.0.0}
+models:
+  t:
+    fields:
+      status: {type: string}
+      tags:
+        type: array
+        filter: "status = 'active'"
+        items: {type: string, maxLength: 3}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    rows = [("active", ["ok"]), ("inactive", ["waytoolong"])]
+    df = spark.createDataFrame(rows, "status string, tags array<string>")
+    res = validate(spark, spec, {"t": df}, ValidationConfig())
+    elem = [c for c in res.run.checks if "[items]" in (c.key or "")]
+    assert elem and all(c.result == ResultEnum.passed for c in elem)
+    rows2 = [("active", ["waytoolong"])]
+    res2 = validate(spark, spec,
+                    {"t": spark.createDataFrame(rows2, df.schema)},
+                    ValidationConfig())
+    elem2 = [c for c in res2.run.checks if "[items]" in (c.key or "")]
+    assert any(c.result == ResultEnum.failed for c in elem2)
+
+
+def test_cli_where_rejects_unknown_model():
+    import argparse
+
+    from dcspark.cli import _resolve_where
+
+    spec = DataContractSpecification.from_string(DATASET_CONTRACT)
+    args = argparse.Namespace(where="v > 0", model="typo")
+    with pytest.raises(SystemExit, match="not in the contract"):
+        _resolve_where(args, spec)
+
+
 def test_filter_on_unsupported_quality_type_fails_compile():
     from dcspark.compile import create_checks
 

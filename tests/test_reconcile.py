@@ -157,6 +157,37 @@ def test_multiset_equal_keyless(spark, base):
         multiset_equal(base, base.drop("v"))
 
 
+def test_keys_cover_all_columns(spark):
+    # review finding: compare_cols defaults to [] when the keys are the only
+    # shared columns — must degrade to a key-multiset reconcile, not crash
+    left = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    right = spark.createDataFrame([(1,), (2,), (4,)], "id long")
+    assert reconcile(left, left, ["id"]).identical
+    r = reconcile(left, right, ["id"])
+    assert r.counts == {"missing_in_right": 1, "missing_in_left": 1}
+    got = {row["id"]: row["status"] for row in r.diff.collect()}
+    assert got == {3: "missing_in_right", 4: "missing_in_left"}
+
+
+def test_null_key_rows_join_null_safe(spark):
+    # review finding: identical NULL-keyed rows sharing a bucket with real
+    # drift must NOT be reported missing from both sides
+    left = spark.createDataFrame(
+        [(None, "same"), (1, "a")], "id string, x string")
+    right = spark.createDataFrame(
+        [(None, "same"), (1, "CHANGED")], "id string, x string")
+    r = reconcile(left, right, ["id"], buckets=1)  # force shared bucket
+    got = {row["id"]: row["status"] for row in r.diff.collect()}
+    assert got == {"1": "changed"}
+    # and a DRIFTED null-keyed row classifies as changed, not missing twice
+    right2 = spark.createDataFrame(
+        [(None, "tampered"), (1, "a")], "id string, x string")
+    r2 = reconcile(left, right2, ["id"], buckets=1)
+    rows = r2.diff.collect()
+    assert len(rows) == 1 and rows[0]["status"] == "changed"
+    assert rows[0]["id"] is None and list(rows[0]["changed_cols"]) == ["x"]
+
+
 def test_cli_reconcile(spark, base, tmp_path, capsys):
     from dcspark.cli import main
 
