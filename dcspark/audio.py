@@ -493,7 +493,7 @@ def _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=None, feat_fns=None):
             if fp_fn is not None:
                 rec["fp"] = fp_fn(pcm, sr)
             if feat_fns is not None:
-                rec["feats"] = {name: fn(pcm, sr) for name, fn in feat_fns.items()}
+                rec["feats"] = eval_features(pcm, sr, feat_fns)
             if snr_fn is not None:
                 s = snr_fn(clip_id, d_sr, d_dur, pcm)
                 if s is not None:
@@ -588,12 +588,16 @@ def audio_decode_report(
 
 
 def rms_dbfs(pcm, _sr) -> float:
-    """Whole-clip RMS level in dBFS for int16 PCM (silence clamps at -120)."""
+    """Whole-clip RMS level in dBFS for int16 PCM (silence clamps at -120).
+
+    float32 dot (pairwise summation, ~1e-6 relative = ~1e-5 dB) instead of a
+    float64 copy + square + mean: half the memory traffic on the hot decoded
+    payload, which is what the per-clip feature pass is bound by."""
     if len(pcm) == 0:
         return -120.0
-    x = pcm.astype(np.float64) / 32768.0
-    r = math.sqrt(float(np.mean(x * x)))
-    return 20.0 * math.log10(r) if r > 0 else -120.0
+    x = pcm.astype(np.float32)
+    ms = float(np.dot(x, x)) / (len(x) * 32768.0 * 32768.0)
+    return 10.0 * math.log10(ms) if ms > 0 else -120.0
 
 
 def peak_dbfs(pcm, _sr) -> float:
@@ -706,18 +710,47 @@ def _vad_frame_db(pcm, sr) -> np.ndarray:
     frame so trailing silence/speech is never dropped)."""
     n = max(1, int(sr * VAD_FRAME_S))
     k = len(pcm) // n
-    x = pcm.astype(np.float64) / 32768.0
+    # float32 conversion + in-place square: int16^2 <= 2^30 is exact to ~1e-7
+    # relative in float32, and the frame means accumulate in float64 — the
+    # ~1e-6 dB wobble is irrelevant against a -40 dBFS gate, while the copy
+    # is half the size of the former float64 path (this pass is
+    # memory-bandwidth-bound at high core counts)
+    x = pcm.astype(np.float32)
+    np.multiply(x, x, out=x)
+    scale = 1.0 / (32768.0 * 32768.0)
     out = np.empty(k + (1 if len(pcm) > k * n else 0), dtype=np.float64)
     if k:
-        f = x[:k * n].reshape(k, n)
-        out[:k] = (f * f).mean(axis=1)
+        out[:k] = x[:k * n].reshape(k, n).mean(axis=1, dtype=np.float64)
+        out[:k] *= scale
     if len(pcm) > k * n:
-        t = x[k * n:]
-        out[k] = float((t * t).mean())
+        out[k] = float(x[k * n:].mean(dtype=np.float64)) * scale
     with np.errstate(divide="ignore"):
         db = 10.0 * np.log10(out, out=np.full_like(out, -12.0),
                              where=out > 0)
     return np.maximum(db, -120.0)
+
+
+def _speech_ratio_db(pcm, sr, db) -> float:
+    if len(pcm) == 0:
+        return 0.0
+    return float(np.mean(db > VAD_GATE_DBFS))
+
+
+def _leading_silence_ms_db(pcm, sr, db) -> float:
+    if len(pcm) == 0:
+        return 0.0
+    act = np.flatnonzero(db > VAD_GATE_DBFS)
+    frame_ms = VAD_FRAME_S * 1000.0
+    if len(act) == 0:
+        return float(len(pcm)) * 1000.0 / float(sr)
+    return float(min(act[0] * frame_ms, len(pcm) * 1000.0 / float(sr)))
+
+
+def _speech_seconds_db(pcm, sr, db) -> float:
+    if len(pcm) == 0:
+        return 0.0
+    active = int(np.count_nonzero(db > VAD_GATE_DBFS))
+    return float(min(active * VAD_FRAME_S, len(pcm) / float(sr)))
 
 
 def speech_ratio(pcm, sr) -> float:
@@ -726,23 +759,15 @@ def speech_ratio(pcm, sr) -> float:
     a speech corpus wants: `min: 0.5` drops clips that are mostly dead
     air even when every header column (sr_hz, dur_ms, codec) is valid and
     the decode round-trips perfectly."""
-    if len(pcm) == 0:
-        return 0.0
-    return float(np.mean(_vad_frame_db(pcm, sr) > VAD_GATE_DBFS))
+    return _speech_ratio_db(pcm, sr, _vad_frame_db(pcm, sr) if len(pcm) else None)
 
 
 def leading_silence_ms(pcm, sr) -> float:
     """Milliseconds of dead air before the first speech-active frame
     (whole clip duration if nothing is active). Catches padding that
     inflates dur_ms and shifts transcript alignment."""
-    if len(pcm) == 0:
-        return 0.0
-    db = _vad_frame_db(pcm, sr)
-    act = np.flatnonzero(db > VAD_GATE_DBFS)
-    frame_ms = VAD_FRAME_S * 1000.0
-    if len(act) == 0:
-        return float(len(pcm)) * 1000.0 / float(sr)
-    return float(min(act[0] * frame_ms, len(pcm) * 1000.0 / float(sr)))
+    return _leading_silence_ms_db(
+        pcm, sr, _vad_frame_db(pcm, sr) if len(pcm) else None)
 
 
 def speech_seconds(pcm, sr) -> float:
@@ -750,11 +775,8 @@ def speech_seconds(pcm, sr) -> float:
     clamped to the clip). The denominator of the speaking-rate invariant;
     also boundable directly (``minimum: 1.0`` = at least a second of
     audible signal)."""
-    if len(pcm) == 0:
-        return 0.0
-    db = _vad_frame_db(pcm, sr)
-    active = int(np.count_nonzero(db > VAD_GATE_DBFS))
-    return float(min(active * VAD_FRAME_S, len(pcm) / float(sr)))
+    return _speech_seconds_db(
+        pcm, sr, _vad_frame_db(pcm, sr) if len(pcm) else None)
 
 
 #: pseudo-feature of the speaking-rate invariant: transcript characters per
@@ -764,11 +786,9 @@ def speech_seconds(pcm, sr) -> float:
 RATE_FEATURE = "chars_per_speech_sec"
 
 
-def trailing_silence_ms(pcm, sr) -> float:
-    """Milliseconds of dead air after the last speech-active frame."""
+def _trailing_silence_ms_db(pcm, sr, db) -> float:
     if len(pcm) == 0:
         return 0.0
-    db = _vad_frame_db(pcm, sr)
     act = np.flatnonzero(db > VAD_GATE_DBFS)
     total_ms = float(len(pcm)) * 1000.0 / float(sr)
     if len(act) == 0:
@@ -777,6 +797,12 @@ def trailing_silence_ms(pcm, sr) -> float:
     # end of the last active frame, clamped to the true clip length
     end_ms = min((act[-1] + 1) * n, len(pcm)) * 1000.0 / float(sr)
     return float(total_ms - end_ms)
+
+
+def trailing_silence_ms(pcm, sr) -> float:
+    """Milliseconds of dead air after the last speech-active frame."""
+    return _trailing_silence_ms_db(
+        pcm, sr, _vad_frame_db(pcm, sr) if len(pcm) else None)
 
 
 #: decoded-PCM scalar features available to loudness-drift and
@@ -796,6 +822,35 @@ FEATURE_FNS = {
     "trailing_silence_ms": trailing_silence_ms,
     "speech_seconds": speech_seconds,
 }
+
+#: the VAD family shares one per-20ms-frame RMS vector; evaluated together
+#: through :func:`eval_features` it is computed ONCE per clip instead of once
+#: per feature (a contract with speech_ratio + speaking-rate was paying the
+#: frame pass twice — ~16% of the whole per-clip eval, scripts/profile_eval.py)
+_VAD_FROM_DB = {
+    "speech_ratio": _speech_ratio_db,
+    "leading_silence_ms": _leading_silence_ms_db,
+    "trailing_silence_ms": _trailing_silence_ms_db,
+    "speech_seconds": _speech_seconds_db,
+}
+
+
+def eval_features(pcm, sr, fns: Dict[str, Callable]) -> Dict[str, float]:
+    """Evaluate the requested features over one decoded clip, sharing
+    intermediates. Identical results to calling each ``fns[name]`` directly
+    (the VAD family delegates to the same ``_*_db`` formulas) — locked by
+    test_audioops.test_eval_features_matches_direct."""
+    out = {}
+    db = None
+    for name, fn in fns.items():
+        from_db = _VAD_FROM_DB.get(name)
+        if from_db is not None and fn is FEATURE_FNS.get(name):
+            if db is None and len(pcm):
+                db = _vad_frame_db(pcm, sr)
+            out[name] = from_db(pcm, sr, db)
+        else:
+            out[name] = fn(pcm, sr)
+    return out
 
 
 def audio_decode_compact(
@@ -1051,6 +1106,7 @@ def audio_feature_frame(
     def feat_batches(batches: Iterator["object"]) -> Iterator["object"]:
         import pyarrow as pa
 
+        fns_d = dict(fns)
         for batch in batches:
             n_rows = batch.num_rows
             offsets, heap, nulls = _binary_views(batch.column(1), n_rows)
@@ -1067,8 +1123,9 @@ def audio_feature_frame(
                     for c in cols:
                         c.append(None)
                     continue
-                for c, (_name, fn) in zip(cols, fns):
-                    c.append(fn(pcm, sr))
+                feats = eval_features(pcm, sr, fns_d)
+                for c, (name, _fn) in zip(cols, fns):
+                    c.append(feats[name])
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0)] + [pa.array(c, pa.float64()) for c in cols],
                 ["clip_id"] + [f for f, _ in fns])

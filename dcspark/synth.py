@@ -56,14 +56,26 @@ def row_rng(seed: int, i: int) -> np.random.Generator:
     return np.random.default_rng(seed + i)
 
 
-def synth_params(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000):
-    """Deterministic per-row (sr_hz, dur_ms, f_k, a_k, transcript words)."""
+def synth_params_audio(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000):
+    """Deterministic per-row audio draw (sr_hz, dur_ms, f_k, a_k) only.
+
+    The SNR-oracle hot path: skips the transcript stream entirely (one fewer
+    Generator construction + word draws per clip — ~10% of the whole per-clip
+    eval cost at 10^12 rows, measured in scripts/profile_eval.py). Safe to
+    split because transcripts deliberately use their OWN rng stream (below),
+    so the audio draws are identical with or without them."""
     rng = row_rng(seed, i)
     sr = SR_ENUM[int(rng.integers(0, len(SR_ENUM)))]
     dur = int(rng.integers(dur_lo, dur_hi + 1))
     k = int(rng.integers(2, 5))
     freqs = rng.uniform(100.0, min(4000.0, sr / 2 * 0.8), size=k)
     amps = rng.uniform(0.1, 0.3, size=k)
+    return sr, dur, freqs, amps
+
+
+def synth_params(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000):
+    """Deterministic per-row (sr_hz, dur_ms, f_k, a_k, transcript words)."""
+    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi)
     # Transcripts get their OWN stream: bounded integers() uses rejection
     # sampling, so the dur draw consumes a bounds-dependent number of raw
     # draws — with a shared stream, generating clips at (200,2000) and the
@@ -125,7 +137,7 @@ def synth_pcm_fast(sr: int, dur_ms: int, freqs: np.ndarray, amps: np.ndarray) ->
 
 def oracle_pcm(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000) -> np.ndarray:
     """Re-synthesize the expected PCM for row i — the decode invariant's oracle."""
-    sr, dur, freqs, amps, _ = synth_params(seed, i, dur_lo, dur_hi)
+    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi)
     return synth_pcm_fast(sr, dur, freqs, amps)
 
 
@@ -149,7 +161,7 @@ def oracle_snr(
     against the 30 dB invariant floor. Length-mismatch semantics match
     audio.snr_db (diff > max(4, 1%) -> -inf).
     """
-    sr, dur, freqs, amps, _ = synth_params(seed, i, dur_lo, dur_hi)
+    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi)
     n = int(round(sr * dur / 1000.0))
     m = min(n, len(decoded))
     if m == 0 or abs(n - len(decoded)) > max(4, int(0.01 * m)):

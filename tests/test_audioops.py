@@ -542,3 +542,34 @@ def test_transcode_sinc_default_beats_linear(spark):
         _, _, out = parse_wav(bytes(row["bytes"]))
         got[mode] = snr_db(ref, out)
     assert got["sinc"] > 25.0 > got["linear"]
+
+
+def test_eval_features_matches_direct():
+    """eval_features (shared VAD frame vector, one pass per clip) must be
+    value-identical to calling every FEATURE_FNS entry independently —
+    including silence-only, speech-only, and mixed clips, and a custom
+    (non-registry) callable which must bypass the shared-db fast path."""
+    from dcspark.audio import FEATURE_FNS, eval_features
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+    t = np.arange(sr) / sr
+    speech = (np.sin(2 * np.pi * 440 * t) * 12000).astype(np.int16)
+    silence = np.zeros(sr // 2, dtype=np.int16)
+    clips = [
+        np.concatenate([silence, speech, silence]),
+        silence,
+        speech,
+        (rng.normal(0, 3000, sr)).astype(np.int16),
+        np.zeros(0, dtype=np.int16),
+    ]
+    for pcm in clips:
+        direct = {n: fn(pcm, sr) for n, fn in FEATURE_FNS.items()}
+        shared = eval_features(pcm, sr, FEATURE_FNS)
+        assert shared == direct  # exact float equality: same formulas, same db
+
+    custom = {"doubled_rms": lambda p, s: 2.0 * FEATURE_FNS["rms_dbfs"](p, s),
+              "speech_ratio": FEATURE_FNS["speech_ratio"]}
+    out = eval_features(clips[0], sr, custom)
+    assert out["doubled_rms"] == 2.0 * FEATURE_FNS["rms_dbfs"](clips[0], sr)
+    assert out["speech_ratio"] == FEATURE_FNS["speech_ratio"](clips[0], sr)
