@@ -183,6 +183,26 @@ def _merge_rows(rows: List[Dict[str, Any]], ops: Dict[str, str]) -> Dict[str, An
     return merged
 
 
+def _missing_table_error(path: str, exc: Exception) -> bool:
+    """True when ``exc`` means the table at ``path`` simply does not exist
+    yet (the expected first-ever-run bootstrap of a metric-history source),
+    as opposed to a corrupt/unreadable table. Local schemeless paths are
+    checked directly on disk; remote paths fall back to the reader's
+    path-not-found error classes/messages."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme in ("", "file"):
+        local = path.split("://", 1)[-1] if scheme else path
+        return not os.path.exists(local)
+    if isinstance(exc, FileNotFoundError):
+        return True
+    msg = str(exc)
+    return (
+        "PATH_NOT_FOUND" in msg
+        or "Path does not exist" in msg
+        or "FileNotFoundException" in msg
+    )
+
+
 # ---------------------------------------------------------------------------
 # engine
 # ---------------------------------------------------------------------------
@@ -497,7 +517,16 @@ class Validator:
                 series = hist_mod.collect_series(
                     frame, model_name, keys, max_w, exclude_run_id=self.run.runId)
             except Exception as exc:
-                load_err = f"{type(exc).__name__}: {exc}"
+                # A MISSING table is the expected first-ever-run bootstrap
+                # (this run's results write creates it) -> empty series,
+                # insufficient-history pass. Anything else (corrupt files,
+                # wrong --history-format, permission) must surface as an
+                # ERROR: degrading it to the same silent pass would disarm
+                # every change/anomaly tripwire on a config typo.
+                if _missing_table_error(path, exc):
+                    load_err = None
+                else:
+                    load_err = f"{type(exc).__name__}: {exc}"
         for chk in checks:
             wkey = chk.params["watch_key"]
             if not path:
@@ -506,6 +535,12 @@ class Validator:
                     f"{chk.name}: no history source (set ValidationConfig."
                     "history_path / --history-path to this engine's results table)",
                     None)
+                continue
+            if load_err:
+                self._record(
+                    chk, None, ResultEnum.error,
+                    f"{chk.name}: history table at {path} failed to load "
+                    f"({load_err})", None)
                 continue
             current = self._metrics.get(wkey)
             if current is None:
@@ -517,8 +552,6 @@ class Validator:
             vals = series.get(wkey, [])[-int(chk.params["window"]):]
             stat, diag = hist_mod.point_stats(
                 vals, current, agg=chk.params["agg"], method=chk.params["method"])
-            if load_err and not vals:
-                diag["history_load"] = load_err
             result, reason = chk.eval_metric(stat, diag)
             self._record(chk, stat, result, reason, None, diagnostics=diag)
 

@@ -302,3 +302,33 @@ def test_engine_history_bad_watch_key(spark, tmp_path):
     res = _run(spark, spec, 10, str(tmp_path / "h.parquet"), tmp_path, write=False)
     bad = _hist_checks(res)[0]
     assert bad.result == ResultEnum.error and "not computed" in bad.reason
+
+
+def test_engine_history_corrupt_table_errors(spark, tmp_path):
+    """A history table that EXISTS but cannot be read must surface as an
+    error result — not the first-run insufficient-history pass, which would
+    silently disarm every change/anomaly tripwire on a config typo."""
+    spec = DataContractSpecification.from_string(CONTRACT)
+    hist = tmp_path / "results.parquet"
+    hist.mkdir()
+    (hist / "part-00000.parquet").write_bytes(b"this is not parquet")
+    res = _run(spark, spec, 100, str(hist), tmp_path, write=False)
+    chg, anom = _hist_checks(res)
+    assert chg.result == ResultEnum.error
+    assert "failed to load" in chg.reason
+    assert anom.result == ResultEnum.error
+    assert res.run.result == ResultEnum.error
+
+
+def test_missing_table_error_classifier(tmp_path):
+    from dcspark.engine import _missing_table_error
+
+    gone = str(tmp_path / "nope")
+    assert _missing_table_error(gone, Exception("anything")) is True
+    here = tmp_path / "t"
+    here.mkdir()
+    assert _missing_table_error(str(here), Exception("corrupt footer")) is False
+    assert _missing_table_error("s3://b/t", FileNotFoundError("x")) is True
+    assert _missing_table_error(
+        "s3://b/t", Exception("[PATH_NOT_FOUND] Path does not exist")) is True
+    assert _missing_table_error("s3://b/t", Exception("corrupt footer")) is False
