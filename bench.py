@@ -72,7 +72,7 @@ def ensure_audio_data(spark, n: int) -> tuple[str, str]:
 
     base = os.path.join(REPO, ".bench_data")
     dur_tag = f"{DUR_LO}_{DUR_HI}"
-    clips_path = os.path.join(base, f"audio_n{n}_seed{SEED}_d{dur_tag}_p32_v2")
+    clips_path = os.path.join(base, f"audio_n{n}_seed{SEED}_d{dur_tag}_p32_v3")
     ref_path = os.path.join(base, f"ref_n{n}_seed{SEED}_p32_v2")
     if not (
         os.path.exists(os.path.join(clips_path, "_SUCCESS"))
@@ -83,9 +83,15 @@ def ensure_audio_data(spark, n: int) -> tuple[str, str]:
         # 32 output files: one ~64m-split-friendly file per core slot — small
         # jobs stay at ~32 tasks instead of 150+, which was the dominant fixed
         # cost per job at high parallelism
+        # uncompressed parquet for the payload table: snappy achieves 0% on
+        # PCM bytes (measured 15.69 vs 15.70 GB at 256k clips) while costing
+        # 39% of every payload scan in decompression CPU — the layout any
+        # audio lake picks (payloads carry their own codec; generic block
+        # compression on top is pure overhead)
         synth.generate_audio_table(
             spark, n, seed=SEED, dur_lo=DUR_LO, dur_hi=DUR_HI, num_partitions=128
-        ).repartition(32).write.mode("overwrite").parquet(clips_path)
+        ).repartition(32).write.mode("overwrite") \
+            .option("compression", "uncompressed").parquet(clips_path)
         synth.generate_transcripts_ref(
             spark, n, seed=SEED, num_partitions=32
         ).write.mode("overwrite").parquet(ref_path)

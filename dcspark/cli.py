@@ -369,6 +369,87 @@ def _resolve_where(args: argparse.Namespace, spec) -> dict:
     return {model: args.where}
 
 
+#: CompiledCheck.kind -> which Spark job executes it (the dry-run's summary
+#: of the engine's batching: engine._run_model groups exactly these ways)
+_EXEC_SHAPE = {
+    "schema_present": "driver-only schema check (no scan)",
+    "schema_type": "driver-only schema check (no scan)",
+    "agg": "shared multi-aggregate scan (one pass for ALL agg checks)",
+    "freshness": "shared multi-aggregate scan (one pass for ALL agg checks)",
+    "retention": "shared multi-aggregate scan (one pass for ALL agg checks)",
+    "unique": "dedicated exact-uniqueness job (two-phase salted groupBy; "
+              "--unique-mode approx moves it into the shared scan as an HLL "
+              "sketch)",
+    "reference": "anti-join vs the parent table (broadcast when it fits)",
+    "join_equality": "key-join equality vs the reference table",
+    "sql": "user SQL job",
+    "group": "dedicated groupBy job",
+    "drift": "binned aggregate vs --ref-stats snapshot",
+    "history": "metric-history window read (results table)",
+    "audio": "fused audio decode pass (ONE mapInArrow payload scan shared "
+             "by every audio rule)",
+    "audio_fp": "fused audio decode pass (fingerprints ride the same scan)",
+    "audio_drift": "fused audio decode pass (feature histograms ride it)",
+    "audio_quality": "fused audio decode pass (feature bounds ride it)",
+    "image": "fused image decode pass (one mapInArrow payload scan)",
+    "image_fp": "fused image decode pass",
+    "image_drift": "fused image decode pass",
+    "image_quality": "fused image decode pass",
+    "video": "fused video decode pass (one mapInArrow payload scan)",
+}
+
+
+def _test_dry_run(spec, args: argparse.Namespace) -> int:
+    """`test --dry-run`: compile every rule and print the execution plan —
+    check inventory, the Spark job each check rides, effective row scopes —
+    without a Spark session or any data access. Compilation is driver-pure
+    (CompiledCheck thunks never need a SparkContext), so this is the free
+    pre-flight for a 10^12-row run: catch typo'd filters, missing columns
+    in scopes, or an accidental per-check fan-out before paying for a scan."""
+    from .compile import create_checks
+
+    server_format = None
+    if args.server and args.server in (spec.servers or {}):
+        server_format = spec.servers[args.server].format
+    where = _resolve_where(args, spec)
+    checks_by_model = create_checks(spec, server_format)
+    print(f"DRY RUN — compiled plan for {spec.id or args.contract} "
+          "(no Spark session, no data read)")
+    for model_name, checks in checks_by_model.items():
+        model = spec.models[model_name]
+        print(f"\nmodel {model_name}: {len(checks)} checks")
+        scopes = []
+        if getattr(model, "filter", None):
+            scopes.append(f"contract filter: {model.filter}")
+        if where.get(model_name):
+            scopes.append(f"--where: {where[model_name]}")
+        if scopes:
+            print("  row scope (ANDed, pushed into the source scan): "
+                  + " AND ".join(scopes))
+        by_shape: dict = {}
+        for c in checks:
+            shape = _EXEC_SHAPE.get(c.kind, f"dedicated job ({c.kind})")
+            by_shape.setdefault(shape.split(" (")[0], []).append(c)
+        print("  jobs:")
+        for shape, cs in sorted(by_shape.items(), key=lambda kv: -len(kv[1])):
+            print(f"    {len(cs):3d}  {shape}")
+        print("  checks:")
+        for c in checks:
+            line = f"    [{c.kind:>14s}] {c.key}"
+            if c.params.get("filter"):
+                line += f"  (filter: {c.params['filter']})"
+            print(line)
+            if c.expected:
+                print(f"{'':22s}expected: {c.expected}")
+            if c.implementation:
+                print(f"{'':22s}impl: {c.implementation}")
+    if args.sample_fraction is not None:
+        print(f"\nsample mode: every data check would run on a deterministic "
+              f"{args.sample_fraction:.4%} keyed-hash sample "
+              f"(seed {args.sample_seed})")
+    return 0
+
+
 def cmd_test(args: argparse.Namespace) -> int:
     from .engine import ValidationConfig, validate
     from .io import load_tables, write_results
@@ -376,6 +457,8 @@ def cmd_test(args: argparse.Namespace) -> int:
     from .spec import DataContractSpecification
 
     spec = DataContractSpecification.from_file(args.contract)
+    if args.dry_run:
+        return _test_dry_run(spec, args)
     spark = _build_spark(args.master, args.shuffle_partitions)
     tables = load_tables(spark, spec, server_name=args.server, base_path=args.path)
     cfg = ValidationConfig(
@@ -1385,6 +1468,10 @@ def main(argv: Optional[list] = None) -> int:
                         "contract has several models) and for "
                         "--incremental-state polling (default there: the "
                         "first payload model)")
+    t.add_argument("--dry-run", action="store_true",
+                   help="compile the contract and print the execution plan "
+                        "(per-check inventory + which Spark job each check "
+                        "rides) WITHOUT starting Spark or touching data")
 
     ice = sub.add_parser(
         "iceberg", help="Iceberg table maintenance (pure-Python format)")

@@ -891,3 +891,33 @@ models:
     prop = to_odcs_v3(spec)["schema"][0]["properties"][0]
     assert "logicalType" not in prop    # null logicalType fails ODCS validation
     assert prop["physicalType"] == "map"
+
+
+def test_cli_test_dry_run(capsys):
+    """test --dry-run prints the compiled execution plan with zero Spark:
+    every compiled check appears with its job shape, scopes are disclosed,
+    and the flagship contract's audio rules all map to the ONE fused decode
+    pass."""
+    from dcspark.cli import main
+
+    rc = main(["test", "contracts/audio_clips.yaml", "--dry-run",
+               "--where", "sr_hz = 16000", "--model", "audio_clips",
+               "--sample-fraction", "0.01"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "DRY RUN" in out and "no data read" in out
+    assert "model audio_clips: 35 checks" in out
+    assert "model transcripts_ref: 7 checks" in out
+    assert "--where: sr_hz = 16000" in out
+    assert "fused audio decode pass" in out
+    assert "shared multi-aggregate scan" in out
+    assert "audio_clips__clip_id__field_unique" in out
+    assert "sample mode" in out and "1.0000%" in out
+
+
+def test_cli_test_dry_run_rejects_bad_model(capsys):
+    from dcspark.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["test", "contracts/audio_clips.yaml", "--dry-run",
+              "--where", "1=1", "--model", "nope"])
