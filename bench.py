@@ -148,6 +148,9 @@ def run_audio_suite(spark, clips_path: str, ref_path: str) -> dict:
         "clips_per_sec": n / dt,
         "run_result": result.run.result,
         "checks": len(result.run.checks),
+        # per-job walls from the LAST trial (jobs overlap via the driver
+        # thread pool, so labels sum past compute_phase_wall by design)
+        "phases": result.phase_timings.get("audio_clips", {}),
     }
 
 
@@ -300,6 +303,7 @@ def main() -> None:
         "cpus": cpus,
         "clips": audio["clips"],
         "audio_suite_sec": round(audio["suite_sec"], 3),
+        "phases": audio.get("phases", {}),
         "scale_points": scale_points,
         "total_sec": round(total, 3),
         "run_result": audio["run_result"],

@@ -133,6 +133,11 @@ class ValidationResult:
     results: List[dict]          # validation_results rows (FIXTURES.md §4)
     violations: Optional[DataFrame]
     metrics: Dict[str, Optional[float]]  # check key -> global metric value
+    # model -> {job label -> wall seconds}. Jobs overlap (driver-side thread
+    # pool), so labels sum to MORE than compute_phase_wall — each label is
+    # that job's own start->end wall, the ops-facing "which check family is
+    # the expensive one" answer at any scale
+    phase_timings: Dict[str, Dict[str, float]] = dc_field(default_factory=dict)
 
 
 # ---------------------------------------------------------------------------
@@ -226,6 +231,7 @@ class Validator:
         self._violation_frames: List[DataFrame] = []
         self._results_rows: List[dict] = []
         self._metrics: Dict[str, Optional[float]] = {}
+        self._phase_timings: Dict[str, Dict[str, float]] = {}
 
     # -- public ------------------------------------------------------------
 
@@ -260,6 +266,7 @@ class Validator:
                 self._violation_frames.extend(child._violation_frames)
                 self._results_rows.extend(child._results_rows)
                 self._metrics.update(child._metrics)
+                self._phase_timings.update(child._phase_timings)
         else:
             for model_name, checks in items:
                 self._run_model(model_name, checks, self.tables.get(model_name))
@@ -275,6 +282,7 @@ class Validator:
             results=self._results_rows,
             violations=violations,
             metrics=self._metrics,
+            phase_timings=self._phase_timings,
         )
 
     def _child_recorder(self) -> "Validator":
@@ -290,6 +298,7 @@ class Validator:
         child._violation_frames = []
         child._results_rows = []
         child._metrics = {}
+        child._phase_timings = {}
         return child
 
     # -- per-model orchestration --------------------------------------------
@@ -405,49 +414,65 @@ class Validator:
         # records during this phase; every other job returns a result dict
         # that the main thread records afterwards in a fixed order, so check
         # ordering stays deterministic.
+        audio_label = ("shared_scan+fused_decode"
+                       if (audio_scan_will_run or fused_fp_checks)
+                       else "shared_scan")
         thunks: List[Any] = [
-            lambda: self._run_shared_scan(
+            self._timed(model_name, audio_label, lambda: self._run_shared_scan(
                 model_name, df, agg_checks, drift_checks, audio_checks, approx_unique,
                 audio_fp_checks=fused_fp_checks, audio_drift_checks=audio_drift_checks,
-                audio_quality_checks=audio_quality_checks)
+                audio_quality_checks=audio_quality_checks))
         ]
         thunks += [
-            (lambda c=chk: ("unique", c, self._unique_compute(df, c)))
+            self._timed(model_name, f"unique:{chk.key}",
+                        (lambda c=chk: ("unique", c, self._unique_compute(df, c))))
             for chk in unique_checks
         ]
         thunks += [
-            (lambda c=chk: ("reference", c, self._reference_compute(df, c)))
+            self._timed(model_name, f"reference:{chk.key}",
+                        (lambda c=chk: ("reference", c, self._reference_compute(df, c))))
             for chk in reference_checks
         ]
         thunks += [
-            (lambda c=chk: ("join_eq", c, self._join_equality_compute(df, c)))
+            self._timed(model_name, f"join_eq:{chk.key}",
+                        (lambda c=chk: ("join_eq", c, self._join_equality_compute(df, c))))
             for chk in join_eq_checks
         ]
         thunks += [
-            (lambda c=chk: ("group", c, self._group_compute(df, c)))
+            self._timed(model_name, f"group:{chk.key}",
+                        (lambda c=chk: ("group", c, self._group_compute(df, c))))
             for chk in group_checks
         ]
         thunks += [
-            (lambda c=chk: ("audio_fp", c, self._audio_fp_compute(model_name, df, c)))
+            self._timed(model_name, f"audio_fp:{chk.key}",
+                        (lambda c=chk: ("audio_fp", c, self._audio_fp_compute(model_name, df, c))))
             for chk in audio_fp_checks
         ]
         image_groups: Dict[str, List[CompiledCheck]] = {}
         for chk in image_family:
             image_groups.setdefault(chk.params["bytes_col"], []).append(chk)
         thunks += [
-            (lambda g=grp, bc=bc: (
-                "image_family", g,
-                self._image_family_compute(model_name, df, g, bc)))
+            self._timed(model_name, f"image_decode:{bc}",
+                        (lambda g=grp, bc=bc: (
+                            "image_family", g,
+                            self._image_family_compute(model_name, df, g, bc))))
             for bc, grp in sorted(image_groups.items())
         ]
         thunks += [
-            (lambda c=chk: ("video", c, self._video_compute(model_name, df, c)))
+            self._timed(model_name, f"video:{chk.key}",
+                        (lambda c=chk: ("video", c, self._video_compute(model_name, df, c))))
             for chk in video_checks
         ]
         thunks += [
-            (lambda c=chk: ("sql", c, self._sql_compute(c))) for chk in sql_checks
+            self._timed(model_name, f"sql:{chk.key}",
+                        (lambda c=chk: ("sql", c, self._sql_compute(c))))
+            for chk in sql_checks
         ]
+        import time as _time
+        t_phase = _time.perf_counter()
         results = self._parallel(thunks)
+        self._phase_timings.setdefault(model_name, {})["compute_phase_wall"] = (
+            round(_time.perf_counter() - t_phase, 3))
         for item in results[1:]:
             kind, chk, res = item
             if kind == "unique":
@@ -554,6 +579,21 @@ class Validator:
                 vals, current, agg=chk.params["agg"], method=chk.params["method"])
             result, reason = chk.eval_metric(stat, diag)
             self._record(chk, stat, result, reason, None, diagnostics=diag)
+
+    def _timed(self, model: str, label: str, fn):
+        """Wrap a compute-phase thunk to record its own wall seconds under
+        phase_timings[model][label] (threads overlap; dict writes are
+        GIL-atomic and labels are unique per model)."""
+        import time as _time
+
+        def run():
+            t0 = _time.perf_counter()
+            try:
+                return fn()
+            finally:
+                self._phase_timings.setdefault(model, {})[label] = round(
+                    _time.perf_counter() - t0, 3)
+        return run
 
     def _parallel(self, thunks: List[Any]) -> List[Any]:
         """Run thunks via a driver-side thread pool (Spark job submission is

@@ -158,6 +158,14 @@ def main() -> None:
     }
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    ph_low = low.get("phases") or {}
+    ph_high = high.get("phases") or {}
+    phase_rows = "\n".join(
+        f"| {label} | {ph_low.get(label, float('nan')):.2f} | "
+        f"{ph_high.get(label, float('nan')):.2f} |"
+        for label in sorted(set(ph_low) | set(ph_high),
+                            key=lambda k: -ph_low.get(k, 0.0))
+    ) or "| (no phase data) | — | — |"
     md = f"""# BENCH/BASELINE — measured scaling evidence
 
 Generated by `scripts/scaling_bench.py` on {dt.date.today().isoformat()}.
@@ -212,6 +220,16 @@ The validation pipeline's per-row work was restructured to be cache-resident
 (blocked SNR oracle, float32 SIMD) precisely so per-core work stays compute-
 bound; the {n_low}->{n_high} pairing keeps both sides below the host's
 ceiling, matching the per-node conditions of a real cluster.
+
+## Wall-clock per phase
+
+Per-job walls from the fastest leg at each parallelism (jobs run CONCURRENTLY
+from driver threads, so labels overlap and sum past the compute-phase wall;
+`shared_scan+fused_decode` is the one payload scan every audio rule rides):
+
+| job | local[{n_low}] (s) | local[{n_high}] (s) |
+|---|---|---|
+{phase_rows}
 
 ## Raw JSON
 

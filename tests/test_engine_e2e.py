@@ -208,3 +208,29 @@ def test_checkpoint_resume_identical(spark, spec, clean_tables, ref_stats):
                    for log in resumed.run.logs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_phase_timings_recorded(spark):
+    """validate() reports per-job wall seconds: the shared scan always, one
+    label per dedicated job, and the compute-phase wall; labels overlap by
+    design (driver-side thread pool) so each is its own start->end wall."""
+    from dcspark import DataContractSpecification, ValidationConfig, validate
+
+    contract = """
+dataContractSpecification: 1.1.0
+id: pt
+info: {title: t, version: "1"}
+models:
+  m:
+    type: table
+    fields:
+      k: {type: string, required: true, unique: true}
+      v: {type: int, minimum: 0}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    res = validate(spark, spec, {"m": df}, ValidationConfig(parallel_jobs=1))
+    ph = res.phase_timings["m"]
+    assert "shared_scan" in ph and "compute_phase_wall" in ph
+    assert any(k.startswith("unique:") for k in ph)
+    assert all(isinstance(v, float) and v >= 0 for v in ph.values())
