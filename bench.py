@@ -135,6 +135,13 @@ def run_audio_suite(spark, clips_path: str, ref_path: str) -> dict:
         ref_stats={"audio_clips": ref_stats},
         audio_snr_fn=audio_mod.synth_snr_oracle(SEED, DUR_LO, DUR_HI),
     )
+    # BENCH_PARALLEL_JOBS=1 serializes the compute-phase jobs so the phases
+    # dict becomes an ADDITIVE per-phase breakdown (under the default
+    # concurrent pool every job's wall ~= the phase wall, because they all
+    # contend for the same task slots); used for the appendix profile only
+    pj = os.environ.get("BENCH_PARALLEL_JOBS")
+    if pj:
+        cfg.parallel_jobs = int(pj)
     dt = None
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
     for _trial in range(trials):  # min of N: the sandbox has noisy-neighbor CPU

@@ -273,25 +273,42 @@ def contamination_resumable(
         .distinct()
     ))
 
-    def build_report() -> DataFrame:
-        doc_grams = docs.select(
-            F.col(doc_id),
-            F.explode(ngram_md5_array(F.col(doc_col), n)).alias("gram"),
-        )
-        probed = doc_grams.join(
-            F.broadcast(eval_grams.withColumn("__hit", F.lit(True))), "gram", "left")
-        return (
-            probed.groupBy(doc_id)
-            .agg(
-                F.coalesce(
-                    F.sum(F.when(F.col("__hit"), 1).otherwise(0)), F.lit(0)
-                ).alias("matched_ngrams"),
-                F.count(F.lit(1)).alias("total_ngrams"),
-            )
-            .withColumn("contamination", F.col("matched_ngrams") / F.col("total_ngrams"))
-        )
+    return ck.stage("report", lambda: _contamination_probe(
+        docs, eval_grams, doc_id, doc_col, n))
 
-    return ck.stage("report", build_report)
+
+def _contamination_probe(
+    docs: DataFrame, eval_grams: DataFrame,
+    doc_id: str, doc_col: str, n: int,
+) -> DataFrame:
+    """The resumable contamination report from a materialized digest frame —
+    same probe as the one-shot ``decontam.contamination`` INCLUDING its
+    broadcast-budget guard: a multi-benchmark digest union past the budget
+    falls back to a shuffled-hash join instead of OOMing every executor. The
+    digest stage is checkpointed parquet here, so the count is exact and
+    costs one column-pruned scan of the tiny digest table."""
+    from .decontam import BROADCAST_MAX_EVAL_GRAMS, ngram_md5_array
+
+    doc_grams = docs.select(
+        F.col(doc_id),
+        F.explode(ngram_md5_array(F.col(doc_col), n)).alias("gram"),
+    )
+    hit = eval_grams.withColumn("__hit", F.lit(True))
+    if eval_grams.count() <= BROADCAST_MAX_EVAL_GRAMS:
+        eval_side = F.broadcast(hit)
+    else:
+        eval_side = hit.hint("shuffle_hash")
+    probed = doc_grams.join(eval_side, "gram", "left")
+    return (
+        probed.groupBy(doc_id)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("__hit"), 1).otherwise(0)), F.lit(0)
+            ).alias("matched_ngrams"),
+            F.count(F.lit(1)).alias("total_ngrams"),
+        )
+        .withColumn("contamination", F.col("matched_ngrams") / F.col("total_ngrams"))
+    )
 
 
 def audio_near_dup_resumable(

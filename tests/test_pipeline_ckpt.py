@@ -580,3 +580,43 @@ def test_cli_spans_and_textquality(spark, docs, tmp_path):
     assert {"doc_id", "tokens", "chars", "dup_line_frac", "flagged",
             "kept_lines", "page_keep", "cleaned_text"} <= set(tqr.columns)
     assert tqr.count() == docs.count()
+
+
+def test_contamination_resumable_broadcast_guard(spark, tmp_path, monkeypatch):
+    """The resumable contamination probe honors the same broadcast-budget
+    guard as the one-shot operator: broadcast below, shuffled-hash above
+    (an unconditional broadcast of a multi-benchmark digest union would OOM
+    every executor at 10^12 rows)."""
+    from dcspark import decontam as dmod
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(20)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "eval_id long, text string")
+
+    from pyspark.sql import functions as F
+
+    eval_grams = ev.select(
+        F.explode(dmod.ngram_md5_array(F.col("text"), 3)).alias("gram")
+    ).distinct()
+
+    rep = pipeline_ckpt._contamination_probe(docs, eval_grams, "doc_id", "text", 3)
+    base = {r["doc_id"]: r["contamination"] for r in rep.collect()}
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+
+    monkeypatch.setattr(dmod, "BROADCAST_MAX_EVAL_GRAMS", 0)
+    rep2 = pipeline_ckpt._contamination_probe(docs, eval_grams, "doc_id", "text", 3)
+    rows = {r["doc_id"]: r["contamination"] for r in rep2.collect()}
+    plan2 = rep2._jdf.queryExecution().executedPlan().toString()
+    plan2 = plan2.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in plan2
+    assert rows == base  # join strategy must not change the report
+
+    # and the resumable end-to-end path (checkpointed digests) stays correct
+    e2e = {r["doc_id"]: r["contamination"]
+           for r in pipeline_ckpt.contamination_resumable(
+               docs, ev, str(tmp_path / "c"), n=3).collect()}
+    assert e2e == base
