@@ -54,7 +54,12 @@ def build_spark(cpus: int):
         # less kernel time than TCP loopback on the 15 GB payload stream
         .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # 256m splits (measured vs 64m/128m on the uncompressed payload
+        # table): fewer, longer scan tasks cut per-task fixed overhead —
+        # decode pass 8.1 -> 6.0s at local[32] and 75 -> 71s at local[2]
+        # (128m); every input size from 64k clips up still fans out to
+        # >= 32 tasks from the 32-file layout
+        .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .appName("dcspark-bench")
