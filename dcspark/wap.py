@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .engine import ValidationConfig, ValidationResult, validate
+from .filter import REASONS_COL as _REASONS
 from .iceberg import IcebergTable
 from .run_model import ResultEnum
 from .spec import DataContractSpecification
@@ -134,7 +135,9 @@ def wap_append(
                               snapshot_id=None, main_head=None, rows=n,
                               failed_checks=_failed_keys(result),
                               quarantined_rows=q)
-        q = _quarantine(df, quarantine_sink)
+        q = _quarantine(
+            df.withColumn(_REASONS, F.lit(",".join(_failed_keys(result)))),
+            quarantine_sink)
         return WapOutcome(published=False, result=result, snapshot_id=None,
                           main_head=None, rows=n,
                           failed_checks=_failed_keys(result),
@@ -166,7 +169,9 @@ def wap_append(
     if on_fail == "salvage":
         return _salvage(spark, spec, t, inc, model_name, branch, tables,
                         config, quarantine_sink, result, branch_head, n)
-    q = _quarantine(inc, quarantine_sink)
+    q = _quarantine(
+        inc.withColumn(_REASONS, F.lit(",".join(_failed_keys(result)))),
+        quarantine_sink)
     return WapOutcome(published=False, result=result,
                       snapshot_id=branch_head, main_head=main_head, rows=n,
                       failed_checks=_failed_keys(result),

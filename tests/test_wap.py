@@ -230,3 +230,31 @@ def test_wap_on_fail_validated(spark, spec, make_batch, tmp_path):
                             to_spark_schema(spec.models["ev"]))
     with pytest.raises(ValueError, match="on_fail"):
         wap_append(spark, spec, t, make_batch(0, 5), "ev", on_fail="nope")
+
+
+def test_wap_quarantine_always_carries_reasons(spark, spec, make_batch, tmp_path):
+    """Every quarantine write carries the __reasons column — plain-quarantine
+    mode used to append reason-less rows while salvage appended reasoned
+    ones, leaving one parquet sink with two schemas (reader-dependent column
+    visibility without mergeSchema)."""
+    from dcspark.filter import REASONS_COL
+
+    t = IcebergTable.create(str(tmp_path / "tbl"),
+                            to_spark_schema(spec.models["ev"]))
+    quar = str(tmp_path / "q")
+    # bootstrap red (table empty) quarantines with reasons
+    out = wap_append(spark, spec, t, make_batch(0, 10, v=-5.0), "ev",
+                     quarantine_sink=quar)
+    assert not out.published and out.quarantined_rows == 10
+    # green publish, then a non-bootstrap red batch into the same sink
+    assert wap_append(spark, spec, t, make_batch(0, 10), "ev",
+                      quarantine_sink=quar).published
+    out2 = wap_append(spark, spec, t, make_batch(10, 20, v=-5.0), "ev",
+                      quarantine_sink=quar)
+    assert not out2.published and out2.quarantined_rows == 10
+    q = spark.read.parquet(quar)
+    assert REASONS_COL in q.columns
+    rows = q.collect()
+    assert len(rows) == 20
+    assert all(r[REASONS_COL] and "ev__v__field_minimum" in r[REASONS_COL]
+               for r in rows)
