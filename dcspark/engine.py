@@ -197,7 +197,15 @@ def _missing_table_error(path: str, exc: Exception) -> bool:
     scheme = path.split("://", 1)[0] if "://" in path else ""
     if scheme in ("", "file"):
         local = path.split("://", 1)[-1] if scheme else path
-        return not os.path.exists(local)
+        if os.path.exists(local):
+            # the table is demonstrably there -> the failure is real
+            return False
+        # absent on the DRIVER's filesystem is only conclusive for file://;
+        # a schemeless path may resolve against a remote default FS under
+        # spark-submit, so fall through to the reader's error classification
+        # rather than declaring bootstrap from the driver's local disk
+        if scheme == "file":
+            return True
     if isinstance(exc, FileNotFoundError):
         return True
     msg = str(exc)

@@ -324,7 +324,13 @@ def test_missing_table_error_classifier(tmp_path):
     from dcspark.engine import _missing_table_error
 
     gone = str(tmp_path / "nope")
-    assert _missing_table_error(gone, Exception("anything")) is True
+    # locally-absent SCHEMELESS path: inconclusive from the driver's disk
+    # (may resolve against a remote default FS under spark-submit) — only
+    # the reader's own path-not-found error declares bootstrap
+    assert _missing_table_error(
+        gone, Exception("[PATH_NOT_FOUND] Path does not exist")) is True
+    assert _missing_table_error(gone, Exception("connection refused")) is False
+    assert _missing_table_error("file://" + gone, Exception("anything")) is True
     here = tmp_path / "t"
     here.mkdir()
     assert _missing_table_error(str(here), Exception("corrupt footer")) is False
