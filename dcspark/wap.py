@@ -227,8 +227,15 @@ def _salvage(spark, spec, t, inc, model_name, branch, tables, config,
 def _quarantine(df: DataFrame, sink: Optional[str]) -> int:
     if sink is None:
         return 0
-    df.write.mode("append").parquet(sink)
-    return df.count()
+    # persist across the write + count: the quarantine frame derives from
+    # the audited increment through the contract's row filters, so computing
+    # it twice would re-read (and for payload rules re-evaluate) the batch
+    df = df.persist()
+    try:
+        df.write.mode("append").parquet(sink)
+        return df.count()
+    finally:
+        df.unpersist()
 
 
 @dataclass
