@@ -479,8 +479,12 @@ class Validator:
         import time as _time
         t_phase = _time.perf_counter()
         results = self._parallel(thunks)
-        self._phase_timings.setdefault(model_name, {})["compute_phase_wall"] = (
-            round(_time.perf_counter() - t_phase, 3))
+        ph = self._phase_timings.setdefault(model_name, {})
+        ph["compute_phase_wall"] = round(_time.perf_counter() - t_phase, 3)
+        self.run.log_info(
+            f"{model_name} phase walls (s, concurrent jobs overlap): "
+            + ", ".join(f"{k}={v}" for k, v in
+                        sorted(ph.items(), key=lambda kv: -kv[1])))
         for item in results[1:]:
             kind, chk, res = item
             if kind == "unique":

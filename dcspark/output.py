@@ -33,6 +33,11 @@ def format_console(run: Run) -> str:
         counts[result] = counts.get(result, 0) + 1
     summary = ", ".join(f"{v} {k}" for k, v in sorted(counts.items()))
     lines.append("")
+    if run.logs:
+        # run-level context the check table can't carry: approx-mode
+        # disclosures, sampled-run notices, per-model phase walls
+        lines.extend(f"[{lg.level}] {lg.message}" for lg in run.logs)
+        lines.append("")
     lines.append(f"checks: {len(rows)} ({summary})")
     lines.append(f"RUN RESULT: {run.result.value if run.result else 'unknown'}")
     return "\n".join(lines)
