@@ -1460,22 +1460,33 @@ class Validator:
                 "__cnt",
             )
         )
-        stats = dup.agg(
-            F.count(F.lit(1)).alias("dup_values"),
-            F.coalesce(F.sum(F.col("__cnt") - 1), F.lit(0)).alias("dup_rows"),
-        ).first()
-        metric = float(stats["dup_values"] or 0)
-        vio_rows = None
-        if metric > 0:
-            vio = dup.orderBy(F.col("__cnt").desc(), F.col("__key")).limit(self.config.violation_cap).select(
-                F.lit(self.run.runId).alias("run_id"),
-                F.lit(None).cast("string").alias("partition_id"),
-                F.lit(chk.key).alias("check_key"),
-                F.col("__key").cast("string").alias("clip_id"),
-                F.concat(F.lit("count="), F.col("__cnt").cast("string")).alias("observed"),
-                F.lit("unique").alias("expected"),
-            )
-            vio_rows = vio.collect()
+        from pyspark import StorageLevel
+
+        # dup holds only keys with count > 1 — tiny relative to the input.
+        # Persist it across the stats action and the violation sample so a
+        # FAILING unique check does not re-run the key shuffle (the single
+        # most expensive job at 10^12 rows) a second time just to collect
+        # the capped examples.
+        dup = dup.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            stats = dup.agg(
+                F.count(F.lit(1)).alias("dup_values"),
+                F.coalesce(F.sum(F.col("__cnt") - 1), F.lit(0)).alias("dup_rows"),
+            ).first()
+            metric = float(stats["dup_values"] or 0)
+            vio_rows = None
+            if metric > 0:
+                vio = dup.orderBy(F.col("__cnt").desc(), F.col("__key")).limit(self.config.violation_cap).select(
+                    F.lit(self.run.runId).alias("run_id"),
+                    F.lit(None).cast("string").alias("partition_id"),
+                    F.lit(chk.key).alias("check_key"),
+                    F.col("__key").cast("string").alias("clip_id"),
+                    F.concat(F.lit("count="), F.col("__cnt").cast("string")).alias("observed"),
+                    F.lit("unique").alias("expected"),
+                )
+                vio_rows = vio.collect()
+        finally:
+            dup.unpersist()
         return {"metric": metric, "dup_values": stats["dup_values"],
                 "dup_rows": stats["dup_rows"], "vio_rows": vio_rows}
 
@@ -1512,20 +1523,29 @@ class Validator:
             # scoped group thresholds: out-of-scope rows never reach the
             # groupBy (groups entirely out of scope simply don't exist)
             df = df.filter(F.expr(p["filter"]))
+        from pyspark import StorageLevel
+
         grouped = df.groupBy(F.col(gcol).alias("__gkey")).agg(agg_thunk().alias("__gval"))
         pass_pred = p["pass_pred"](F.col("__gval"))
-        viol = grouped.filter(~F.coalesce(pass_pred, F.lit(False)))
-        metric = float(viol.count())
-        vio_rows = None
-        if metric > 0:
-            vio_rows = viol.orderBy("__gkey").limit(self.config.violation_cap).select(
-                F.lit(self.run.runId).alias("run_id"),
-                F.lit(None).cast("string").alias("partition_id"),
-                F.lit(chk.key).alias("check_key"),
-                F.col("__gkey").cast("string").alias("clip_id"),
-                F.concat(F.lit(f"{p['metric']}="), F.col("__gval").cast("string")).alias("observed"),
-                F.lit(chk.expected).alias("expected"),
-            ).collect()
+        # violating groups only (post-aggregate, bounded by group count, not
+        # row count) — persist across the count and the capped example sample
+        # so a failing group check pays the groupBy shuffle exactly once
+        viol = grouped.filter(~F.coalesce(pass_pred, F.lit(False))).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        try:
+            metric = float(viol.count())
+            vio_rows = None
+            if metric > 0:
+                vio_rows = viol.orderBy("__gkey").limit(self.config.violation_cap).select(
+                    F.lit(self.run.runId).alias("run_id"),
+                    F.lit(None).cast("string").alias("partition_id"),
+                    F.lit(chk.key).alias("check_key"),
+                    F.col("__gkey").cast("string").alias("clip_id"),
+                    F.concat(F.lit(f"{p['metric']}="), F.col("__gval").cast("string")).alias("observed"),
+                    F.lit(chk.expected).alias("expected"),
+                ).collect()
+        finally:
+            viol.unpersist()
         return {"metric": metric, "vio_rows": vio_rows}
 
     def _record_group(self, chk: CompiledCheck, res: dict) -> None:
@@ -1937,21 +1957,47 @@ class Validator:
             # shrinks the probe side)
             df = df.filter(F.expr(flt))
         # alias so dotted (nested-struct) paths keep a stable key column name
+        from pyspark import StorageLevel
+
         orphans = df.select(F.col(child_col).alias("__child")).filter(
             F.col("__child").isNotNull()
         ).join(keys, on=F.col("__child") == F.col("__parent_key"), how="left_anti")
-        metric = float(orphans.count())
-        vio_rows = None
-        if metric > 0:
-            vio = orphans.limit(self.config.violation_cap).select(
-                F.lit(self.run.runId).alias("run_id"),
-                F.lit(None).cast("string").alias("partition_id"),
-                F.lit(chk.key).alias("check_key"),
-                F.col("__child").cast("string").alias("clip_id"),
-                F.col("__child").cast("string").alias("observed"),
-                F.lit(chk.expected).alias("expected"),
+        # Reduce to (orphan value, row count) before any action: the grouped
+        # frame is bounded by DISTINCT orphan values (map-side partial agg),
+        # so persisting it is cheap even when billions of rows are orphaned —
+        # and both the exact row-level metric and the capped per-row example
+        # sample derive from it without re-running the anti-join (the full
+        # child-table shuffle) a second time.
+        grouped = orphans.groupBy("__child").agg(
+            F.count(F.lit(1)).alias("__cnt")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            metric = float(
+                grouped.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n")).first()["n"]
             )
-            vio_rows = vio.collect()
+            vio_rows = None
+            if metric > 0:
+                cap = self.config.violation_cap
+                # per-row violation semantics preserved: a value orphaned k
+                # times contributes min(k, cap) example rows, capped overall
+                vio = grouped.select(
+                    F.explode(
+                        F.array_repeat(
+                            F.col("__child"),
+                            F.least(F.col("__cnt"), F.lit(cap)).cast("int"),
+                        )
+                    ).alias("__child")
+                ).limit(cap).select(
+                    F.lit(self.run.runId).alias("run_id"),
+                    F.lit(None).cast("string").alias("partition_id"),
+                    F.lit(chk.key).alias("check_key"),
+                    F.col("__child").cast("string").alias("clip_id"),
+                    F.col("__child").cast("string").alias("observed"),
+                    F.lit(chk.expected).alias("expected"),
+                )
+                vio_rows = vio.collect()
+        finally:
+            grouped.unpersist()
         return {"metric": metric, "vio_rows": vio_rows}
 
     def _record_reference(self, chk: CompiledCheck, res: dict) -> None:

@@ -1,0 +1,120 @@
+"""A FAILING check must not evaluate the source an extra time for violation
+sampling.
+
+The unique / group / referential compute paths each take two actions (the
+check metric, then a capped violation sample). Each derives the sample from a
+persisted post-shuffle frame (keys with count>1, violating groups, grouped
+orphan values), so the expensive source shuffle runs exactly once whether the
+check passes or fails. These tests wrap the source in a per-row accumulator
+(the gate pattern from tests/test_imagerule.py) and assert the failing run
+reads exactly as many source rows as the passing run.
+"""
+
+from pyspark.sql import functions as F
+
+from dcspark import DataContractSpecification, ValidationConfig, validate
+from dcspark.run_model import ResultEnum
+
+
+def _counted(spark, df):
+    """Wrap df so every materialized source row bumps an accumulator."""
+    acc = spark.sparkContext.accumulator(0)
+    schema = df.schema
+
+    def touch(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    return df.mapInPandas(touch, schema), acc
+
+
+def _scan_rows(spark, contract, rows, schema, tables_extra=None, **cfg):
+    df = spark.createDataFrame(rows, schema)
+    wrapped, acc = _counted(spark, df)
+    tables = {"t": wrapped}
+    if tables_extra:
+        tables.update(tables_extra)
+    spec = DataContractSpecification.from_string(contract)
+    res = validate(spark, spec, tables, ValidationConfig(**cfg))
+    return res, acc.value
+
+
+UNIQUE_CONTRACT = """
+id: scanonce-unique
+models:
+  t:
+    fields:
+      k: {type: string, unique: true}
+"""
+
+
+def test_failing_unique_scans_source_once(spark):
+    schema = "k string"
+    passing = [(f"u{i}",) for i in range(64)]
+    failing = [(f"u{i % 8}",) for i in range(64)]  # heavy duplication
+    res_p, n_pass = _scan_rows(spark, UNIQUE_CONTRACT, passing, schema)
+    res_f, n_fail = _scan_rows(spark, UNIQUE_CONTRACT, failing, schema)
+    uk = "t__k__field_unique"
+    assert next(c for c in res_p.run.checks if c.key == uk).result == ResultEnum.passed
+    assert next(c for c in res_f.run.checks if c.key == uk).result == ResultEnum.failed
+    # violations were sampled — yet the source was read no more than in the
+    # passing run (the dup frame is persisted across the two actions)
+    assert res_f.violations is not None and res_f.violations.count() > 0
+    assert n_fail == n_pass
+
+
+GROUP_CONTRACT = """
+id: scanonce-group
+models:
+  t:
+    fields:
+      k: {type: string}
+      v: {type: integer}
+    quality:
+      - {type: group, column: k, metric: avg, over: v, mustBeLessThan: 100}
+"""
+
+
+def test_failing_group_check_scans_source_once(spark):
+    schema = "k string, v int"
+    passing = [(f"g{i % 4}", 1) for i in range(64)]
+    failing = [(f"g{i % 4}", 1000) for i in range(64)]  # every group violates
+    res_p, n_pass = _scan_rows(spark, GROUP_CONTRACT, passing, schema)
+    res_f, n_fail = _scan_rows(spark, GROUP_CONTRACT, failing, schema)
+    gk = "t__quality_group_0"
+    assert next(c for c in res_p.run.checks if c.key == gk).result == ResultEnum.passed
+    assert next(c for c in res_f.run.checks if c.key == gk).result == ResultEnum.failed
+    assert res_f.violations is not None and res_f.violations.count() > 0
+    assert n_fail == n_pass
+
+
+REF_CONTRACT = """
+id: scanonce-ref
+models:
+  t:
+    fields:
+      a: {type: string, references: p.k}
+  p:
+    fields:
+      k: {type: string}
+"""
+
+
+def test_failing_reference_scans_child_once(spark):
+    schema = "a string"
+    parent = None
+
+    def run(rows):
+        nonlocal parent
+        df = spark.range(8).select(F.concat(F.lit("r"), F.col("id")).alias("k"))
+        return _scan_rows(spark, REF_CONTRACT, rows, schema, tables_extra={"p": df})
+
+    passing = [(f"r{i % 8}",) for i in range(64)]
+    failing = [("orphan-%d" % (i % 3),) for i in range(64)]
+    res_p, n_pass = run(passing)
+    res_f, n_fail = run(failing)
+    rk = next(c.key for c in res_f.run.checks if "reference" in c.key or "references" in c.key)
+    assert next(c for c in res_f.run.checks if c.key == rk).result == ResultEnum.failed
+    assert res_f.violations is not None and res_f.violations.count() > 0
+    assert n_fail == n_pass
