@@ -377,9 +377,7 @@ _EXEC_SHAPE = {
     "agg": "shared multi-aggregate scan (one pass for ALL agg checks)",
     "freshness": "shared multi-aggregate scan (one pass for ALL agg checks)",
     "retention": "shared multi-aggregate scan (one pass for ALL agg checks)",
-    "unique": "dedicated exact-uniqueness job (two-phase salted groupBy; "
-              "--unique-mode approx moves it into the shared scan as an HLL "
-              "sketch)",
+    "unique": "dedicated exact-uniqueness job (two-phase salted groupBy)",
     "reference": "anti-join vs the parent table (broadcast when it fits)",
     "join_equality": "key-join equality vs the reference table",
     "sql": "user SQL job",
@@ -388,8 +386,6 @@ _EXEC_SHAPE = {
     "history": "metric-history window read (results table)",
     "audio": "fused audio decode pass (ONE mapInArrow payload scan shared "
              "by every audio rule)",
-    "audio_fp": "fused audio decode pass (fingerprints ride the same scan)",
-    "audio_drift": "fused audio decode pass (feature histograms ride it)",
     "audio_quality": "fused audio decode pass (feature bounds ride it)",
     "image": "fused image decode pass (one mapInArrow payload scan)",
     "image_fp": "fused image decode pass",
@@ -426,10 +422,60 @@ def _test_dry_run(spec, args: argparse.Namespace) -> int:
         if scopes:
             print("  row scope (ANDed, pushed into the source scan): "
                   + " AND ".join(scopes))
+        # Conditional batchings derive from the SAME predicates the engine
+        # applies (engine.plan_approx_unique / plan_fused_audio_fp), so the
+        # printed plan can't drift from actual execution. Two inputs the
+        # dry-run can't see are caveated: whether --partition-col exists in
+        # the data (assumed yes when the flag is given) and whether the
+        # --ref-stats snapshot carries each audio-drift feature (assumed yes
+        # when --ref-stats is given).
+        from .audio import BYTES_COL
+        from .engine import plan_approx_unique, plan_fused_audio_fp
+
+        unique_mode = getattr(args, "unique_mode", "exact") or "exact"
+        approx_unique = set(
+            id(c) for c in plan_approx_unique(
+                [c for c in checks if c.kind == "unique"], unique_mode))
+        audio_scan_will_run = any(
+            c.kind in ("audio", "audio_quality") for c in checks
+        ) or (bool(getattr(args, "ref_stats", None))
+              and any(c.kind == "audio_drift" for c in checks))
+        resume_active = bool(getattr(args, "partition_col", None)
+                             and getattr(args, "checkpoint_dir", None))
+        fused_fp = set(id(c) for c in plan_fused_audio_fp(
+            [c for c in checks if c.kind == "audio_fp"],
+            default_bytes_col=BYTES_COL,
+            audio_scan_will_run=audio_scan_will_run,
+            partition_resume_active=resume_active,
+        ))
+
+        def shape_of(c) -> str:
+            if c.kind == "unique":
+                if id(c) in approx_unique:
+                    return ("shared multi-aggregate scan (HLL approx-distinct "
+                            "sketch — --unique-mode approx)")
+                return _EXEC_SHAPE["unique"]
+            if c.kind == "audio_fp":
+                if id(c) in fused_fp:
+                    return ("fused audio decode pass (fingerprints ride the "
+                            "same scan)")
+                why = ("checkpoint-resume active" if resume_active
+                       else "custom bytes_col"
+                       if c.params.get("bytes_col", BYTES_COL) != BYTES_COL
+                       else "no co-running audio scan")
+                return f"dedicated fingerprint decode job ({why})"
+            if c.kind == "audio_drift":
+                if audio_scan_will_run:
+                    return ("fused audio decode pass (feature histograms ride "
+                            "it IF the --ref-stats snapshot carries the "
+                            "feature)")
+                return ("skipped unless --ref-stats provides the feature "
+                        "snapshot (then rides a fused decode pass)")
+            return _EXEC_SHAPE.get(c.kind, f"dedicated job ({c.kind})")
+
         by_shape: dict = {}
         for c in checks:
-            shape = _EXEC_SHAPE.get(c.kind, f"dedicated job ({c.kind})")
-            by_shape.setdefault(shape.split(" (")[0], []).append(c)
+            by_shape.setdefault(shape_of(c), []).append(c)
         print("  jobs:")
         for shape, cs in sorted(by_shape.items(), key=lambda kv: -len(kv[1])):
             print(f"    {len(cs):3d}  {shape}")

@@ -195,17 +195,17 @@ def _missing_table_error(path: str, exc: Exception) -> bool:
     checked directly on disk; remote paths fall back to the reader's
     path-not-found error classes/messages."""
     scheme = path.split("://", 1)[0] if "://" in path else ""
-    if scheme in ("", "file"):
-        local = path.split("://", 1)[-1] if scheme else path
-        if os.path.exists(local):
-            # the table is demonstrably there -> the failure is real
-            return False
-        # absent on the DRIVER's filesystem is only conclusive for file://;
-        # a schemeless path may resolve against a remote default FS under
-        # spark-submit, so fall through to the reader's error classification
-        # rather than declaring bootstrap from the driver's local disk
-        if scheme == "file":
-            return True
+    if scheme == "file":
+        local = path.split("://", 1)[-1]
+        # file:// is the one scheme where the driver's local disk IS the
+        # table's filesystem, so local existence decides both ways
+        return not os.path.exists(local)
+    # A schemeless path resolves against the DEFAULT filesystem, which under
+    # spark-submit may be remote (HDFS/S3A): the driver's local disk is never
+    # conclusive in either direction — a coincidental local directory must not
+    # turn a genuine remote PATH_NOT_FOUND bootstrap into an ERROR, and local
+    # absence must not mask a real remote load failure. Fall through to the
+    # reader's own error classification.
     if isinstance(exc, FileNotFoundError):
         return True
     msg = str(exc)
@@ -214,6 +214,41 @@ def _missing_table_error(path: str, exc: Exception) -> bool:
         or "Path does not exist" in msg
         or "FileNotFoundException" in msg
     )
+
+
+# ---------------------------------------------------------------------------
+# job-shape planning predicates — shared by the engine and `test --dry-run`
+# (cli._test_dry_run), so the printed plan derives from the SAME logic the
+# engine executes and cannot drift from it.
+# ---------------------------------------------------------------------------
+
+def plan_approx_unique(unique_checks: List["CompiledCheck"], unique_mode: str
+                       ) -> List["CompiledCheck"]:
+    """Which unique checks move into the shared scan as HLL sketches under
+    ``--unique-mode approx``. Composite-key and row-filtered uniqueness keep
+    the exact dedicated job: a composite PK is a certification, and a scoped
+    check can't ride the unscoped shared scan's sketch."""
+    if unique_mode != "approx":
+        return []
+    return [c for c in unique_checks
+            if not c.params.get("key_cols") and not c.params.get("filter")]
+
+
+def plan_fused_audio_fp(fp_checks: List["CompiledCheck"], *,
+                        default_bytes_col: str,
+                        audio_scan_will_run: bool,
+                        partition_resume_active: bool
+                        ) -> List["CompiledCheck"]:
+    """Which audio-fingerprint checks ride the ONE fused decode pass. Only fp
+    checks on the default payload column can (the shared scan decodes
+    ``BYTES_COL``), only when another audio scan runs anyway, and never when
+    the per-partition checkpoint-manifest path is active (near-dup pairs are
+    global across partitions and don't fit the per-partition resume model)."""
+    fusible = [c for c in fp_checks
+               if c.params.get("bytes_col", default_bytes_col) == default_bytes_col]
+    if fusible and audio_scan_will_run and not partition_resume_active:
+        return fusible
+    return []
 
 
 # ---------------------------------------------------------------------------
@@ -378,18 +413,11 @@ class Validator:
         unique_checks = [c for c in unique_checks if runnable(c)]
         reference_checks = [c for c in reference_checks if runnable(c)]
 
-        approx_unique: List[CompiledCheck] = []
-        if self.config.unique_mode == "approx":
-            # uniqueness joins the shared scan as an HLL sketch — the
-            # dedicated groupBy job (and its shuffle) disappears entirely.
-            # Composite-key and row-filtered uniqueness keep the exact job:
-            # a composite PK is a certification, and a scoped check can't
-            # ride the unscoped shared scan's sketch.
-            approx_unique = [
-                c for c in unique_checks
-                if not c.params.get("key_cols") and not c.params.get("filter")
-            ]
-            unique_checks = [c for c in unique_checks if c not in approx_unique]
+        # uniqueness joins the shared scan as an HLL sketch in approx mode —
+        # the dedicated groupBy job (and its shuffle) disappears entirely
+        # (predicate shared with `test --dry-run`: plan_approx_unique)
+        approx_unique = plan_approx_unique(unique_checks, self.config.unique_mode)
+        unique_checks = [c for c in unique_checks if c not in approx_unique]
 
         # Content-uniqueness shares the ONE decode pass whenever another audio
         # scan will run anyway (decode-conformance, or loudness-drift with a
@@ -404,16 +432,14 @@ class Validator:
         audio_scan_will_run = bool(audio_checks) or bool(audio_quality_checks) or any(
             self.config.ref_stats.get(model_name, {}).get(f"audio:{c.params['feature']}")
             for c in audio_drift_checks)
-        fusible_fp = [
-            c for c in audio_fp_checks
-            if c.params.get("bytes_col", audio_mod.BYTES_COL) == audio_mod.BYTES_COL
-        ]
-        if fusible_fp and audio_scan_will_run and not (
-                part_col_ok and self.config.checkpoint_dir):
-            fused_fp_checks = fusible_fp
-            audio_fp_checks = [c for c in audio_fp_checks if c not in fusible_fp]
-        else:
-            fused_fp_checks = []
+        # (predicate shared with `test --dry-run`: plan_fused_audio_fp)
+        fused_fp_checks = plan_fused_audio_fp(
+            audio_fp_checks,
+            default_bytes_col=audio_mod.BYTES_COL,
+            audio_scan_will_run=audio_scan_will_run,
+            partition_resume_active=bool(part_col_ok and self.config.checkpoint_dir),
+        )
+        audio_fp_checks = [c for c in audio_fp_checks if c not in fused_fp_checks]
 
         # Compute phase: independent Spark jobs submitted CONCURRENTLY from
         # driver threads (the scheduler overlaps them across free task slots),

@@ -253,6 +253,7 @@ def contamination_resumable(
     doc_id: str = "doc_id",
     doc_col: str = "text",
     eval_col: str = "text",
+    broadcast_max_grams: int = None,
 ) -> DataFrame:
     """:func:`dcspark.decontam.contamination` with stage checkpoints.
 
@@ -260,6 +261,11 @@ def contamination_resumable(
     eval set: a resumed run provably probes the same digests) and ``report``
     (the corpus probe + per-doc aggregation, the expensive part). The corpus
     probe reuses the checkpointed digest parquet via broadcast.
+
+    ``broadcast_max_grams`` mirrors :func:`dcspark.decontam.contamination`:
+    digest counts at or below it broadcast the eval side, above it the probe
+    falls back to a shuffled-hash join; ``0`` forces the shuffle path, and
+    the default is ``decontam.BROADCAST_MAX_EVAL_GRAMS``.
     """
     from .decontam import ngram_md5_array
 
@@ -274,12 +280,14 @@ def contamination_resumable(
     ))
 
     return ck.stage("report", lambda: _contamination_probe(
-        docs, eval_grams, doc_id, doc_col, n))
+        docs, eval_grams, doc_id, doc_col, n,
+        broadcast_max_grams=broadcast_max_grams))
 
 
 def _contamination_probe(
     docs: DataFrame, eval_grams: DataFrame,
     doc_id: str, doc_col: str, n: int,
+    broadcast_max_grams: int = None,
 ) -> DataFrame:
     """The resumable contamination report from a materialized digest frame —
     same probe as the one-shot ``decontam.contamination`` INCLUDING its
@@ -289,12 +297,14 @@ def _contamination_probe(
     costs one column-pruned scan of the tiny digest table."""
     from .decontam import BROADCAST_MAX_EVAL_GRAMS, ngram_md5_array
 
+    if broadcast_max_grams is None:
+        broadcast_max_grams = BROADCAST_MAX_EVAL_GRAMS
     doc_grams = docs.select(
         F.col(doc_id),
         F.explode(ngram_md5_array(F.col(doc_col), n)).alias("gram"),
     )
     hit = eval_grams.withColumn("__hit", F.lit(True))
-    if eval_grams.count() <= BROADCAST_MAX_EVAL_GRAMS:
+    if eval_grams.count() <= broadcast_max_grams:
         eval_side = F.broadcast(hit)
     else:
         eval_side = hit.hint("shuffle_hash")

@@ -915,6 +915,50 @@ def test_cli_test_dry_run(capsys):
     assert "sample mode" in out and "1.0000%" in out
 
 
+def test_cli_dry_run_shapes_track_engine_predicates(capsys, tmp_path):
+    """The dry-run's conditional job shapes derive from the engine's own
+    planning predicates (engine.plan_approx_unique / plan_fused_audio_fp),
+    not a hand-maintained table: --unique-mode approx moves the unique check
+    into the shared scan, and an fp-only contract (no co-running audio scan)
+    reports a DEDICATED fingerprint job instead of overstating fusion."""
+    from dcspark.cli import main
+
+    # approx mode: unique rides the shared scan as an HLL sketch
+    main(["test", "contracts/audio_clips.yaml", "--dry-run",
+          "--unique-mode", "approx"])
+    out = capsys.readouterr().out
+    assert "HLL approx-distinct" in out
+    assert "dedicated exact-uniqueness job" not in out
+
+    # fp-only contract: no audio scan runs, so fusion must NOT be claimed
+    c = tmp_path / "fp_only.yaml"
+    c.write_text(
+        "id: fp-only\n"
+        "models:\n"
+        "  clips:\n"
+        "    fields:\n"
+        "      clip_id: {type: string, primaryKey: true}\n"
+        "      bytes: {type: bytes}\n"
+        "    quality:\n"
+        "      - {type: audio, invariant: content-uniqueness}\n"
+    )
+    main(["test", str(c), "--dry-run"])
+    out = capsys.readouterr().out
+    assert "dedicated fingerprint decode job (no co-running audio scan)" in out
+
+    # same contract under checkpoint resume: the resume reason wins
+    main(["test", str(c), "--dry-run", "--partition-col", "p",
+          "--checkpoint-dir", str(tmp_path / "ck")])
+    out = capsys.readouterr().out
+    assert "dedicated fingerprint decode job" in out
+
+    # flagship contract (decode-conformance present): fusion claimed, as the
+    # engine actually fuses there
+    main(["test", "contracts/audio_clips.yaml", "--dry-run"])
+    out = capsys.readouterr().out
+    assert "fused audio decode pass" in out
+
+
 def test_cli_test_dry_run_rejects_bad_model(capsys):
     from dcspark.cli import main
 

@@ -620,3 +620,13 @@ def test_contamination_resumable_broadcast_guard(spark, tmp_path, monkeypatch):
            for r in pipeline_ckpt.contamination_resumable(
                docs, ev, str(tmp_path / "c"), n=3).collect()}
     assert e2e == base
+
+    # the budget is overridable per-call (parity with the one-shot
+    # decontam.contamination signature): 0 forces the shuffle path
+    rep3 = pipeline_ckpt.contamination_resumable(
+        docs, ev, str(tmp_path / "c2"), n=3, broadcast_max_grams=0)
+    rows3 = {r["doc_id"]: r["contamination"] for r in rep3.collect()}
+    plan3 = rep3._jdf.queryExecution().executedPlan().toString()
+    plan3 = plan3.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in plan3
+    assert rows3 == base
