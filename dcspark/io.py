@@ -54,6 +54,8 @@ def load_tables(
             df = _read_kafka(spark, spec, server, model_name)
         elif stype in JDBC_SERVER_TYPES:
             df = _read_jdbc(spark, spec, server, model_name)
+        elif stype == "bigquery":
+            df = _read_bigquery(spark, spec, server, model_name)
         elif stype == "dataframe":
             # pre-registered temp view (parity: check_soda_execute.py dataframe server)
             df = spark.table(model_name)
@@ -204,7 +206,63 @@ def jdbc_options(server: Server, model_name: str) -> Dict[str, str]:
         out["user"] = user
     if password:
         out["password"] = password
+    if stype == "snowflake":
+        # parity: connections/snowflake.py:7-9 — every DATACONTRACT_SNOWFLAKE_*
+        # env var passes through (lower-cased) as a connection parameter, which
+        # is how the reference carries key-pair auth (private_key_file /
+        # private_key_file_pwd), warehouse, role, authenticator, etc. The
+        # Snowflake JDBC driver accepts the same lower-case property names.
+        prefix = "DATACONTRACT_SNOWFLAKE_"
+        for k, v in os.environ.items():
+            if not k.startswith(prefix):
+                continue
+            name = k[len(prefix):].lower()
+            if name in ("username", "password"):
+                continue  # already mapped to user/password above
+            out.setdefault(name, v)
+    elif stype == "databricks":
+        # parity: connections/databricks.py:7-15 — personal-access-token auth;
+        # host and http_path fall back to the reference's env vars. The
+        # Databricks JDBC driver's token form is AuthMech=3 + UID 'token'.
+        token = os.environ.get("DATACONTRACT_DATABRICKS_TOKEN")
+        if token:
+            out["AuthMech"] = "3"
+            out["UID"] = "token"
+            out["PWD"] = token
+            out.pop("user", None)
+            out.pop("password", None)
     return out
+
+
+def bigquery_options(server: Server, model_name: str) -> Dict[str, str]:
+    """Options for the spark-bigquery-connector (format ``bigquery``).
+
+    Auth parity with the reference (connections/bigquery.py:10-16): a service
+    -account JSON keyfile from DATACONTRACT_BIGQUERY_ACCOUNT_INFO_JSON_PATH,
+    falling back to GOOGLE_APPLICATION_CREDENTIALS; project/dataset come from
+    the server declaration. The connector reads over the BigQuery Storage API
+    with column pruning + filter pushdown, so the contract's projection
+    reaches BigQuery itself — the right shape at warehouse scale. The
+    connector jar is not in this sandbox, so the builder is unit-tested and
+    the connect path is exercised only when the jar is deployed."""
+    creds = os.environ.get("DATACONTRACT_BIGQUERY_ACCOUNT_INFO_JSON_PATH") or \
+        os.environ.get("GOOGLE_APPLICATION_CREDENTIALS")
+    table = ".".join(x for x in (server.project, server.dataset, model_name) if x)
+    out = {"table": table}
+    if server.project:
+        out["parentProject"] = server.project
+    if creds:
+        out["credentialsFile"] = creds
+    return out
+
+
+def _read_bigquery(
+    spark: SparkSession, spec: DataContractSpecification, server: Server, model_name: str
+) -> DataFrame:
+    opts = bigquery_options(server, model_name)
+    df = spark.read.format("bigquery").options(**opts).load()
+    cols = [c for c in spec.models[model_name].fields if c in df.columns]
+    return df.select(*cols) if cols else df
 
 
 def _read_jdbc(
@@ -289,20 +347,59 @@ def decode_kafka_value(
     ).select("j.*")
 
 
+#: the exact frame schema spark.read.format("kafka") yields — recorded topic
+#: segments are parquet files of this shape, so everything downstream of the
+#: broker connection (decode, contract checks, violations) is identical in
+#: recorded and live mode
+KAFKA_WIRE_SCHEMA = ("key binary, value binary, topic string, partition int, "
+                     "offset long, timestamp timestamp, timestampType int")
+
+
+def read_kafka_snapshot(spark: SparkSession, path: str,
+                        topic: Optional[str] = None) -> DataFrame:
+    """Read a RECORDED topic segment (parquet in Kafka wire shape — the
+    columns ``spark.read.format("kafka")`` returns, binary key/value with the
+    Confluent framing intact). Produces the same DataFrame a live broker
+    batch-read yields, so the decode+validate pipeline runs end-to-end
+    without a broker; the only live-only element is the consumer connection
+    itself."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if "value" not in df.columns:
+        raise ValueError(
+            f"{path} is not a recorded Kafka segment (no 'value' column); "
+            f"expected wire schema: {KAFKA_WIRE_SCHEMA}")
+    if topic and "topic" in df.columns:
+        df = df.filter(F.col("topic") == topic)
+    return df
+
+
 def _read_kafka(
     spark: SparkSession, spec: DataContractSpecification, server: Server, model_name: str
 ) -> DataFrame:
     """Batch-read a topic snapshot earliest->latest and decode JSON or
     Confluent-Avro payloads with the contract schema (parity:
     engines/soda/connections/kafka.py:46-114; the reference also batch-reads,
-    it does not stream)."""
-    raw = (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", server.host or server.path or "localhost:9092")
-        .option("subscribe", server.topic or model_name)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
+    it does not stream).
+
+    Two sources for the wire frame, identical downstream: a live broker
+    (``host: broker:9092``), or a RECORDED segment when ``path:`` points at
+    an existing parquet file/directory in Kafka wire shape — the no-broker
+    e2e path for tests, replay, and air-gapped validation. A ``path`` that
+    does not exist on the filesystem keeps its legacy meaning of a bootstrap
+    -server string."""
+    snap = server.path or server.location
+    if snap and os.path.exists(snap):
+        raw = read_kafka_snapshot(spark, snap, topic=server.topic or model_name)
+    else:
+        raw = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", server.host or server.path or "localhost:9092")
+            .option("subscribe", server.topic or model_name)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
     return decode_kafka_value(raw, spec, model_name, (server.format or "json").lower())
 
 

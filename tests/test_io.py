@@ -105,6 +105,59 @@ def test_jdbc_options_snowflake_and_databricks():
     assert opts["url"] == "jdbc:databricks://dbc.cloud.databricks.com:443;httpPath=/sql/1.0/wh/abc"
 
 
+def test_jdbc_options_snowflake_keypair_env_passthrough(monkeypatch):
+    """Key-pair auth parity with the reference (connections/snowflake.py:7-9):
+    every DATACONTRACT_SNOWFLAKE_* env var passes through lower-cased as a
+    connection parameter — the reference's mechanism for private_key_file /
+    warehouse / role — while USERNAME/PASSWORD keep the user/password keys."""
+    monkeypatch.setenv("DATACONTRACT_SNOWFLAKE_USERNAME", "svc_user")
+    monkeypatch.setenv("DATACONTRACT_SNOWFLAKE_PRIVATE_KEY_FILE", "/keys/rsa.p8")
+    monkeypatch.setenv("DATACONTRACT_SNOWFLAKE_PRIVATE_KEY_FILE_PWD", "kp")
+    monkeypatch.setenv("DATACONTRACT_SNOWFLAKE_WAREHOUSE", "COMPUTE_WH")
+    monkeypatch.setenv("DATACONTRACT_SNOWFLAKE_ROLE", "VALIDATOR")
+    sf = Server(type="snowflake", account="acme-xy12345", database="wh")
+    opts = jdbc_options(sf, "orders")
+    assert opts["user"] == "svc_user"
+    assert "username" not in opts
+    assert opts["private_key_file"] == "/keys/rsa.p8"
+    assert opts["private_key_file_pwd"] == "kp"
+    assert opts["warehouse"] == "COMPUTE_WH"
+    assert opts["role"] == "VALIDATOR"
+
+
+def test_jdbc_options_databricks_token_auth(monkeypatch):
+    """Token auth parity with the reference (connections/databricks.py:7-15):
+    DATACONTRACT_DATABRICKS_TOKEN becomes the JDBC driver's AuthMech=3 +
+    UID 'token' + PWD form, displacing user/password."""
+    monkeypatch.setenv("DATACONTRACT_DATABRICKS_TOKEN", "dapi-secret")
+    monkeypatch.setenv("DATACONTRACT_DATABRICKS_USERNAME", "ignored")
+    db = Server(type="databricks", host="dbc.cloud.databricks.com",
+                http_path="/sql/1.0/wh/abc")
+    opts = jdbc_options(db, "t")
+    assert opts["AuthMech"] == "3"
+    assert opts["UID"] == "token"
+    assert opts["PWD"] == "dapi-secret"
+    assert "user" not in opts and "password" not in opts
+
+
+def test_bigquery_options_service_account(monkeypatch):
+    """Service-account JSON parity with the reference
+    (connections/bigquery.py:10-16): DATACONTRACT_BIGQUERY_ACCOUNT_INFO_JSON
+    _PATH wins, GOOGLE_APPLICATION_CREDENTIALS is the fallback; table is
+    project.dataset.model for the spark-bigquery-connector."""
+    from dcspark.io import bigquery_options
+
+    srv = Server(type="bigquery", project="my-proj", dataset="analytics")
+    monkeypatch.delenv("DATACONTRACT_BIGQUERY_ACCOUNT_INFO_JSON_PATH", raising=False)
+    monkeypatch.setenv("GOOGLE_APPLICATION_CREDENTIALS", "/fallback/sa.json")
+    opts = bigquery_options(srv, "events")
+    assert opts["table"] == "my-proj.analytics.events"
+    assert opts["parentProject"] == "my-proj"
+    assert opts["credentialsFile"] == "/fallback/sa.json"
+    monkeypatch.setenv("DATACONTRACT_BIGQUERY_ACCOUNT_INFO_JSON_PATH", "/own/sa.json")
+    assert bigquery_options(srv, "events")["credentialsFile"] == "/own/sa.json"
+
+
 def test_publish_run_posts_json(monkeypatch):
     """publish_run POSTs the Run JSON with x-api-key to the endpoint; failures
     are logged on the run, never raised (reference datamesh_manager parity)."""
