@@ -67,24 +67,41 @@ def build_spark(cpus: int):
     )
 
 
-def ensure_audio_data(spark, n: int) -> tuple[str, str]:
+#: compact low-rate layout for the >=1M-clip scale points: pcm_u8 at 8 kHz is
+#: ~7x smaller per clip than the mixed-rate s16 layout (1M clips ~9 GB vs
+#: ~60 GB, which would not fit this sandbox's disk) while exercising the
+#: identical 42-check suite — only the codec enum differs in the contract.
+COMPACT_SR_ENUM = (8000,)
+COMPACT_CODEC = "pcm_u8"
+
+
+def ensure_audio_data(spark, n: int, compact: bool = False) -> tuple[str, str]:
     """Generate (once) and cache the synthetic audio + transcript tables.
 
     Written with 128 output files so any parallelism level 8..128 gets full
-    task fan-out from the same on-disk input.
+    task fan-out from the same on-disk input. ``compact=True`` builds the
+    low-rate pcm_u8/8kHz layout (same transcripts_ref — transcripts draw from
+    their own rng stream, so the reference table is layout-independent).
     """
     from dcspark import synth
 
     base = os.path.join(REPO, ".bench_data")
     dur_tag = f"{DUR_LO}_{DUR_HI}"
-    clips_path = os.path.join(base, f"audio_n{n}_seed{SEED}_d{dur_tag}_p32_v3")
+    tag = "audio_compact" if compact else "audio"
+    clips_path = os.path.join(base, f"{tag}_n{n}_seed{SEED}_d{dur_tag}_p32_v3")
     ref_path = os.path.join(base, f"ref_n{n}_seed{SEED}_p32_v2")
+    gen_kw = ({"sr_enum": COMPACT_SR_ENUM, "force_codec": COMPACT_CODEC}
+              if compact else {})
     if not (
         os.path.exists(os.path.join(clips_path, "_SUCCESS"))
         and os.path.exists(os.path.join(ref_path, "_SUCCESS"))
     ):
         shutil.rmtree(clips_path, ignore_errors=True)
-        shutil.rmtree(ref_path, ignore_errors=True)
+        if not os.path.exists(os.path.join(ref_path, "_SUCCESS")):
+            shutil.rmtree(ref_path, ignore_errors=True)
+            synth.generate_transcripts_ref(
+                spark, n, seed=SEED, num_partitions=32
+            ).write.mode("overwrite").parquet(ref_path)
         # 32 output files: one ~64m-split-friendly file per core slot — small
         # jobs stay at ~32 tasks instead of 150+, which was the dominant fixed
         # cost per job at high parallelism
@@ -94,17 +111,20 @@ def ensure_audio_data(spark, n: int) -> tuple[str, str]:
         # audio lake picks (payloads carry their own codec; generic block
         # compression on top is pure overhead)
         synth.generate_audio_table(
-            spark, n, seed=SEED, dur_lo=DUR_LO, dur_hi=DUR_HI, num_partitions=128
+            spark, n, seed=SEED, dur_lo=DUR_LO, dur_hi=DUR_HI,
+            num_partitions=128, **gen_kw
         ).repartition(32).write.mode("overwrite") \
             .option("compression", "uncompressed").parquet(clips_path)
-        synth.generate_transcripts_ref(
-            spark, n, seed=SEED, num_partitions=32
-        ).write.mode("overwrite").parquet(ref_path)
     return clips_path, ref_path
 
 
-def run_audio_suite(spark, clips_path: str, ref_path: str) -> dict:
-    """Time the full validation suite; returns seconds + clip count."""
+def run_audio_suite(spark, clips_path: str, ref_path: str,
+                    compact: bool = False) -> dict:
+    """Time the full validation suite; returns seconds + clip count.
+
+    ``compact=True`` runs the identical check suite over the low-rate layout
+    (contracts/audio_clips_compact.yaml — codec enum pcm_u8, everything else
+    byte-identical) with the SNR oracle pinned to the compact sr enum."""
     from dcspark import audio as audio_mod
     from dcspark import drift as drift_mod
     from dcspark.engine import ValidationConfig, validate
@@ -121,14 +141,17 @@ def run_audio_suite(spark, clips_path: str, ref_path: str) -> dict:
     from pyspark.sql import functions as _F
     clips.select(_F.sum(_F.length("bytes"))).collect()
 
+    sr_enum = COMPACT_SR_ENUM if compact else None
+    snr_fn = audio_mod.synth_snr_oracle(SEED, DUR_LO, DUR_HI, sr_enum=sr_enum)
+    contract = ("contracts/audio_clips_compact.yaml" if compact
+                else "contracts/audio_clips.yaml")
+
     # warm-up (excluded from timing, see BENCH/BASELINE.md protocol): spin up
     # the Python UDF workers and JIT/codegen paths on a small sample
     sample = clips.limit(256)
-    audio_mod.audio_decode_report(
-        sample, snr_fn=audio_mod.synth_snr_oracle(SEED, DUR_LO, DUR_HI)
-    ).count()
+    audio_mod.audio_decode_report(sample, snr_fn=snr_fn).count()
 
-    spec = DataContractSpecification.from_file(os.path.join(REPO, "contracts/audio_clips.yaml"))
+    spec = DataContractSpecification.from_file(os.path.join(REPO, contract))
 
     t_ref0 = time.perf_counter()
     ref_stats = drift_mod.build_ref_stats(
@@ -138,7 +161,7 @@ def run_audio_suite(spark, clips_path: str, ref_path: str) -> dict:
 
     cfg = ValidationConfig(
         ref_stats={"audio_clips": ref_stats},
-        audio_snr_fn=audio_mod.synth_snr_oracle(SEED, DUR_LO, DUR_HI),
+        audio_snr_fn=snr_fn,
     )
     # BENCH_PARALLEL_JOBS=1 serializes the compute-phase jobs so the phases
     # dict becomes an ADDITIVE per-phase breakdown (under the default
@@ -305,6 +328,22 @@ def main() -> None:
             "per_clip_ms": round(1000.0 * extra["suite_sec"] / extra["clips"], 4),
         }
 
+    # compact-layout curve (VERDICT r03 next #8): the >=1M-clip points the
+    # s16 layout cannot fit on this sandbox's disk. pcm_u8 @ 8 kHz, identical
+    # 42-check suite; the flattening 512k -> 1M per-clip cost is the evidence
+    # the engine's fixed overhead keeps amortizing past the s16 curve's top.
+    scale_points_compact = {}
+    cpts = os.environ.get("BENCH_COMPACT_POINTS", "512000,1000000")
+    for p in [int(x) for x in cpts.split(",") if x.strip()]:
+        cp, rp = ensure_audio_data(spark, p, compact=True)
+        extra = run_audio_suite(spark, cp, rp, compact=True)
+        scale_points_compact[str(p)] = {
+            "suite_sec": round(extra["suite_sec"], 3),
+            "clips_per_sec": round(extra["clips_per_sec"], 2),
+            "per_clip_ms": round(1000.0 * extra["suite_sec"] / extra["clips"], 4),
+            "run_result": str(extra["run_result"]),
+        }
+
     total = sum(queries.values())
     print(json.dumps({
         "metric": "clips_per_sec_full_suite",
@@ -317,6 +356,7 @@ def main() -> None:
         "audio_suite_sec": round(audio["suite_sec"], 3),
         "phases": audio.get("phases", {}),
         "scale_points": scale_points,
+        "scale_points_compact": scale_points_compact,
         "total_sec": round(total, 3),
         "run_result": audio["run_result"],
         "checks": audio["checks"],

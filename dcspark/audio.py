@@ -416,17 +416,21 @@ def synth_oracle(seed: int, dur_lo: int = 200, dur_hi: int = 30000) -> OraclePcm
     return oracle
 
 
-def synth_snr_oracle(seed: int, dur_lo: int = 200, dur_hi: int = 30000) -> SnrFn:
+def synth_snr_oracle(seed: int, dur_lo: int = 200, dur_hi: int = 30000,
+                     sr_enum=None) -> SnrFn:
     """Blocked-SNR oracle (synth.oracle_snr): the scale path — cache-resident
-    per-block synthesis instead of materializing the full reference PCM."""
+    per-block synthesis instead of materializing the full reference PCM.
+    ``sr_enum`` must match the generator's (compact low-rate layouts)."""
     from . import synth
+
+    enum = sr_enum if sr_enum is not None else synth.SR_ENUM
 
     def snr_fn(clip_id: str, _sr: int, _dur: int, decoded: np.ndarray) -> Optional[float]:
         try:
             i = int(clip_id.rsplit("-", 1)[1])
         except (IndexError, ValueError):
             return None
-        return synth.oracle_snr(seed, i, decoded, dur_lo, dur_hi)
+        return synth.oracle_snr(seed, i, decoded, dur_lo, dur_hi, sr_enum=enum)
 
     return snr_fn
 

@@ -56,16 +56,21 @@ def row_rng(seed: int, i: int) -> np.random.Generator:
     return np.random.default_rng(seed + i)
 
 
-def synth_params_audio(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000):
+def synth_params_audio(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000,
+                       sr_enum=SR_ENUM):
     """Deterministic per-row audio draw (sr_hz, dur_ms, f_k, a_k) only.
 
     The SNR-oracle hot path: skips the transcript stream entirely (one fewer
     Generator construction + word draws per clip — ~10% of the whole per-clip
     eval cost at 10^12 rows, measured in scripts/profile_eval.py). Safe to
     split because transcripts deliberately use their OWN rng stream (below),
-    so the audio draws are identical with or without them."""
+    so the audio draws are identical with or without them.
+
+    ``sr_enum`` narrows the sample-rate draw (e.g. ``(8000,)`` for the
+    compact low-rate bench layout); generator and oracle must pass the SAME
+    enum, since the draw count and the frequency bounds depend on it."""
     rng = row_rng(seed, i)
-    sr = SR_ENUM[int(rng.integers(0, len(SR_ENUM)))]
+    sr = sr_enum[int(rng.integers(0, len(sr_enum)))]
     dur = int(rng.integers(dur_lo, dur_hi + 1))
     k = int(rng.integers(2, 5))
     freqs = rng.uniform(100.0, min(4000.0, sr / 2 * 0.8), size=k)
@@ -73,9 +78,10 @@ def synth_params_audio(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000
     return sr, dur, freqs, amps
 
 
-def synth_params(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000):
+def synth_params(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000,
+                 sr_enum=SR_ENUM):
     """Deterministic per-row (sr_hz, dur_ms, f_k, a_k, transcript words)."""
-    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi)
+    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi, sr_enum)
     # Transcripts get their OWN stream: bounded integers() uses rejection
     # sampling, so the dur draw consumes a bounds-dependent number of raw
     # draws — with a shared stream, generating clips at (200,2000) and the
@@ -135,9 +141,10 @@ def synth_pcm_fast(sr: int, dur_ms: int, freqs: np.ndarray, amps: np.ndarray) ->
     return x.astype(np.int16)
 
 
-def oracle_pcm(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000) -> np.ndarray:
+def oracle_pcm(seed: int, i: int, dur_lo: int = 200, dur_hi: int = 30000,
+               sr_enum=SR_ENUM) -> np.ndarray:
     """Re-synthesize the expected PCM for row i — the decode invariant's oracle."""
-    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi)
+    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi, sr_enum)
     return synth_pcm_fast(sr, dur, freqs, amps)
 
 
@@ -148,6 +155,7 @@ def oracle_snr(
     dur_lo: int = 200,
     dur_hi: int = 30000,
     block: int = 65536,
+    sr_enum=SR_ENUM,
 ) -> float:
     """Decoded-vs-oracle SNR computed in cache-resident blocks.
 
@@ -161,7 +169,7 @@ def oracle_snr(
     against the 30 dB invariant floor. Length-mismatch semantics match
     audio.snr_db (diff > max(4, 1%) -> -inf).
     """
-    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi)
+    sr, dur, freqs, amps = synth_params_audio(seed, i, dur_lo, dur_hi, sr_enum)
     n = int(round(sr * dur / 1000.0))
     m = min(n, len(decoded))
     if m == 0 or abs(n - len(decoded)) > max(4, int(0.01 * m)):
@@ -210,6 +218,8 @@ def make_row(
     dur_lo: int = 200,
     dur_hi: int = 30000,
     codec_mix: float = 0.0,
+    sr_enum=SR_ENUM,
+    force_codec: Optional[str] = None,
 ) -> dict:
     """One audio_clips row; ``corrupt`` maps flag name -> fraction of rows to flip.
 
@@ -218,15 +228,19 @@ def make_row(
     rows — the contract must pass them); the ``wrong_codec`` corruption flag
     instead encodes the payload in a codec that does NOT match the declared
     column, so only the decode-conformance ``codec_ok`` check can catch it.
+
+    ``sr_enum``/``force_codec`` shape the compact low-rate bench layout
+    (e.g. sr_enum=(8000,), force_codec='pcm_u8' — ~7x smaller payloads);
+    the SNR oracle must be built with the same sr_enum.
     """
-    sr, dur, freqs, amps, transcript = synth_params(seed, i, dur_lo, dur_hi)
+    sr, dur, freqs, amps, transcript = synth_params(seed, i, dur_lo, dur_hi, sr_enum)
     corrupt = corrupt or {}
 
     def hit(flag: str) -> bool:
         frac = corrupt.get(flag, 0.0)
         return frac > 0 and _corrupt_draw(seed, i, flag) < frac
 
-    payload_codec = declared_codec = CODEC
+    payload_codec = declared_codec = force_codec or CODEC
     if codec_mix > 0:
         c_rng = np.random.default_rng([seed, i, 201])
         if c_rng.uniform() < codec_mix:
@@ -296,12 +310,15 @@ def generate_audio_table(
     dur_hi: int = 30000,
     num_partitions: Optional[int] = None,
     codec_mix: float = 0.0,
+    sr_enum=SR_ENUM,
+    force_codec: Optional[str] = None,
 ):
     """Distributed synthesis: spark.range(n) -> mapInPandas -> audio_clips DataFrame.
 
     ``dup_clip_id`` corruption duplicates an existing id (row i takes row 0's id);
     ``orphan_ref`` is realized by generate_transcripts_ref excluding those ids.
     ``codec_mix`` encodes that fraction of rows in correctly-declared ALT_CODECS.
+    ``sr_enum``/``force_codec`` build the compact low-rate layout (see make_row).
     """
     corrupt = dict(corrupt or {})
     import pandas as pd
@@ -310,7 +327,8 @@ def generate_audio_table(
         for pdf in batches:
             rows = []
             for i in pdf["id"].tolist():
-                r = make_row(seed, int(i), corrupt, dur_lo, dur_hi, codec_mix)
+                r = make_row(seed, int(i), corrupt, dur_lo, dur_hi, codec_mix,
+                             sr_enum, force_codec)
                 if corrupt.get("dup_clip_id", 0) > 0 and _corrupt_draw(seed, int(i), "dup_clip_id") < corrupt["dup_clip_id"] and i > 0:
                     r["clip_id"] = clip_id_for(0)
                 del r["_i"]

@@ -49,6 +49,7 @@ def run_bench(cpus: int, sf_dir: str, clips: int, skip_operators: bool = True) -
         # leg's wall (a 512k pass at local[2] alone is minutes) for numbers
         # this protocol never reads
         BENCH_SCALE_POINTS="",
+        BENCH_COMPACT_POINTS="",
     )
     if skip_operators:
         env["BENCH_SKIP_OPERATORS"] = "1"
