@@ -92,16 +92,15 @@ def ensure_audio_data(spark, n: int, compact: bool = False) -> tuple[str, str]:
     ref_path = os.path.join(base, f"ref_n{n}_seed{SEED}_p32_v2")
     gen_kw = ({"sr_enum": COMPACT_SR_ENUM, "force_codec": COMPACT_CODEC}
               if compact else {})
-    if not (
-        os.path.exists(os.path.join(clips_path, "_SUCCESS"))
-        and os.path.exists(os.path.join(ref_path, "_SUCCESS"))
-    ):
+    # each table regenerates only on ITS OWN missing _SUCCESS — a missing
+    # 300 KB ref table must never rmtree a valid multi-GB clips cache
+    if not os.path.exists(os.path.join(ref_path, "_SUCCESS")):
+        shutil.rmtree(ref_path, ignore_errors=True)
+        synth.generate_transcripts_ref(
+            spark, n, seed=SEED, num_partitions=32
+        ).write.mode("overwrite").parquet(ref_path)
+    if not os.path.exists(os.path.join(clips_path, "_SUCCESS")):
         shutil.rmtree(clips_path, ignore_errors=True)
-        if not os.path.exists(os.path.join(ref_path, "_SUCCESS")):
-            shutil.rmtree(ref_path, ignore_errors=True)
-            synth.generate_transcripts_ref(
-                spark, n, seed=SEED, num_partitions=32
-            ).write.mode("overwrite").parquet(ref_path)
         # 32 output files: one ~64m-split-friendly file per core slot — small
         # jobs stay at ~32 tasks instead of 150+, which was the dominant fixed
         # cost per job at high parallelism
@@ -341,7 +340,10 @@ def main() -> None:
             "suite_sec": round(extra["suite_sec"], 3),
             "clips_per_sec": round(extra["clips_per_sec"], 2),
             "per_clip_ms": round(1000.0 * extra["suite_sec"] / extra["clips"], 4),
-            "run_result": str(extra["run_result"]),
+            # the enum itself: json.dumps renders the str-enum's VALUE
+            # ("passed"), matching the top-level run_result field — str()
+            # would emit "ResultEnum.passed" on 3.11+
+            "run_result": extra["run_result"],
         }
 
     total = sum(queries.values())

@@ -473,12 +473,28 @@ def _test_dry_run(spec, args: argparse.Namespace) -> int:
                         "snapshot (then rides a fused decode pass)")
             return _EXEC_SHAPE.get(c.kind, f"dedicated job ({c.kind})")
 
-        by_shape: dict = {}
+        # group by the pre-parenthetical prefix — one Spark job, one row
+        # (kind 'audio', 'audio_quality', and fused fp all ride the SAME
+        # fused decode pass; approx-unique rides the shared scan) — with the
+        # conditional variants as indented sub-lines so the predicate-derived
+        # detail stays visible without overstating the job count
+        by_job: dict = {}
         for c in checks:
-            by_shape.setdefault(shape_of(c), []).append(c)
+            full = shape_of(c)
+            prefix = full.split(" (")[0]
+            by_job.setdefault(prefix, {}).setdefault(full, []).append(c)
         print("  jobs:")
-        for shape, cs in sorted(by_shape.items(), key=lambda kv: -len(kv[1])):
-            print(f"    {len(cs):3d}  {shape}")
+        for prefix, variants in sorted(
+                by_job.items(), key=lambda kv: -sum(len(v) for v in kv[1].values())):
+            total_n = sum(len(v) for v in variants.values())
+            if len(variants) == 1:
+                print(f"    {total_n:3d}  {next(iter(variants))}")
+                continue
+            print(f"    {total_n:3d}  {prefix}")
+            for full, cs in sorted(variants.items(), key=lambda kv: -len(kv[1])):
+                detail = full[len(prefix):].strip()
+                if detail:
+                    print(f"         {len(cs):3d}x {detail}")
         print("  checks:")
         for c in checks:
             line = f"    [{c.kind:>14s}] {c.key}"

@@ -188,6 +188,21 @@ def _merge_rows(rows: List[Dict[str, Any]], ops: Dict[str, str]) -> Dict[str, An
     return merged
 
 
+def _default_fs_is_local() -> bool:
+    """True when the active session's Hadoop default filesystem is the local
+    disk (fs.defaultFS file:/// — local mode). Unknown/no session -> False,
+    so classification conservatively defers to the reader's error message."""
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+        fs = spark.sparkContext._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///")
+        return (fs or "").startswith("file:")
+    except Exception:  # noqa: BLE001 — any introspection failure: not conclusive
+        return False
+
+
 def _missing_table_error(path: str, exc: Exception) -> bool:
     """True when ``exc`` means the table at ``path`` simply does not exist
     yet (the expected first-ever-run bootstrap of a metric-history source),
@@ -198,14 +213,19 @@ def _missing_table_error(path: str, exc: Exception) -> bool:
     if scheme == "file":
         local = path.split("://", 1)[-1]
         # file:// is the one scheme where the driver's local disk IS the
-        # table's filesystem, so local existence decides both ways
+        # table's filesystem by declaration, so local existence decides
+        # both ways: present -> the failure is real, absent -> bootstrap
         return not os.path.exists(local)
-    # A schemeless path resolves against the DEFAULT filesystem, which under
-    # spark-submit may be remote (HDFS/S3A): the driver's local disk is never
-    # conclusive in either direction — a coincidental local directory must not
-    # turn a genuine remote PATH_NOT_FOUND bootstrap into an ERROR, and local
-    # absence must not mask a real remote load failure. Fall through to the
-    # reader's own error classification.
+    if scheme == "" and os.path.exists(path) and _default_fs_is_local():
+        # schemeless path that EXISTS locally, under a local default FS
+        # (local mode, the common case): the table is demonstrably there, so
+        # the load failure is real — a corrupt history table must not be
+        # classified as a first-run bootstrap. Existence is only ever used to
+        # CONFIRM the table; under a REMOTE default FS (spark-submit with
+        # HDFS/S3A) a coincidental local directory proves nothing, and local
+        # ABSENCE is never conclusive for schemeless paths (the reader's own
+        # PATH_NOT_FOUND is the bootstrap signal either way).
+        return False
     if isinstance(exc, FileNotFoundError):
         return True
     msg = str(exc)

@@ -384,13 +384,19 @@ def _read_kafka(
     it does not stream).
 
     Two sources for the wire frame, identical downstream: a live broker
-    (``host: broker:9092``), or a RECORDED segment when ``path:`` points at
-    an existing parquet file/directory in Kafka wire shape — the no-broker
-    e2e path for tests, replay, and air-gapped validation. A ``path`` that
-    does not exist on the filesystem keeps its legacy meaning of a bootstrap
-    -server string."""
+    (``host: broker:9092``), or a RECORDED segment when ``path:`` is a
+    filesystem path (any scheme — file/hdfs/s3a/..., or anything containing
+    a ``/``) to parquet in Kafka wire shape — the no-broker e2e path for
+    tests, replay, and air-gapped validation. Classification is by SHAPE,
+    not driver-local existence (a remote segment path must not silently
+    fall through to the broker route): only a scheme-less, slash-less
+    ``host:port[,host:port...]`` string keeps the legacy bootstrap-server
+    meaning. A missing segment surfaces as the reader's own
+    path-not-found error, which names the path."""
     snap = server.path or server.location
-    if snap and os.path.exists(snap):
+    looks_like_path = bool(snap) and (
+        "/" in snap or "://" in snap or os.path.exists(snap))
+    if looks_like_path:
         raw = read_kafka_snapshot(spark, snap, topic=server.topic or model_name)
     else:
         raw = (

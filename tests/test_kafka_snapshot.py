@@ -109,6 +109,21 @@ def test_snapshot_rejects_non_wire_parquet(spark, tmp_path):
         read_kafka_snapshot(spark, p)
 
 
+def test_remote_segment_path_routes_to_snapshot_reader(spark, tmp_path):
+    """Classification is by path SHAPE, not driver-local existence: a
+    slash-bearing path that does not exist on the driver's disk (the remote
+    -segment case) must still take the snapshot route — surfacing the
+    reader's own path error naming the path — never be misread as a
+    bootstrap-server string."""
+    missing = str(tmp_path / "no" / "such" / "segment.parquet")
+    spec = DataContractSpecification.from_string(
+        CONTRACT_TMPL.format(path=missing, fmt="json"))
+    with pytest.raises(Exception) as ei:
+        load_tables(spark, spec)["clicks"].count()
+    msg = str(ei.value)
+    assert "segment.parquet" in msg or "PATH_NOT_FOUND" in msg
+
+
 def test_nonexistent_path_keeps_bootstrap_meaning(spark):
     """A path that is not on the filesystem still means a bootstrap-server
     string (legacy), i.e. the live spark.read.format('kafka') route — which
