@@ -148,22 +148,28 @@ def audio_fingerprint_near_dup(
 
     Candidate pairs come ONLY from shared-hash buckets (equi-join on ``hash``,
     the MinHash-LSH band-join shape from textops.py): quadratic work is
-    bounded per bucket and overfull buckets — the skew/silence pathology — are
-    dropped with a windowed count over the same hash partitioning (one
-    shuffle, no second pass). Score = shared distinct hashes / min clip
-    fingerprint count, so a short clip embedded in a longer one still scores
-    high.
+    bounded per bucket, and overfull buckets — the skew/silence pathology —
+    are dropped with the SAME hot-key anti-join as the text band join
+    (textops.lsh_candidate_pairs): a groupBy count shuffles only map-side-
+    combined (hash, count) partials — bounded by distinct hashes per
+    partition — and the surviving hot-hash frame is at most rows/max_bucket
+    keys, so AQE picks a broadcast anti-join at runtime. (A window count
+    over the hash partitioning would shuffle AND SORT every fingerprint row
+    just to count bucket sizes — at 10^12 clips that sort is pure waste.)
+    Score = shared distinct hashes / min clip fingerprint count, so a short
+    clip embedded in a longer one still scores high.
     """
     uniq = (
         fingerprints.filter(F.col("hash").isNotNull())
         .select("clip_id", "hash").distinct()
     )
-    w = Window.partitionBy("hash")
-    uniq = (
-        uniq.withColumn("__bucket", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bucket") <= max_bucket)
-        .drop("__bucket")
+    hot = (
+        uniq.groupBy("hash")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .filter(F.col("__bc") > max_bucket)
+        .select("hash")
     )
+    uniq = uniq.join(hot, on="hash", how="left_anti")
     # uniq feeds BOTH join sides and the per-clip counts: persist the tiny
     # (clip_id, hash) frame so the fingerprint lineage — a full decode pass
     # when called on audio_fingerprints output — evaluates ONCE, not 3x
