@@ -2073,19 +2073,30 @@ class Validator:
             ref.select(F.col(key).alias("__k"), F.col(ref_col).alias("__ref")),
             on="__k", how="inner",
         )
-        mismatch = joined.filter(~F.col("__child").eqNullSafe(F.col("__ref")))
-        metric = float(mismatch.count())
-        vio_rows = None
-        if metric > 0:
-            vio = mismatch.limit(self.config.violation_cap).select(
-                F.lit(self.run.runId).alias("run_id"),
-                F.lit(None).cast("string").alias("partition_id"),
-                F.lit(chk.key).alias("check_key"),
-                F.col("__k").cast("string").alias("clip_id"),
-                F.col("__child").cast("string").alias("observed"),
-                F.concat(F.lit("ref: "), F.col("__ref").cast("string")).alias("expected"),
-            )
-            vio_rows = vio.collect()
+        from pyspark import StorageLevel
+
+        # mismatching rows only — persist across the count and the capped
+        # sample so a FAILING equality check doesn't re-run the key join of
+        # two corpus-sized tables (the same single-scan-on-fail guarantee as
+        # unique/group/reference; gated in tests/test_single_scan_on_fail.py)
+        mismatch = joined.filter(
+            ~F.col("__child").eqNullSafe(F.col("__ref"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            metric = float(mismatch.count())
+            vio_rows = None
+            if metric > 0:
+                vio = mismatch.limit(self.config.violation_cap).select(
+                    F.lit(self.run.runId).alias("run_id"),
+                    F.lit(None).cast("string").alias("partition_id"),
+                    F.lit(chk.key).alias("check_key"),
+                    F.col("__k").cast("string").alias("clip_id"),
+                    F.col("__child").cast("string").alias("observed"),
+                    F.concat(F.lit("ref: "), F.col("__ref").cast("string")).alias("expected"),
+                )
+                vio_rows = vio.collect()
+        finally:
+            mismatch.unpersist()
         return {"metric": metric, "vio_rows": vio_rows}
 
     def _record_join_equality(self, chk: CompiledCheck, res: dict) -> None:

@@ -101,6 +101,41 @@ models:
 """
 
 
+JOIN_EQ_CONTRACT = """
+id: scanonce-joineq
+models:
+  t:
+    fields:
+      k: {type: string, primaryKey: true}
+      v: {type: string}
+    quality:
+      - {type: audio, invariant: transcript-equality, ref: r, key: k,
+         column: v, ref_column: txt}
+  r:
+    fields:
+      k: {type: string}
+      txt: {type: string}
+"""
+
+
+def test_failing_join_equality_scans_child_once(spark):
+    ref = spark.createDataFrame(
+        [(f"k{i}", f"text-{i}") for i in range(32)], "k string, txt string")
+
+    def run(rows):
+        return _scan_rows(spark, JOIN_EQ_CONTRACT, rows, "k string, v string",
+                          tables_extra={"r": ref})
+
+    passing = [(f"k{i}", f"text-{i}") for i in range(32)]
+    failing = [(f"k{i}", "WRONG") for i in range(32)]
+    res_p, n_pass = run(passing)
+    res_f, n_fail = run(failing)
+    jk = next(c.key for c in res_f.run.checks if "equal" in c.key or "join" in c.key)
+    assert next(c for c in res_f.run.checks if c.key == jk).result == ResultEnum.failed
+    assert res_f.violations is not None and res_f.violations.count() > 0
+    assert n_fail == n_pass
+
+
 def test_failing_reference_scans_child_once(spark):
     schema = "a string"
     parent = None
