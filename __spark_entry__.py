@@ -335,6 +335,43 @@ WHERE rn <= 100
 """
 
 
+def q_referential_bloom_orphans(spark: SparkSession, sf: str) -> DataFrame:
+    """Approx referential integrity (engine ``reference_mode="approx"``,
+    dcspark/bloomfilter.py build_column_bloom + non_members): parent keys
+    fold into one Bloom bitset, the child side probes membership MAP-ONLY —
+    zero child shuffle at 10^12 rows, vs the exact anti-join whose
+    sort-merge fallback shuffles every child row. Blooms have no false
+    negatives, so every value this returns is a TRUE orphan; the DuckDB
+    oracle is the EXACT orphan set — equality here certifies that on this
+    fixture the ~0.8%-fpp bloom missed nothing (deterministic: hashing is
+    fixed), and in general approx ⊆ exact."""
+    from dcspark import bloomfilter as bf
+
+    orders = _t(spark, sf, "orders")
+    customer = _t(spark, sf, "customer")
+    parent = customer.filter(F.col("c_custkey") % 10 != 3).select(
+        F.col("c_custkey").alias("k"))
+    m, k, n, bits = bf.build_column_bloom(parent, "k")
+    orphans = bf.non_members(
+        orders.select(F.col("o_custkey")), "o_custkey", m, k, bits)
+    return (
+        orphans.groupBy(F.col("__child").cast("long").alias("orphan_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_rows"))
+        .orderBy("orphan_custkey")
+    )
+
+
+SQL_REFERENTIAL_BLOOM_ORPHANS = """
+SELECT cast(o_custkey AS bigint) AS orphan_custkey,
+       count(*) AS orphan_rows
+FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey % 10 <> 3 AND c.c_custkey = o.o_custkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_freshness_retention(spark: SparkSession, sf: str) -> DataFrame:
     """servicelevel freshness/retention: max/min event ts vs a fixed anchor."""
     _utc(spark)
@@ -5100,6 +5137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "avro_file_source": q_avro_file_source,
         # ---- slot 51+: r03-green per-constraint + remaining oracle set ----
+        "referential_bloom_orphans": q_referential_bloom_orphans,
         "field_required_missing_counts": q_field_required,
         "field_length_bounds": q_field_length,
         "field_range_bounds": q_field_range,
@@ -5163,6 +5201,7 @@ def oracle_sql() -> dict[str, str]:
         "field_unique_duplicates": SQL_FIELD_UNIQUE,
         "referential_integrity_counts": SQL_REFERENTIAL_COUNTS,
         "referential_orphan_rows": SQL_REFERENTIAL_ORPHAN_ROWS,
+        "referential_bloom_orphans": SQL_REFERENTIAL_BLOOM_ORPHANS,
         "freshness_retention": SQL_FRESHNESS_RETENTION,
         "shared_multiagg_pass": SQL_SHARED_MULTIAGG,
         "violation_rows_capped": SQL_VIOLATION_ROWS,

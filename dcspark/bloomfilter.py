@@ -207,3 +207,95 @@ def prune_files(
     indexed = {r.file_path for r in rows}
     hit_set = {r.file_path for r in rows if r.hit}
     return [p for p in candidates if p in hit_set or p not in indexed]
+
+
+# ---------------------------------------------------------------------------
+# single-bitset bloom over a column — the approx referential-integrity path
+# (engine reference_mode="approx"): parent keys fold into ONE bitset, child
+# membership tests run map-only. No reference counterpart (the reference's
+# referential check is a TODO); same hash/bitset primitives as the file
+# index above, so build and probe can never disagree on hashing.
+# ---------------------------------------------------------------------------
+
+def build_column_bloom(df: DataFrame, col: str, *,
+                       max_partials: int = 64) -> Tuple[int, int, int, bytes]:
+    """One distributed pass folds every non-null value of ``col`` into a
+    single Bloom bitset -> (m, k, n_est, bits).
+
+    Sizing uses ``approx_count_distinct`` (a partial-agg job, no key
+    shuffle); duplicates in the input just re-set the same bits, so the
+    build reads the RAW column — no distinct shuffle either. Hashing is JVM
+    codegen (F.hash / F.xxhash64); each partition folds its hashes into a
+    partial bitset in one Arrow pass, partials are coalesced to at most
+    ``max_partials`` so the driver ORs a bounded number of m/8-byte arrays
+    regardless of input partition count.
+    """
+    src = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
+    n_est = int(src.agg(
+        F.approx_count_distinct("__v").alias("n")).first()["n"] or 0)
+    m = _size_bits(max(1, int(n_est * 1.2)))  # headroom for ACD underestimate
+    k = NUM_HASHES
+    hashes = src.select(F.hash("__v").alias("h1"),
+                        F.xxhash64("__v").alias("h2")).coalesce(max_partials)
+
+    def fold(batches):
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf):
+                partial = np.frombuffer(
+                    _build_bits(pdf["h1"].to_numpy(), pdf["h2"].to_numpy(),
+                                m, k), dtype=np.uint8)
+                np.bitwise_or(bits, partial, out=bits)
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for r in hashes.mapInPandas(fold, schema="bits binary").collect():
+        out |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return m, k, n_est, out.tobytes()
+
+
+def bloom_fpp(m: int, k: int, n: int) -> float:
+    """Expected false-positive probability (1 - e^{-kn/m})^k."""
+    import math
+
+    if n <= 0:
+        return 0.0
+    return float((1.0 - math.exp(-k * n / float(m))) ** k)
+
+
+def non_members(df: DataFrame, col: str, m: int, k: int,
+                bits: bytes) -> DataFrame:
+    """Rows of ``df`` whose non-null ``col`` is PROVABLY absent from the
+    bloom — a bloom has no false negatives, so every returned row is a true
+    non-member; a member-reported row is wrong with probability fpp only.
+
+    MAP-ONLY: hashing is JVM codegen, the membership test one vectorized
+    Arrow pass against the broadcast bitset — the 10^12-row child side of a
+    referential check never shuffles. Output column: ``__child`` (original
+    type preserved).
+    """
+    from pyspark.sql import types as _T
+
+    child_field = None
+    for f in df.select(F.col(col).alias("__child")).schema.fields:
+        child_field = f
+    hashes = (
+        df.select(F.col(col).alias("__child"))
+        .filter(F.col("__child").isNotNull())
+        .select("__child", F.hash("__child").alias("h1"),
+                F.xxhash64("__child").alias("h2"))
+    )
+    bc = df.sparkSession.sparkContext.broadcast(bits)
+    out_schema = _T.StructType([child_field])
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            member = _test_bits(bc.value, m, k,
+                                pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+            out = pdf.loc[~member, ["__child"]]
+            if len(out):
+                yield out
+
+    return hashes.mapInPandas(probe, schema=out_schema)

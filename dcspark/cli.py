@@ -455,6 +455,12 @@ def _test_dry_run(spec, args: argparse.Namespace) -> int:
                     return ("shared multi-aggregate scan (HLL approx-distinct "
                             "sketch — --unique-mode approx)")
                 return _EXEC_SHAPE["unique"]
+            if c.kind == "reference":
+                if (getattr(args, "reference_mode", "exact") or "exact") == "approx":
+                    return ("parent Bloom bitset + MAP-ONLY child membership "
+                            "probe (--reference-mode approx; falls back to "
+                            "the exact anti-join over the bitset budget)")
+                return _EXEC_SHAPE["reference"]
             if c.kind == "audio_fp":
                 if id(c) in fused_fp:
                     return ("fused audio decode pass (fingerprints ride the "
@@ -529,6 +535,7 @@ def cmd_test(args: argparse.Namespace) -> int:
         resume=args.resume,
         ref_stats=_load_ref_stats(spark, spec, args.ref_stats) if args.ref_stats else {},
         unique_mode=args.unique_mode,
+        reference_mode=args.reference_mode,
         pctl_mode=args.pctl_mode,
         # history checks read a results table this engine wrote; default to
         # the results sink so `--results-path r.parquet` alone closes the loop
@@ -1503,6 +1510,12 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--unique-mode", default="exact", choices=["exact", "approx"],
                    help="exact: dedicated groupBy job certifies zero duplicates; "
                         "approx: HLL sketch in the shared scan (no key shuffle)")
+    t.add_argument("--reference-mode", default="exact",
+                   choices=["exact", "approx"],
+                   help="exact: anti-join child vs parent keys; approx: parent "
+                        "Bloom bitset + map-only child probe (zero child-side "
+                        "shuffle; reported orphans exact, a pass may miss "
+                        "~fpp of true orphans — disclosed in the run log)")
     t.add_argument("--pctl-mode", default="exact", choices=["exact", "sketch"],
                    help="exact: percentile_approx (GK) + a dedicated global pass "
                         "when partitioned; sketch: mergeable t-digests that "

@@ -86,6 +86,16 @@ class ValidationConfig:
     # 2^lgk-bucket sketch per partition and unions them losslessly.
     unique_mode: str = "exact"
     unique_hll_lgk: int = 14  # 2^14 buckets: rsd ~0.8%, ~16 KB sketch/partition
+    # referential-integrity strategy: "exact" anti-joins child vs parent keys
+    # (broadcast when the parent fits, else sort-merge — the child table
+    # shuffles); "approx" folds the parent keys into ONE Bloom bitset and
+    # probes child membership MAP-ONLY (zero child-side shuffle at 10^12
+    # rows). One-sided semantics, disclosed in the run log + diagnostics:
+    # every reported orphan is real (no bloom false negatives), a pass may
+    # miss each true orphan with probability ~fpp (~0.8% at 10 bits/key).
+    # Falls back to exact when the bitset would exceed the broadcast budget.
+    reference_mode: str = "exact"
+    reference_bloom_max_bytes: int = 256 << 20  # 256 MB ~ 1.7e8 parent keys
     # percentile (pNN) strategy: "exact" uses percentile_approx (GK sketch)
     # in the shared scan + a dedicated global pass when partitioned (GK
     # results don't merge on the driver); "sketch" builds mergeable
@@ -1992,9 +2002,6 @@ class Validator:
             return {"error": f"parent table {parent_name} not provided"}
         if parent_field not in parent.columns:
             return {"error": f"parent column {parent_field} missing in {parent_name}"}
-        keys = parent.select(F.col(parent_field).alias("__parent_key")).distinct()
-        if self.config.broadcast_references:
-            keys = F.broadcast(keys)
         child_col = chk.field
         flt = chk.params.get("filter")
         if flt:
@@ -2002,12 +2009,27 @@ class Validator:
             # resolve (filter applied before the anti-join, so pushdown
             # shrinks the probe side)
             df = df.filter(F.expr(flt))
-        # alias so dotted (nested-struct) paths keep a stable key column name
+        diagnostics = None
+        orphans = None
+        if self.config.reference_mode == "approx":
+            built = self._reference_bloom_orphans(df, chk, parent,
+                                                  parent_field, child_col)
+            if built is not None:
+                orphans, diagnostics = built
+            # else: bloom over budget — fall through to the exact anti-join
+        if orphans is None:
+            keys = parent.select(
+                F.col(parent_field).alias("__parent_key")).distinct()
+            if self.config.broadcast_references:
+                keys = F.broadcast(keys)
+            # alias so dotted (nested-struct) paths keep a stable key column
+            # name
+            orphans = df.select(F.col(child_col).alias("__child")).filter(
+                F.col("__child").isNotNull()
+            ).join(keys, on=F.col("__child") == F.col("__parent_key"),
+                   how="left_anti")
         from pyspark import StorageLevel
 
-        orphans = df.select(F.col(child_col).alias("__child")).filter(
-            F.col("__child").isNotNull()
-        ).join(keys, on=F.col("__child") == F.col("__parent_key"), how="left_anti")
         # Reduce to (orphan value, row count) before any action: the grouped
         # frame is bounded by DISTINCT orphan values (map-side partial agg),
         # so persisting it is cheap even when billions of rows are orphaned —
@@ -2044,7 +2066,58 @@ class Validator:
                 vio_rows = vio.collect()
         finally:
             grouped.unpersist()
-        return {"metric": metric, "vio_rows": vio_rows}
+        out = {"metric": metric, "vio_rows": vio_rows}
+        if diagnostics:
+            out["diagnostics"] = diagnostics
+        return out
+
+    def _reference_bloom_orphans(self, df: DataFrame, chk: CompiledCheck,
+                                 parent: DataFrame, parent_field: str,
+                                 child_col: str):
+        """Approx referential path (``reference_mode="approx"``): parent keys
+        fold into ONE Bloom bitset; child rows whose key is provably absent
+        are the orphans — the membership probe is MAP-ONLY, so the
+        10^12-row child table never shuffles (vs the exact path's anti-join,
+        whose sort-merge fallback shuffles every child row when the parent
+        outgrows broadcast).
+
+        Semantics are one-sided and disclosed: a Bloom filter has no false
+        negatives, so every reported orphan is REAL (a failing check is
+        proof); a passing check may miss each true orphan with probability
+        ~fpp (~0.8% at the 10 bits/key sizing). Use the exact mode for
+        certification; approx for the routine at-scale sweep — the same
+        exact/approx contract as unique_mode.
+
+        Returns (orphans_frame, diagnostics) or None when the bitset would
+        exceed ``reference_bloom_max_bytes`` (the broadcast budget — same
+        guard pattern as decontam's broadcast_max_grams), in which case the
+        caller falls back to the exact anti-join.
+        """
+        from . import bloomfilter as bf
+
+        n_est = int(parent.select(F.col(parent_field).alias("__v"))
+                    .filter(F.col("__v").isNotNull())
+                    .agg(F.approx_count_distinct("__v").alias("n"))
+                    .first()["n"] or 0)
+        m_projected = bf._size_bits(max(1, int(n_est * 1.2)))
+        if m_projected // 8 > self.config.reference_bloom_max_bytes:
+            self.run.log_info(
+                f"{chk.key}: approx reference mode fell back to the exact "
+                f"anti-join — parent bloom would need "
+                f"{m_projected // 8} bytes for ~{n_est} keys "
+                f"(budget {self.config.reference_bloom_max_bytes})")
+            return None
+        m, k, n_b, bits = bf.build_column_bloom(parent, parent_field)
+        fpp = bf.bloom_fpp(m, k, n_b)
+        self.run.log_info(
+            f"{chk.key}: approx reference mode — {m // 8}-byte parent bloom "
+            f"over ~{n_b} keys, child probe map-only; reported orphans are "
+            f"exact, missed-orphan probability ~{fpp:.2%} per row")
+        orphans = bf.non_members(
+            df.select(F.col(child_col).alias("__child")), "__child", m, k, bits)
+        diagnostics = {"approx": True, "bloom_bytes": m // 8,
+                       "bloom_fpp": fpp, "parent_keys_est": n_b}
+        return orphans, diagnostics
 
     def _record_reference(self, chk: CompiledCheck, res: dict) -> None:
         if "error" in res:
@@ -2052,7 +2125,8 @@ class Validator:
             return
         metric = res["metric"]
         result, reason = chk.eval_metric(metric, {})
-        self._record(chk, metric, result, reason, None)
+        self._record(chk, metric, result, reason, None,
+                     diagnostics=res.get("diagnostics"))
         if res["vio_rows"]:
             self._violation_frames.append(
                 self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))
