@@ -218,25 +218,37 @@ def prune_files(
 # ---------------------------------------------------------------------------
 
 def build_column_bloom(df: DataFrame, col: str, *,
-                       max_partials: int = 64) -> Tuple[int, int, int, bytes]:
+                       max_bytes: Optional[int] = None,
+                       reduce_partials: int = 8
+                       ) -> Tuple[int, int, int, Optional[bytes]]:
     """One distributed pass folds every non-null value of ``col`` into a
     single Bloom bitset -> (m, k, n_est, bits).
 
     Sizing uses ``approx_count_distinct`` (a partial-agg job, no key
     shuffle); duplicates in the input just re-set the same bits, so the
-    build reads the RAW column — no distinct shuffle either. Hashing is JVM
-    codegen (F.hash / F.xxhash64); each partition folds its hashes into a
-    partial bitset in one Arrow pass, partials are coalesced to at most
-    ``max_partials`` so the driver ORs a bounded number of m/8-byte arrays
-    regardless of input partition count.
+    build reads the RAW column — no distinct shuffle either. When
+    ``max_bytes`` is given and the sized bitset would exceed it, returns
+    ``bits=None`` WITHOUT scanning again — the caller owns the fallback
+    (and can log with the projected m / n_est). Sizing lives here only, so
+    the budget check and the build can never disagree.
+
+    Hashing is JVM codegen (F.hash / F.xxhash64) at FULL scan parallelism:
+    each input partition folds its hashes into one partial bitset row
+    (m/8 bytes) in a single Arrow pass, the partial rows — tiny relative to
+    the scan — shuffle down to ``reduce_partials`` tasks for a tree OR, and
+    the driver ORs at most that many arrays. No coalesce narrows the scan
+    stage (a coalesce would cap the hash+fold work at the partial count —
+    exactly wrong on the big-parent case this serves).
     """
     src = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
     n_est = int(src.agg(
         F.approx_count_distinct("__v").alias("n")).first()["n"] or 0)
     m = _size_bits(max(1, int(n_est * 1.2)))  # headroom for ACD underestimate
     k = NUM_HASHES
+    if max_bytes is not None and m // 8 > max_bytes:
+        return m, k, n_est, None
     hashes = src.select(F.hash("__v").alias("h1"),
-                        F.xxhash64("__v").alias("h2")).coalesce(max_partials)
+                        F.xxhash64("__v").alias("h2"))
 
     def fold(batches):
         bits = np.zeros(m // 8, dtype=np.uint8)
@@ -248,8 +260,18 @@ def build_column_bloom(df: DataFrame, col: str, *,
                 np.bitwise_or(bits, partial, out=bits)
         yield pd.DataFrame({"bits": [bits.tobytes()]})
 
+    def fold_or(batches):
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for pdf in batches:
+            for b in pdf["bits"]:
+                bits |= np.frombuffer(b, dtype=np.uint8)
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    partials = hashes.mapInPandas(fold, schema="bits binary")
+    reduced = partials.repartition(reduce_partials).mapInPandas(
+        fold_or, schema="bits binary")
     out = np.zeros(m // 8, dtype=np.uint8)
-    for r in hashes.mapInPandas(fold, schema="bits binary").collect():
+    for r in reduced.collect():
         out |= np.frombuffer(r["bits"], dtype=np.uint8)
     return m, k, n_est, out.tobytes()
 
@@ -273,6 +295,14 @@ def non_members(df: DataFrame, col: str, m: int, k: int,
     Arrow pass against the broadcast bitset — the 10^12-row child side of a
     referential check never shuffles. Output column: ``__child`` (original
     type preserved).
+
+    Spark never GCs broadcasts on long-lived sessions, so the bitset
+    broadcast is exposed as ``out._dcspark_broadcast`` — destroy it once
+    every action on the frame (and anything derived from it) has run.
+
+    F.hash/F.xxhash64 are TYPE-dependent (int32 and int64 hash differently
+    under Murmur3 — see probe_hashes): the caller must cast ``col`` to the
+    exact type the bloom was built from, or every row reports non-member.
     """
     from pyspark.sql import types as _T
 
@@ -298,4 +328,6 @@ def non_members(df: DataFrame, col: str, m: int, k: int,
             if len(out):
                 yield out
 
-    return hashes.mapInPandas(probe, schema=out_schema)
+    result = hashes.mapInPandas(probe, schema=out_schema)
+    result._dcspark_broadcast = bc
+    return result

@@ -369,29 +369,32 @@ def _resolve_where(args: argparse.Namespace, spec) -> dict:
     return {model: args.where}
 
 
-#: CompiledCheck.kind -> which Spark job executes it (the dry-run's summary
-#: of the engine's batching: engine._run_model groups exactly these ways)
+#: CompiledCheck.kind -> (Spark JOB identity, variant detail) — the dry-run's
+#: summary of the engine's batching (engine._run_model groups exactly these
+#: ways). The job identity decides row grouping in the printed jobs table
+#: (same identity = genuinely the same Spark job); the detail is the
+#: per-variant annotation printed beneath when a job carries several.
 _EXEC_SHAPE = {
-    "schema_present": "driver-only schema check (no scan)",
-    "schema_type": "driver-only schema check (no scan)",
-    "agg": "shared multi-aggregate scan (one pass for ALL agg checks)",
-    "freshness": "shared multi-aggregate scan (one pass for ALL agg checks)",
-    "retention": "shared multi-aggregate scan (one pass for ALL agg checks)",
-    "unique": "dedicated exact-uniqueness job (two-phase salted groupBy)",
-    "reference": "anti-join vs the parent table (broadcast when it fits)",
-    "join_equality": "key-join equality vs the reference table",
-    "sql": "user SQL job",
-    "group": "dedicated groupBy job",
-    "drift": "binned aggregate vs --ref-stats snapshot",
-    "history": "metric-history window read (results table)",
-    "audio": "fused audio decode pass (ONE mapInArrow payload scan shared "
-             "by every audio rule)",
-    "audio_quality": "fused audio decode pass (feature bounds ride it)",
-    "image": "fused image decode pass (one mapInArrow payload scan)",
-    "image_fp": "fused image decode pass",
-    "image_drift": "fused image decode pass",
-    "image_quality": "fused image decode pass",
-    "video": "fused video decode pass (one mapInArrow payload scan)",
+    "schema_present": ("driver-only schema check (no scan)", None),
+    "schema_type": ("driver-only schema check (no scan)", None),
+    "agg": ("shared multi-aggregate scan", "one pass for ALL agg checks"),
+    "freshness": ("shared multi-aggregate scan", "freshness rides the shared pass"),
+    "retention": ("shared multi-aggregate scan", "retention rides the shared pass"),
+    "unique": ("dedicated exact-uniqueness job (two-phase salted groupBy)", None),
+    "reference": ("anti-join vs the parent table (broadcast when it fits)", None),
+    "join_equality": ("key-join equality vs the reference table", None),
+    "sql": ("user SQL job", None),
+    "group": ("dedicated groupBy job", None),
+    "drift": ("binned aggregate vs --ref-stats snapshot", None),
+    "history": ("metric-history window read (results table)", None),
+    "audio": ("fused audio decode pass",
+              "ONE mapInArrow payload scan shared by every audio rule"),
+    "audio_quality": ("fused audio decode pass", "feature bounds ride it"),
+    "image": ("fused image decode pass", "one mapInArrow payload scan"),
+    "image_fp": ("fused image decode pass", "content-uniqueness rides it"),
+    "image_drift": ("fused image decode pass", "feature histograms ride it"),
+    "image_quality": ("fused image decode pass", "feature bounds ride it"),
+    "video": ("fused video decode pass (one mapInArrow payload scan)", None),
 }
 
 
@@ -449,58 +452,63 @@ def _test_dry_run(spec, args: argparse.Namespace) -> int:
             partition_resume_active=resume_active,
         ))
 
-        def shape_of(c) -> str:
+        def shape_of(c) -> tuple:
+            """(job identity, variant detail): identity decides grouping —
+            same identity means genuinely the same Spark job; jobs that are
+            SEPARATE per check (dedicated fp jobs with different reasons)
+            carry the reason in the IDENTITY so they never merge."""
             if c.kind == "unique":
                 if id(c) in approx_unique:
-                    return ("shared multi-aggregate scan (HLL approx-distinct "
-                            "sketch — --unique-mode approx)")
+                    return ("shared multi-aggregate scan",
+                            "HLL approx-distinct sketch — --unique-mode approx")
                 return _EXEC_SHAPE["unique"]
             if c.kind == "reference":
                 if (getattr(args, "reference_mode", "exact") or "exact") == "approx":
                     return ("parent Bloom bitset + MAP-ONLY child membership "
                             "probe (--reference-mode approx; falls back to "
-                            "the exact anti-join over the bitset budget)")
+                            "the exact anti-join over the bitset budget)", None)
                 return _EXEC_SHAPE["reference"]
             if c.kind == "audio_fp":
                 if id(c) in fused_fp:
-                    return ("fused audio decode pass (fingerprints ride the "
-                            "same scan)")
+                    return ("fused audio decode pass",
+                            "fingerprints ride the same scan")
                 why = ("checkpoint-resume active" if resume_active
                        else "custom bytes_col"
                        if c.params.get("bytes_col", BYTES_COL) != BYTES_COL
                        else "no co-running audio scan")
-                return f"dedicated fingerprint decode job ({why})"
+                return (f"dedicated fingerprint decode job ({why})", None)
             if c.kind == "audio_drift":
                 if audio_scan_will_run:
-                    return ("fused audio decode pass (feature histograms ride "
-                            "it IF the --ref-stats snapshot carries the "
-                            "feature)")
+                    return ("fused audio decode pass",
+                            "feature histograms ride it IF the --ref-stats "
+                            "snapshot carries the feature")
                 return ("skipped unless --ref-stats provides the feature "
-                        "snapshot (then rides a fused decode pass)")
-            return _EXEC_SHAPE.get(c.kind, f"dedicated job ({c.kind})")
+                        "snapshot (then rides a fused decode pass)", None)
+            return _EXEC_SHAPE.get(c.kind, (f"dedicated job ({c.kind})", None))
 
-        # group by the pre-parenthetical prefix — one Spark job, one row
-        # (kind 'audio', 'audio_quality', and fused fp all ride the SAME
-        # fused decode pass; approx-unique rides the shared scan) — with the
-        # conditional variants as indented sub-lines so the predicate-derived
-        # detail stays visible without overstating the job count
+        # one printed row per JOB IDENTITY (the same-job batchings — fused
+        # decode pass, shared scan — merge; genuinely separate jobs never
+        # do), with per-variant detail as indented sub-lines when a job
+        # carries more than one
         by_job: dict = {}
         for c in checks:
-            full = shape_of(c)
-            prefix = full.split(" (")[0]
-            by_job.setdefault(prefix, {}).setdefault(full, []).append(c)
+            job, detail = shape_of(c)
+            by_job.setdefault(job, {}).setdefault(detail, []).append(c)
         print("  jobs:")
-        for prefix, variants in sorted(
+        for job, variants in sorted(
                 by_job.items(), key=lambda kv: -sum(len(v) for v in kv[1].values())):
             total_n = sum(len(v) for v in variants.values())
-            if len(variants) == 1:
-                print(f"    {total_n:3d}  {next(iter(variants))}")
+            details = [d for d in variants if d is not None]
+            if not details:
+                print(f"    {total_n:3d}  {job}")
                 continue
-            print(f"    {total_n:3d}  {prefix}")
-            for full, cs in sorted(variants.items(), key=lambda kv: -len(kv[1])):
-                detail = full[len(prefix):].strip()
-                if detail:
-                    print(f"         {len(cs):3d}x {detail}")
+            if len(variants) == 1:
+                print(f"    {total_n:3d}  {job} ({details[0]})")
+                continue
+            print(f"    {total_n:3d}  {job}")
+            for detail, cs in sorted(variants.items(),
+                                     key=lambda kv: -len(kv[1])):
+                print(f"         {len(cs):3d}x ({detail or 'base job'})")
         print("  checks:")
         for c in checks:
             line = f"    [{c.kind:>14s}] {c.key}"

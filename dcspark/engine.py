@@ -2066,6 +2066,16 @@ class Validator:
                 vio_rows = vio.collect()
         finally:
             grouped.unpersist()
+            # approx path: the bitset broadcast is only needed while the
+            # probe can still (re-)run — after grouped is unpersisted nothing
+            # derives from it, and Spark never GCs broadcasts on long-lived
+            # sessions (a bench loop would accumulate one per check run)
+            bc = getattr(orphans, "_dcspark_broadcast", None)
+            if bc is not None:
+                try:
+                    bc.destroy()
+                except Exception:  # noqa: BLE001 — cleanup must never mask results
+                    pass
         out = {"metric": metric, "vio_rows": vio_rows}
         if diagnostics:
             out["diagnostics"] = diagnostics
@@ -2095,26 +2105,30 @@ class Validator:
         """
         from . import bloomfilter as bf
 
-        n_est = int(parent.select(F.col(parent_field).alias("__v"))
-                    .filter(F.col("__v").isNotNull())
-                    .agg(F.approx_count_distinct("__v").alias("n"))
-                    .first()["n"] or 0)
-        m_projected = bf._size_bits(max(1, int(n_est * 1.2)))
-        if m_projected // 8 > self.config.reference_bloom_max_bytes:
+        m, k, n_b, bits = bf.build_column_bloom(
+            parent, parent_field,
+            max_bytes=self.config.reference_bloom_max_bytes)
+        if bits is None:
             self.run.log_info(
                 f"{chk.key}: approx reference mode fell back to the exact "
-                f"anti-join — parent bloom would need "
-                f"{m_projected // 8} bytes for ~{n_est} keys "
-                f"(budget {self.config.reference_bloom_max_bytes})")
+                f"anti-join — parent bloom would need {m // 8} bytes for "
+                f"~{n_b} keys (budget {self.config.reference_bloom_max_bytes})")
             return None
-        m, k, n_b, bits = bf.build_column_bloom(parent, parent_field)
         fpp = bf.bloom_fpp(m, k, n_b)
         self.run.log_info(
             f"{chk.key}: approx reference mode — {m // 8}-byte parent bloom "
             f"over ~{n_b} keys, child probe map-only; reported orphans are "
             f"exact, missed-orphan probability ~{fpp:.2%} per row")
+        # F.hash/xxhash64 are type-dependent: the child key MUST hash as the
+        # parent key's exact type, or a benign int32-vs-int64 FK pairing
+        # (parquet writers disagree on key widths all the time) would report
+        # EVERY child row as an orphan — the false-positive outcome the
+        # mode's one-sided contract promises cannot happen. The exact
+        # anti-join coerces implicitly; here the cast is explicit.
+        parent_type = parent.schema[parent_field].dataType
         orphans = bf.non_members(
-            df.select(F.col(child_col).alias("__child")), "__child", m, k, bits)
+            df.select(F.col(child_col).cast(parent_type).alias("__child")),
+            "__child", m, k, bits)
         diagnostics = {"approx": True, "bloom_bytes": m // 8,
                        "bloom_fpp": fpp, "parent_keys_est": n_b}
         return orphans, diagnostics

@@ -102,6 +102,22 @@ def test_budget_guard_falls_back_to_exact(spark):
                for l in res.run.logs)
 
 
+def test_key_type_mismatch_does_not_fabricate_orphans(spark):
+    """F.hash/xxhash64 are type-dependent (int32 and int64 hash differently
+    under Murmur3): an int-parent / long-child FK pairing — routine when two
+    parquet writers disagree on key widths — must NOT report every child row
+    as an orphan. The engine casts the child key to the parent key's exact
+    type before probing; the exact anti-join coerces implicitly, so both
+    modes must agree."""
+    parent = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    child = spark.range(400).select((F.col("id") % 100).cast("long").alias("a"))
+    exact = _run(spark, {"t": child, "p": parent}, reference_mode="exact")
+    approx = _run(spark, {"t": child, "p": parent}, reference_mode="approx")
+    assert _ref_check(exact).result == ResultEnum.passed
+    assert _ref_check(approx).result == ResultEnum.passed
+    assert _ref_check(approx).diagnostics["approx"] is True
+
+
 def test_null_children_are_not_orphans(spark):
     parent = spark.range(4).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
     child = spark.createDataFrame(
