@@ -526,12 +526,27 @@ def _test_dry_run(spec, args: argparse.Namespace) -> int:
     return 0
 
 
+def _resolve_mode_profile(args: argparse.Namespace) -> None:
+    """Fill unset per-check mode flags from --profile: certify = every check
+    exact (the defaults); sweep = the shuffle-light modes (approx unique +
+    approx reference + t-digest quantiles). An explicitly passed individual
+    flag always wins over the profile."""
+    sweep = getattr(args, "profile", "certify") == "sweep"
+    if getattr(args, "unique_mode", None) is None:
+        args.unique_mode = "approx" if sweep else "exact"
+    if getattr(args, "reference_mode", None) is None:
+        args.reference_mode = "approx" if sweep else "exact"
+    if getattr(args, "pctl_mode", None) is None:
+        args.pctl_mode = "sketch" if sweep else "exact"
+
+
 def cmd_test(args: argparse.Namespace) -> int:
     from .engine import ValidationConfig, validate
     from .io import load_tables, write_results
     from .output import exit_code, print_console, write_junit_xml
     from .spec import DataContractSpecification
 
+    _resolve_mode_profile(args)
     spec = DataContractSpecification.from_file(args.contract)
     if args.dry_run:
         return _test_dry_run(spec, args)
@@ -1515,16 +1530,23 @@ def main(argv: Optional[list] = None) -> int:
     t.add_argument("--quarantine-path", default=None,
                    help="also write FULL quarantined rows (row-local rules + "
                         "references, comma-joined reasons) per model here")
-    t.add_argument("--unique-mode", default="exact", choices=["exact", "approx"],
+    t.add_argument("--profile", default="certify", choices=["certify", "sweep"],
+                   help="mode preset: certify (default) = every check exact "
+                        "(anti-joins, key-shuffle uniqueness, GK quantiles); "
+                        "sweep = the shuffle-light routine-sweep modes in one "
+                        "flag (--unique-mode approx + --reference-mode approx "
+                        "+ --pctl-mode sketch, each individually overridable; "
+                        "approximations disclosed in the run log)")
+    t.add_argument("--unique-mode", default=None, choices=["exact", "approx"],
                    help="exact: dedicated groupBy job certifies zero duplicates; "
                         "approx: HLL sketch in the shared scan (no key shuffle)")
-    t.add_argument("--reference-mode", default="exact",
+    t.add_argument("--reference-mode", default=None,
                    choices=["exact", "approx"],
                    help="exact: anti-join child vs parent keys; approx: parent "
                         "Bloom bitset + map-only child probe (zero child-side "
                         "shuffle; reported orphans exact, a pass may miss "
                         "~fpp of true orphans — disclosed in the run log)")
-    t.add_argument("--pctl-mode", default="exact", choices=["exact", "sketch"],
+    t.add_argument("--pctl-mode", default=None, choices=["exact", "sketch"],
                    help="exact: percentile_approx (GK) + a dedicated global pass "
                         "when partitioned; sketch: mergeable t-digests that "
                         "checkpoint with the manifest (resume never rescans)")

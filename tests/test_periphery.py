@@ -959,6 +959,29 @@ def test_cli_dry_run_shapes_track_engine_predicates(capsys, tmp_path):
     assert "fused audio decode pass" in out
 
 
+def test_cli_profile_sweep_gangs_shuffle_light_modes(capsys):
+    """--profile sweep = approx unique + approx reference + t-digest
+    quantiles in one flag; an explicit individual flag overrides it."""
+    from dcspark.cli import main
+
+    main(["test", "contracts/audio_clips.yaml", "--dry-run",
+          "--profile", "sweep"])
+    out = capsys.readouterr().out
+    assert "HLL approx-distinct" in out
+    assert "Bloom bitset" in out
+
+    main(["test", "contracts/audio_clips.yaml", "--dry-run",
+          "--profile", "sweep", "--unique-mode", "exact"])
+    out = capsys.readouterr().out
+    assert "HLL approx-distinct" not in out   # explicit flag wins
+    assert "Bloom bitset" in out              # profile still covers the rest
+
+    # default profile (certify) keeps every check exact
+    main(["test", "contracts/audio_clips.yaml", "--dry-run"])
+    out = capsys.readouterr().out
+    assert "HLL" not in out and "Bloom bitset" not in out
+
+
 def test_cli_test_dry_run_rejects_bad_model(capsys):
     from dcspark.cli import main
 
