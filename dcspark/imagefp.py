@@ -214,11 +214,17 @@ def near_dup_pairs_from_fp(
          .select("id", "dhash",
                  F.posexplode(_block_keys("dhash")).alias("__bi", "__k")))
     if max_bucket is not None:
-        from pyspark.sql import Window
-
-        t = (t.withColumn("_bc", F.count(F.lit(1)).over(
-                Window.partitionBy("__bi", "__k")))
-             .filter(F.col("_bc") <= max_bucket).drop("_bc"))
+        # hot-key anti-join (the textops.lsh_candidate_pairs pattern, used
+        # for every CORPUS-side bucket cap): a groupBy count shuffles only
+        # map-side-combined (block, key) partials and the surviving hot-key
+        # frame broadcasts, where a window count would shuffle AND SORT all
+        # 4 exploded rows per image — including the degenerate hot mass the
+        # cap exists to drop
+        hot = (t.groupBy("__bi", "__k")
+               .agg(F.count(F.lit(1)).alias("_bc"))
+               .filter(F.col("_bc") > max_bucket)
+               .select("__bi", "__k"))
+        t = t.join(hot, on=["__bi", "__k"], how="left_anti")
     # both self-join sides read t: persist the tiny (id, dhash, block-key)
     # frame so the fingerprint lineage (a decode pass when fp is unpersisted)
     # evaluates once, not twice (plan-gated)
@@ -399,8 +405,6 @@ def video_fp_near_dup(
     verify exact Hamming on candidates, then score per pair as
     matched distinct frame hashes / min(|A|, |B|) (a clip embedded in a
     longer cut still scores high)."""
-    from pyspark.sql import Window
-
     # uniq feeds both join sides (via t) and the per-clip counts: persist so
     # the frame-hash lineage (a video decode pass when fp is unpersisted)
     # evaluates once, not 3x (plan-gated)
@@ -409,9 +413,13 @@ def video_fp_near_dup(
     t = uniq.select("clip_id", "hash",
                     F.posexplode(_block_keys("hash")).alias("__bi", "__k"))
     if max_bucket is not None:
-        t = (t.withColumn("_bc", F.count(F.lit(1)).over(
-                Window.partitionBy("__bi", "__k")))
-             .filter(F.col("_bc") <= max_bucket).drop("_bc"))
+        # corpus-side hot-key anti-join (see near_dup_pairs_from_fp): counts
+        # shuffle map-side-combined, no full-row sort of the frame-hash mass
+        hot = (t.groupBy("__bi", "__k")
+               .agg(F.count(F.lit(1)).alias("_bc"))
+               .filter(F.col("_bc") > max_bucket)
+               .select("__bi", "__k"))
+        t = t.join(hot, on=["__bi", "__k"], how="left_anti")
     a_, b_ = t.alias("a"), t.alias("b")
     cand = (a_.join(b_, on=["__bi", "__k"])
             .filter(F.col("a.clip_id") < F.col("b.clip_id"))

@@ -161,18 +161,20 @@ def _block_candidates(
     dropped from that block's join — an over-full bucket is non-discriminative
     (degenerate mass: all-zero vectors, exact-dup survivors) and would emit
     k² pairs. Rows dropped from one block still participate in the others.
-    The windowed count partitions by the same key the join shuffles on, so
-    the guard reuses the join's exchange rather than adding one."""
+    The guard is the hot-key anti-join used by every corpus-side bucket cap
+    (textops.lsh_candidate_pairs): a groupBy count shuffles only
+    map-side-combined (key, count) partials and the tiny hot-key frame
+    broadcasts — a window count would shuffle AND SORT every corpus row per
+    block, including the degenerate mass the cap exists to drop."""
     cands = None
     for b in range(n_blocks):
         side = keyed.select("vec_id", f"b{b}")
         if max_bucket is not None:
-            w = Window.partitionBy(f"b{b}")
-            side = (
-                side.withColumn("_bc", F.count(F.lit(1)).over(w))
-                .filter(F.col("_bc") <= max_bucket)
-                .drop("_bc")
-            )
+            hot = (side.groupBy(f"b{b}")
+                   .agg(F.count(F.lit(1)).alias("_bc"))
+                   .filter(F.col("_bc") > max_bucket)
+                   .select(f"b{b}"))
+            side = side.join(hot, on=f"b{b}", how="left_anti")
         c = (
             side.alias("a").join(side.alias("b"), on=f"b{b}")
             .filter(F.col("a.vec_id") < F.col("b.vec_id"))
