@@ -286,7 +286,7 @@ def bloom_fpp(m: int, k: int, n: int) -> float:
 
 
 def non_members(df: DataFrame, col: str, m: int, k: int,
-                bits: bytes) -> DataFrame:
+                bits: bytes, keep_cols: Sequence[str] = ()) -> DataFrame:
     """Rows of ``df`` whose non-null ``col`` is PROVABLY absent from the
     bloom — a bloom has no false negatives, so every returned row is a true
     non-member; a member-reported row is wrong with probability fpp only.
@@ -303,20 +303,22 @@ def non_members(df: DataFrame, col: str, m: int, k: int,
     F.hash/F.xxhash64 are TYPE-dependent (int32 and int64 hash differently
     under Murmur3 — see probe_hashes): the caller must cast ``col`` to the
     exact type the bloom was built from, or every row reports non-member.
+
+    ``keep_cols`` pass through unchanged beside ``__child`` (e.g. a
+    partition column for per-partition orphan attribution).
     """
     from pyspark.sql import types as _T
 
-    child_field = None
-    for f in df.select(F.col(col).alias("__child")).schema.fields:
-        child_field = f
-    hashes = (
-        df.select(F.col(col).alias("__child"))
-        .filter(F.col("__child").isNotNull())
-        .select("__child", F.hash("__child").alias("h1"),
-                F.xxhash64("__child").alias("h2"))
-    )
+    keep = list(keep_cols)
+    sel = [F.col(col).alias("__child")] + [F.col(c) for c in keep]
+    base = df.select(*sel).filter(F.col("__child").isNotNull())
+    fields = list(base.schema.fields)
+    hashes = base.select("__child", *keep,
+                         F.hash("__child").alias("h1"),
+                         F.xxhash64("__child").alias("h2"))
     bc = df.sparkSession.sparkContext.broadcast(bits)
-    out_schema = _T.StructType([child_field])
+    out_schema = _T.StructType(fields)
+    out_cols = ["__child"] + keep
 
     def probe(batches):
         for pdf in batches:
@@ -324,7 +326,7 @@ def non_members(df: DataFrame, col: str, m: int, k: int,
                 continue
             member = _test_bits(bc.value, m, k,
                                 pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
-            out = pdf.loc[~member, ["__child"]]
+            out = pdf.loc[~member, out_cols]
             if len(out):
                 yield out
 

@@ -2009,11 +2009,16 @@ class Validator:
             # resolve (filter applied before the anti-join, so pushdown
             # shrinks the probe side)
             df = df.filter(F.expr(flt))
+        part_col = self.config.partition_col if (
+            self.config.partition_col
+            and self.config.partition_col in df.columns
+            and self.config.partition_col != child_col) else None
         diagnostics = None
         orphans = None
         if self.config.reference_mode == "approx":
             built = self._reference_bloom_orphans(df, chk, parent,
-                                                  parent_field, child_col)
+                                                  parent_field, child_col,
+                                                  part_col)
             if built is not None:
                 orphans, diagnostics = built
             # else: bloom over budget — fall through to the exact anti-join
@@ -2023,41 +2028,56 @@ class Validator:
             if self.config.broadcast_references:
                 keys = F.broadcast(keys)
             # alias so dotted (nested-struct) paths keep a stable key column
-            # name
-            orphans = df.select(F.col(child_col).alias("__child")).filter(
+            # name; the partition column rides along for per-partition
+            # orphan attribution
+            sel = [F.col(child_col).alias("__child")]
+            if part_col:
+                sel.append(F.col(part_col))
+            orphans = df.select(*sel).filter(
                 F.col("__child").isNotNull()
             ).join(keys, on=F.col("__child") == F.col("__parent_key"),
                    how="left_anti")
         from pyspark import StorageLevel
 
-        # Reduce to (orphan value, row count) before any action: the grouped
-        # frame is bounded by DISTINCT orphan values (map-side partial agg),
-        # so persisting it is cheap even when billions of rows are orphaned —
-        # and both the exact row-level metric and the capped per-row example
-        # sample derive from it without re-running the anti-join (the full
-        # child-table shuffle) a second time.
-        grouped = orphans.groupBy("__child").agg(
+        # Reduce to (orphan value[, partition], row count) before any action:
+        # the grouped frame is bounded by DISTINCT orphan values (map-side
+        # partial agg), so persisting it is cheap even when billions of rows
+        # are orphaned — and the exact row-level metric, the per-partition
+        # rollup, and the capped per-row example sample all derive from it
+        # without re-running the anti-join (the full child-table shuffle) a
+        # second time.
+        gcols = ["__child"] + ([part_col] if part_col else [])
+        grouped = orphans.groupBy(*gcols).agg(
             F.count(F.lit(1)).alias("__cnt")
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             metric = float(
                 grouped.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n")).first()["n"]
             )
+            part_metrics = None
+            if part_col:
+                part_metrics = {
+                    str(r[part_col]): float(r["n"])
+                    for r in grouped.groupBy(part_col)
+                    .agg(F.sum("__cnt").alias("n")).collect()
+                }
             vio_rows = None
             if metric > 0:
                 cap = self.config.violation_cap
                 # per-row violation semantics preserved: a value orphaned k
                 # times contributes min(k, cap) example rows, capped overall
                 vio = grouped.select(
+                    (F.col(part_col).cast("string") if part_col
+                     else F.lit(None).cast("string")).alias("__part"),
                     F.explode(
                         F.array_repeat(
                             F.col("__child"),
                             F.least(F.col("__cnt"), F.lit(cap)).cast("int"),
                         )
-                    ).alias("__child")
+                    ).alias("__child"),
                 ).limit(cap).select(
                     F.lit(self.run.runId).alias("run_id"),
-                    F.lit(None).cast("string").alias("partition_id"),
+                    F.col("__part").alias("partition_id"),
                     F.lit(chk.key).alias("check_key"),
                     F.col("__child").cast("string").alias("clip_id"),
                     F.col("__child").cast("string").alias("observed"),
@@ -2076,14 +2096,16 @@ class Validator:
                     bc.destroy()
                 except Exception:  # noqa: BLE001 — cleanup must never mask results
                     pass
-        out = {"metric": metric, "vio_rows": vio_rows}
+        out = {"metric": metric, "vio_rows": vio_rows,
+               "part_metrics": part_metrics}
         if diagnostics:
             out["diagnostics"] = diagnostics
         return out
 
     def _reference_bloom_orphans(self, df: DataFrame, chk: CompiledCheck,
                                  parent: DataFrame, parent_field: str,
-                                 child_col: str):
+                                 child_col: str,
+                                 part_col: Optional[str] = None):
         """Approx referential path (``reference_mode="approx"``): parent keys
         fold into ONE Bloom bitset; child rows whose key is provably absent
         are the orphans — the membership probe is MAP-ONLY, so the
@@ -2126,9 +2148,12 @@ class Validator:
         # mode's one-sided contract promises cannot happen. The exact
         # anti-join coerces implicitly; here the cast is explicit.
         parent_type = parent.schema[parent_field].dataType
+        sel = [F.col(child_col).cast(parent_type).alias("__child")]
+        if part_col:
+            sel.append(F.col(part_col))
         orphans = bf.non_members(
-            df.select(F.col(child_col).cast(parent_type).alias("__child")),
-            "__child", m, k, bits)
+            df.select(*sel), "__child", m, k, bits,
+            keep_cols=[part_col] if part_col else ())
         diagnostics = {"approx": True, "bloom_bytes": m // 8,
                        "bloom_fpp": fpp, "parent_keys_est": n_b}
         return orphans, diagnostics
@@ -2141,6 +2166,14 @@ class Validator:
         result, reason = chk.eval_metric(metric, {})
         self._record(chk, metric, result, reason, None,
                      diagnostics=res.get("diagnostics"))
+        # per-partition orphan attribution (partition_col runs): partitions
+        # WITH orphans get their own failed row — the "which ingest
+        # partition went bad" answer; clean partitions are covered by the
+        # global row (enumerating them would need another child scan)
+        for pid, pm in sorted((res.get("part_metrics") or {}).items()):
+            if pm > 0:
+                pres, preason = chk.eval_metric(pm, {})
+                self._record(chk, pm, pres, preason, None, partition_id=pid)
         if res["vio_rows"]:
             self._violation_frames.append(
                 self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))

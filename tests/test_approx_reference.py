@@ -102,6 +102,34 @@ def test_budget_guard_falls_back_to_exact(spark):
                for l in res.run.logs)
 
 
+def test_per_partition_orphan_attribution(spark):
+    """With a partition column, BOTH modes attribute orphan counts to the
+    partitions that carry them (the 'which ingest partition went bad'
+    answer) and stamp partition_id on the violation rows; clean partitions
+    are covered by the global row."""
+    parent = spark.range(50).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    clean = spark.range(200).select(
+        F.concat(F.lit("key-"), F.col("id") % 50).alias("a"),
+        F.lit("p_good").alias("bucket"))
+    dirty = spark.range(8).select(
+        F.concat(F.lit("bad-"), F.col("id")).alias("a"),
+        F.lit("p_bad").alias("bucket"))
+    child = clean.unionByName(dirty)
+    for mode in ("exact", "approx"):
+        res = _run(spark, {"t": child, "p": parent},
+                   reference_mode=mode, partition_col="bucket")
+        rows = [r for r in res.results
+                if "reference" in r["check_key"]]
+        by_pid = {r["partition_id"]: r for r in rows}
+        assert by_pid[None]["metric_value"] == 8.0, (mode, by_pid)
+        assert by_pid["p_bad"]["metric_value"] == 8.0
+        assert "p_good" not in by_pid  # clean partition: global row covers it
+        vio_pids = {r["partition_id"] for r in res.violations.filter(
+            "check_key like '%reference%'").collect()}
+        assert vio_pids == {"p_bad"}, mode
+
+
 def test_key_type_mismatch_does_not_fabricate_orphans(spark):
     """F.hash/xxhash64 are type-dependent (int32 and int64 hash differently
     under Murmur3): an int-parent / long-child FK pairing — routine when two
