@@ -2188,9 +2188,17 @@ class Validator:
         key, child_col, ref_col = p["key"], p["child_col"], p["ref_col"]
         if key not in df.columns or child_col not in df.columns or key not in ref.columns or ref_col not in ref.columns:
             return {"error": "join/compare column missing"}
+        part_col = self.config.partition_col if (
+            self.config.partition_col
+            and self.config.partition_col in df.columns
+            and self.config.partition_col not in (key, child_col)) else None
         # inner equi-join on the key (rows absent from the reference are the
-        # referential check's concern, not equality's); null-safe inequality
-        joined = df.select(F.col(key).alias("__k"), F.col(child_col).alias("__child")).join(
+        # referential check's concern, not equality's); null-safe inequality;
+        # the partition column rides along for per-partition attribution
+        child_sel = [F.col(key).alias("__k"), F.col(child_col).alias("__child")]
+        if part_col:
+            child_sel.append(F.col(part_col))
+        joined = df.select(*child_sel).join(
             ref.select(F.col(key).alias("__k"), F.col(ref_col).alias("__ref")),
             on="__k", how="inner",
         )
@@ -2205,11 +2213,19 @@ class Validator:
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             metric = float(mismatch.count())
+            part_metrics = None
+            if part_col:
+                part_metrics = {
+                    str(r[part_col]): float(r["n"])
+                    for r in mismatch.groupBy(part_col)
+                    .agg(F.count(F.lit(1)).alias("n")).collect()
+                }
             vio_rows = None
             if metric > 0:
                 vio = mismatch.limit(self.config.violation_cap).select(
                     F.lit(self.run.runId).alias("run_id"),
-                    F.lit(None).cast("string").alias("partition_id"),
+                    (F.col(part_col).cast("string") if part_col
+                     else F.lit(None).cast("string")).alias("partition_id"),
                     F.lit(chk.key).alias("check_key"),
                     F.col("__k").cast("string").alias("clip_id"),
                     F.col("__child").cast("string").alias("observed"),
@@ -2218,7 +2234,8 @@ class Validator:
                 vio_rows = vio.collect()
         finally:
             mismatch.unpersist()
-        return {"metric": metric, "vio_rows": vio_rows}
+        return {"metric": metric, "vio_rows": vio_rows,
+                "part_metrics": part_metrics}
 
     def _record_join_equality(self, chk: CompiledCheck, res: dict) -> None:
         if "error" in res:
@@ -2227,6 +2244,12 @@ class Validator:
         metric = res["metric"]
         result, reason = chk.eval_metric(metric, {})
         self._record(chk, metric, result, reason, None)
+        # per-partition attribution, same contract as _record_reference:
+        # partitions WITH mismatches get their own failed row
+        for pid, pm in sorted((res.get("part_metrics") or {}).items()):
+            if pm > 0:
+                pres, preason = chk.eval_metric(pm, {})
+                self._record(chk, pm, pres, preason, None, partition_id=pid)
         if res["vio_rows"]:
             self._violation_frames.append(
                 self.spark.createDataFrame(res["vio_rows"], schema=VIOLATIONS_DDL))

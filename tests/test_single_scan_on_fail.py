@@ -136,6 +136,30 @@ def test_failing_join_equality_scans_child_once(spark):
     assert n_fail == n_pass
 
 
+def test_join_equality_partition_attribution(spark):
+    """With --partition-col, mismatching transcripts attribute to the
+    partitions carrying them (same contract as referential attribution)."""
+    from dcspark import DataContractSpecification
+
+    ref = spark.createDataFrame(
+        [(f"k{i}", f"text-{i}") for i in range(16)], "k string, txt string")
+    good = [(f"k{i}", f"text-{i}", "p_good") for i in range(8)]
+    bad = [(f"k{i}", "WRONG", "p_bad") for i in range(8, 16)]
+    child = spark.createDataFrame(good + bad, "k string, v string, bucket string")
+    spec = DataContractSpecification.from_string(JOIN_EQ_CONTRACT)
+    res = validate(spark, spec, {"t": child, "r": ref},
+                   ValidationConfig(partition_col="bucket"))
+    rows = [r for r in res.results
+            if "equal" in r["check_key"] or "join" in r["check_key"]]
+    by_pid = {r["partition_id"]: r for r in rows}
+    assert by_pid[None]["metric_value"] == 8.0
+    assert by_pid["p_bad"]["metric_value"] == 8.0
+    assert "p_good" not in by_pid
+    vio_pids = {r["partition_id"] for r in res.violations.collect()
+                if "equal" in r["check_key"] or "join" in r["check_key"]}
+    assert vio_pids == {"p_bad"}
+
+
 def test_failing_reference_scans_child_once(spark):
     schema = "a string"
     parent = None
