@@ -156,7 +156,16 @@ def _bucket_hash_value(v: Any, src_type: T.DataType) -> int:
         return murmur3_x86_32(struct.pack("<q", int(v)))
     if isinstance(src_type, (T.TimestampType, getattr(T, "TimestampNTZType", T.TimestampType))):
         if isinstance(v, datetime.datetime):
-            epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            # the spec hashes micros from the UTC epoch: anchoring the epoch
+            # to the VALUE's tzinfo made the same instant hash to different
+            # buckets depending on which zone expressed it (+05:00 vs UTC),
+            # silently pruning files that contain matching rows. Naive
+            # values are taken as UTC (Spark's TimestampNTZ convention).
+            if v.tzinfo is None:
+                epoch = datetime.datetime(1970, 1, 1)
+            else:
+                epoch = datetime.datetime(
+                    1970, 1, 1, tzinfo=datetime.timezone.utc)
             v = int((v - epoch).total_seconds() * 1_000_000)
         return murmur3_x86_32(struct.pack("<q", int(v)))
     if isinstance(src_type, T.BinaryType):
@@ -169,6 +178,23 @@ def _bucket_hash_value(v: Any, src_type: T.DataType) -> int:
 # ---------------------------------------------------------------------------
 
 _EPOCH = "1970-01-01"
+
+
+def _partition_values_equal(stored: Any, expect: Any) -> bool:
+    """Pruning equality between a manifest's stored partition value and the
+    transform of the caller's literal. A prune test must be CONSERVATIVE:
+    representation mismatches keep the file. Plain == first (covers same-type
+    and Python's int/float cross-type equality, so a stored 1.0 matches a
+    filter literal 1 — str comparison wrongly pruned that); then a numeric
+    coercion for numeric-string vs number pairs from hive-style dirs; only
+    then the loose string compare."""
+    if stored == expect:
+        return True
+    try:
+        return float(stored) == float(expect)
+    except (TypeError, ValueError):
+        pass
+    return str(stored) == str(expect)
 
 
 @dataclass(frozen=True)
@@ -239,6 +265,16 @@ class Transform:
         if v is None:
             return None
         if self.kind == "identity":
+            if isinstance(src_type, T.DateType):
+                # stored identity-date partition values are epoch-day
+                # ordinals (spec single-value representation); a date (or
+                # ISO string) filter literal must compare in that space
+                if isinstance(v, str):
+                    v = datetime.date.fromisoformat(v)
+                if isinstance(v, datetime.datetime):
+                    v = v.date()
+                if isinstance(v, datetime.date):
+                    return (v - datetime.date(1970, 1, 1)).days
             return v
         if self.kind == "void":
             return None
@@ -588,6 +624,12 @@ def truncate_upper(v: Any, ice_type: str) -> Any:
         pfx = v[:BOUND_TRUNCATION]
         for i in range(len(pfx) - 1, -1, -1):
             cp = ord(pfx[i])
+            if cp == 0xD7FF:
+                # successor would be a lone UTF-16 surrogate (D800-DFFF):
+                # unencodable in UTF-8 (serialize_bound would raise and
+                # abort the commit mid-append). Skip past the surrogate
+                # block — U+E000 > U+D7FF keeps the upper-bound invariant.
+                return pfx[:i] + "\ue000"
             if cp < 0x10FFFF:
                 return pfx[:i] + chr(cp + 1)
         return None
@@ -603,15 +645,19 @@ def truncate_upper(v: Any, ice_type: str) -> Any:
 
 
 def _collect_file_stats(
-    pq_path: str, fid_types: Dict[str, Tuple[int, str]]
+    pq_path: str, fid_types: Dict[str, Tuple[int, str]], meta=None
 ) -> Dict[str, list]:
     """Per-column metrics for one landed parquet file, straight from the
     footer the distributed write already produced (zero extra data scan,
     driver work is O(#row-groups · #columns)). Returns the four data_file
-    stats entries as Avro array-of-kv rows, keyed by Iceberg field-id."""
+    stats entries as Avro array-of-kv rows, keyed by Iceberg field-id.
+    ``meta`` lets the caller pass an already-parsed footer (the commit path
+    reads each footer exactly once across the zero-row check, record_count,
+    and stats)."""
     import pyarrow.parquet as pq
 
-    meta = pq.ParquetFile(pq_path).metadata
+    if meta is None:
+        meta = pq.ParquetFile(pq_path).metadata
     value_counts: Dict[int, int] = {}
     null_counts: Dict[int, int] = {}
     mins: Dict[int, Any] = {}
@@ -1250,7 +1296,11 @@ class IcebergTable:
                 if not name.endswith(".parquet"):
                     continue
                 src = os.path.join(root, name)
-                if pq.ParquetFile(src).metadata.num_rows == 0:
+                # ONE footer parse per file, reused for the zero-row check,
+                # record_count, and the column stats (the rename below does
+                # not touch the footer bytes)
+                fmeta = pq.ParquetFile(src).metadata
+                if fmeta.num_rows == 0:
                     continue  # e.g. compaction where every row was deleted
                 rel = os.path.relpath(root, staging)
                 # parse __ice_p_<field>=<value> dirs back into partition values
@@ -1274,7 +1324,21 @@ class IcebergTable:
                     raw = pvals.get(pf["name"])
                     if raw is None:
                         part_rec[pf["name"]] = None
-                    elif isinstance(rt, (T.IntegerType, T.LongType, T.DateType)):
+                    elif isinstance(rt, T.DateType):
+                        # Spark writes an identity date partition dir as the
+                        # ISO string ('__ice_p_d=2024-01-01'); the spec's
+                        # partition value for dates is days since epoch.
+                        # Transform outputs (e.g. day[ts] -> DateType) come
+                        # through as the integer day ordinal already.
+                        try:
+                            part_rec[pf["name"]] = int(raw)
+                        except ValueError:
+                            import datetime as _dtm
+
+                            d = _dtm.date.fromisoformat(raw)
+                            part_rec[pf["name"]] = (
+                                d - _dtm.date(1970, 1, 1)).days
+                    elif isinstance(rt, (T.IntegerType, T.LongType)):
                         part_rec[pf["name"]] = int(raw)
                     elif isinstance(rt, (T.FloatType, T.DoubleType)):
                         part_rec[pf["name"]] = float(raw)
@@ -1290,12 +1354,12 @@ class IcebergTable:
                     "file_path": "file://" + dest,
                     "file_format": "PARQUET",
                     "partition": part_rec,
-                    "record_count": pq.ParquetFile(dest).metadata.num_rows,
+                    "record_count": fmeta.num_rows,
                     "file_size_in_bytes": os.path.getsize(dest),
                     "sort_order_id": soid if sort_exprs else 0,
                 }
                 # column metrics from the footer the write already produced
-                dfile.update(_collect_file_stats(dest, fid_types))
+                dfile.update(_collect_file_stats(dest, fid_types, meta=fmeta))
                 files.append(dfile)
         shutil.rmtree(staging, ignore_errors=True)
         # bloom sidecar for the new files (table property `bloom.columns`):
@@ -1336,22 +1400,21 @@ class IcebergTable:
         return out
 
     def _new_snapshot(
-        self, md: dict, manifests: List[dict], operation: str,
+        self, md: dict, operation: str,
         added_files: int, added_rows: int, ts_ms: int,
         parent_id: Optional[int] = None,
     ) -> dict:
+        """Name a new snapshot (id, sequence, manifest-list PATH). The list
+        file is NOT written here: every commit path needs the snapshot id
+        before it can write its new manifest, so the final manifest set only
+        exists afterwards — `_finalize_manifest_list` writes the list ONCE
+        with that final set and fills the summary totals (previously each
+        caller wrote a stale list here and immediately rewrote it, with the
+        8-line rewrite block copy-pasted at six call sites)."""
         seq = md.get("last-sequence-number", 0) + 1
         snap_id = int(_uuid.uuid4().int % (1 << 62)) + 1
         ml_name = f"snap-{snap_id}-1-{_uuid.uuid4().hex}.avro"
         ml_path = os.path.join(self.meta_dir, ml_name)
-        blob = write_container(MANIFEST_LIST_SCHEMA, manifests, codec="deflate",
-                               sync_seed=ml_name)
-        with open(ml_path, "wb") as f:
-            f.write(blob)
-        total_rows = sum(m["added_rows_count"] + m["existing_rows_count"]
-                         for m in manifests if m["content"] == 0)
-        total_files = sum(m["added_files_count"] + m["existing_files_count"]
-                          for m in manifests if m["content"] == 0)
         snap = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
@@ -1362,8 +1425,6 @@ class IcebergTable:
                 "operation": operation,
                 "added-data-files": str(added_files),
                 "added-records": str(added_rows),
-                "total-records": str(total_rows),
-                "total-data-files": str(total_files),
             },
         }
         parent = (parent_id if parent_id is not None
@@ -1371,6 +1432,23 @@ class IcebergTable:
         if parent and parent != -1:
             snap["parent-snapshot-id"] = parent
         return snap
+
+    def _finalize_manifest_list(self, snap: dict,
+                                manifests: List[dict]) -> None:
+        """Write the snapshot's manifest list with the FINAL manifest set
+        and fill the content-0 totals in its summary."""
+        ml_path = self._local(snap["manifest-list"])
+        blob = write_container(MANIFEST_LIST_SCHEMA, manifests,
+                               codec="deflate",
+                               sync_seed=os.path.basename(ml_path))
+        with open(ml_path, "wb") as f:
+            f.write(blob)
+        snap["summary"]["total-data-files"] = str(
+            sum(m["added_files_count"] + m["existing_files_count"]
+                for m in manifests if m["content"] == 0))
+        snap["summary"]["total-records"] = str(
+            sum(m["added_rows_count"] + m["existing_rows_count"]
+                for m in manifests if m["content"] == 0))
 
     def _write_manifest(self, md: dict, entries: List[dict], snap_id: int,
                         seq: int, content: int,
@@ -1469,10 +1547,9 @@ class IcebergTable:
             _schema, rows = parse_container(f.read())
         return list(rows)
 
-    def _read_manifest(self, path: str) -> List[dict]:
-        with open(self._local(path), "rb") as f:
-            _schema, rows = parse_container(f.read())
-        return list(rows)
+    # same OCF container shape for both levels of the metadata tree — one
+    # reader, two names kept for call-site clarity
+    _read_manifest = _read_manifest_list
 
     def _read_manifest_full(
         self, path: str
@@ -1551,25 +1628,12 @@ class IcebergTable:
         entries = [{"status": 1, "data_file": f} for f in new_files]
         # carry prior manifests forward untouched (fast append)
         manifests = self._existing_manifests(md, branch)
-        snap = self._new_snapshot(md, manifests, "append", len(new_files),
+        snap = self._new_snapshot(md, "append", len(new_files),
                                   sum(f["record_count"] for f in new_files),
                                   ts, parent_id=parent_id)
         snap_id = snap["snapshot-id"]
         new_manifest = self._write_manifest(md, entries, snap_id, seq, content=0)
-        all_manifests = [new_manifest] + manifests
-        # rewrite the manifest list with the new manifest included
-        ml_path = self._local(snap["manifest-list"])
-        blob = write_container(MANIFEST_LIST_SCHEMA, all_manifests,
-                               codec="deflate",
-                               sync_seed=os.path.basename(ml_path))
-        with open(ml_path, "wb") as f:
-            f.write(blob)
-        snap["summary"]["total-data-files"] = str(
-            sum(m["added_files_count"] + m["existing_files_count"]
-                for m in all_manifests if m["content"] == 0))
-        snap["summary"]["total-records"] = str(
-            sum(m["added_rows_count"] + m["existing_rows_count"]
-                for m in all_manifests if m["content"] == 0))
+        self._finalize_manifest_list(snap, [new_manifest] + manifests)
         self._apply_commit(md, snap, ts, branch=branch)
         return snap_id
 
@@ -1582,19 +1646,11 @@ class IcebergTable:
         new_files = self._write_data_files(df, md)
         seq = md.get("last-sequence-number", 0) + 1
         entries = [{"status": 1, "data_file": f} for f in new_files]
-        snap = self._new_snapshot(md, [], "overwrite", len(new_files),
+        snap = self._new_snapshot(md, "overwrite", len(new_files),
                                   sum(f["record_count"] for f in new_files), ts)
         new_manifest = self._write_manifest(md, entries, snap["snapshot-id"],
                                             seq, content=0)
-        ml_path = self._local(snap["manifest-list"])
-        blob = write_container(MANIFEST_LIST_SCHEMA, [new_manifest],
-                               codec="deflate",
-                               sync_seed=os.path.basename(ml_path))
-        with open(ml_path, "wb") as f:
-            f.write(blob)
-        snap["summary"]["total-data-files"] = str(len(new_files))
-        snap["summary"]["total-records"] = str(
-            sum(f["record_count"] for f in new_files))
+        self._finalize_manifest_list(snap, [new_manifest])
         self._apply_commit(md, snap, ts)
         return snap["snapshot-id"]
 
@@ -1644,7 +1700,7 @@ class IcebergTable:
                 })
         shutil.rmtree(staging, ignore_errors=True)
         manifests = self._existing_manifests(md)
-        snap = self._new_snapshot(md, manifests, "delete", 0, 0, ts)
+        snap = self._new_snapshot(md, "delete", 0, 0, ts)
         if delete_files:
             entries = [{"status": 1, "data_file": f} for f in delete_files]
             del_manifest = self._write_manifest(md, entries,
@@ -1653,12 +1709,7 @@ class IcebergTable:
             all_manifests = [del_manifest] + manifests
         else:
             all_manifests = manifests
-        ml_path = self._local(snap["manifest-list"])
-        blob = write_container(MANIFEST_LIST_SCHEMA, all_manifests,
-                               codec="deflate",
-                               sync_seed=os.path.basename(ml_path))
-        with open(ml_path, "wb") as f:
-            f.write(blob)
+        self._finalize_manifest_list(snap, all_manifests)
         snap["summary"]["deleted-position-records"] = str(
             sum(f["record_count"] for f in delete_files))
         self._apply_commit(md, snap, ts)
@@ -1725,7 +1776,7 @@ class IcebergTable:
                                             eq_ids)
         seq = md.get("last-sequence-number", 0) + 1
         manifests = self._existing_manifests(md)
-        snap = self._new_snapshot(md, manifests, "delete", 0, 0, ts)
+        snap = self._new_snapshot(md, "delete", 0, 0, ts)
         if files:
             entries = [{"status": 1, "data_file": f} for f in files]
             del_manifest = self._write_manifest(md, entries,
@@ -1734,12 +1785,7 @@ class IcebergTable:
             all_manifests = [del_manifest] + manifests
         else:
             all_manifests = manifests
-        ml_path = self._local(snap["manifest-list"])
-        blob = write_container(MANIFEST_LIST_SCHEMA, all_manifests,
-                               codec="deflate",
-                               sync_seed=os.path.basename(ml_path))
-        with open(ml_path, "wb") as f:
-            f.write(blob)
+        self._finalize_manifest_list(snap, all_manifests)
         snap["summary"]["deleted-equality-records"] = str(
             sum(f["record_count"] for f in files))
         self._apply_commit(md, snap, ts)
@@ -1761,7 +1807,7 @@ class IcebergTable:
         new_files = self._write_data_files(df, md)
         seq = md.get("last-sequence-number", 0) + 1
         manifests = self._existing_manifests(md)
-        snap = self._new_snapshot(md, manifests, "overwrite",
+        snap = self._new_snapshot(md, "overwrite",
                                   len(new_files),
                                   sum(f["record_count"] for f in new_files),
                                   ts)
@@ -1774,18 +1820,7 @@ class IcebergTable:
                 md, [{"status": 1, "data_file": f} for f in del_files],
                 snap["snapshot-id"], seq, content=1)
             all_manifests = [del_manifest] + all_manifests
-        ml_path = self._local(snap["manifest-list"])
-        blob = write_container(MANIFEST_LIST_SCHEMA, all_manifests,
-                               codec="deflate",
-                               sync_seed=os.path.basename(ml_path))
-        with open(ml_path, "wb") as f:
-            f.write(blob)
-        snap["summary"]["total-data-files"] = str(
-            sum(m["added_files_count"] + m["existing_files_count"]
-                for m in all_manifests if m["content"] == 0))
-        snap["summary"]["total-records"] = str(
-            sum(m["added_rows_count"] + m["existing_rows_count"]
-                for m in all_manifests if m["content"] == 0))
+        self._finalize_manifest_list(snap, all_manifests)
         self._apply_commit(md, snap, ts)
         return snap["snapshot-id"]
 
@@ -2165,8 +2200,7 @@ class IcebergTable:
                     if stored is None:
                         continue  # unknown -> can't prune safely
                     expect = tr.apply_py(want, dtype)
-                    # hive dirs stringified identity values; compare loosely
-                    if str(stored) != str(expect):
+                    if not _partition_values_equal(stored, expect):
                         return False
             return True
 
@@ -2427,12 +2461,24 @@ class IcebergTable:
                 kept_manifests.add(m["manifest_path"])
                 for e in self._read_manifest(m["manifest_path"]):
                     kept_files.add(e["data_file"]["file_path"])
+        # snapshot of the LIVE file set before the drop loop mutates
+        # kept_files as its delete-once ledger (bloom GC needs the real set)
+        live_local = {os.path.abspath(self._local(p)) for p in kept_files}
         deleted = 0
+        dropped_manifests: set = set()
         for s in drop:
             for m in self._read_manifest_list(s["manifest-list"]):
-                if m["manifest_path"] in kept_manifests:
+                mp = m["manifest_path"]
+                if mp in kept_manifests or mp in dropped_manifests:
+                    # a manifest can appear in SEVERAL dropped snapshots'
+                    # lists (append chains share manifests): process and
+                    # unlink it exactly once, or the second dropped snapshot
+                    # crashes mid-expiry on the already-deleted file —
+                    # leaving data files gone but metadata uncommitted, and
+                    # every later maintenance run wedged on the missing path
                     continue
-                for e in self._read_manifest(m["manifest_path"]):
+                dropped_manifests.add(mp)
+                for e in self._read_manifest(mp):
                     p = e["data_file"]["file_path"]
                     if p not in kept_files:
                         kept_files.add(p)  # delete once
@@ -2441,10 +2487,16 @@ class IcebergTable:
                             deleted += 1
                         except FileNotFoundError:
                             pass
-                os.unlink(self._local(m["manifest_path"]))
+                try:
+                    os.unlink(self._local(mp))
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+            try:
+                os.unlink(self._local(s["manifest-list"]))
                 deleted += 1
-            os.unlink(self._local(s["manifest-list"]))
-            deleted += 1
+            except FileNotFoundError:
+                pass
         kept_ids = {s["snapshot-id"] for s in keep}
         new_md = dict(md)
         new_md["snapshots"] = keep
@@ -2452,6 +2504,7 @@ class IcebergTable:
             e for e in md.get("snapshot-log", [])
             if e["snapshot-id"] in kept_ids]
         self._commit_metadata(new_md, expected_version=self._version())
+        deleted += self._gc_blooms(live_local)
         return {"snapshots_removed": len(drop), "files_deleted": deleted}
 
     def remove_orphan_files(self, older_than_ms: Optional[int] = None,
@@ -2498,7 +2551,48 @@ class IcebergTable:
                     os.rmdir(d)
                 except OSError:
                     pass
+            removed += self._gc_blooms(referenced)
         return {"files_scanned": scanned, "orphans_removed": removed}
+
+    def _gc_blooms(self, live_local_paths: set) -> int:
+        """Drop bloom-sidecar rows whose data file is no longer referenced.
+
+        Without this, metadata/blooms grows one directory per historical
+        commit forever: expiry and orphan cleanup reclaimed the data files
+        but every pruned read still scanned the stale index rows, so both
+        disk and per-lookup planning cost tracked TOTAL commits instead of
+        live files. Driver-side pyarrow rewrite per sidecar dir (bloom rows
+        are small: ~bits/8 bytes per live file); a dir whose every row is
+        stale is removed outright. Returns files removed."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        blooms_dir = os.path.join(self.meta_dir, "blooms")
+        if not os.path.isdir(blooms_dir):
+            return 0
+        removed = 0
+        for d in sorted(os.listdir(blooms_dir)):
+            sub = os.path.join(blooms_dir, d)
+            if not os.path.isdir(sub):
+                continue
+            try:
+                tbl = pq_.read_table(sub)
+            except Exception:  # noqa: BLE001 — unreadable sidecar: leave it
+                continue
+            paths = tbl.column("file_path").to_pylist()
+            alive = [os.path.abspath(self._local(p)) in live_local_paths
+                     for p in paths]
+            if all(alive):
+                continue
+            if not any(alive):
+                shutil.rmtree(sub, ignore_errors=True)
+                removed += 1
+                continue
+            kept = tbl.filter(pa.array(alive))
+            shutil.rmtree(sub, ignore_errors=True)
+            os.makedirs(sub, exist_ok=True)
+            pq_.write_table(kept, os.path.join(sub, "part-0.parquet"))
+        return removed
 
     def compact(
         self,
@@ -2672,7 +2766,7 @@ class IcebergTable:
                 dead_deletes.add(r["path"])  # nothing older remains
         # -- commit: added manifest + rewritten survivors --------------------
         snap_new = self._new_snapshot(
-            md, [], "replace", len(new_files),
+            md, "replace", len(new_files),
             sum(f["record_count"] for f in new_files), ts)
         snap_id = snap_new["snapshot-id"]
         new_manifests = []
@@ -2718,18 +2812,7 @@ class IcebergTable:
                     content=m.get("content", 0),
                     embed_schema=rec["emb"],
                     spec_id=m.get("partition_spec_id", 0)))
-        ml_path = self._local(snap_new["manifest-list"])
-        blob = write_container(MANIFEST_LIST_SCHEMA, new_manifests,
-                               codec="deflate",
-                               sync_seed=os.path.basename(ml_path))
-        with open(ml_path, "wb") as f:
-            f.write(blob)
-        snap_new["summary"]["total-data-files"] = str(
-            sum(m["added_files_count"] + m["existing_files_count"]
-                for m in new_manifests if m["content"] == 0))
-        snap_new["summary"]["total-records"] = str(
-            sum(m["added_rows_count"] + m["existing_rows_count"]
-                for m in new_manifests if m["content"] == 0))
+        self._finalize_manifest_list(snap_new, new_manifests)
         snap_new["summary"]["deleted-data-files"] = str(len(cands))
         self._apply_commit(md, snap_new, ts)
         return {"rewritten_data_files": len(cands),
