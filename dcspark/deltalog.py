@@ -60,6 +60,18 @@ class DeltaCommitConflict(RuntimeError):
     """Another writer committed the log version we raced for."""
 
 
+def _delta_partition_literal(want) -> "Optional[str]":
+    """A filter literal in the log's partitionValues serialization: JSON
+    strings 'true'/'false' for booleans (Python str(True) is 'True', which
+    never matches and wrongly pruned EVERY file), None for a null partition
+    (stored as JSON null), str() otherwise (ints/strings/dates match)."""
+    if want is None:
+        return None
+    if isinstance(want, bool):
+        return "true" if want else "false"
+    return str(want)
+
+
 def _log_dir(location: str) -> str:
     return os.path.join(os.path.abspath(location), "_delta_log")
 
@@ -122,12 +134,20 @@ class DeltaTable:
                 return 0, {}, None, None
         import pyarrow.parquet as pq
 
-        def _plain(x):
+        def _plain(x, keep_none=False):
             if isinstance(x, dict):
-                return {k: _plain(v2) for k, v2 in x.items() if v2 is not None}
+                # struct level: None = an UNSET optional action field, drop —
+                # EXCEPT inside partitionValues, where a None VALUE is real
+                # data (a null partition; dropping it changed
+                # partition_filter results after checkpoint compaction).
+                # pyarrow may hand the map back as a struct-derived dict or
+                # as key/value tuples, so both branches honor keep_none.
+                return {k: _plain(v2, keep_none=(k == "partitionValues"))
+                        for k, v2 in x.items()
+                        if keep_none or v2 is not None}
             if isinstance(x, list):
                 if x and isinstance(x[0], tuple) and len(x[0]) == 2:
-                    return {k: _plain(v2) for k, v2 in x}  # map type
+                    return {k: v2 for k, v2 in x}  # map type, values kept
                 return [_plain(v2) for v2 in x]
             return x
 
@@ -160,8 +180,12 @@ class DeltaTable:
         for v in range(start, upto + 1):
             path = _commit_path(self.location, v)
             if not os.path.exists(path):
-                if v < start or adds:
-                    continue  # compacted away below a checkpoint
+                # every version in [start, upto] must exist: commits below
+                # `start` live in the checkpoint, and latest_version() only
+                # reports versions with files — a gap here is a partially
+                # deleted log, and silently skipping it would return a stale
+                # snapshot missing that commit's adds/removes. (The previous
+                # guard only fired before the FIRST add was seen.)
                 raise FileNotFoundError(f"missing Delta commit {v}")
             with open(path) as f:
                 for line in f:
@@ -178,12 +202,18 @@ class DeltaTable:
                         meta = act["metaData"]
                     elif act.get("protocol"):
                         proto = act["protocol"]
-        if proto and int(proto.get("minReaderVersion", 1)) > 1 and \
-                proto.get("readerFeatures"):
-            unsupported = set(proto["readerFeatures"]) - {"timestampNtz"}
+        if proto and int(proto.get("minReaderVersion", 1)) > 1:
+            # reader v2 = column mapping (physical col-<uuid> names — a v2
+            # table has NO readerFeatures list, so gating on the list let
+            # these through to be silently misread); v3 = feature list.
+            # Reject anything beyond the supported feature set either way.
+            unsupported = set(proto.get("readerFeatures")
+                              or ["columnMapping"]) - {"timestampNtz"}
             if unsupported:
                 raise DeltaProtocolError(
-                    f"table requires reader features {sorted(unsupported)} "
+                    f"table requires minReaderVersion "
+                    f"{proto.get('minReaderVersion')} features "
+                    f"{sorted(unsupported)} "
                     "(deletion vectors / column mapping are documented seams)")
         if meta is None:
             raise DeltaProtocolError("Delta log has no metaData action")
@@ -232,8 +262,9 @@ class DeltaTable:
         live = list(adds.values())
         if partition_filter:
             for col, want in partition_filter.items():
+                expect = _delta_partition_literal(want)
                 live = [a for a in live
-                        if a.get("partitionValues", {}).get(col) == str(want)
+                        if a.get("partitionValues", {}).get(col) == expect
                         or col not in (a.get("partitionValues") or {})]
         if not live:
             return spark.createDataFrame([], schema)
@@ -297,18 +328,92 @@ class DeltaTable:
                 return [clean(v2) for v2 in x]
             return x
 
-        rows = [{"add": clean(a), "metaData": None, "protocol": None}
-                for _p, a in sorted(adds.items())]
-        rows.append({"add": None, "metaData": clean(meta), "protocol": None})
-        rows.append({"add": None, "metaData": None, "protocol": clean(proto)})
+        # The protocol requires checkpoints to RETAIN unexpired remove
+        # tombstones (VACUUM reads them to know what it may delete) and the
+        # latest txn (setTransaction) per appId (a streaming writer's
+        # exactly-once watermark — dropping it makes the writer re-deliver
+        # its last batch after clean_log). Collect both from the prior
+        # checkpoint and the replayed JSON range; a tombstone is superseded
+        # when its path is re-added or its retention window (7 days,
+        # Delta's default) has passed.
+        removes: Dict[str, dict] = {}
+        txns: Dict[str, dict] = {}
         ld = _log_dir(self.location)
+        start, _pa, _pm, _pp = self._checkpoint_start(v)
+        if start > 0:
+            prior = [os.path.join(ld, n) for n in sorted(os.listdir(ld))
+                     if n.startswith(f"{start - 1:020d}.checkpoint.")
+                     and n.endswith(".parquet")]
+            for p in prior:
+                for row in pq.read_table(p).to_pylist():
+                    r = row.get("remove")
+                    if r and r.get("path"):
+                        removes[r["path"]] = r
+                    t = row.get("txn")
+                    if t and t.get("appId"):
+                        txns[t["appId"]] = t
+        for cv in range(start, v + 1):
+            cpath = _commit_path(self.location, cv)
+            if not os.path.exists(cpath):
+                continue
+            with open(cpath) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    act = json.loads(line)
+                    if act.get("remove"):
+                        removes[act["remove"]["path"]] = act["remove"]
+                    elif act.get("add"):
+                        removes.pop(act["add"]["path"], None)
+                    elif act.get("txn"):
+                        txns[act["txn"]["appId"]] = act["txn"]
+        import time as _time
+
+        horizon = int(_time.time() * 1000) - 7 * 24 * 3600 * 1000
+        removes = {p: r for p, r in removes.items()
+                   if int(r.get("deletionTimestamp") or horizon + 1) > horizon}
+
+        def row(**kw):
+            # remove/txn columns exist only when present — an all-None
+            # column would infer as parquet null type
+            base = {"add": None, "metaData": None, "protocol": None}
+            if removes:
+                base["remove"] = None
+            if txns:
+                base["txn"] = None
+            base.update(kw)
+            return base
+
+        rows = [row(add=clean(a)) for _p, a in sorted(adds.items())]
+        rows += [row(remove=clean(r)) for _p, r in sorted(removes.items())]
+        rows += [row(txn=clean(t)) for _a, t in sorted(txns.items())]
+        rows.append(row(metaData=clean(meta)))
+        rows.append(row(protocol=clean(proto)))
         path = os.path.join(ld, f"{v:020d}.checkpoint.parquet")
-        pq.write_table(pa.Table.from_pylist(rows), path)
+        # atomic: a rerun at the same version otherwise rewrites the file
+        # _last_checkpoint already points at IN PLACE — a concurrent reader
+        # (or a crash mid-rewrite after clean_log) would see a torn
+        # checkpoint with the JSON prefix already gone
+        tmp_pq = path + ".tmp"
+        pq.write_table(pa.Table.from_pylist(rows), tmp_pq)
+        os.replace(tmp_pq, path)
         lc = os.path.join(ld, "_last_checkpoint")
-        tmp = lc + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": v, "size": len(rows)}, f)
-        os.replace(tmp, lc)
+        cur_ver = -1
+        if os.path.exists(lc):
+            try:
+                with open(lc) as f:
+                    cur_ver = int(json.load(f).get("version", -1))
+            except (ValueError, json.JSONDecodeError):
+                cur_ver = -1
+        if v >= cur_ver:
+            # never regress the pointer: checkpointing an OLDER snapshot
+            # (legal — e.g. for an export) must not undo the maintenance a
+            # newer checkpoint already provides
+            tmp = lc + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": v, "size": len(rows)}, f)
+            os.replace(tmp, lc)
         return path
 
     def clean_log(self) -> int:
@@ -427,20 +532,24 @@ class DeltaTable:
         shutil.rmtree(staging, ignore_errors=True)
         return adds
 
-    def _check_schema(self, df: DataFrame) -> Tuple[dict, List[str]]:
-        adds, meta, _proto, _v = self._replay()
+    def _check_schema(self, df: DataFrame) -> Tuple[dict, List[str], Dict[str, dict], int]:
+        """-> (metaData, partition columns, live adds, resolved version) —
+        ONE log replay serves the schema check AND the caller's state needs
+        (overwrite previously replayed twice and re-listed the log dir a
+        third time for latest_version on long logs)."""
+        adds, meta, _proto, v = self._replay()
         declared = T.StructType.fromJson(json.loads(meta["schemaString"]))
         want = [(f.name, f.dataType.simpleString()) for f in declared.fields]
         got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
         if sorted(want) != sorted(got):
             raise ValueError(f"append schema mismatch: table={want} df={got}")
-        return meta, list(meta.get("partitionColumns") or [])
+        return meta, list(meta.get("partitionColumns") or []), adds, v
 
     def append(self, df: DataFrame) -> int:
         import time
 
-        _meta, part_cols = self._check_schema(df)
-        v = self.latest_version() + 1
+        _meta, part_cols, _adds, cur_v = self._check_schema(df)
+        v = cur_v + 1
         actions = self._write_files(df, part_cols)
         actions.append({"commitInfo": {
             "timestamp": int(time.time() * 1000), "operation": "WRITE",
@@ -451,9 +560,8 @@ class DeltaTable:
     def overwrite(self, df: DataFrame) -> int:
         import time
 
-        _meta, part_cols = self._check_schema(df)
-        adds, _m, _proto, _v = self._replay()
-        v = self.latest_version() + 1
+        _meta, part_cols, adds, cur_v = self._check_schema(df)
+        v = cur_v + 1
         actions = [{"remove": {"path": p,
                                "deletionTimestamp": int(time.time() * 1000),
                                "dataChange": True}}
