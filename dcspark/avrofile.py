@@ -88,10 +88,11 @@ def _write_long(out: bytearray, n: int) -> None:
 Reader = Callable[[bytes, int], Tuple[Any, int]]
 Writer = Callable[[bytearray, Any], None]
 
-
-def _named(schema: Any) -> Any:
-    """Normalize the JSON schema node: str primitives stay str."""
-    return schema
+#: non-string key holding the per-schema compiled-closure cache inside the
+#: shared `names` dict — lazy named-type references resolve through it, so
+#: RECURSIVE schemas (Node -> ["null", "Node"]) compile without infinite
+#: recursion and each named type compiles exactly once
+_COMPILED = ("__avro_compiled__",)
 
 
 def compile_reader(schema: Any, names: Optional[Dict[str, Any]] = None) -> Reader:
@@ -100,8 +101,15 @@ def compile_reader(schema: Any, names: Optional[Dict[str, Any]] = None) -> Reade
     names = {} if names is None else names
     if isinstance(schema, str):
         t = schema
-        if t in names:  # named-type reference
-            return compile_reader(names[t], names)
+        if t in names:  # named-type reference — LAZY, see _COMPILED
+            cache = names.setdefault(_COMPILED, {})
+
+            def rref(b, p, _t=t, _cache=cache, _names=names):
+                r = _cache.get(("r", _t))
+                if r is None:
+                    r = _cache[("r", _t)] = compile_reader(_names[_t], _names)
+                return r(b, p)
+            return rref
         if t == "null":
             return lambda b, p: (None, p)
         if t == "boolean":
@@ -186,6 +194,11 @@ def compile_reader(schema: Any, names: Optional[Dict[str, Any]] = None) -> Reade
                 if n < 0:  # block with byte-size prefix
                     n = -n
                     _, p = _read_long(b, p)
+                if n > len(b) - p + 1:
+                    # a block cannot hold more items than remaining bytes
+                    # (+1 covers zero-byte "null" items in the final block);
+                    # without this a corrupt count hangs/OOMs the parse
+                    raise ValueError("avro: array block count exceeds buffer")
                 for _ in range(n):
                     v, p = item(b, p)
                     out.append(v)
@@ -201,10 +214,17 @@ def compile_reader(schema: Any, names: Optional[Dict[str, Any]] = None) -> Reade
                 if n < 0:
                     n = -n
                     _, p = _read_long(b, p)
+                if n > len(b) - p + 1:
+                    raise ValueError("avro: map block count exceeds buffer")
                 for _ in range(n):
                     if p >= len(b):
                         raise ValueError("avro: truncated map key")
                     klen, p = _read_long(b, p)
+                    if klen < 0 or p + klen > len(b):
+                        # same guard the bytes/string readers have: a corrupt
+                        # negative length would REWIND the cursor (p += klen)
+                        # and misparse silently instead of raising
+                        raise ValueError("avro: bad map key length")
                     k = b[p:p + klen].decode("utf-8"); p += klen
                     out[k], p = val(b, p)
         return rm
@@ -221,8 +241,15 @@ def compile_writer(schema: Any, names: Optional[Dict[str, Any]] = None) -> Write
     names = {} if names is None else names
     if isinstance(schema, str):
         t = schema
-        if t in names:
-            return compile_writer(names[t], names)
+        if t in names:  # named-type reference — LAZY, see _COMPILED
+            cache = names.setdefault(_COMPILED, {})
+
+            def wref(o, v, _t=t, _cache=cache, _names=names):
+                w = _cache.get(("w", _t))
+                if w is None:
+                    w = _cache[("w", _t)] = compile_writer(_names[_t], _names)
+                w(o, v)
+            return wref
         if t == "null":
             def wn(o, v):
                 if v is not None:
@@ -231,7 +258,15 @@ def compile_writer(schema: Any, names: Optional[Dict[str, Any]] = None) -> Write
         if t == "boolean":
             return lambda o, v: o.append(1 if v else 0)
         if t in ("int", "long"):
-            return lambda o, v: _write_long(o, int(v))
+            def wl(o, v):
+                v = int(v)
+                if not (-(1 << 63) <= v < (1 << 63)):
+                    # emitting a >10-byte varint writes a file our own
+                    # reader (and Java Avro) rejects — fail at WRITE time,
+                    # next to the bad value, not at some later read
+                    raise ValueError(f"avro: {v} out of int64 range")
+                _write_long(o, v)
+            return wl
         if t == "float":
             return lambda o, v: o.extend(struct.pack("<f", float(v)))
         if t == "double":
@@ -365,7 +400,11 @@ def parse_container(data: bytes) -> Tuple[Any, Iterator[dict]]:
                 raise ValueError("avro: sync marker mismatch (corrupt block)")
             p += _SYNC_LEN
             if codec == "deflate":
-                block = zlib.decompress(block, wbits=-15)
+                try:
+                    block = zlib.decompress(block, wbits=-15)
+                except zlib.error as e:
+                    # the module contract is corrupt-input -> ValueError
+                    raise ValueError(f"avro: corrupt deflate block: {e}")
             bp = 0
             for _ in range(n_rows):
                 row, bp = reader(block, bp)
@@ -477,6 +516,14 @@ def read_avro(spark, path: str, columns: Optional[List[str]] = None):
     spark_schema = avro_to_spark_type(schema)
     if columns:
         keep = set(columns)
+        known = {f.name for f in spark_schema.fields}
+        missing = sorted(keep - known)
+        if missing:
+            # a typo'd projection must error like df.select() would, not
+            # silently return a frame without the column
+            raise ValueError(
+                f"avro: columns {missing} not in schema "
+                f"(available: {sorted(known)})")
         spark_schema = T.StructType(
             [f for f in spark_schema.fields if f.name in keep])
     # Spark's own converter gives the exact arrow schema mapInArrow expects
@@ -486,12 +533,11 @@ def read_avro(spark, path: str, columns: Optional[List[str]] = None):
     schema_json = json.dumps(schema)
 
     def decode(batches):
-        ref = json.loads(schema_json)
+        ref_canon = json.dumps(json.loads(schema_json), sort_keys=True)
         for batch in batches:
             for content in batch.column("content").to_pylist():
                 fschema, recs = parse_container(content)
-                if json.dumps(fschema, sort_keys=True) != \
-                        json.dumps(ref, sort_keys=True):
+                if json.dumps(fschema, sort_keys=True) != ref_canon:
                     raise ValueError("avro: file schema differs from the "
                                      "dataset schema read from the first file")
                 rows = list(recs)
@@ -506,7 +552,12 @@ def spark_to_avro_schema(spark_schema, name: str = "row") -> Any:
     """pyspark StructType -> Avro record schema (fields nullable unions)."""
     from pyspark.sql import types as T
 
-    def conv(dt):
+    def conv(dt, path):
+        # `path` threads the field path into generated record names: two
+        # sibling struct fields (or array/map element structs) previously
+        # all produced a record named '<name>_rec' — an ILLEGAL Avro schema
+        # (names must be unique) that conformant readers, including
+        # spark-avro on our own files, reject
         if isinstance(dt, T.BooleanType):
             return "boolean"
         if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
@@ -522,15 +573,18 @@ def spark_to_avro_schema(spark_schema, name: str = "row") -> Any:
         if isinstance(dt, T.StringType):
             return "string"
         if isinstance(dt, T.ArrayType):
-            return {"type": "array", "items": ["null", conv(dt.elementType)]}
+            return {"type": "array",
+                    "items": ["null", conv(dt.elementType, f"{path}_item")]}
         if isinstance(dt, T.MapType):
-            return {"type": "map", "values": ["null", conv(dt.valueType)]}
+            return {"type": "map",
+                    "values": ["null", conv(dt.valueType, f"{path}_value")]}
         if isinstance(dt, T.StructType):
-            return spark_to_avro_schema(dt, name=f"{name}_rec")
+            return spark_to_avro_schema(dt, name=f"{path}_rec")
         raise ValueError(f"avro: cannot map Spark type {dt}")
 
     return {"type": "record", "name": name,
-            "fields": [{"name": f.name, "type": ["null", conv(f.dataType)]}
+            "fields": [{"name": f.name,
+                        "type": ["null", conv(f.dataType, f"{name}_{f.name}")]}
                        for f in spark_schema.fields]}
 
 
@@ -581,10 +635,19 @@ def decode_confluent_avro(df, schema: Any, value_col: str = "value"):
         for batch in batches:
             rows = []
             for v in batch.column(0).to_pylist():
-                if v is None or len(v) < 5:
+                # PERMISSIVE semantics, matching the JVM from_avro path this
+                # substitutes for (io.py passes mode=PERMISSIVE): a corrupt
+                # payload, wrong framing (magic byte != 0), or short message
+                # becomes an all-null row — one bad Kafka message must not
+                # kill the whole read on the no-jar path while passing
+                # silently on the jar path
+                if v is None or len(v) < 5 or v[0] != 0:
                     rows.append({})
                     continue
-                rec, _ = reader(v[5:], 0)
+                try:
+                    rec, _ = reader(v[5:], 0)
+                except ValueError:
+                    rec = {}
                 rows.append(rec)
             cols = {n: [r.get(n) for r in rows] for n in field_names}
             yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
