@@ -184,17 +184,48 @@ def check_field_unique(model: str, fname: str) -> CompiledCheck:
 _FILTERABLE_QUALITY = ("metric", "expression", "group")
 
 
-def _reject_unsupported_filter(model: str, q: Quality) -> None:
+def _reject_unsupported_filter(model: str, q: Quality,
+                               field_level: bool = False) -> None:
     """A ``filter:`` on a quality type that cannot honor it (drift compares
     against an UNSCOPED snapshot, sql is the user's own query, audio/image/
     video ride fused decode passes, history judges stored series) would be
-    silently ignored — fail at compile time instead of lying at run time."""
-    if q.filter and (q.type or "") not in _FILTERABLE_QUALITY:
+    silently ignored — fail at compile time instead of lying at run time.
+
+    The type NAME alone is not enough: a rule can carry a supported type
+    yet still not COMPILE (group without ``column``, metric without
+    ``metric``, group at FIELD level where the field loop never compiles
+    it) — those would pass the name check and then vanish with their
+    filter, the very silent-ignore this guard exists to prevent."""
+    if not q.filter:
+        return
+    t = q.type or ""
+    if t not in _FILTERABLE_QUALITY:
         raise ValueError(
             f"model {model}: quality rule type {q.type!r} does not support "
             f"'filter:' (supported: {', '.join(_FILTERABLE_QUALITY)}); for a "
             "scoped slice, filter the table upstream or use an expression "
             "rule")
+    if t == "group" and (field_level or not q.column):
+        raise ValueError(
+            f"model {model}: a filtered 'group' rule needs a 'column' and "
+            "is model-level only — this rule would not compile, silently "
+            "dropping its filter")
+    if t == "metric" and not q.metric:
+        raise ValueError(
+            f"model {model}: a filtered 'metric' rule needs 'metric' — "
+            "this rule would not compile, silently dropping its filter")
+    if t == "expression" and not q.expression:
+        raise ValueError(
+            f"model {model}: a filtered 'expression' rule needs "
+            "'expression' — this rule would not compile, silently dropping "
+            "its filter")
+
+
+def _in_scope(flt: str) -> Column:
+    """The SodaCL scope predicate: a row is in scope iff the filter
+    evaluates TRUE — FALSE **or NULL** puts it out of scope. The single
+    home of that invariant for every scoped path."""
+    return F.coalesce(F.expr(flt).cast("boolean"), F.lit(False))
 
 
 def scope_to_filter(chk: CompiledCheck, flt: str) -> CompiledCheck:
@@ -215,14 +246,18 @@ def scope_to_filter(chk: CompiledCheck, flt: str) -> CompiledCheck:
         chk.params["filter"] = flt
     elif chk.kind == "agg" and chk.violation_predicate is not None:
         vp = chk.violation_predicate
-        scoped = lambda: (
-            F.coalesce(F.expr(flt).cast("boolean"), F.lit(False)) & vp()
-        )
+        scoped = lambda: _in_scope(flt) & vp()
         chk.violation_predicate = scoped
         chk.agg_expr = lambda: F.coalesce(
             F.sum(F.when(scoped(), 1).otherwise(0)), F.lit(0)
         )
         chk.extra_aggs = {}
+        # machine-readable scope marker, like the unique/reference branch:
+        # engine._reroute_bytes_aliases must NOT substitute the audio pass's
+        # UNSCOPED bytes_null count for a scoped required-check's aggregate
+        # (the reroute keys off check_type/field/extra_aggs alone), and the
+        # dry-run's filter annotation reads the same key
+        chk.params["filter"] = flt
     else:
         # defensive: a future unscopable kind must fail loudly, not run
         # unscoped while claiming the filter (the silent-scope lie this
@@ -328,16 +363,22 @@ def check_field_max_length(model: str, fname: str, n: int) -> CompiledCheck:
     )
 
 
-def check_field_minimum(model: str, fname: str, v: float) -> CompiledCheck:
+def check_field_minimum(model: str, fname: str, v: float,
+                        tag: str = "") -> CompiledCheck:
+    # ``tag`` ("_excl" when emitted for exclusiveMinimum) keeps the key AND
+    # agg_alias distinct when BOTH minimum and exclusiveMinimum are set on
+    # one field: the shared-scan exprs dict dedups by alias, so colliding
+    # aliases silently evaluated the second check against the first bound's
+    # aggregate (the element-constraint code already documents this hazard).
     pred = lambda: F.col(fname) < F.lit(v)
     return CompiledCheck(
-        key=_key(model, fname, "field_minimum"),
+        key=_key(model, fname, f"field_minimum{tag}"),
         check_type="field_minimum",
         category="field",
         name=f"Check that field {fname} has a minimum of {v}",
         model=model,
         field=fname,
-        agg_alias=f"{fname}__minimum_invalid",
+        agg_alias=f"{fname}__minimum{tag}_invalid",
         agg_expr=lambda: _invalid_count(fname, pred()),
         extra_aggs={f"{fname}__min": lambda: F.min(F.col(fname))},
         violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
@@ -347,16 +388,17 @@ def check_field_minimum(model: str, fname: str, v: float) -> CompiledCheck:
     )
 
 
-def check_field_maximum(model: str, fname: str, v: float) -> CompiledCheck:
+def check_field_maximum(model: str, fname: str, v: float,
+                        tag: str = "") -> CompiledCheck:
     pred = lambda: F.col(fname) > F.lit(v)
     return CompiledCheck(
-        key=_key(model, fname, "field_maximum"),
+        key=_key(model, fname, f"field_maximum{tag}"),
         check_type="field_maximum",
         category="field",
         name=f"Check that field {fname} has a maximum of {v}",
         model=model,
         field=fname,
-        agg_alias=f"{fname}__maximum_invalid",
+        agg_alias=f"{fname}__maximum{tag}_invalid",
         agg_expr=lambda: _invalid_count(fname, pred()),
         extra_aggs={f"{fname}__max": lambda: F.max(F.col(fname))},
         violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
@@ -366,18 +408,23 @@ def check_field_maximum(model: str, fname: str, v: float) -> CompiledCheck:
     )
 
 
-def check_field_not_equal(model: str, fname: str, v: Any) -> CompiledCheck:
+def check_field_not_equal(model: str, fname: str, v: Any,
+                          tag: str = "") -> CompiledCheck:
     # Emitted in addition to min/max for exclusiveMinimum/Maximum
-    # (parity: data_contract_checks.py:48-53,354-383).
+    # (parity: data_contract_checks.py:48-53,354-383). ``tag`` ("_min" /
+    # "_max") keeps key and agg_alias distinct when BOTH exclusive bounds
+    # are set: with colliding aliases the shared scan registered only the
+    # first bound's count(v==lo) and the !=hi check read it too — rows
+    # equal to the upper bound passed every check.
     pred = lambda: F.col(fname) == F.lit(v)
     return CompiledCheck(
-        key=_key(model, fname, "field_not_equal"),
+        key=_key(model, fname, f"field_not_equal{tag}"),
         check_type="field_not_equal",
         category="field",
         name=f"Check that field {fname} is not equal to {v}",
         model=model,
         field=fname,
-        agg_alias=f"{fname}__not_equal_invalid",
+        agg_alias=f"{fname}__not_equal{tag}_invalid",
         agg_expr=lambda: _invalid_count(fname, pred()),
         violation_predicate=lambda: F.col(fname).isNotNull() & pred(),
         observed_expr=lambda: F.col(fname).cast("string"),
@@ -804,14 +851,17 @@ def check_quality_expression(model: str, q: Quality, idx: int, fname: Optional[s
         # FALSE or NULL filter puts the row out of scope — SodaCL semantics)
         flt = q.filter
         pred = lambda: (
-            F.coalesce(F.expr(flt).cast("boolean"), F.lit(False))
+            _in_scope(flt)
             & ~F.coalesce(F.expr(expr_s).cast("boolean"), F.lit(True))
         )
         name = f"{name} [filter: {flt}]"
     else:
         pred = lambda: ~F.coalesce(F.expr(expr_s).cast("boolean"), F.lit(True))
     evaluator = to_threshold_evaluator(q, name)[0] if has_threshold(q) else None
-    return CompiledCheck(
+    impl = f"invalid_count(NOT coalesce(({expr_s}), true)) — SQL CHECK null semantics"
+    if q.filter:
+        impl += f" WHERE ({q.filter})"
+    out = CompiledCheck(
         key=_key(model, fname, f"quality_expression_{idx}"),
         check_type="quality_expression",
         category="quality",
@@ -825,8 +875,13 @@ def check_quality_expression(model: str, q: Quality, idx: int, fname: Optional[s
         observed_expr=lambda: F.lit(None).cast("string"),
         expected=f"satisfies: {expr_s}",
         evaluate=evaluator,
-        implementation=f"invalid_count(NOT coalesce(({expr_s}), true)) — SQL CHECK null semantics",
+        implementation=impl,
     )
+    if q.filter:
+        # machine-readable, matching the metric/group twins — the dry-run
+        # annotation and engine filter validation key off params['filter']
+        out.params["filter"] = q.filter
+    return out
 
 
 def to_threshold_column(q: Quality) -> Tuple[Callable[[Column], Column], str]:
@@ -1690,12 +1745,20 @@ def create_checks(
             if f_.maximum is not None:
                 checks.append(check_field_maximum(model_name, fname, f_.maximum))
             if f_.exclusiveMinimum is not None:
-                # exclusiveMinimum emits min + not_equal (parity :48-53)
-                checks.append(check_field_minimum(model_name, fname, f_.exclusiveMinimum))
-                checks.append(check_field_not_equal(model_name, fname, f_.exclusiveMinimum))
+                # exclusiveMinimum emits min + not_equal (parity :48-53);
+                # tags keep keys/aliases distinct from the inclusive bounds
+                # and from the other exclusive bound's not_equal twin
+                checks.append(check_field_minimum(
+                    model_name, fname, f_.exclusiveMinimum,
+                    tag="_excl" if f_.minimum is not None else ""))
+                checks.append(check_field_not_equal(
+                    model_name, fname, f_.exclusiveMinimum, tag="_min"))
             if f_.exclusiveMaximum is not None:
-                checks.append(check_field_maximum(model_name, fname, f_.exclusiveMaximum))
-                checks.append(check_field_not_equal(model_name, fname, f_.exclusiveMaximum))
+                checks.append(check_field_maximum(
+                    model_name, fname, f_.exclusiveMaximum,
+                    tag="_excl" if f_.maximum is not None else ""))
+                checks.append(check_field_not_equal(
+                    model_name, fname, f_.exclusiveMaximum, tag="_max"))
             if f_.enum:
                 checks.append(check_field_enum(model_name, fname, f_.enum))
             if f_.pattern:
@@ -1728,7 +1791,7 @@ def create_checks(
                 for c in checks[n0:]:
                     scope_to_filter(c, f_.filter)
             for qi, q in enumerate(f_.quality):
-                _reject_unsupported_filter(model_name, q)
+                _reject_unsupported_filter(model_name, q, field_level=True)
                 if q.type == "sql" and q.query:
                     checks.append(check_quality_sql(model_name, q, qi, fname))
                 elif q.type == "metric" and q.metric:

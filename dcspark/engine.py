@@ -436,12 +436,26 @@ class Validator:
                     self._record(chk, None, ResultEnum.error,
                                  f"column {c} missing", None)
                     return False
+            flt = chk.params.get("filter")
+            if flt:
+                # eager analysis of the scope expression: a typo'd filter
+                # column would otherwise raise AnalysisException inside the
+                # SHARED scan and abort the whole run — the same isolation
+                # the missing-column path above gives a check's own column
+                try:
+                    df.filter(F.expr(flt)).schema
+                except Exception as e:  # noqa: BLE001 — analysis error class varies
+                    self._record(chk, None, ResultEnum.error,
+                                 f"invalid filter {flt!r}: "
+                                 f"{str(e).splitlines()[0][:200]}", None)
+                    return False
             return True
 
         agg_checks = [c for c in agg_checks if runnable(c)]
         drift_checks = [c for c in drift_checks if runnable(c)]
         unique_checks = [c for c in unique_checks if runnable(c)]
         reference_checks = [c for c in reference_checks if runnable(c)]
+        group_checks = [c for c in group_checks if runnable(c)]
 
         # uniqueness joins the shared scan as an HLL sketch in approx mode —
         # the dedicated groupBy job (and its shuffle) disappears entirely
@@ -909,6 +923,10 @@ class Validator:
                 and chk.field == audio_mod.BYTES_COL
                 and chk.agg_alias in exprs
                 and not chk.extra_aggs
+                # a SCOPED required-check must keep its filtered aggregate:
+                # the audio pass counts nulls over ALL rows, so substituting
+                # it would silently discard the check's filter
+                and not chk.params.get("filter")
             ):
                 del exprs[chk.agg_alias]
                 ops.pop(chk.agg_alias, None)

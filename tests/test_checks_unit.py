@@ -82,7 +82,7 @@ def test_exclusive_bounds(spark):
     res = _run(spark, spec, {"m": spark.createDataFrame([(5,), (6,)], "a int")})
     # 5 passes field_minimum (>=5) but fails field_not_equal — two-check parity
     assert _result(res, "m__a__field_minimum").result == ResultEnum.passed
-    assert _result(res, "m__a__field_not_equal").result == ResultEnum.failed
+    assert _result(res, "m__a__field_not_equal_min").result == ResultEnum.failed
 
 
 def test_enum(spark):
