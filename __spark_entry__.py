@@ -1049,7 +1049,7 @@ g AS (SELECT f, count(*) cnt FROM fp GROUP BY f)
 SELECT cast(count(*) AS bigint) AS distinct_docs,
        cast(coalesce(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END),0) AS bigint) AS dup_groups,
        cast(coalesce(sum(cnt - 1),0) AS bigint) AS dup_rows,
-       cast(sum(cnt) AS bigint) AS total_docs
+       cast(coalesce(sum(cnt),0) AS bigint) AS total_docs
 FROM g
 """
 

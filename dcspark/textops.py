@@ -45,8 +45,10 @@ def norm_text(col: str = "text") -> Column:
 
 
 def words_expr(col: str = "text") -> Column:
-    """Lowercase alnum tokens as array<string> (JVM regexp, no UDF)."""
-    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)")
+    """Lowercase alnum tokens as array<string> (JVM regexp, no UDF). Typed
+    builder (no SQL string splicing): a column name needing backtick quoting
+    would break — or resolve the wrong expression in — an f-string F.expr."""
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), F.lit(0))
 
 
 def fingerprint_expr(col: str = "text") -> Column:
@@ -117,10 +119,17 @@ def winnow_expr(k: int = 8, w: int = 4, col: str = "text") -> Column:
             )
         )
 
-    return F.transform(
-        F.array(norm_text(col)),
-        lambda nt: F.transform(F.array(grams(nt)), minima)[0],
-    )[0]
+    # short-document guard INSIDE the expression: F.sequence descends for
+    # out-of-range bounds, so a doc shorter than k+w-1 normalized chars
+    # would crash slice() (start 0) or silently emit bogus fingerprints.
+    # winnowing_table pre-filters, but this is exported API.
+    return F.when(
+        F.length(norm_text(col)) >= F.lit(k + w - 1),
+        F.transform(
+            F.array(norm_text(col)),
+            lambda nt: F.transform(F.array(grams(nt)), minima)[0],
+        )[0],
+    ).otherwise(F.array().cast("array<long>"))
 
 
 def winnowing_table(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
@@ -137,9 +146,13 @@ def winnowing_table(docs: DataFrame, k: int = 8, w: int = 4) -> DataFrame:
     """
     base = fan_out(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-    ).filter(F.length(norm_text()) >= k + w - 1)
+    )
+    # no pre-filter: winnow_expr's own short-doc guard yields an empty
+    # array (explode drops the row), so normalization isn't computed twice
+    # (a filter predicate and the projection are separate operators — CSE
+    # does not span them)
     return base.select(
-        "doc_id", F.explode(winnow_expr(k, w).alias("fps")).alias("fp")
+        "doc_id", F.explode(winnow_expr(k, w)).alias("fp")
     )
 
 
@@ -211,7 +224,7 @@ def exact_dup_stats(docs: DataFrame) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)), F.lit(0))
         .cast("long").alias("dup_groups"),
         F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias("dup_rows"),
-        F.sum("cnt").cast("long").alias("total_docs"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("total_docs"),
     )
 
 
@@ -333,10 +346,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     partitions (e.g. one small parquet file) — CPU-bound per-row work (md5 per
     shingle, HOF evaluation) otherwise serializes on a single task. A no-op on
     well-partitioned inputs, so safe at any scale."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    except Exception:  # noqa: BLE001 — Spark Connect: no sparkContext/df.rdd
+        # Connect sessions can't probe partition counts; AQE coalescing
+        # makes the extra repartition harmless on well-partitioned inputs
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8"))
+        return df.repartition(n)
 
 
 def shingle_table(docs: DataFrame, n: int = 3, persist: bool = True) -> DataFrame:
@@ -379,6 +398,14 @@ def lsh_band_keys(
     Constant per-doc fan-out (num_hashes / rows_per_band rows) — the scalable
     alternative to exploding full shingle inverted lists.
     """
+    if num_hashes % rows_per_band != 0:
+        # truncating to num_hashes // rows_per_band bands would silently
+        # WASTE the trailing minhash columns and run a different S-curve
+        # than the caller parameterized — lower recall with no signal
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by rows_per_band "
+            f"({rows_per_band}); the remainder hashes would be silently "
+            "dropped from the banding")
     sig = minhash_signatures(docs, num_hashes, n, sh=sh)
     bands = num_hashes // rows_per_band
     pairs = []
@@ -472,9 +499,13 @@ def jaccard_on_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3,
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # LEFT joins on the sizes: a pair referencing a doc with no shingles
+    # (shorter than n tokens, or absent from the corpus) must come back
+    # with jaccard NULL — an inner join silently DROPPED it, and the caller
+    # could not tell "scored and disjoint" from "never scored"
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sa, "doc_a").join(sb, "doc_b")
+        .join(sa, "doc_a", "left").join(sb, "doc_b", "left")
         .select(
             "doc_a", "doc_b",
             F.coalesce(F.col("inter"), F.lit(0)).alias("inter"),
@@ -616,13 +647,18 @@ def simhash_near_dups(docs: DataFrame, bits: int = 16, max_hamming: int = 3) -> 
         raise ValueError("blocking with 4 blocks guarantees recall only for max_hamming <= 3")
     t = simhash_table(docs, bits)
     blk = bits // 4
+    # tt feeds EIGHT join sides (two per block, each shuffled on a different
+    # key, so ReuseExchange cannot merge them): persist the tiny
+    # (doc_id, simhash, b0..b3) projection or the dominant map cost —
+    # tokenize + md5 per token + 16 bit-count passes — runs 4x (the same
+    # defect class winnowing_near_dups / minhash_near_dups already fix)
     tt = t.select(
         "doc_id", "simhash",
         *[
             ((F.col("simhash") / F.lit(1 << (b * blk))).cast("long") % (1 << blk)).alias(f"b{b}")
             for b in range(4)
         ],
-    )
+    ).persist()
     cands = None
     for b in range(4):
         a_ = tt.alias("a")
@@ -638,9 +674,12 @@ def simhash_near_dups(docs: DataFrame, bits: int = 16, max_hamming: int = 3) -> 
         cands = c if cands is None else cands.unionByName(c)
     cands = cands.distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.select("doc_a", "doc_b", ham.cast("int").alias("hamming")).filter(
+    out = cands.select("doc_a", "doc_b", ham.cast("int").alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    out._dcspark_cached = [tt]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1176,12 +1215,16 @@ def token_census(docs: DataFrame, top_k: int = 100) -> DataFrame:
         .groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    # per_token feeds BOTH the main projection and the global-total branch;
+    # ReuseExchange usually dedups the subtree, but if reuse is off (or
+    # canonicalization misses) the full corpus explode+aggregate would run
+    # twice — persist the vocab-sized frame instead of relying on it
     per_token = pairs.groupBy("token").agg(
         F.sum("_c").cast("long").alias("occurrences"),
         F.count(F.lit(1)).cast("long").alias("doc_freq"),
-    )
+    ).persist()
     total = per_token.agg(F.sum("occurrences").cast("long").alias("_total"))
-    return (
+    out = (
         per_token.crossJoin(F.broadcast(total))
         .select(
             "token", "occurrences", "doc_freq",
@@ -1190,3 +1233,6 @@ def token_census(docs: DataFrame, top_k: int = 100) -> DataFrame:
         .orderBy(F.col("occurrences").desc(), F.col("token").asc())
         .limit(top_k)
     )
+    # cache handle: dcspark.pipeline_ckpt.release_caches(out) after consuming
+    out._dcspark_cached = [per_token]
+    return out
