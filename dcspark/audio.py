@@ -199,6 +199,11 @@ def _walk_wav_header(b):
         chunk_id = bytes(mv[pos:pos + 4])
         (size,) = struct.unpack_from("<I", mv, pos + 4)
         if chunk_id == b"fmt ":
+            if size < 16 or pos + 8 + 16 > n:
+                # an undersized fmt chunk would silently unpack the NEXT
+                # chunk's bytes as format fields (every other chunk here
+                # guards its size; fmt was the one exception)
+                raise ValueError("fmt chunk too short")
             fmt = struct.unpack_from("<HHIIHH", mv, pos + 8)
             # WAVE_FORMAT_EXTENSIBLE: cbSize(2) validBits(2) channelMask(4)
             # SubFormat GUID (real format tag = first 2 bytes, little-endian)
@@ -247,8 +252,14 @@ def parse_wav_view(b) -> tuple:
     (audio_format, channels, sr, bits, block_align,
      data_off, data_len, fact_samples) = _walk_wav_header(b)
     if audio_format == _FMT_PCM and bits == 16 and channels == 1:
-        # hot path: zero-copy int16 view straight into the Arrow value heap
-        pcm = np.frombuffer(b, dtype="<i2", count=data_len // 2, offset=data_off)
+        # hot path: zero-copy int16 view straight into the Arrow value heap.
+        # honor a fact chunk like every other codec path does (an encoder
+        # that padded the data chunk otherwise yields a longer decode than
+        # parse_wav_meta reports for the SAME clip — slicing keeps zero-copy)
+        count = data_len // 2
+        if fact_samples is not None and fact_samples < count:
+            count = fact_samples
+        pcm = np.frombuffer(b, dtype="<i2", count=count, offset=data_off)
         return sr, "pcm_s16le", pcm
     name, pcm = _decode_wav_samples(b, data_off, data_len, audio_format, bits,
                                     channels, block_align)
@@ -501,13 +512,19 @@ def _eval_batch(batch, oracle, snr_fn, snr_floor_db, fp_fn=None, feat_fns=None):
             if snr_fn is not None:
                 s = snr_fn(clip_id, d_sr, d_dur, pcm)
                 if s is not None:
-                    rec["snr_db"] = None if s in (float("inf"), float("-inf")) else float(s)
+                    # NaN (a user snr_fn without zero guards) normalizes like
+                    # +-inf: None in the column, and NaN >= floor is False so
+                    # the clip fails the invariant instead of poisoning
+                    # downstream aggregates over snr_db
+                    finite = not (math.isinf(s) or math.isnan(s))
+                    rec["snr_db"] = float(s) if finite else None
                     rec["snr_ok"] = bool(s >= snr_floor_db)
             elif oracle is not None:
                 expected = oracle(clip_id, d_sr, d_dur)
                 if expected is not None:
                     s = snr_db(expected, pcm)
-                    rec["snr_db"] = None if s in (float("inf"), float("-inf")) else float(s)
+                    finite = not (math.isinf(s) or math.isnan(s))
+                    rec["snr_db"] = float(s) if finite else None
                     rec["snr_ok"] = bool(s >= snr_floor_db)
         except (ValueError, struct.error) as e:
             rec["decode_error"] = str(e)
@@ -656,7 +673,14 @@ def _power_spectrum(pcm, sr):
         return None, None
     start = (len(pcm) - n) // 2
     x = pcm[start:start + n].astype(np.float64) / 32768.0
-    x = x * np.hanning(n)
+    win = _g711_cache.get(("hann", n))
+    if win is None:
+        # the window depends only on n (= sr for clips >= 1 s at one rate):
+        # cache it like the G.711 tables instead of re-evaluating an O(n)
+        # cosine per clip on the hot feature pass
+        win = np.hanning(n)
+        _g711_cache[("hann", n)] = win
+    x = x * win
     p = np.abs(np.fft.rfft(x)) ** 2
     freqs = np.fft.rfftfreq(n, d=1.0 / sr)
     return freqs, p
@@ -744,17 +768,28 @@ def _leading_silence_ms_db(pcm, sr, db) -> float:
     if len(pcm) == 0:
         return 0.0
     act = np.flatnonzero(db > VAD_GATE_DBFS)
-    frame_ms = VAD_FRAME_S * 1000.0
     if len(act) == 0:
         return float(len(pcm)) * 1000.0 / float(sr)
-    return float(min(act[0] * frame_ms, len(pcm) * 1000.0 / float(sr)))
+    # ACTUAL frame length in samples (int(sr*0.02)), converted via sr — the
+    # same convention as _trailing_silence_ms_db; the nominal 20.0 ms frame
+    # disagrees at rates where sr*0.02 is not integral (e.g. 11025 Hz), so
+    # leading+speech+trailing would not reconcile with the clip duration
+    n = max(1, int(sr * VAD_FRAME_S))
+    return float(min(act[0] * n, len(pcm)) * 1000.0 / float(sr))
 
 
 def _speech_seconds_db(pcm, sr, db) -> float:
     if len(pcm) == 0:
         return 0.0
-    active = int(np.count_nonzero(db > VAD_GATE_DBFS))
-    return float(min(active * VAD_FRAME_S, len(pcm) / float(sr)))
+    # sample-accurate: full active frames contribute n samples each, an
+    # active tail remainder its true length (same convention as trailing)
+    n = max(1, int(sr * VAD_FRAME_S))
+    k = len(pcm) // n
+    mask = db > VAD_GATE_DBFS
+    samples = int(np.count_nonzero(mask[:k])) * n
+    if len(mask) > k and mask[k]:
+        samples += len(pcm) - k * n
+    return float(min(samples, len(pcm))) / float(sr)
 
 
 def speech_ratio(pcm, sr) -> float:
