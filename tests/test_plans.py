@@ -230,6 +230,44 @@ def test_near_dup_candidate_volume_bounded(spark):
     assert cands <= 2 * n, f"{cands} candidates for {n} rows — blocking too narrow"
 
 
+def test_near_dup_single_hot_key_census(spark):
+    """VERDICT r04 defect #1 gate: the hot-bucket guard must be ONE groupBy
+    over the posexploded (block_idx, key) frame + ONE anti-join, not a
+    per-block loop (4 aggregation jobs + 4 anti-join stages = 4.4× slower).
+    The guarded frame is persisted, so: its own plan holds exactly 1 census
+    Aggregate + 1 LeftAnti, no per-block (b0..b3)-keyed census exists
+    anywhere, and the self-join reads the cache on both sides."""
+    from dcspark import pipeline_ckpt
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[
+            (F.pmod(F.hash(F.col("id") * 16 + d), 1000) / 500.0 - 1.0).alias(f"c{d}")
+            for d in range(16)
+        ]).alias("embedding"),
+    )
+    keyed = df.select(
+        "vec_id",
+        *[simsearch.block_key_expr(F.col("embedding").cast("array<double>"),
+                                   16, b, 16).alias(f"b{b}") for b in range(4)],
+    )
+    out = simsearch._block_candidates(keyed, 4, max_bucket=500)
+    guarded = out._dcspark_cached[0]
+    # the guard frame is persisted: its optimized plan is the InMemoryRelation
+    # wrapping the cached PHYSICAL plan — gate on physical node counts
+    gplan = _optimized(guarded)
+    aggs = re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", gplan)
+    n_anti = len(re.findall(r"\bLeftAnti\b", gplan))
+    assert 1 <= len(aggs) <= 2, f"{len(aggs)} census aggregates (want 1 final, ≤1 partial)"
+    assert all("__bi" in k and "__k" in k for k in aggs), \
+        f"census keyed on {aggs} — per-block census regressed"
+    assert n_anti == 1, f"{n_anti} LeftAnti joins in guard plan (want 1)"
+    # the self-join must read the persisted guard, not re-derive it per side
+    jplan = _plan(out)
+    assert jplan.count("InMemoryTableScan") >= 2, "self-join sides not cached"
+    pipeline_ckpt.release_caches(out)
+
+
 def test_near_dup_hot_bucket_guard_bounds_degenerate_mass(spark):
     """1000 identical vectors share every block key; without the max_bucket
     guard the per-block equi-join emits ~500k pairs. The guard drops the
