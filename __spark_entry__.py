@@ -2024,19 +2024,39 @@ SELECT id_a, id_b, round(s, 4) AS score FROM s WHERE s >= {_ND_THRESHOLD}
 
 _SD_CELLS = 8
 _SD_THRESHOLD = 0.9
+_SD_PLANT = 20
 
 
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cell blocking + within-cell
     cosine >= threshold — the learned-cluster blocking scheme alongside the
     LSH one (dcspark.simsearch.semantic_dedup_pairs; deterministic quantizer
-    so the DuckDB oracle reproduces cells bit-for-bit)."""
+    so the DuckDB oracle reproduces cells bit-for-bit).
+
+    The corpus carries PLANTED near-identical copies (vec_id+2000, first
+    component nudged +0.05 → cosine ~0.99, same arithmetic as _nd_corpus):
+    the synthetic embeddings are i.i.d.-ish with no pair above the threshold,
+    so without plants the driver row compares empty-vs-empty and certifies
+    only the schema (VERDICT r04 defect #2). A nudged copy lands in its
+    original's cell except on a knife-edge centroid tie, and both engines
+    run the identical doubles, so the result set is deterministic."""
     # max_bucket=None: the oracle has no hot-cell guard, and the default cap
     # would silently drop whole cells (diverging from the SQL) once a cell
     # exceeds it at a larger scale factor — guard behavior is unit-tested in
     # tests/test_semantic_dedup.py instead
+    base = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    plants = base.filter(F.col("vec_id") < _SD_PLANT).select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.05)),
+            F.slice(F.col("embedding"), 2, EMB_DIM - 1),
+        ).alias("embedding"),
+    )
     return simsearch.semantic_dedup_pairs(
-        _t(spark, sf, "embeddings"), dim=EMB_DIM,
+        base.unionByName(plants), dim=EMB_DIM,
         n_cells=_SD_CELLS, threshold=_SD_THRESHOLD, max_bucket=None,
     )
 
@@ -2048,7 +2068,11 @@ def _sql_semantic_dedup() -> str:
         for i, cent in enumerate(cents)
     )
     return f"""
-WITH c AS (SELECT cast(vec_id AS bigint) vec_id, embedding::DOUBLE[] v FROM embeddings),
+WITH b AS (SELECT cast(vec_id AS bigint) vec_id, embedding::DOUBLE[] v FROM embeddings),
+c AS (SELECT vec_id, v FROM b
+      UNION ALL
+      SELECT vec_id + 2000, list_prepend(v[1] + 0.05, v[2:])
+      FROM b WHERE vec_id < {_SD_PLANT}),
 cents(cell, cv) AS (VALUES
   {cent_rows}),
 dots AS (SELECT vec_id, v, cell, list_dot_product(v, cv) d FROM c, cents),

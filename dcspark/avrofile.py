@@ -94,6 +94,42 @@ Writer = Callable[[bytearray, Any], None]
 #: recursion and each named type compiles exactly once
 _COMPILED = ("__avro_compiled__",)
 
+# Hang/OOM backstop for array blocks whose items encode to ZERO bytes
+# ('null' items, empty records, size-0 fixed): the count-vs-remaining-bytes
+# bound does not apply to them (a 5-byte block legally holds millions of
+# nulls), so cap the per-block count absolutely instead. Far above any real
+# writer's block size (fastavro/Java default ~64KB of encoded bytes/block).
+_MAX_ZERO_BYTE_ITEMS = 1 << 26
+
+
+def _min_item_bytes(schema: Any, names: Dict[str, Any],
+                    _seen: Optional[frozenset] = None) -> int:
+    """Conservative minimum encoded size of one value of ``schema``, used to
+    bound array-block item counts by remaining buffer bytes. Returns 0 when a
+    value can legally encode to zero bytes (null, empty record, fixed(0),
+    recursive reference — recursion is treated as 0 to stay conservative)."""
+    seen = _seen or frozenset()
+    if isinstance(schema, str):
+        t = schema
+        if t in names:
+            if t in seen:  # recursive named type: no positive lower bound
+                return 0
+            return _min_item_bytes(names[t], names, seen | {t})
+        return 0 if t == "null" else 1
+    if isinstance(schema, list):  # union: branch index is >= 1 byte
+        return 1
+    t = schema["type"]
+    if t == "record":
+        return sum(_min_item_bytes(f["type"], names, seen)
+                   for f in schema["fields"])
+    if t == "fixed":
+        return int(schema["size"])
+    if t in ("array", "map"):
+        return 1  # the terminating zero block count
+    if t == "enum":
+        return 1
+    return _min_item_bytes(t, names, seen)  # logical type on a base type
+
 
 def compile_reader(schema: Any, names: Optional[Dict[str, Any]] = None) -> Reader:
     """Schema node -> closure (buf, pos) -> (value, new_pos). Compiled once
@@ -185,6 +221,12 @@ def compile_reader(schema: Any, names: Optional[Dict[str, Any]] = None) -> Reade
         return rx
     if t == "array":
         item = compile_reader(schema["items"], names)
+        # item-count bound per block: when every item consumes >= 1 byte, a
+        # block cannot hold more items than remaining bytes; zero-byte item
+        # types (null, empty record) legally pack any count into no bytes, so
+        # they get the absolute cap instead (ADVICE r04: the unconditional
+        # bytes bound rejected valid arrays of 100 nulls)
+        zero_byte_items = _min_item_bytes(schema["items"], names) == 0
         def ra(b, p):
             out: List[Any] = []
             while True:
@@ -194,10 +236,9 @@ def compile_reader(schema: Any, names: Optional[Dict[str, Any]] = None) -> Reade
                 if n < 0:  # block with byte-size prefix
                     n = -n
                     _, p = _read_long(b, p)
-                if n > len(b) - p + 1:
-                    # a block cannot hold more items than remaining bytes
-                    # (+1 covers zero-byte "null" items in the final block);
-                    # without this a corrupt count hangs/OOMs the parse
+                if (n > _MAX_ZERO_BYTE_ITEMS if zero_byte_items
+                        else n > len(b) - p):
+                    # without a bound a corrupt count hangs/OOMs the parse
                     raise ValueError("avro: array block count exceeds buffer")
                 for _ in range(n):
                     v, p = item(b, p)

@@ -271,7 +271,11 @@ def build_column_bloom(df: DataFrame, col: str, *,
     reduced = partials.repartition(reduce_partials).mapInPandas(
         fold_or, schema="bits binary")
     out = np.zeros(m // 8, dtype=np.uint8)
-    for r in reduced.collect():
+    # toLocalIterator, not collect: collect materializes all reduce_partials
+    # bitsets at once (~8x the budget in driver heap at the 256MB sizing cap,
+    # ADVICE r04); streaming ORs one partial at a time, so peak driver memory
+    # stays ~2x the bitset regardless of reduce_partials
+    for r in reduced.toLocalIterator():
         out |= np.frombuffer(r["bits"], dtype=np.uint8)
     return m, k, n_est, out.tobytes()
 
@@ -286,7 +290,8 @@ def bloom_fpp(m: int, k: int, n: int) -> float:
 
 
 def non_members(df: DataFrame, col: str, m: int, k: int,
-                bits: bytes, keep_cols: Sequence[str] = ()) -> DataFrame:
+                bits: bytes, keep_cols: Sequence[str] = (),
+                null_is_orphan: bool = False) -> DataFrame:
     """Rows of ``df`` whose non-null ``col`` is PROVABLY absent from the
     bloom — a bloom has no false negatives, so every returned row is a true
     non-member; a member-reported row is wrong with probability fpp only.
@@ -306,12 +311,22 @@ def non_members(df: DataFrame, col: str, m: int, k: int,
 
     ``keep_cols`` pass through unchanged beside ``__child`` (e.g. a
     partition column for per-partition orphan attribution).
+
+    ``null_is_orphan=True`` keeps NULL ``col`` rows and reports them as
+    non-members (they provably match no parent key) instead of dropping
+    them — the engine's approx path uses it with a try_cast'ed key, so a
+    malformed child key (string 'abc' vs a long parent) records as an
+    orphan rather than aborting the run under ANSI cast semantics; the
+    caller is responsible for pre-filtering rows that should not count
+    (e.g. originally-NULL foreign keys).
     """
     from pyspark.sql import types as _T
 
     keep = list(keep_cols)
     sel = [F.col(col).alias("__child")] + [F.col(c) for c in keep]
-    base = df.select(*sel).filter(F.col("__child").isNotNull())
+    base = df.select(*sel)
+    if not null_is_orphan:
+        base = base.filter(F.col("__child").isNotNull())
     fields = list(base.schema.fields)
     hashes = base.select("__child", *keep,
                          F.hash("__child").alias("h1"),
@@ -326,6 +341,10 @@ def non_members(df: DataFrame, col: str, m: int, k: int,
                 continue
             member = _test_bits(bc.value, m, k,
                                 pdf["h1"].to_numpy(), pdf["h2"].to_numpy())
+            if null_is_orphan:
+                # F.hash(NULL) is the seed, which may collide into the
+                # bitset — force NULL keys to non-member explicitly
+                member = member & ~pdf["__child"].isna().to_numpy()
             out = pdf.loc[~member, out_cols]
             if len(out):
                 yield out

@@ -2163,15 +2163,29 @@ class Validator:
         # parent key's exact type, or a benign int32-vs-int64 FK pairing
         # (parquet writers disagree on key widths all the time) would report
         # EVERY child row as an orphan — the false-positive outcome the
-        # mode's one-sided contract promises cannot happen. The exact
-        # anti-join coerces implicitly; here the cast is explicit.
+        # mode's one-sided contract promises cannot happen. try_cast, not
+        # cast: under ANSI (the Spark 4 default) an unparseable key would
+        # abort the whole run with CAST_INVALID_INPUT; a non-null key whose
+        # cast is null provably matches no parent key, so it flows through
+        # the probe as a definite orphan (ADVICE r04) — still one child
+        # scan, zero shuffle.
         parent_type = parent.schema[parent_field].dataType
-        sel = [F.col(child_col).cast(parent_type).alias("__child")]
+        sel = [F.col(child_col).try_cast(parent_type).alias("__cast"),
+               F.col(child_col).alias("__orig")]
         if part_col:
             sel.append(F.col(part_col))
-        orphans = bf.non_members(
-            df.select(*sel), "__child", m, k, bits,
-            keep_cols=[part_col] if part_col else ())
+        src = df.select(*sel).filter(F.col("__orig").isNotNull())
+        probe = bf.non_members(
+            src, "__cast", m, k, bits,
+            keep_cols=["__orig"] + ([part_col] if part_col else []),
+            null_is_orphan=True)
+        # report the ORIGINAL value for uncastable keys (the cast is null);
+        # string-typed __child is fine downstream (groupBy + cast-to-string)
+        orphans = probe.select(
+            F.coalesce(F.col("__child").cast("string"),
+                       F.col("__orig").cast("string")).alias("__child"),
+            *([F.col(part_col)] if part_col else []))
+        orphans._dcspark_broadcast = probe._dcspark_broadcast
         diagnostics = {"approx": True, "bloom_bytes": m // 8,
                        "bloom_fpp": fpp, "parent_keys_est": n_b}
         return orphans, diagnostics

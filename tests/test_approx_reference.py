@@ -152,3 +152,31 @@ def test_null_children_are_not_orphans(spark):
         [("k0",), ("k1",), (None,), (None,)], "a string")
     res = _run(spark, {"t": child, "p": parent}, reference_mode="approx")
     assert _ref_check(res).result == ResultEnum.passed
+
+
+def test_approx_malformed_child_keys_record_as_orphans(spark):
+    """ADVICE r04: a string child key that cannot cast to the parent key's
+    type (long) provably matches no parent key — it must record as an
+    orphan, not abort the run with CAST_INVALID_INPUT under ANSI mode."""
+    contract = """
+id: approx-ref-cast
+models:
+  t:
+    fields:
+      a: {type: string, references: p.k}
+  p:
+    fields:
+      k: {type: long}
+"""
+    parent = spark.range(100).select(F.col("id").alias("k"))
+    child = spark.range(500).select((F.col("id") % 100).cast("string").alias("a"))
+    bad = spark.createDataFrame(
+        [("abc",), ("12x",), (None,)], "a string")
+    spec = DataContractSpecification.from_string(contract)
+    res = validate(spark, spec, {"t": child.unionByName(bad), "p": parent},
+                   ValidationConfig(reference_mode="approx"))
+    c = _ref_check(res)
+    assert c.result == ResultEnum.failed
+    # 'abc' and '12x' are orphans; the NULL key is not (nulls never count)
+    assert c.diagnostics["metric"] == 2.0
+    assert c.diagnostics["approx"] is True

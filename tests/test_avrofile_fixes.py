@@ -153,3 +153,47 @@ def test_read_avro_unknown_column_errors(spark, tmp_path):
     write_avro(df, p)
     with pytest.raises(ValueError, match="usre_id"):
         read_avro(spark, p, columns=["usre_id"])
+
+
+def test_array_of_zero_byte_items_parses():
+    """ADVICE r04: array items that encode to ZERO bytes (items 'null', empty
+    records) can legally outnumber remaining buffer bytes — the block-count
+    guard must not reject them. Corrupt counts still die via the absolute
+    cap."""
+    from dcspark.avrofile import parse_container, write_container
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "null"}},
+    ]}
+    data = write_container(schema, [{"xs": [None] * 100}], codec="null")
+    _, rows = parse_container(data)
+    out = list(rows)
+    assert len(out) == 1 and out[0]["xs"] == [None] * 100
+
+    empty_rec = {"type": "record", "name": "e", "fields": []}
+    schema2 = {"type": "record", "name": "r2", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": empty_rec}},
+    ]}
+    data2 = write_container(schema2, [{"xs": [{}] * 64}], codec="null")
+    _, rows2 = parse_container(data2)
+    assert len(list(rows2)[0]["xs"]) == 64
+
+
+def test_array_corrupt_count_still_bounded():
+    """Non-zero-byte items keep the bytes bound; zero-byte items get the
+    absolute cap — a forged huge block count raises, never hangs."""
+    import pytest as _pytest
+
+    from dcspark import avrofile
+    from dcspark.avrofile import compile_reader, _write_long
+
+    # long items: count bounded by remaining bytes
+    r = compile_reader({"type": "array", "items": "long"})
+    forged = bytearray(); _write_long(forged, 1 << 40)
+    with _pytest.raises(ValueError, match="block count"):
+        r(bytes(forged), 0)
+    # null items: bounded by the absolute cap
+    rn = compile_reader({"type": "array", "items": "null"})
+    forged2 = bytearray(); _write_long(forged2, avrofile._MAX_ZERO_BYTE_ITEMS + 1)
+    with _pytest.raises(ValueError, match="block count"):
+        rn(bytes(forged2), 0)
