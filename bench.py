@@ -247,6 +247,7 @@ OPERATOR_QUERIES = [
     "video_fp_join",
     "image_decontam",
     "video_decode_contract",
+    "video_mp4_header_contract",
     "video_near_dup",
     "group_threshold_checks",
     "metric_change_alerts",

@@ -1,0 +1,372 @@
+"""MP4 / ISO-BMFF container metadata: stdlib-struct box walk, no decode.
+
+Most real-world video is H.264/H.265-in-MP4 — codecs whose inter-frame
+decode needs external libraries (the documented pluggable seam in
+``multimodal.real_video_decoder``). But the CONTAINER metadata a
+``type: video`` contract rule checks (dims / fps / frame count / duration)
+lives entirely in the ``moov`` box tree, readable with nothing but
+``struct``:
+
+    moov
+      mvhd                  movie timescale + duration
+      trak                  one per stream
+        tkhd                track dims (16.16 fixed point)
+        mdia
+          mdhd              media timescale + duration
+          hdlr              handler type ('vide' / 'soun')
+          minf/stbl
+            stsd            sample description: codec fourcc + coded dims
+            stts            time-to-sample: frame count + per-frame delta
+            stsz            sample sizes: frame count
+
+So :func:`parse_mp4` header-checks payloads the engine cannot fully decode:
+declared fps/dims/frame-count columns are verified against the stream's own
+header, and a corrupt box tree raises ``ValueError`` (→ per-row
+``decode_error``, never a crash). PCM-decode conformance (SNR vs declared)
+remains impossible without the codec — the contract rule's fps/dims/frames
+subset is exactly what the header can prove, and the disclosure lives in
+``multimodal.real_video_decoder``'s docstring.
+
+:func:`mp4_bytes` writes a structurally complete MP4 (ftyp + mdat stub +
+full moov tree) for fixtures and round-trip tests — the box layout follows
+the public ISO/IEC 14496-12 structure. No reference counterpart: the
+reference repo (datacontract-cli) decodes no media at all.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+__all__ = ["parse_mp4", "mp4_bytes", "is_mp4"]
+
+# boxes that are pure containers: children start at the payload's first byte
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts",
+               b"mvex", b"udta"}
+
+
+def is_mp4(raw: bytes) -> bool:
+    """Cheap sniff: an ISO-BMFF file starts with a box whose type is ftyp
+    (or a raw moov/mdat for headerless fragments)."""
+    return (len(raw) >= 12
+            and raw[4:8] in (b"ftyp", b"moov", b"mdat", b"styp", b"wide"))
+
+
+def _iter_boxes(buf: bytes, start: int, end: int) -> Iterator[Tuple[bytes, int, int]]:
+    """Yield (type, payload_start, payload_end) for each box in [start, end).
+
+    Validates sizes strictly: a box shorter than its own header, or running
+    past its parent, is corrupt — raise rather than mis-walk (a forged size
+    would otherwise alias unrelated bytes into box payloads)."""
+    p = start
+    while p < end:
+        if p + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size = struct.unpack_from(">I", buf, p)[0]
+        btype = bytes(buf[p + 4:p + 8])
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if p + 16 > end:
+                raise ValueError("mp4: truncated largesize box")
+            size = struct.unpack_from(">Q", buf, p + 8)[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - p
+        if size < hdr or p + size > end:
+            raise ValueError(f"mp4: box {btype!r} size {size} exceeds scope")
+        yield btype, p + hdr, p + size
+        p += size
+
+
+def _find(buf: bytes, start: int, end: int, btype: bytes) -> Optional[Tuple[int, int]]:
+    for t, s, e in _iter_boxes(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _fullbox(buf: bytes, s: int, e: int) -> Tuple[int, int]:
+    """(version, payload offset past the version/flags word)."""
+    if s + 4 > e:
+        raise ValueError("mp4: truncated full box")
+    return buf[s], s + 4
+
+
+def _parse_mvhd(buf: bytes, s: int, e: int) -> Tuple[int, int]:
+    v, p = _fullbox(buf, s, e)
+    if v == 1:
+        if p + 28 > e:
+            raise ValueError("mp4: truncated mvhd v1")
+        timescale = struct.unpack_from(">I", buf, p + 16)[0]
+        duration = struct.unpack_from(">Q", buf, p + 20)[0]
+    else:
+        if p + 16 > e:
+            raise ValueError("mp4: truncated mvhd")
+        timescale = struct.unpack_from(">I", buf, p + 8)[0]
+        duration = struct.unpack_from(">I", buf, p + 12)[0]
+    if timescale == 0:
+        raise ValueError("mp4: mvhd timescale is zero")
+    return timescale, duration
+
+
+def _parse_mdhd(buf: bytes, s: int, e: int) -> Tuple[int, int]:
+    v, p = _fullbox(buf, s, e)
+    if v == 1:
+        if p + 28 > e:
+            raise ValueError("mp4: truncated mdhd v1")
+        timescale = struct.unpack_from(">I", buf, p + 16)[0]
+        duration = struct.unpack_from(">Q", buf, p + 20)[0]
+    else:
+        if p + 16 > e:
+            raise ValueError("mp4: truncated mdhd")
+        timescale = struct.unpack_from(">I", buf, p + 8)[0]
+        duration = struct.unpack_from(">I", buf, p + 12)[0]
+    if timescale == 0:
+        raise ValueError("mp4: mdhd timescale is zero")
+    return timescale, duration
+
+
+def _parse_tkhd(buf: bytes, s: int, e: int) -> Tuple[float, float]:
+    v, p = _fullbox(buf, s, e)
+    # width/height are the LAST two 16.16 fixed-point words of the box
+    if e - 8 < p:
+        raise ValueError("mp4: truncated tkhd")
+    w = struct.unpack_from(">I", buf, e - 8)[0] / 65536.0
+    h = struct.unpack_from(">I", buf, e - 4)[0] / 65536.0
+    return w, h
+
+
+def _parse_hdlr(buf: bytes, s: int, e: int) -> bytes:
+    _, p = _fullbox(buf, s, e)
+    if p + 8 > e:
+        raise ValueError("mp4: truncated hdlr")
+    return bytes(buf[p + 4:p + 8])
+
+
+def _parse_stsd(buf: bytes, s: int, e: int) -> Tuple[str, Optional[int], Optional[int]]:
+    """First sample entry: (codec fourcc, coded width, coded height).
+
+    A VisualSampleEntry carries integer coded dims at fixed offsets
+    (6 reserved + 2 data_ref_index + 16 predefined = byte 24/26 of the
+    entry payload); audio entries return (fourcc, None, None)."""
+    _, p = _fullbox(buf, s, e)
+    if p + 8 > e:
+        raise ValueError("mp4: truncated stsd")
+    n = struct.unpack_from(">I", buf, p)[0]
+    if n == 0:
+        raise ValueError("mp4: stsd has no sample entries")
+    entry_s = p + 4
+    if entry_s + 8 > e:
+        raise ValueError("mp4: truncated stsd entry")
+    esize = struct.unpack_from(">I", buf, entry_s)[0]
+    fourcc = bytes(buf[entry_s + 4:entry_s + 8]).decode("latin-1").strip()
+    if esize < 8 or entry_s + esize > e:
+        raise ValueError("mp4: stsd entry size exceeds box")
+    body = entry_s + 8
+    # VisualSampleEntry is >= 78 bytes; width/height at body+24 / body+26
+    if esize >= 78 and body + 28 <= e:
+        w = struct.unpack_from(">H", buf, body + 24)[0]
+        h = struct.unpack_from(">H", buf, body + 26)[0]
+        if w and h:
+            return fourcc, w, h
+    return fourcc, None, None
+
+
+def _parse_stts(buf: bytes, s: int, e: int) -> Tuple[int, int]:
+    """(total sample count, total duration in media-timescale units)."""
+    _, p = _fullbox(buf, s, e)
+    if p + 4 > e:
+        raise ValueError("mp4: truncated stts")
+    n = struct.unpack_from(">I", buf, p)[0]
+    if p + 4 + 8 * n > e:
+        raise ValueError("mp4: stts entry count exceeds box")
+    total_samples = total_time = 0
+    for i in range(n):
+        cnt, delta = struct.unpack_from(">II", buf, p + 4 + 8 * i)
+        total_samples += cnt
+        total_time += cnt * delta
+    return total_samples, total_time
+
+
+def _parse_stsz(buf: bytes, s: int, e: int) -> int:
+    _, p = _fullbox(buf, s, e)
+    if p + 8 > e:
+        raise ValueError("mp4: truncated stsz")
+    return struct.unpack_from(">I", buf, p + 4)[0]
+
+
+def parse_mp4(raw: bytes) -> Dict[str, Any]:
+    """Metadata of the first VIDEO track of an ISO-BMFF payload.
+
+    Returns ``{brand, codec, width, height, fps, n_frames, duration_ms,
+    n_tracks, has_audio}``. ``fps`` is media-timescale exact
+    (timescale * samples / total stts time); ``width``/``height`` prefer the
+    stsd VisualSampleEntry's integer coded dims over tkhd's display
+    fixed-point. Raises ``ValueError`` on any corrupt box (forged size,
+    truncated header, missing mandatory boxes)."""
+    if raw is None or len(raw) < 12:
+        raise ValueError("mp4: empty or truncated payload")
+    buf = bytes(raw)
+    brand = None
+    moov = None
+    for t, s, e in _iter_boxes(buf, 0, len(buf)):
+        if t == b"ftyp" and s + 4 <= e:
+            brand = buf[s:s + 4].decode("latin-1")
+        elif t == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    mvhd = _find(buf, *moov, b"mvhd")
+    if mvhd is None:
+        raise ValueError("mp4: no mvhd box")
+    mv_timescale, mv_duration = _parse_mvhd(buf, *mvhd)
+    out: Dict[str, Any] = {
+        "brand": brand,
+        "codec": None, "width": None, "height": None,
+        "fps": None, "n_frames": None,
+        "duration_ms": mv_duration * 1000.0 / mv_timescale,
+        "n_tracks": 0, "has_audio": False,
+    }
+    for t, s, e in _iter_boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        out["n_tracks"] += 1
+        mdia = _find(buf, s, e, b"mdia")
+        if mdia is None:
+            raise ValueError("mp4: trak without mdia")
+        hdlr = _find(buf, *mdia, b"hdlr")
+        handler = _parse_hdlr(buf, *hdlr) if hdlr else b"????"
+        if handler == b"soun":
+            out["has_audio"] = True
+        if handler != b"vide" or out["codec"] is not None:
+            continue
+        mdhd = _find(buf, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("mp4: video trak without mdhd")
+        md_timescale, _md_duration = _parse_mdhd(buf, *mdhd)
+        minf = _find(buf, *mdia, b"minf")
+        stbl = _find(buf, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("mp4: video trak without stbl")
+        stsd = _find(buf, *stbl, b"stsd")
+        if stsd is None:
+            raise ValueError("mp4: video trak without stsd")
+        codec, w, h = _parse_stsd(buf, *stsd)
+        out["codec"] = codec
+        if w is None or h is None:
+            tkhd = _find(buf, s, e, b"tkhd")
+            if tkhd is not None:
+                fw, fh = _parse_tkhd(buf, *tkhd)
+                w, h = int(round(fw)) or None, int(round(fh)) or None
+        out["width"], out["height"] = w, h
+        stts = _find(buf, *stbl, b"stts")
+        stsz = _find(buf, *stbl, b"stsz")
+        n_frames = None
+        if stsz is not None:
+            n_frames = _parse_stsz(buf, *stsz)
+        if stts is not None:
+            n_samples, total_time = _parse_stts(buf, *stts)
+            if n_frames is None:
+                n_frames = n_samples
+            if total_time > 0:
+                out["fps"] = md_timescale * n_samples / total_time
+        out["n_frames"] = n_frames
+    if out["codec"] is None:
+        raise ValueError("mp4: no video track")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# writer — fixtures / round-trip ground truth
+# ---------------------------------------------------------------------------
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(btype, struct.pack(">B3s", version,
+                                   flags.to_bytes(3, "big")) + payload)
+
+
+def mp4_bytes(width: int, height: int, fps: float, n_frames: int,
+              codec: str = "avc1", sample_size: int = 64,
+              with_audio: bool = False) -> bytes:
+    """A structurally complete MP4: ftyp + mdat (stub samples) + moov with
+    the full mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl tree.
+
+    The mdat carries ``n_frames`` dummy samples (NOT decodable video — the
+    point is the header). Media timescale is ``round(fps * 1000)`` with a
+    constant stts delta of 1000, so ``parse_mp4`` recovers ``fps`` exactly
+    for any rate with <= 3 decimals."""
+    if fps <= 0 or n_frames < 0 or width <= 0 or height <= 0:
+        raise ValueError("mp4_bytes: invalid dimensions/fps/frame count")
+    timescale = int(round(fps * 1000))
+    delta = 1000
+    duration = n_frames * delta
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"\x00" * (sample_size * n_frames))
+
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, 1000, int(round(duration * 1000 / timescale)))
+        + struct.pack(">i", 0x00010000)   # rate 1.0
+        + struct.pack(">h", 0x0100)       # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2 if with_audio else 1))  # next track id
+
+    def trak(track_id: int, handler: bytes, name: bytes,
+             stsd_entry: bytes, w: int, h: int) -> bytes:
+        tkhd = _full(b"tkhd", 0, 7, struct.pack(
+            ">IIII", 0, 0, track_id, 0)
+            + struct.pack(">I", int(round(duration * 1000 / timescale)))
+            + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
+            + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", w << 16, h << 16))
+        mdhd = _full(b"mdhd", 0, 0, struct.pack(
+            ">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0))
+        hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + handler
+                     + b"\x00" * 12 + name + b"\x00")
+        stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+        stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n_frames, delta)
+                     if n_frames else struct.pack(">I", 0))
+        stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n_frames or 1, 1))
+        # constant sample_size => no per-sample entry table
+        stsz = _full(b"stsz", 0, 0, struct.pack(">II", sample_size, n_frames))
+        stco = _full(b"stco", 0, 0, struct.pack(">II", 1, 8 + len(ftyp)))
+        vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                     + _full(b"url ", 0, 1, b""))
+        dinf = _box(b"dinf", dref)
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    # VisualSampleEntry (ISO 14496-12 §12.1.3): 6 reserved + data_ref_index,
+    # then 16 predefined/reserved bytes, integer dims, resolution, frame
+    # count, 32-byte compressor name, depth, -1 — plus a stub codec-config
+    # child box (a real avc1 entry carries avcC; the parser never reads it)
+    cfg = _box(b"stub", b"")
+    visual = (b"\x00" * 6 + struct.pack(">H", 1)
+              + b"\x00" * 16
+              + struct.pack(">HH", width, height)
+              + struct.pack(">II", 0x00480000, 0x00480000)
+              + struct.pack(">I", 0)
+              + struct.pack(">H", 1)
+              + b"\x00" * 32
+              + struct.pack(">Hh", 24, -1)
+              + cfg)
+    entry = struct.pack(">I", 8 + len(visual)) + codec.encode("latin-1")[:4].ljust(4) + visual
+    boxes = [trak(1, b"vide", b"VideoHandler", entry, width, height)]
+    if with_audio:
+        audio = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+                 + struct.pack(">HH", 2, 16) + b"\x00" * 4
+                 + struct.pack(">I", 16000 << 16))
+        aentry = struct.pack(">I", 8 + len(audio)) + b"mp4a" + audio
+        boxes.append(trak(2, b"soun", b"SoundHandler", aentry, 0, 0))
+    moov = _box(b"moov", mvhd + b"".join(boxes))
+    return ftyp + mdat + moov

@@ -335,7 +335,9 @@ def real_video_decoder(raw: bytes):
     libraries) and animated GIF (dcspark/gif.py — LZW frames composited on
     the logical screen, fps from the graphic-control delays). Inter-frame
     codecs (MP4/H.264, WebM) remain the pluggable seam: a per-row
-    decode_error, never a crash."""
+    decode_error, never a crash — though for ISO-BMFF containers the
+    metadata path (video_metadata) header-checks fps/frames/dims from the
+    moov box tree (dcspark/mp4.py) without decoding frames."""
     if raw is None or len(raw) < 12:
         raise ValueError("empty or truncated video payload")
     head = bytes(raw[:12])
@@ -606,10 +608,19 @@ def video_metadata(
 ) -> DataFrame:
     """Decode + typed metadata per video payload (fps, frame count, first
     frame dims): one mapInPandas pass; only scalars leave the task. Feeds
-    the ``type: video, invariant: decode-conformance`` contract rule."""
+    the ``type: video, invariant: decode-conformance`` contract rule.
+
+    Foreign-codec ISO-BMFF payloads (H.264/H.265-in-MP4 — the pluggable
+    decode seam) fall back to the CONTAINER header (dcspark/mp4.py moov
+    walk): fps / frame count / dims come from the stream's own stts/stsz/
+    stsd boxes, so declared-column conformance still verifies what the
+    header can prove even though the frames themselves stay undecodable
+    in-repo. Corrupt box trees record a per-row decode_error, never crash."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
+
+        from .mp4 import is_mp4, parse_mp4
 
         for pdf in batches:
             out = {k: [] for k in ("id", "fps", "n_frames", "width",
@@ -623,8 +634,21 @@ def video_metadata(
                     if frames:
                         rec.update(height=int(frames[0].shape[0]),
                                    width=int(frames[0].shape[1]))
-                except (NotImplementedError, ValueError, TypeError,
-                        struct.error) as e:
+                except NotImplementedError as e:
+                    # undecodable CODEC, maybe readable CONTAINER
+                    if raw is not None and is_mp4(bytes(raw)):
+                        try:
+                            m = parse_mp4(bytes(raw))
+                            rec.update(
+                                fps=(float(m["fps"])
+                                     if m["fps"] is not None else None),
+                                n_frames=m["n_frames"],
+                                width=m["width"], height=m["height"])
+                        except ValueError as e2:
+                            rec["decode_error"] = str(e2)
+                    else:
+                        rec["decode_error"] = str(e)
+                except (ValueError, TypeError, struct.error) as e:
                     rec["decode_error"] = str(e)
                 for k, v in rec.items():
                     out[k].append(v)
