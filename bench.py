@@ -75,21 +75,32 @@ COMPACT_SR_ENUM = (8000,)
 COMPACT_CODEC = "pcm_u8"
 
 
-def ensure_audio_data(spark, n: int, compact: bool = False) -> tuple[str, str]:
+def _audio_paths(n: int, compact: bool) -> tuple[str, str]:
+    base = os.path.join(REPO, ".bench_data")
+    dur_tag = f"{DUR_LO}_{DUR_HI}"
+    tag = "audio_compact" if compact else "audio"
+    clips_path = os.path.join(base, f"{tag}_n{n}_seed{SEED}_d{dur_tag}_p32_v3")
+    ref_path = os.path.join(base, f"ref_n{n}_seed{SEED}_p32_v2")
+    return clips_path, ref_path
+
+
+def ensure_audio_data(spark, n: int, compact: bool = False,
+                      direct_write: bool = False) -> tuple[str, str]:
     """Generate (once) and cache the synthetic audio + transcript tables.
 
     Written with 128 output files so any parallelism level 8..128 gets full
     task fan-out from the same on-disk input. ``compact=True`` builds the
     low-rate pcm_u8/8kHz layout (same transcripts_ref — transcripts draw from
     their own rng stream, so the reference table is layout-independent).
+
+    ``direct_write=True`` writes straight from 32 generation partitions
+    instead of generating 128 then repartition(32): the repartition shuffles
+    the whole payload volume through disk, which doubles the transient
+    footprint — the ephemeral >=2M-clip scale point can't afford that.
     """
     from dcspark import synth
 
-    base = os.path.join(REPO, ".bench_data")
-    dur_tag = f"{DUR_LO}_{DUR_HI}"
-    tag = "audio_compact" if compact else "audio"
-    clips_path = os.path.join(base, f"{tag}_n{n}_seed{SEED}_d{dur_tag}_p32_v3")
-    ref_path = os.path.join(base, f"ref_n{n}_seed{SEED}_p32_v2")
+    clips_path, ref_path = _audio_paths(n, compact)
     gen_kw = ({"sr_enum": COMPACT_SR_ENUM, "force_codec": COMPACT_CODEC}
               if compact else {})
     # each table regenerates only on ITS OWN missing _SUCCESS — a missing
@@ -109,10 +120,12 @@ def ensure_audio_data(spark, n: int, compact: bool = False) -> tuple[str, str]:
         # 39% of every payload scan in decompression CPU — the layout any
         # audio lake picks (payloads carry their own codec; generic block
         # compression on top is pure overhead)
-        synth.generate_audio_table(
+        gen = synth.generate_audio_table(
             spark, n, seed=SEED, dur_lo=DUR_LO, dur_hi=DUR_HI,
-            num_partitions=128, **gen_kw
-        ).repartition(32).write.mode("overwrite") \
+            num_partitions=(32 if direct_write else 128), **gen_kw)
+        if not direct_write:
+            gen = gen.repartition(32)
+        gen.write.mode("overwrite") \
             .option("compression", "uncompressed").parquet(clips_path)
     return clips_path, ref_path
 
@@ -330,12 +343,32 @@ def main() -> None:
 
     # compact-layout curve (VERDICT r03 next #8): the >=1M-clip points the
     # s16 layout cannot fit on this sandbox's disk. pcm_u8 @ 8 kHz, identical
-    # 42-check suite; the flattening 512k -> 1M per-clip cost is the evidence
-    # the engine's fixed overhead keeps amortizing past the s16 curve's top.
+    # 42-check suite; the flattening 512k -> 1M -> 2M per-clip cost is the
+    # evidence the engine's fixed overhead keeps amortizing past the s16
+    # curve's top. Points >= _EPHEMERAL_MIN run generate-validate-delete
+    # (VERDICT r04 next #7): the 1M (~9 GB) and 2M (~17 GB) tables do not
+    # both fit the cache alongside the other layouts on this disk, so each
+    # is written straight from the generation partitions (no repartition
+    # shuffle = no 2x transient disk), measured, and deleted before the next
+    # point; a point that cannot fit the free disk at all is skipped LOUDLY
+    # on stderr, never silently.
     scale_points_compact = {}
-    cpts = os.environ.get("BENCH_COMPACT_POINTS", "512000,1000000")
+    cpts = os.environ.get("BENCH_COMPACT_POINTS", "512000,1000000,2000000")
+    _EPHEMERAL_MIN = 750_000
+    _COMPACT_BYTES_PER_CLIP = 9000  # measured: 8.4 GB / 1M clips + margin
     for p in [int(x) for x in cpts.split(",") if x.strip()]:
-        cp, rp = ensure_audio_data(spark, p, compact=True)
+        cp_path, _rp = _audio_paths(p, compact=True)
+        pre_cached = os.path.exists(os.path.join(cp_path, "_SUCCESS"))
+        ephemeral = (not pre_cached) and p >= _EPHEMERAL_MIN
+        if ephemeral:
+            need = int(p * _COMPACT_BYTES_PER_CLIP * 1.15)
+            free = shutil.disk_usage(REPO).free
+            if free < need:
+                print(f"# compact point {p} skipped: needs ~{need >> 30} GiB, "
+                      f"{free >> 30} GiB free", file=sys.stderr)
+                continue
+        cp, rp = ensure_audio_data(spark, p, compact=True,
+                                   direct_write=ephemeral)
         extra = run_audio_suite(spark, cp, rp, compact=True)
         scale_points_compact[str(p)] = {
             "suite_sec": round(extra["suite_sec"], 3),
@@ -345,7 +378,10 @@ def main() -> None:
             # ("passed"), matching the top-level run_result field — str()
             # would emit "ResultEnum.passed" on 3.11+
             "run_result": extra["run_result"],
+            "ephemeral": ephemeral,
         }
+        if ephemeral:
+            shutil.rmtree(cp, ignore_errors=True)
 
     total = sum(queries.values())
     print(json.dumps({
