@@ -342,16 +342,20 @@ def q_referential_bloom_orphans(spark: SparkSession, sf: str) -> DataFrame:
     zero child shuffle at 10^12 rows, vs the exact anti-join whose
     sort-merge fallback shuffles every child row. Blooms have no false
     negatives, so every value this returns is a TRUE orphan; the DuckDB
-    oracle is the EXACT orphan set — equality here certifies that on this
-    fixture the ~0.8%-fpp bloom missed nothing (deterministic: hashing is
-    fixed), and in general approx ⊆ exact."""
+    oracle is the EXACT orphan set — equality certifies the bloom missed
+    nothing, and in general approx ⊆ exact. The query sizes the bloom at 64
+    bits/key (fpp ~1e-7 vs the engine default's 10-bit ~0.8%): at sf0.1 the
+    default sizing measurably misses ~7 of 1500 orphans (working as designed
+    — that's the disclosed one-sided contract), which would turn this
+    equality check scale-dependent; at 1e-7 the expected miss count stays
+    ≪1 through sf1, so the row pins the probe MATH, not hash luck."""
     from dcspark import bloomfilter as bf
 
     orders = _t(spark, sf, "orders")
     customer = _t(spark, sf, "customer")
     parent = customer.filter(F.col("c_custkey") % 10 != 3).select(
         F.col("c_custkey").alias("k"))
-    m, k, n, bits = bf.build_column_bloom(parent, "k")
+    m, k, n, bits = bf.build_column_bloom(parent, "k", bits_per_entry=64)
     orphans = bf.non_members(
         orders.select(F.col("o_custkey")), "o_custkey", m, k, bits)
     return (
@@ -523,11 +527,11 @@ models:
     fields:
       l_orderkey: {type: long, primaryKey: true}
     quality:
-      - {type: metric, metric: p50, column: l_extendedprice, accuracy: 1000000}
-      - {type: metric, metric: p95, column: l_extendedprice, accuracy: 1000000}
-      - {type: metric, metric: p99, column: l_extendedprice, accuracy: 1000000}
-      - {type: metric, metric: p50, column: l_quantity, accuracy: 1000000}
-      - {type: metric, metric: p90, column: l_discount, accuracy: 1000000}
+      - {type: metric, metric: p50, column: l_extendedprice, accuracy: ACC}
+      - {type: metric, metric: p95, column: l_extendedprice, accuracy: ACC}
+      - {type: metric, metric: p99, column: l_extendedprice, accuracy: ACC}
+      - {type: metric, metric: p50, column: l_quantity, accuracy: ACC}
+      - {type: metric, metric: p90, column: l_discount, accuracy: ACC}
 """
 
 
@@ -536,13 +540,19 @@ def q_quantile_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
     (percentile_approx) — the north star's approx-quantile column in the
     single multi-aggregate pass. The aggregate expressions come from the REAL
     compiler (check_quality_metric pctl branch); ``accuracy`` is
-    contract-tunable (rank error <= n/accuracy), set here above the sf0.01
-    row count so the sketch is exact and DuckDB's quantile_disc (both pick an
-    actual element, no interpolation) cross-checks it hash-exactly."""
+    contract-tunable (rank error <= n/accuracy) and here sized from the
+    ACTUAL row count (500 * n, capped at int32) so rank error stays ≪ 1
+    even after per-partition summary merges accumulate it — a fixed 10^6
+    was exact at sf0.01 but drifted one element off DuckDB's quantile_disc
+    at sf0.1's ~600k rows (both engines pick an actual element, no
+    interpolation, so with sub-1 rank error the cross-check is
+    hash-exact)."""
     from dcspark.compile import create_checks
 
     li = _t(spark, sf, "lineitem")
-    spec = DataContractSpecification.from_string(QUANTILE_CONTRACT)
+    acc = min(2_000_000_000, max(1_000_000, 500 * li.count()))
+    spec = DataContractSpecification.from_string(
+        QUANTILE_CONTRACT.replace("ACC", str(acc)))
     checks = create_checks(spec)["lineitem"]
     aggs = [c.agg_expr().alias(c.agg_alias) for c in checks
             if c.agg_alias and c.agg_expr is not None]

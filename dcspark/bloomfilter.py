@@ -219,7 +219,8 @@ def prune_files(
 
 def build_column_bloom(df: DataFrame, col: str, *,
                        max_bytes: Optional[int] = None,
-                       reduce_partials: int = 8
+                       reduce_partials: int = 8,
+                       bits_per_entry: int = BITS_PER_ENTRY
                        ) -> Tuple[int, int, int, Optional[bytes]]:
     """One distributed pass folds every non-null value of ``col`` into a
     single Bloom bitset -> (m, k, n_est, bits).
@@ -243,7 +244,11 @@ def build_column_bloom(df: DataFrame, col: str, *,
     src = df.select(F.col(col).alias("__v")).filter(F.col("__v").isNotNull())
     n_est = int(src.agg(
         F.approx_count_distinct("__v").alias("n")).first()["n"] or 0)
-    m = _size_bits(max(1, int(n_est * 1.2)))  # headroom for ACD underestimate
+    # bits_per_entry: fpp knob (default 10 bits -> ~0.8% at k=7; e.g. 64
+    # bits -> ~1e-7 when a caller needs near-exact membership at scale)
+    m = max(MIN_BITS,
+            max(1, int(n_est * 1.2)) * bits_per_entry)  # ACD headroom
+    m = (m + 63) // 64 * 64
     k = NUM_HASHES
     if max_bytes is not None and m // 8 > max_bytes:
         return m, k, n_est, None
