@@ -195,6 +195,90 @@ def _parse_stsz(buf: bytes, s: int, e: int) -> int:
     return struct.unpack_from(">I", buf, p + 4)[0]
 
 
+def _parse_trex_defaults(buf: bytes, moov_s: int, moov_e: int) -> Dict[int, int]:
+    """mvex/trex per-track default_sample_duration (fragmented MP4)."""
+    out: Dict[int, int] = {}
+    mvex = _find(buf, moov_s, moov_e, b"mvex")
+    if mvex is None:
+        return out
+    for t, s, e in _iter_boxes(buf, *mvex):
+        if t == b"trex":
+            _, p = _fullbox(buf, s, e)
+            if p + 16 > e:
+                raise ValueError("mp4: truncated trex")
+            track_id = struct.unpack_from(">I", buf, p)[0]
+            out[track_id] = struct.unpack_from(">I", buf, p + 8)[0]
+    return out
+
+
+def _parse_tkhd_track_id(buf: bytes, s: int, e: int) -> int:
+    v, p = _fullbox(buf, s, e)
+    off = p + (16 if v == 1 else 8)
+    if off + 4 > e:
+        raise ValueError("mp4: truncated tkhd")
+    return struct.unpack_from(">I", buf, off)[0]
+
+
+def _parse_traf(buf: bytes, s: int, e: int,
+                trex_dur: Dict[int, int]) -> Tuple[int, int, int]:
+    """One traf -> (track_id, sample_count, total_duration).
+
+    tfhd's optional fields are flag-gated at fixed widths; trun carries
+    per-sample durations only when flag 0x100 is set, else the tfhd default
+    (flag 0x08), else the trex default applies (ISO 14496-12 §8.8)."""
+    tfhd = _find(buf, s, e, b"tfhd")
+    if tfhd is None:
+        raise ValueError("mp4: traf without tfhd")
+    ts, te = tfhd
+    v_flags = struct.unpack_from(">I", buf, ts)[0]
+    flags = v_flags & 0xFFFFFF
+    p = ts + 4
+    if p + 4 > te:
+        raise ValueError("mp4: truncated tfhd")
+    track_id = struct.unpack_from(">I", buf, p)[0]
+    p += 4
+    if flags & 0x01:
+        p += 8   # base-data-offset
+    if flags & 0x02:
+        p += 4   # sample-description-index
+    default_dur = None
+    if flags & 0x08:
+        if p + 4 > te:
+            raise ValueError("mp4: truncated tfhd default duration")
+        default_dur = struct.unpack_from(">I", buf, p)[0]
+    if default_dur is None:
+        default_dur = trex_dur.get(track_id, 0)
+    n = time = 0
+    for t2, s2, e2 in _iter_boxes(buf, s, e):
+        if t2 != b"trun":
+            continue
+        tv = struct.unpack_from(">I", buf, s2)[0]
+        tflags = tv & 0xFFFFFF
+        q = s2 + 4
+        if q + 4 > e2:
+            raise ValueError("mp4: truncated trun")
+        cnt = struct.unpack_from(">I", buf, q)[0]
+        q += 4
+        if tflags & 0x01:
+            q += 4   # data-offset
+        if tflags & 0x04:
+            q += 4   # first-sample-flags
+        per = 0
+        per += 4 if tflags & 0x100 else 0   # sample-duration
+        per += 4 if tflags & 0x200 else 0   # sample-size
+        per += 4 if tflags & 0x400 else 0   # sample-flags
+        per += 4 if tflags & 0x800 else 0   # composition-time-offset
+        if q + cnt * per > e2:
+            raise ValueError("mp4: trun sample table exceeds box")
+        if tflags & 0x100:
+            for i in range(cnt):
+                time += struct.unpack_from(">I", buf, q + i * per)[0]
+        else:
+            time += cnt * default_dur
+        n += cnt
+    return track_id, n, time
+
+
 def parse_mp4(raw: bytes) -> Dict[str, Any]:
     """Metadata of the first VIDEO track of an ISO-BMFF payload.
 
@@ -209,11 +293,14 @@ def parse_mp4(raw: bytes) -> Dict[str, Any]:
     buf = bytes(raw)
     brand = None
     moov = None
+    moofs = []
     for t, s, e in _iter_boxes(buf, 0, len(buf)):
         if t == b"ftyp" and s + 4 <= e:
             brand = buf[s:s + 4].decode("latin-1")
         elif t == b"moov":
             moov = (s, e)
+        elif t == b"moof":
+            moofs.append((s, e))
     if moov is None:
         raise ValueError("mp4: no moov box")
     mvhd = _find(buf, *moov, b"mvhd")
@@ -227,6 +314,8 @@ def parse_mp4(raw: bytes) -> Dict[str, Any]:
         "duration_ms": mv_duration * 1000.0 / mv_timescale,
         "n_tracks": 0, "has_audio": False,
     }
+    vid_track_id = None
+    vid_timescale = None
     for t, s, e in _iter_boxes(buf, *moov):
         if t != b"trak":
             continue
@@ -271,8 +360,31 @@ def parse_mp4(raw: bytes) -> Dict[str, Any]:
             if total_time > 0:
                 out["fps"] = md_timescale * n_samples / total_time
         out["n_frames"] = n_frames
+        vid_timescale = md_timescale
+        tkhd = _find(buf, s, e, b"tkhd")
+        if tkhd is not None:
+            vid_track_id = _parse_tkhd_track_id(buf, *tkhd)
     if out["codec"] is None:
         raise ValueError("mp4: no video track")
+    # fragmented MP4 (DASH/HLS): the moov's sample tables are empty and the
+    # samples live in moof/traf/trun fragments — accumulate the video
+    # track's fragment sample counts + durations instead
+    if moofs and not out["n_frames"]:
+        trex_dur = _parse_trex_defaults(buf, *moov)
+        n = time = 0
+        for ms, me in moofs:
+            for t2, s2, e2 in _iter_boxes(buf, ms, me):
+                if t2 != b"traf":
+                    continue
+                tid, cnt, dur = _parse_traf(buf, s2, e2, trex_dur)
+                if vid_track_id is None or tid == vid_track_id:
+                    n += cnt
+                    time += dur
+        out["n_frames"] = n
+        if time > 0 and vid_timescale:
+            out["fps"] = vid_timescale * n / time
+        if out["duration_ms"] == 0 and time > 0 and vid_timescale:
+            out["duration_ms"] = time * 1000.0 / vid_timescale
     return out
 
 
@@ -370,3 +482,82 @@ def mp4_bytes(width: int, height: int, fps: float, n_frames: int,
         boxes.append(trak(2, b"soun", b"SoundHandler", aentry, 0, 0))
     moov = _box(b"moov", mvhd + b"".join(boxes))
     return ftyp + mdat + moov
+
+
+def mp4_fragmented_bytes(width: int, height: int, fps: float, n_frames: int,
+                         codec: str = "avc1", samples_per_frag: int = 32,
+                         sample_size: int = 64,
+                         per_sample_durations: bool = False) -> bytes:
+    """A structurally complete FRAGMENTED MP4 (fMP4, the DASH/HLS layout):
+    ftyp + moov with EMPTY sample tables + mvex/trex defaults, then
+    moof(mfhd, traf(tfhd, trun)) + mdat per fragment.
+
+    ``per_sample_durations=True`` writes explicit per-sample durations in
+    each trun (flag 0x100) instead of relying on the trex default — both
+    accumulation paths of :func:`parse_mp4` are exercised by fixtures."""
+    if fps <= 0 or n_frames < 0 or width <= 0 or height <= 0:
+        raise ValueError("mp4_fragmented_bytes: invalid dims/fps/frames")
+    timescale = int(round(fps * 1000))
+    delta = 1000
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso5dash")
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                 + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+                 + b"\x00" * 10
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0)
+                 + struct.pack(">I", 0) + b"\x00" * 8
+                 + struct.pack(">hhhh", 0, 0, 0, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + struct.pack(">II", width << 16, height << 16))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, 0)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"VideoHandler\x00")
+    cfg = _box(b"stub", b"")
+    visual = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+              + struct.pack(">HH", width, height)
+              + struct.pack(">II", 0x00480000, 0x00480000)
+              + struct.pack(">I", 0) + struct.pack(">H", 1)
+              + b"\x00" * 32 + struct.pack(">Hh", 24, -1) + cfg)
+    entry = (struct.pack(">I", 8 + len(visual))
+             + codec.encode("latin-1")[:4].ljust(4) + visual)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    # empty sample tables: all samples live in fragments
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+    trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, delta,
+                                            sample_size, 0))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+
+    frags = []
+    seq = 1
+    left = n_frames
+    while left > 0:
+        cnt = min(samples_per_frag, left)
+        left -= cnt
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x020000) + default-sample-size (0x10)
+        tfhd = _full(b"tfhd", 0, 0x020010,
+                     struct.pack(">II", 1, sample_size))
+        if per_sample_durations:
+            # flags: data-offset (0x01) + sample-duration (0x100)
+            body = struct.pack(">Ii", cnt, 0) + b"".join(
+                struct.pack(">I", delta) for _ in range(cnt))
+            trun = _full(b"trun", 0, 0x000101, body)
+        else:
+            trun = _full(b"trun", 0, 0x000001, struct.pack(">Ii", cnt, 0))
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+        frags.append(moof + _box(b"mdat", b"\x00" * (sample_size * cnt)))
+        seq += 1
+    return ftyp + moov + b"".join(frags)

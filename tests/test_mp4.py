@@ -157,3 +157,59 @@ models:
     vio = sorted(r["clip_id"] for r in res.violations.filter(
         F.col("check_key") == chk.key).collect())
     assert vio == ["v02", "v05", "v08", "v10"]
+
+
+# ---------------------------------------------------------------------------
+# fragmented MP4 (DASH/HLS layout): moof/traf/trun accumulation
+# ---------------------------------------------------------------------------
+
+def test_fragmented_round_trip_trex_defaults():
+    from dcspark.mp4 import mp4_fragmented_bytes
+
+    m = parse_mp4(mp4_fragmented_bytes(640, 360, 29.97, 100))
+    assert (m["width"], m["height"], m["n_frames"]) == (640, 360, 100)
+    assert m["fps"] == pytest.approx(29.97, abs=1e-9)
+    assert m["duration_ms"] == pytest.approx(100 / 29.97 * 1000, rel=1e-3)
+
+
+def test_fragmented_round_trip_per_sample_durations():
+    from dcspark.mp4 import mp4_fragmented_bytes
+
+    m = parse_mp4(mp4_fragmented_bytes(320, 240, 24.0, 75,
+                                       per_sample_durations=True,
+                                       samples_per_frag=16))
+    assert m["n_frames"] == 75
+    assert m["fps"] == pytest.approx(24.0, abs=1e-9)
+
+
+def test_fragmented_zero_frames():
+    from dcspark.mp4 import mp4_fragmented_bytes
+
+    m = parse_mp4(mp4_fragmented_bytes(320, 240, 25.0, 0))
+    assert m["n_frames"] == 0 and m["fps"] is None
+
+
+def test_fragmented_corrupt_trun_raises():
+    """A forged trun sample count whose per-sample table exceeds the box
+    must raise, never loop past the buffer."""
+    from dcspark.mp4 import mp4_fragmented_bytes
+
+    raw = bytearray(mp4_fragmented_bytes(320, 240, 25.0, 10,
+                                         per_sample_durations=True))
+    idx = bytes(raw).find(b"trun")
+    struct.pack_into(">I", raw, idx + 8, 1 << 30)  # sample_count field
+    with pytest.raises(ValueError, match="trun"):
+        parse_mp4(bytes(raw))
+
+
+def test_fragmented_flows_through_video_metadata(spark):
+    from dcspark import multimodal
+    from dcspark.mp4 import mp4_fragmented_bytes
+
+    df = spark.createDataFrame(
+        [("f1", bytearray(mp4_fragmented_bytes(640, 360, 30.0, 90)))],
+        "id string, bytes binary")
+    r = multimodal.video_metadata(df).collect()[0]
+    assert r["decode_error"] is None
+    assert (r["width"], r["height"], r["n_frames"]) == (640, 360, 90)
+    assert r["fps"] == pytest.approx(30.0)
