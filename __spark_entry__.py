@@ -2035,6 +2035,12 @@ SELECT id_a, id_b, round(s, 4) AS score FROM s WHERE s >= {_ND_THRESHOLD}
 _SD_CELLS = 8
 _SD_THRESHOLD = 0.9
 _SD_PLANT = 20
+# cap the base corpus BEFORE planting (the _nd_corpus pattern): the +2000
+# plant offset collides with genuine vec_ids once the embeddings table
+# exceeds 2000 rows (sf0.1 is exactly at that boundary), and a duplicated
+# id would make the oracle comparison depend on each engine's duplicate
+# handling
+_SD_MAX_ID = 400
 
 
 def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
@@ -2054,7 +2060,9 @@ def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # would silently drop whole cells (diverging from the SQL) once a cell
     # exceeds it at a larger scale factor — guard behavior is unit-tested in
     # tests/test_semantic_dedup.py instead
-    base = _t(spark, sf, "embeddings").select(
+    base = _t(spark, sf, "embeddings").filter(
+        F.col("vec_id") < _SD_MAX_ID
+    ).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
@@ -2078,7 +2086,8 @@ def _sql_semantic_dedup() -> str:
         for i, cent in enumerate(cents)
     )
     return f"""
-WITH b AS (SELECT cast(vec_id AS bigint) vec_id, embedding::DOUBLE[] v FROM embeddings),
+WITH b AS (SELECT cast(vec_id AS bigint) vec_id, embedding::DOUBLE[] v
+           FROM embeddings WHERE vec_id < {_SD_MAX_ID}),
 c AS (SELECT vec_id, v FROM b
       UNION ALL
       SELECT vec_id + 2000, list_prepend(v[1] + 0.05, v[2:])

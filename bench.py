@@ -367,21 +367,27 @@ def main() -> None:
                 print(f"# compact point {p} skipped: needs ~{need >> 30} GiB, "
                       f"{free >> 30} GiB free", file=sys.stderr)
                 continue
-        cp, rp = ensure_audio_data(spark, p, compact=True,
-                                   direct_write=ephemeral)
-        extra = run_audio_suite(spark, cp, rp, compact=True)
-        scale_points_compact[str(p)] = {
-            "suite_sec": round(extra["suite_sec"], 3),
-            "clips_per_sec": round(extra["clips_per_sec"], 2),
-            "per_clip_ms": round(1000.0 * extra["suite_sec"] / extra["clips"], 4),
-            # the enum itself: json.dumps renders the str-enum's VALUE
-            # ("passed"), matching the top-level run_result field — str()
-            # would emit "ResultEnum.passed" on 3.11+
-            "run_result": extra["run_result"],
-            "ephemeral": ephemeral,
-        }
-        if ephemeral:
-            shutil.rmtree(cp, ignore_errors=True)
+        try:
+            cp, rp = ensure_audio_data(spark, p, compact=True,
+                                       direct_write=ephemeral)
+            extra = run_audio_suite(spark, cp, rp, compact=True)
+            scale_points_compact[str(p)] = {
+                "suite_sec": round(extra["suite_sec"], 3),
+                "clips_per_sec": round(extra["clips_per_sec"], 2),
+                "per_clip_ms": round(1000.0 * extra["suite_sec"] / extra["clips"], 4),
+                # the enum itself: json.dumps renders the str-enum's VALUE
+                # ("passed"), matching the top-level run_result field — str()
+                # would emit "ResultEnum.passed" on 3.11+
+                "run_result": extra["run_result"],
+                "ephemeral": ephemeral,
+            }
+        finally:
+            # delete even when the suite raises or the point partially
+            # generated: an abandoned 9-17 GB table with _SUCCESS would be
+            # misread as a durable cache on the next run and permanently
+            # consume the 2M point's disk headroom
+            if ephemeral:
+                shutil.rmtree(cp_path, ignore_errors=True)
 
     total = sum(queries.values())
     print(json.dumps({

@@ -94,12 +94,21 @@ Writer = Callable[[bytearray, Any], None]
 #: recursion and each named type compiles exactly once
 _COMPILED = ("__avro_compiled__",)
 
-# Hang/OOM backstop for array blocks whose items encode to ZERO bytes
-# ('null' items, empty records, size-0 fixed): the count-vs-remaining-bytes
-# bound does not apply to them (a 5-byte block legally holds millions of
-# nulls), so cap the per-block count absolutely instead. Far above any real
-# writer's block size (fastavro/Java default ~64KB of encoded bytes/block).
+# Hang/OOM backstop for arrays whose items encode to ZERO bytes ('null'
+# items, empty records, size-0 fixed): the count-vs-remaining-bytes bound
+# does not apply to them (a 5-byte block legally holds millions of nulls),
+# so cap the TOTAL accumulated item count per array instead — a per-block
+# cap alone still lets a few hundred corrupt bytes claim block after block
+# (20 blocks x 5M nulls = 100M-item list from an 81-byte buffer). The cap
+# scales with the buffer (1024 items per input byte — far above any real
+# writer's density) up to an absolute ceiling.
 _MAX_ZERO_BYTE_ITEMS = 1 << 26
+_ZERO_BYTE_ITEMS_PER_BUF_BYTE = 1024
+
+
+def _zero_byte_item_budget(buf_len: int) -> int:
+    return min(_MAX_ZERO_BYTE_ITEMS,
+               max(65536, _ZERO_BYTE_ITEMS_PER_BUF_BYTE * buf_len))
 
 
 def _min_item_bytes(schema: Any, names: Dict[str, Any],
@@ -236,9 +245,10 @@ def compile_reader(schema: Any, names: Optional[Dict[str, Any]] = None) -> Reade
                 if n < 0:  # block with byte-size prefix
                     n = -n
                     _, p = _read_long(b, p)
-                if (n > _MAX_ZERO_BYTE_ITEMS if zero_byte_items
-                        else n > len(b) - p):
-                    # without a bound a corrupt count hangs/OOMs the parse
+                if (len(out) + n > _zero_byte_item_budget(len(b))
+                        if zero_byte_items else n > len(b) - p):
+                    # without a bound a corrupt count hangs/OOMs the parse;
+                    # zero-byte items are bounded on the TOTAL across blocks
                     raise ValueError("avro: array block count exceeds buffer")
                 for _ in range(n):
                     v, p = item(b, p)

@@ -210,25 +210,15 @@ def near_dup_pairs_from_fp(
     """
     if max_hamming > 3:
         raise ValueError("4-block pigeonhole guarantees recall only for max_hamming <= 3")
+    from .hotkey import hot_key_guard
+
     t = (fp.filter(F.col("dhash").isNotNull())
          .select("id", "dhash",
                  F.posexplode(_block_keys("dhash")).alias("__bi", "__k")))
-    if max_bucket is not None:
-        # hot-key anti-join (the textops.lsh_candidate_pairs pattern, used
-        # for every CORPUS-side bucket cap): a groupBy count shuffles only
-        # map-side-combined (block, key) partials and the surviving hot-key
-        # frame broadcasts, where a window count would shuffle AND SORT all
-        # 4 exploded rows per image — including the degenerate hot mass the
-        # cap exists to drop
-        hot = (t.groupBy("__bi", "__k")
-               .agg(F.count(F.lit(1)).alias("_bc"))
-               .filter(F.col("_bc") > max_bucket)
-               .select("__bi", "__k"))
-        t = t.join(hot, on=["__bi", "__k"], how="left_anti")
-    # both self-join sides read t: persist the tiny (id, dhash, block-key)
-    # frame so the fingerprint lineage (a decode pass when fp is unpersisted)
-    # evaluates once, not twice (plan-gated)
-    t = t.persist()
+    # shared corpus-side bucket cap + persist (dcspark/hotkey.py): the
+    # persist also makes the fingerprint lineage (a decode pass when fp is
+    # unpersisted) evaluate once, not twice (plan-gated)
+    t = hot_key_guard(t, ["__bi", "__k"], max_bucket)
     a_, b_ = t.alias("a"), t.alias("b")
     cands = (a_.join(b_, on=["__bi", "__k"])
              .filter(F.col("a.id") < F.col("b.id"))
@@ -410,21 +400,11 @@ def video_fp_near_dup(
     # evaluates once, not 3x (plan-gated)
     uniq = (fp.filter(F.col("hash").isNotNull())
             .select("clip_id", "hash").distinct()).persist()
+    from .hotkey import hot_key_guard
+
     t = uniq.select("clip_id", "hash",
                     F.posexplode(_block_keys("hash")).alias("__bi", "__k"))
-    if max_bucket is not None:
-        # corpus-side hot-key anti-join (see near_dup_pairs_from_fp): counts
-        # shuffle map-side-combined, no full-row sort of the frame-hash mass
-        hot = (t.groupBy("__bi", "__k")
-               .agg(F.count(F.lit(1)).alias("_bc"))
-               .filter(F.col("_bc") > max_bucket)
-               .select("__bi", "__k"))
-        t = t.join(hot, on=["__bi", "__k"], how="left_anti")
-    # both self-join sides read t: persist the guarded (clip, hash, block-key)
-    # frame so the census + anti-join evaluate once, not once per side —
-    # the near_dup_pairs_from_fp shape (VERDICT r04: omitting this persist
-    # cost the r4 unification commit a 1.5x regression on this join)
-    t = t.persist()
+    t = hot_key_guard(t, ["__bi", "__k"], max_bucket)
     a_, b_ = t.alias("a"), t.alias("b")
     cand = (a_.join(b_, on=["__bi", "__k"])
             .filter(F.col("a.clip_id") < F.col("b.clip_id"))

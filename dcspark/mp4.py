@@ -230,11 +230,11 @@ def _parse_traf(buf: bytes, s: int, e: int,
     if tfhd is None:
         raise ValueError("mp4: traf without tfhd")
     ts, te = tfhd
+    if ts + 8 > te:
+        raise ValueError("mp4: truncated tfhd")
     v_flags = struct.unpack_from(">I", buf, ts)[0]
     flags = v_flags & 0xFFFFFF
     p = ts + 4
-    if p + 4 > te:
-        raise ValueError("mp4: truncated tfhd")
     track_id = struct.unpack_from(">I", buf, p)[0]
     p += 4
     if flags & 0x01:
@@ -252,11 +252,11 @@ def _parse_traf(buf: bytes, s: int, e: int,
     for t2, s2, e2 in _iter_boxes(buf, s, e):
         if t2 != b"trun":
             continue
+        if s2 + 8 > e2:
+            raise ValueError("mp4: truncated trun")
         tv = struct.unpack_from(">I", buf, s2)[0]
         tflags = tv & 0xFFFFFF
         q = s2 + 4
-        if q + 4 > e2:
-            raise ValueError("mp4: truncated trun")
         cnt = struct.unpack_from(">I", buf, q)[0]
         q += 4
         if tflags & 0x01:

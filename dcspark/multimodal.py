@@ -628,28 +628,32 @@ def video_metadata(
             for rid, raw in zip(pdf[id_col], pdf[bytes_col]):
                 rec = dict(id=rid, fps=None, n_frames=None, width=None,
                            height=None, decode_error=None)
+                b = bytes(raw) if raw is not None else None
                 try:
-                    fps, frames = decoder(bytes(raw) if raw is not None else None)
+                    fps, frames = decoder(b)
                     rec.update(fps=float(fps), n_frames=len(frames))
                     if frames:
                         rec.update(height=int(frames[0].shape[0]),
                                    width=int(frames[0].shape[1]))
-                except NotImplementedError as e:
-                    # undecodable CODEC, maybe readable CONTAINER
-                    if raw is not None and is_mp4(bytes(raw)):
+                except (NotImplementedError, ValueError, TypeError,
+                        struct.error) as e:
+                    # undecodable CODEC, maybe readable CONTAINER: the
+                    # ISO-BMFF sniff covers ftyp files AND headerless
+                    # raw-moov/styp segments (fMP4 init / DASH media
+                    # segments), which the frame decoder rejects with
+                    # ValueError rather than NotImplementedError
+                    if b is not None and is_mp4(b):
                         try:
-                            m = parse_mp4(bytes(raw))
+                            m = parse_mp4(b)
                             rec.update(
                                 fps=(float(m["fps"])
                                      if m["fps"] is not None else None),
                                 n_frames=m["n_frames"],
                                 width=m["width"], height=m["height"])
-                        except ValueError as e2:
+                        except (ValueError, struct.error) as e2:
                             rec["decode_error"] = str(e2)
                     else:
                         rec["decode_error"] = str(e)
-                except (ValueError, TypeError, struct.error) as e:
-                    rec["decode_error"] = str(e)
                 for k, v in rec.items():
                     out[k].append(v)
             yield pd.DataFrame(out)

@@ -174,21 +174,14 @@ def _block_candidates(
     hot-key frame broadcasts — a window count would shuffle AND SORT every
     exploded corpus row, including the degenerate mass the cap exists to
     drop."""
+    from .hotkey import hot_key_guard
+
     t = keyed.select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"b{b}") for b in range(n_blocks)]))
         .alias("__bi", "__k"),
     ).filter(F.col("__k").isNotNull())
-    if max_bucket is not None:
-        hot = (t.groupBy("__bi", "__k")
-               .agg(F.count(F.lit(1)).alias("_bc"))
-               .filter(F.col("_bc") > max_bucket)
-               .select("__bi", "__k"))
-        t = t.join(hot, on=["__bi", "__k"], how="left_anti")
-    # both self-join sides read t: persist the tiny (vec_id, block, key) frame
-    # so the census + anti-join evaluate once, not once per side (the imagefp
-    # shape; released through the caller's _dcspark_cached handle)
-    t = t.persist()
+    t = hot_key_guard(t, ["__bi", "__k"], max_bucket)
     cands = (
         t.alias("a").join(t.alias("b"), on=["__bi", "__k"])
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))

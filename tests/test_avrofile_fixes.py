@@ -197,3 +197,19 @@ def test_array_corrupt_count_still_bounded():
     forged2 = bytearray(); _write_long(forged2, avrofile._MAX_ZERO_BYTE_ITEMS + 1)
     with _pytest.raises(ValueError, match="block count"):
         rn(bytes(forged2), 0)
+
+
+def test_array_zero_byte_aggregate_bound():
+    """The zero-byte-item cap bounds the TOTAL across blocks — a tiny buffer
+    claiming many max-size blocks must raise, not build a 100M-item list."""
+    import pytest as _pytest
+
+    from dcspark.avrofile import _write_long, compile_reader
+
+    r = compile_reader({"type": "array", "items": "null"})
+    forged = bytearray()
+    for _ in range(20):
+        _write_long(forged, 5_000_000)  # 20 blocks x 5M zero-byte items
+    _write_long(forged, 0)
+    with _pytest.raises(ValueError, match="block count"):
+        r(bytes(forged), 0)

@@ -213,3 +213,38 @@ def test_fragmented_flows_through_video_metadata(spark):
     assert r["decode_error"] is None
     assert (r["width"], r["height"], r["n_frames"]) == (640, 360, 90)
     assert r["fps"] == pytest.approx(30.0)
+
+
+def test_corrupt_tfhd_raises_valueerror_not_struct_error():
+    """Review finding: a size-8 tfhd (empty payload) at end of traf must
+    raise the documented ValueError, not let struct.error escape and kill
+    the Spark task."""
+    from dcspark.mp4 import mp4_fragmented_bytes
+
+    raw = bytearray(mp4_fragmented_bytes(320, 240, 25.0, 10))
+    idx = bytes(raw).find(b"tfhd")
+    struct.pack_into(">I", raw, idx - 4, 8)  # shrink box to header only
+    with pytest.raises(ValueError, match="tfhd"):
+        parse_mp4(bytes(raw))
+
+
+def test_raw_moov_init_segment_header_path(spark):
+    """Review finding: a headerless raw-moov init segment (no ftyp) must
+    reach the ISO-BMFF fallback in video_metadata — the frame decoder
+    rejects it with ValueError, not NotImplementedError."""
+    from dcspark import multimodal
+    from dcspark.mp4 import mp4_fragmented_bytes
+
+    full = bytes(mp4_fragmented_bytes(640, 360, 30.0, 0))
+    p = 0
+    while p < len(full):
+        size = struct.unpack_from(">I", full, p)[0]
+        if full[p + 4:p + 8] == b"moov":
+            seg = full[p:p + size]
+            break
+        p += size
+    df = spark.createDataFrame([("seg", bytearray(seg))],
+                               "id string, bytes binary")
+    r = multimodal.video_metadata(df).collect()[0]
+    assert r["decode_error"] is None
+    assert (r["width"], r["height"]) == (640, 360)
