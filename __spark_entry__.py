@@ -3518,6 +3518,78 @@ models:
         "bad_videos bigint, result string, violations_match boolean")
 
 
+def q_video_webm_header_contract(spark: SparkSession, _sf: str) -> DataFrame:
+    """Foreign-codec video conformance via the WebM/Matroska CONTAINER
+    header (dcspark/ebml.py EBML element walk, stdlib struct): 24
+    tool-produced VP9-flagged WebM payloads whose frames are NOT decodable
+    in-repo, with declared fps / frame-count / dims columns, plus 4 planted
+    corruptions — 1 truncated element tree, 1 fps lie, 1 frame-count lie,
+    1 dimension lie. Half the clean payloads use Xiph lacing (multiple
+    frames per SimpleBlock) and carry an audio track, so the frame count
+    must be lacing-aware and track-scoped. Self-verifying: metric == 4 with
+    exactly those violator ids. Not SQL-expressible (binary element walk);
+    locked in tests/test_ebml.py."""
+    from dcspark.engine import ValidationConfig, validate
+    from dcspark.spec import DataContractSpecification
+
+    contract = """
+id: entry-webm-header-contract
+models:
+  videos:
+    fields:
+      video_id: {type: string, primaryKey: true}
+      bytes: {type: bytes}
+      fps: {type: double}
+      n_frames: {type: integer}
+      width: {type: integer}
+      height: {type: integer}
+    quality:
+      - {type: video, invariant: decode-conformance, column: bytes,
+         fps_column: fps, frames_column: n_frames,
+         width_column: width, height_column: height}
+"""
+    spec = DataContractSpecification.from_string(contract)
+
+    def build(batches):
+        import pandas as pd
+
+        from dcspark.ebml import webm_bytes
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                n = 10 + i % 4
+                kw = dict(laced=(i % 2 == 0), with_audio=(i % 3 == 0))
+                payload = webm_bytes(320, 240, 25.0, n, **kw)
+                decl = dict(fps=25.0, n_frames=n, width=320, height=240)
+                if i == 3:
+                    payload = payload[:40]  # truncated element tree
+                elif i == 9:   # fps lie: header says 30, column says 25
+                    payload = webm_bytes(320, 240, 30.0, n, **kw)
+                elif i == 14:  # frame-count lie
+                    decl["n_frames"] = 99
+                elif i == 20:  # dimension lie
+                    decl["width"], decl["height"] = 1920, 1080
+                rows.append({"video_id": f"webm-{i:03d}",
+                             "bytes": payload, **decl})
+            yield pd.DataFrame(
+                rows, columns=["video_id", "bytes", "fps", "n_frames",
+                               "width", "height"])
+
+    vids = spark.range(0, 24, 1, 6).mapInPandas(
+        build, schema=("video_id string, bytes binary, fps double, "
+                       "n_frames int, width int, height int"))
+    res = validate(spark, spec, {"videos": vids}, ValidationConfig())
+    chk = [c for c in res.run.checks if "video_decode" in c.key][0]
+    vio_ids = sorted(r["clip_id"] for r in res.violations.filter(
+        F.col("check_key") == chk.key).collect()) if res.violations is not None else []
+    return spark.createDataFrame(
+        [(int(res.metrics[chk.key]), chk.result.value,
+          bool(vio_ids == ["webm-003", "webm-009", "webm-014", "webm-020"]))],
+        "bad_videos bigint, result string, violations_match boolean")
+
+
 def q_asr_wer(spark: SparkSession, _sf: str) -> DataFrame:
     """Distributed WER (dcspark/wer.py): hypothesis transcripts vs the
     reference table, substitution/insertion/deletion breakdown per row,
@@ -5297,6 +5369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_family_contract": q_image_family_contract,
         "video_decode_contract": q_video_contract,
         "video_mp4_header_contract": q_video_mp4_header_contract,
+        "video_webm_header_contract": q_video_webm_header_contract,
         "image_decontam": q_image_decontam,
         "video_near_dup": q_video_near_dup,
         "audio_fp_near_dup": q_audio_fp_near_dup,

@@ -261,6 +261,7 @@ OPERATOR_QUERIES = [
     "image_decontam",
     "video_decode_contract",
     "video_mp4_header_contract",
+    "video_webm_header_contract",
     "video_near_dup",
     "group_threshold_checks",
     "metric_change_alerts",

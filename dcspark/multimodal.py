@@ -334,10 +334,11 @@ def real_video_decoder(raw: bytes):
     (dcspark/avi.py — RIFF walk + per-frame baseline JPEG, no external
     libraries) and animated GIF (dcspark/gif.py — LZW frames composited on
     the logical screen, fps from the graphic-control delays). Inter-frame
-    codecs (MP4/H.264, WebM) remain the pluggable seam: a per-row
-    decode_error, never a crash — though for ISO-BMFF containers the
-    metadata path (video_metadata) header-checks fps/frames/dims from the
-    moov box tree (dcspark/mp4.py) without decoding frames."""
+    codecs (MP4/H.264, WebM/VP9) remain the pluggable seam: a per-row
+    decode_error, never a crash — though for ISO-BMFF and EBML containers
+    the metadata path (video_metadata) header-checks fps/frames/dims from
+    the moov box tree (dcspark/mp4.py) or the Matroska element tree
+    (dcspark/ebml.py) without decoding frames."""
     if raw is None or len(raw) < 12:
         raise ValueError("empty or truncated video payload")
     head = bytes(raw[:12])
@@ -610,16 +611,18 @@ def video_metadata(
     frame dims): one mapInPandas pass; only scalars leave the task. Feeds
     the ``type: video, invariant: decode-conformance`` contract rule.
 
-    Foreign-codec ISO-BMFF payloads (H.264/H.265-in-MP4 — the pluggable
-    decode seam) fall back to the CONTAINER header (dcspark/mp4.py moov
-    walk): fps / frame count / dims come from the stream's own stts/stsz/
-    stsd boxes, so declared-column conformance still verifies what the
-    header can prove even though the frames themselves stay undecodable
-    in-repo. Corrupt box trees record a per-row decode_error, never crash."""
+    Foreign-codec container payloads — H.264/H.265-in-MP4 (dcspark/mp4.py
+    moov walk) and VP8/VP9/AV1-in-WebM/Matroska (dcspark/ebml.py element
+    walk) — fall back to the CONTAINER header: fps / frame count / dims
+    come from the stream's own metadata, so declared-column conformance
+    still verifies what the header can prove even though the frames
+    themselves stay undecodable in-repo. Corrupt structures record a
+    per-row decode_error, never crash."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
+        from .ebml import is_webm, parse_webm
         from .mp4 import is_mp4, parse_mp4
 
         for pdf in batches:
@@ -641,10 +644,16 @@ def video_metadata(
                     # ISO-BMFF sniff covers ftyp files AND headerless
                     # raw-moov/styp segments (fMP4 init / DASH media
                     # segments), which the frame decoder rejects with
-                    # ValueError rather than NotImplementedError
+                    # ValueError rather than NotImplementedError; the EBML
+                    # sniff covers WebM/Matroska
+                    header_parse = None
                     if b is not None and is_mp4(b):
+                        header_parse = parse_mp4
+                    elif b is not None and is_webm(b):
+                        header_parse = parse_webm
+                    if header_parse is not None:
                         try:
-                            m = parse_mp4(b)
+                            m = header_parse(b)
                             rec.update(
                                 fps=(float(m["fps"])
                                      if m["fps"] is not None else None),
