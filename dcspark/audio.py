@@ -249,6 +249,15 @@ def parse_wav_view(b) -> tuple:
         from .flac import decode_flac
 
         return decode_flac(b)
+    if b is not None and len(b) >= 4 and bytes(b[:1]) != b"R":
+        # precise error for the MPEG-audio seam (cheap: first byte already
+        # rules out every RIFF/WAV payload before the full sniff runs)
+        from .mp3 import is_mp3
+
+        if is_mp3(b):
+            raise ValueError(
+                "mpeg-audio (mp3) codec: header metadata available via "
+                "parse_wav_meta; PCM decode needs an external codec")
     (audio_format, channels, sr, bits, block_align,
      data_off, data_len, fact_samples) = _walk_wav_header(b)
     if audio_format == _FMT_PCM and bits == 16 and channels == 1:
@@ -271,12 +280,20 @@ def parse_wav_view(b) -> tuple:
 def parse_wav_meta(b) -> tuple:
     """Header-only metadata -> (sample_rate, codec_name, n_samples) WITHOUT
     decoding any PCM: sample counts derive from the data-chunk size (and the
-    fact chunk for block codecs), so surveying a compressed archive costs a
-    chunk walk per clip instead of a full decode — the census path."""
+    fact chunk for block codecs; MPEG audio from a frame-header walk), so
+    surveying a compressed archive costs a chunk walk per clip instead of a
+    full decode — the census path. Covers every in-repo-decodable codec plus
+    MPEG audio (mp1/mp2/mp3 — dcspark/mp3.py), whose PCM decode remains the
+    pluggable seam."""
     if b is not None and len(b) >= 4 and bytes(b[:4]) == b"fLaC":
         from .flac import parse_flac_meta
 
         return parse_flac_meta(b)
+    if b is not None and len(b) >= 4 and bytes(b[:1]) != b"R":
+        from .mp3 import is_mp3, mp3_meta_triple
+
+        if is_mp3(b):
+            return mp3_meta_triple(bytes(b))
     (tag, channels, sr, bits, block_align,
      data_off, data_len, fact_samples) = _walk_wav_header(b)
     name = WAV_CODEC_NAMES.get((tag, bits))
