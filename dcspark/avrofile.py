@@ -101,14 +101,19 @@ _COMPILED = ("__avro_compiled__",)
 # cap alone still lets a few hundred corrupt bytes claim block after block
 # (20 blocks x 5M nulls = 100M-item list from an 81-byte buffer). The cap
 # scales with the buffer (1024 items per input byte — far above any real
-# writer's density) up to an absolute ceiling.
+# writer's density) up to an absolute ceiling, with a 4M-item floor so
+# LEGITIMATE dense-null arrays (e.g. 100k nulls in one ~5-byte block, which
+# valid writers emit) are never rejected: the floor bounds adversarial
+# memory at ~32 MB of list slots while accepting any plausible real row.
 _MAX_ZERO_BYTE_ITEMS = 1 << 26
+_ZERO_BYTE_ITEMS_FLOOR = 1 << 22
 _ZERO_BYTE_ITEMS_PER_BUF_BYTE = 1024
 
 
 def _zero_byte_item_budget(buf_len: int) -> int:
     return min(_MAX_ZERO_BYTE_ITEMS,
-               max(65536, _ZERO_BYTE_ITEMS_PER_BUF_BYTE * buf_len))
+               max(_ZERO_BYTE_ITEMS_FLOOR,
+                   _ZERO_BYTE_ITEMS_PER_BUF_BYTE * buf_len))
 
 
 def _min_item_bytes(schema: Any, names: Dict[str, Any],

@@ -63,8 +63,15 @@ def is_webm(raw: bytes) -> bool:
     return len(raw) >= 4 and bytes(raw[:4]) == EBML_MAGIC
 
 
-def _read_vint(buf: bytes, p: int, end: int, keep_marker: bool) -> Tuple[int, int]:
-    """One EBML variable-length integer at ``p`` -> (value, new_pos)."""
+def _read_vint(buf: bytes, p: int, end: int, keep_marker: bool,
+               allow_unknown: bool = True) -> Tuple[int, int]:
+    """One EBML variable-length integer at ``p`` -> (value, new_pos).
+
+    ``allow_unknown`` applies only to marker-stripped reads: the all-ones
+    data-bits sentinel means "unknown size" for ELEMENT SIZES, but a block's
+    track number has no unknown value — 0xFF there is the legal minimal
+    encoding of track 127 (review finding: treating it as the sentinel
+    silently dropped that track's frames)."""
     if p >= end:
         raise ValueError("ebml: truncated vint")
     first = buf[p]
@@ -80,8 +87,7 @@ def _read_vint(buf: bytes, p: int, end: int, keep_marker: bool) -> Tuple[int, in
     val = first if keep_marker else (first & (mask - 1))
     for i in range(1, length):
         val = (val << 8) | buf[p + i]
-    if not keep_marker:
-        # all-ones data bits = "unknown size" (streamed segments)
+    if not keep_marker and allow_unknown:
         if val == (1 << (7 * length)) - 1:
             return _UNKNOWN_SIZE, p + length
     return val, p + length
@@ -102,6 +108,50 @@ def _iter_elements(buf: bytes, start: int, end: int) -> Iterator[Tuple[int, int,
             raise ValueError(f"ebml: element 0x{eid:x} size {size} exceeds scope")
         yield eid, p, p + size
         p += size
+
+
+#: ids legal as direct Cluster children (Matroska spec): Timestamp,
+#: SilentTracks, Position, PrevSize, SimpleBlock, BlockGroup, EncryptedBlock
+_CLUSTER_CHILDREN = {0xE7, 0x5854, 0xA7, 0xAB, _SIMPLE_BLOCK, _BLOCK_GROUP,
+                     0xAF}
+
+
+def _segment_children(buf: bytes, start: int, end: int) -> Iterator[Tuple[int, int, int]]:
+    """Segment-level walk that bounds UNKNOWN-SIZE Clusters correctly.
+
+    A live-streamed/muxer-truncated WebM writes Clusters with the all-ones
+    size sentinel; per the Matroska rule such an element ends where the
+    first id that is not a valid child appears at its level. Treating it as
+    running to segment end (the generic _iter_elements behavior) silently
+    swallows every following cluster (review finding: frames after the
+    first streamed cluster went uncounted). Non-Cluster unknown-size
+    elements keep the to-scope-end reading."""
+    p = start
+    while p < end:
+        eid, q = _read_vint(buf, p, end, keep_marker=True)
+        size, q = _read_vint(buf, q, end, keep_marker=False)
+        if size != _UNKNOWN_SIZE:
+            if q + size > end:
+                raise ValueError(
+                    f"ebml: element 0x{eid:x} size {size} exceeds scope")
+            yield eid, q, q + size
+            p = q + size
+            continue
+        if eid != _CLUSTER:
+            yield eid, q, end
+            return
+        c = q
+        while c < end:
+            probe = c
+            cid, r = _read_vint(buf, probe, end, keep_marker=True)
+            if cid not in _CLUSTER_CHILDREN:
+                break
+            csz, r = _read_vint(buf, r, end, keep_marker=False)
+            if csz == _UNKNOWN_SIZE or r + csz > end:
+                raise ValueError("ebml: bad child size in unknown-size cluster")
+            c = r + csz
+        yield eid, q, c
+        p = c
 
 
 def _uint(buf: bytes, s: int, e: int) -> int:
@@ -127,7 +177,7 @@ def _count_block_frames(buf: bytes, s: int, e: int, video_track: int) -> int:
     header is a track-number VINT, a 2-byte timestamp, a flags byte; lacing
     (flags & 0x06) packs several frames into one block (lace count byte
     + 1), which an honest frame count must include."""
-    track, p = _read_vint(buf, s, e, keep_marker=False)
+    track, p = _read_vint(buf, s, e, keep_marker=False, allow_unknown=False)
     if track != video_track:
         return 0
     if p + 3 > e:
@@ -173,7 +223,7 @@ def parse_webm(raw: bytes) -> Dict[str, Any]:
     video_track = None
     default_dur_ns = None
     clusters = []
-    for eid, s, e in _iter_elements(buf, *segment):
+    for eid, s, e in _segment_children(buf, *segment):
         if eid == _INFO:
             for iid, is_, ie in _iter_elements(buf, s, e):
                 if iid == _TIMESTAMP_SCALE:

@@ -101,6 +101,7 @@ def _skip_id3v2(buf: bytes, p: int) -> int:
         return p
     if p + 10 > len(buf):
         raise ValueError("mp3: truncated ID3v2 header")
+    flags = buf[p + 5]
     size = 0
     for i in range(6, 10):  # syncsafe 28-bit size
         b = buf[p + i]
@@ -108,6 +109,11 @@ def _skip_id3v2(buf: bytes, p: int) -> int:
             raise ValueError("mp3: invalid ID3v2 syncsafe size")
         size = (size << 7) | b
     end = p + 10 + size
+    if flags & 0x10:
+        # ID3v2.4 footer flag: a 10-byte "3DI" footer follows the body
+        # (review finding: landing on it raised 'lost frame sync' on a
+        # structurally valid tagged stream)
+        end += 10
     if end > len(buf):
         raise ValueError("mp3: ID3v2 size exceeds buffer")
     return end

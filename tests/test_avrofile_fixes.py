@@ -213,3 +213,16 @@ def test_array_zero_byte_aggregate_bound():
     _write_long(forged, 0)
     with _pytest.raises(ValueError, match="block count"):
         r(bytes(forged), 0)
+
+
+def test_legit_dense_null_array_accepted():
+    """Review finding: valid writers emit 100k+ nulls as one ~5-byte block;
+    the aggregate budget floor must accept them."""
+    from dcspark.avrofile import parse_container, write_container
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "null"}},
+    ]}
+    data = write_container(schema, [{"xs": [None] * 100_000}], codec="null")
+    _, rows = parse_container(data)
+    assert len(list(rows)[0]["xs"]) == 100_000

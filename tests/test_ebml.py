@@ -152,3 +152,58 @@ models:
     vio = sorted(r["clip_id"] for r in res.violations.filter(
         F.col("check_key") == chk.key).collect())
     assert vio == ["w01", "w04", "w07"]
+
+
+def test_multiple_unknown_size_clusters_all_counted():
+    """Review finding: a live-streamed WebM writes EVERY cluster with the
+    unknown-size sentinel; the segment walk must bound each at the next
+    cluster id, not swallow the rest of the file into the first."""
+    from dcspark import ebml as E
+
+    raw = bytes(webm_bytes(320, 240, 25.0, 9, frames_per_cluster=3))
+    # rebuild the segment with every cluster's size rewritten as unknown
+    hdr_end = 0
+    for eid, s, e in E._iter_elements(raw, 0, len(raw)):
+        if eid == E._SEGMENT:
+            seg_s, seg_e = s, e
+            break
+        hdr_end = e
+    pieces = []
+    for eid, s, e in E._iter_elements(raw, seg_s, seg_e):
+        body = raw[s:e]
+        if eid == E._CLUSTER:
+            pieces.append(E._enc_id(E._CLUSTER) + b"\x01" + b"\xff" * 7 + body)
+        else:
+            pieces.append(E._enc_id(eid) + E._enc_size(len(body)) + body)
+    seg_body = b"".join(pieces)
+    streamed = (raw[:hdr_end] + E._enc_id(E._SEGMENT)
+                + b"\x01" + b"\xff" * 7 + seg_body)
+    m = parse_webm(streamed)
+    assert m["n_frames"] == 9, f"streamed clusters undercounted: {m['n_frames']}"
+
+
+def test_track_127_one_byte_vint_counted():
+    """Review finding: 0xFF as a 1-byte track-number VINT is the legal
+    minimal encoding of track 127, NOT the unknown-size sentinel — frames
+    of such a track must be counted."""
+    from dcspark import ebml as E
+
+    header = E._el(0x1A45DFA3, E._el(E._DOCTYPE, b"webm"))
+    entry = E._el(E._TRACK_ENTRY, b"".join([
+        E._el_uint(E._TRACK_NUMBER, 127),
+        E._el_uint(E._TRACK_TYPE, 1),
+        E._el(E._CODEC_ID, b"V_VP9"),
+        E._el_uint(E._DEFAULT_DURATION, 40_000_000),
+        E._el(E._VIDEO, E._el_uint(E._PIXEL_WIDTH, 64)
+              + E._el_uint(E._PIXEL_HEIGHT, 48)),
+    ]))
+    tracks = E._el(E._TRACKS, entry)
+    blocks = [E._el_uint(0xE7, 0)]
+    for _ in range(5):
+        # track 127 as the 1-byte VINT 0xFF + timestamp + flags + stub
+        blocks.append(E._el(E._SIMPLE_BLOCK,
+                            b"\xff" + b"\x00\x00" + b"\x00" + b"\x00" * 8))
+    cluster = E._el(E._CLUSTER, b"".join(blocks))
+    raw = header + E._el(E._SEGMENT, tracks + cluster)
+    m = parse_webm(raw)
+    assert m["n_frames"] == 5

@@ -99,3 +99,18 @@ def test_audio_census_counts_mp3_rows(spark):
     expected_hours = 3 * (50 * 1152 / 44100) / 3600.0
     assert out["mp3"]["hours"] == pytest.approx(expected_hours, abs=1e-6)
     assert all(r["decode_errors"] == 0 for r in out.values())
+
+
+def test_id3v24_footer_flag_skipped():
+    """Review finding: an ID3v2.4 tag with the footer flag set appends a
+    10-byte '3DI' footer — the skip must land on the first frame."""
+    from dcspark.mp3 import _BITRATES  # noqa: F401 (module import check)
+
+    body = b"tag body here"
+    size = len(body)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    tag = b"ID3\x04\x00\x10" + ss + body + b"3DI\x04\x00\x00" + b"\x00" * 4
+    raw = tag + mp3_bytes(n_frames=4)
+    m = parse_mp3_meta(raw)
+    assert m["n_frames"] == 4 and m["has_id3v2"]
