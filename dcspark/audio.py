@@ -250,8 +250,16 @@ def parse_wav_view(b) -> tuple:
 
         return decode_flac(b)
     if b is not None and len(b) >= 4 and bytes(b[:1]) != b"R":
-        # precise error for the MPEG-audio seam (cheap: first byte already
-        # rules out every RIFF/WAV payload before the full sniff runs)
+        # precise errors for the MPEG-audio / Ogg seams (cheap: first byte
+        # already rules out every RIFF/WAV payload before the full sniff)
+        if bytes(b[:4]) == b"OggS":
+            raise ValueError(
+                "ogg (opus/vorbis) codec: header metadata available via "
+                "parse_wav_meta; PCM decode needs an external codec")
+        if len(b) >= 12 and bytes(b[4:8]) == b"ftyp":
+            raise ValueError(
+                "iso-bmff (m4a/aac) codec: header metadata available via "
+                "parse_wav_meta; PCM decode needs an external codec")
         from .mp3 import is_mp3
 
         if is_mp3(b):
@@ -290,6 +298,14 @@ def parse_wav_meta(b) -> tuple:
 
         return parse_flac_meta(b)
     if b is not None and len(b) >= 4 and bytes(b[:1]) != b"R":
+        if bytes(b[:4]) == b"OggS":
+            from .ogg import ogg_meta_triple
+
+            return ogg_meta_triple(bytes(b))
+        if len(b) >= 12 and bytes(b[4:8]) == b"ftyp":
+            from .mp4 import mp4_audio_meta_triple
+
+            return mp4_audio_meta_triple(bytes(b))
         from .mp3 import is_mp3, mp3_meta_triple
 
         if is_mp3(b):

@@ -388,6 +388,88 @@ def parse_mp4(raw: bytes) -> Dict[str, Any]:
     return out
 
 
+#: stsd fourcc -> census codec name (ffmpeg-ish, what contract enums use)
+_AUDIO_CODEC_NAMES = {"mp4a": "aac", "alac": "alac", "ac-3": "ac3",
+                      "ec-3": "eac3", "Opus": "opus", "fLaC": "flac"}
+
+
+def parse_mp4_audio(raw: bytes) -> Dict[str, Any]:
+    """Metadata of the first AUDIO track (M4A/AAC census path) ->
+    ``{codec, sr_hz, channels, n_samples, duration_ms}``.
+
+    ``sr_hz`` prefers the AudioSampleEntry's 16.16 samplerate, falling back
+    to the mdhd timescale (they agree in well-formed files). ``n_samples``
+    is PCM samples: the total stts TIME in media-timescale ticks — for AAC
+    each stts "sample" is a 1024-PCM-frame packet, so counting packets
+    would undercount 1024x; time in ticks IS samples when timescale == sr.
+    Raises ``ValueError`` when no audio track exists or boxes are corrupt."""
+    if raw is None or len(raw) < 12:
+        raise ValueError("mp4: empty or truncated payload")
+    buf = bytes(raw)
+    moov = None
+    for t, s, e in _iter_boxes(buf, 0, len(buf)):
+        if t == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    for t, s, e in _iter_boxes(buf, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(buf, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(buf, *mdia, b"hdlr")
+        if hdlr is None or _parse_hdlr(buf, *hdlr) != b"soun":
+            continue
+        mdhd = _find(buf, *mdia, b"mdhd")
+        if mdhd is None:
+            raise ValueError("mp4: audio trak without mdhd")
+        timescale, md_duration = _parse_mdhd(buf, *mdhd)
+        minf = _find(buf, *mdia, b"minf")
+        stbl = _find(buf, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("mp4: audio trak without stbl")
+        stsd = _find(buf, *stbl, b"stsd")
+        if stsd is None:
+            raise ValueError("mp4: audio trak without stsd")
+        # AudioSampleEntry: 6 reserved + data_ref_index(2), 8 reserved,
+        # channelcount(2), samplesize(2), predefined(2), reserved(2),
+        # samplerate(4, 16.16)
+        _, p = _fullbox(buf, *stsd)
+        entry_s = p + 4
+        if entry_s + 8 > stsd[1]:
+            raise ValueError("mp4: truncated audio stsd entry")
+        fourcc = bytes(buf[entry_s + 4:entry_s + 8]).decode("latin-1").strip()
+        body = entry_s + 8
+        channels = sr_fixed = None
+        if body + 28 <= stsd[1]:
+            channels = struct.unpack_from(">H", buf, body + 16)[0]
+            sr_fixed = struct.unpack_from(">I", buf, body + 24)[0] >> 16
+        sr = sr_fixed or timescale
+        if sr == 0:
+            raise ValueError("mp4: zero audio sample rate")
+        stts = _find(buf, *stbl, b"stts")
+        total_time = 0
+        if stts is not None:
+            _n, total_time = _parse_stts(buf, *stts)
+        n_ticks = total_time or md_duration
+        # rescale when the sample entry's rate disagrees with the timescale
+        n_samples = (n_ticks if sr == timescale
+                     else round(n_ticks * sr / timescale))
+        return {
+            "codec": _AUDIO_CODEC_NAMES.get(fourcc, fourcc),
+            "sr_hz": sr, "channels": channels, "n_samples": n_samples,
+            "duration_ms": n_samples * 1000.0 / sr,
+        }
+    raise ValueError("mp4: no audio track")
+
+
+def mp4_audio_meta_triple(raw: bytes) -> Tuple[int, str, int]:
+    """The :func:`dcspark.audio.parse_wav_meta` census shape for M4A/AAC."""
+    m = parse_mp4_audio(raw)
+    return m["sr_hz"], m["codec"], m["n_samples"]
+
+
 # ---------------------------------------------------------------------------
 # writer — fixtures / round-trip ground truth
 # ---------------------------------------------------------------------------
@@ -482,6 +564,63 @@ def mp4_bytes(width: int, height: int, fps: float, n_frames: int,
         boxes.append(trak(2, b"soun", b"SoundHandler", aentry, 0, 0))
     moov = _box(b"moov", mvhd + b"".join(boxes))
     return ftyp + mdat + moov
+
+
+def m4a_bytes(sr: int = 16000, n_samples: int = 16000, channels: int = 1,
+              codec: str = "mp4a", packet_samples: int = 1024,
+              packet_bytes: int = 96) -> bytes:
+    """A structurally complete M4A (audio-only MP4): ftyp M4A + mdat stub +
+    moov with one 'soun' trak whose mdhd timescale is ``sr`` and whose stts
+    carries ``n_samples`` ticks as 1024-sample AAC-style packets (plus a
+    remainder entry). Stub packets are NOT decodable audio."""
+    if sr <= 0 or n_samples < 0:
+        raise ValueError("m4a_bytes: invalid sr/sample count")
+    n_full, rem = divmod(n_samples, packet_samples)
+    n_packets = n_full + (1 if rem else 0)
+
+    ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 512) + b"M4A isommp42")
+    mdat = _box(b"mdat", b"\x00" * (packet_bytes * max(1, n_packets)))
+    dur_movie = int(round(n_samples * 1000 / sr))
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, dur_movie)
+                 + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+                 + b"\x00" * 10
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0)
+                 + struct.pack(">I", dur_movie) + b"\x00" * 8
+                 + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + struct.pack(">II", 0, 0))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, sr, n_samples)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun"
+                 + b"\x00" * 12 + b"SoundHandler\x00")
+    audio = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+             + struct.pack(">HHHH", channels, 16, 0, 0)
+             + struct.pack(">I", sr << 16)
+             + _box(b"stub", b""))
+    entry = (struct.pack(">I", 8 + len(audio))
+             + codec.encode("latin-1")[:4].ljust(4) + audio)
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts_entries = []
+    if n_full:
+        stts_entries.append((n_full, packet_samples))
+    if rem:
+        stts_entries.append((1, rem))
+    stts = _full(b"stts", 0, 0, struct.pack(">I", len(stts_entries))
+                 + b"".join(struct.pack(">II", c, d) for c, d in stts_entries))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, max(1, n_packets), 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", packet_bytes,
+                                            max(1, n_packets)))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, 8 + len(ftyp)))
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+    return ftyp + mdat + _box(b"moov", mvhd + trak)
 
 
 def mp4_fragmented_bytes(width: int, height: int, fps: float, n_frames: int,

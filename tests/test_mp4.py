@@ -248,3 +248,71 @@ def test_raw_moov_init_segment_header_path(spark):
     r = multimodal.video_metadata(df).collect()[0]
     assert r["decode_error"] is None
     assert (r["width"], r["height"]) == (640, 360)
+
+
+# ---------------------------------------------------------------------------
+# audio track (M4A/AAC) census path
+# ---------------------------------------------------------------------------
+
+def test_m4a_round_trip():
+    from dcspark.mp4 import m4a_bytes, parse_mp4_audio
+
+    m = parse_mp4_audio(m4a_bytes(sr=16000, n_samples=48000))
+    assert (m["codec"], m["sr_hz"], m["channels"]) == ("aac", 16000, 1)
+    assert m["n_samples"] == 48000
+    assert m["duration_ms"] == pytest.approx(3000.0)
+
+
+def test_m4a_remainder_packet_exact():
+    from dcspark.mp4 import m4a_bytes, parse_mp4_audio
+
+    # 5000 = 4 full 1024-sample packets + a 904-sample remainder entry
+    assert parse_mp4_audio(m4a_bytes(sr=8000, n_samples=5000))["n_samples"] == 5000
+
+
+def test_m4a_no_audio_track_raises():
+    from dcspark.mp4 import parse_mp4_audio
+
+    with pytest.raises(ValueError, match="no audio track"):
+        parse_mp4_audio(mp4_bytes(320, 240, 25.0, 8))
+
+
+def test_m4a_rate_mismatch_rescaled():
+    """mp4_bytes(with_audio=True) shares the video timescale in mdhd but
+    declares 16 kHz in the sample entry — n_samples must rescale to the
+    entry's rate rather than report raw ticks."""
+    from dcspark.mp4 import parse_mp4_audio
+
+    m = parse_mp4_audio(mp4_bytes(320, 240, 25.0, 8, with_audio=True))
+    assert m["sr_hz"] == 16000
+    assert m["duration_ms"] == pytest.approx(8 / 25.0 * 1000, rel=1e-3)
+
+
+def test_parse_wav_meta_covers_m4a():
+    from dcspark.audio import parse_wav_meta
+    from dcspark.mp4 import m4a_bytes
+
+    assert parse_wav_meta(m4a_bytes(sr=16000, n_samples=24000)) == \
+        (16000, "aac", 24000)
+
+
+def test_m4a_decode_seam_error():
+    from dcspark.audio import parse_wav_view
+    from dcspark.mp4 import m4a_bytes
+
+    with pytest.raises(ValueError, match="m4a/aac"):
+        parse_wav_view(m4a_bytes())
+
+
+def test_audio_census_counts_m4a_rows(spark):
+    from dcspark import audioops
+    from dcspark.mp4 import m4a_bytes
+
+    m4a = m4a_bytes(sr=22050, n_samples=44100)  # 2 s
+    df = spark.createDataFrame(
+        [("a%d" % i, bytearray(m4a)) for i in range(4)],
+        "clip_id string, bytes binary")
+    out = {r["codec"]: r for r in audioops.audio_census(df).collect()}
+    assert out["aac"]["clips"] == 4 and out["aac"]["sr_hz"] == 22050
+    assert out["aac"]["hours"] == pytest.approx(4 * 2 / 3600.0, abs=1e-6)
+    assert out["aac"]["decode_errors"] == 0
