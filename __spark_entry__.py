@@ -3590,6 +3590,74 @@ models:
         "bad_videos bigint, result string, violations_match boolean")
 
 
+def q_audio_container_census(spark: SparkSession, _sf: str) -> DataFrame:
+    """Mixed-container corpus census (audioops.audio_census over
+    audio.parse_wav_meta): one header-only scan over an archive mixing every
+    supported payload family — WAV/PCM, FLAC, IMA ADPCM (in-repo decoders)
+    plus MPEG-audio (dcspark/mp3.py frame walk), Ogg-Opus and Ogg-Vorbis
+    (dcspark/ogg.py CRC-verified pages), and M4A/AAC (dcspark/mp4.py moov
+    audio trak) whose PCM decode is the pluggable seam — with 2 planted
+    corrupt payloads. Self-verifying: per-codec clip counts and exact hours
+    are computed from the same deterministic synthesis parameters; corrupt
+    rows land in decode_errors, never crash the scan. Not SQL-expressible
+    (binary container walks); locked in tests/test_mp3.py, test_ogg.py,
+    test_mp4.py."""
+    import numpy as np
+
+    from dcspark import audioops
+
+    def build(batches):
+        import pandas as pd
+
+        from dcspark.audio import encode_wav
+        from dcspark.mp3 import mp3_bytes
+        from dcspark.mp4 import m4a_bytes
+        from dcspark.ogg import ogg_opus_bytes, ogg_vorbis_bytes
+
+        wav = encode_wav(np.zeros(16000, dtype=np.int16), 16000)        # 1.0 s
+        flac = encode_wav(np.zeros(8000, dtype=np.int16), 16000, "flac")  # 0.5 s
+        adpcm = encode_wav(np.zeros(16000, dtype=np.int16), 8000,
+                           "adpcm_ima_wav")                              # 2.0 s
+        mp3 = mp3_bytes(sr=44100, n_frames=50)            # 50*1152/44100 s
+        opus = ogg_opus_bytes(sr=16000, n_samples=48000)                # 3.0 s
+        vorb = ogg_vorbis_bytes(sr=22050, n_samples=22050)              # 1.0 s
+        m4a = m4a_bytes(sr=24000, n_samples=12000)                      # 0.5 s
+        cycle = [("pcm_s16le", wav), ("flac", flac), ("adpcm_ima_wav", adpcm),
+                 ("mp3", mp3), ("opus", opus), ("vorbis", vorb), ("aac", m4a)]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                i = int(i)
+                if i >= 70:  # 2 planted corrupt rows
+                    payload = b"\xde\xad\xbe\xef" * 8
+                else:
+                    payload = cycle[i % 7][1]
+                rows.append({"clip_id": f"cc-{i:03d}", "bytes": payload})
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
+
+    clips = spark.range(0, 72, 1, 6).mapInPandas(
+        build, schema="clip_id string, bytes binary")
+    out = audioops.audio_census(clips)
+    rows = {(r["codec"], r["sr_hz"]): r for r in out.collect()}
+    expected = {  # codec -> (clips, exact seconds per clip)
+        ("pcm_s16le", 16000): (10, 1.0), ("flac", 16000): (10, 0.5),
+        ("adpcm_ima_wav", 8000): (10, 2.0),
+        ("mp3", 44100): (10, 50 * 1152 / 44100),
+        ("opus", 16000): (10, 3.0), ("vorbis", 22050): (10, 1.0),
+        ("aac", 24000): (10, 0.5), (None, None): (2, 0.0),
+    }
+    ok = len(rows) == len(expected) and all(
+        k in rows
+        and rows[k]["clips"] == n
+        and abs(rows[k]["hours"] - n * sec / 3600.0) < 1e-5
+        and rows[k]["decode_errors"] == (n if k == (None, None) else 0)
+        for k, (n, sec) in expected.items())
+    return spark.createDataFrame(
+        [(len(rows), int(sum(r["clips"] for r in rows.values())),
+          float(sum(r["hours"] for r in rows.values())), bool(ok))],
+        "codec_groups int, clips bigint, hours double, census_ok boolean")
+
+
 def q_asr_wer(spark: SparkSession, _sf: str) -> DataFrame:
     """Distributed WER (dcspark/wer.py): hypothesis transcripts vs the
     reference table, substitution/insertion/deletion breakdown per row,
@@ -5370,6 +5438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_decode_contract": q_video_contract,
         "video_mp4_header_contract": q_video_mp4_header_contract,
         "video_webm_header_contract": q_video_webm_header_contract,
+        "audio_container_census": q_audio_container_census,
         "image_decontam": q_image_decontam,
         "video_near_dup": q_video_near_dup,
         "audio_fp_near_dup": q_audio_fp_near_dup,

@@ -262,6 +262,7 @@ OPERATOR_QUERIES = [
     "video_decode_contract",
     "video_mp4_header_contract",
     "video_webm_header_contract",
+    "audio_container_census",
     "video_near_dup",
     "group_threshold_checks",
     "metric_change_alerts",
