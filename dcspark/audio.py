@@ -250,13 +250,17 @@ def parse_wav_view(b) -> tuple:
 
         return decode_flac(b)
     if b is not None and len(b) >= 4 and bytes(b[:1]) != b"R":
-        # precise errors for the MPEG-audio / Ogg seams (cheap: first byte
-        # already rules out every RIFF/WAV payload before the full sniff)
-        if bytes(b[:4]) == b"OggS":
+        # precise errors for the MPEG-audio / Ogg / ISO-BMFF seams (cheap:
+        # first byte already rules out every RIFF/WAV payload)
+        from .ogg import is_ogg
+
+        if is_ogg(b):
             raise ValueError(
                 "ogg (opus/vorbis) codec: header metadata available via "
                 "parse_wav_meta; PCM decode needs an external codec")
-        if len(b) >= 12 and bytes(b[4:8]) == b"ftyp":
+        from .mp4 import is_mp4
+
+        if len(b) >= 12 and is_mp4(b):
             raise ValueError(
                 "iso-bmff (m4a/aac) codec: header metadata available via "
                 "parse_wav_meta; PCM decode needs an external codec")
@@ -298,13 +302,15 @@ def parse_wav_meta(b) -> tuple:
 
         return parse_flac_meta(b)
     if b is not None and len(b) >= 4 and bytes(b[:1]) != b"R":
-        if bytes(b[:4]) == b"OggS":
-            from .ogg import ogg_meta_triple
+        from .ogg import is_ogg, ogg_meta_triple
 
+        if is_ogg(b):
             return ogg_meta_triple(bytes(b))
-        if len(b) >= 12 and bytes(b[4:8]) == b"ftyp":
-            from .mp4 import mp4_audio_meta_triple
+        from .mp4 import is_mp4, mp4_audio_meta_triple
 
+        if len(b) >= 12 and is_mp4(b):
+            # ftyp-headed M4A plus raw-moov init segments / mdat-first
+            # (non-faststart) layouts — the walker finds moov anywhere
             return mp4_audio_meta_triple(bytes(b))
         from .mp3 import is_mp3, mp3_meta_triple
 

@@ -38,7 +38,8 @@ from __future__ import annotations
 import struct
 from typing import Any, Dict, Iterator, Optional, Tuple
 
-__all__ = ["parse_mp4", "mp4_bytes", "is_mp4"]
+__all__ = ["parse_mp4", "parse_mp4_audio", "mp4_audio_meta_triple",
+           "mp4_bytes", "m4a_bytes", "mp4_fragmented_bytes", "is_mp4"]
 
 # boxes that are pure containers: children start at the payload's first byte
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts",
@@ -47,9 +48,12 @@ _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts",
 
 def is_mp4(raw: bytes) -> bool:
     """Cheap sniff: an ISO-BMFF file starts with a box whose type is ftyp
-    (or a raw moov/mdat for headerless fragments)."""
-    return (len(raw) >= 12
-            and raw[4:8] in (b"ftyp", b"moov", b"mdat", b"styp", b"wide"))
+    (or a raw moov/mdat for headerless fragments). bytes() coercion keeps
+    the check working on numpy uint8 views (the census's Arrow heap
+    slices), where a raw ndarray slice would not compare against bytes."""
+    return (raw is not None and len(raw) >= 12
+            and bytes(raw[4:8]) in (b"ftyp", b"moov", b"mdat", b"styp",
+                                    b"wide"))
 
 
 def _iter_boxes(buf: bytes, start: int, end: int) -> Iterator[Tuple[bytes, int, int]]:
@@ -320,33 +324,21 @@ def parse_mp4(raw: bytes) -> Dict[str, Any]:
         if t != b"trak":
             continue
         out["n_tracks"] += 1
-        mdia = _find(buf, s, e, b"mdia")
-        if mdia is None:
+        tm = _trak_media(buf, s, e)
+        if tm is None:
             raise ValueError("mp4: trak without mdia")
-        hdlr = _find(buf, *mdia, b"hdlr")
-        handler = _parse_hdlr(buf, *hdlr) if hdlr else b"????"
-        if handler == b"soun":
+        if tm["handler"] == b"soun":
             out["has_audio"] = True
-        if handler != b"vide" or out["codec"] is not None:
+        if tm["handler"] != b"vide" or out["codec"] is not None:
             continue
-        mdhd = _find(buf, *mdia, b"mdhd")
-        if mdhd is None:
-            raise ValueError("mp4: video trak without mdhd")
-        md_timescale, _md_duration = _parse_mdhd(buf, *mdhd)
-        minf = _find(buf, *mdia, b"minf")
-        stbl = _find(buf, *minf, b"stbl") if minf else None
-        if stbl is None:
-            raise ValueError("mp4: video trak without stbl")
+        md_timescale = tm["timescale"]
+        stbl = tm["stbl"]
         stsd = _find(buf, *stbl, b"stsd")
-        if stsd is None:
-            raise ValueError("mp4: video trak without stsd")
         codec, w, h = _parse_stsd(buf, *stsd)
         out["codec"] = codec
-        if w is None or h is None:
-            tkhd = _find(buf, s, e, b"tkhd")
-            if tkhd is not None:
-                fw, fh = _parse_tkhd(buf, *tkhd)
-                w, h = int(round(fw)) or None, int(round(fh)) or None
+        if (w is None or h is None) and tm["tkhd"] is not None:
+            fw, fh = _parse_tkhd(buf, *tm["tkhd"])
+            w, h = int(round(fw)) or None, int(round(fh)) or None
         out["width"], out["height"] = w, h
         stts = _find(buf, *stbl, b"stts")
         stsz = _find(buf, *stbl, b"stsz")
@@ -361,25 +353,14 @@ def parse_mp4(raw: bytes) -> Dict[str, Any]:
                 out["fps"] = md_timescale * n_samples / total_time
         out["n_frames"] = n_frames
         vid_timescale = md_timescale
-        tkhd = _find(buf, s, e, b"tkhd")
-        if tkhd is not None:
-            vid_track_id = _parse_tkhd_track_id(buf, *tkhd)
+        vid_track_id = tm["track_id"]
     if out["codec"] is None:
         raise ValueError("mp4: no video track")
     # fragmented MP4 (DASH/HLS): the moov's sample tables are empty and the
     # samples live in moof/traf/trun fragments — accumulate the video
     # track's fragment sample counts + durations instead
     if moofs and not out["n_frames"]:
-        trex_dur = _parse_trex_defaults(buf, *moov)
-        n = time = 0
-        for ms, me in moofs:
-            for t2, s2, e2 in _iter_boxes(buf, ms, me):
-                if t2 != b"traf":
-                    continue
-                tid, cnt, dur = _parse_traf(buf, s2, e2, trex_dur)
-                if vid_track_id is None or tid == vid_track_id:
-                    n += cnt
-                    time += dur
+        n, time = _fragment_totals(buf, moov, moofs, vid_track_id)
         out["n_frames"] = n
         if time > 0 and vid_timescale:
             out["fps"] = vid_timescale * n / time
@@ -393,6 +374,69 @@ _AUDIO_CODEC_NAMES = {"mp4a": "aac", "alac": "alac", "ac-3": "ac3",
                       "ec-3": "eac3", "Opus": "opus", "fLaC": "flac"}
 
 
+def _trak_media(buf: bytes, s: int, e: int) -> Optional[Dict[str, Any]]:
+    """Shared trak walk for the audio AND video parsers: handler, mdhd
+    timescale/duration, stbl box bounds, the VALIDATED first stsd entry
+    (fourcc + entry payload bounds per the entry's own declared size — a
+    forged short entry must not alias the next entry's bytes into field
+    reads), and the tkhd track id. Returns None for a trak without mdia."""
+    mdia = _find(buf, s, e, b"mdia")
+    if mdia is None:
+        return None
+    hdlr = _find(buf, *mdia, b"hdlr")
+    handler = _parse_hdlr(buf, *hdlr) if hdlr else b"????"
+    mdhd = _find(buf, *mdia, b"mdhd")
+    if mdhd is None:
+        raise ValueError("mp4: trak without mdhd")
+    timescale, md_duration = _parse_mdhd(buf, *mdhd)
+    minf = _find(buf, *mdia, b"minf")
+    stbl = _find(buf, *minf, b"stbl") if minf else None
+    if stbl is None:
+        raise ValueError("mp4: trak without stbl")
+    stsd = _find(buf, *stbl, b"stsd")
+    if stsd is None:
+        raise ValueError("mp4: trak without stsd")
+    _, p = _fullbox(buf, *stsd)
+    if p + 4 > stsd[1]:
+        raise ValueError("mp4: truncated stsd")
+    if struct.unpack_from(">I", buf, p)[0] == 0:
+        raise ValueError("mp4: stsd has no sample entries")
+    entry_s = p + 4
+    if entry_s + 8 > stsd[1]:
+        raise ValueError("mp4: truncated stsd entry")
+    esize = struct.unpack_from(">I", buf, entry_s)[0]
+    if esize < 8 or entry_s + esize > stsd[1]:
+        raise ValueError("mp4: stsd entry size exceeds box")
+    fourcc = bytes(buf[entry_s + 4:entry_s + 8]).decode("latin-1").strip()
+    track_id = None
+    tkhd = _find(buf, s, e, b"tkhd")
+    if tkhd is not None:
+        track_id = _parse_tkhd_track_id(buf, *tkhd)
+    return {
+        "handler": handler, "timescale": timescale,
+        "md_duration": md_duration, "stbl": stbl,
+        "fourcc": fourcc, "entry_body": (entry_s + 8, entry_s + esize),
+        "track_id": track_id, "tkhd": tkhd,
+    }
+
+
+def _fragment_totals(buf: bytes, moov: Tuple[int, int], moofs,
+                     track_id: Optional[int]) -> Tuple[int, int]:
+    """(sample count, total duration in media ticks) accumulated over every
+    moof fragment for ``track_id`` (None matches any track)."""
+    trex_dur = _parse_trex_defaults(buf, *moov)
+    n = time = 0
+    for ms, me in moofs:
+        for t2, s2, e2 in _iter_boxes(buf, ms, me):
+            if t2 != b"traf":
+                continue
+            tid, cnt, dur = _parse_traf(buf, s2, e2, trex_dur)
+            if track_id is None or tid == track_id:
+                n += cnt
+                time += dur
+    return n, time
+
+
 def parse_mp4_audio(raw: bytes) -> Dict[str, Any]:
     """Metadata of the first AUDIO track (M4A/AAC census path) ->
     ``{codec, sr_hz, channels, n_samples, duration_ms}``.
@@ -402,62 +446,51 @@ def parse_mp4_audio(raw: bytes) -> Dict[str, Any]:
     is PCM samples: the total stts TIME in media-timescale ticks — for AAC
     each stts "sample" is a 1024-PCM-frame packet, so counting packets
     would undercount 1024x; time in ticks IS samples when timescale == sr.
-    Raises ``ValueError`` when no audio track exists or boxes are corrupt."""
+    Fragmented (fMP4/DASH/CMAF) audio accumulates moof/traf/trun durations
+    like the video path. Raises ``ValueError`` when no audio track exists
+    or boxes are corrupt."""
     if raw is None or len(raw) < 12:
         raise ValueError("mp4: empty or truncated payload")
     buf = bytes(raw)
     moov = None
+    moofs = []
     for t, s, e in _iter_boxes(buf, 0, len(buf)):
         if t == b"moov":
             moov = (s, e)
+        elif t == b"moof":
+            moofs.append((s, e))
     if moov is None:
         raise ValueError("mp4: no moov box")
     for t, s, e in _iter_boxes(buf, *moov):
         if t != b"trak":
             continue
-        mdia = _find(buf, s, e, b"mdia")
-        if mdia is None:
+        tm = _trak_media(buf, s, e)
+        if tm is None or tm["handler"] != b"soun":
             continue
-        hdlr = _find(buf, *mdia, b"hdlr")
-        if hdlr is None or _parse_hdlr(buf, *hdlr) != b"soun":
-            continue
-        mdhd = _find(buf, *mdia, b"mdhd")
-        if mdhd is None:
-            raise ValueError("mp4: audio trak without mdhd")
-        timescale, md_duration = _parse_mdhd(buf, *mdhd)
-        minf = _find(buf, *mdia, b"minf")
-        stbl = _find(buf, *minf, b"stbl") if minf else None
-        if stbl is None:
-            raise ValueError("mp4: audio trak without stbl")
-        stsd = _find(buf, *stbl, b"stsd")
-        if stsd is None:
-            raise ValueError("mp4: audio trak without stsd")
+        timescale = tm["timescale"]
         # AudioSampleEntry: 6 reserved + data_ref_index(2), 8 reserved,
         # channelcount(2), samplesize(2), predefined(2), reserved(2),
-        # samplerate(4, 16.16)
-        _, p = _fullbox(buf, *stsd)
-        entry_s = p + 4
-        if entry_s + 8 > stsd[1]:
-            raise ValueError("mp4: truncated audio stsd entry")
-        fourcc = bytes(buf[entry_s + 4:entry_s + 8]).decode("latin-1").strip()
-        body = entry_s + 8
+        # samplerate(4, 16.16) — reads bounded by the entry's declared size
+        body, body_e = tm["entry_body"]
         channels = sr_fixed = None
-        if body + 28 <= stsd[1]:
+        if body + 28 <= body_e:
             channels = struct.unpack_from(">H", buf, body + 16)[0]
             sr_fixed = struct.unpack_from(">I", buf, body + 24)[0] >> 16
         sr = sr_fixed or timescale
         if sr == 0:
             raise ValueError("mp4: zero audio sample rate")
-        stts = _find(buf, *stbl, b"stts")
+        stts = _find(buf, *tm["stbl"], b"stts")
         total_time = 0
         if stts is not None:
             _n, total_time = _parse_stts(buf, *stts)
-        n_ticks = total_time or md_duration
+        n_ticks = total_time or tm["md_duration"]
+        if n_ticks == 0 and moofs:
+            _fn, n_ticks = _fragment_totals(buf, moov, moofs, tm["track_id"])
         # rescale when the sample entry's rate disagrees with the timescale
         n_samples = (n_ticks if sr == timescale
                      else round(n_ticks * sr / timescale))
         return {
-            "codec": _AUDIO_CODEC_NAMES.get(fourcc, fourcc),
+            "codec": _AUDIO_CODEC_NAMES.get(tm["fourcc"], tm["fourcc"]),
             "sr_hz": sr, "channels": channels, "n_samples": n_samples,
             "duration_ms": n_samples * 1000.0 / sr,
         }
@@ -621,6 +654,71 @@ def m4a_bytes(sr: int = 16000, n_samples: int = 16000, channels: int = 1,
     minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
     trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
     return ftyp + mdat + _box(b"moov", mvhd + trak)
+
+
+def m4a_fragmented_bytes(sr: int = 16000, n_samples: int = 32000,
+                         packet_samples: int = 1024, packet_bytes: int = 96,
+                         packets_per_frag: int = 16) -> bytes:
+    """A structurally complete FRAGMENTED audio MP4 (CMAF/DASH audio): moov
+    with empty sample tables + mvex/trex default duration, then
+    moof(mfhd, traf(tfhd, trun)) + mdat per fragment. The final fragment
+    carries a remainder-duration trun entry so ``n_samples`` is exact."""
+    if sr <= 0 or n_samples < 0:
+        raise ValueError("m4a_fragmented_bytes: invalid sr/sample count")
+    ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 512) + b"M4A iso5cmfc")
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0)
+                 + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100)
+                 + b"\x00" * 10
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(">IIII", 0, 0, 1, 0)
+                 + struct.pack(">I", 0) + b"\x00" * 8
+                 + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+                 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + struct.pack(">II", 0, 0))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, sr, 0)
+                 + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"soun"
+                 + b"\x00" * 12 + b"SoundHandler\x00")
+    audio = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 8
+             + struct.pack(">HHHH", 1, 16, 0, 0)
+             + struct.pack(">I", sr << 16) + _box(b"stub", b""))
+    entry = struct.pack(">I", 8 + len(audio)) + b"mp4a" + audio
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">I", 0))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", 0))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 0))
+    smhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", smhd + _box(b"dinf", dref) + stbl)
+    trak = _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+    trex = _full(b"trex", 0, 0, struct.pack(">IIIII", 1, 1, packet_samples,
+                                            packet_bytes, 0))
+    moov = _box(b"moov", mvhd + trak + _box(b"mvex", trex))
+    frags = []
+    seq = 1
+    left = n_samples
+    while left > 0:
+        cnt = min(packets_per_frag, (left + packet_samples - 1) // packet_samples)
+        durs = []
+        for _ in range(cnt):
+            d = min(packet_samples, left)
+            durs.append(d)
+            left -= d
+        mfhd = _full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _full(b"tfhd", 0, 0x020010, struct.pack(">II", 1, packet_bytes))
+        # per-sample durations (flag 0x100) so the remainder packet is exact
+        body = struct.pack(">Ii", cnt, 0) + b"".join(
+            struct.pack(">I", d) for d in durs)
+        trun = _full(b"trun", 0, 0x000101, body)
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+        frags.append(moof + _box(b"mdat", b"\x00" * (packet_bytes * cnt)))
+        seq += 1
+    return ftyp + moov + b"".join(frags)
 
 
 def mp4_fragmented_bytes(width: int, height: int, fps: float, n_frames: int,

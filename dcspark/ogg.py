@@ -12,10 +12,13 @@ page layout + the codec id headers):
     last page granule = total samples (Opus: at 48 kHz, minus preskip;
                         Vorbis: at the stream rate)
 
-Every page's CRC is verified (Ogg's own CRC-32, poly 0x04C11DB7, init 0,
-unreflected, CRC field zeroed) — a validation engine should catch the bit
-rot the container was designed to expose. Corrupt pages, bad magics, or a
-broken sequence raise ``ValueError`` → per-row decode_error upstream.
+CRC (Ogg's own CRC-32, poly 0x04C11DB7, init 0, unreflected, CRC field
+zeroed) is verified for the pages the metadata derives from — the header
+pages and the final (granule-bearing) page — by default, or for EVERY page
+in ``check_crc="all"`` audit mode (a per-byte pure-Python pass over the
+file; the default keeps the census walk header-speed). Page sequence gaps,
+a missing EOS page (boundary truncation), corrupt pages, or bad magics
+raise ``ValueError`` → per-row decode_error upstream.
 
 Census convention: ``ogg_meta_triple`` reports ``sr_hz`` as the
 INPUT/stream rate (what a contract's ``sr_hz`` column declares: Opus
@@ -60,9 +63,24 @@ def _ogg_crc(data: bytes) -> int:
     return crc
 
 
-def _iter_pages(buf: bytes):
-    """Yield (header_type, granule, serial, seq, payload_start, payload_end)
-    per page, CRC-verified."""
+def _verify_page_crc(buf: bytes, page_start: int, page_end: int,
+                     crc: int) -> None:
+    zeroed = bytearray(buf[page_start:page_end])
+    zeroed[22:26] = b"\x00\x00\x00\x00"
+    if _ogg_crc(bytes(zeroed)) != crc:
+        raise ValueError(f"ogg: page CRC mismatch at byte {page_start}")
+
+
+def _iter_pages(buf: bytes, check_crc: str = "edges"):
+    """Yield (header_type, granule, serial, seq, payload_start, payload_end,
+    page_start, crc) per page.
+
+    ``check_crc``: ``"all"`` verifies every page (O(file bytes) of pure
+    Python — the bit-rot audit mode); ``"edges"`` (default) verifies the
+    header pages (seq < 2: codec id + tags — where sr/channels come from)
+    and leaves the caller to verify the final page (where the duration-
+    determining granule lives); ``"none"`` skips CRC. The page STRUCTURE
+    (sync, version, sizes) is always validated."""
     p = 0
     n = len(buf)
     while p < n:
@@ -84,22 +102,29 @@ def _iter_pages(buf: bytes):
         page_end = seg_end + payload_len
         if page_end > n:
             raise ValueError("ogg: truncated page payload")
-        zeroed = bytearray(buf[p:page_end])
-        zeroed[22:26] = b"\x00\x00\x00\x00"
-        if _ogg_crc(bytes(zeroed)) != crc:
-            raise ValueError(f"ogg: page CRC mismatch at byte {p}")
-        yield htype, granule, serial, seq, seg_end, page_end
+        if check_crc == "all" or (check_crc == "edges" and seq < 2):
+            _verify_page_crc(buf, p, page_end, crc)
+        yield htype, granule, serial, seq, seg_end, page_end, p, crc
         p = page_end
 
 
-def parse_ogg_meta(raw: bytes) -> Dict[str, Any]:
+def parse_ogg_meta(raw: bytes, check_crc: str = "edges") -> Dict[str, Any]:
     """Page walk -> ``{codec, sr_hz, channels, n_samples, duration_ms,
     n_pages, preskip}`` for the FIRST logical stream (chained/multiplexed
     streams beyond it are rejected — a training-data clip is one stream).
 
-    Opus: ``sr_hz`` is OpusHead's input sample rate; samples = (final
-    granule - preskip) rescaled from the 48 kHz granule clock to ``sr_hz``.
-    Vorbis: granules are already at the stream rate."""
+    Opus: ``sr_hz`` is OpusHead's input sample rate (the RFC 7845-legal
+    "unspecified" value 0 falls back to the 48 kHz decode rate); samples =
+    (final granule - preskip) rescaled from the 48 kHz granule clock to
+    ``sr_hz``. Vorbis: granules are already at the stream rate.
+
+    Page sequence numbers must be contiguous and the final page must carry
+    the EOS flag — a stream truncated at a page boundary (all CRCs intact)
+    would otherwise silently undercount samples. ``check_crc``: ``"edges"``
+    (default) CRC-verifies the header pages + the final page — the pages
+    the reported metadata actually derives from — keeping the census walk
+    header-speed; ``"all"`` audits every page (O(file bytes) pure Python);
+    ``"none"`` skips CRC."""
     if not is_ogg(raw):
         raise ValueError("ogg: not an Ogg container")
     buf = bytes(raw)
@@ -109,7 +134,10 @@ def parse_ogg_meta(raw: bytes) -> Dict[str, Any]:
     serial0 = None
     last_granule = None
     n_pages = 0
-    for htype, granule, serial, seq, ps, pe in _iter_pages(buf):
+    prev_seq = None
+    last_htype = 0
+    last_span = None
+    for htype, granule, serial, seq, ps, pe, p0, crc in _iter_pages(buf, check_crc):
         n_pages += 1
         if serial0 is None:
             if not (htype & 0x02):
@@ -122,7 +150,7 @@ def parse_ogg_meta(raw: bytes) -> Dict[str, Any]:
                 codec = "opus"
                 channels = head[9]
                 preskip = struct.unpack_from("<H", head, 10)[0]
-                sr = struct.unpack_from("<I", head, 12)[0]
+                sr = struct.unpack_from("<I", head, 12)[0] or 48000
             elif head[:7] == b"\x01vorbis":
                 if len(head) < 16:
                     raise ValueError("ogg: truncated vorbis id header")
@@ -133,10 +161,21 @@ def parse_ogg_meta(raw: bytes) -> Dict[str, Any]:
                 raise ValueError("ogg: unknown codec id packet")
         elif serial != serial0:
             raise ValueError("ogg: multiplexed/chained streams unsupported")
+        if prev_seq is not None and seq != prev_seq + 1:
+            raise ValueError(
+                f"ogg: page sequence jump {prev_seq} -> {seq} (pages lost)")
+        prev_seq = seq
+        last_htype = htype
+        last_span = (p0, pe, crc)
         if granule >= 0:
             last_granule = granule
     if codec is None:
         raise ValueError("ogg: no pages")
+    if not (last_htype & 0x04):
+        raise ValueError("ogg: stream has no EOS page (truncated at a "
+                         "page boundary)")
+    if check_crc == "edges" and last_span is not None:
+        _verify_page_crc(buf, last_span[0], last_span[1], last_span[2])
     if sr == 0:
         raise ValueError("ogg: zero sample rate in codec header")
     if last_granule is None:

@@ -316,3 +316,46 @@ def test_audio_census_counts_m4a_rows(spark):
     assert out["aac"]["clips"] == 4 and out["aac"]["sr_hz"] == 22050
     assert out["aac"]["hours"] == pytest.approx(4 * 2 / 3600.0, abs=1e-6)
     assert out["aac"]["decode_errors"] == 0
+
+
+def test_fragmented_audio_census():
+    """Review finding: CMAF/DASH audio keeps empty moov tables — samples
+    must come from the moof fragments like the video path."""
+    from dcspark.mp4 import m4a_fragmented_bytes, parse_mp4_audio
+
+    m = parse_mp4_audio(m4a_fragmented_bytes(sr=16000, n_samples=33000))
+    assert m["n_samples"] == 33000
+    assert m["duration_ms"] == pytest.approx(33000 / 16000 * 1000)
+
+
+def test_audio_stsd_forged_entry_size_rejected():
+    """Review finding: a forged short stsd entry must not alias adjacent
+    bytes into the channel/sample-rate fields."""
+    import struct as _s
+
+    from dcspark.mp4 import m4a_bytes, parse_mp4_audio
+
+    raw = bytearray(m4a_bytes(sr=16000, n_samples=8000))
+    idx = bytes(raw).find(b"mp4a")
+    _s.pack_into(">I", raw, idx - 4, 1 << 29)  # entry size beyond the box
+    with pytest.raises(ValueError, match="stsd entry"):
+        parse_mp4_audio(bytes(raw))
+
+
+def test_raw_moov_m4a_census_routed():
+    """Review finding: a raw-moov M4A init segment must route to the audio
+    header path in parse_wav_meta, not die in the WAV chunk walk."""
+    from dcspark.audio import parse_wav_meta
+    from dcspark.mp4 import m4a_bytes
+    from dcspark import mp4 as m4
+
+    raw = bytes(m4a_bytes(sr=16000, n_samples=8000))
+    p = 0
+    while p < len(raw):
+        size = struct.unpack_from(">I", raw, p)[0]
+        if raw[p + 4:p + 8] == b"moov":
+            seg = raw[p:p + size]
+            break
+        p += size
+    sr, codec, n = parse_wav_meta(seg)
+    assert (sr, codec, n) == (16000, "aac", 8000)

@@ -101,3 +101,63 @@ def test_audio_census_counts_ogg_rows(spark):
     assert out["opus"]["hours"] == pytest.approx(5 * 3 / 3600.0, abs=1e-6)
     assert out["mp3"]["clips"] == 1
     assert all(r["decode_errors"] == 0 for r in out.values())
+
+
+def test_opus_unspecified_rate_falls_back_to_48k():
+    """Review finding: OpusHead input_sample_rate=0 is RFC 7845-legal
+    'unspecified' (libopusenc writes it); decode rate 48 kHz applies."""
+    import struct as _s
+
+    from dcspark.ogg import _page
+
+    head = (b"OpusHead" + bytes([1, 1]) + _s.pack("<H", 312)
+            + _s.pack("<I", 0) + _s.pack("<h", 0) + b"\x00")
+    raw = (_page(0x02, 0, 9, 0, [head])
+           + _page(0x04, 312 + 4800, 9, 1, [b"\x00" * 4]))
+    m = parse_ogg_meta(raw)
+    assert m["sr_hz"] == 48000 and m["n_samples"] == 4800
+
+
+def test_page_boundary_truncation_detected():
+    """Review finding: dropping the final page leaves every CRC valid but
+    loses samples — the missing EOS flag must raise."""
+    from dcspark.ogg import _iter_pages
+
+    full = ogg_opus_bytes(sr=16000, n_samples=48000, frames_per_page=10)
+    spans = [p0 for *_, p0, _crc in _iter_pages(bytes(full), "none")]
+    with pytest.raises(ValueError, match="EOS"):
+        parse_ogg_meta(full[:spans[-1]])
+
+
+def test_interior_page_deletion_detected():
+    """Sequence-gap check: deleting an interior data page raises."""
+    from dcspark.ogg import _iter_pages
+
+    full = ogg_opus_bytes(sr=16000, n_samples=96000, frames_per_page=10)
+    spans = [p0 for *_, p0, _crc in _iter_pages(bytes(full), "none")]
+    assert len(spans) >= 5
+    cut = full[:spans[2]] + full[spans[3]:]  # drop the 3rd page
+    with pytest.raises(ValueError, match="sequence"):
+        parse_ogg_meta(cut)
+
+
+def test_final_page_crc_verified_in_edges_mode():
+    """The duration-determining granule lives in the final page: a bit flip
+    there must be caught even in the default edges mode."""
+    raw = bytearray(ogg_opus_bytes(sr=16000, n_samples=48000,
+                                   frames_per_page=10))
+    raw[-1] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg_meta(bytes(raw))
+
+
+def test_check_crc_all_audits_every_page():
+    raw = bytearray(ogg_opus_bytes(sr=16000, n_samples=96000,
+                                   frames_per_page=10))
+    from dcspark.ogg import _iter_pages
+    spans = [p0 for *_, p0, _crc in _iter_pages(bytes(raw), "none")]
+    mid = spans[3] + 40  # a byte inside an interior data page
+    raw[mid] ^= 0x01
+    parse_ogg_meta(bytes(raw), check_crc="none")  # structure still walks
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg_meta(bytes(raw), check_crc="all")
