@@ -26,8 +26,12 @@ def _build_spark(master: Optional[str], shuffle_partitions: Optional[int]):
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # wide binary cells (audio payloads): bound the vectorized reader's
-        # columnar batch so scans don't degrade into humongous G1 allocations
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # columnar batch so scans don't degrade into humongous G1
+        # allocations. 128 rows (vs the bench harness's tuned 512 on a 24g
+        # heap): worst-case ~192KB clips x 128 rows x 32 scan threads plus
+        # doubling growth stays under a spark-submit default-sized heap —
+        # 512 was measured to OOM an 8g driver on exactly that shape
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.python.unix.domain.socket.enabled", "true")
     )
     if shuffle_partitions:
