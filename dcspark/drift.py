@@ -53,6 +53,12 @@ def build_ref_stats(
     agg_cols = [F.count(F.lit(1)).alias("__n")]
     edges_by_col: Dict[str, List[float]] = {}
     for col, qvals in zip(columns, quants):
+        if not qvals:
+            # approxQuantile returns [] for an all-NULL column / empty frame —
+            # mirror the categorical twin's clear error instead of a KeyError
+            raise ValueError(
+                f"build_ref_stats: no non-null values in reference column "
+                f"{col!r}")
         by_p = dict(zip(grid_all, qvals))
         quantile_grid = [by_p[p] for p in probs]
         raw_edges = [by_p[p] for p in edge_probs]
@@ -234,7 +240,12 @@ def drift_bucket_rows(
     sel = [F.explode(F.array(*structs)).alias("pb")]
     head: List[F.Column] = []
     if partition_col:
-        head = [F.col(partition_col).cast("string").alias("__part")]
+        # coalesce NULL partition values to the string "None": the engine's
+        # merge looks partitions up by str(partition_value), so a Python-None
+        # key here would collide with the no-partition sentinel and those
+        # rows' drift counts would silently drop out of the global statistic
+        head = [F.coalesce(F.col(partition_col).cast("string"),
+                           F.lit("None")).alias("__part")]
     ex = df.select(*(head + sel)).select(
         *(["__part"] if partition_col else []),
         F.col("pb.p").alias("p"), F.col("pb.b").alias("b"),

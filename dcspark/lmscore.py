@@ -93,7 +93,12 @@ class BigramLM:
     vocab: int           # distinct successor tokens, PRE-min_count
 
     def release(self) -> None:
-        self.bigrams.unpersist()
+        # unpersist the frame that was actually persisted: with min_count>1
+        # ``bigrams`` is a filtered DERIVATIVE, and unpersist() only matches
+        # sameResult plans (the textops-documented trap), so calling it there
+        # would be a silent no-op leaking the cached bigram table
+        for cached in getattr(self.bigrams, "_dcspark_cached", ()) or (self.bigrams,):
+            cached.unpersist()
 
 
 def train_bigram_lm(corpus: DataFrame, col: str = "text",
@@ -183,9 +188,15 @@ def perplexity_buckets(scored: DataFrame, n_buckets: int = 3,
     form is for corpus-sized score frames and oracle checks.
     """
     part = [F.col(by)] if by else []
+    # NULLs must be EXCLUDED from the ntile frame, not just masked in the
+    # output: asc ordering sorts them first, so masked-but-present null rows
+    # would consume head-bucket slots and shift every scored doc's bucket
+    # (a CCNet "keep bucket 1" filter could then keep nothing)
+    scorable = scored.filter(F.col("perplexity").isNotNull())
     w = (Window.partitionBy(*part)
          .orderBy(F.col("perplexity").asc(), F.col("doc_id").asc()))
-    return scored.withColumn(
-        "bucket",
-        F.when(F.col("perplexity").isNull(), F.lit(None).cast("int"))
-         .otherwise(F.ntile(n_buckets).over(w)))
+    bucketed = scorable.select(
+        "doc_id", F.ntile(n_buckets).over(w).alias("bucket"))
+    out = scored.join(bucketed, "doc_id", "left")
+    out._dcspark_cached = list(getattr(scored, "_dcspark_cached", ()))
+    return out

@@ -139,7 +139,11 @@ def weighted_hash_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     wc = F.least(F.greatest(F.coalesce(w.cast("double"), F.lit(0.0)),
                             F.lit(0.0)), F.lit(1.0))
-    bound = F.round(wc * F.lit(float(_SPACE))).cast("long")
+    # rint, not F.round: Python's round() (used by _threshold_hex for the
+    # global samplers) is round-half-to-EVEN while F.round is HALF_UP, so an
+    # exact-half product would put the boundary one draw apart between this
+    # sampler and hash_sample at the same weight — rint is Spark's half-even
+    bound = F.rint(wc * F.lit(float(_SPACE))).cast("long")
     thresh = F.when(bound >= _SPACE, F.lit("g")).otherwise(
         F.format_string(f"%0{_HEX_DIGITS}x", bound))
     return df.filter(hash_hex(id_col, salt) < thresh)
@@ -223,11 +227,16 @@ def mixture_sample(
     plan = mixture_plan(docs, domain_col, targets,
                         budget_tokens=budget_tokens, budget_share=budget_share,
                         token_col=token_col)
-    p = plan.select(F.col("domain").alias("__mix_domain"), "fraction")
+    # reserved names for the plan's columns: a corpus that already carries a
+    # 'fraction' column would otherwise produce a duplicate after the join
+    # and the weighted sampler's reference would be ambiguous
+    p = plan.select(F.col("domain").alias("__mix_domain"),
+                    F.col("fraction").alias("__mix_fraction"))
     joined = docs.join(
         F.broadcast(p),
         docs[domain_col] == F.col("__mix_domain"), "inner").drop("__mix_domain")
-    return weighted_hash_sample(joined, id_col, "fraction", salt=salt)
+    out = weighted_hash_sample(joined, id_col, "__mix_fraction", salt=salt)
+    return out.withColumn("fraction", F.col("__mix_fraction")).drop("__mix_fraction")
 
 
 def leakage_safe_split(

@@ -164,5 +164,10 @@ def corpus_error_rate(report: DataFrame) -> DataFrame:
         F.sum("deletions").cast("long").alias("deletions"),
         F.sum("edits").cast("long").alias("edits"),
         F.sum("ref_len").cast("long").alias("ref_tokens"),
-        (F.sum("edits") / F.sum("ref_len")).alias("error_rate"),
+        # greatest(..., 1) guards an all-empty-reference frame: under ANSI
+        # (the Spark 4 default) a bare division would abort the whole agg
+        # with DIVIDE_BY_ZERO instead of reporting a rate — same guard the
+        # per-row path applies with max(len(rt), 1)
+        (F.sum("edits") / F.greatest(F.sum("ref_len"), F.lit(1)))
+        .alias("error_rate"),
     )

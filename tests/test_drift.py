@@ -181,3 +181,35 @@ models:
     rc = main(["snapshot", cpath, "--path", base,
                "--out", str(tmp_path / "snaps"), "--master", "local[2]"])
     assert rc == 2
+
+
+def test_bucket_rows_null_partition_keyed_as_string(spark):
+    """Review finding: NULL partition values must key under the string
+    'None' (the engine merges by str(partition_value)) — a Python-None key
+    would collide with the no-partition sentinel and those rows' counts
+    silently vanish from the global drift statistic."""
+    from dcspark import drift as drift_mod
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).cast("double").alias("x"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(
+            (F.col("id") % 2).cast("string")).alias("bucket"))
+    stats = drift_mod.build_ref_stats(df.select("x"), ["x"])
+    checks = [{"prefix": "c0", "column": "x", "method": "ks", "stats": stats["x"]}]
+    out = drift_mod.drift_bucket_rows(df, checks, partition_col="bucket")
+    assert "None" in out, f"null partition missing: {list(out)}"
+    assert None not in out
+    total = sum(d.get("c0__count", 0) for d in out.values())
+    assert total == 100  # every row counted exactly once
+
+
+def test_build_ref_stats_all_null_column_clear_error(spark):
+    import pytest
+
+    from dcspark import drift as drift_mod
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(F.lit(None).cast("double").alias("y"))
+    with pytest.raises(ValueError, match="no non-null values.*'y'"):
+        drift_mod.build_ref_stats(df, ["y"])

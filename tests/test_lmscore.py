@@ -99,3 +99,50 @@ def test_plan_no_python_udf_and_single_training_scan(spark):
     # training frame is persisted: the scoring plan reads InMemoryTableScan
     # for the LM sides instead of re-running the corpus aggregation
     assert "InMemoryTableScan" in plan
+
+
+def test_bucket_nulls_do_not_shift_scored_buckets(spark):
+    """Review finding: NULL-perplexity docs must be EXCLUDED from the ntile
+    frame — masked-but-present nulls sort first and absorb head-bucket
+    slots, so a 'keep bucket 1' filter could keep nothing."""
+    from dcspark import lmscore
+    from pyspark.sql import functions as F
+
+    rows = ([("d%d" % i, float(i)) for i in range(6)]
+            + [("n%d" % i, None) for i in range(3)])
+    scored = spark.createDataFrame(rows, "doc_id string, perplexity double")
+    out = {r["doc_id"]: r["bucket"]
+           for r in lmscore.perplexity_buckets(scored, n_buckets=3).collect()}
+    assert [out["d%d" % i] for i in range(6)] == [1, 1, 2, 2, 3, 3]
+    assert all(out["n%d" % i] is None for i in range(3))
+
+
+def test_release_unpersists_the_persisted_frame(spark):
+    """Review finding: with min_count>1, lm.bigrams is a filtered derivative
+    — release() must unpersist the frame that was actually persisted."""
+    from dcspark import lmscore
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [("a", "x y x y x y"), ("b", "x y z w")], "doc_id string, text string")
+    lm = lmscore.train_bigram_lm(corpus, min_count=2)
+    cached = lm.bigrams._dcspark_cached[0]
+    assert cached.storageLevel.useMemory
+    lm.release()
+    assert not cached.storageLevel.useMemory
+
+
+def test_bucket_frame_propagates_cache_handle(spark):
+    from dcspark import lmscore
+
+    from dcspark import pipeline_ckpt
+
+    corpus = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y w")], "doc_id string, text string")
+    scored = lmscore.self_perplexity(corpus)
+    out = lmscore.perplexity_buckets(scored, n_buckets=2)
+    handles = getattr(out, "_dcspark_cached", None)
+    assert handles, "cache handle dropped across perplexity_buckets"
+    out.collect()
+    pipeline_ckpt.release_caches(out)
+    assert not handles[0].storageLevel.useMemory

@@ -131,3 +131,38 @@ def test_weighted_sample_plan_no_udf_no_shuffle(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mixture_sample_tolerates_existing_fraction_column(spark):
+    """Review finding: a corpus already carrying a 'fraction' column must
+    not make the plan join ambiguous."""
+    from dcspark import sampling
+    from pyspark.sql import functions as F
+
+    docs = spark.range(200).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("code").alias("domain"),
+        F.lit(0.123).alias("fraction"),
+        F.lit(100).alias("n_tokens"))
+    out = sampling.mixture_sample(
+        docs, "doc_id", "domain", {"web": 0.5, "code": 0.5},
+        budget_tokens=5000)
+    rows = out.collect()
+    assert rows, "mixture produced nothing"
+    assert "fraction" in out.columns
+
+
+def test_weighted_constant_weight_matches_global_sampler(spark):
+    """Review finding: the weighted sampler's threshold rounding must match
+    the global sampler's half-even boundary — identical keep sets for a
+    constant weight, including an exact-half product (5 / 2^33)."""
+    from dcspark import sampling
+    from pyspark.sql import functions as F
+
+    docs = spark.range(2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+    for w in (0.25, 0.5 + 1e-9, 5 / 2 ** 33, 0.731):
+        a = {r["doc_id"] for r in sampling.hash_sample(docs, "doc_id", w).collect()}
+        b = {r["doc_id"] for r in sampling.weighted_hash_sample(
+            docs, "doc_id", F.lit(w)).collect()}
+        assert a == b, f"weight {w}: {len(a)} vs {len(b)}"

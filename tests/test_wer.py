@@ -188,3 +188,18 @@ def test_edit_counts_total_matches_spark_levenshtein(spark):
     for rid, a, b in pairs:
         s, i, d = edit_counts(list(a), list(b))
         assert s + i + d == jvm[rid], (a, b)
+
+
+def test_corpus_rate_survives_zero_reference_tokens(spark):
+    """Review finding: an all-empty-reference frame must report a rate, not
+    abort with DIVIDE_BY_ZERO under ANSI mode."""
+    from dcspark import wer as wer_mod
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", "", "some hyp words"), ("b", "", "more words")],
+        "clip_id string, ref string, hyp string")
+    rep = wer_mod.error_report(df, id_col="clip_id", ref_col="ref", hyp_col="hyp")
+    row = wer_mod.corpus_error_rate(rep).collect()[0]
+    assert row["ref_tokens"] == 0
+    assert row["error_rate"] == row["edits"]  # denominator floored at 1
