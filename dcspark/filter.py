@@ -75,6 +75,12 @@ def with_reasons(
         parent = (tables or {}).get(chk.params["parent_model"])
         if parent is None:
             continue
+        if chk.params["parent_field"] not in parent.columns:
+            # engine parity: a missing parent column degrades to an error
+            # CHECK there (engine._reference_compute), never an
+            # AnalysisException — crashing here would kill a WAP salvage
+            # stream mid-batch instead of quarantining the batch
+            continue
         flag = f"__ref_ok_{i}"
         keys = parent.select(
             F.col(chk.params["parent_field"]).alias(f"__pk_{i}")
@@ -87,16 +93,20 @@ def with_reasons(
         ).drop(f"__pk_{i}")
         joined_refs.append((chk, flag))
 
+    def _ref_orphan(chk: CompiledCheck, flag: str):
+        # NULL child keys are the required-check's concern, never an orphan
+        cond = F.col(chk.field).isNotNull() & F.col(flag).isNull()
+        # per-check `filter:` scoping (engine parity: the engine filters the
+        # child frame BEFORE its anti-join, so an out-of-scope row must
+        # never be tagged an orphan here either)
+        flt = chk.params.get("filter")
+        if flt:
+            cond = cond & F.coalesce(F.expr(flt), F.lit(False))
+        return F.when(cond, F.lit(chk.key))
+
     entries = [
         F.when(chk.violation_predicate(), F.lit(chk.key)) for chk in preds
-    ] + [
-        # NULL child keys are the required-check's concern, never an orphan
-        F.when(
-            F.col(chk.field).isNotNull() & F.col(flag).isNull(),
-            F.lit(chk.key),
-        )
-        for chk, flag in joined_refs
-    ]
+    ] + [_ref_orphan(chk, flag) for chk, flag in joined_refs]
     if not entries:
         return out.withColumn(
             REASONS_COL, F.array().cast("array<string>"))

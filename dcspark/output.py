@@ -48,8 +48,12 @@ def print_console(run: Run) -> None:
 
 
 def exit_code(run: Run) -> int:
-    """1 on failed/error run (parity: test_results_writer.py:46)."""
-    return 0 if run.result in (ResultEnum.passed, ResultEnum.info, ResultEnum.unknown) else 1
+    """Reference parity (test_results_writer.py:18-45): exit 0 for a passed
+    OR warning run (the reference prints warnings and returns normally),
+    exit 1 for everything else — INCLUDING unknown, which must fail CLOSED
+    (a run that produced no verdict is not a green gate)."""
+    return 0 if run.result in (ResultEnum.passed, ResultEnum.warning,
+                               ResultEnum.info) else 1
 
 
 def to_junit_xml(run: Run) -> str:
@@ -61,16 +65,22 @@ def to_junit_xml(run: Run) -> str:
     failures = sum(1 for c in run.checks if c.result == ResultEnum.failed)
     errors = sum(1 for c in run.checks if c.result == ResultEnum.error)
     skipped = sum(1 for c in run.checks if c.result in (ResultEnum.unknown, None))
+    # attribute values need the double quote escaped too — plain escape()
+    # leaves it alone, and a reason quoting an observed value would
+    # terminate the attribute early (malformed XML that CI parsers reject)
+    def attr(s: str) -> str:
+        return escape(s, {'"': "&quot;"})
+
     cases = []
     per_case = duration / n if n else 0.0
     for c in run.checks:
-        name = escape(c.key or c.id or c.name or "check")
-        cls = escape(c.model or run.dataContractId or "contract")
+        name = attr(c.key or c.id or c.name or "check")
+        cls = attr(c.model or run.dataContractId or "contract")
         body = ""
         if c.result == ResultEnum.failed:
-            body = f'<failure message="{escape(c.reason or "failed")}"/>'
+            body = f'<failure message="{attr(c.reason or "failed")}"/>'
         elif c.result == ResultEnum.error:
-            body = f'<error message="{escape(c.reason or "error")}"/>'
+            body = f'<error message="{attr(c.reason or "error")}"/>'
         elif c.result in (ResultEnum.unknown, None):
             body = "<skipped/>"
         cases.append(
@@ -78,7 +88,7 @@ def to_junit_xml(run: Run) -> str:
         )
     return (
         '<?xml version="1.0" encoding="UTF-8"?>\n'
-        f'<testsuite name="{escape(run.dataContractId or "datacontract")}" '
+        f'<testsuite name="{attr(run.dataContractId or "datacontract")}" '
         f'tests="{n}" failures="{failures}" errors="{errors}" skipped="{skipped}" '
         f'time="{duration:.3f}" timestamp="{started.isoformat()}">\n'
         + "\n".join(cases)

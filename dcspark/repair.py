@@ -99,6 +99,12 @@ def _field_fix(fname: str, field_, strategy: str) -> Optional[Column]:
     out = c
     for pred, repl in reversed(steps):
         out = F.when(c.isNotNull() & pred, repl).otherwise(out)
+    if rx is not None and coerce:
+        # a coercion (maxLength truncation) can NEWLY violate a format the
+        # original satisfied ('user@x.com' truncated to 6 chars is no email):
+        # re-test the pattern on the REPAIRED value and null what fails —
+        # the repaired frame must satisfy the contract it repairs toward
+        out = F.when(out.isNotNull() & ~out.rlike(rx), null).otherwise(out)
     return out
 
 

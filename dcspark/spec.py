@@ -98,10 +98,15 @@ class Field(BaseModel):
     format: Optional[str] = None
     minLength: Optional[int] = None
     maxLength: Optional[int] = None
-    minimum: Optional[float] = None
-    maximum: Optional[float] = None
-    exclusiveMinimum: Optional[float] = None
-    exclusiveMaximum: Optional[float] = None
+    # int BEFORE float in the union: pydantic tries members left to right,
+    # so integral YAML bounds stay exact ints — a bare float type would
+    # round a 64-bit id bound past 2^53 and the compiled range check (and
+    # suggest's round-trip guarantee) would silently compare against the
+    # wrong value
+    minimum: Optional[Union[int, float]] = None
+    maximum: Optional[Union[int, float]] = None
+    exclusiveMinimum: Optional[Union[int, float]] = None
+    exclusiveMaximum: Optional[Union[int, float]] = None
     enum: Optional[List[Any]] = None
     precision: Optional[int] = None
     scale: Optional[int] = None

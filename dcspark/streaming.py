@@ -29,8 +29,21 @@ class StreamValidation:
     """Handle for a running stream validation."""
 
     query: "object"  # StreamingQuery
+    # bounded (max_history): an always-on stream appends one result per
+    # micro-batch forever, each pinning Run objects + a violations frame —
+    # consume per-batch state via on_batch; await_batches counts
+    # total_batches, not the trimmed tail
     history: List[ValidationResult] = dc_field(default_factory=list)
+    max_history: int = 1000
+    total_batches: int = 0
     _lock: threading.Lock = dc_field(default_factory=threading.Lock)
+
+    def _record(self, result: ValidationResult) -> None:
+        with self._lock:
+            self.total_batches += 1
+            self.history.append(result)
+            if len(self.history) > self.max_history:
+                del self.history[:len(self.history) - self.max_history]
 
     def stop(self) -> None:
         self.query.stop()
@@ -46,7 +59,7 @@ class StreamValidation:
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
             with self._lock:
-                if len(self.history) >= n:
+                if self.total_batches >= n:
                     return True
             time.sleep(0.2)
         return False
@@ -78,9 +91,7 @@ def validate_stream(
         if static_tables:
             tables.update(static_tables)
         result = validate(spark, spec, tables, config)
-        handle = handle_ref["handle"]
-        with handle._lock:
-            handle.history.append(result)
+        handle_ref["handle"]._record(result)
         if results_sink:
             # explicit schema: an all-pass batch has every reason NULL,
             # which would fail dict type inference
@@ -97,9 +108,13 @@ def validate_stream(
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
-    query = writer.start()
-    handle = StreamValidation(query=query)
+    # construct + publish the handle BEFORE start(): with data already queued
+    # (file source) the stream thread can run process_batch the instant the
+    # query starts, and handle_ref["handle"] must already resolve — the
+    # wap_stream pattern (a KeyError here would kill batch 0)
+    handle = StreamValidation(query=None)
     handle_ref["handle"] = handle
+    handle.query = writer.start()
     return handle
 
 
@@ -206,9 +221,8 @@ def windowed_drift_psi(
         .groupBy(F.window(F.col(ts_col), window).alias("w"))
         .agg(F.count(F.lit(1)).alias("rows"), *bins)
     )
-    total = F.greatest(
-        sum(F.col(f"__b{k}") for k in range(n_bins)), F.lit(1)
-    ).cast("double")
+    binned = sum(F.col(f"__b{k}") for k in range(n_bins))
+    total = F.greatest(binned, F.lit(1)).cast("double")
     terms = []
     for k, q_ref in enumerate(ref_probs):
         p = F.greatest(F.col(f"__b{k}") / total, F.lit(drift_mod.EPS))
@@ -217,6 +231,10 @@ def windowed_drift_psi(
     psi = terms[0]
     for t in terms[1:]:
         psi = psi + t
+    # a window whose monitored column is entirely NULL has zero evidence:
+    # the batch engine (drift_statistic) abstains with None there, and the
+    # clamped bins would otherwise report a maximal ~13.8 false alarm
+    psi = F.when(binned > 0, psi)
     return agg.select(
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),

@@ -108,10 +108,15 @@ def suggest_model(df: DataFrame, model_name: str = "model") -> Dict[str, Any]:
                 pk_assigned = True
         if isinstance(f.dataType, T.NumericType) and nonnull > 0:
             lo, hi = p["min"], p["max"]
+            # keep integral bounds as ints: float() rounds past 2^53 (a
+            # snowflake-style long id's min could round UP and exclude the
+            # observed minimum, breaking the validate(data, suggest(data))
+            # self-consistency guarantee)
+            integral = isinstance(f.dataType, T.IntegralType)
             if lo is not None:
-                fd["minimum"] = float(lo)
+                fd["minimum"] = int(lo) if integral else float(lo)
             if hi is not None:
-                fd["maximum"] = float(hi)
+                fd["maximum"] = int(hi) if integral else float(hi)
         if isinstance(f.dataType, T.StringType) and nonnull > 0:
             lmin = follow.get(f"{name}__len_min")
             lmax = follow.get(f"{name}__len_max")

@@ -109,32 +109,43 @@ def wap_append(
         if on_fail == "salvage":
             from . import filter as filter_mod
 
-            valid, bad = filter_mod.split(df, spec, model_name, tables)
-            bad = bad.withColumn(
+            # same one-scan persist as _salvage: both sides + the append
+            # below derive from one tagged frame
+            tagged = filter_mod.with_reasons(
+                df, spec, model_name, tables).persist()
+            valid = tagged.filter(
+                F.size(filter_mod.REASONS_COL) == 0
+            ).drop(filter_mod.REASONS_COL)
+            bad = tagged.filter(
+                F.size(filter_mod.REASONS_COL) > 0
+            ).withColumn(
                 filter_mod.REASONS_COL,
                 F.array_join(F.col(filter_mod.REASONS_COL), ","))
-            q = _quarantine(bad, quarantine_sink)
-            n_valid = valid.count()
-            if n_valid:
-                tables = dict(tables)
-                tables[model_name] = valid
-                result2 = validate(spark, spec, tables, config)
-                if result2.run.result == ResultEnum.passed:
-                    sid = t.append(valid)
-                    return WapOutcome(published=True, result=result2,
-                                      snapshot_id=sid, main_head=sid,
-                                      rows=n, quarantined_rows=q,
-                                      salvaged_rows=n_valid)
-                result = result2
-                q += _quarantine(
-                    valid.withColumn(
-                        filter_mod.REASONS_COL,
-                        F.lit(",".join(_failed_keys(result2)))),
-                    quarantine_sink)
-            return WapOutcome(published=False, result=result,
-                              snapshot_id=None, main_head=None, rows=n,
-                              failed_checks=_failed_keys(result),
-                              quarantined_rows=q)
+            try:
+                q = _quarantine(bad, quarantine_sink)
+                n_valid = valid.count()
+                if n_valid:
+                    tables = dict(tables)
+                    tables[model_name] = valid
+                    result2 = validate(spark, spec, tables, config)
+                    if result2.run.result == ResultEnum.passed:
+                        sid = t.append(valid)
+                        return WapOutcome(published=True, result=result2,
+                                          snapshot_id=sid, main_head=sid,
+                                          rows=n, quarantined_rows=q,
+                                          salvaged_rows=n_valid)
+                    result = result2
+                    q += _quarantine(
+                        valid.withColumn(
+                            filter_mod.REASONS_COL,
+                            F.lit(",".join(_failed_keys(result2)))),
+                        quarantine_sink)
+                return WapOutcome(published=False, result=result,
+                                  snapshot_id=None, main_head=None, rows=n,
+                                  failed_checks=_failed_keys(result),
+                                  quarantined_rows=q)
+            finally:
+                tagged.unpersist()
         q = _quarantine(
             df.withColumn(_REASONS, F.lit(",".join(_failed_keys(result)))),
             quarantine_sink)
@@ -190,18 +201,28 @@ def _salvage(spark, spec, t, inc, model_name, branch, tables, config,
     everything quarantines and main stays untouched."""
     from . import filter as filter_mod
 
-    valid, bad = filter_mod.split(inc, spec, model_name, tables)
-    bad = bad.withColumn(filter_mod.REASONS_COL,
-                         F.array_join(F.col(filter_mod.REASONS_COL), ","))
-    q = _quarantine(bad, quarantine_sink)
-    n_valid = valid.count()
-    main_head = t.current_snapshot_id()
-    if n_valid == 0:
-        return WapOutcome(published=False, result=first_result,
-                          snapshot_id=branch_head, main_head=main_head,
-                          rows=n, failed_checks=_failed_keys(first_result),
-                          quarantined_rows=q)
-    retry_head = t.append(valid, branch=branch)
+    # persist the tagged frame ONCE: quarantine write, valid.count(), and
+    # the branch append below all derive from it — unpersisted, each would
+    # re-run the row predicates + broadcast reference joins over the
+    # audited increment (the one-scan posture filter.py itself documents)
+    tagged = filter_mod.with_reasons(inc, spec, model_name, tables).persist()
+    try:
+        valid = tagged.filter(
+            F.size(filter_mod.REASONS_COL) == 0).drop(filter_mod.REASONS_COL)
+        bad = tagged.filter(F.size(filter_mod.REASONS_COL) > 0).withColumn(
+            filter_mod.REASONS_COL,
+            F.array_join(F.col(filter_mod.REASONS_COL), ","))
+        q = _quarantine(bad, quarantine_sink)
+        n_valid = valid.count()
+        main_head = t.current_snapshot_id()
+        if n_valid == 0:
+            return WapOutcome(published=False, result=first_result,
+                              snapshot_id=branch_head, main_head=main_head,
+                              rows=n, failed_checks=_failed_keys(first_result),
+                              quarantined_rows=q)
+        retry_head = t.append(valid, branch=branch)
+    finally:
+        tagged.unpersist()
     inc2 = t.read_incremental(spark, main_head, to_snapshot_id=retry_head)
     tables = dict(tables)
     tables[model_name] = inc2
@@ -240,11 +261,27 @@ def _quarantine(df: DataFrame, sink: Optional[str]) -> int:
 
 @dataclass
 class WapStream:
-    """Handle for a running WAP ingestion stream."""
+    """Handle for a running WAP ingestion stream.
+
+    ``outcomes`` is BOUNDED (``max_outcomes``, default 1000): an always-on
+    production stream appends one outcome per micro-batch forever, and each
+    retains Run objects — unbounded growth is a slow driver leak. Consume
+    per-batch state through ``on_batch`` when every outcome matters; the
+    retained tail (newest last) is for inspection and ``await_batches``,
+    which counts via ``total_batches``, not the trimmed list."""
 
     query: "object"  # StreamingQuery
     outcomes: List[WapOutcome] = dc_field(default_factory=list)
+    max_outcomes: int = 1000
+    total_batches: int = 0
     _lock: threading.Lock = dc_field(default_factory=threading.Lock)
+
+    def _record(self, outcome: "WapOutcome") -> None:
+        with self._lock:
+            self.total_batches += 1
+            self.outcomes.append(outcome)
+            if len(self.outcomes) > self.max_outcomes:
+                del self.outcomes[:len(self.outcomes) - self.max_outcomes]
 
     def stop(self) -> None:
         self.query.stop()
@@ -255,7 +292,7 @@ class WapStream:
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
             with self._lock:
-                if len(self.outcomes) >= count:
+                if self.total_batches >= count:
                     return True
             time.sleep(0.2)
         return False
@@ -292,8 +329,7 @@ def wap_stream(
                          branch=branch, static_tables=static_tables,
                          config=config, quarantine_sink=quarantine_sink,
                          on_fail=on_fail)
-        with handle._lock:
-            handle.outcomes.append(out)
+        handle._record(out)
 
     writer = stream_df.writeStream.foreachBatch(process_batch)
     if checkpoint_location:

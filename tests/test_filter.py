@@ -186,3 +186,59 @@ models:
     assert by_id["c1"] == []
     assert by_id["c2"] == ["clips__device__field_reference"]
     assert by_id["c3"] == ["clips__device__field_reference"]
+
+
+def test_reference_filter_scope_respected(spark):
+    """Review finding: a reference rule with a `filter:` scope must not tag
+    out-of-scope rows as orphans (engine parity — it filters the child
+    frame before its anti-join)."""
+    from dcspark import filter as filter_mod
+    from dcspark.spec import DataContractSpecification
+
+    contract = """
+id: scoped-ref
+models:
+  child:
+    fields:
+      k: {type: string, references: parent.k, filter: "region = 'EU'"}
+      region: {type: string}
+  parent:
+    fields:
+      k: {type: string}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    parent = spark.createDataFrame([("a",), ("b",)], "k string")
+    child = spark.createDataFrame(
+        [("a", "EU"), ("zz", "EU"), ("zz", "US"), ("b", "US")],
+        "k string, region string")
+    tagged = filter_mod.with_reasons(child, spec, "child",
+                                     tables={"parent": parent})
+    rows = {(r["k"], r["region"]): r["__reasons"] for r in tagged.collect()}
+    assert rows[("zz", "EU")], "in-scope orphan must be tagged"
+    assert not rows[("zz", "US")], "out-of-scope row wrongly tagged as orphan"
+    assert not rows[("a", "EU")] and not rows[("b", "US")]
+
+
+def test_missing_parent_column_degrades_not_crashes(spark):
+    """Review finding: engine parity — a declared parent column absent from
+    the provided parent frame must skip the reference (the engine reports
+    it as an error check), never raise AnalysisException mid-salvage."""
+    from dcspark import filter as filter_mod
+    from dcspark.spec import DataContractSpecification
+
+    contract = """
+id: missing-parent-col
+models:
+  child:
+    fields:
+      k: {type: string, references: parent.nope}
+  parent:
+    fields:
+      nope: {type: string}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    parent = spark.createDataFrame([("a",)], "other string")
+    child = spark.createDataFrame([("x",)], "k string")
+    tagged = filter_mod.with_reasons(child, spec, "child",
+                                     tables={"parent": parent})
+    assert tagged.collect()[0]["__reasons"] == []

@@ -988,3 +988,41 @@ def test_cli_test_dry_run_rejects_bad_model(capsys):
     with pytest.raises(SystemExit):
         main(["test", "contracts/audio_clips.yaml", "--dry-run",
               "--where", "1=1", "--model", "nope"])
+
+
+def test_exit_code_reference_parity():
+    """Review finding: the reference exits 0 for passed AND warning runs,
+    1 for everything else INCLUDING unknown (fail closed)."""
+    from dcspark.output import exit_code
+    from dcspark.run_model import ResultEnum, Run
+
+    def run_with(result):
+        r = Run.create_run("c")
+        r.result = result
+        return r
+
+    assert exit_code(run_with(ResultEnum.passed)) == 0
+    assert exit_code(run_with(ResultEnum.warning)) == 0
+    assert exit_code(run_with(ResultEnum.failed)) == 1
+    assert exit_code(run_with(ResultEnum.error)) == 1
+    assert exit_code(run_with(ResultEnum.unknown)) == 1
+
+
+def test_junit_xml_escapes_double_quotes():
+    """Review finding: reasons quoting observed values must not terminate
+    the XML attribute early — the document must stay parseable."""
+    from xml.dom import minidom
+
+    from dcspark.output import to_junit_xml
+    from dcspark.run_model import Check, ResultEnum, Run
+
+    r = Run.create_run("c")
+    r.checks.append(Check(
+        key='k"with"quotes', name="n", result=ResultEnum.failed,
+        reason='expected "uuid" format, got "abc"'))
+    r.finish()
+    doc = minidom.parseString(to_junit_xml(r))
+    case = doc.getElementsByTagName("testcase")[0]
+    assert case.getAttribute("name") == 'k"with"quotes'
+    failure = doc.getElementsByTagName("failure")[0]
+    assert failure.getAttribute("message") == 'expected "uuid" format, got "abc"'

@@ -169,3 +169,30 @@ def test_report_skips_absent_fields_and_rejects_unknown_strategy_keys(spark, spe
     assert "extra" not in rep            # absent column: skipped, not a crash
     with pytest.raises(ValueError, match="unknown field"):
         repair_mod.repair(df, spec2, "clips", strategies={"nmae": "keep"})
+
+
+def test_truncation_cannot_newly_violate_format(spark):
+    """Review finding: maxLength truncation of a format-valid value can
+    produce a format-INVALID value — the repaired frame must satisfy the
+    contract it repairs toward, so such values null instead."""
+    from dcspark import repair as repair_mod
+    from dcspark.spec import DataContractSpecification
+
+    contract = """
+id: r
+models:
+  m:
+    fields:
+      email: {type: string, format: email, maxLength: 6}
+"""
+    spec = DataContractSpecification.from_string(contract)
+    df = spark.createDataFrame(
+        [("user@x.com",), ("a@b.co",)], "email string")
+    out = {r[0]: r["email"] for r in
+           repair_mod.repair(df, spec, "m").select(
+               F.monotonically_increasing_id(), "email").collect()}
+    vals = sorted(out.values(), key=lambda v: (v is None, v))
+    # 'a@b.co' is 6 chars and already valid -> kept; 'user@x.com' would
+    # truncate to 'user@x' (not an email) -> nulled, never emitted invalid
+    assert vals[0] == "a@b.co"
+    assert vals[1] is None

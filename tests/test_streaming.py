@@ -292,3 +292,36 @@ def test_stream_audio_decode_conformance(spark, tmp_path):
     failed_run = next(r for r in runs if r.result == ResultEnum.failed)
     failed_keys = {c.key for c in failed_run.checks if c.result == ResultEnum.failed}
     assert "clips__audio_decode_conformance" in failed_keys
+
+
+def test_windowed_psi_abstains_on_all_null_window(spark):
+    """Review finding: a window whose monitored column is entirely NULL has
+    zero evidence — PSI must be NULL (the batch engine abstains), not the
+    clamped-epsilon maximal ~13.8 false alarm."""
+    import datetime as dt
+
+    from dcspark import drift as drift_mod
+    from dcspark import streaming as streaming_mod
+
+    ref = spark.range(1000).selectExpr("cast(id % 50 as double) as x")
+    stats = drift_mod.build_ref_stats(ref, ["x"])["x"]
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 30)
+    rows = [(t0, None)] * 20 + [(t0 + dt.timedelta(minutes=2), 25.0)] * 10
+    df = spark.createDataFrame(rows, "ts timestamp, x double")
+    out = {r["window_start"]: r for r in
+           streaming_mod.windowed_drift_psi(df, "x", stats).collect()}
+    w0 = out[dt.datetime(2026, 1, 1, 0, 0)]
+    assert w0["rows"] == 20 and w0["psi"] is None
+    w2 = out[dt.datetime(2026, 1, 1, 0, 2)]
+    assert w2["psi"] is not None
+
+
+def test_stream_history_bounded(spark):
+    from dcspark.streaming import StreamValidation
+
+    h = StreamValidation(query=None, max_history=5)
+    for i in range(12):
+        h._record(f"r{i}")
+    assert h.total_batches == 12
+    assert len(h.history) == 5
+    assert h.history == ["r7", "r8", "r9", "r10", "r11"]

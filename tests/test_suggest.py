@@ -89,3 +89,20 @@ def test_audio_shape_gets_payload_rules(spark):
     res = validate(spark, spec, {"clips": clips}, ValidationConfig())
     assert res.run.result == ResultEnum.passed, [
         c.key for c in res.run.checks if c.result != ResultEnum.passed]
+
+
+def test_long_bounds_stay_exact_integers(spark):
+    """Review finding: float() rounds past 2^53 — a snowflake-style long
+    id's suggested minimum could exceed the observed minimum, breaking the
+    validate(data, suggest(data)) self-consistency guarantee."""
+    from dcspark import suggest as suggest_mod
+
+    from dcspark.spec import DataContractSpecification
+
+    lo, hi = 4611686018427387903, 4611686018427387905  # straddle 2^62
+    df = spark.createDataFrame([(lo,), (hi,)], "big_id long")
+    spec = DataContractSpecification.from_string(
+        suggest_mod.suggest_contract({"m": df}))
+    fd = spec.models["m"].fields["big_id"]
+    assert int(fd.minimum) == lo
+    assert int(fd.maximum) == hi
